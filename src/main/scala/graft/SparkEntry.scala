@@ -1,13 +1,352 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.geo.GeoQueries
+import graft.operators.{Ann, Dedup, Multimodal, Relational, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every query ends in a total order and uses the deterministic
+  * arithmetic scheme of SURVEY.md §5; `oracleSql` entries are the
+  * DuckDB twins, validated locally before commit.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // geo / reference surface
+    "g1_tile_parse"           -> GeoQueries.tileParse _,
+    "g2_region_filter"        -> GeoQueries.regionFilter _,
+    "g3_grid_expand"          -> GeoQueries.gridExpandQ _,
+    "g4_elevation_stats"      -> GeoQueries.elevationStats _,
+    "g5_ingest_manifest"      -> GeoQueries.ingestManifest _,
+    "g6_region_elevation_join" -> GeoQueries.regionElevation _,
+    // relational core
+    "q1_agg"                  -> Relational.q1Agg _,
+    "q2_topk"                 -> Relational.q2Topk _,
+    "q3_join"                 -> Relational.q3Join _,
+    "q5_multijoin"            -> Relational.q5Multijoin _,
+    "q6_filter"               -> Relational.q6Filter _,
+    "q7_semi"                 -> Relational.q7Semi _,
+    "q8_anti"                 -> Relational.q8Anti _,
+    "q9_window"               -> Relational.q9Window _,
+    "q10_rollup"              -> Relational.q10Rollup _,
+    "q11_distinct"            -> Relational.q11Distinct _,
+    "q12_events_window"       -> Relational.q12EventsWindow _,
+    "q13_sessionize"          -> Relational.q13Sessionize _,
+    "q14_asof_join"           -> Relational.q14AsofJoin _,
+    "q15_json"                -> Relational.q15Json _,
+    // text analysis
+    "t1_token_count"          -> TextAnalysis.tokenCounts _,
+    "t2_quality"              -> TextAnalysis.qualityScores _,
+    "t3_langid"               -> TextAnalysis.langId _,
+    "t4_fingerprint"          -> TextAnalysis.fingerprints _,
+    // dedup
+    "d1_exact_dedup"          -> Dedup.exact _,
+    "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "d4_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "d5_embed_neardup"        -> ((s: SparkSession, d: String) => Dedup.embedNearDup(s, d)),
+    // similarity search
+    "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
+    "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    // multimodal
+    "m1_mm_manifest"          -> Multimodal.manifest _)
+
+  // ---- oracle fragments shared across queries -----------------------
+
+  /** Canonical text normalization — DuckDB twin of TextFns.normalize. */
+  private val Nrm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+  /** Tile universe CTE — DuckDB twin of Geo.tiles (SURVEY.md §3). */
+  private val TilesCte = raw"""
+    |tiles AS (
+    |  SELECT p_partkey AS tile_id,
+    |         ((p_partkey*37)%181)-90 AS lat0,
+    |         ((p_partkey*73)%361)-180 AS lon0,
+    |         ((p_partkey*2654435761)%10000000)+1000000 AS size_bytes
+    |  FROM part),
+    |keyed AS (
+    |  SELECT *, printf('ALPSMLC30_%s%03d%s%03d_DSM',
+    |    CASE WHEN lat0>=0 THEN 'N' ELSE 'S' END, abs(lat0),
+    |    CASE WHEN lon0>=0 THEN 'E' ELSE 'W' END, abs(lon0)) AS tile_key
+    |  FROM tiles)""".stripMargin
+
+  /** Expanded-grid CTE — DuckDB twin of Geo.gridExpand (8×8, step 1/8). */
+  private val GridCte = TilesCte + raw""",
+    |grid AS (
+    |  SELECT tile_id, tile_key, lat0, lon0,
+    |         (lon0 + xs.x*(0.125::DOUBLE))::DOUBLE AS lon,
+    |         (lat0 - ys.y*(0.125::DOUBLE))::DOUBLE AS lat,
+    |         ((tile_id*131 + xs.x*17 + ys.y*29)%8848)::INT AS elevation
+    |  FROM keyed, generate_series(0,7) ys(y), generate_series(0,7) xs(x))""".stripMargin
+
+  /** Word-3-shingle CTE over documents — twin of TextFns.wordShingles. */
+  private val ShingleCte = raw"""
+    |d AS (SELECT doc_id, string_split($Nrm, ' ') AS w FROM documents),
+    |sh AS (SELECT doc_id,
+    |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+    |       ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+    |  END AS s
+    |  FROM d)""".stripMargin
+
+  /** Char-4-gram CTE — twin of TextFns.charGrams. */
+  private val GramCte = raw"""
+    |d AS (SELECT doc_id, $Nrm AS nrm FROM documents),
+    |gr AS (SELECT doc_id,
+    |  CASE WHEN length(nrm) < 4 THEN [nrm]
+    |       ELSE list_distinct([nrm[i:i+3] for i in range(1, length(nrm)-2)])
+    |  END AS g
+    |  FROM d)""".stripMargin
+
+  /** Normed double-embedding CTE — twin of VecFns. */
+  private val VecCte = raw"""
+    |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (d3_simhash, s2_ann_lsh, m1_mm_manifest) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "g1_tile_parse" -> raw"""
+      |WITH $TilesCte
+      |SELECT tile_id, tile_key, lat0, lon0,
+      |  CASE WHEN regexp_extract(tile_key, 'ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM', 1) = 'N'
+      |       THEN regexp_extract(tile_key, 'ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM', 2)::INT
+      |       ELSE -(regexp_extract(tile_key, 'ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM', 2)::INT)
+      |  END AS parsed_lat,
+      |  CASE WHEN regexp_extract(tile_key, 'ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM', 3) = 'E'
+      |       THEN regexp_extract(tile_key, 'ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM', 4)::INT
+      |       ELSE -(regexp_extract(tile_key, 'ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM', 4)::INT)
+      |  END AS parsed_lon,
+      |  (parsed_lat = lat0 AND parsed_lon = lon0) AS roundtrip_ok
+      |FROM keyed ORDER BY tile_id""".stripMargin,
+    "g2_region_filter" -> raw"""
+      |WITH t AS (SELECT ((l_orderkey*10 + l_linenumber)*37)%181 - 90 AS lat,
+      |                  ((l_orderkey*10 + l_linenumber)*73)%361 - 180 AS lon
+      |           FROM lineitem)
+      |SELECT
+      |  sum(CASE WHEN lat BETWEEN 50 AND 53 AND lon BETWEEN 3 AND 7 THEN 1 ELSE 0 END)::BIGINT AS netherlands_tiles,
+      |  sum(CASE WHEN lat BETWEEN 42 AND 51 AND lon BETWEEN -6 AND 9 THEN 1 ELSE 0 END)::BIGINT AS france_tiles,
+      |  sum(CASE WHEN lat BETWEEN 23 AND 80 AND lon BETWEEN -25 AND 49 THEN 1 ELSE 0 END)::BIGINT AS europe_tiles,
+      |  count(*) AS world_tiles
+      |FROM t""".stripMargin,
+    "g3_grid_expand" -> raw"""
+      |WITH $GridCte
+      |SELECT tile_id, tile_key, lon, lat, elevation
+      |FROM grid WHERE tile_id < 20 ORDER BY tile_id, lat, lon""".stripMargin,
+    "g4_elevation_stats" -> raw"""
+      |WITH $GridCte
+      |SELECT tile_key, count(*) AS n_pixels, min(elevation) AS min_elev,
+      |       max(elevation) AS max_elev, round(avg(elevation), 6) AS avg_elev
+      |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g5_ingest_manifest" -> raw"""
+      |WITH $TilesCte,
+      |local AS (SELECT tile_key,
+      |            size_bytes - (CASE WHEN tile_id%5 = 0 THEN 1 ELSE 0 END) AS size_bytes
+      |          FROM keyed WHERE tile_id%3 = 0)
+      |SELECT tile_id, tile_key, size_bytes FROM keyed r
+      |WHERE NOT EXISTS (SELECT 1 FROM local l
+      |                  WHERE l.tile_key = r.tile_key AND l.size_bytes = r.size_bytes)
+      |ORDER BY tile_id""".stripMargin,
+    "g6_region_elevation_join" -> raw"""
+      |WITH $GridCte,
+      |m AS (
+      |  SELECT 'netherlands' AS set_name, elevation FROM grid
+      |    WHERE lat0 BETWEEN 50 AND 53 AND lon0 BETWEEN 3 AND 7
+      |  UNION ALL
+      |  SELECT 'france', elevation FROM grid
+      |    WHERE lat0 BETWEEN 42 AND 51 AND lon0 BETWEEN -6 AND 9
+      |  UNION ALL
+      |  SELECT 'europe', elevation FROM grid
+      |    WHERE lat0 BETWEEN 23 AND 80 AND lon0 BETWEEN -25 AND 49
+      |  UNION ALL
+      |  SELECT 'world', elevation FROM grid)
+      |SELECT set_name, count(*) AS n_pixels, round(avg(elevation), 6) AS avg_elev,
+      |       max(elevation) AS max_elev
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_agg" -> raw"""
+      |SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity)::BIGINT AS sum_qty,
+      |  sum(round(l_extendedprice*100)::BIGINT)::BIGINT AS sum_base_cents,
+      |  sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS sum_disc_cents,
+      |  sum(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100)::BIGINT)::BIGINT AS sum_charge_cents,
+      |  round(sum(l_quantity)/count(*), 6) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_topk" -> raw"""
+      |WITH rev AS (SELECT o_custkey, sum(round(o_totalprice*100)::BIGINT)::BIGINT AS revenue_cents,
+      |                    count(*) AS n_orders
+      |             FROM orders GROUP BY 1)
+      |SELECT c_custkey, c_name, revenue_cents, n_orders
+      |FROM rev JOIN customer ON o_custkey = c_custkey
+      |ORDER BY revenue_cents DESC, c_custkey LIMIT 10""".stripMargin,
+    "q3_join" -> raw"""
+      |SELECT l_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, revenue_cents FROM (
+      |  SELECT l_orderkey, o_orderdate AS od,
+      |         sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS revenue_cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |       JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2)
+      |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" -> raw"""
+      |SELECT n_name, sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |     JOIN supplier ON l_suppkey = s_suppkey
+      |     JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |     JOIN nation ON s_nationkey = n_nationkey
+      |     JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q6_filter" -> raw"""
+      |SELECT sum(round(l_extendedprice*l_discount*100)::BIGINT)::BIGINT AS revenue_cents,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_semi" -> raw"""
+      |SELECT n_name, count(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_anti" -> raw"""
+      |SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_window" -> raw"""
+      |SELECT c_custkey, c_nationkey, acctbal_cents, rank_in_nation, running_cents FROM (
+      |  SELECT c_custkey, c_nationkey, round(c_acctbal*100)::BIGINT AS acctbal_cents,
+      |         (row_number() OVER w)::INT AS rank_in_nation,
+      |         (sum(round(c_acctbal*100)::BIGINT) OVER (w ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+      |WHERE rank_in_nation <= 3 ORDER BY c_nationkey, rank_in_nation""".stripMargin,
+    "q10_rollup" -> raw"""
+      |SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+      |       count(*) AS n_customers, sum(round(c_acctbal*100)::BIGINT)::BIGINT AS acctbal_cents
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |     JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q11_distinct" -> raw"""
+      |SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_parts,
+      |       (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_supps,
+      |       (SELECT count(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) AS n_part_supp,
+      |       (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_orders""".stripMargin,
+    "q12_events_window" -> raw"""
+      |SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch, event_type,
+      |       count(*) AS n_events, sum(round(value*100)::BIGINT)::BIGINT AS value_cents
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_sessionize" -> raw"""
+      |WITH x AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |                       OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+      |                     THEN 1 ELSE 0 END AS new_session FROM x),
+      |z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM y)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       floor(epoch(min(ts)))::BIGINT AS start_epoch,
+      |       floor(epoch(max(ts)))::BIGINT AS end_epoch,
+      |       sum(round(value*100)::BIGINT)::BIGINT AS value_cents
+      |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_asof_join" -> raw"""
+      |WITH ord AS (SELECT o_custkey AS uid, o_orderdate AS t, max(o_orderkey) AS o_orderkey
+      |             FROM orders GROUP BY 1, 2),
+      |u AS (SELECT uid, t, o_orderkey, NULL::BIGINT AS event_id, 0 AS kind FROM ord
+      |      UNION ALL
+      |      SELECT user_id, ts, NULL::BIGINT, event_id, 1 FROM events
+      |      WHERE event_type = 'purchase'),
+      |w AS (SELECT *, last_value(o_orderkey IGNORE NULLS)
+      |        OVER (PARTITION BY uid ORDER BY t, kind ROWS UNBOUNDED PRECEDING) AS asof_orderkey
+      |      FROM u)
+      |SELECT event_id, uid AS user_id, floor(epoch(t))::BIGINT AS ts_epoch, asof_orderkey
+      |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q15_json" -> raw"""
+      |SELECT event_type, count(*) AS n,
+      |       sum(json_extract_string(props, '$$.k')::BIGINT)::BIGINT AS sum_k,
+      |       max(json_extract_string(props, '$$.k')::BIGINT) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t1_token_count" -> raw"""
+      |SELECT doc_id,
+      |  len(string_split($Nrm, ' '))::INT AS n_words,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::INT AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality" -> raw"""
+      |WITH d AS (SELECT doc_id, $Nrm AS nrm, string_split($Nrm, ' ') AS w FROM documents)
+      |SELECT doc_id, length(nrm)::INT AS n_chars_norm, len(w)::INT AS n_words,
+      |  round((length(nrm) - (len(w) - 1))::DOUBLE / len(w), 6) AS avg_word_len,
+      |  round(len([x for x in w if list_contains(['the','a','and','of','to','in'], x)])::DOUBLE
+      |        / len(w), 6) AS stopword_ratio,
+      |  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS type_token_ratio
+      |FROM d ORDER BY doc_id""".stripMargin,
+    "t3_langid" -> raw"""
+      |WITH d AS (SELECT doc_id, lang, string_split($Nrm, ' ') AS w FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |  len([x for x in w if list_contains(['window','group','merge'], x)])::INT AS s_de,
+      |  len([x for x in w if list_contains(['the','data','query'], x)])::INT AS s_en,
+      |  len([x for x in w if list_contains(['table','row','scan'], x)])::INT AS s_es,
+      |  len([x for x in w if list_contains(['join','filter','sort'], x)])::INT AS s_fr,
+      |  len([x for x in w if list_contains(['spark','batch','stream'], x)])::INT AS s_zh
+      |  FROM d),
+      |p AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM sc)
+      |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+      |  CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
+      |       WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang,
+      |  (CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
+      |        WHEN s_fr = g THEN 'fr' ELSE 'zh' END = lang) AS correct
+      |FROM p ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" -> raw"""
+      |SELECT doc_id, md5($Nrm) AS fp_md5,
+      |  list_reduce([strpos('0123456789abcdef', substr(md5($Nrm), i, 1)) - 1
+      |               for i in range(1, 16)], (a, b) -> a*16 + b)::BIGINT AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_exact_dedup" -> raw"""
+      |SELECT md5($Nrm) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "d2_minhash_lsh" -> raw"""
+      |WITH $ShingleCte
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin,
+    "d4_ngram_jaccard" -> raw"""
+      |WITH $GramCte
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)), 6) AS jaccard
+      |FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)), 6) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin,
+    "d5_embed_neardup" -> raw"""
+      |WITH $VecCte
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin,
+    "s1_ann_bruteforce" -> raw"""
+      |WITH $VecCte,
+      |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20),
+      |c AS (SELECT q_id, vec_id, list_dot_product(q_v, v) / (q_nrm * nrm) AS cos_raw
+      |      FROM q JOIN n ON q_id != vec_id),
+      |r AS (SELECT q_id, vec_id, cos_raw,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id)::INT AS rank
+      |      FROM c)
+      |SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 6) AS cosine
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
 }

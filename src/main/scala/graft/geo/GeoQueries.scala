@@ -1,0 +1,98 @@
+package graft.geo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+import Geo._
+
+/** Driver-facing geo queries (SURVEY.md §2, `g*` rows). Each is the
+  * Spark-native twin of a behavior in /root/reference/src/main.rs,
+  * over the deterministic tile universe of SURVEY.md §3.
+  */
+object GeoQueries {
+
+  /** g1: tile-key format + regex parse round-trip (main.rs:108-133,298). */
+  def tileParse(s: SparkSession, dir: String): DataFrame =
+    tiles(s, dir)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        parseLat(col("tile_key")).as("parsed_lat"),
+        parseLon(col("tile_key")).as("parsed_lon"))
+      .withColumn("roundtrip_ok",
+        col("parsed_lat") === col("lat0") && col("parsed_lon") === col("lon0"))
+      .orderBy(col("tile_id"))
+
+  /** g2: region-set predicate counts (main.rs:56-88) over a tile
+    * stream derived from the lineitem fact — conditional aggregation
+    * in a single scan, no shuffle beyond the final 1-row agg.
+    */
+  def regionFilter(s: SparkSession, dir: String): DataFrame = {
+    val k   = col("l_orderkey") * 10 + col("l_linenumber")
+    val lat = tileLat(k)
+    val lon = tileLon(k)
+    Tables.lineitem(s, dir)
+      .select(lat.as("lat"), lon.as("lon"))
+      .agg(
+        sum(when(inNetherlands(col("lat"), col("lon")), 1L).otherwise(0L)).as("netherlands_tiles"),
+        sum(when(inFrance(col("lat"), col("lon")), 1L).otherwise(0L)).as("france_tiles"),
+        sum(when(inEurope(col("lat"), col("lon")), 1L).otherwise(0L)).as("europe_tiles"),
+        count(lit(1)).as("world_tiles"))
+  }
+
+  /** g3: affine grid expansion of the first 20 tiles (main.rs:163-191). */
+  def gridExpandQ(s: SparkSession, dir: String): DataFrame =
+    gridExpand(tiles(s, dir).filter(col("tile_id") < 20))
+      .select(col("tile_id"), col("tile_key"), col("lon"), col("lat"), col("elevation"))
+      .orderBy(col("tile_id"), col("lat"), col("lon"))
+
+  /** g4: per-tile elevation stats over the full expanded grid — the
+    * downstream course workload the reference's parquet feeds.
+    */
+  def elevationStats(s: SparkSession, dir: String): DataFrame =
+    gridExpand(tiles(s, dir))
+      .groupBy(col("tile_key"))
+      .agg(count(lit(1)).as("n_pixels"),
+        min(col("elevation")).as("min_elev"),
+        max(col("elevation")).as("max_elev"),
+        r6(avg(col("elevation"))).as("avg_elev"))
+      .orderBy(col("tile_key"))
+
+  /** g5: idempotent-ingest manifest (main.rs:135-161): remote objects
+    * minus already-downloaded files with matching size (anti-join);
+    * size-mismatched locals are re-downloaded.
+    */
+  def ingestManifest(s: SparkSession, dir: String): DataFrame = {
+    val remote = tiles(s, dir)
+    val local = tiles(s, dir)
+      .filter(pmod(col("tile_id"), lit(3)) === 0)
+      .select(col("tile_key"),
+        (col("size_bytes") - when(pmod(col("tile_id"), lit(5)) === 0, 1L).otherwise(0L))
+          .as("size_bytes"))
+    remote.join(local, Seq("tile_key", "size_bytes"), "left_anti")
+      .select(col("tile_id"), col("tile_key"), col("size_bytes"))
+      .orderBy(col("tile_id"))
+  }
+
+  /** g6: per-region-set elevation rollup over the expanded grid; set
+    * membership is evaluated on the integer tile origin exactly as
+    * the reference filters tiles (main.rs:69-87). One pass: each
+    * pixel fans out to its member sets via a generator, then a single
+    * grouped agg.
+    */
+  def regionElevation(s: SparkSession, dir: String): DataFrame = {
+    val g = gridExpand(tiles(s, dir))
+      .withColumn("lat0", tileLat(col("tile_id")))
+      .withColumn("lon0", tileLon(col("tile_id")))
+    g.select(col("elevation"),
+        explode(filter(array(
+          when(inNetherlands(col("lat0"), col("lon0")), "netherlands"),
+          when(inFrance(col("lat0"), col("lon0")), "france"),
+          when(inEurope(col("lat0"), col("lon0")), "europe"),
+          lit("world")), x => x.isNotNull)).as("set_name"))
+      .groupBy(col("set_name"))
+      .agg(count(lit(1)).as("n_pixels"),
+        r6(avg(col("elevation"))).as("avg_elev"),
+        max(col("elevation")).as("max_elev"))
+      .orderBy(col("set_name"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+import graft.functions.VecFns._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  * Brute-force cosine is the exact correctness baseline (query side
+  * broadcast: k queries ≪ corpus, so the corpus never shuffles);
+  * random-hyperplane LSH is the scale path — bucketed equi-join, with
+  * multi-probe on the query side to recover recall.
+  */
+object Ann {
+
+  val K = 10
+
+  /** Exact top-k cosine neighbors for the query vectors
+    * (vec_id < 20). The query set broadcasts; the corpus streams
+    * through one pass; per-query top-k is a bounded window (20
+    * partitions × corpus candidates — at scale this becomes a
+    * partial top-k aggregate, r2).
+    */
+  def bruteForceTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
+      .withColumn("rank", row_number().over(byQ))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        r6(col("cos_raw")).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // --- random-hyperplane LSH ---------------------------------------
+
+  val Dim = 64
+  val Bits = 6
+
+  /** Fixed seeded hyperplanes (engine-internal). */
+  private val rng = new scala.util.Random(7)
+  private val planes: Array[Array[Double]] =
+    Array.fill(Bits)(Array.fill(Dim)(rng.nextGaussian()))
+
+  /** Hyperplane signature: bit i = sign(v · h_i). */
+  def hyperplaneSig(v: Column): Column =
+    (0 until Bits).foldLeft(lit(0)) { (acc, i) =>
+      val d = aggregate(
+        zip_with(v, typedLit(planes(i).toSeq), (x, p) => x.cast("double") * p),
+        lit(0.0), (a, x) => a + x)
+      acc.bitwiseOR(shiftleft(when(d > 0, lit(1)).otherwise(lit(0)), i))
+    }
+
+  /** All probe masks with Hamming weight ≤ 2 — multi-probe LSH visits
+    * the query's own bucket plus every 1- and 2-bit-flip neighbor.
+    */
+  private val probeMasks: Seq[Int] =
+    0 +: (0 until Bits).map(1 << _) ++:
+      (for { i <- 0 until Bits; j <- i + 1 until Bits } yield (1 << i) | (1 << j))
+
+  /** LSH ANN: corpus hashed once into buckets; queries probe their own
+    * bucket plus all ≤2-bit-flip neighbors (multi-probe). Candidate
+    * generation is an equi-join on the bucket id; exact cosine ranks
+    * the candidates. Approximate — recall vs the brute baseline is
+    * asserted in AnnSpec.
+    */
+  def lshTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        hyperplaneSig(col("embedding")).as("sig"))
+    val corpus = e.select(col("vec_id"), col("embedding"), col("nrm"), col("sig").as("bucket"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        explode(array(probeMasks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(probes).join(corpus, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
+      .distinct()
+      .withColumn("rank", row_number().over(byQ))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        r6(col("cos_raw")).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** Relational/analytic core: TPC-H-shaped queries proving grouped
+  * aggregation, multi-way joins, semi/anti joins, windows, rollups,
+  * distinct counting, event-time windows, sessionization, as-of join
+  * and JSON extraction — each written so Catalyst pushes filters and
+  * projections to the parquet scan and picks broadcast joins for the
+  * dim tables.
+  *
+  * All money aggregates use the exact-cents scheme (Det.cents) for
+  * bit-stable oracle parity, and every query ends in a total order.
+  */
+object Relational {
+
+  /** Q1-shape pricing summary: single-shuffle grouped agg with
+    * map-side partial aggregation; the heaviest scan reads only 7 of
+    * 16 lineitem columns.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sumCents(col("l_extendedprice")).as("sum_base_cents"),
+        sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_cents"),
+        sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge_cents"),
+        r6(sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k customers by order revenue: fact-side agg first (shrinks
+    * the join input), then broadcast-join the customer dim, then a
+    * deterministic top-10.
+    */
+  def q2Topk(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sumCents(col("o_totalprice")).as("revenue_cents"), count(lit(1)).as("n_orders"))
+    rev.join(broadcast(Tables.customer(s, dir)), rev("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue_cents"), col("n_orders"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Q3-shape shipping priority: segment filter is pushed to the
+    * customer scan; customer (dim-sized after filter) broadcasts into
+    * orders, the orders←lineitem join shuffles on the order key.
+    */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01")
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-shape local supplier volume: 6-table join where every dim
+    * chain (region→nation→customer / →supplier) broadcasts, so the
+    * only shuffles are the two fact joins.
+    */
+  def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey")))
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** Q6-shape forecast revenue: pure filter+agg — every predicate
+    * must appear in the scan's PushedFilters; reads 4 columns only.
+    */
+  def q6Filter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sumCents(col("l_extendedprice") * col("l_discount")).as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+
+  /** EXISTS via left-semi join: customers with ≥1 order ≥ 2000,
+    * counted per nation (nation broadcasts).
+    */
+  def q7Semi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") >= lit("2000-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+
+  /** NOT EXISTS via left-anti join: customers with no orders at all,
+    * counted per market segment.
+    */
+  def q8Anti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Window functions: per-nation account-balance rank + running sum
+    * (cents). Partitioned by nation key — bounded partitions, no
+    * global sort.
+    */
+  def q9Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        cents(col("c_acctbal")).as("acctbal_cents"))
+      .withColumn("rank_in_nation", row_number().over(w))
+      .withColumn("running_cents",
+        sum(col("acctbal_cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rank_in_nation") <= 3)
+      .select(col("c_custkey"), col("c_nationkey"), col("acctbal_cents"),
+        col("rank_in_nation"), col("running_cents"))
+      .orderBy(col("c_nationkey"), col("rank_in_nation"))
+  }
+
+  /** ROLLUP region→nation over customer balances; grouping level made
+    * explicit and nulls coalesced so the oracle rows align.
+    */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sumCents(col("c_acctbal")).as("acctbal_cents"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("n_customers"), col("acctbal_cents"))
+      .orderBy(col("region"), col("nation"))
+
+  /** Exact multi-column distinct counting over the fact table. */
+  def q11Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Event-time tumbling-window aggregate (batch twin of the
+    * Structured Streaming query in streaming/EventStreams.scala):
+    * 1-hour buckets per event type, epoch seconds for oracle parity.
+    */
+  def q12EventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumCents(col("value")).as("value_cents"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  /** Gap-based sessionization (30 min): lag over (user, ts) marks
+    * session starts; a running sum of the marks numbers sessions.
+    * Single shuffle on user_id; per-user partitions stay bounded.
+    */
+  def q13Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("start_epoch"),
+        unix_timestamp(max(col("ts"))).as("end_epoch"),
+        sumCents(col("value")).as("value_cents"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** As-of join: each purchase event matched to the most recent order
+    * (o_orderdate ≤ ts) of the same customer. Spark-first shape: the
+    * time-sorted union trick — orders and events interleave in one
+    * window partitioned by user, and `last(_, ignoreNulls)` carries
+    * the newest order forward — ONE shuffle, no range cross-join, no
+    * per-row subquery. Orders are pre-deduped per (custkey, date) to
+    * the max orderkey so ties are deterministic.
+    */
+  def q14AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+        col("o_orderkey"), lit(null).cast("long").as("event_id"),
+        lit(0).as("kind"))
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("ts").as("t"),
+        lit(null).cast("long").as("o_orderkey"), col("event_id"),
+        lit(1).as("kind"))
+    // kind orders order-rows before a same-instant event; within
+    // same-instant orders the dedup already made rows unique.
+    val w = Window.partitionBy(col("uid")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("uid").as("user_id"),
+        unix_timestamp(col("t")).as("ts_epoch"), col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  /** JSON extraction from the events.props payload + aggregate. */
+  def q15Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+import graft.functions.TextFns._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2,
+  * `t*` rows). Pure column expressions; one scan, no shuffle except
+  * final ordering.
+  */
+object TextAnalysis {
+
+  /** t1: whitespace word count + BPE-ish pretokenizer token count. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).as("n_words"),
+        tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** t2: quality scores — doc length, mean word length, stopword
+    * ratio, type-token ratio. Mean word length is computed from
+    * integer lengths ((chars - spaces) / words) so it is
+    * bit-deterministic.
+    */
+  def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    val nrm = normalize(col("text"))
+    val w   = words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(nrm).as("n_chars_norm"),
+        size(w).as("n_words"),
+        r6((length(nrm) - (size(w) - 1)).cast("double") / size(w)).as("avg_word_len"),
+        r6(stopwordRatio(w)).as("stopword_ratio"),
+        r6(typeTokenRatio(w)).as("type_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t3: language-ID — per-language marker-profile scores with a
+    * deterministic first-max argmax, emitted next to the label for
+    * downstream confusion analysis.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val w      = words(col("text"))
+    val scored = Tables.documents(s, dir)
+      .select((col("doc_id") +: col("lang").as("lang") +:
+        LangProfiles.map { case (l, prof) => langScore(w, prof).as(s"s_$l") }): _*)
+    val g = greatest(LangProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = LangProfiles.init.foldRight(lit(LangProfiles.last._1)) {
+      case ((l, _), acc) => when(col(s"s_$l") === g, l).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+      .withColumn("correct", col("pred_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t4: document fingerprints — md5 of canonical text + 60-bit
+    * integer prefix.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(normalize(col("text"))).as("fp_md5"),
+        fingerprint64(col("text")).as("fp64"))
+      .orderBy(col("doc_id"))
+}
