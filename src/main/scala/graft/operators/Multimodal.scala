@@ -39,6 +39,7 @@ object Multimodal {
     */
   def withPayload(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // decode is CPU-bound
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
 
   /** Batched decode over partitions: payloads are grouped into

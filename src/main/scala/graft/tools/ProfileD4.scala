@@ -1,0 +1,52 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+import graft.operators.Dedup
+import org.apache.spark.sql.graft.ArrayExprs
+
+/** Dev profiling main for the d4 pipeline stages (not part of the API). */
+object ProfileD4 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosConf._1, Tables.NanosConf._2)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), normalize(col("text")).as("nrm"))
+      .select(col("doc_id"), charGrams(col("nrm")).as("feats"))
+    val hashed = docs.select(col("doc_id"), Dedup.featureHashes64(col("feats")).as("fh")).cache()
+    t("featurize+hash64")(hashed.count())
+    val h32 = hashed.select(col("doc_id"), Dedup.fold32(col("fh")).as("h32")).cache()
+    t("fold32")(h32.count())
+    val sig = h32.select(col("doc_id"),
+      ArrayExprs.minhash_sig(col("h32"), Dedup.permA.take(1280), Dedup.permB.take(1280), Dedup.P32).as("sig")).cache()
+    t("minhash_sig 1280")(sig.count())
+    val banded = sig.select(col("doc_id"), posexplode(Dedup.bandKeys(col("sig"), 160, 8)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey")).cache()
+    t("bandKeys+explode")(banded.count())
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct().cache()
+    val nc = t("candidate join")(cands.count())
+    println(s"candidates: $nc")
+    val fa = hashed.select(col("doc_id").as("id_a"), col("fh").as("fa"))
+    val fb = hashed.select(col("doc_id").as("id_b"), col("fh").as("fb"))
+    val out = t("verify")(cands.join(fa, "id_a").join(fb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("fa"), col("fb"))).cast("double") /
+          size(array_union(col("fa"), col("fb"))), 6).as("j"))
+      .filter(col("j") >= 0.7).count())
+    println(s"pairs: $out")
+    spark.stop()
+  }
+}
