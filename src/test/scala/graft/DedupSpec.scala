@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Planted-duplicate tests: writes a small synthetic documents.parquet
+  * to a temp dir and runs the (SparkSession, dir) operators on it.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val plantedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val near = base.replace("done", "finished") // one-word edit ⇒ high jaccard
+    val docs = Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, near, "en", "s", near.length.toLong),
+      (2L, base, "en", "s", base.length.toLong), // exact dup of 0
+      (3L, "completely different content about spark shuffles and partitions here", "en", "s", 70L),
+      (4L, "another unrelated document mentioning broadcast joins and codegen stages", "en", "s", 73L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups identical canonical text") {
+    val got = Dedup.exact(spark, plantedDir).collect()
+    assert(got.length == 4) // 5 docs, one exact pair
+    val grp = got.find(_.getLong(2) > 1).get
+    assert(grp.getLong(1) == 0L && grp.getLong(2) == 2L) // canonical=min id, size 2
+  }
+
+  test("minhash LSH finds planted near+exact dup pairs and nothing else") {
+    val got = Dedup.minhashLsh(spark, plantedDir, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 2L))) // exact pair, jaccard 1.0
+    assert(got.contains((0L, 1L)) && got.contains((1L, 2L))) // near pair
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram LSH jaccard finds the near pair at char level") {
+    val got = Dedup.ngramJaccard(spark, plantedDir, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 2L)) && got.contains((0L, 1L)))
+    assert(!got.exists(p => p._2 == 4L))
+  }
+
+  test("prefixJaccard (PPJoin variant) agrees with the banded result") {
+    val docs = Tables.documents(spark, plantedDir)
+      .select(col("doc_id"), graft.functions.TextFns.normalize(col("text")).as("nrm"))
+      .select(col("doc_id"), graft.functions.TextFns.charGrams(col("nrm")).as("feats"))
+    val pp = Dedup.prefixJaccard(docs, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.ngramJaccard(spark, plantedDir, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pp == banded)
+  }
+
+  test("simhash flags exact and near dups within hamming 3") {
+    val got = Dedup.simhashPairs(spark, plantedDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 2L))) // identical text ⇒ hamming 0
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val got = Dedup.embedNearDup(spark, Sf, threshold = 0.4).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}

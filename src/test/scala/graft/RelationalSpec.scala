@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q1 pricing summary: 6 flag/status groups, counts add up") {
+    val rows = Relational.q1Agg(spark, Sf).collect()
+    assert(rows.length == 6)
+    val totalRows = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02")).count()
+    assert(totalRows == expected)
+  }
+
+  test("semi + anti join partition the customer table") {
+    val semiAll = Tables.customer(spark, Sf)
+      .join(Tables.orders(spark, Sf), col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Tables.customer(spark, Sf)
+      .join(Tables.orders(spark, Sf), col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(semiAll + anti == Tables.customer(spark, Sf).count())
+    val q8Total = Relational.q8Anti(spark, Sf).collect().map(_.getAs[Long]("n_customers")).sum
+    assert(q8Total == anti)
+  }
+
+  test("sessionize: session bounds ordered, per-user sessions numbered from 1") {
+    val rows = Relational.q13Sessionize(spark, Sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("start_epoch") <= r.getAs[Long]("end_epoch")))
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.head == 1 && ids.toSeq == (1L to ids.length))
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, Sf).count())
+  }
+
+  test("as-of join: every purchase matched to newest order at or before ts") {
+    val rows = Relational.q14AsofJoin(spark, Sf).collect()
+    val purchases = Tables.events(spark, Sf).filter(col("event_type") === "purchase").count()
+    assert(rows.length == purchases)
+    // all events are after all orders, so users with any order must match
+    val usersWithOrders = Tables.orders(spark, Sf).select("o_custkey").distinct()
+      .as[Long].collect().toSet
+    rows.foreach { r =>
+      if (usersWithOrders.contains(r.getAs[Long]("user_id")))
+        assert(!r.isNullAt(r.fieldIndex("asof_orderkey")))
+    }
+  }
+
+  test("rollup contains region subtotals and a grand total") {
+    val rows = Relational.q10Rollup(spark, Sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_customers") == Tables.customer(spark, Sf).count())
+  }
+}

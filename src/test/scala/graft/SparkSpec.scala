@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (getOrCreate reuses one JVM-wide
+  * session across suites in the forked test JVM).
+  */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(Tables.NanosConf._1, Tables.NanosConf._2)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val Sf = "/root/testdata/sf0.001"
+}

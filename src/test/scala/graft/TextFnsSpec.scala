@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount splits alpha runs, digit runs, punctuation") {
+    val df = Seq("Hello, world 42!", "a  b\tc", "").toDF("text")
+      .select(tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(5, 3, 0))
+  }
+
+  test("wordShingles: n-2 distinct shingles, short docs degrade to whole doc") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+      .select(words(col("text")).as("w"))
+      .select(wordShingles(col("w")).as("s"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("charGrams distinct 4-grams over normalized input") {
+    val df = Seq("abcde", "ab").toDF("nrm")
+      .select(charGrams(col("nrm")).as("g"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("abcd", "bcde"))
+    assert(got(1) == Seq("ab"))
+  }
+
+  test("jaccard on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(jaccard(col("x"), col("y")).as("j"))
+    assert(df.as[Double].collect().head == 0.5)
+  }
+
+  test("fingerprint64 is stable, positive, and whitespace-insensitive") {
+    val df = Seq("Spark  Engine", "spark engine", "other").toDF("text")
+      .select(fingerprint64(col("text")).as("fp"))
+    val got = df.as[Long].collect()
+    assert(got(0) == got(1)) // normalization collapses case+whitespace
+    assert(got(0) != got(2))
+    assert(got.forall(_ >= 0)) // 60-bit prefix fits positive long
+  }
+
+  test("langPredict returns a profile language deterministically") {
+    val df = Seq("the data query stuff", "join filter sort x", "zzz").toDF("text")
+      .select(words(col("text")).as("w")).select(langPredict(col("w")).as("p"))
+    val got = df.as[String].collect()
+    assert(got(0) == "en" && got(1) == "fr")
+    assert(Set("de", "en", "es", "fr", "zh").contains(got(2))) // tie → deterministic first
+    assert(got(2) == "de") // all-zero scores: first in sorted profile order
+  }
+}
