@@ -53,6 +53,7 @@ object SparkEntry {
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     // multimodal
     "m1_mm_manifest"          -> Multimodal.manifest _)
 

@@ -67,6 +67,87 @@ object Ann {
     0 +: (0 until Bits).map(1 << _) ++:
       (for { i <- 0 until Bits; j <- i + 1 until Bits } yield (1 << i) | (1 << j))
 
+  // --- IVF (inverted-file index with k-means coarse quantizer) ------
+
+  /** Lloyd's k-means over the embedding corpus. The per-iteration
+    * loop is driver-side but each step is fully distributed: assign =
+    * one scan with k codegen'd dot products per row; update =
+    * posexplode → groupBy(cluster, dim) avg. Only the k×dim centroid
+    * matrix is collected (tiny), the corpus never moves to the driver.
+    * Deterministic init: the k lowest vec_ids.
+    */
+  def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
+    import e.sparkSession.implicits._
+    var cents: Array[Array[Float]] = e.orderBy("vec_id").limit(k)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    for (_ <- 0 until iters) {
+      val assigned = e.select(col("embedding"),
+        assignCluster(col("embedding"), cents).as("cluster"))
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .collect()
+      val next = cents.map(_.clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      cents = next
+    }
+    cents
+  }
+
+  /** Nearest-centroid id: argmax of (v·c − |c|²/2), k codegen'd dot
+    * products per row. NOTE: an argmax built by folding
+    * `when(s > best, ...)` pairs duplicates the score sub-expressions
+    * exponentially (2^k expression copies — OOMs the planner at k=16);
+    * the sort-of-structs form keeps each score expression single.
+    */
+  private def assignCluster(v: Column, cents: Array[Array[Float]]): Column =
+    element_at(topClusters(v, cents, 1), 1)
+
+  /** IVF ANN: k-means partitions the corpus into inverted lists;
+    * queries probe the `nprobe` nearest lists and rank candidates by
+    * exact cosine. At 100 TB the lists are the partitioning key — a
+    * query touches nprobe/k of the data. Approximate; recall vs the
+    * brute baseline asserted in AnnSpec.
+    */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = K, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .cache()
+    val cents = kmeansCentroids(e, nlist)
+    val corpus = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      assignCluster(col("embedding"), cents).as("bucket"))
+    // query probes: nprobe best centroids via the same score, exploded
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        explode(topClusters(col("embedding"), cents, nprobe)).as("bucket"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(probes).join(corpus, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
+      .withColumn("rank", row_number().over(byQ))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        r6(col("cos_raw")).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The nprobe best centroid ids for a vector, as an array column:
+    * scores sorted descending via sort on (-score, id) structs.
+    */
+  private def topClusters(v: Column, cents: Array[Array[Float]], nprobe: Int): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x.toDouble * x.toDouble).sum / 2
+      struct((lit(half) - graft.functions.VecFns.dot(v, typedLit(c.toSeq))).as("negscore"),
+        lit(i).as("id"))
+    }
+    slice(transform(sort_array(array(scored: _*)), x => x("id")), 1, nprobe)
+  }
+
   /** LSH ANN: corpus hashed once into buckets; queries probe their own
     * bucket plus all ≤2-bit-flip neighbors (multi-probe). Candidate
     * generation is an equi-join on the bucket id; exact cosine ranks

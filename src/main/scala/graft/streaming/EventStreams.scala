@@ -1,7 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A raw event for stateful sessionization. */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** Accumulating per-user session state. */
+case class SessionState(sessionId: Long, startMs: Long, lastMs: Long,
+    nEvents: Long, valueCents: Long)
+
+/** An emitted (closed or in-progress snapshot) session. */
+case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+    start_epoch: Long, end_epoch: Long, value_cents: Long)
 
 /** Structured Streaming operators over the events stream. Each
   * transform takes a DataFrame so the same logic runs on a batch
@@ -22,4 +35,74 @@ object EventStreams {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
         col("n_events"), col("value_cents"))
+
+  /** Streaming twin of q13: gap-based (30 min) sessionization with
+    * explicit state via flatMapGroupsWithState under EVENT-TIME
+    * timeouts. A session closes when a same-user event arrives ≥ gap
+    * later (emitted immediately) or when the watermark passes its
+    * last-event-time + gap (emitted by the timeout branch). State per
+    * user is one SessionState — bounded regardless of stream length.
+    * (Processing-time timeouts are deliberately avoided: they make
+    * the engine re-trigger micro-batches forever, which also breaks
+    * `processAllAvailable` in tests.)
+    */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  def sessionize(events: Dataset[SessionEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionFn)
+  }
+
+  private[streaming] def sessionFn(userId: Long, events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit(userId, _)).iterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var cur    = state.getOption
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val ms    = e.ts.getTime
+      val cents = math.round(e.value * 100)
+      cur match {
+        case Some(st) if ms - st.lastMs <= SessionGapMs =>
+          cur = Some(st.copy(lastMs = ms, nEvents = st.nEvents + 1,
+            valueCents = st.valueCents + cents))
+        case Some(st) =>
+          closed += emit(userId, st)
+          cur = Some(SessionState(st.sessionId + 1, ms, ms, 1, cents))
+        case None =>
+          cur = Some(SessionState(1, ms, ms, 1, cents))
+      }
+    }
+    cur.foreach { st =>
+      state.update(st)
+      // timeout fires when the watermark passes last event + gap; must
+      // stay above the current watermark or the API rejects it
+      state.setTimeoutTimestamp(
+        math.max(st.lastMs + SessionGapMs, state.getCurrentWatermarkMs() + 1))
+    }
+    closed.result().iterator
+  }
+
+  private def emit(userId: Long, st: SessionState): SessionOut =
+    SessionOut(userId, st.sessionId, st.nEvents, st.startMs / 1000, st.lastMs / 1000,
+      st.valueCents)
+
+  /** Streaming twin of g5's incremental ingest: a file-source stream
+    * over a directory of parquet drops — each trigger processes only
+    * newly-arrived files (Spark's file-source log IS the idempotent
+    * (key, size) manifest of main.rs:135-161, maintained by the
+    * engine).
+    */
+  def fileIngest(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
 }

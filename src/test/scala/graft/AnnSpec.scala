@@ -31,4 +31,22 @@ class AnnSpec extends SparkSpec {
     // baseline (k/N ≈ 0.02)
     assert(recall >= 0.35, s"recall $recall")
   }
+
+  test("IVF ANN recall vs brute-force baseline") {
+    val exact = Ann.bruteForceTopK(spark, Sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(spark, Sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nprobe=4 of nlist=16 scans ~25% of lists; cosine neighbors
+    // concentrate in nearby cells, so recall must beat that fraction
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("k-means assigns every vector and centroids are finite") {
+    val e = Tables.embeddings(spark, Sf)
+    val cents = Ann.kmeansCentroids(e.select("vec_id", "embedding"), k = 8, iters = 3)
+    assert(cents.length == 8)
+    assert(cents.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
+  }
 }

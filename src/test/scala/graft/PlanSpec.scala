@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.operators.{Dedup, Relational}
+
+/** Physical-plan audits (SURVEY.md §6): pushdown, pruning, broadcast
+  * choice and shuffle shape must survive refactors — these assert the
+  * plan, not the result.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q6: every predicate reaches the parquet scan; schema pruned to 4 columns") {
+    val p = formatted(Relational.q6Filter(spark, Sf))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.split(",").length == 4, read)
+    assert(!read.contains("l_orderkey"), "projection must prune unused columns")
+  }
+
+  test("q1: scan reads only the 7 needed lineitem columns") {
+    val p = formatted(Relational.q1Agg(spark, Sf))
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.split(",").length == 7, read)
+  }
+
+  test("q2/q5: dimension joins broadcast, no shuffle of the small side") {
+    assert(formatted(Relational.q2Topk(spark, Sf)).contains("BroadcastHashJoin"))
+    val q5 = formatted(Relational.q5Multijoin(spark, Sf))
+    assert(q5.contains("BroadcastHashJoin"))
+    assert(!q5.contains("CartesianProduct"))
+  }
+
+  test("LSH candidate joins are equi-joins, never cartesian") {
+    val d2 = formatted(Dedup.minhashLsh(spark, Sf))
+    assert(!d2.contains("CartesianProduct") && !d2.contains("BroadcastNestedLoopJoin"))
+    val d3 = formatted(Dedup.simhashPairs(spark, Sf))
+    assert(!d3.contains("CartesianProduct") && !d3.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("asof join plans a single window pass, no join explosion") {
+    val p = formatted(Relational.q14AsofJoin(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"))
+    assert(p.contains("Window"))
+  }
+}

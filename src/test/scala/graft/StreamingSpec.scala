@@ -34,4 +34,42 @@ class StreamingSpec extends SparkSpec {
       r.getLong(0) == Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000).get
     assert(b10.getLong(2) == 2 && b10.getLong(3) == 300)
   }
+
+  test("stateful sessionize closes sessions on gap and matches batch semantics") {
+    import graft.streaming.{EventStreams, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sessions_out").start()
+    // user 1: two events 5 min apart (one session), then one 2 h later
+    // (closes session 1, opens session 2)
+    mem.addData(
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:05:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1L, Timestamp.valueOf("2024-01-01 12:05:00"), 4.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions_out").collect()
+    q.stop()
+    assert(out.length == 1) // only session 1 closed so far
+    val s1 = out.head
+    assert(s1.getAs[Long]("session_id") == 1 && s1.getAs[Long]("n_events") == 2)
+    assert(s1.getAs[Long]("value_cents") == 300)
+    assert(s1.getAs[Long]("end_epoch") - s1.getAs[Long]("start_epoch") == 300)
+  }
+
+  test("file-source ingest picks up only newly arrived files per trigger") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v DOUBLE")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    val q = EventStreams.fileIngest(spark, dir, schema)
+      .writeStream.outputMode("append").format("memory").queryName("ingest_out").start()
+    q.processAllAvailable()
+    assert(spark.table("ingest_out").count() == 2)
+    Seq((3L, 3.0)).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    assert(spark.table("ingest_out").count() == 3) // incremental, no re-read
+    q.stop()
+  }
 }
