@@ -39,6 +39,8 @@ object SparkEntry {
     "q13_sessionize"          -> Relational.q13Sessionize _,
     "q14_asof_join"           -> Relational.q14AsofJoin _,
     "q15_json"                -> Relational.q15Json _,
+    "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
+    "q17_quantiles"           -> Relational.q17Quantiles _,
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
@@ -282,6 +284,14 @@ object SparkEntry {
       |       sum(json_extract_string(props, '$$.k')::BIGINT)::BIGINT AS sum_k,
       |       max(json_extract_string(props, '$$.k')::BIGINT) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_quantiles" -> raw"""
+      |WITH c AS (SELECT o_orderpriority, round(o_totalprice*100)::BIGINT AS c FROM orders)
+      |SELECT o_orderpriority,
+      |       quantile_cont(c, 0.25) AS q25_cents,
+      |       quantile_cont(c, 0.5)  AS q50_cents,
+      |       quantile_cont(c, 0.75) AS q75_cents,
+      |       count(*) AS n_orders
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "t1_token_count" -> raw"""
       |SELECT doc_id,
       |  len(string_split($Nrm, ' '))::INT AS n_words,

@@ -226,6 +226,36 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Sketch-based distinct counting: HyperLogLog++ (approx_count_
+    * distinct) next to the exact counts it approximates — the 100 TB
+    * path where exact countDistinct's shuffle is unaffordable.
+    * Rows-only check (HLL registers are engine-specific); relative
+    * error asserted < 5% in RelationalSpec.
+    */
+  def q16ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  /** Exact interpolated quartiles of order value (cents) per priority.
+    * Quartile fractions are powers of two and cents are integers, so
+    * the interpolation arithmetic is FP-exact and oracle-safe.
+    */
+  def q17Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile(col("c"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        element_at(col("qs"), 1).as("q25_cents"),
+        element_at(col("qs"), 2).as("q50_cents"),
+        element_at(col("qs"), 3).as("q75_cents"),
+        col("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
   /** JSON extraction from the events.props payload + aggregate. */
   def q15Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

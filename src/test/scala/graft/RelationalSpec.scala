@@ -48,6 +48,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct within 5% of exact") {
+    val r = Relational.q16ApproxDistinct(spark, Sf).collect().head
+    def relErr(a: Long, e: Long) = math.abs(a - e).toDouble / e
+    assert(relErr(r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts")) < 0.05)
+    assert(relErr(r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders")) < 0.05)
+  }
+
+  test("quartiles ordered and bounded by min/max") {
+    Relational.q17Quantiles(spark, Sf).collect().foreach { r =>
+      val (a, b, c) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(a <= b && b <= c)
+    }
+  }
+
+  test("native functions usable from SQL after extension registration") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").collect().head.getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("rollup contains region subtotals and a grand total") {
     val rows = Relational.q10Rollup(spark, Sf).collect()
     val grand = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")
