@@ -86,13 +86,12 @@ object Dedup {
     * probability at `threshold` is < 1e-7 — candidates→exact-verify
     * reproduces the exact answer.
     */
-  private def lshVerifiedPairs(docs: DataFrame, bands: Int, rows: Int,
+  private def lshVerifiedPairs(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
-    // hashed feature sets feed banding AND both verify sides; strings
-    // never leave the featurize stage.
-    val hashed = docs
-      .select(col("doc_id"), featureHashes64(col("feats")).as("fh"))
-      .cache()
+    // hashed feature sets (doc_id, fh: array<long>) feed banding AND
+    // both verify sides; gram strings never exist as columns at all
+    // (GramHashes hashes byte ranges in place).
+    val hashed = hashedDocs.cache()
     val banded = hashed
       .select(col("doc_id"), fold32(col("fh")).as("h32"))
       .select(col("doc_id"),
@@ -114,8 +113,8 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     lshVerifiedPairs(
       spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .select(col("doc_id"), wordShingles(col("w")).as("feats")),
+        .select(col("doc_id"),
+          ArrayExprs.word_shingle_hashes(normalize(col("text")), 3).as("fh")),
       bands = 32, rows = 4, threshold)
 
   /** d4: near-dup pairs with exact char-4-gram Jaccard ≥ 0.7 via
@@ -132,8 +131,8 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
     lshVerifiedPairs(
       spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), normalize(col("text")).as("nrm"))
-        .select(col("doc_id"), charGrams(col("nrm")).as("feats")),
+        .select(col("doc_id"),
+          ArrayExprs.char_gram_hashes(normalize(col("text")), 4).as("fh")),
       bands = 160, rows = 8, threshold)
 
   /** Exact-Jaccard verification of candidate pairs against the

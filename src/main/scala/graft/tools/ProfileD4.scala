@@ -20,10 +20,16 @@ object ProfileD4 {
       val t0 = System.nanoTime(); val r = f
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), normalize(col("text")).as("nrm"))
-      .select(col("doc_id"), charGrams(col("nrm")).as("feats"))
-    val hashed = docs.select(col("doc_id"), Dedup.featureHashes64(col("feats")).as("fh")).cache()
+    t("warmup")(spark.read.parquet(dir + "/documents.parquet").count())
+    t("featurize_nocache")(Tables.documents(spark, dir)
+      .repartition(32)
+      .select(col("doc_id"),
+        ArrayExprs.char_gram_hashes(normalize(col("text")), 4).as("fh"))
+      .select(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(col("fh")))).collect())
+    val hashed = Tables.documents(spark, dir)
+      .repartition(32)
+      .select(col("doc_id"),
+        ArrayExprs.char_gram_hashes(normalize(col("text")), 4).as("fh")).cache()
     t("featurize+hash64")(hashed.count())
     val h32 = hashed.select(col("doc_id"), Dedup.fold32(col("fh")).as("h32")).cache()
     t("fold32")(h32.count())

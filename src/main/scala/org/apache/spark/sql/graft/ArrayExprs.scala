@@ -22,6 +22,95 @@ object ArrayExprs {
   /** Codegen'd MinHash signature over 32-bit-folded feature hashes. */
   def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(hashes), a, b, p))
+
+  /** Distinct xxhash64 values of the character n-grams of a
+    * normalized string, hashed in place (no gram strings built).
+    */
+  def char_gram_hashes(nrm: Column, n: Int): Column =
+    ExpressionUtils.column(GramHashes(ExpressionUtils.expression(nrm), n, byWord = false))
+
+  /** Distinct xxhash64 values of the word k-shingles of a normalized
+    * (single-spaced) string, hashed in place.
+    */
+  def word_shingle_hashes(nrm: Column, k: Int): Column =
+    ExpressionUtils.column(GramHashes(ExpressionUtils.expression(nrm), k, byWord = true))
+}
+
+/** Fused featurize kernel: the distinct 64-bit feature hashes of a
+  * document in one pass, with NO intermediate gram strings. Because
+  * the input is whitespace-normalized (single spaces), every word
+  * k-shingle joined by " " — and every char n-gram — is literally a
+  * contiguous substring of the input, so each feature hashes as a
+  * byte range of the original UTF8String. Hash values are EXACTLY
+  * `xxhash64(gram)` (same XXH64, seed 42), so Jaccard on these sets
+  * equals Jaccard on the string sets (asserted in ExprSpec).
+  *
+  * Inputs shorter than one full gram yield the whole-string hash,
+  * matching TextFns.charGrams / wordShingles degradation.
+  *
+  * CodegenFallback: the per-row loop IS the work; codegen would only
+  * remove the boxing of one input/output per row.
+  */
+case class GramHashes(child: Expression, n: Int, byWord: Boolean)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val Seed = 42L
+
+  override def nullSafeEval(in: Any): Any = {
+    val s     = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base  = s.getBaseObject
+    val off   = s.getBaseOffset
+    val nb    = s.numBytes()
+    val set   = new java.util.LinkedHashSet[java.lang.Long]()
+    def hashRange(from: Int, until: Int): Unit =
+      set.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, Seed))
+    if (byWord) {
+      // byte offsets of word starts (normalized input: single 0x20s)
+      val starts = scala.collection.mutable.ArrayBuffer(0)
+      var i = 0
+      while (i < nb) {
+        if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') starts += i + 1
+        i += 1
+      }
+      val words = starts.length
+      if (words < n) hashRange(0, nb)
+      else {
+        var w = 0
+        while (w + n <= words) {
+          val end = if (w + n < words) starts(w + n) - 1 else nb
+          hashRange(starts(w), end)
+          w += 1
+        }
+      }
+    } else {
+      // char n-grams: walk code-point boundaries
+      val cps = scala.collection.mutable.ArrayBuffer(0)
+      var i = 0
+      while (i < nb) {
+        i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+          org.apache.spark.unsafe.Platform.getByte(base, off + i))
+        cps += i
+      }
+      val chars = cps.length - 1
+      if (chars < n) hashRange(0, nb)
+      else {
+        var c = 0
+        while (c + n <= chars) { hashRange(cps(c), cps(c + n)); c += 1 }
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it  = set.iterator()
+    var j   = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
 }
 
 /** Sequential-fold dot product of two `array<float>` columns in

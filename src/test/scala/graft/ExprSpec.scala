@@ -35,6 +35,27 @@ class ExprSpec extends SparkSpec {
     df.as[(Seq[Long], Seq[Long])].collect().foreach { case (a, b) => assert(a == b) }
   }
 
+  test("GramHashes(word) set-equals xxhash64 over wordShingles strings") {
+    import graft.functions.TextFns._
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "singleword", "x y z", "repeat repeat repeat repeat repeat")
+    val df = texts.toDF("text").select(
+      sort_array(ArrayExprs.word_shingle_hashes(normalize(col("text")), 3)).as("native"),
+      sort_array(array_distinct(transform(
+        wordShingles(split(normalize(col("text")), " ")), g => xxhash64(g)))).as("hof"))
+    df.as[(Seq[Long], Seq[Long])].collect().foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("GramHashes(char) set-equals xxhash64 over charGrams strings") {
+    import graft.functions.TextFns._
+    val texts = Seq("abcdefg", "ab", "the quick brown fox", "aaaaaa")
+    val df = texts.toDF("text").select(
+      sort_array(ArrayExprs.char_gram_hashes(normalize(col("text")), 4)).as("native"),
+      sort_array(array_distinct(transform(
+        charGrams(normalize(col("text"))), g => xxhash64(g)))).as("hof"))
+    df.as[(Seq[Long], Seq[Long])].collect().foreach { case (a, b) => assert(a == b) }
+  }
+
   test("FloatDot survives codegen and interpreted paths with nulls") {
     val df = Seq((Some(Seq(1f, 2f)), Some(Seq(3f, 4f))), (None, Some(Seq(1f))))
       .toDF("a", "b")
