@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Det._
@@ -17,11 +17,26 @@ object Ann {
 
   val K = 10
 
+  /** Rank candidate (q_id, vec_id, cos_raw) rows to per-query top-k
+    * via the bounded-heap TypedImperativeAggregate (TopKCosine): map
+    * tasks each keep k candidates per query and partials merge, so at
+    * most k rows per group per task shuffle — no per-partition sort of
+    * the full candidate set (what `row_number().over(Window)` would
+    * do). Output order/ties identical to the window form: (cosine
+    * desc, vec_id asc).
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+    cands.groupBy(col("q_id"))
+      .agg(org.apache.spark.sql.graft.TopKCosine
+        .top_k(col("cos_raw"), col("vec_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), r6(col("col.score")).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+
   /** Exact top-k cosine neighbors for the query vectors
     * (vec_id < 20). The query set broadcasts; the corpus streams
-    * through one pass; per-query top-k is a bounded window (20
-    * partitions × corpus candidates — at scale this becomes a
-    * partial top-k aggregate, r2).
+    * through one pass; ranking is the partial top-k aggregate.
     */
   def bruteForceTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -29,16 +44,11 @@ object Ann {
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val byQ = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
-      .withColumn("rank", row_number().over(byQ))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        r6(col("cos_raw")).as("cosine"))
-      .orderBy(col("q_id"), col("rank"))
+    rankTopK(
+      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
   }
 
   // --- random-hyperplane LSH ---------------------------------------
@@ -123,17 +133,12 @@ object Ann {
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         explode(topClusters(col("embedding"), cents, nprobe)).as("bucket"))
-    val byQ = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    broadcast(probes).join(corpus, Seq("bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
-      .withColumn("rank", row_number().over(byQ))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        r6(col("cos_raw")).as("cosine"))
-      .orderBy(col("q_id"), col("rank"))
+    rankTopK(
+      broadcast(probes).join(corpus, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
   }
 
   /** The nprobe best centroid ids for a vector, as an array column:
@@ -163,17 +168,12 @@ object Ann {
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         explode(array(probeMasks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val byQ = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    broadcast(probes).join(corpus, Seq("bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
-      .distinct()
-      .withColumn("rank", row_number().over(byQ))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        r6(col("cos_raw")).as("cosine"))
-      .orderBy(col("q_id"), col("rank"))
+    rankTopK(
+      broadcast(probes).join(corpus, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
+        .distinct(),
+      k)
   }
 }

@@ -68,6 +68,17 @@ class GeoSpec extends SparkSpec {
     assert(one.count() == 64)
   }
 
+  test("Cli.run writes a tiled parquet dataset filtered to the set") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val n = Cli.run(spark, Sf, out, "europe")
+    val t = Geo.tiles(spark, Sf)
+    val expectedTiles = t.filter(Geo.inEurope(col("lat0"), col("lon0"))).count()
+    assert(n == expectedTiles * 64)
+    val back = spark.read.parquet(out)
+    assert(back.columns.sorted.toSeq == Seq("elevation", "lat", "lon", "tile_key"))
+    intercept[IllegalArgumentException](Cli.run(spark, Sf, out, "atlantis"))
+  }
+
   test("g1/g2/g5 run at sf0.001 with sane shapes") {
     assert(GeoQueries.tileParse(spark, Sf).filter(!col("roundtrip_ok")).count() == 0)
     val g2 = GeoQueries.regionFilter(spark, Sf).collect().head
