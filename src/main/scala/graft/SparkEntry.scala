@@ -57,7 +57,10 @@ object SparkEntry {
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     // multimodal
-    "m1_mm_manifest"          -> Multimodal.manifest _)
+    "m1_mm_manifest"          -> Multimodal.manifest _,
+    // composed pipelines
+    "p1_curate"               -> ((s: SparkSession, d: String) =>
+      graft.operators.Pipelines.curate(s, d)))
 
   // ---- oracle fragments shared across queries -----------------------
 
@@ -326,6 +329,25 @@ object SparkEntry {
       |  list_reduce([strpos('0123456789abcdef', substr(md5($Nrm), i, 1)) - 1
       |               for i in range(1, 16)], (a, b) -> a*16 + b)::BIGINT AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "d3_simhash" -> raw"""
+      |WITH d AS (SELECT doc_id, list_distinct(string_split($Nrm, ' ')) AS dw FROM documents),
+      |h AS (SELECT doc_id, len(dw) AS n,
+      |  [list_reduce([strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1
+      |                for i in range(1, 9)], (a, b) -> a*16 + b) for x in dw] AS his,
+      |  [list_reduce([strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1
+      |                for i in range(9, 17)], (a, b) -> a*16 + b) for x in dw] AS los
+      |  FROM d),
+      |s AS (SELECT doc_id,
+      |  list_sum([CASE WHEN 2*len([x for x in his if (x >> i) & 1 = 1]) > n
+      |                 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 32)])::BIGINT AS hi,
+      |  list_sum([CASE WHEN 2*len([x for x in los if (x >> i) & 1 = 1]) > n
+      |                 THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 32)])::BIGINT AS lo
+      |  FROM h)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin,
     "d1_exact_dedup" -> raw"""
       |SELECT md5($Nrm) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
@@ -350,6 +372,25 @@ object SparkEntry {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin,
+    "p1_curate" -> raw"""
+      |WITH base AS (
+      |  SELECT doc_id, lang, text,
+      |         len(string_split($Nrm, ' '))::INT AS n_words,
+      |         len(list_distinct(string_split($Nrm, ' ')))::DOUBLE
+      |           / len(string_split($Nrm, ' ')) AS ttr
+      |  FROM documents),
+      |q AS (SELECT * FROM base WHERE n_words >= 10 AND ttr >= 0.3),
+      |w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM q),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |       ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+      |  END AS s
+      |  FROM w),
+      |dup AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8)
+      |SELECT doc_id, lang, n_words, round(ttr, 6) AS ttr
+      |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+      |ORDER BY doc_id""".stripMargin,
     "s1_ann_bruteforce" -> raw"""
       |WITH $VecCte,
       |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20),

@@ -86,6 +86,12 @@ object Dedup {
     * probability at `threshold` is < 1e-7 — candidates→exact-verify
     * reproduces the exact answer.
     */
+  /** Public entry for composed pipelines (Pipelines.curate): verified
+    * near-dup pairs from an already-hashed (doc_id, fh) corpus.
+    */
+  def pairsFromHashed(hashedDocs: DataFrame, bands: Int, rows: Int,
+      threshold: Double): DataFrame = lshVerifiedPairs(hashedDocs, bands, rows, threshold)
+
   private def lshVerifiedPairs(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     // hashed feature sets (doc_id, fh: array<long>) feed banding AND
@@ -184,44 +190,57 @@ object Dedup {
 
   // --- SimHash ------------------------------------------------------
 
-  /** Distinct-word feature hashes; materialize as a column before
-    * simhashFromHashes (same inlining pitfall as featureHashes).
+  /** 32-bit word hash from an md5 hex range — the engine-portable
+    * hash family (identical in DuckDB via a hex-digit fold), so the
+    * SimHash signature itself is oracle-checkable. `off` 1 = high
+    * half, 9 = low half of the digest's first 16 hex digits.
     */
-  def wordHashes(w: Column): Column =
-    transform(array_distinct(w), x => xxhash64(x))
+  private def md5Hash32(x: Column, off: Int): Column =
+    conv(substring(md5(x), off, 8), 16, 10).cast("long")
 
-  /** 64-bit SimHash over materialized feature hashes: bit i is set
-    * when more than half the hashes have bit i set. Unrolled into 64
-    * column expressions (engine-internal; pairs are verified by exact
-    * Hamming distance).
+  /** 32-bit SimHash half over materialized feature hashes: bit i is
+    * set when more than half the hashes have bit i set. Unrolled into
+    * 32 column expressions.
     */
-  def simhashFromHashes(hashes: Column): Column = {
+  def simhashHalf(hashes: Column): Column = {
     val n = size(hashes)
-    (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+    (0 until 32).foldLeft(lit(0L)) { (acc, i) =>
       val ones = size(filter(hashes, h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
       acc.bitwiseOR(shiftleft(when(ones * 2 > n, lit(1L)).otherwise(lit(0L)), i))
     }
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ 3. Blocking: the
-    * 64-bit signature splits into 4 16-bit chunks; ≤3 differing bits
-    * ⇒ at least one chunk identical (pigeonhole), so an equi-join on
-    * (chunk index, chunk value) is lossless and never all-pairs.
+  /** SimHash near-dup pairs with Hamming distance ≤ 3 over a 64-bit
+    * signature carried as two 32-bit halves (keeps every value below
+    * 2^32 so both engines compute in exact signed-64 arithmetic).
+    * Blocking: the signature splits into 4 16-bit chunks; ≤3
+    * differing bits ⇒ at least one chunk identical (pigeonhole), so
+    * an equi-join on (chunk index, chunk value) is lossless and never
+    * all-pairs. Oracle: exact O(n²) Hamming in DuckDB with the same
+    * md5-derived bits.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
-      .select(col("doc_id"), simhashFromHashes(col("wh")).as("sim"))
-    val chunks = docs.select(col("doc_id"), col("sim"),
-        posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("sim"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*)))
-      .select(col("doc_id"), col("sim"), col("pos").as("chunk"), col("col").as("ckey"))
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("dw"))
+      .select(col("doc_id"),
+        transform(col("dw"), x => md5Hash32(x, 1)).as("his"),
+        transform(col("dw"), x => md5Hash32(x, 9)).as("los"))
+      .select(col("doc_id"), simhashHalf(col("his")).as("hi"), simhashHalf(col("los")).as("lo"))
+    val chunkExprs = Seq(
+      col("lo").bitwiseAND(lit(0xFFFFL)),
+      shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("hi").bitwiseAND(lit(0xFFFFL)),
+      shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    val chunks = docs.select(col("doc_id"), col("hi"), col("lo"),
+        posexplode(array(chunkExprs: _*)))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("pos").as("chunk"), col("col").as("ckey"))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+        (bit_count(col("x.lo").bitwiseXOR(col("y.lo"))) +
+          bit_count(col("x.hi").bitwiseXOR(col("y.hi")))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
