@@ -24,4 +24,29 @@ class MultimodalSpec extends SparkSpec {
       Tables.documents(spark, Sf).selectExpr("doc_id", "length(text) AS tl"), "doc_id")
     assert(withLen.filter("n_bytes != tl").count() == 0)
   }
+
+  test("resize emits fixed-size binary thumbnails") {
+    val t = Multimodal.thumbnails(spark, Sf, w = 16, h = 16)
+    assert(t.count() == Tables.documents(spark, Sf).count())
+    t.collect().foreach(r => assert(r.getAs[Array[Byte]]("thumb").length == 256))
+  }
+
+  test("frame sampling fans one doc into k indexed frames") {
+    val f = Multimodal.sampledFrames(spark, Sf, frames = 4)
+    val docs = Tables.documents(spark, Sf).count()
+    assert(f.count() == docs * 4)
+    import spark.implicits._
+    val idx = f.groupBy("doc_id").count().select("count").distinct().as[Long].collect()
+    assert(idx.toSeq == Seq(4L))
+  }
+
+  test("feature extraction composes with the ANN operators' schema") {
+    val e = Multimodal.extractFeatures(spark, Sf, dim = 64)
+    val row = e.head()
+    val v1 = row.getSeq[Float](row.fieldIndex("embedding")).toList
+    assert(v1.length == 64)
+    // deterministic: same payload -> same vector
+    val again = Multimodal.extractFeatures(spark, Sf, dim = 64).head()
+    assert(v1 == again.getSeq[Float](again.fieldIndex("embedding")).toList)
+  }
 }

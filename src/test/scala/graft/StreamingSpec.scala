@@ -58,6 +58,29 @@ class StreamingSpec extends SparkSpec {
     assert(s1.getAs[Long]("end_epoch") - s1.getAs[Long]("start_epoch") == 300)
   }
 
+  test("watermark drops events later than the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("wm_out").start()
+    // batch 1 advances the watermark to 13:00 - 1h = 12:00
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event at 10:30 is >1h behind the watermark → dropped;
+    // 12:30 is within the hour bucket still open → kept
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:30:00"), "late", 8.0),
+      (Timestamp.valueOf("2024-01-01 12:30:00"), "click", 2.0))
+    // batch 3 closes the 12:00 and 13:00 buckets
+    mem.addData((Timestamp.valueOf("2024-01-01 15:00:00"), "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("wm_out").collect()
+    q.stop()
+    assert(!rows.exists(_.getString(1) == "late"), s"late event must be dropped: ${rows.mkString}")
+    val b12 = rows.find(r => r.getLong(0) == Timestamp.valueOf("2024-01-01 12:00:00").getTime / 1000)
+    assert(b12.exists(_.getLong(2) == 1)) // only the 12:30 event
+  }
+
   test("file-source ingest picks up only newly arrived files per trigger") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
