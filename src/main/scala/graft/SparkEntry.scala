@@ -41,6 +41,8 @@ object SparkEntry {
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
     "q17_quantiles"           -> Relational.q17Quantiles _,
+    "q18_correlated"          -> Relational.q18Correlated _,
+    "q19_setops"              -> Relational.q19Setops _,
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
@@ -295,6 +297,22 @@ object SparkEntry {
       |       quantile_cont(c, 0.75) AS q75_cents,
       |       count(*) AS n_orders
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_correlated" -> raw"""
+      |SELECT sum(round(l_extendedprice*100)::BIGINT)::BIGINT AS below_avg_revenue_cents,
+      |       count(*) AS n_rows
+      |FROM lineitem l
+      |WHERE l_quantity < 0.2 * (SELECT sum(l2.l_quantity)/count(*) FROM lineitem l2
+      |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q19_setops" -> raw"""
+      |WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |recent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'),
+      |both_s AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM recent),
+      |only_b AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM recent)
+      |SELECT (SELECT count(*) FROM both_s) AS n_intersect,
+      |       (SELECT min(c_custkey) FROM both_s) AS min_common,
+      |       (SELECT max(c_custkey) FROM both_s) AS max_common,
+      |       (SELECT count(*) FROM only_b) AS n_building_only""".stripMargin,
     "t1_token_count" -> raw"""
       |SELECT doc_id,
       |  len(string_split($Nrm, ' '))::INT AS n_words,

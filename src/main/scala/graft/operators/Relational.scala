@@ -256,6 +256,38 @@ object Relational {
         col("n_orders"))
       .orderBy(col("o_orderpriority"))
 
+  /** Q17-shape correlated aggregate: lineitems below 20% of their
+    * part's average quantity. The correlation decorrelates into a
+    * per-part aggregate joined back to the fact — the per-part side is
+    * small after aggregation, so it broadcasts.
+    */
+  def q18Correlated(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(sumCents(col("l_extendedprice")).as("below_avg_revenue_cents"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Set operations: BUILDING-segment customers vs customers with an
+    * order ≥ 2000 — intersection and difference sizes, plus a sample
+    * of the intersection for value-level checking.
+    */
+  def q19Setops(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val both   = building.intersect(recent)
+    val only_b = building.except(recent)
+    both.agg(count(lit(1)).as("n_intersect"),
+        min(col("c_custkey")).as("min_common"), max(col("c_custkey")).as("max_common"))
+      .crossJoin(only_b.agg(count(lit(1)).as("n_building_only")))
+  }
+
   /** JSON extraction from the events.props payload + aggregate. */
   def q15Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
