@@ -23,6 +23,12 @@ object ArrayExprs {
   def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(hashes), a, b, p))
 
+  /** Fused one-pass set Jaccard (what FuseJaccardRule rewrites the
+    * composed intersect/union form into).
+    */
+  def jaccard_sets(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSets(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Distinct xxhash64 values of the character n-grams of a
     * normalized string, hashed in place (no gram strings built).
     */

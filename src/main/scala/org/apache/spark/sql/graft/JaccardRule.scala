@@ -1,0 +1,71 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused set-Jaccard over two `array<long>` columns: one hash-set
+  * pass computing |A∩B| and |A∪B| together. Result is bit-identical
+  * to `size(array_intersect(a,b))/size(array_union(a,b))` on the
+  * same inputs (both built-ins dedup; the ratio is an exact small-int
+  * division) — asserted in ExprSpec.
+  */
+case class JaccardSets(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < xs.numElements()) { setA.add(xs.getLong(i)); i += 1 }
+    val union = new java.util.HashSet[java.lang.Long](setA)
+    var inter = 0
+    val seenB = new java.util.HashSet[java.lang.Long]()
+    var j = 0
+    while (j < ys.numElements()) {
+      val v = java.lang.Long.valueOf(ys.getLong(j))
+      if (seenB.add(v)) {
+        union.add(v)
+        if (setA.contains(v)) inter += 1
+      }
+      j += 1
+    }
+    inter.toDouble / union.size().toDouble
+  }
+
+  override def prettyName: String = "jaccard_sets"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSets =
+    copy(left = l, right = r)
+}
+
+/** Optimizer rule: rewrite the composed HOF form
+  * `cast(size(array_intersect(a,b)) as double) /
+  *  cast(size(array_union(a,b)) as double)`
+  * into the fused one-pass JaccardSets when both sides reference the
+  * same pair of long-array expressions. Injected via
+  * GraftExtensions.injectOptimizerRule — queries written against the
+  * composable built-ins silently get the fused kernel.
+  */
+object FuseJaccardRule extends Rule[LogicalPlan] {
+  private def longArrays(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Divide(
+        Cast(Size(ArrayIntersect(a1, b1), _), DoubleType, _, _),
+        Cast(Size(ArrayUnion(a2, b2), _), DoubleType, _, _), _)
+        if a1.semanticEquals(a2) && b1.semanticEquals(b2) &&
+          longArrays(a1) && longArrays(b1) =>
+      JaccardSets(a1, b1)
+  }
+}

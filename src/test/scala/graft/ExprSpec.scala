@@ -56,6 +56,25 @@ class ExprSpec extends SparkSpec {
     df.as[(Seq[Long], Seq[Long])].collect().foreach { case (a, b) => assert(a == b) }
   }
 
+  test("JaccardSets matches the composed intersect/union form, and the rule fires") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(100)((Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(30).toLong),
+      Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(30).toLong)))
+    // repartition keeps the projection out of ConvertToLocalRelation's
+    // eager fold so the fused expression is visible in the plan
+    val hof = rows.toDF("a", "b").repartition(2).select(
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+    // under GraftExtensions the optimizer must fuse the HOF form
+    assert(hof.queryExecution.executedPlan.toString.contains("jaccard_sets"),
+      hof.queryExecution.executedPlan.toString)
+    val direct = rows.toDF("a", "b").select(
+      ArrayExprs.jaccard_sets(col("a"), col("b")).as("j"))
+    val a = hof.as[Double].collect().sorted.toSeq
+    val b = direct.as[Double].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("FloatDot survives codegen and interpreted paths with nulls") {
     val df = Seq((Some(Seq(1f, 2f)), Some(Seq(3f, 4f))), (None, Some(Seq(1f))))
       .toDF("a", "b")

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
