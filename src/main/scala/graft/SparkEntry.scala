@@ -43,6 +43,7 @@ object SparkEntry {
     "q17_quantiles"           -> Relational.q17Quantiles _,
     "q18_correlated"          -> Relational.q18Correlated _,
     "q19_setops"              -> Relational.q19Setops _,
+    "q20_range_join"          -> Relational.q20RangeJoin _,
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
@@ -313,6 +314,13 @@ object SparkEntry {
       |       (SELECT min(c_custkey) FROM both_s) AS min_common,
       |       (SELECT max(c_custkey) FROM both_s) AS max_common,
       |       (SELECT count(*) FROM only_b) AS n_building_only""".stripMargin,
+    "q20_range_join" -> raw"""
+      |WITH bands AS (SELECT n_name, n_nationkey*(20.0::DOUBLE) AS lo,
+      |                      n_nationkey*(20.0::DOUBLE) + (19.99::DOUBLE) AS hi
+      |               FROM nation)
+      |SELECT n_name, count(*) AS n_events, sum(round(value*100)::BIGINT)::BIGINT AS value_cents
+      |FROM events JOIN bands ON value >= lo AND value <= hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t1_token_count" -> raw"""
       |SELECT doc_id,
       |  len(string_split($Nrm, ' '))::INT AS n_words,

@@ -288,6 +288,25 @@ object Relational {
       .crossJoin(only_b.agg(count(lit(1)).as("n_building_only")))
   }
 
+  /** Range join via the custom PointIntervalJoin operator
+    * (org.apache.spark.sql.graft.RangeJoin — LogicalPlan + Strategy +
+    * SparkPlan): events bucketed into value bands derived from the
+    * nation dim. Vanilla Spark plans this non-equi join as a
+    * nested-loop over all bands per event; the custom exec probes a
+    * broadcast sorted interval index in O(log n).
+    */
+  def q20RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.nation(s, dir).select(col("n_name"),
+      (col("n_nationkey") * lit(20.0)).as("lo"),
+      (col("n_nationkey") * lit(20.0) + lit(19.99)).as("hi"))
+    org.apache.spark.sql.graft.RangeJoin
+      .pointInInterval(Tables.events(s, dir).select(col("event_id"), col("value")),
+        bands, col("value"), col("lo"), col("hi"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), sumCents(col("value")).as("value_cents"))
+      .orderBy(col("n_name"))
+  }
+
   /** JSON extraction from the events.props payload + aggregate. */
   def q15Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

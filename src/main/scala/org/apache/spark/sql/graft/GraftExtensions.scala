@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((ident, info, builder))
     }
     e.injectOptimizerRule(_ => FuseJaccardRule)
+    e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }
 

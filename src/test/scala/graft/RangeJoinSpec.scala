@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 999.0), (5L, 10.0))
+    .toDF("id", "p")
+  private lazy val intervals = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 5.0, 25.0))
+    .toDF("name", "lo", "hi")
+
+  test("custom range join equals the nested-loop join, including overlaps and misses") {
+    val custom = RangeJoin.pointInInterval(points, intervals, col("p"), col("lo"), col("hi"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    val bnl = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(custom == bnl)
+    assert(custom.contains((5L, "a")) && custom.contains((5L, "b")) && custom.contains((5L, "c")))
+    assert(!custom.exists(_._1 == 4L)) // out of all intervals
+  }
+
+  test("null points and null bounds drop out like the nested-loop") {
+    val p = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "p")
+    val iv = Seq(("a", Some(0.0), Some(10.0)), ("b", None, Some(10.0))).toDF("name", "lo", "hi")
+    val custom = RangeJoin.pointInInterval(p, iv, col("p"), col("lo"), col("hi"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    val bnl = p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(custom == bnl && custom == Set((1L, "a")))
+  }
+
+  test("the custom exec is planned (no BroadcastNestedLoopJoin)") {
+    val df = RangeJoin.pointInInterval(points, intervals, col("p"), col("lo"), col("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PointIntervalJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q20 matches the plain non-equi join on real data") {
+    val got = graft.operators.Relational.q20RangeJoin(spark, Sf).collect()
+    val bands = Tables.nation(spark, Sf).select(col("n_name"),
+      (col("n_nationkey") * lit(20.0)).as("lo"),
+      (col("n_nationkey") * lit(20.0) + lit(19.99)).as("hi"))
+    val exp = Tables.events(spark, Sf)
+      .join(bands, col("value") >= col("lo") && col("value") <= col("hi"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("n_name")).collect()
+    assert(got.map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq)
+  }
+}
