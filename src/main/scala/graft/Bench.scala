@@ -25,6 +25,7 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
       }
+      finally Caches.clear() // release per-query caches between queries
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -122,10 +122,9 @@ object Ann {
     */
   def ivfTopK(s: SparkSession, dir: String, k: Int = K, nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = graft.Caches.track(Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .cache()
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
     val cents = kmeansCentroids(e, nlist)
     val corpus = e.select(col("vec_id"), col("embedding"), col("nrm"),
       assignCluster(col("embedding"), cents).as("bucket"))

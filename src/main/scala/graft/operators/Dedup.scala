@@ -95,8 +95,9 @@ object Dedup {
       threshold: Double): DataFrame = {
     // hashed feature sets (doc_id, fh: array<long>) feed banding AND
     // both verify sides; gram strings never exist as columns at all
-    // (GramHashes hashes byte ranges in place).
-    val hashed = hashedDocs.cache()
+    // (GramHashes hashes byte ranges in place). Cache is registered
+    // with Caches so Bench/Verify release it between queries.
+    val hashed = graft.Caches.track(hashedDocs)
     val banded = hashed
       .select(col("doc_id"), fold32(col("fh")).as("h32"))
       .select(col("doc_id"),
@@ -165,9 +166,8 @@ object Dedup {
     * wins on this corpus.
     */
   def prefixJaccard(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val feats = docs
-      .select(col("doc_id"), featureHashes64(col("feats")).as("fh"))
-      .cache()
+    val feats = graft.Caches.track(docs
+      .select(col("doc_id"), featureHashes64(col("feats")).as("fh")))
     val exploded = feats.select(col("doc_id"), explode(col("fh")).as("g"))
     val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val sorted = exploded.join(freq, "g")

@@ -37,22 +37,26 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Top-k customers by order revenue: fact-side agg first (shrinks
-    * the join input), then broadcast-join the customer dim, then a
-    * deterministic top-10.
+    * the join input), then join the customer table, then a
+    * deterministic top-10. Customer is sf-PROPORTIONAL (150k×sf rows),
+    * not a bounded dim — no broadcast hint: AQE broadcasts it at small
+    * sf and shuffle-joins at scale, where a forced broadcast would OOM.
     */
   def q2Topk(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sumCents(col("o_totalprice")).as("revenue_cents"), count(lit(1)).as("n_orders"))
-    rev.join(broadcast(Tables.customer(s, dir)), rev("o_custkey") === col("c_custkey"))
+    rev.join(Tables.customer(s, dir), rev("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue_cents"), col("n_orders"))
       .orderBy(col("revenue_cents").desc, col("c_custkey"))
       .limit(10)
   }
 
   /** Q3-shape shipping priority: segment filter is pushed to the
-    * customer scan; customer (dim-sized after filter) broadcasts into
-    * orders, the orders←lineitem join shuffles on the order key.
+    * customer scan; both joins shuffle on their keys. The filtered
+    * customer side is still sf-proportional (~1/5 of customers), so it
+    * carries NO broadcast hint — AQE converts the join to broadcast at
+    * small sf from runtime stats and keeps the shuffle join at scale.
     */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01")
@@ -60,7 +64,7 @@ object Relational {
     val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
       .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
@@ -258,14 +262,16 @@ object Relational {
 
   /** Q17-shape correlated aggregate: lineitems below 20% of their
     * part's average quantity. The correlation decorrelates into a
-    * per-part aggregate joined back to the fact — the per-part side is
-    * small after aggregation, so it broadcasts.
+    * per-part aggregate joined back to the fact. The per-part side's
+    * cardinality SCALES WITH THE FACT TABLE (one row per distinct
+    * partkey — ~200M at sf100), so it must NOT be broadcast: both
+    * sides shuffle on partkey (AQE still broadcasts it at small sf).
     */
   def q18Correlated(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+    li.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(sumCents(col("l_extendedprice")).as("below_avg_revenue_cents"),
         count(lit(1)).as("n_rows"))

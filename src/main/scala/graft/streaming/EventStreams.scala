@@ -58,7 +58,7 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionFn)
   }
 
-  private[streaming] def sessionFn(userId: Long, events: Iterator[SessionEvent],
+  private[graft] def sessionFn(userId: Long, events: Iterator[SessionEvent],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
       val out = state.getOption.map(emit(userId, _)).iterator
@@ -73,7 +73,11 @@ object EventStreams {
       val cents = math.round(e.value * 100)
       cur match {
         case Some(st) if ms - st.lastMs <= SessionGapMs =>
-          cur = Some(st.copy(lastMs = ms, nEvents = st.nEvents + 1,
+          // out-of-order (above-watermark) events fold in without
+          // regressing the session bounds: end never moves backwards,
+          // start never moves forwards
+          cur = Some(st.copy(startMs = math.min(st.startMs, ms),
+            lastMs = math.max(st.lastMs, ms), nEvents = st.nEvents + 1,
             valueCents = st.valueCents + cents))
         case Some(st) =>
           closed += emit(userId, st)

@@ -122,7 +122,10 @@ case class GramHashes(child: Expression, n: Int, byWord: Boolean)
 /** Sequential-fold dot product of two `array<float>` columns in
   * double precision — bit-identical to
   * `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0d, +)`
-  * and to DuckDB's `list_dot_product` on `DOUBLE[]`.
+  * and to DuckDB's `list_dot_product` on `DOUBLE[]`, INCLUDING the
+  * HOF form's null semantics: unequal lengths (zip_with null-pads)
+  * or a null element make the whole result null — asserted in
+  * ExprSpec.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -130,14 +133,21 @@ case class FloatDot(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // null even for non-null inputs: length mismatch / null element
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -147,12 +157,17 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $s = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $s = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        |  }
+        |  if (!${ev.isNull}) ${ev.value} = $s;
         |}
-        |${ev.value} = $s;
       """.stripMargin
     })
 

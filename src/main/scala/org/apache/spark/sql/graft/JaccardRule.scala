@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * pass computing |A∩B| and |A∪B| together. Result is bit-identical
   * to `size(array_intersect(a,b))/size(array_union(a,b))` on the
   * same inputs (both built-ins dedup; the ratio is an exact small-int
-  * division) — asserted in ExprSpec.
+  * division), including two empty arrays → null (the composed form's
+  * non-ANSI 0/0 Divide) — asserted in ExprSpec.
   */
 case class JaccardSets(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -19,6 +20,8 @@ case class JaccardSets(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
+  // null even for non-null inputs: two empty arrays → null (0/0)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -38,7 +41,7 @@ case class JaccardSets(left: Expression, right: Expression)
       }
       j += 1
     }
-    inter.toDouble / union.size().toDouble
+    if (union.size() == 0) null else inter.toDouble / union.size().toDouble
   }
 
   override def prettyName: String = "jaccard_sets"
@@ -55,9 +58,12 @@ case class JaccardSets(left: Expression, right: Expression)
   * composable built-ins silently get the fused kernel.
   */
 object FuseJaccardRule extends Rule[LogicalPlan] {
+  // containsNull must be false: array_intersect/array_union treat a
+  // null element as a set member, but JaccardSets.getLong would read
+  // it as 0 — fusing such inputs would change the result.
   private def longArrays(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, _) => true
-    case _                      => false
+    case ArrayType(LongType, false) => true
+    case _                          => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {

@@ -75,6 +75,54 @@ class ExprSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("JaccardSets on two empty arrays is null (composed 0/0 semantics)") {
+    val df = Seq((Seq.empty[Long], Seq.empty[Long]), (Seq(1L), Seq.empty[Long]))
+      .toDF("a", "b")
+      .select(ArrayExprs.jaccard_sets(col("a"), col("b")).as("j"))
+    val got = df.collect()
+    assert(got(0).isNullAt(0))           // 0/0 → null, never NaN
+    assert(got(1).getDouble(0) == 0.0)   // 0/1 → 0
+    // non-ANSI composed form agrees (ANSI divide would raise instead —
+    // either way, no NaN escapes into `jaccard >= t` filters)
+    withNonAnsi {
+      val composed = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+        .select((size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+      assert(composed.collect()(0).isNullAt(0))
+    }
+  }
+
+  private def withNonAnsi[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try body finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("FuseJaccardRule does not fire on arrays that may contain null elements") {
+    // array_insert(..., null) forces containsNull=true on the type
+    val df = Seq((Seq(1L, 2L), Seq(2L, 3L))).toDF("a", "b").repartition(2)
+      .select(array_insert(col("a"), lit(1), lit(null).cast("long")).as("an"), col("b"))
+      .select((size(array_intersect(col("an"), col("b"))).cast("double") /
+        size(array_union(col("an"), col("b"))).cast("double")).as("j"))
+    assert(!df.queryExecution.executedPlan.toString.contains("jaccard_sets"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("FloatDot matches HOF null semantics: length mismatch and null elements") {
+    val rows = Seq(
+      (Seq(Some(1f), Some(2f)), Seq(Some(3f), Some(4f), Some(5f))), // mismatch → null
+      (Seq(Some(1f), None), Seq(Some(3f), Some(4f))),               // null elem → null
+      (Seq(Some(2f), Some(3f)), Seq(Some(4f), Some(5f))))           // 23.0
+    val df = rows.toDF("a", "b").select(
+      ArrayExprs.float_dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+  }
+
   test("FloatDot survives codegen and interpreted paths with nulls") {
     val df = Seq((Some(Seq(1f, 2f)), Some(Seq(3f, 4f))), (None, Some(Seq(1f))))
       .toDF("a", "b")

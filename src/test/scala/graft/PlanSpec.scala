@@ -35,6 +35,22 @@ class PlanSpec extends SparkSpec {
     assert(!q5.contains("CartesianProduct"))
   }
 
+  test("q2/q3/q18: sf-proportional sides carry no broadcast hint") {
+    // With auto-broadcast off, the ONLY way a broadcast can appear in
+    // these plans is a hard-coded hint — which would OOM at 100×
+    // scale (customer and per-partkey aggregates grow with sf). The
+    // broadcasts PlanSpec sees under default conf come from stats/AQE.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (df <- Seq(Relational.q2Topk(spark, Sf), Relational.q3Join(spark, Sf),
+          Relational.q18Correlated(spark, Sf))) {
+        val p = formatted(df)
+        assert(!p.contains("Broadcast"), p)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("LSH candidate joins are equi-joins, never cartesian") {
     val d2 = formatted(Dedup.minhashLsh(spark, Sf))
     assert(!d2.contains("CartesianProduct") && !d2.contains("BroadcastNestedLoopJoin"))

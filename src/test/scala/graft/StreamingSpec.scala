@@ -81,6 +81,24 @@ class StreamingSpec extends SparkSpec {
     assert(b12.exists(_.getLong(2) == 1)) // only the 12:30 event
   }
 
+  test("sessionFn folds out-of-order events without regressing session bounds") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.{SessionEvent, SessionState}
+    val state = TestGroupState.create[SessionState](
+      Optional.of(SessionState(1, 1000000L, 2000000L, 2, 300)),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(500000L), hasTimedOut = false)
+    // out-of-order (above-watermark) event 10 s before the session's
+    // current last event: merges, but the session end must not regress
+    val out = EventStreams.sessionFn(1L,
+      Iterator(SessionEvent(1L, new Timestamp(1990000L), 1.0)), state).toSeq
+    assert(out.isEmpty)
+    val st = state.get
+    assert(st.lastMs == 2000000L, "session end moved backwards")
+    assert(st.startMs == 1000000L)
+    assert(st.nEvents == 3 && st.valueCents == 400)
+  }
+
   test("file-source ingest picks up only newly arrived files per trigger") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
