@@ -5,7 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Custom whole-operator implementation of a broadcast
@@ -14,34 +15,62 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * `left JOIN right ON lo <= point AND point <= hi` is a non-equi
   * join, which vanilla Spark can only plan as a nested-loop scanning
-  * every interval for every probe row. This operator collects the
-  * (dim-sized) interval side once, sorts it by `lo` with a running
-  * max-of-`hi` prefix (a flattened interval tree), broadcasts it, and
-  * probes each left row in O(log n + matches): binary-search the last
+  * every interval for every probe row. This operator broadcasts the
+  * (dim-sized) interval side through a regular `BroadcastExchange`
+  * (so the exchange is reused across plan subtrees, carries metrics,
+  * and enforces Spark's broadcast size limits with a clear error
+  * instead of silently OOMing the driver), sorts it by `lo` with a
+  * running max-of-`hi` prefix (a flattened interval tree), and probes
+  * each left row in O(log n + matches): binary-search the last
   * interval with lo <= p, then walk back while the prefix max-hi can
   * still cover p. Inner-join semantics; null points/bounds produce no
   * match — exactly the nested-loop's behavior (asserted in
   * RangeJoinSpec).
+  *
+  * SIZE GUARD: the interval side must be broadcast-sized. When its
+  * optimizer statistics exceed `spark.graft.rangeJoin.maxBuildBytes`
+  * (default 256 MiB), `pointInInterval` falls back to the plain
+  * non-equi join (Spark's nested loop) rather than planning a
+  * broadcast that would not fit; past the stats check, the exchange's
+  * own hard limits (512M rows / 8 GiB) still apply.
   */
 object RangeJoin {
 
+  val MaxBuildBytesKey = "spark.graft.rangeJoin.maxBuildBytes"
+  val MaxBuildBytesDefault: Long = 256L * 1024 * 1024
+
   /** Public API: inner-join `left` to `right` on
     * `right.lo <= left.point <= right.hi` (all compared as doubles).
+    * Plans the custom broadcast-index exec when the interval side's
+    * stats fit under [[MaxBuildBytesKey]]; otherwise falls back to
+    * the equivalent nested-loop join.
     */
   def pointInInterval(left: DataFrame, right: DataFrame,
       point: Column, lo: Column, hi: Column): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    // spark.expression converts the Column's node tree into a real
-    // catalyst Expression (UnresolvedAttribute leaves); the analyzer
-    // then resolves them against this node's children like any join
-    // condition.
-    val plan = PointIntervalJoin(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      spark.expression(point.cast("double")),
-      spark.expression(lo.cast("double")),
-      spark.expression(hi.cast("double")))
-    Dataset.ofRows(spark, plan)
+    val maxBytes = spark.conf.getOption(MaxBuildBytesKey)
+      .map(_.toLong).getOrElse(MaxBuildBytesDefault)
+    val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (rightBytes > maxBytes) {
+      logWarning(s"range-join interval side estimated at $rightBytes bytes " +
+        s"(> $MaxBuildBytesKey=$maxBytes); falling back to the non-broadcast plan")
+      left.join(right, point >= lo && point <= hi)
+    } else {
+      // spark.expression converts the Column's node tree into a real
+      // catalyst Expression (UnresolvedAttribute leaves); the analyzer
+      // then resolves them against this node's children like any join
+      // condition.
+      val plan = PointIntervalJoin(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        spark.expression(point.cast("double")),
+        spark.expression(lo.cast("double")),
+        spark.expression(hi.cast("double")))
+      Dataset.ofRows(spark, plan)
+    }
   }
+
+  private def logWarning(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
 }
 
 case class PointIntervalJoin(left: LogicalPlan, right: LogicalPlan,
@@ -64,51 +93,62 @@ case class PointIntervalJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
-  protected override def doExecute(): RDD[InternalRow] = {
-    // build side: evaluate + sort intervals once on the driver (the
-    // interval side is dim-sized, like a broadcast-hash build side)
-    val loB = BindReferences.bindReference(lo, right.output)
-    val hiB = BindReferences.bindReference(hi, right.output)
-    val intervals = right.executeCollect().flatMap { row =>
-      val l = loB.eval(row)
-      val h = hiB.eval(row)
-      if (l == null || h == null) None
-      else Some((l.asInstanceOf[Double], h.asInstanceOf[Double], row.copy()))
-    }.sortBy(_._1)
-    val los = intervals.map(_._1)
-    val maxHiPrefix = new Array[Double](intervals.length)
-    var runMax = Double.NegativeInfinity
-    var i = 0
-    while (i < intervals.length) {
-      runMax = math.max(runMax, intervals(i)._2)
-      maxHiPrefix(i) = runMax
-      i += 1
-    }
-    val bc = sparkContext.broadcast((intervals, los, maxHiPrefix))
+  /** EnsureRequirements inserts a BroadcastExchange over the interval
+    * side: identity mode (the row array as-is), shared/reused across
+    * subtrees, with Spark's broadcast limits and metrics.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
 
-    val pointExpr  = point
-    val leftOutput = left.output
-    val allOutput  = output
+  protected override def doExecute(): RDD[InternalRow] = {
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val pointExpr   = point
+    val loExpr      = lo
+    val hiExpr      = hi
+    val leftOutput  = left.output
+    val rightOutput = right.output
+    val allOutput   = output
     left.execute().mapPartitionsInternal { iter =>
-      val (ivs, loArr, maxHi) = bc.value
+      // Build the sorted interval index from the broadcast rows once
+      // per partition: O(m log m) on the dim-sized m — cheap relative
+      // to the probe scan, and avoids a second driver-side broadcast
+      // of derived state.
+      val loB = BindReferences.bindReference(loExpr, rightOutput)
+      val hiB = BindReferences.bindReference(hiExpr, rightOutput)
+      val intervals = bc.value.flatMap { row =>
+        val l = loB.eval(row)
+        val h = hiB.eval(row)
+        if (l == null || h == null) None
+        else Some((l.asInstanceOf[Double], h.asInstanceOf[Double], row))
+      }.sortBy(_._1)
+      val los = intervals.map(_._1)
+      val maxHiPrefix = new Array[Double](intervals.length)
+      var runMax = Double.NegativeInfinity
+      var i = 0
+      while (i < intervals.length) {
+        runMax = math.max(runMax, intervals(i)._2)
+        maxHiPrefix(i) = runMax
+        i += 1
+      }
+
       val pB     = BindReferences.bindReference(pointExpr, leftOutput)
       val joined = new JoinedRow
       val proj   = UnsafeProjection.create(allOutput, allOutput)
       iter.flatMap { lrow =>
         val pv = pB.eval(lrow)
-        if (pv == null || ivs.isEmpty) Iterator.empty
+        if (pv == null || intervals.isEmpty) Iterator.empty
         else {
           val p = pv.asInstanceOf[Double]
           // last index with lo <= p
-          var lb = 0; var ub = loArr.length
+          var lb = 0; var ub = los.length
           while (lb < ub) {
             val mid = (lb + ub) >>> 1
-            if (loArr(mid) <= p) lb = mid + 1 else ub = mid
+            if (los(mid) <= p) lb = mid + 1 else ub = mid
           }
           var idx = lb - 1
           val out = Seq.newBuilder[InternalRow]
-          while (idx >= 0 && maxHi(idx) >= p) {
-            val (_, h, rrow) = ivs(idx)
+          while (idx >= 0 && maxHiPrefix(idx) >= p) {
+            val (_, h, rrow) = intervals(idx)
             if (h >= p) out += proj(joined(lrow, rrow)).copy()
             idx -= 1
           }

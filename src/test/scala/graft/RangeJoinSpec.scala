@@ -38,6 +38,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("interval side goes through a BroadcastExchange (limits, metrics, reuse)") {
+    val df = RangeJoin.pointInInterval(points, intervals, col("p"), col("lo"), col("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("oversized interval side falls back to the non-broadcast plan, same rows") {
+    val prev = spark.conf.getOption(RangeJoin.MaxBuildBytesKey)
+    spark.conf.set(RangeJoin.MaxBuildBytesKey, "1")
+    try {
+      val df = RangeJoin.pointInInterval(points, intervals, col("p"), col("lo"), col("hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("PointIntervalJoin"), plan)
+      val got = df.select("id", "name").as[(Long, String)].collect().toSet
+      val bnl = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("id", "name").as[(Long, String)].collect().toSet
+      assert(got == bnl)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(RangeJoin.MaxBuildBytesKey, v)
+        case None    => spark.conf.unset(RangeJoin.MaxBuildBytesKey)
+      }
+    }
+  }
+
   test("q20 matches the plain non-equi join on real data") {
     val got = graft.operators.Relational.q20RangeJoin(spark, Sf).collect()
     val bands = Tables.nation(spark, Sf).select(col("n_name"),
