@@ -200,33 +200,29 @@ object Relational {
   }
 
   /** As-of join: each purchase event matched to the most recent order
-    * (o_orderdate ≤ ts) of the same customer. Spark-first shape: the
-    * time-sorted union trick — orders and events interleave in one
-    * window partitioned by user, and `last(_, ignoreNulls)` carries
-    * the newest order forward — ONE shuffle, no range cross-join, no
-    * per-row subquery. Orders are pre-deduped per (custkey, date) to
-    * the max orderkey so ties are deterministic.
+    * (o_orderdate ≤ ts) of the same customer, through the custom
+    * partitioned sort-merge operator (org.apache.spark.sql.graft
+    * .AsofJoin — LogicalPlan + Strategy + SparkPlan): both sides
+    * shuffle once on the key, sort once within partitions, and a
+    * single merge pass carries the latest matching order — no window
+    * over unioned rows, no range cross-join, both sides keep their own
+    * schemas. Orders are pre-deduped per (custkey, date) to the max
+    * orderkey so ties are deterministic. (The sorted-union window
+    * formulation this replaces survives in AsofJoinSpec as the
+    * cross-check reference.)
     */
   def q14AsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
-      .select(col("o_custkey").as("uid"), col("o_orderdate").as("t"),
-        col("o_orderkey"), lit(null).cast("long").as("event_id"),
-        lit(0).as("kind"))
     val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
-      .select(col("user_id").as("uid"), col("ts").as("t"),
-        lit(null).cast("long").as("o_orderkey"), col("event_id"),
-        lit(1).as("kind"))
-    // kind orders order-rows before a same-instant event; within
-    // same-instant orders the dedup already made rows unique.
-    val w = Window.partitionBy(col("uid")).orderBy(col("t"), col("kind"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    ord.unionByName(ev)
-      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
-      .select(col("event_id"), col("uid").as("user_id"),
-        unix_timestamp(col("t")).as("ts_epoch"), col("asof_orderkey"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    org.apache.spark.sql.graft.AsofJoin
+      .asofBackward(ev, ord, col("user_id"), col("o_custkey"),
+        col("ts"), col("o_orderdate").cast("timestamp"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        col("o_orderkey").as("asof_orderkey"))
       .orderBy(col("event_id"))
   }
 

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => FuseJaccardRule)
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AsofJoin
+
+/** The custom partitioned sort-merge as-of join must agree with the
+  * sorted-union window formulation (the construction it replaced in
+  * q14) on randomized data, and handle nulls/ties/missing keys.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: time-sorted union + last(ignoreNulls)
+    * carry-forward window.
+    */
+  private def windowReference(ev: DataFrame, ord: DataFrame): DataFrame = {
+    val o = ord.select(col("k").as("uid"), col("t"), col("payload"),
+      lit(null).cast("long").as("ev_id"), lit(0).as("kind"))
+    val e = ev.select(col("k").as("uid"), col("t"),
+      lit(null).cast("long").as("payload"), col("ev_id"), lit(1).as("kind"))
+    val w = Window.partitionBy(col("uid")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    o.unionByName(e)
+      .withColumn("asof_payload", last(col("payload"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("ev_id"), col("asof_payload"))
+  }
+
+  test("asof equals the window-trick reference on randomized data") {
+    val rnd = new scala.util.Random(11)
+    // events and right rows over 20 keys with colliding timestamps;
+    // right payloads unique per (key, time) so ties are deterministic
+    val ev = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .toDF("ev_id", "k", "tl").select(col("ev_id"), col("k"),
+        timestamp_seconds(col("tl")).as("t"))
+    val ord = (1 to 300).map { i => (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong) }
+      .distinct.zipWithIndex
+      .map { case ((k, tl), i) => (k, tl, i.toLong) }
+      .toDF("k", "tl", "payload").select(col("k"),
+        timestamp_seconds(col("tl")).as("t"), col("payload"))
+    val got = AsofJoin.asofBackward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
+      .select(col("ev_id"), col("payload").as("asof_payload"))
+      .as[(Long, Option[Long])].collect().toMap
+    val exp = windowReference(
+      ev.select(col("k"), col("t"), col("ev_id")), ord)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got.size == 400 && got == exp)
+  }
+
+  test("left rows with no match (or unmatched keys) get nulls; null keys/times never match") {
+    val ev = Seq(
+      (1L, Some(1L), Some(100L)),  // matched
+      (2L, Some(1L), Some(5L)),    // before every right row → null
+      (3L, Some(9L), Some(100L)),  // key absent on right → null
+      (4L, None, Some(100L)),      // null key → null
+      (5L, Some(1L), None))        // null time → null
+      .toDF("ev_id", "k", "tl")
+      .select(col("ev_id"), col("k"), timestamp_seconds(col("tl")).as("t"))
+    val ord = Seq(
+      (Some(1L), Some(50L), 7L),
+      (Some(1L), None, 8L),        // null right time: skipped
+      (None, Some(10L), 9L))       // null right key: skipped
+      .toDF("k", "tl", "payload")
+      .select(col("k"), timestamp_seconds(col("tl")).as("t"), col("payload"))
+    val got = AsofJoin.asofBackward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
+      .select(col("ev_id"), col("payload")).as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(7L), 2L -> None, 3L -> None, 4L -> None, 5L -> None))
+  }
+
+  test("inclusive bound: a right row exactly at the left time matches") {
+    val ev  = Seq((1L, 1L, 100L)).toDF("ev_id", "k", "tl")
+      .select(col("ev_id"), col("k"), timestamp_seconds(col("tl")).as("t"))
+    val ord = Seq((1L, 100L, 42L), (1L, 99L, 41L)).toDF("k", "tl", "payload")
+      .select(col("k"), timestamp_seconds(col("tl")).as("t"), col("payload"))
+    val got = AsofJoin.asofBackward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
+      .select(col("payload")).as[Long].collect().toSeq
+    assert(got == Seq(42L))
+  }
+
+  test("q14 through the custom operator equals the window-trick result on real data") {
+    val got = graft.operators.Relational.q14AsofJoin(spark, Sf).collect().map(_.toSeq).toSeq
+    // legacy union-window formulation over the same tables
+    val ord = Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+        col("o_orderkey"), lit(null).cast("long").as("event_id"), lit(0).as("kind"))
+    val ev = Tables.events(spark, Sf).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("ts").as("t"),
+        lit(null).cast("long").as("o_orderkey"), col("event_id"), lit(1).as("kind"))
+    val w = Window.partitionBy(col("uid")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val exp = ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("uid").as("user_id"),
+        unix_timestamp(col("t")).as("ts_epoch"), col("asof_orderkey"))
+      .orderBy(col("event_id")).collect().map(_.toSeq).toSeq
+    assert(got == exp)
+  }
+}

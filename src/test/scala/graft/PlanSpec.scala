@@ -58,9 +58,13 @@ class PlanSpec extends SparkSpec {
     assert(!d3.contains("CartesianProduct") && !d3.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("asof join plans a single window pass, no join explosion") {
+  test("asof join: custom sort-merge, one sort per side, no window/union") {
     val p = formatted(Relational.q14AsofJoin(spark, Sf))
-    assert(!p.contains("CartesianProduct") && !p.contains("Join"))
-    assert(p.contains("Window"))
+    assert(p.contains("AsofMergeJoin"), p)
+    assert(!p.contains("Window") && !p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exactly 3 sorts: one per merge side + the final presentation
+    // orderBy(event_id)
+    assert(p.linesIterator.count(_.matches(raw".*\(\d+\) Sort.*")) == 3, p)
   }
 }
