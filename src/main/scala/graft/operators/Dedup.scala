@@ -247,20 +247,51 @@ object Dedup {
 
   // --- embedding cosine near-dup ------------------------------------
 
-  /** Embedding near-dup pairs: cosine ≥ threshold with norms
-    * precomputed per vector and the codegen'd FloatDot kernel. Exact
-    * (correctness baseline) — the blocked scale path is Ann.lshTopK's
-    * hyperplane buckets; at this corpus size Catalyst picks a
-    * broadcast nested-loop join.
+  /** Embedding near-dup pairs: EXACT cosine ≥ threshold, computed as a
+    * BLOCK-PAIR DISTRIBUTED self-join — never a broadcast nested loop.
+    *
+    * Why not LSH candidates + exact verify (the d2/d4 shape)? Measured
+    * on this corpus, qualifying pairs start at cosine 0.4000 against a
+    * continuous background reaching 0.3999 — there is NO similarity
+    * gap, so every hash-bucketing scheme (hyperplane LSH included)
+    * either misses true pairs (breaking exactness) or admits nearly
+    * all pairs. An exact answer at a threshold inside the data's bulk
+    * is inherently all-pairs; the approximate sublinear path for
+    * true near-duplicates is the multi-table hyperplane LSH used by
+    * Ann.lshTopK.
+    *
+    * The all-pairs compute is therefore made DISTRIBUTED instead of
+    * driver-broadcast: vectors hash into `blocks` buckets by vec_id;
+    * each unordered bucket pair (bi ≤ bj) is one equi-join key; each
+    * vector replicates to the ≤ blocks+1 pair-keys it participates in,
+    * and every (a, b) pair meets in exactly one task. Shuffle volume
+    * is corpus × (blocks+1)/2 rows per side; per-task working set is
+    * 2n/blocks vectors (choose blocks ∝ n / per-executor memory at
+    * scale); compute spreads evenly over blocks²/2 tasks. No task —
+    * and no driver — ever holds the corpus.
     */
-  def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
+      blocks: Int = 8): DataFrame = {
+    import s.implicits._
     import graft.functions.VecFns._
     val e = spread(Tables.embeddings(s, dir))
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        r6(cosinePre(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
-          .as("cosine"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        pmod(col("vec_id"), lit(blocks)).as("bid"))
+    val pairIds = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("bi", "bj") // blocks²/2 rows — bounded, broadcast by design
+    val a = e.join(broadcast(pairIds), col("bid") === col("bi"))
+      .select(col("bi"), col("bj"), col("vec_id").as("ia"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.join(broadcast(pairIds), col("bid") === col("bj"))
+      .select(col("bi"), col("bj"), col("vec_id").as("ib"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bi", "bj")) // shuffled equi-join on the pair key
+      // same-block pairs meet with bi == bj: keep one orientation;
+      // cross-block pairs meet exactly once in either orientation
+      .filter(col("bi") < col("bj") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        r6(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -70,4 +70,23 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("block-pair distributed d5 equals the naive all-pairs join, any block count") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecFns._
+    import graft.functions.Det._
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val naive = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        r6(cosinePre(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .collect().map(_.toSeq).toSet
+    for (blocks <- Seq(1, 3, 8)) {
+      val blocked = Dedup.embedNearDup(spark, Sf, threshold = 0.4, blocks = blocks)
+        .collect().map(_.toSeq).toSet
+      assert(blocked == naive, s"blocks=$blocks")
+    }
+  }
 }

@@ -58,6 +58,11 @@ class PlanSpec extends SparkSpec {
     assert(!d3.contains("CartesianProduct") && !d3.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d5: block-pair self-join is a shuffled equi-join, never a nested loop") {
+    val d5 = formatted(Dedup.embedNearDup(spark, Sf))
+    assert(!d5.contains("CartesianProduct") && !d5.contains("BroadcastNestedLoopJoin"), d5)
+  }
+
   test("asof join: custom sort-merge, one sort per side, no window/union") {
     val p = formatted(Relational.q14AsofJoin(spark, Sf))
     assert(p.contains("AsofMergeJoin"), p)
