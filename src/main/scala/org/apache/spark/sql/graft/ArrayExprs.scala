@@ -40,6 +40,74 @@ object ArrayExprs {
     */
   def word_shingle_hashes(nrm: Column, k: Int): Column =
     ExpressionUtils.column(GramHashes(ExpressionUtils.expression(nrm), k, byWord = true))
+
+  /** Codegen'd multi-bit hyperplane sketch: bit b of the output is
+    * sign(v · plane_b), packed into `bits/64` longs. `planes` is the
+    * flattened [bits × dim] matrix.
+    */
+  def hyperplane_sketch(v: Column, planes: Array[Double], dim: Int, bits: Int): Column =
+    ExpressionUtils.column(HyperplaneSketch(ExpressionUtils.expression(v), planes, dim, bits))
+}
+
+/** Packed sign-sketch of an `array<float>` vector against a fixed
+  * hyperplane matrix: bit b set iff `v · plane_b > 0`. The sketch is a
+  * distance-preserving compression for angular similarity
+  * (P[bit differs] = angle/π, Goemans–Williamson), so the Hamming
+  * distance between two sketches estimates their cosine with std-dev
+  * `π·sqrt(p(1-p)/bits)` — the prefilter kernel behind Ann.lshTopK.
+  * One fused pass: `bits × dim` multiplies per row, no intermediate
+  * arrays.
+  */
+case class HyperplaneSketch(child: Expression, planes: Array[Double], dim: Int, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes.length == bits * dim && bits % 64 == 0)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val words = new Array[Long](bits / 64)
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      val off = b * dim
+      while (i < n) { s += v.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (s > 0) words(b >> 6) |= 1L << (b & 63)
+      b += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val o = ctx.freshName("o")
+      s"""
+        |int $n = java.lang.Math.min($dim, $in.numElements());
+        |long[] $w = new long[${bits / 64}];
+        |for (int $b = 0; $b < $bits; $b++) {
+        |  double $s = 0.0;
+        |  int $o = $b * $dim;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $s += ((double) $in.getFloat($i)) * $pRef[$o + $i];
+        |  }
+        |  if ($s > 0) $w[$b >> 6] |= 1L << ($b & 63);
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($w);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSketch = copy(child = c)
 }
 
 /** Fused featurize kernel: the distinct 64-bit feature hashes of a

@@ -19,17 +19,22 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("LSH ANN recall vs brute-force baseline") {
+  test("LSH ANN recall vs brute-force baseline, candidate fraction < 5%") {
     val exact = Ann.bruteForceTopK(spark, Sf)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Ann.lshTopK(spark, Sf)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // weakly-clustered 64-dim random data at 500 vectors: ≤2-bit
-    // multi-probe on 6-bit signatures lands ~0.48 here (and higher at
-    // larger corpora); assert it clears a floor far above the random
-    // baseline (k/N ≈ 0.02)
-    assert(recall >= 0.35, s"recall $recall")
+    // 256-bit sketch cut at τ=105 measures 0.62 recall on this 500-vec
+    // corpus (0.805 at sf0.1) — above the 6-bit multi-probe scheme it
+    // replaced (0.48) which scanned 36% of the corpus; random baseline
+    // is k/N ≈ 0.02
+    assert(recall >= 0.55, s"recall $recall")
+    // the exact-cosine stage must touch < 5% of the corpus per query
+    val n = Tables.embeddings(spark, Sf).count()
+    val cands = Ann.sketchCandidates(spark, Sf).count()
+    val frac = cands.toDouble / (20.0 * n)
+    assert(frac < 0.05, s"candidate fraction $frac")
   }
 
   test("IVF ANN recall vs brute-force baseline") {
