@@ -44,6 +44,8 @@ object SparkEntry {
     "q18_correlated"          -> Relational.q18Correlated _,
     "q19_setops"              -> Relational.q19Setops _,
     "q20_range_join"          -> Relational.q20RangeJoin _,
+    "q21_outer"               -> Relational.q21Outer _,
+    "q22_fullouter"           -> Relational.q22FullOuter _,
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
@@ -321,6 +323,31 @@ object SparkEntry {
       |SELECT n_name, count(*) AS n_events, sum(round(value*100)::BIGINT)::BIGINT AS value_cents
       |FROM events JOIN bands ON value >= lo AND value <= hi
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_outer" -> raw"""
+      |WITH recent AS (
+      |  SELECT o_custkey, count(*) AS n,
+      |         sum(round(o_totalprice*100)::BIGINT)::BIGINT AS rc
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' GROUP BY 1)
+      |SELECT c_custkey, c_mktsegment, o_custkey IS NOT NULL AS has_recent,
+      |       coalesce(n, 0)::BIGINT AS n_recent_orders,
+      |       coalesce(rc, 0)::BIGINT AS recent_cents
+      |FROM customer LEFT JOIN recent ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin,
+    "q22_fullouter" -> raw"""
+      |WITH od AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d_o, count(*) AS n_orders,
+      |              sum(round(o_totalprice*100)::BIGINT)::BIGINT AS oc
+      |            FROM orders GROUP BY 1),
+      |ed AS (SELECT strftime(ts, '%Y-%m-%d') AS d_e, count(*) AS n_events,
+      |         sum(round(value*100)::BIGINT)::BIGINT AS ec
+      |       FROM events GROUP BY 1)
+      |SELECT coalesce(d_o, d_e) AS day,
+      |       d_o IS NOT NULL AS has_orders, d_e IS NOT NULL AS has_events,
+      |       coalesce(n_orders, 0)::BIGINT AS n_orders,
+      |       coalesce(oc, 0)::BIGINT AS order_cents,
+      |       coalesce(n_events, 0)::BIGINT AS n_events,
+      |       coalesce(ec, 0)::BIGINT AS event_cents
+      |FROM od FULL OUTER JOIN ed ON d_o = d_e
+      |ORDER BY day""".stripMargin,
     "t1_token_count" -> raw"""
       |SELECT doc_id,
       |  len(string_split($Nrm, ' '))::INT AS n_words,

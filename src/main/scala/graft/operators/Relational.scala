@@ -309,6 +309,52 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** Left-outer join with null-group semantics: every customer keeps a
+    * row whether or not they have post-2000 orders; unmatched rows
+    * surface as `has_recent = false` with zeroed aggregates (values
+    * that only arise under correct outer-join null handling). The
+    * order side is pre-aggregated per custkey BEFORE the join — the
+    * outer join ships one row per customer per side, never the raw
+    * fact table.
+    */
+  def q21Outer(s: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sumCents(col("o_totalprice")).as("rc"))
+    Tables.customer(s, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("o_custkey").isNotNull.as("has_recent"),
+        coalesce(col("n"), lit(0L)).as("n_recent_orders"),
+        coalesce(col("rc"), lit(0L)).as("recent_cents"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full-outer join: per-day order totals against per-day event
+    * totals — days exist with only orders, only events, or both, and
+    * each case must survive with nulls on the absent side (surfaced as
+    * has_orders/has_events + zeroed totals). Both inputs aggregate to
+    * bounded per-day rows before the join, so the full-outer shuffle
+    * is day-cardinality regardless of fact size.
+    */
+  def q22FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_o"))
+      .agg(count(lit(1)).as("n_orders"), sumCents(col("o_totalprice")).as("oc"))
+    val ed = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d_e"))
+      .agg(count(lit(1)).as("n_events"), sumCents(col("value")).as("ec"))
+    od.join(ed, col("d_o") === col("d_e"), "full_outer")
+      .select(coalesce(col("d_o"), col("d_e")).as("day"),
+        col("d_o").isNotNull.as("has_orders"), col("d_e").isNotNull.as("has_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("oc"), lit(0L)).as("order_cents"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("ec"), lit(0L)).as("event_cents"))
+      .orderBy(col("day"))
+  }
+
   /** JSON extraction from the events.props payload + aggregate. */
   def q15Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -76,4 +76,23 @@ class RelationalSpec extends SparkSpec {
     assert(grand.length == 1)
     assert(grand.head.getAs[Long]("n_customers") == Tables.customer(spark, Sf).count())
   }
+
+  test("q21 left-outer keeps every customer; unmatched rows are genuinely exercised") {
+    val rows = Relational.q21Outer(spark, Sf).collect()
+    assert(rows.length == Tables.customer(spark, Sf).count())
+    val unmatched = rows.filter(!_.getAs[Boolean]("has_recent"))
+    assert(unmatched.nonEmpty, "test data must contain customers without recent orders")
+    unmatched.foreach { r =>
+      assert(r.getAs[Long]("n_recent_orders") == 0 && r.getAs[Long]("recent_cents") == 0)
+    }
+  }
+
+  test("q22 full-outer has days from each side alone and from both") {
+    val rows = Relational.q22FullOuter(spark, Sf).collect()
+    val oOnly = rows.count(r => r.getAs[Boolean]("has_orders") && !r.getAs[Boolean]("has_events"))
+    val eOnly = rows.count(r => !r.getAs[Boolean]("has_orders") && r.getAs[Boolean]("has_events"))
+    assert(oOnly > 0 && eOnly > 0, s"oOnly=$oOnly eOnly=$eOnly")
+    rows.filter(!_.getAs[Boolean]("has_orders"))
+      .foreach(r => assert(r.getAs[Long]("n_orders") == 0 && r.getAs[Long]("order_cents") == 0))
+  }
 }
