@@ -24,6 +24,8 @@ object SparkEntry {
     "g4_elevation_stats"      -> GeoQueries.elevationStats _,
     "g5_ingest_manifest"      -> GeoQueries.ingestManifest _,
     "g6_region_elevation_join" -> GeoQueries.regionElevation _,
+    "g7_raster_ingest"        -> GeoQueries.rasterIngest _,
+    "g8_listing_manifest"     -> GeoQueries.listingManifest _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -180,6 +182,22 @@ object SparkEntry {
       |SELECT set_name, count(*) AS n_pixels, round(avg(elevation), 6) AS avg_elev,
       |       max(elevation) AS max_elev
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g7_raster_ingest" -> raw"""
+      |WITH $GridCte
+      |SELECT tile_id, tile_key, lat0, lon0, TRUE AS key_matches_header,
+      |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
+      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |FROM grid WHERE tile_id < 50
+      |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    "g8_listing_manifest" -> raw"""
+      |WITH $TilesCte,
+      |r AS (SELECT tile_id, tile_key, (tile_id*131)%4096 + 64 AS size_bytes
+      |      FROM keyed WHERE tile_id < 500),
+      |l AS (SELECT tile_key, size_bytes - (CASE WHEN tile_id%7 = 0 THEN 1 ELSE 0 END) AS size_bytes
+      |      FROM r WHERE tile_id%3 = 0)
+      |SELECT tile_id, tile_key, size_bytes FROM r
+      |WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.tile_key = r.tile_key AND l.size_bytes = r.size_bytes)
+      |ORDER BY tile_id""".stripMargin,
     "q1_agg" -> raw"""
       |SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity)::BIGINT AS sum_qty,

@@ -73,6 +73,72 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g7: REAL binary ingestion — the byte-level twin of the
+    * reference's GeoTIFF read loop (main.rs:172-191). Spark's
+    * `binaryFile` source lists and reads actual `.grft` files (one
+    * row per file, split across tasks — the distributed form of the
+    * reference's per-tile loop); the tile key is recovered from the
+    * FILENAME exactly as the reference addresses tiles; the payload
+    * is decoded byte-by-byte by the RasterDecode expression and
+    * exploded into pixels. Nothing on this path re-evaluates the
+    * elevation formula — every value comes out of the file bytes
+    * (the oracle independently recomputes the formula the fixture
+    * encoded). `key_matches_header` cross-checks filename-derived
+    * coordinates against the decoded header.
+    *
+    * At scale: binaryFile assigns whole files to tasks (a real
+    * 3600×3600 AW3D30 tile is a ~50 MB payload → 12.96M pixel rows
+    * per task via the generator, no shuffle until the final agg).
+    */
+  def rasterIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    s.read.format("binaryFile").load(s"$fixture/*.grft")
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        col("r.lat0").cast("long").as("lat0"), col("r.lon0").cast("long").as("lon0"),
+        (parseLat(col("tile_key")) === col("r.lat0") &&
+          parseLon(col("tile_key")) === col("r.lon0")).as("key_matches_header"),
+        explode(col("r.points")).as("p"))
+      .groupBy(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        col("key_matches_header"))
+      .agg(count(lit(1)).as("n_pixels"),
+        min(col("p.elevation")).as("min_elev"),
+        max(col("p.elevation")).as("max_elev"),
+        r6(avg(col("p.elevation"))).as("avg_elev"),
+        sum(col("p.elevation")).as("sum_elev"))
+      .orderBy(col("tile_id"))
+  }
+
+  /** g8: filesystem-listing manifest — the twin of the reference's
+    * paged ListObjectsV2 + idempotent-download check (main.rs:266-331,
+    * 135-161), against a REAL directory: the Hadoop FileSystem API
+    * (`listStatus`, the same interface S3A implements) yields
+    * (key, size) for what is already on disk, and the anti-join
+    * against the remote manifest emits exactly the objects still to
+    * fetch — missing tiles and torn (size-mismatched) downloads. The
+    * listing itself is driver-side like the reference's pager; at
+    * scale, shard it by key prefix into tasks and union — the
+    * downstream anti-join is already distributed.
+    */
+  def listingManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixture = Fixtures.ensureListing(s, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(fixture), s.sparkContext.hadoopConfiguration)
+    val local = fs.listStatus(new org.apache.hadoop.fs.Path(fixture))
+      .filter(_.getPath.getName.endsWith(".grft"))
+      .map(st => (st.getPath.getName.stripSuffix(".grft"), st.getLen))
+      .toSeq.toDF("tile_key", "size_bytes")
+    val remote = tiles(s, dir).filter(col("tile_id") < Fixtures.ListingLimit)
+      .select(col("tile_id"), col("tile_key"),
+        (pmod(col("tile_id") * lit(131), lit(4096)) + lit(64)).as("size_bytes"))
+    remote.join(local, Seq("tile_key", "size_bytes"), "left_anti")
+      .select(col("tile_id"), col("tile_key"), col("size_bytes"))
+      .orderBy(col("tile_id"))
+  }
+
   /** g6: per-region-set elevation rollup over the expanded grid; set
     * membership is evaluated on the integer tile origin exactly as
     * the reference filters tiles (main.rs:69-87). One pass: each

@@ -79,6 +79,46 @@ class GeoSpec extends SparkSpec {
     intercept[IllegalArgumentException](Cli.run(spark, Sf, out, "atlantis"))
   }
 
+  test("g7: raster bytes decode to the formula values; malformed payloads → null") {
+    import org.apache.spark.sql.graft.RasterExprs
+    val good = graft.geo.Fixtures.rasterBytes(7, 12, -34, 2)
+    val bad1 = "notGRFT".getBytes
+    val bad2 = good.take(25) // truncated band
+    val df = Seq(good, bad1, bad2).toDF("content")
+      .select(RasterExprs.raster_decode(col("content")).as("r"))
+    val rows = df.collect()
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    val r = rows(0).getStruct(0)
+    assert(r.getInt(0) == 7 && r.getInt(1) == 12 && r.getInt(2) == -34)
+    val pts = r.getSeq[org.apache.spark.sql.Row](3)
+    assert(pts.length == 4)
+    // elevation formula: (7*131 + x*17 + y*29) % 8848
+    assert(pts.map(p => (p.getInt(0), p.getInt(1), p.getInt(2))).toSet ==
+      Set((0, 0, 917), (1, 0, 934), (0, 1, 946), (1, 1, 963)))
+  }
+
+  test("g7: end-to-end binaryFile ingest matches the expanded-grid stats") {
+    val got = GeoQueries.rasterIngest(spark, Sf)
+      .select("tile_key", "n_pixels", "min_elev", "max_elev", "sum_elev")
+      .collect().map(_.toSeq).toSet
+    val exp = Geo.gridExpand(Geo.tiles(spark, Sf).filter(col("tile_id") < graft.geo.Fixtures.RasterLimit))
+      .groupBy(col("tile_key"))
+      .agg(count(lit(1)).as("n_pixels"), min(col("elevation")).as("min_elev"),
+        max(col("elevation")).as("max_elev"), sum(col("elevation")).as("sum_elev"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == exp)
+    assert(GeoQueries.rasterIngest(spark, Sf).filter(!col("key_matches_header")).count() == 0)
+  }
+
+  test("g8: FS listing manifest flags missing and torn downloads only") {
+    val got = GeoQueries.listingManifest(spark, Sf)
+      .select("tile_id").as[Long].collect().toSet
+    val all = Geo.tiles(spark, Sf).filter(col("tile_id") < graft.geo.Fixtures.ListingLimit)
+      .select("tile_id").as[Long].collect().toSet
+    val exp = all.filter(id => id % 3 != 0 || id % 7 == 0)
+    assert(got == exp)
+  }
+
   test("g1/g2/g5 run at sf0.001 with sane shapes") {
     assert(GeoQueries.tileParse(spark, Sf).filter(!col("roundtrip_ok")).count() == 0)
     val g2 = GeoQueries.regionFilter(spark, Sf).collect().head
