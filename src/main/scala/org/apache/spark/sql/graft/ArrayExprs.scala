@@ -47,6 +47,67 @@ object ArrayExprs {
     */
   def hyperplane_sketch(v: Column, planes: Array[Double], dim: Int, bits: Int): Column =
     ExpressionUtils.column(HyperplaneSketch(ExpressionUtils.expression(v), planes, dim, bits))
+
+  /** Fused 64-bit SimHash over a word array (see [[SimHash64]]):
+    * `array(hi32, lo32)` of the majority-vote signature.
+    */
+  def simhash64(words: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(words)))
+}
+
+/** Fused SimHash kernel: one pass over the word array computing both
+  * 32-bit signature halves. Per word, the hash is the md5 digest's
+  * first 8 bytes split big-endian into (hi32, lo32) — BIT-IDENTICAL
+  * to the hex-digit formulation `conv(substring(md5(w), 1|9, 8), 16,
+  * 10)` that the DuckDB oracle evaluates (asserted in ExprSpec) — and
+  * bit j of each output half is set when more than half the words set
+  * it. Replaces 2 interpreted md5→conv→substring HOF transforms plus
+  * 64 interpreted filter/size array passes per document with a single
+  * loop and 64 counters. Null words count as hash 0 (matching the
+  * HOF form, where md5(null) → null → getLong reads 0... they don't
+  * occur: upstream is array_distinct(split(...))).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val words = in.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(words.getUTF8String(i).getBytes)
+        val hi = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        val lo = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+        var j = 0
+        while (j < 32) {
+          if (((hi >> j) & 1L) == 1L) counts(j) += 1
+          if (((lo >> j) & 1L) == 1L) counts(32 + j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var hiOut = 0L; var loOut = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) * 2 > n) hiOut |= 1L << j
+      if (counts(32 + j) * 2 > n) loOut |= 1L << j
+      j += 1
+    }
+    new GenericArrayData(Array(hiOut, loOut))
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
 /** Packed sign-sketch of an `array<float>` vector against a fixed

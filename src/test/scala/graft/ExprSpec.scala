@@ -75,6 +75,21 @@ class ExprSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("SimHash64 == md5-hex HOF formulation bitwise") {
+    val texts = Seq("the quick brown fox", "a b c d e f g", "singleword", "",
+      "spark batch stream window group merge join filter sort")
+    val df = texts.toDF("text").select(
+      array_distinct(split(trim(lower(col("text"))), " ")).as("dw"))
+      .select(
+        ArrayExprs.simhash64(col("dw")).as("native"),
+        Dedup.simhashHalf(transform(col("dw"), x => Dedup.md5Hash32(x, 1))).as("hi"),
+        Dedup.simhashHalf(transform(col("dw"), x => Dedup.md5Hash32(x, 9))).as("lo"))
+    df.collect().foreach { r =>
+      val native = r.getSeq[Long](0)
+      assert(native == Seq(r.getLong(1), r.getLong(2)), r.toString)
+    }
+  }
+
   test("JaccardSets on two empty arrays is null (composed 0/0 semantics)") {
     val df = Seq((Seq.empty[Long], Seq.empty[Long]), (Seq(1L), Seq.empty[Long]))
       .toDF("a", "b")
