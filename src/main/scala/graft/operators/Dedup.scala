@@ -227,8 +227,13 @@ object Dedup {
     * Blocking: the signature splits into 4 16-bit chunks; ≤3
     * differing bits ⇒ at least one chunk identical (pigeonhole), so
     * an equi-join on (chunk index, chunk value) is lossless and never
-    * all-pairs. Oracle: exact O(n²) Hamming in DuckDB with the same
-    * md5-derived bits.
+    * all-pairs. At billions of docs 16-bit chunks leave ~n/65k docs
+    * per bucket (quadratic within): the standard fix is hierarchical
+    * blocking — re-split each oversized bucket by a second chunk pair
+    * (≤3 diffs over the remaining 48 bits ⇒ one of the other 3 chunks
+    * also matches), which this equi-join shape extends to directly.
+    * Oracle: exact O(n²) Hamming in DuckDB with the same md5-derived
+    * bits.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))

@@ -160,7 +160,12 @@ object Relational {
         col("n_customers"), col("acctbal_cents"))
       .orderBy(col("region"), col("nation"))
 
-  /** Exact multi-column distinct counting over the fact table. */
+  /** Exact multi-column distinct counting over the fact table. Four
+    * countDistincts in one agg plan an Expand ×4 over lineitem —
+    * deliberate here as the EXACT showcase (one pass, no re-scans);
+    * at 100 TB the affordable form is q16's HLL sketches, which skip
+    * the Expand entirely.
+    */
   def q11Distinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
       countDistinct(col("l_partkey")).as("n_parts"),

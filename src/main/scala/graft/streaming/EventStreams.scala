@@ -100,6 +100,23 @@ object EventStreams {
     SessionOut(userId, st.sessionId, st.nEvents, st.startMs / 1000, st.lastMs / 1000,
       st.valueCents)
 
+  /** Streaming twin of d1's exact dedup: one surviving row per
+    * content hash over a document stream. State (one hash per unique
+    * document) is bounded by the event-time watermark — duplicates
+    * arriving within the watermark window are dropped exactly like
+    * the batch hash-groupBy; hashes older than the watermark age out
+    * of state, which is the only state policy that survives an
+    * unbounded stream.
+    */
+  def dedupStream(docs: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("content_hash",
+        org.apache.spark.sql.functions.md5(graft.functions.TextFns.normalize(
+          org.apache.spark.sql.functions.col("text"))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming twin of g5's incremental ingest: a file-source stream
     * over a directory of parquet drops — each trigger processes only
     * newly-arrived files (Spark's file-source log IS the idempotent

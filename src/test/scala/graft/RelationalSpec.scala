@@ -68,6 +68,15 @@ class RelationalSpec extends SparkSpec {
       "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").collect().head.getDouble(0)
     assert(got == 11.0)
+    val j = spark.sql("SELECT jaccard_sets(array(1L, 2L, 3L), array(2L, 3L, 4L))")
+      .collect().head.getDouble(0)
+    assert(j == 0.5)
+    val sh = spark.sql("SELECT simhash64(array('spark', 'sql'))").collect().head.getSeq[Long](0)
+    assert(sh.length == 2 && sh.forall(v => v >= 0 && v < (1L << 32)))
+    val cg = spark.sql("SELECT size(char_gram_hashes('abcde', 4))").collect().head.getInt(0)
+    assert(cg == 2) // 'abcd', 'bcde'
+    val ws = spark.sql("SELECT size(word_shingle_hashes('a b c', 2))").collect().head.getInt(0)
+    assert(ws == 2) // 'a b', 'b c'
   }
 
   test("rollup contains region subtotals and a grand total") {

@@ -99,6 +99,25 @@ class StreamingSpec extends SparkSpec {
     assert(st.nEvents == 3 && st.valueCents == 400)
   }
 
+  test("streaming exact dedup keeps one row per content hash within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupStream(mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "the same text"),
+      (Timestamp.valueOf("2024-01-01 10:00:30"), 2L, "THE  same   text"), // dup after normalize
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 3L, "something else"))
+    q.processAllAvailable()
+    // a later duplicate still within the watermark window is dropped too
+    mem.addData((Timestamp.valueOf("2024-01-01 10:02:00"), 4L, "the same text"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+  }
+
   test("file-source ingest picks up only newly arrived files per trigger") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
