@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed twin of the reference's bounded-concurrency download
+  * pipeline (main.rs:334-349): the reference bounds in-flight S3 GETs
+  * with an async buffer; the Spark-native bound is the SCHEDULER —
+  * repartition the manifest into exactly `maxConcurrent` partitions
+  * and fetch inside mapPartitions, so at most `maxConcurrent` fetch
+  * workers run cluster-wide regardless of executor count, each
+  * streaming rows (no per-partition buffering). Retries with
+  * exponential backoff replace the reference's per-object error
+  * handling.
+  *
+  * The fetch stage composes with the rest of the engine: g8's listing
+  * manifest supplies the keys, the fetched binary column feeds
+  * RasterDecode (g7) or the multimodal decode path — asserted
+  * end-to-end in IngestSpec.
+  */
+object Ingest {
+
+  /** Run `f`, retrying `attempts-1` times with exponential backoff. */
+  def withRetry[T](attempts: Int, baseDelayMs: Long)(f: => T): T = {
+    var left = attempts
+    var delay = baseDelayMs
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable =>
+          left -= 1
+          if (left <= 0) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Fetch the payload for every key in `manifest(keyCol)` with at
+    * most `maxConcurrent` fetches in flight cluster-wide. Returns
+    * (keyCol string, content binary). `fetcher` must be serializable
+    * (it runs in tasks).
+    */
+  def fetch(manifest: DataFrame, keyCol: String, maxConcurrent: Int,
+      attempts: Int = 3, baseDelayMs: Long = 100)(fetcher: String => Array[Byte]): DataFrame = {
+    val spark = manifest.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val keys = manifest.select(col(keyCol).cast("string"))
+      .repartition(maxConcurrent) // the concurrency bound: one worker per partition
+    val rows = keys.queryExecution.toRdd.mapPartitions { iter =>
+      iter.map { internal =>
+        val k = internal.getUTF8String(0).toString
+        Row(k, withRetry(attempts, baseDelayMs)(fetcher(k)))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}
