@@ -59,6 +59,12 @@ object SparkEntry {
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d4_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d5_embed_neardup"        -> ((s: SparkSession, d: String) => Dedup.embedNearDup(s, d)),
+    "d6_repeated_spans"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.repeatedSpans(s, d)),
+    "d7_decontaminate"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.decontaminate(s, d)),
+    "p2_stratified_sample"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.stratifiedSample(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -443,6 +449,28 @@ object SparkEntry {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin,
+    "d6_repeated_spans" -> raw"""
+      |WITH d AS (SELECT doc_id, $Nrm AS nrm FROM documents),
+      |w AS (SELECT doc_id, unnest(list_distinct([nrm[i:i+49] for i in range(1, length(nrm)-48)])) AS span
+      |      FROM d WHERE length(nrm) >= 50)
+      |SELECT span, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM w GROUP BY 1 HAVING count(*) >= 2 ORDER BY span""".stripMargin,
+    "d7_decontaminate" -> raw"""
+      |WITH $ShingleCte,
+      |pool AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT doc_id, count(*) AS n_shared, count(*) >= 5 AS flagged
+      |FROM tr JOIN pool USING (g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p2_stratified_sample" -> raw"""
+      |WITH k AS (SELECT doc_id, lang,
+      |  list_reduce([strpos('0123456789abcdef', substr(md5('smpl' || doc_id::VARCHAR), i, 1)) - 1
+      |               for i in range(1, 9)], (a, b) -> a*16 + b) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket FROM k
+      |WHERE bucket < CASE lang WHEN 'de' THEN 20 WHEN 'en' THEN 50 WHEN 'es' THEN 30
+      |                         WHEN 'fr' THEN 10 ELSE 40 END
+      |ORDER BY doc_id""".stripMargin,
     "p1_curate" -> raw"""
       |WITH base AS (
       |  SELECT doc_id, lang, text,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Training-data curation operators beyond near-dup detection: the
+  * exact-substring, decontamination and sampling stages a corpus
+  * pipeline runs between crawl and tokenizer.
+  */
+object Curation {
+
+  /** d6: cross-document repeated spans — every `width`-char window of
+    * normalized text occurring in ≥ 2 documents (the exact-substring
+    * signal behind boilerplate removal and train-set overlap audits;
+    * the fixed-window form of the suffix-array method of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better").
+    *
+    * Shape: window-explode → HASH-group prefilter → exact string
+    * verify. The first aggregation shuffles only (hash, doc) pairs —
+    * 8-byte keys, not 50-char strings; only windows whose hash
+    * collides across rows (≈ the true repeats + vanishing xxhash64
+    * collisions) re-shuffle as strings for the exact group-by, which
+    * also removes any hash-collision false positives — the d2/d4
+    * candidates→verify shape applied to substrings. Per-doc window
+    * dedup (array_distinct) bounds a document's contribution to any
+    * span at one.
+    */
+  def repeatedSpans(s: SparkSession, dir: String, width: Int = 50): DataFrame = {
+    val win = graft.Caches.track(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), normalize(col("text")).as("nrm"))
+        .filter(length(col("nrm")) >= width)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), length(col("nrm")) - (width - 1)),
+            i => col("nrm").substr(i, lit(width))))).as("span")))
+    val hashed = win.select(col("doc_id"), col("span"), xxhash64(col("span")).as("h"))
+    val hot = hashed.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    hashed.join(hot, "h")
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2) // hash collisions with singletons drop here
+      .orderBy(col("span"))
+  }
+
+  /** d7: benchmark decontamination — per training document, the number
+    * of distinct word-3-shingles it shares with the benchmark POOL
+    * (docs with doc_id % 97 == 0 stand in for an eval set), and a flag
+    * at ≥ `flagAt` shared shingles. The pool's distinct shingles are
+    * an sf-proportional set: NO broadcast hint — the join shuffles on
+    * the shingle string (AQE broadcasts while the pool is small). The
+    * train side explodes per-doc DISTINCT shingles, so n_shared counts
+    * each contaminated shingle once.
+    */
+  def decontaminate(s: SparkSession, dir: String, flagAt: Int = 5): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(wordShingles(split(normalize(col("text")), " "))).as("sh"))
+    val pool = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    train.join(pool, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("flagged", col("n_shared") >= flagAt)
+      .orderBy(col("doc_id"))
+  }
+
+  /** p2: deterministic stratified sampling — the data-mixing stage.
+    * Each doc hashes into a bucket 0..99 via the engine-portable
+    * md5-hex fold (the t4 pattern, identical in DuckDB), and survives
+    * when its bucket is under its language's quota. Hash-based
+    * sampling is reproducible across runs/engines and needs no state,
+    * shuffle, or count-first pass — at 100 TB it's a pushdown-friendly
+    * per-row filter.
+    */
+  val SampleRates: Map[String, Int] =
+    Map("de" -> 20, "en" -> 50, "es" -> 30, "fr" -> 10, "zh" -> 40)
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("smpl"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(100))
+    val rate = SampleRates.foldLeft(lit(40)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+      .orderBy(col("doc_id"))
+  }
+}

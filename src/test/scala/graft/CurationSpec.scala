@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("d6: hash-prefiltered repeated spans equal the direct string group-by") {
+    val direct = Tables.documents(spark, Sf)
+      .select(col("doc_id"), normalize(col("text")).as("nrm"))
+      .filter(length(col("nrm")) >= 50)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("nrm")) - 49),
+          i => col("nrm").substr(i, lit(50))))).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .collect().map(_.toSeq).toSet
+    val got = Curation.repeatedSpans(spark, Sf).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == direct)
+    // every reported span is exactly `width` chars and in ≥2 docs
+    got.foreach { r => assert(r.head.asInstanceOf[String].length == 50) }
+  }
+
+  test("d7: decontamination counts distinct shared shingles, pool docs excluded") {
+    val rows = Curation.decontaminate(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, "pool docs must not appear as train docs")
+      assert(r.getLong(1) >= 1)
+      assert(r.getBoolean(2) == (r.getLong(1) >= 5))
+    }
+    // a doc sharing shingles must not count one shingle twice: n_shared
+    // is bounded by the doc's distinct shingle count
+    val shCounts = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        size(array_distinct(wordShingles(split(normalize(col("text")), " ")))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) <= shCounts(r.getLong(0))))
+  }
+
+  test("p2: stratified sample is deterministic and respects per-lang quotas") {
+    val a = Curation.stratifiedSample(spark, Sf).collect().map(_.toSeq).toSeq
+    val b = Curation.stratifiedSample(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    a.foreach { r =>
+      val lang = r(1).asInstanceOf[String]
+      val bucket = r(2).asInstanceOf[Long]
+      assert(bucket < Curation.SampleRates.getOrElse(lang, 40))
+    }
+    // sampled fraction per lang tracks the quota (±15pp at this sf)
+    val totals = Tables.documents(spark, Sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy(_(1).asInstanceOf[String]).view.mapValues(_.size)
+    sampled.foreach { case (lang, n) =>
+      val frac = n.toDouble / totals(lang)
+      val quota = Curation.SampleRates.getOrElse(lang, 40) / 100.0
+      assert(math.abs(frac - quota) < 0.15, s"$lang frac=$frac quota=$quota")
+    }
+  }
+}
