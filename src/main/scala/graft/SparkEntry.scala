@@ -65,6 +65,8 @@ object SparkEntry {
       graft.operators.Curation.decontaminate(s, d)),
     "p2_stratified_sample"    -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.stratifiedSample(s, d)),
+    "p3_pack_manifest"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.packManifest(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -471,6 +473,16 @@ object SparkEntry {
       |WHERE bucket < CASE lang WHEN 'de' THEN 20 WHEN 'en' THEN 50 WHEN 'es' THEN 30
       |                         WHEN 'fr' THEN 10 ELSE 40 END
       |ORDER BY doc_id""".stripMargin,
+    "p3_pack_manifest" -> raw"""
+      |WITH c AS (SELECT doc_id, lang,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_tokens
+      |  FROM documents),
+      |w AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      |      FROM c)
+      |SELECT doc_id, lang, n_tokens, (start // 2048)::BIGINT AS seq_id,
+      |       (start % 2048)::BIGINT AS seq_offset
+      |FROM w ORDER BY doc_id""".stripMargin,
     "p1_curate" -> raw"""
       |WITH base AS (
       |  SELECT doc_id, lang, text,

@@ -93,4 +93,28 @@ object Curation {
       .filter(col("bucket") < rate)
       .orderBy(col("doc_id"))
   }
+
+  /** p3: sequence-packing manifest — the stage that concatenates
+    * documents (deterministic doc_id order per language) into
+    * fixed-token-budget training sequences and records where each doc
+    * lands: `seq_id` = the sequence the doc STARTS in, `seq_offset` =
+    * its token offset within that sequence. A running token prefix-sum
+    * over a per-language window does all the work — no state, no
+    * loops. Packing is inherently a prefix-sum: at 100 TB run it per
+    * (lang, shard) and make shard-local sequence ids global by
+    * offsetting with the per-shard token totals (a second, tiny pass)
+    * rather than one unbounded window partition per language.
+    */
+  def packManifest(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"start div $budget").as("seq_id"),
+        pmod(col("start"), lit(budget.toLong)).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
 }

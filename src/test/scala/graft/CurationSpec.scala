@@ -42,6 +42,24 @@ class CurationSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) <= shCounts(r.getLong(0))))
   }
 
+  test("p3: pack manifest is a consistent prefix-sum packing per language") {
+    val rows = Curation.packManifest(spark, Sf, budget = 2048).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (_, docs) =>
+      val byId = docs.sortBy(_.getLong(0))
+      var start = 0L
+      byId.foreach { r =>
+        assert(r.getLong(3) == start / 2048, r.toString)  // seq_id
+        assert(r.getLong(4) == start % 2048, r.toString)  // seq_offset
+        assert(r.getLong(4) < 2048)
+        start += r.getLong(2)
+      }
+      // sequence ids are non-decreasing in doc order
+      val ids = byId.map(_.getLong(3))
+      assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("p2: stratified sample is deterministic and respects per-lang quotas") {
     val a = Curation.stratifiedSample(spark, Sf).collect().map(_.toSeq).toSeq
     val b = Curation.stratifiedSample(spark, Sf).collect().map(_.toSeq).toSeq
