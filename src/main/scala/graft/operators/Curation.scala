@@ -28,21 +28,33 @@ object Curation {
     * span at one.
     */
   def repeatedSpans(s: SparkSession, dir: String, width: Int = 50): DataFrame = {
-    val win = graft.Caches.track(
+    import org.apache.spark.sql.graft.ArrayExprs
+    // pass 1 — hash-only: per-doc DISTINCT xxhash64 of every
+    // width-char window via the in-place GramHashes kernel (no window
+    // strings exist at all); a hash seen in ≥2 docs is "hot"
+    val h = graft.Caches.track(
       Tables.documents(s, dir)
         .select(col("doc_id"), normalize(col("text")).as("nrm"))
         .filter(length(col("nrm")) >= width)
-        .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), length(col("nrm")) - (width - 1)),
-            i => col("nrm").substr(i, lit(width))))).as("span")))
-    val hashed = win.select(col("doc_id"), col("span"), xxhash64(col("span")).as("h"))
-    val hot = hashed.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
-    hashed.join(hot, "h")
+        .select(col("doc_id"), col("nrm"),
+          ArrayExprs.char_gram_hashes(col("nrm"), width).as("hs")))
+    val hot = h.select(explode(col("hs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("g"))
+    // pass 2 — string verify, but ONLY for docs containing a hot hash
+    // (~10% of the corpus here): exact string group-by removes any
+    // hash-collision false positives
+    val candDocs = h.select(col("doc_id"), col("nrm"), explode(col("hs")).as("g"))
+      .join(hot, "g")
+      .select(col("doc_id"), col("nrm")).distinct()
+    candDocs
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("nrm")) - (width - 1)),
+          i => col("nrm").substr(i, lit(width))))).as("span"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
-      .filter(col("n_docs") >= 2) // hash collisions with singletons drop here
+      .filter(col("n_docs") >= 2) // a doc without the span's hot hash can't contain it
       .orderBy(col("span"))
   }
 
@@ -56,9 +68,16 @@ object Curation {
     * each contaminated shingle once.
     */
   def decontaminate(s: SparkSession, dir: String, flagAt: Int = 5): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    import org.apache.spark.sql.graft.ArrayExprs
+    // per-doc DISTINCT shingle hashes via the in-place kernel (the
+    // shingle strings never exist as columns); matching on the 64-bit
+    // hashes equals matching on the strings up to xxhash64 collisions
+    // (P ≈ 1e-11 corpus-wide — the same working representation d2's
+    // verify step uses), and the count is oracle-validated against the
+    // string-based DuckDB twin
+    val sh = graft.Caches.track(Tables.documents(s, dir)
       .select(col("doc_id"),
-        array_distinct(wordShingles(split(normalize(col("text")), " "))).as("sh"))
+        ArrayExprs.word_shingle_hashes(normalize(col("text")), 3).as("sh")))
     val pool = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val train = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
