@@ -48,6 +48,9 @@ object SparkEntry {
     "q20_range_join"          -> Relational.q20RangeJoin _,
     "q21_outer"               -> Relational.q21Outer _,
     "q22_fullouter"           -> Relational.q22FullOuter _,
+    "q23_merge"               -> Relational.q23Merge _,
+    "q24_grouping_sets"       -> Relational.q24GroupingSets _,
+    "q25_approx_quantiles"    -> Relational.q25ApproxQuantiles _,
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
@@ -374,6 +377,33 @@ object SparkEntry {
       |       coalesce(ec, 0)::BIGINT AS event_cents
       |FROM od FULL OUTER JOIN ed ON d_o = d_e
       |ORDER BY day""".stripMargin,
+    "q23_merge" -> raw"""
+      |WITH snap AS (SELECT c_custkey, c_mktsegment,
+      |                     round(c_acctbal*100)::BIGINT AS cents FROM customer),
+      |chg AS (
+      |  SELECT c_custkey AS k, 'D' AS op, NULL::BIGINT AS new_cents
+      |  FROM customer WHERE c_custkey%17 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'U', (c_custkey*7)::BIGINT
+      |  FROM customer WHERE c_custkey%10 = 0 AND c_custkey%17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'I', ((c_custkey%100000)*3)::BIGINT
+      |  FROM customer WHERE c_custkey%23 = 0)
+      |SELECT coalesce(c_custkey, k) AS custkey,
+      |       coalesce(c_mktsegment, 'NEW') AS segment,
+      |       CASE WHEN op IN ('U','I') THEN new_cents ELSE cents END AS acctbal_cents,
+      |       CASE WHEN op = 'U' THEN 'updated' WHEN op = 'I' THEN 'inserted'
+      |            ELSE 'kept' END AS origin
+      |FROM snap FULL OUTER JOIN chg ON c_custkey = k
+      |WHERE op IS NULL OR op <> 'D'
+      |ORDER BY custkey""".stripMargin,
+    "q24_grouping_sets" -> raw"""
+      |SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+      |       count(*) AS n_customers, sum(round(c_acctbal*100)::BIGINT)::BIGINT AS acctbal_cents
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |     JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+      |ORDER BY region, nation""".stripMargin,
     "t1_token_count" -> raw"""
       |SELECT doc_id,
       |  len(string_split($Nrm, ' '))::INT AS n_words,

@@ -360,6 +360,82 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** MERGE-semantics changeset apply (the CDC/upsert pattern, Spark-
+    * without-Delta): a deterministic changeset (updates, deletes,
+    * inserts derived from key residues) full-outer-joins the snapshot
+    * on the key; deletes drop, updates override, inserts append,
+    * untouched rows pass through, each tagged with its origin. The
+    * join ships one row per key per side — MERGE at 100 TB is exactly
+    * this full-outer shuffle plus partition-overwrite on write.
+    */
+  def q23Merge(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("cents"))
+    val base = Tables.customer(s, dir).select(col("c_custkey"))
+    val del = base.filter(pmod(col("c_custkey"), lit(17)) === 0)
+      .select(col("c_custkey").as("k"), lit("D").as("op"),
+        lit(null).cast("long").as("new_cents"))
+    val upd = base.filter(pmod(col("c_custkey"), lit(10)) === 0 &&
+        pmod(col("c_custkey"), lit(17)) =!= 0)
+      .select(col("c_custkey").as("k"), lit("U").as("op"),
+        (col("c_custkey") * 7).as("new_cents"))
+    val ins = base.filter(pmod(col("c_custkey"), lit(23)) === 0)
+      .select((col("c_custkey") + 10000000L).as("k"), lit("I").as("op"),
+        (pmod(col("c_custkey"), lit(100000)) * 3).as("new_cents"))
+    snap.join(del.unionByName(upd).unionByName(ins),
+        col("c_custkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("c_custkey"), col("k")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("NEW")).as("segment"),
+        when(col("op") === "U" || col("op") === "I", col("new_cents"))
+          .otherwise(col("cents")).as("acctbal_cents"),
+        when(col("op") === "U", "updated").when(col("op") === "I", "inserted")
+          .otherwise("kept").as("origin"))
+      .orderBy(col("custkey"))
+  }
+
+  /** GROUPING SETS beyond rollup's prefix hierarchy — the (nation)
+    * set is not in ROLLUP(region, nation) — through the engine's SQL
+    * entry path (temp views + spark.sql), proving the surface users
+    * actually type. Null group keys coalesce to '(all)' exactly as
+    * q10 so set identity is value-visible.
+    */
+  def q24GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    Tables.region(s, dir).createOrReplaceTempView("region_v")
+    s.sql("""
+      SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+             count(1) AS n_customers,
+             sum(cast(round(c_acctbal * 100) AS bigint)) AS acctbal_cents
+      FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+           JOIN region_v ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+      ORDER BY region, nation""")
+  }
+
+  /** Sketch quantiles: approx_percentile (positional error ≤ 1/acc)
+    * beside the exact interpolated quartiles it approximates — the
+    * 100 TB path where q17's exact per-group sort is unaffordable.
+    * Rows-only driver check (sketch internals are engine-specific);
+    * the relative error vs exact is asserted in RelationalSpec.
+    */
+  def q25ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("c"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("approx"),
+        percentile(col("c"), array(lit(0.25), lit(0.5), lit(0.75))).as("exact"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        element_at(col("approx"), 1).as("q25_approx"),
+        element_at(col("approx"), 2).as("q50_approx"),
+        element_at(col("approx"), 3).as("q75_approx"),
+        element_at(col("exact"), 2).as("q50_exact"),
+        col("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
   /** JSON extraction from the events.props payload + aggregate. */
   def q15Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

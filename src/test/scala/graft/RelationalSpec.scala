@@ -86,6 +86,41 @@ class RelationalSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n_customers") == Tables.customer(spark, Sf).count())
   }
 
+  test("q23 merge applies deletes, updates and inserts consistently") {
+    val snapN = Tables.customer(spark, Sf).count()
+    val rows = Relational.q23Merge(spark, Sf).collect()
+    val byOrigin = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    val dels = Tables.customer(spark, Sf)
+      .filter(expr("c_custkey % 17 = 0")).count()
+    assert(rows.length == snapN - dels + byOrigin.getOrElse("inserted", 0))
+    assert(byOrigin.contains("updated") && byOrigin.contains("inserted"))
+    rows.filter(_.getString(3) == "inserted").foreach { r =>
+      assert(r.getLong(0) >= 10000000L && r.getString(1) == "NEW")
+    }
+    rows.foreach(r => assert(r.getLong(0) % 17 != 0 || r.getLong(0) >= 10000000L,
+      "deleted keys must not survive"))
+  }
+
+  test("q24 grouping sets include the nation-only set rollup lacks") {
+    val rows = Relational.q24GroupingSets(spark, Sf).collect()
+    val nationOnly = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) != "(all)")
+    assert(nationOnly.nonEmpty, "the (n_name) grouping set must produce rows")
+    val grand = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_customers") == Tables.customer(spark, Sf).count())
+  }
+
+  test("q25 sketch quantiles land within 3% of exact") {
+    // ~300 rows per group at this sf: the sketch snaps to an observed
+    // value, so the bound reflects adjacent-value gaps, not accuracy
+    Relational.q25ApproxQuantiles(spark, Sf).collect().foreach { r =>
+      val approxQ50 = r.getLong(2).toDouble
+      val exactQ50  = r.getDouble(4)
+      assert(math.abs(approxQ50 - exactQ50) / exactQ50 < 0.03,
+        s"approx $approxQ50 vs exact $exactQ50")
+    }
+  }
+
   test("q21 left-outer keeps every customer; unmatched rows are genuinely exercised") {
     val rows = Relational.q21Outer(spark, Sf).collect()
     assert(rows.length == Tables.customer(spark, Sf).count())
