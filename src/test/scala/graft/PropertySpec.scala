@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ArrayExprs
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties for the native kernels: each property batches
+  * many generated cases into ONE DataFrame per evaluation (a Spark job
+  * per case would dominate the suite), and asserts bit-parity with the
+  * composable HOF formulation the kernel replaces — including unicode
+  * (multibyte and astral-plane) inputs, which exercise GramHashes'
+  * code-point walking.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, cases: Int = 6): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases).withWorkers(1), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val wordChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('é', 'ß', '中', '文', 'λ', 'Ж'))
+  private val token: Gen[String] = for {
+    n  <- Gen.choose(1, 6)
+    cs <- Gen.listOfN(n, wordChar)
+    astral <- Gen.oneOf("", "", "𝔘") // surrogate-pair code point
+  } yield cs.mkString + astral
+  private val text: Gen[String] = for {
+    n  <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, token)
+    sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
+  } yield ws.mkString(sep)
+
+  test("GramHashes(char/word) set-equal xxhash64 over the string grams, any unicode") {
+    import graft.functions.TextFns._
+    val prop = Prop.forAll(Gen.listOfN(25, text)) { texts =>
+      val df = texts.toDF("text").select(
+        sort_array(ArrayExprs.char_gram_hashes(normalize(col("text")), 4)).as("nc"),
+        sort_array(array_distinct(transform(
+          charGrams(normalize(col("text"))), g => xxhash64(g)))).as("hc"),
+        sort_array(ArrayExprs.word_shingle_hashes(normalize(col("text")), 3)).as("nw"),
+        sort_array(array_distinct(transform(
+          wordShingles(split(normalize(col("text")), " ")), g => xxhash64(g)))).as("hw"))
+      df.as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].collect()
+        .forall { case (nc, hc, nw, hw) => nc == hc && nw == hw }
+    }
+    check("gram-hashes", prop)
+  }
+
+  test("JaccardSets equals the composed intersect/union form, empties included") {
+    val arr = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 20L)))
+    val prop = Prop.forAll(Gen.listOfN(30, Gen.zip(arr, arr))) { pairs =>
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try {
+        val df = pairs.toDF("a", "b").repartition(2).select(
+          ArrayExprs.jaccard_sets(col("a"), col("b")).as("n"),
+          (size(array_intersect(col("a"), col("b"))).cast("double") /
+            size(array_union(col("a"), col("b"))).cast("double")).as("h"))
+        df.collect().forall(r =>
+          r.isNullAt(0) == r.isNullAt(1) && (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1)))
+      } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    check("jaccard-sets", prop)
+  }
+
+  test("FloatDot matches HOF bits and null semantics for arbitrary float arrays") {
+    val finite = Gen.choose(-1e6f, 1e6f)
+    val arr = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, finite))
+    val prop = Prop.forAll(Gen.listOfN(30, Gen.zip(arr, arr))) { pairs =>
+      val df = pairs.toDF("a", "b").select(
+        ArrayExprs.float_dot(col("a"), col("b")).as("n"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("h"))
+      df.collect().forall(r =>
+        r.isNullAt(0) == r.isNullAt(1) && (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1)))
+    }
+    check("float-dot", prop)
+  }
+
+  test("AsofJoin equals the window reference on arbitrary keyed event/order sets") {
+    import org.apache.spark.sql.expressions.Window
+    val row = Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 500L))
+    val prop = Prop.forAll(
+      Gen.listOfN(40, row), Gen.listOfN(25, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 500L)))) {
+      (evRows, ordRows) =>
+        val ev = evRows.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("ev_id", "k", "tl")
+          .select(col("ev_id"), col("k"), timestamp_seconds(col("tl")).as("t"))
+        // unique payload per (k, t) so ties are deterministic
+        val ord = ordRows.distinct.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "tl", "payload")
+          .select(col("k"), timestamp_seconds(col("tl")).as("t"), col("payload"))
+        val got = org.apache.spark.sql.graft.AsofJoin
+          .asofBackward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
+          .select(col("ev_id"), col("payload")).as[(Long, Option[Long])].collect().toMap
+        // reference: max payload-bearing (t, payload) per key at or before each event
+        val byKey = ordRows.distinct.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong) }.groupBy(_._1)
+        val exp = evRows.zipWithIndex.map { case ((k, t), i) =>
+          i.toLong -> byKey.getOrElse(k, Nil).filter(_._2 <= t)
+            .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        }.toMap
+        got == exp
+    }
+    check("asof-join", prop, cases = 4)
+  }
+}
