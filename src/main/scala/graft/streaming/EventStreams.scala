@@ -8,6 +8,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A raw event for stateful sessionization. */
 case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
+/** A purchase-like event for the streaming as-of join. */
+case class KeyedEvent(event_id: Long, user_id: Long, ts: Timestamp)
+
+/** Per-user as-of index: order (epoch-ms, orderkey) pairs sorted by
+  * time — the stream-side state.
+  */
+case class OrderIndex(ms: Seq[Long], keys: Seq[Long])
+
+/** A streamed event enriched with its as-of order. */
+case class AsofOut(event_id: Long, user_id: Long, ts_epoch: Long,
+    asof_orderkey: Option[Long])
+
 /** Accumulating per-user session state. */
 case class SessionState(sessionId: Long, startMs: Long, lastMs: Long,
     nEvents: Long, valueCents: Long)
@@ -99,6 +111,51 @@ object EventStreams {
   private def emit(userId: Long, st: SessionState): SessionOut =
     SessionOut(userId, st.sessionId, st.nEvents, st.startMs / 1000, st.lastMs / 1000,
       st.valueCents)
+
+  /** Streaming twin of q14's as-of join: each streamed event is
+    * enriched with the most recent order (t ≤ event time) of its
+    * user. The per-user sorted order index arrives as INITIAL STATE
+    * (`flatMapGroupsWithState(initialState = ...)`) built once from
+    * the batch orders table; each event then binary-searches its
+    * user's index — no stream-side shuffle beyond the groupByKey, no
+    * re-scan of orders per trigger. State is the per-user order
+    * index (bounded by that user's order count; production systems
+    * cap it with a time-horizon cut when building the index).
+    */
+  def asofStream(events: Dataset[KeyedEvent],
+      orders: DataFrame): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val init = orders
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(
+        (unix_timestamp(col("o_orderdate")) * 1000).as("ms"),
+        col("o_orderkey").as("key")))).as("idx"))
+      .select(col("o_custkey"), col("idx.ms").as("ms"), col("idx.key").as("keys"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .groupByKey(_._1)
+      .mapValues(r => OrderIndex(r._2, r._3))
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OrderIndex, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(asofFn)
+  }
+
+  private[graft] def asofFn(userId: Long, events: Iterator[KeyedEvent],
+      state: GroupState[OrderIndex]): Iterator[AsofOut] = {
+    val idx = state.getOption.getOrElse(OrderIndex(Nil, Nil))
+    val ms = idx.ms.toArray
+    events.map { e =>
+      val t = e.ts.getTime
+      // last index with ms <= t
+      var lb = 0; var ub = ms.length
+      while (lb < ub) {
+        val mid = (lb + ub) >>> 1
+        if (ms(mid) <= t) lb = mid + 1 else ub = mid
+      }
+      AsofOut(e.event_id, userId, t / 1000,
+        if (lb > 0) Some(idx.keys(lb - 1)) else None)
+    }
+  }
 
   /** Streaming twin of d1's exact dedup: one surviving row per
     * content hash over a document stream. State (one hash per unique

@@ -99,6 +99,34 @@ class StreamingSpec extends SparkSpec {
     assert(st.nEvents == 3 && st.valueCents == 400)
   }
 
+  test("streaming as-of join enriches events from the initial-state order index") {
+    import graft.streaming.KeyedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 100L),
+      (1L, Timestamp.valueOf("2024-01-03 00:00:00"), 101L),
+      (1L, Timestamp.valueOf("2024-01-03 00:00:00"), 102L), // tie → max key wins
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 200L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val mem = MemoryStream[KeyedEvent]
+    val q = EventStreams.asofStream(mem.toDS(), orders)
+      .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    mem.addData(
+      KeyedEvent(1, 1L, Timestamp.valueOf("2024-01-02 12:00:00")), // → 100
+      KeyedEvent(2, 1L, Timestamp.valueOf("2024-01-03 00:00:00")), // tie-inclusive → 102
+      KeyedEvent(3, 2L, Timestamp.valueOf("2024-01-01 12:00:00")), // before all → null
+      KeyedEvent(4, 3L, Timestamp.valueOf("2024-01-05 00:00:00"))) // unknown user → null
+    q.processAllAvailable()
+    // a later trigger still sees the initial-state index
+    mem.addData(KeyedEvent(5, 2L, Timestamp.valueOf("2024-02-01 00:00:00"))) // → 200
+    q.processAllAvailable()
+    val got = spark.table("asof_out").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    q.stop()
+    assert(got == Map(1L -> Some(100L), 2L -> Some(102L), 3L -> None,
+      4L -> None, 5L -> Some(200L)))
+  }
+
   test("streaming exact dedup keeps one row per content hash within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
