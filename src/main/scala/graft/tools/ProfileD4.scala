@@ -33,15 +33,20 @@ object ProfileD4 {
     t("featurize+hash64")(hashed.count())
     val h32 = hashed.select(col("doc_id"), Dedup.fold32(col("fh")).as("h32")).cache()
     t("fold32")(h32.count())
+    // mirrors the shipped d4 parameters: 128 bands × 8 rows + the
+    // PPJoin size-compatibility prune in the candidate join
     val sig = h32.select(col("doc_id"),
-      ArrayExprs.minhash_sig(col("h32"), Dedup.permA.take(1280), Dedup.permB.take(1280), Dedup.P32).as("sig")).cache()
-    t("minhash_sig 1280")(sig.count())
-    val banded = sig.select(col("doc_id"), posexplode(Dedup.bandKeys(col("sig"), 160, 8)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey")).cache()
+      ArrayExprs.minhash_sig(col("h32"), Dedup.permA.take(1024), Dedup.permB.take(1024), Dedup.P32).as("sig")).cache()
+    t("minhash_sig 1024")(sig.count())
+    val banded = sig
+      .join(hashed.select(col("doc_id"), size(col("fh")).as("sz")), "doc_id")
+      .select(col("doc_id"), col("sz"), posexplode(Dedup.bandKeys(col("sig"), 128, 8)))
+      .select(col("doc_id"), col("sz"), col("pos").as("band"), col("col").as("bkey")).cache()
     t("bandKeys+explode")(banded.count())
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >= lit(0.7) * greatest(col("x.sz"), col("y.sz")))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct().cache()
     val nc = t("candidate join")(cands.count())
     println(s"candidates: $nc")
@@ -49,8 +54,7 @@ object ProfileD4 {
     val fb = hashed.select(col("doc_id").as("id_b"), col("fh").as("fb"))
     val out = t("verify")(cands.join(fa, "id_a").join(fb, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("fa"), col("fb"))).cast("double") /
-          size(array_union(col("fa"), col("fb"))), 6).as("j"))
+        round(ArrayExprs.jaccard_sets(col("fa"), col("fb")), 6).as("j"))
       .filter(col("j") >= 0.7).count())
     println(s"pairs: $out")
     spark.stop()
