@@ -94,8 +94,12 @@ object Dedup {
     * The join condition carries the LOSSLESS size-compatibility prune
     * (J ≥ t ⇒ min|set| ≥ t·max|set|, the PPJoin length filter):
     * same-band collisions between incompatibly-sized docs drop before
-    * the distinct and before the array-intersect verify — measured 4×
-    * fewer candidates on the sf0.1 corpus at t=0.7.
+    * the distinct and before the array-intersect verify. On this
+    * corpus — deliberately narrow doc-length spread — it prunes a
+    * measured 17% of candidates at t=0.7 (130k → 107k at sf0.1);
+    * on natural corpora with wide length variance the same clause is
+    * the classic first-stage PPJoin cut. Free either way: it rides
+    * the existing join.
     */
   private def lshVerifiedPairs(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
