@@ -117,20 +117,43 @@ object Curation {
     * documents (deterministic doc_id order per language) into
     * fixed-token-budget training sequences and records where each doc
     * lands: `seq_id` = the sequence the doc STARTS in, `seq_offset` =
-    * its token offset within that sequence. A running token prefix-sum
-    * over a per-language window does all the work — no state, no
-    * loops. Packing is inherently a prefix-sum: at 100 TB run it per
-    * (lang, shard) and make shard-local sequence ids global by
-    * offsetting with the per-shard token totals (a second, tiny pass)
-    * rather than one unbounded window partition per language.
+    * its token offset within that sequence.
+    *
+    * Packing is a prefix sum, and a naive per-language running window
+    * is ONE REDUCER per language — at 100 TB each language's whole
+    * corpus funnels through a single task. This implementation is the
+    * sharded two-pass form instead: docs split into contiguous
+    * doc_id ranges (`shardWidth` docs per shard); pass 1 computes
+    * shard-LOCAL prefix sums in bounded window partitions
+    * (lang, shard); pass 2 prefixes the tiny per-shard token totals
+    * per language and joins the offsets back. Result is identical to
+    * the naive window for every shard width (asserted in
+    * CurationSpec) while no window partition ever exceeds shardWidth
+    * rows.
     */
-  def packManifest(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+  def packManifest(s: SparkSession, dir: String, budget: Int = 2048,
+      shardWidth: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        expr(s"doc_id div $shardWidth").as("shard"))
+    // pass 1: shard-local running sums — window partitions hold at
+    // most shardWidth rows
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = toks.withColumn("local_start",
+      sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
+    // pass 2: per-shard totals (corpus/shardWidth rows) → per-language
+    // exclusive prefix = each shard's global token offset
+    val wShard = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("offset", coalesce(sum(col("shard_tokens")).over(wShard), lit(0L)))
+      .select(col("lang"), col("shard"), col("offset"))
+    local.join(offsets, Seq("lang", "shard"))
+      .withColumn("start", col("offset") + col("local_start"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"start div $budget").as("seq_id"),
         pmod(col("start"), lit(budget.toLong)).as("seq_offset"))

@@ -42,6 +42,23 @@ class CurationSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) <= shCounts(r.getLong(0))))
   }
 
+  test("p3: sharded two-pass packing equals the naive single-window form, any width") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("start div 2048").as("seq_id"), pmod(col("start"), lit(2048L)).as("seq_offset"))
+      .collect().map(_.toSeq).toSet
+    for (width <- Seq(1L, 7L, 1000L)) {
+      val sharded = Curation.packManifest(spark, Sf, budget = 2048, shardWidth = width)
+        .collect().map(_.toSeq).toSet
+      assert(sharded == naive, s"shardWidth=$width")
+    }
+  }
+
   test("p3: pack manifest is a consistent prefix-sum packing per language") {
     val rows = Curation.packManifest(spark, Sf, budget = 2048).collect()
     assert(rows.nonEmpty)
