@@ -127,20 +127,30 @@ object Relational {
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
 
-  /** Window functions: per-nation account-balance rank + running sum
-    * (cents). Partitioned by nation key — bounded partitions, no
-    * global sort.
+  /** Per-nation account-balance top-3 with rank + running sum
+    * (cents). A plain window partitioned by nation would funnel the
+    * whole customer table through 25 reducers (nation keys are FIXED,
+    * so partition size grows with sf); instead the bounded-heap
+    * TopKCosine aggregate keeps 3 candidates per nation per task and
+    * merges partials — the reducers see tasks×3 rows, never the
+    * table — and the rank/running-sum window then runs over ≤3-row
+    * partitions. Ties break as (balance desc, custkey asc), identical
+    * to the row_number formulation the oracle evaluates. Cents cast
+    * to double exactly (< 2^53).
     */
   def q9Window(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
-        cents(col("c_acctbal")).as("acctbal_cents"))
-      .withColumn("rank_in_nation", row_number().over(w))
-      .withColumn("running_cents",
-        sum(col("acctbal_cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("rank_in_nation") <= 3)
+    val top = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("ac"))
+      .groupBy(col("c_nationkey"))
+      .agg(org.apache.spark.sql.graft.TopKCosine
+        .top_k(col("ac").cast("double"), col("c_custkey"), 3).as("tk"))
+      .select(col("c_nationkey"), posexplode(col("tk")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("int").as("rank_in_nation"),
+        col("col.id").as("c_custkey"), col("col.score").cast("long").as("acctbal_cents"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("rank_in_nation"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top
+      .withColumn("running_cents", sum(col("acctbal_cents")).over(w))
       .select(col("c_custkey"), col("c_nationkey"), col("acctbal_cents"),
         col("rank_in_nation"), col("running_cents"))
       .orderBy(col("c_nationkey"), col("rank_in_nation"))
