@@ -56,6 +56,7 @@ object SparkEntry {
     "t2_quality"              -> TextAnalysis.qualityScores _,
     "t3_langid"               -> TextAnalysis.langId _,
     "t4_fingerprint"          -> TextAnalysis.fingerprints _,
+    "t5_top_terms"            -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -438,6 +439,15 @@ object SparkEntry {
       |  list_reduce([strpos('0123456789abcdef', substr(md5($Nrm), i, 1)) - 1
       |               for i in range(1, 16)], (a, b) -> a*16 + b)::BIGINT AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_top_terms" -> raw"""
+      |WITH d AS (SELECT doc_id, lang, unnest(list_distinct(string_split($Nrm, ' '))) AS w
+      |           FROM documents),
+      |f AS (SELECT lang, w, count(*) AS df FROM d GROUP BY 1, 2),
+      |r AS (SELECT lang, w, df,
+      |        row_number() OVER (PARTITION BY lang ORDER BY df DESC, w) AS rnk
+      |      FROM f)
+      |SELECT lang, rnk::INT AS rank, w AS term, df::BIGINT AS doc_freq
+      |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
     "d3_simhash" -> raw"""
       |WITH d AS (SELECT doc_id, list_distinct(string_split($Nrm, ' ')) AS dw FROM documents),
       |h AS (SELECT doc_id, len(dw) AS n,

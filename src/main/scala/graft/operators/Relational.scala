@@ -257,6 +257,10 @@ object Relational {
   /** Exact interpolated quartiles of order value (cents) per priority.
     * Quartile fractions are powers of two and cents are integers, so
     * the interpolation arithmetic is FP-exact and oracle-safe.
+    * SCALE NOTE: exact percentile buffers each group's values on its
+    * reducer, and priorities are a FIXED key set — this is the exact
+    * showcase; the 100 TB path is q25's mergeable
+    * approx_percentile sketches.
     */
   def q17Quantiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

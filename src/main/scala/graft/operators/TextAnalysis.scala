@@ -65,4 +65,25 @@ object TextAnalysis {
         md5(normalize(col("text"))).as("fp_md5"),
         fingerprint64(col("text")).as("fp64"))
       .orderBy(col("doc_id"))
+
+  /** t5: per-language top terms by document frequency — ranked with
+    * the bounded-heap TopKLabeled aggregate instead of a window: a
+    * window partitioned by `lang` (a FIXED key set) would pull every
+    * (lang, term) count through one reducer per language; the heap
+    * aggregate shuffles at most k candidates per group per task.
+    * Document frequency (not raw term frequency): each doc counts a
+    * term once via per-doc distinct words.
+    */
+  def topTerms(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(array_distinct(words(col("text")))).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.graft.TopKLabeled
+        .top_k_labeled(col("df").cast("double"), col("w"), k).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.label").as("term"), col("col.score").cast("long").as("doc_freq"))
+      .orderBy(col("lang"), col("rank"))
 }

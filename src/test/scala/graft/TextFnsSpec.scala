@@ -44,6 +44,21 @@ class TextFnsSpec extends SparkSpec {
     assert(got.forall(_ >= 0)) // 60-bit prefix fits positive long
   }
 
+  test("t5: bounded-heap top terms equal the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.topTerms(spark, Sf).collect().map(_.toSeq).toSeq
+    val counts = Tables.documents(spark, Sf)
+      .select(col("lang"), explode(array_distinct(words(col("text")))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("w"))
+    val exp = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("w").as("term"), col("df").as("doc_freq"))
+      .orderBy(col("lang"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp)
+  }
+
   test("langPredict returns a profile language deterministically") {
     val df = Seq("the data query stuff", "join filter sort x", "zzz").toDF("text")
       .select(words(col("text")).as("w")).select(langPredict(col("w")).as("p"))
