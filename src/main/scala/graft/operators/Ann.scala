@@ -10,8 +10,11 @@ import graft.functions.VecFns._
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   * Brute-force cosine is the exact correctness baseline (query side
   * broadcast: k queries ≪ corpus, so the corpus never shuffles);
-  * random-hyperplane LSH is the scale path — bucketed equi-join, with
-  * multi-probe on the query side to recover recall.
+  * the sketch path prefilters by 256-bit hyperplane-sketch Hamming
+  * distance (a 32-byte column scanned with a 4-word xor+popcount
+  * kernel) before exact-cosine ranking of the <5% survivors; IVF
+  * k-means partitioning is the whole-partition-pruning path for
+  * corpora with genuine cluster structure.
   */
 object Ann {
 

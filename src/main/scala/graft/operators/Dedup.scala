@@ -8,13 +8,17 @@ import graft.functions.TextFns._
 import org.apache.spark.sql.graft.ArrayExprs
 
 /** Deduplication operators over the `documents` table. The common
-  * scale shape: NEVER all-pairs — every near-dup operator generates
-  * candidates through an equi-join on a blocking key (LSH band /
-  * SimHash chunk / rare-prefix token), so shuffle volume grows with
-  * corpus size × small constant, not n². The exact verification step
-  * then touches candidate pairs only. Outputs are exact-verified
-  * quantities (Jaccard / Hamming), so engine-internal hash choices
-  * (xxhash64, permutation constants) never need an oracle twin.
+  * scale shape: candidates through an equi-join on a blocking key
+  * (LSH band / SimHash chunk / rare-prefix token), so shuffle volume
+  * grows with corpus size × small constant, not n²; the exact
+  * verification step then touches candidate pairs only. The one
+  * deliberate exception is embedNearDup, where the measured no-gap
+  * similarity distribution makes the exact answer inherently
+  * all-pairs — there the quadratic COMPUTE is block-distributed with
+  * bounded per-task memory instead of bucketed away (see its
+  * Scaladoc). Outputs are exact-verified quantities (Jaccard /
+  * Hamming / cosine), so engine-internal hash choices (xxhash64,
+  * permutation constants) never need an oracle twin.
   */
 object Dedup {
 
