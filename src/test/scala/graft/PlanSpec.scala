@@ -63,6 +63,22 @@ class PlanSpec extends SparkSpec {
     assert(!d5.contains("CartesianProduct") && !d5.contains("BroadcastNestedLoopJoin"), d5)
   }
 
+  test("q9/t5 rank through bounded-heap aggregates, not full-table windows") {
+    // a fixed-key window (25 nations / 5 languages) would funnel the
+    // whole table through a handful of reducers; the heap aggregate
+    // must appear and any window must run AFTER it (over ≤k-row groups)
+    val q9 = formatted(Relational.q9Window(spark, Sf))
+    assert(q9.contains("top_k_cosine"), q9)
+    val t5 = formatted(graft.operators.TextAnalysis.topTerms(spark, Sf))
+    assert(t5.contains("top_k_labeled"), t5)
+    assert(!t5.contains("Window"), t5)
+  }
+
+  test("d6: repeated-span stages are equi-joins and aggregations, never cartesian") {
+    val d6 = formatted(graft.operators.Curation.repeatedSpans(spark, Sf))
+    assert(!d6.contains("CartesianProduct") && !d6.contains("BroadcastNestedLoopJoin"), d6)
+  }
+
   test("asof join: custom sort-merge, one sort per side, no window/union") {
     val p = formatted(Relational.q14AsofJoin(spark, Sf))
     assert(p.contains("AsofMergeJoin"), p)
