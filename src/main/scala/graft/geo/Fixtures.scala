@@ -23,8 +23,11 @@ object Fixtures {
   val ListingLimit = 500
   val GridN        = 8
 
+  /** Fixtures live under the build's target/ dir (gitignored, inside
+    * the repo) — keyed by the sf dir so scale factors don't collide.
+    */
   private def fixtureRoot(kind: String, dir: String): File =
-    new File(sys.props("java.io.tmpdir"),
+    new File(new File(sys.props("user.dir"), "target/fixtures"),
       s"graft_${kind}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   private def tileRows(s: SparkSession, dir: String, limit: Int): Array[(Int, Int, Int, String)] =
