@@ -10,7 +10,7 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val plantedDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val dir = scratchDir("graft_dedup")
     val base = "the quick brown fox jumps over the lazy dog again and again until done"
     val near = base.replace("done", "finished") // one-word edit ⇒ high jaccard
     val docs = Seq(

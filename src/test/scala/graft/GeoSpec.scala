@@ -56,7 +56,7 @@ class GeoSpec extends SparkSpec {
   }
 
   test("writeTiled partitions by tile_key and reads back pruned") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_geo").toString
+    val dir = scratchDir("graft_geo")
     val g = Geo.gridExpand(Geo.tiles(spark, Sf).limit(5))
     Geo.writeTiled(g, dir)
     val back = spark.read.parquet(dir)
@@ -69,7 +69,7 @@ class GeoSpec extends SparkSpec {
   }
 
   test("Cli.run writes a tiled parquet dataset filtered to the set") {
-    val out = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val out = scratchDir("graft_cli")
     val n = Cli.run(spark, Sf, out, "europe")
     val t = Geo.tiles(spark, Sf)
     val expectedTiles = t.filter(Geo.inEurope(col("lat0"), col("lon0"))).count()

@@ -17,4 +17,13 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   val Sf = "/root/testdata/sf0.001"
+
+  /** Scratch dir under the build's target/ (inside the repo, never
+    * the system temp dir).
+    */
+  def scratchDir(prefix: String): String = {
+    val base = java.nio.file.Paths.get(sys.props("user.dir"), "target", "test-scratch")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
 }

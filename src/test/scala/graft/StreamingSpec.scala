@@ -148,7 +148,7 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source ingest picks up only newly arrived files per trigger") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val dir = scratchDir("graft_ingest")
     val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v DOUBLE")
     Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
     val q = EventStreams.fileIngest(spark, dir, schema)
