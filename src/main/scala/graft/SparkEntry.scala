@@ -133,8 +133,12 @@ object SparkEntry {
     |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (d3_simhash, s2_ann_lsh, m1_mm_manifest) → rows-only check.
+    * the same parquet tables. Omitted only for the inherently
+    * approximate/engine-specific ops (q16 HLL, q25 sketch quantiles,
+    * s2/s3 ANN) → rows-only check. m1's oracle re-derives the stub
+    * decoder's wrapping-arithmetic metadata with a HUGEINT byte fold —
+    * exact because the corpus is ASCII (byte i = ord(char i)); a
+    * non-ASCII corpus would need DuckDB blob indexing instead.
     */
   def oracleSql: Map[String, String] = Map(
     "g1_tile_parse" -> raw"""
@@ -467,6 +471,19 @@ object SparkEntry {
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
       |ORDER BY id_a, id_b""".stripMargin,
+    "m1_mm_manifest" -> raw"""
+      |WITH b AS (SELECT doc_id, strlen(text)::INT AS n_bytes,
+      |  list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |    [ord(text[i])::HUGEINT for i in range(1, length(text)+1)]),
+      |    (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents),
+      |s AS (SELECT *, CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |                     THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs FROM b)
+      |SELECT doc_id, n_bytes,
+      |  ((hs % 1920 + 1920) % 1920 + 1)::INT AS width,
+      |  (((hu // 131072) % 1080) + 1)::INT AS height,
+      |  3 AS channels, hs::BIGINT AS phash
+      |FROM s ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" -> raw"""
       |SELECT md5($Nrm) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
