@@ -236,14 +236,18 @@ object Dedup {
     * differing bits ⇒ at least one chunk identical (pigeonhole), so
     * an equi-join on (chunk index, chunk value) is lossless and never
     * all-pairs. At billions of docs 16-bit chunks leave ~n/65k docs
-    * per bucket (quadratic within): the standard fix is hierarchical
-    * blocking — re-split each oversized bucket by a second chunk pair
-    * (≤3 diffs over the remaining 48 bits ⇒ one of the other 3 chunks
-    * also matches), which this equi-join shape extends to directly.
-    * Oracle: exact O(n²) Hamming in DuckDB with the same md5-derived
-    * bits.
+    * per bucket (quadratic within); `hierarchical = true` switches to
+    * TWO-LEVEL keys: for each untouched chunk c, the other 48 bits
+    * split into 4 sub-blocks of 12, and ≤3 diffs over those 48 bits
+    * leave ≥1 sub-block untouched (pigeonhole again) — so joining on
+    * (c, chunk value, sub-block, sub-block value) stays LOSSLESS
+    * (result-identity asserted in DedupSpec) while buckets shrink
+    * another ×4096 for 4× the key rows. Oracle: exact O(n²) Hamming
+    * in DuckDB with the same md5-derived bits.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3,
+      hierarchical: Boolean = false): DataFrame = {
+    require(maxHamming <= 3, "pigeonhole blocking is sized for hamming <= 3")
     val docs = spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         ArrayExprs.simhash64(array_distinct(words(col("text")))).as("sig"))
@@ -254,8 +258,21 @@ object Dedup {
       shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xFFFFL)),
       col("hi").bitwiseAND(lit(0xFFFFL)),
       shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    // one (key id, key value) pair per blocking key: 4 flat chunk keys,
+    // or 4×4 (chunk, complement-sub-block) keys in hierarchical mode
+    val keyExprs: Seq[Column] =
+      if (!hierarchical) chunkExprs
+      else for { c <- 0 until 4; sb <- 0 until 4 } yield {
+        val others = (0 until 4).filter(_ != c).map(chunkExprs)
+        val comp = shiftleft(others(2), 32)
+          .bitwiseOR(shiftleft(others(1), 16)).bitwiseOR(others(0))
+        val sub = shiftrightunsigned(comp, 12 * sb).bitwiseAND(lit(0xFFFL))
+        // chunk value (16 bits) and sub-block value (12 bits) pack
+        // into one 28-bit join value
+        shiftleft(chunkExprs(c), 12).bitwiseOR(sub)
+      }
     val chunks = docs.select(col("doc_id"), col("hi"), col("lo"),
-        posexplode(array(chunkExprs: _*)))
+        posexplode(array(keyExprs: _*)))
       .select(col("doc_id"), col("hi"), col("lo"),
         col("pos").as("chunk"), col("col").as("ckey"))
     chunks.as("x").join(chunks.as("y"),

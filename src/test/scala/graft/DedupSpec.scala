@@ -63,6 +63,13 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 2L))) // identical text ⇒ hamming 0
   }
 
+  test("hierarchical simhash blocking is lossless: identical pairs, real corpus") {
+    val flat = Dedup.simhashPairs(spark, Sf).collect().map(_.toSeq).toSet
+    val hier = Dedup.simhashPairs(spark, Sf, hierarchical = true)
+      .collect().map(_.toSeq).toSet
+    assert(flat.nonEmpty && hier == flat)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val got = Dedup.embedNearDup(spark, Sf, threshold = 0.4).collect()
     got.foreach { r =>
