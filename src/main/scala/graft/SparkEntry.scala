@@ -51,6 +51,8 @@ object SparkEntry {
     "q23_merge"               -> Relational.q23Merge _,
     "q24_grouping_sets"       -> Relational.q24GroupingSets _,
     "q25_approx_quantiles"    -> Relational.q25ApproxQuantiles _,
+    "q26_dq_audit"            -> ((s: SparkSession, d: String) =>
+      graft.operators.Quality.dqAudit(s, d)),
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
@@ -382,6 +384,34 @@ object SparkEntry {
       |       coalesce(ec, 0)::BIGINT AS event_cents
       |FROM od FULL OUTER JOIN ed ON d_o = d_e
       |ORDER BY day""".stripMargin,
+    "q26_dq_audit" -> raw"""
+      |WITH li AS (SELECT count(*) AS n_rows,
+      |    sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 0 ELSE 1 END)::BIGINT AS quantity_range,
+      |    sum(CASE WHEN coalesce(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END)::BIGINT AS price_positive,
+      |    sum(CASE WHEN coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE) THEN 0 ELSE 1 END)::BIGINT AS discount_domain,
+      |    sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS shipdate_not_null
+      |  FROM lineitem),
+      |o AS (SELECT count(*) AS n_rows,
+      |    sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END)::BIGINT AS totalprice_positive,
+      |    sum(CASE WHEN coalesce(o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE) THEN 0 ELSE 1 END)::BIGINT AS priority_domain
+      |  FROM orders),
+      |fk1 AS (SELECT (SELECT count(*) FROM orders o1 WHERE NOT EXISTS
+      |                 (SELECT 1 FROM customer WHERE c_custkey = o1.o_custkey))::BIGINT AS n_violations,
+      |               (SELECT count(*) FROM orders) AS n_rows),
+      |fk2 AS (SELECT (SELECT count(*) FROM customer c1 WHERE NOT EXISTS
+      |                 (SELECT 1 FROM nation WHERE n_nationkey = c1.c_nationkey))::BIGINT AS n_violations,
+      |               (SELECT count(*) FROM customer) AS n_rows),
+      |u AS (
+      |  SELECT 'lineitem' AS tbl, 'quantity_range' AS "check", quantity_range AS n_violations, n_rows FROM li
+      |  UNION ALL SELECT 'lineitem', 'price_positive', price_positive, n_rows FROM li
+      |  UNION ALL SELECT 'lineitem', 'discount_domain', discount_domain, n_rows FROM li
+      |  UNION ALL SELECT 'lineitem', 'shipdate_not_null', shipdate_not_null, n_rows FROM li
+      |  UNION ALL SELECT 'orders', 'totalprice_positive', totalprice_positive, n_rows FROM o
+      |  UNION ALL SELECT 'orders', 'priority_domain', priority_domain, n_rows FROM o
+      |  UNION ALL SELECT 'orders', 'custkey_fk', n_violations, n_rows FROM fk1
+      |  UNION ALL SELECT 'customer', 'nationkey_fk', n_violations, n_rows FROM fk2)
+      |SELECT tbl, "check", n_violations, n_rows, n_violations = 0 AS pass
+      |FROM u ORDER BY tbl, "check"""".stripMargin,
     "q23_merge" -> raw"""
       |WITH snap AS (SELECT c_custkey, c_mktsegment,
       |                     round(c_acctbal*100)::BIGINT AS cents FROM customer),

@@ -160,6 +160,54 @@ object Ann {
     slice(transform(sort_array(array(scored: _*)), x => x("id")), 1, nprobe)
   }
 
+  /** Build the IVF index ONCE — the offline job of a real 100 TB ANN
+    * deployment: the k-means centroid matrix persists as a tiny
+    * parquet, and the corpus (with norms precomputed) is written
+    * PARTITIONED BY its bucket assignment, so a query's probes prune
+    * whole partitions at the scan instead of filtering rows.
+    */
+  def buildIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      nlist: Int = 16, iters: Int = 5): Unit = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cents = kmeansCentroids(e, nlist, iters)
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    e.withColumn("bucket", assignCluster(col("embedding"), cents))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/corpus")
+  }
+
+  /** Query a persisted IVF index: loads the (tiny) centroid matrix,
+    * computes each query's nprobe best buckets, and scans ONLY those
+    * bucket partitions (static isin filter → partition pruning; the
+    * probed-bucket set is k×nprobe ints collected driver-side, like
+    * the centroid matrix). Same results as the self-contained ivfTopK
+    * for the same corpus and parameters (asserted in AnnSpec).
+    */
+  def ivfTopKIndexed(s: SparkSession, dir: String, indexPath: String,
+      k: Int = K, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val cents: Array[Array[Float]] = s.read.parquet(s"$indexPath/centroids")
+      .orderBy("bucket").select("centroid").as[Seq[Float]].collect().map(_.toArray)
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
+        topClusters(col("embedding"), cents, nprobe).as("buckets"))
+    val probes = queries.select(col("q_id"), col("q_emb"), col("q_nrm"),
+      explode(col("buckets")).as("bucket"))
+    val probedBuckets = probes.select("bucket").distinct().as[Int].collect()
+    val corpus = s.read.parquet(s"$indexPath/corpus")
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+    rankTopK(
+      broadcast(probes).join(corpus, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
+  }
+
   /** Sketch-filtered candidate pairs (q_id, vec_id, cos_raw): stage 1
     * compares packed 256-bit sketches (4 xor+popcount words — ~0.4% of
     * the flops and bytes of a full 64-float dot) against the broadcast

@@ -48,6 +48,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("persisted IVF index returns the same neighbors as the in-session build") {
+    val idx = scratchDir("graft_ivf")
+    Ann.buildIvfIndex(spark, Sf, idx)
+    val fromIndex = Ann.ivfTopKIndexed(spark, Sf, idx).collect().map(_.toSeq).toSeq
+    val inSession = Ann.ivfTopK(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inSession)
+    // the probe scan must prune to the probed bucket partitions
+    val pruned = Ann.ivfTopKIndexed(spark, Sf, idx)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
   test("k-means assigns every vector and centroids are finite") {
     val e = Tables.embeddings(spark, Sf)
     val cents = Ann.kmeansCentroids(e.select("vec_id", "embedding"), k = 8, iters = 3)
