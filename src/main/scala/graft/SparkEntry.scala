@@ -53,6 +53,8 @@ object SparkEntry {
     "q25_approx_quantiles"    -> Relational.q25ApproxQuantiles _,
     "q26_dq_audit"            -> ((s: SparkSession, d: String) =>
       graft.operators.Quality.dqAudit(s, d)),
+    "q27_pivot"               -> Relational.q27Pivot _,
+    "q28_gapfill"             -> Relational.q28Gapfill _,
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
@@ -439,6 +441,31 @@ object SparkEntry {
       |     JOIN region ON n_regionkey = r_regionkey
       |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
       |ORDER BY region, nation""".stripMargin,
+    "q27_pivot" -> raw"""
+      |SELECT year(o_orderdate)::INT AS yr,
+      |  coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |               THEN round(o_totalprice*100)::BIGINT END), 0)::BIGINT AS urgent_cents,
+      |  coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH'
+      |               THEN round(o_totalprice*100)::BIGINT END), 0)::BIGINT AS high_cents,
+      |  coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |               THEN round(o_totalprice*100)::BIGINT END), 0)::BIGINT AS medium_cents,
+      |  coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+      |               THEN round(o_totalprice*100)::BIGINT END), 0)::BIGINT AS notspec_cents,
+      |  coalesce(sum(CASE WHEN o_orderpriority = '5-LOW'
+      |               THEN round(o_totalprice*100)::BIGINT END), 0)::BIGINT AS low_cents
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q28_gapfill" -> raw"""
+      |WITH h AS (SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
+      |                  event_type, count(*) AS n_events
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type AS et, min(hour_epoch) AS lo, max(hour_epoch) AS hi
+      |      FROM h GROUP BY 1),
+      |spine AS (SELECT et, unnest(range(lo, hi + 3600, 3600)) AS hour_epoch FROM r)
+      |SELECT s.hour_epoch, s.et AS event_type,
+      |       coalesce(h.n_events, 0)::BIGINT AS n_events,
+      |       h.n_events IS NULL AS filled
+      |FROM spine s LEFT JOIN h ON s.et = h.event_type AND s.hour_epoch = h.hour_epoch
+      |ORDER BY event_type, s.hour_epoch""".stripMargin,
     "t1_token_count" -> raw"""
       |SELECT doc_id,
       |  len(string_split($Nrm, ' '))::INT AS n_words,

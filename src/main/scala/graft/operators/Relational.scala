@@ -450,6 +450,53 @@ object Relational {
         col("n_orders"))
       .orderBy(col("o_orderpriority"))
 
+  /** PIVOT: order revenue by year × priority, priorities becoming
+    * columns. The explicit value list keeps the schema static (no
+    * discovery pass over the data) — the form that scales; output
+    * columns are CASE-sum aggregates either way, so the oracle
+    * mirrors it portably.
+    */
+  def q27Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("yr"))
+      .pivot(col("o_orderpriority"),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .sum("c")
+      .select(col("yr"),
+        coalesce(col("1-URGENT"), lit(0L)).as("urgent_cents"),
+        coalesce(col("2-HIGH"), lit(0L)).as("high_cents"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("medium_cents"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec_cents"),
+        coalesce(col("5-LOW"), lit(0L)).as("low_cents"))
+      .orderBy(col("yr"))
+
+  /** Time-series gap fill: hourly event counts per type with MISSING
+    * HOURS materialized as zero rows — the resample step every
+    * monitoring/feature pipeline needs. The hour spine generates from
+    * the observed [min, max] range per type (sequence + explode — a
+    * generator, not a driver loop) and left-joins the actual counts;
+    * spine cardinality is hours × types, independent of event volume.
+    */
+  def q28Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_epoch")).as("lo"), max(col("hour_epoch")).as("hi"))
+      .select(col("event_type").as("et"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+    spine.join(hourly,
+        spine("et") === hourly("event_type") && spine("hour_epoch") === hourly("hour_epoch"),
+        "left_outer")
+      .select(spine("hour_epoch"), col("et").as("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("filled"))
+      .orderBy(col("event_type"), spine("hour_epoch"))
+  }
+
   /** JSON extraction from the events.props payload + aggregate. */
   def q15Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -121,6 +121,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q28 gap-fill: spine is contiguous hourly, filled rows are zero") {
+    val rows = Relational.q28Gapfill(spark, Sf).collect()
+    rows.filter(_.getAs[Boolean]("filled"))
+      .foreach(r => assert(r.getAs[Long]("n_events") == 0))
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val hours = rs.map(_.getLong(0)).sorted
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600 },
+        "spine must be contiguous hourly")
+    }
+  }
+
   test("q21 left-outer keeps every customer; unmatched rows are genuinely exercised") {
     val rows = Relational.q21Outer(spark, Sf).collect()
     assert(rows.length == Tables.customer(spark, Sf).count())
