@@ -42,8 +42,8 @@ object RangeJoin {
   /** Public API: inner-join `left` to `right` on
     * `right.lo <= left.point <= right.hi` (all compared as doubles).
     * Plans the custom broadcast-index exec when the interval side's
-    * stats fit under [[MaxBuildBytesKey]]; otherwise falls back to
-    * the equivalent nested-loop join.
+    * stats fit under [[MaxBuildBytesKey]]; otherwise falls over to
+    * the PARTITIONED range join — never a nested loop.
     */
   def pointInInterval(left: DataFrame, right: DataFrame,
       point: Column, lo: Column, hi: Column): DataFrame = {
@@ -53,8 +53,8 @@ object RangeJoin {
     val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (rightBytes > maxBytes) {
       logWarning(s"range-join interval side estimated at $rightBytes bytes " +
-        s"(> $MaxBuildBytesKey=$maxBytes); falling back to the non-broadcast plan")
-      left.join(right, point >= lo && point <= hi)
+        s"(> $MaxBuildBytesKey=$maxBytes); using the partitioned range join")
+      pointInIntervalPartitioned(left, right, point, lo, hi)
     } else {
       // spark.expression converts the Column's node tree into a real
       // catalyst Expression (UnresolvedAttribute leaves); the analyzer
@@ -67,6 +67,40 @@ object RangeJoin {
         spark.expression(hi.cast("double")))
       Dataset.ofRows(spark, plan)
     }
+  }
+
+  /** Partitioned range join — the shape for a FACT-SIZED interval
+    * side, where neither broadcasting nor a nested loop survives:
+    * the point domain splits into `buckets` equal-width ranges (the
+    * two-double min/max aggregate is the only driver-side data);
+    * each point keys by its bucket, each interval REPLICATES to every
+    * bucket it overlaps (replication ∝ interval width / bucket width
+    * — bounded for the narrow-band intervals range joins see), and a
+    * plain shuffled equi-join on the bucket id meets exactly the
+    * pairs that can match, with the precise bounds check applied
+    * inside the join. Every pair meets in exactly one bucket (a
+    * point has one bucket), so no distinct is needed.
+    */
+  def pointInIntervalPartitioned(points: DataFrame, intervals: DataFrame,
+      point: Column, lo: Column, hi: Column, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = point.cast("double")
+    val bounds = points.select(min(p).as("mn"), max(p).as("mx")).collect()(0)
+    if (bounds.isNullAt(0))
+      return points.join(intervals, point >= lo && point <= hi) // no valid points: empty, any plan
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    if (mn == mx) // degenerate domain: one bucket — join condition does the work
+      return points.join(intervals, lo.cast("double") <= p && p <= hi.cast("double"))
+    def bucketOf(v: Column): Column =
+      least(greatest(width_bucket(v.cast("double"), lit(mn), lit(mx), lit(buckets)),
+        lit(1L)), lit(buckets.toLong))
+    val l = points.withColumn("_rb", bucketOf(point))
+    val r = intervals
+      .filter(lo.cast("double") <= hi.cast("double"))
+      .withColumn("_rb", explode(sequence(bucketOf(lo), bucketOf(hi))))
+    l.join(r, Seq("_rb"))
+      .filter(lo.cast("double") <= p && p <= hi.cast("double"))
+      .drop("_rb")
   }
 
   private def logWarning(msg: String): Unit =

@@ -44,13 +44,15 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
-  test("oversized interval side falls back to the non-broadcast plan, same rows") {
+  test("oversized interval side falls over to the partitioned range join, same rows") {
     val prev = spark.conf.getOption(RangeJoin.MaxBuildBytesKey)
     spark.conf.set(RangeJoin.MaxBuildBytesKey, "1")
     try {
       val df = RangeJoin.pointInInterval(points, intervals, col("p"), col("lo"), col("hi"))
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("PointIntervalJoin"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        plan) // the fallback is a bucket equi-join, never a nested loop
       val got = df.select("id", "name").as[(Long, String)].collect().toSet
       val bnl = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
         .select("id", "name").as[(Long, String)].collect().toSet
@@ -61,6 +63,29 @@ class RangeJoinSpec extends SparkSpec {
         case None    => spark.conf.unset(RangeJoin.MaxBuildBytesKey)
       }
     }
+  }
+
+  test("partitioned range join equals the nested loop on randomized data, any buckets") {
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200)).toDF("id", "p")
+    val ivs = (1 to 150).map { i =>
+      val a = rnd.nextDouble() * 1000 - 250
+      (s"iv$i", a, a + rnd.nextDouble() * 120) // narrow and wide bands, some out of range
+    }.toDF("name", "lo", "hi")
+    val exp = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    for (b <- Seq(1, 7, 64)) {
+      val got = RangeJoin.pointInIntervalPartitioned(pts, ivs,
+          col("p"), col("lo"), col("hi"), buckets = b)
+        .select("id", "name").as[(Long, String)].collect().toSet
+      assert(got == exp, s"buckets=$b")
+    }
+    // null handling matches the nested loop
+    val np = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "p")
+    val ni = Seq(("a", Some(0.0), Some(10.0)), ("b", None, Some(10.0))).toDF("name", "lo", "hi")
+    val got = RangeJoin.pointInIntervalPartitioned(np, ni, col("p"), col("lo"), col("hi"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a")))
   }
 
   test("q20 matches the plain non-equi join on real data") {
