@@ -208,6 +208,43 @@ object Ann {
       k)
   }
 
+  /** Persist the sketch index: the corpus with its 256-bit sketch as
+    * a STORED column. Queries against the index read ONLY
+    * (vec_id, sk) for the Hamming prefilter — the 32-byte-per-row
+    * scan the sketch design promises — and fetch full vectors just
+    * for the <5% of rows that survive.
+    */
+  def buildSketchIndex(s: SparkSession, dir: String, indexPath: String): Unit =
+    Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        sketch(col("embedding")).as("sk"))
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** Query the persisted sketch index: stage 1 scans the pruned
+    * (vec_id, sk) columns against the broadcast query sketches
+    * (ReadSchema asserted in AnnSpec); stage 2 joins the surviving
+    * ids back to the index for exact-cosine ranking. Results
+    * identical to the self-contained lshTopK (asserted).
+    */
+  def lshTopKIndexed(s: SparkSession, dir: String, indexPath: String,
+      k: Int = K, tau: Int = SketchTau): DataFrame = {
+    val idx = s.read.parquet(indexPath)
+    val q = idx.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("sk").as("q_sk"))
+    val survivors = broadcast(q.select(col("q_id"), col("q_sk")))
+      .join(idx.select(col("vec_id"), col("sk")), // pruned 32-byte scan
+        sketchHamming(col("q_sk"), col("sk")) <= tau && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val cands = survivors
+      .join(idx.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
+    rankTopK(cands, k)
+  }
+
   /** Sketch-filtered candidate pairs (q_id, vec_id, cos_raw): stage 1
     * compares packed 256-bit sketches (4 xor+popcount words — ~0.4% of
     * the flops and bytes of a full 64-float dot) against the broadcast

@@ -48,6 +48,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("persisted sketch index: pruned 32-byte stage-1 scan, same neighbors") {
+    val idx = scratchDir("graft_sketch")
+    Ann.buildSketchIndex(spark, Sf, idx)
+    val fromIndex = Ann.lshTopKIndexed(spark, Sf, idx).collect().map(_.toSeq).toSeq
+    val inSession = Ann.lshTopK(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inSession)
+    // the prefilter scan must NOT read the embedding column
+    val plan = Ann.lshTopKIndexed(spark, Sf, idx).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sketchScans = plan.linesIterator
+      .filter(l => l.startsWith("ReadSchema") && l.contains("sk:")).toSeq
+    assert(sketchScans.nonEmpty, plan)
+    assert(sketchScans.exists(!_.contains("embedding")),
+      s"stage-1 scan must prune the embedding column:\n$plan")
+  }
+
   test("persisted IVF index returns the same neighbors as the in-session build") {
     val idx = scratchDir("graft_ivf")
     Ann.buildIvfIndex(spark, Sf, idx)
