@@ -51,6 +51,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.size == 400 && got == exp)
   }
 
+  test("string keys work (carried key values survive row-buffer reuse)") {
+    val rnd = new scala.util.Random(31)
+    val keys = Vector("alpha", "bravo", "charlie", "delta", "echo", "フォックス")
+    val ev = (1 to 200).map(i => (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(500).toLong))
+      .toDF("ev_id", "k", "tl")
+      .select(col("ev_id"), col("k"), timestamp_seconds(col("tl")).as("t"))
+    val ord = (1 to 120).map(i => (keys(rnd.nextInt(keys.size)), rnd.nextInt(500).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "tl", "payload")
+      .select(col("k"), timestamp_seconds(col("tl")).as("t"), col("payload"))
+    val got = AsofJoin.asofBackward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
+      .select(col("ev_id"), col("payload")).as[(Long, Option[Long])].collect().toMap
+    val exp = windowReference(
+      ev.select(col("k"), col("t"), col("ev_id")),
+      ord).as[(Long, Option[Long])].collect().toMap
+    assert(got.size == 200 && got == exp)
+  }
+
   test("left rows with no match (or unmatched keys) get nulls; null keys/times never match") {
     val ev = Seq(
       (1L, Some(1L), Some(100L)),  // matched
