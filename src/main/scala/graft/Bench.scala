@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the MEDIAN —
+  * first runs absorb JIT/codegen/page-cache warmup and local[n] timing
+  * noise is ±15%, so single-shot numbers are not comparable across
+  * rounds. Caches are released between runs so every run pays the
+  * query's true cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .master(s"local[$cpus]")
@@ -17,22 +27,37 @@ object Bench {
     // warm up the JVM/codegen/parquet paths so the first timed query
     // doesn't absorb session startup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // optional comma-separated subset for local iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val times = (0 until runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
+            false
+          }
+          finally Caches.clear() // release per-query caches between runs
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      finally Caches.clear() // release per-query caches between queries
-      name -> (System.nanoTime() - t0) / 1e9
+      val median =
+        if (times.isEmpty) Double.NaN
+        else {
+          val s = times.sorted
+          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        }
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filterNot(_.isNaN).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,6 +30,41 @@ object Fixtures {
     new File(new File(sys.props("user.dir"), "target/fixtures"),
       s"graft_${kind}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
 
+  /** Marker file recording the file count a complete fixture holds. */
+  private val CompleteMarker = "_COMPLETE"
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  /** Build-once guard with ATOMIC publication: a fixture is complete
+    * iff its `_COMPLETE` marker holds the expected file count — a file
+    * count alone cannot distinguish a finished build from a torn one
+    * (a killed previous run can leave exactly N stale files).
+    * Rebuilds write every file into a fresh sibling temp dir, stamp
+    * the marker LAST, then swap the temp dir into place with a
+    * same-directory rename — readers only ever see no dir, a stale
+    * complete dir, or the new complete dir, never a half-written one.
+    */
+  private def ensureAtomic(out: File, expected: Int)(write: File => Unit): String = {
+    val marker = new File(out, CompleteMarker)
+    val complete = marker.exists() &&
+      new String(Files.readAllBytes(marker.toPath)).trim == expected.toString
+    if (!complete) {
+      val tmp = new File(out.getParentFile, out.getName + ".tmp")
+      deleteRecursively(tmp)
+      tmp.mkdirs()
+      write(tmp)
+      Files.write(Paths.get(tmp.toString, CompleteMarker),
+        expected.toString.getBytes("UTF-8"))
+      deleteRecursively(out)
+      if (!tmp.renameTo(out))
+        throw new java.io.IOException(s"fixture rename failed: $tmp -> $out")
+    }
+    out.toString
+  }
+
   private def tileRows(s: SparkSession, dir: String, limit: Int): Array[(Int, Int, Int, String)] =
     Geo.tiles(s, dir).filter(col("tile_id") < limit)
       .select(col("tile_id").cast("int"), col("lat0").cast("int"),
@@ -63,14 +98,11 @@ object Fixtures {
   def ensureRasters(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("rasters", dir)
     val tiles = tileRows(s, dir, RasterLimit)
-    val existing = Option(out.list()).map(_.count(_.endsWith(".grft"))).getOrElse(-1)
-    if (existing != tiles.length) {
-      out.mkdirs()
+    ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, lat0, lon0, key) =>
-        Files.write(Paths.get(out.toString, s"$key.grft"), rasterBytes(id, lat0, lon0))
+        Files.write(Paths.get(tmp.toString, s"$key.grft"), rasterBytes(id, lat0, lon0))
       }
     }
-    out.toString
   }
 
   /** Expected remote object size for the listing manifest (bytes —
@@ -86,14 +118,11 @@ object Fixtures {
   def ensureListing(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("listing", dir)
     val tiles = tileRows(s, dir, ListingLimit).filter(_._1 % 3 == 0)
-    val existing = Option(out.list()).map(_.count(_.endsWith(".grft"))).getOrElse(-1)
-    if (existing != tiles.length) {
-      out.mkdirs()
+    ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         val size = listingSize(id) - (if (id % 7 == 0) 1 else 0)
-        Files.write(Paths.get(out.toString, s"$key.grft"), new Array[Byte](size))
+        Files.write(Paths.get(tmp.toString, s"$key.grft"), new Array[Byte](size))
       }
     }
-    out.toString
   }
 }

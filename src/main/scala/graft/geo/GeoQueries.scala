@@ -93,7 +93,11 @@ object GeoQueries {
   def rasterIngest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.RasterExprs
     val fixture = Fixtures.ensureRasters(s, dir)
-    s.read.format("binaryFile").load(s"$fixture/*.grft")
+    // pathGlobFilter, NOT a glob in the path: a glob path makes
+    // FileStreamSink.hasMetadata stat the literal pattern string and
+    // log a FileNotFoundException stack on every read (benign but it
+    // reads as a crash in bench logs).
+    s.read.format("binaryFile").option("pathGlobFilter", "*.grft").load(fixture)
       .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
         RasterExprs.raster_decode(col("content")).as("r"))
       .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
@@ -113,24 +117,24 @@ object GeoQueries {
 
   /** g8: filesystem-listing manifest — the twin of the reference's
     * paged ListObjectsV2 + idempotent-download check (main.rs:266-331,
-    * 135-161), against a REAL directory: the Hadoop FileSystem API
-    * (`listStatus`, the same interface S3A implements) yields
-    * (key, size) for what is already on disk, and the anti-join
-    * against the remote manifest emits exactly the objects still to
-    * fetch — missing tiles and torn (size-mismatched) downloads. The
-    * listing itself is driver-side like the reference's pager; at
-    * scale, shard it by key prefix into tasks and union — the
-    * downstream anti-join is already distributed.
+    * 135-161), against a REAL directory. The listing is DISTRIBUTED:
+    * the tile-key space shards by hemisphere × leading latitude digit
+    * into 20 prefixes, each listed by its own task through the Hadoop
+    * FileSystem API (FsListing.listByPrefix — the same interface S3A
+    * implements with server-side prefix pushdown), so the local
+    * manifest never materializes on the driver; the anti-join against
+    * the remote manifest emits exactly the objects still to fetch —
+    * missing tiles and torn (size-mismatched) downloads.
     */
   def listingManifest(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val fixture = Fixtures.ensureListing(s, dir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(fixture), s.sparkContext.hadoopConfiguration)
-    val local = fs.listStatus(new org.apache.hadoop.fs.Path(fixture))
-      .filter(_.getPath.getName.endsWith(".grft"))
-      .map(st => (st.getPath.getName.stripSuffix(".grft"), st.getLen))
-      .toSeq.toDF("tile_key", "size_bytes")
+    // every tile key is ALPSMLC30_<N|S><3-digit lat>… with lat ≤ 90,
+    // so hemisphere × second lat digit covers the key space.
+    val prefixes = for (h <- Seq("N", "S"); d <- 0 to 9) yield s"ALPSMLC30_${h}0$d"
+    val local = org.apache.spark.sql.graft.FsListing
+      .listByPrefix(s, fixture, prefixes, ".grft")
+      .select(regexp_replace(col("name"), "\\.grft$", "").as("tile_key"),
+        col("size_bytes"))
     val remote = tiles(s, dir).filter(col("tile_id") < Fixtures.ListingLimit)
       .select(col("tile_id"), col("tile_key"),
         (pmod(col("tile_id") * lit(131), lit(4096)) + lit(64)).as("size_bytes"))

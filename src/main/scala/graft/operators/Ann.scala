@@ -88,26 +88,34 @@ object Ann {
   // --- IVF (inverted-file index with k-means coarse quantizer) ------
 
   /** Lloyd's k-means over the embedding corpus. The per-iteration
-    * loop is driver-side but each step is fully distributed: assign =
-    * one scan with k codegen'd dot products per row; update =
-    * posexplode → groupBy(cluster, dim) avg. Only the k×dim centroid
-    * matrix is collected (tiny), the corpus never moves to the driver.
+    * loop is driver-side but each step is fully distributed, and
+    * assign + update FUSE into one pass: groupBy(nearest-centroid)
+    * with `dim` per-element sums and a count, so map-side combine
+    * reduces each task to k partial rows of dim+1 doubles — the
+    * shuffle moves O(k·dim·tasks) cells, never corpus×dim exploded
+    * rows. Only the k×dim centroid matrix is collected (tiny); the
+    * corpus never moves to the driver.
     * Deterministic init: the k lowest vec_ids.
     */
   def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
     import e.sparkSession.implicits._
     var cents: Array[Array[Float]] = e.orderBy("vec_id").limit(k)
       .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    val dim = cents.head.length
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
     for (_ <- 0 until iters) {
-      val assigned = e.select(col("embedding"),
-        assignCluster(col("embedding"), cents).as("cluster"))
-      val upd = assigned
-        .select(col("cluster"), posexplode(col("embedding")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("v"))
+      val upd = e
+        .groupBy(assignCluster(col("embedding"), cents).as("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
       val next = cents.map(_.clone())
-      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      upd.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        var i = 0
+        while (i < dim) { next(c)(i) = (r.getDouble(i + 2) / n).toFloat; i += 1 }
+      }
       cents = next
     }
     cents
@@ -169,9 +177,11 @@ object Ann {
   def buildIvfIndex(s: SparkSession, dir: String, indexPath: String,
       nlist: Int = 16, iters: Int = 5): Unit = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    // cached: the Lloyd iterations and the final partitioned write all
+    // re-scan this projection.
+    val e = graft.Caches.track(Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
     val cents = kmeansCentroids(e, nlist, iters)
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("bucket", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
