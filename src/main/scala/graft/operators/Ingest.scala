@@ -20,17 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** Run `f`, retrying `attempts-1` times with exponential backoff. */
+  /** Run `f`, retrying `attempts-1` times with exponential backoff.
+    * Only NonFatal failures retry: fatal JVM errors propagate
+    * immediately, and an interrupt (Spark task kill) re-sets the
+    * thread's interrupt flag and aborts instead of sleeping through
+    * backoff.
+    */
   def withRetry[T](attempts: Int, baseDelayMs: Long)(f: => T): T = {
     var left = attempts
     var delay = baseDelayMs
     while (true) {
       try return f
       catch {
-        case e: Throwable =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) =>
           left -= 1
           if (left <= 0) throw e
-          Thread.sleep(delay)
+          try Thread.sleep(delay)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw ie
+          }
           delay *= 2
       }
     }

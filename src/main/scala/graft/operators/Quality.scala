@@ -18,17 +18,22 @@ object Quality {
 
   /** One row per expectation: violations, row count, pass flag. */
   def audit(table: String, df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, s"audit($table): expectations must be non-empty")
     // a NULL predicate result is a violation (NOT NULL is implied by
     // every expectation, as in SQL CHECK + NOT NULL pairs)
     val aggs = count(lit(1)).as("n_rows") +:
       expectations.map(e => sum(when(coalesce(e.ok, lit(false)), 0L).otherwise(1L)).as(e.name))
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val checks = expectations.map(e =>
-      one.select(lit(table).as("tbl"), lit(e.name).as("check"),
-        col(e.name).as("n_violations"), col("n_rows")))
-    checks.reduce(_.unionByName(_))
-      .select(col("tbl"), col("check"), col("n_violations"), col("n_rows"),
-        (col("n_violations") === 0).as("pass"))
+    // unpivot the one aggregate row by exploding (check, violations)
+    // structs — one result row per expectation with the aggregate
+    // subtree appearing ONCE in the plan (a per-expectation
+    // select+union would rely on exchange reuse for its one-scan
+    // property)
+    val pairs = expectations.map(e =>
+      struct(lit(e.name).as("check"), col(e.name).as("n_violations")))
+    one.select(col("n_rows"), explode(array(pairs: _*)).as("p"))
+      .select(lit(table).as("tbl"), col("p.check"), col("p.n_violations"),
+        col("n_rows"), (col("p.n_violations") === 0).as("pass"))
   }
 
   /** Referential check: rows of `child` whose `fk` has no match in

@@ -69,6 +69,13 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      // the merge loop compares left values against right values
+      // directly, so mismatched types would surface as a mid-execution
+      // ClassCastException — fail at planning with a clear message.
+      require(lk.dataType == rk.dataType,
+        s"as-of join key columns must share a data type, got ${lk.dataType.sql} vs ${rk.dataType.sql}")
+      require(lt.dataType == rt.dataType,
+        s"as-of join time columns must share a data type, got ${lt.dataType.sql} vs ${rt.dataType.sql}")
       AsofMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
@@ -101,6 +108,77 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   protected override def doExecute(): RDD[InternalRow] = {
+    AsofMergeJoinExec.longGetter(leftKey.dataType)
+      .zip(AsofMergeJoinExec.longGetter(leftTime.dataType)) match {
+      case Some((kGet, tGet)) => executePrimitive(kGet, tGet)
+      case None               => executeGeneric()
+    }
+  }
+
+  /** Fast path for integer-backed key AND time types (the trades ×
+    * quotes shape: long/int keys, timestamp times): key/time evaluate
+    * through ONE code-generated UnsafeProjection per side and compare
+    * as unboxed longs — no per-row interpreted Expression.eval, no
+    * boxing, no ordering objects in the merge loop.
+    */
+  private def executePrimitive(
+      kGet: (InternalRow, Int) => Long,
+      tGet: (InternalRow, Int) => Long): RDD[InternalRow] = {
+    val lkExpr = leftKey; val rkExpr = rightKey
+    val ltExpr = leftTime; val rtExpr = rightTime
+    val leftOutput = left.output; val rightOutput = right.output
+    val allOutput  = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lProj = UnsafeProjection.create(
+        Seq(BindReferences.bindReference(lkExpr, leftOutput),
+          BindReferences.bindReference(ltExpr, leftOutput)))
+      val rProj = UnsafeProjection.create(
+        Seq(BindReferences.bindReference(rkExpr, rightOutput),
+          BindReferences.bindReference(rtExpr, rightOutput)))
+      val joined    = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOutput.size)
+      val proj      = UnsafeProjection.create(allOutput, allOutput)
+
+      var rRow: InternalRow = null       // lookahead right row
+      var rKeyV = 0L; var rTimeV = 0L
+      var carriedRow: InternalRow = null // copy — iterators reuse rows
+      var carriedKey = 0L
+      def advanceRight(): Unit = {
+        rRow = null
+        while (rRow == null && rIter.hasNext) {
+          val row = rIter.next()
+          val kt = rProj(row)
+          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+            rRow = row; rKeyV = kGet(kt, 0); rTimeV = tGet(kt, 1)
+          }
+        }
+      }
+      advanceRight()
+
+      lIter.map { lrow =>
+        val kt = lProj(lrow)
+        var matched = false
+        if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+          val k = kGet(kt, 0); val t = tGet(kt, 1)
+          var more = rRow != null
+          while (more) {
+            if (rKeyV < k || (rKeyV == k && rTimeV <= t)) {
+              if (rKeyV == k) { carriedRow = rRow.copy(); carriedKey = rKeyV }
+              advanceRight()
+              more = rRow != null
+            } else more = false
+          }
+          matched = carriedRow != null && carriedKey == k
+        }
+        proj(joined(lrow, if (matched) carriedRow else nullRight))
+      }
+    }
+  }
+
+  /** Generic path: any orderable key/time types (string keys, decimal
+    * times) through interpreted orderings.
+    */
+  private def executeGeneric(): RDD[InternalRow] = {
     val keyOrd  = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val lkExpr = leftKey; val rkExpr = rightKey
@@ -162,4 +240,19 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
 
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsofMergeJoinExec =
     copy(left = l, right = r)
+}
+
+object AsofMergeJoinExec {
+  import org.apache.spark.sql.types._
+
+  /** Unboxed accessor for integer-backed atomic types whose natural
+    * ordering equals signed-long ordering (the fast-path precondition).
+    */
+  private[graft] def longGetter(dt: DataType): Option[(InternalRow, Int) => Long] = dt match {
+    case LongType | TimestampType | TimestampNTZType => Some((r, i) => r.getLong(i))
+    case IntegerType | DateType                      => Some((r, i) => r.getInt(i).toLong)
+    case ShortType                                   => Some((r, i) => r.getShort(i).toLong)
+    case ByteType                                    => Some((r, i) => r.getByte(i).toLong)
+    case _                                           => None
+  }
 }

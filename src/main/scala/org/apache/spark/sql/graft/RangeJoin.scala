@@ -91,17 +91,25 @@ object RangeJoin {
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     if (mn == mx) // degenerate domain: one bucket — join condition does the work
       return points.join(intervals, lo.cast("double") <= p && p <= hi.cast("double"))
+    // NULL routing: width_bucket(null) is null and greatest() SKIPS
+    // nulls, so a null point lands in bucket 1 — harmless, because the
+    // final precise bounds filter rejects it (null comparison).
     def bucketOf(v: Column): Column =
       least(greatest(width_bucket(v.cast("double"), lit(mn), lit(mx), lit(buckets)),
         lit(1L)), lit(buckets.toLong))
-    val l = points.withColumn("_rb", bucketOf(point))
+    // uniquified helper-column name: a caller frame that already has a
+    // column of the same name must not collide
+    val rb = s"_rb_${RangeJoin.helperColId.incrementAndGet()}"
+    val l = points.withColumn(rb, bucketOf(point))
     val r = intervals
       .filter(lo.cast("double") <= hi.cast("double"))
-      .withColumn("_rb", explode(sequence(bucketOf(lo), bucketOf(hi))))
-    l.join(r, Seq("_rb"))
+      .withColumn(rb, explode(sequence(bucketOf(lo), bucketOf(hi))))
+    l.join(r, Seq(rb))
       .filter(lo.cast("double") <= p && p <= hi.cast("double"))
-      .drop("_rb")
+      .drop(rb)
   }
+
+  private val helperColId = new java.util.concurrent.atomic.AtomicLong()
 
   private def logWarning(msg: String): Unit =
     org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)

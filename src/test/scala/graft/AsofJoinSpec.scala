@@ -99,6 +99,17 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Seq(42L))
   }
 
+  test("mismatched key/time types fail at planning with a clear error") {
+    val ev  = Seq((1L, 1, 100L)).toDF("ev_id", "k", "tl") // int key
+      .select(col("ev_id"), col("k"), timestamp_seconds(col("tl")).as("t"))
+    val ord = Seq((1L, 99L, 41L)).toDF("k", "tl", "payload") // long key
+      .select(col("k"), timestamp_seconds(col("tl")).as("t"), col("payload"))
+    val err = intercept[Exception] {
+      AsofJoin.asofBackward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t")).collect()
+    }
+    assert(err.getMessage.contains("key columns must share a data type"), err.getMessage)
+  }
+
   test("q14 through the custom operator equals the window-trick result on real data") {
     val got = graft.operators.Relational.q14AsofJoin(spark, Sf).collect().map(_.toSeq).toSeq
     // legacy union-window formulation over the same tables

@@ -119,6 +119,32 @@ class GeoSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("g8: the local listing is distributed — rows flow from tasks, not a driver LocalRelation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, MapPartitions}
+    val plan = GeoQueries.listingManifest(spark, Sf).queryExecution.optimizedPlan
+    // the old formulation collected listStatus driver-side into a
+    // per-file LocalRelation; now the only LocalRelation is the tiny
+    // prefix seed and the listing rows come out of a MapPartitions
+    // running in tasks
+    assert(plan.collect { case m: MapPartitions => m }.nonEmpty, plan.toString)
+    val localRows = plan.collect { case l: LocalRelation => l.data.size }
+    assert(localRows.forall(_ <= 20), s"LocalRelation sizes: $localRows\n$plan")
+  }
+
+  test("g8: prefix-sharded listing equals a flat driver-side listStatus") {
+    val fixture = graft.geo.Fixtures.ensureListing(spark, Sf)
+    val prefixes = for (h <- Seq("N", "S"); d <- 0 to 9) yield s"ALPSMLC30_${h}0$d"
+    val got = org.apache.spark.sql.graft.FsListing
+      .listByPrefix(spark, fixture, prefixes, ".grft")
+      .as[(String, Long)].collect().toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(fixture), spark.sparkContext.hadoopConfiguration)
+    val exp = fs.listStatus(new org.apache.hadoop.fs.Path(fixture))
+      .filter(_.getPath.getName.endsWith(".grft"))
+      .map(st => (st.getPath.getName, st.getLen)).toSet
+    assert(got.nonEmpty && got == exp)
+  }
+
   test("g1/g2/g5 run at sf0.001 with sane shapes") {
     assert(GeoQueries.tileParse(spark, Sf).filter(!col("roundtrip_ok")).count() == 0)
     val g2 = GeoQueries.regionFilter(spark, Sf).collect().head

@@ -146,6 +146,64 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
   }
 
+  test("sessionize and dedup behave identically under the RocksDB state store") {
+    // At 100 TB of streaming state the default HDFS-backed store keeps
+    // every key on the JVM heap; RocksDB spills state off-heap/on-disk
+    // and is the production provider. Same pipeline, same results —
+    // and the progress metrics prove RocksDB actually held the state.
+    import graft.streaming.{EventStreams, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[SessionEvent]
+      val q = EventStreams.sessionize(mem.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sessions_rocksdb_out").start()
+      mem.addData(
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1L, Timestamp.valueOf("2024-01-01 12:05:00"), 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_rocksdb_out").collect()
+      val rocksMetrics = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+        .filter(_.toLowerCase.contains("rocksdb"))
+      q.stop()
+      // identical semantics to the default-provider sessionize test
+      assert(sessions.length == 1)
+      val s1 = sessions.head
+      assert(s1.getAs[Long]("session_id") == 1 && s1.getAs[Long]("n_events") == 2)
+      assert(s1.getAs[Long]("value_cents") == 300)
+      assert(rocksMetrics.nonEmpty, "state operator reported no RocksDB metrics")
+
+      val dmem = MemoryStream[(Timestamp, Long, String)]
+      val dq = EventStreams.dedupStream(dmem.toDF().toDF("ts", "doc_id", "text"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dedup_rocksdb_out").start()
+      dmem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "the same text"),
+        (Timestamp.valueOf("2024-01-01 10:00:30"), 2L, "THE  same   text"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 3L, "something else"))
+      dq.processAllAvailable()
+      dmem.addData((Timestamp.valueOf("2024-01-01 10:02:00"), 4L, "the same text"))
+      dq.processAllAvailable()
+      val deduped = spark.table("dedup_rocksdb_out").collect()
+      dq.stop()
+      assert(deduped.length == 2)
+      assert(deduped.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerConf, v)
+        case None    => spark.conf.unset(providerConf)
+      }
+    }
+  }
+
   test("file-source ingest picks up only newly arrived files per trigger") {
     import spark.implicits._
     val dir = scratchDir("graft_ingest")
