@@ -8,8 +8,40 @@ import org.apache.spark.sql.SparkSession
   * noise is ±15%, so single-shot numbers are not comparable across
   * rounds. Caches are released between runs so every run pays the
   * query's true cost.
+  *
+  * The JSON is built to be AUDITABLE after the fact: alongside each
+  * median it carries the raw per-run times (`runs_raw`) and the
+  * 1-minute system load average at start and end (`load_start`/
+  * `load_end`), so a reader can tell a contended-machine artifact
+  * from a real regression without re-executing (a median hides which
+  * runs were polluted; the raw array + load do not).
+  *
+  * If a 10x scale directory exists (default `.data/sf1`, overridable
+  * via SPARK_GRAFT_BENCH_SCALE_DIR, only auto-enabled when the main
+  * run is sf0.1) the heaviest queries also run there once and the
+  * output gains an `sf1` section with the measured per-query scaling
+  * exponent log10(t_sf1 / t_sf0.1) — ~1.0 means linear in data size.
   */
 object Bench {
+  /** Queries measured at the 10x scale dir; the suite's top cost
+    * drivers plus the documented-quadratic d5.
+    */
+  private val ScaleQueries = Seq("d4_ngram_jaccard", "d5_embed_neardup",
+    "d6_repeated_spans", "g6_region_elevation_join", "s3_ann_ivf")
+
+  private def loadAvg(): Double = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Exception =>
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    }
+  }
+
+  private def jnum(v: Double): String = if (v.isNaN) "null" else v.toString
+
+  private def jarr(xs: Seq[Double]): String = xs.map(jnum).mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -24,19 +56,20 @@ object Bench {
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg()
     // warm up the JVM/codegen/parquet paths so the first timed query
     // doesn't absorb session startup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (0 until runs).flatMap { _ =>
+
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String, n: Int): Seq[Double] =
+      (0 until n).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { fn(spark, dir).count(); true }
           catch { case e: Throwable =>
             if (!failed.contains(name)) failed ::= name
             System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
@@ -45,19 +78,46 @@ object Bench {
           finally Caches.clear() // release per-query caches between runs
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      val median =
-        if (times.isEmpty) Double.NaN
-        else {
-          val s = times.sorted
-          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-        }
-      name -> median
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    def median(times: Seq[Double]): Double =
+      if (times.isEmpty) Double.NaN
+      else {
+        val s = times.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => (name, time(name, fn, sfDir, runs)) }
+    // an all-failed query would render NaN (invalid JSON); it is
+    // already listed in `failed`, so its median renders as null.
+    val qs = results.map { case (k, t) => "\"" + k + "\":" + jnum(median(t)) }
+      .mkString("{", ",", "}")
+    val raw = results.map { case (k, t) => "\"" + k + "\":" + jarr(t) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"runs":$runs,"sf":"$sfDir"}""")
+    val total = results.map(r => median(r._2)).filterNot(_.isNaN).sum
+
+    // 10x-scale section: one run per heavy query at the scale dir,
+    // plus the exponent vs this run's sf0.1 median.
+    val scaleDir = sys.env.get("SPARK_GRAFT_BENCH_SCALE_DIR")
+      .orElse(Some("/root/repo/.data/sf1").filter(_ => sfDir.contains("sf0.1")))
+      .filter(d => d.nonEmpty && d != "none" &&
+        new java.io.File(d, "documents.parquet").exists())
+    val sf1 = scaleDir.map { d =>
+      val byName = SparkEntry.queries
+      val entries = ScaleQueries.filter(byName.contains).map { name =>
+        val t = median(time(name, byName(name), d, 1))
+        val base = median(results.collectFirst { case (`name`, ts) => ts }.getOrElse(Nil))
+        val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
+                  else math.log10(t / base) // 10x data => exponent ~1.0 is linear
+        "\"" + name + "\":{\"sec\":" + jnum(t) + ",\"exponent\":" + jnum(exp) + "}"
+      }
+      s""","sf1":{"dir":"$d","runs":1,"queries":${entries.mkString("{", ",", "}")}}"""
+    }.getOrElse("")
+
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_raw":$raw,"failed":$fs,"runs":$runs,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"$sf1}""")
     spark.stop()
   }
 }

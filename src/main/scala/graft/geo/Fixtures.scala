@@ -46,6 +46,11 @@ object Fixtures {
     * the marker LAST, then swap the temp dir into place with a
     * same-directory rename — readers only ever see no dir, a stale
     * complete dir, or the new complete dir, never a half-written one.
+    * The guarantee is JVM-level only (`synchronized` + rename): two
+    * concurrent PROCESSES could interleave the delete/rename. Fine
+    * here — this repo runs a single sbt instance by constraint; a
+    * cross-process deployment would need Files.move(ATOMIC_MOVE)
+    * under a file lock.
     */
   private def ensureAtomic(out: File, expected: Int)(write: File => Unit): String = {
     val marker = new File(out, CompleteMarker)

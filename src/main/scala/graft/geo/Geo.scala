@@ -32,6 +32,17 @@ object Geo {
   /** Signed integer tile lon in [-180, 180] derived from a key column. */
   def tileLon(k: Column): Column = pmod(k * lit(73), lit(361)) - lit(180)
 
+  /** Key prefixes that COVER the tile-key space, for sharded listing
+    * (FsListing): hemisphere × second latitude digit. The latitude is
+    * `%03d` of |lat| ≤ 90, so the LEADING digit is always 0 and 20
+    * prefixes span every key `tileKey` can emit. Kept beside the
+    * formatter so a key-format change breaks both together; GeoSpec
+    * additionally reconciles the sharded listing count against a flat
+    * listing, which would catch any silently-dropped file.
+    */
+  val ListingPrefixes: Seq[String] =
+    for (h <- Seq("N", "S"); d <- 0 to 9) yield s"ALPSMLC30_${h}0$d"
+
   /** Format a signed (lat, lon) into the reference's tile key. */
   def tileKey(lat: Column, lon: Column): Column =
     format_string(

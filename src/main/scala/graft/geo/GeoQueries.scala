@@ -128,11 +128,8 @@ object GeoQueries {
     */
   def listingManifest(s: SparkSession, dir: String): DataFrame = {
     val fixture = Fixtures.ensureListing(s, dir)
-    // every tile key is ALPSMLC30_<N|S><3-digit lat>… with lat ≤ 90,
-    // so hemisphere × second lat digit covers the key space.
-    val prefixes = for (h <- Seq("N", "S"); d <- 0 to 9) yield s"ALPSMLC30_${h}0$d"
     val local = org.apache.spark.sql.graft.FsListing
-      .listByPrefix(s, fixture, prefixes, ".grft")
+      .listByPrefix(s, fixture, Geo.ListingPrefixes, ".grft")
       .select(regexp_replace(col("name"), "\\.grft$", "").as("tile_key"),
         col("size_bytes"))
     val remote = tiles(s, dir).filter(col("tile_id") < Fixtures.ListingLimit)

@@ -99,22 +99,28 @@ object Ann {
     */
   def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
     import e.sparkSession.implicits._
-    var cents: Array[Array[Float]] = e.orderBy("vec_id").limit(k)
+    var cents: Array[Array[Float]] = e.where(col("embedding").isNotNull)
+      .orderBy("vec_id").limit(k)
       .select("embedding").as[Seq[Float]].collect().map(_.toArray)
     val dim = cents.head.length
     val sums = (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+    // a null or short embedding would form a null-key group (NPE on
+    // the driver) or bias per-dim sums toward zero; exclude up front.
+    val clean = e.where(col("embedding").isNotNull && size(col("embedding")) === dim)
     for (_ <- 0 until iters) {
-      val upd = e
+      val upd = clean
         .groupBy(assignCluster(col("embedding"), cents).as("cluster"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
       val next = cents.map(_.clone())
       upd.foreach { r =>
-        val c = r.getInt(0)
-        val n = r.getLong(1).toDouble
-        var i = 0
-        while (i < dim) { next(c)(i) = (r.getDouble(i + 2) / n).toFloat; i += 1 }
+        if (!r.isNullAt(0)) {
+          val c = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          var i = 0
+          while (i < dim) { next(c)(i) = (r.getDouble(i + 2) / n).toFloat; i += 1 }
+        }
       }
       cents = next
     }

@@ -187,14 +187,26 @@ case class PointIntervalJoinExec(left: SparkPlan, right: SparkPlan,
             val mid = (lb + ub) >>> 1
             if (los(mid) <= p) lb = mid + 1 else ub = mid
           }
-          var idx = lb - 1
-          val out = Seq.newBuilder[InternalRow]
-          while (idx >= 0 && maxHiPrefix(idx) >= p) {
-            val (_, h, rrow) = intervals(idx)
-            if (h >= p) out += proj(joined(lrow, rrow)).copy()
-            idx -= 1
+          // Lazy descending walk: no per-probe builder and no per-match
+          // copy — the projected UnsafeRow is reused, which is safe
+          // because each emitted row is consumed before the next
+          // `next()` (rows never outlive one step of the iterator).
+          new Iterator[InternalRow] {
+            private[this] var idx = lb - 1
+            seek()
+            // advance idx to the next interval containing p, or stop
+            // (-1) once the running-max prefix proves none remain.
+            private def seek(): Unit = {
+              while (idx >= 0 && maxHiPrefix(idx) >= p && intervals(idx)._2 < p) idx -= 1
+              if (idx >= 0 && maxHiPrefix(idx) < p) idx = -1
+            }
+            override def hasNext: Boolean = idx >= 0
+            override def next(): InternalRow = {
+              val r = proj(joined(lrow, intervals(idx)._3))
+              idx -= 1; seek()
+              r
+            }
           }
-          out.result().iterator
         }
       }
     }

@@ -132,10 +132,11 @@ class GeoSpec extends SparkSpec {
   }
 
   test("g8: prefix-sharded listing equals a flat driver-side listStatus") {
+    // Uses the PRODUCTION prefix set: this is the count reconciliation
+    // that catches a prefix list no longer covering the key space.
     val fixture = graft.geo.Fixtures.ensureListing(spark, Sf)
-    val prefixes = for (h <- Seq("N", "S"); d <- 0 to 9) yield s"ALPSMLC30_${h}0$d"
     val got = org.apache.spark.sql.graft.FsListing
-      .listByPrefix(spark, fixture, prefixes, ".grft")
+      .listByPrefix(spark, fixture, Geo.ListingPrefixes, ".grft")
       .as[(String, Long)].collect().toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(fixture), spark.sparkContext.hadoopConfiguration)
