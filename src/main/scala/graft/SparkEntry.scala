@@ -139,10 +139,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the inherently
     * approximate/engine-specific ops (q16 HLL, q25 sketch quantiles,
-    * s2/s3 ANN) → rows-only check. m1's oracle re-derives the stub
-    * decoder's wrapping-arithmetic metadata with a HUGEINT byte fold —
-    * exact because the corpus is ASCII (byte i = ord(char i)); a
-    * non-ASCII corpus would need DuckDB blob indexing instead.
+    * s2/s3 ANN) → rows-only check. m1's oracle regenerates the PNG
+    * fixture image's pixels (integer formulas of doc_id, x, y) and
+    * folds them with HUGEINT wrapping arithmetic — exact because PNG
+    * is lossless, so the real ImageIO decode on the Spark side
+    * reproduces the formula pixels bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
     "g1_tile_parse" -> raw"""
@@ -529,18 +530,20 @@ object SparkEntry {
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
       |ORDER BY id_a, id_b""".stripMargin,
     "m1_mm_manifest" -> raw"""
-      |WITH b AS (SELECT doc_id, strlen(text)::INT AS n_bytes,
-      |  list_reduce(list_prepend(1125899906842597::HUGEINT,
-      |    [ord(text[i])::HUGEINT for i in range(1, length(text)+1)]),
-      |    (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS hu
+      |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
       |  FROM documents),
-      |s AS (SELECT *, CASE WHEN hu >= 9223372036854775808::HUGEINT
-      |                     THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs FROM b)
-      |SELECT doc_id, n_bytes,
-      |  ((hs % 1920 + 1920) % 1920 + 1)::INT AS width,
-      |  (((hu // 131072) % 1080) + 1)::INT AS height,
-      |  3 AS channels, hs::BIGINT AS phash
-      |FROM s ORDER BY doc_id""".stripMargin,
+      |p AS (SELECT doc_id, w, h,
+      |  list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |    [(((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) * 65536
+      |    + ((doc_id * 17 + (i % w) * 3 + (i // w) * 5) % 256) * 256
+      |    + ((doc_id * 7 + (i % w) * 11 + (i // w) * 3) % 256))::HUGEINT
+      |     for i in range(0, w * h)]),
+      |    (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM d)
+      |SELECT doc_id, (w * h * 3)::INT AS n_bytes, w AS width, h AS height, 3 AS channels,
+      |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS phash
+      |FROM p ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" -> raw"""
       |SELECT md5($Nrm) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,

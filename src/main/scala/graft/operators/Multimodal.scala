@@ -1,46 +1,172 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Typed metadata emitted by the (stubbed) media decoder. */
+/** Typed metadata emitted by the media decoder. `n_bytes` is the
+  * DECODED content size (width × height × channels) — the number a
+  * storage planner actually needs, and (unlike the container byte
+  * length, which depends on the encoder) a pure function of the
+  * image content, so the DuckDB oracle can recompute it.
+  */
 case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
     channels: Int, phash: Long)
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
-  * typed metadata. The container has no image/audio codecs, so the
-  * decode step is a clearly-marked deterministic STUB — but the
-  * Spark-side shape is real: binary payload column, batched
-  * per-partition decoding (the JVM analog of a Pandas-UDF
-  * `mapInPandas` batch), typed `Dataset[MediaMeta]` output, and
-  * partition counts that scale with input splits (decoders are
-  * CPU-bound; at 100 TB you repartition to cores, not files).
+  * typed metadata. The IMAGE path is real end-to-end: payloads are
+  * PNG containers (deterministic fixture images keyed by doc_id,
+  * encoded with `javax.imageio`) and decode / resize / feature
+  * extraction operate on REAL decoded pixels through ImageIO — no
+  * external deps, PNG is lossless, so decoded pixels equal the
+  * fixture formula exactly and the m1 manifest stays oracle-exact.
+  * Only VIDEO frame sampling remains a clearly-marked stub (no
+  * demuxer in the JDK). The Spark-side shape is the point at scale:
+  * binary payload column, batched per-partition decoding (the JVM
+  * analog of a Pandas-UDF `mapInPandas` batch), typed
+  * `Dataset[MediaMeta]` output, and partition counts that scale with
+  * cores, not files (decoders are CPU-bound).
   */
 object Multimodal {
 
   val BatchSize = 64
 
-  /** STUB decoder: stands in for an image codec. Deterministic fake
-    * metadata from the payload bytes; replace the body with a real
-    * codec (e.g. TwelveMonkeys ImageIO) in production.
-    */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-    var h = 1125899906842597L // ??? real codec goes here — fake pHash/dims below
-    payload.foreach(b => h = h * 31 + b)
-    MediaMeta(docId, payload.length,
-      width = (math.floorMod(h, 1920L) + 1L).toInt,
-      height = (math.floorMod(h >>> 17, 1080L) + 1L).toInt,
-      channels = 3, phash = h)
+  // --- deterministic image fixtures ---------------------------------
+  // Dims and pixels are simple integer formulas of (doc_id, x, y) so
+  // the DuckDB oracle can regenerate them in SQL; PNG is lossless, so
+  // what the codec decodes IS the formula.
+
+  /** Fixture image dims for a doc: 8..31 × 8..24. */
+  def imageDims(docId: Long): (Int, Int) =
+    ((math.floorMod(docId, 24L) + 8L).toInt, (math.floorMod(docId, 17L) + 8L).toInt)
+
+  /** Fixture pixel at (x, y): packed 0xRRGGBB. */
+  def pixel(docId: Long, x: Int, y: Int): Int = {
+    val r = math.floorMod(docId * 31L + x * 7L + y * 13L, 256L).toInt
+    val g = math.floorMod(docId * 17L + x * 3L + y * 5L, 256L).toInt
+    val b = math.floorMod(docId * 7L + x * 11L + y * 3L, 256L).toInt
+    (r << 16) | (g << 8) | b
   }
 
-  /** Documents with a binary media payload column (utf-8 bytes of the
-    * text stand in for an image blob).
+  /** REAL PNG container bytes for a doc's fixture image (ImageIO
+    * encoder). The byte stream is a genuine PNG any decoder opens.
     */
-  def withPayload(s: SparkSession, dir: String): DataFrame =
+  def pngPayload(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // --- real codec kernels -------------------------------------------
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF). */
+  def decodeImage(payload: Array[Byte]): BufferedImage = {
+    ImageIO.setUseCache(false) // pure in-memory decode, no temp files
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) throw new IllegalArgumentException(
+      s"payload (${payload.length} bytes) is not a decodable image")
+    img
+  }
+
+  /** Decode one payload to typed metadata. All fields come from the
+    * DECODED image: dims and band count from the codec, `phash` a
+    * row-major fold over the actual pixel values.
+    */
+  def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val img = decodeImage(payload)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val channels = img.getRaster.getNumBands
+    var hash = 1125899906842597L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { hash = hash * 31L + (img.getRGB(x, y) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    MediaMeta(docId, w * h * channels, w, h, channels, hash)
+  }
+
+  /** REAL nearest-neighbor resample of a decoded image. Deliberately
+    * nearest (not bilinear): bit-exact, so tests can assert
+    * thumb(x, y) == source(x·sw/w, y·sh/h) against the fixture
+    * formula.
+    */
+  def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL feature extraction over decoded pixels: channel values are
+    * mean-pooled round-robin into `dim` cells and centered to
+    * [-0.5, 0.5]. Simple, but computed from the actual image — the
+    * output schema matches the embeddings table (`array<float>`), so
+    * the ANN operators (Ann.*) run on it unchanged.
+    */
+  def imageFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+    val sums = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        var c = 0
+        while (c < 3) {
+          val v = (rgb >>> (16 - 8 * c)) & 0xFF
+          val idx = ((y * w + x) * 3 + c) % dim
+          sums(idx) += v / 255f
+          counts(idx) += 1
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i => if (counts(i) == 0) 0f else sums(i) / counts(i) - 0.5f)
+  }
+
+  // --- Spark plumbing -----------------------------------------------
+
+  /** Documents with a binary media payload column: a REAL PNG per doc
+    * (fixture image keyed by doc_id — the container has no media
+    * corpus, so the images are generated, but the bytes are genuine
+    * PNG containers round-tripped through the codec).
+    */
+  def withPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism) // decode is CPU-bound
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .repartition(s.sparkContext.defaultParallelism) // codec is CPU-bound
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pngPayload(id))))
+      .toDF("doc_id", "payload")
+  }
 
   /** Batched decode over partitions: payloads are grouped into
     * fixed-size batches inside each partition (decoders amortize
@@ -51,11 +177,13 @@ object Multimodal {
     import s.implicits._
     withPayload(s, dir).as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(BatchSize).flatMap(batch =>
-        batch.map { case (id, bytes) => decodeStub(id, bytes) }))
+        batch.map { case (id, bytes) => decode(id, bytes) }))
   }
 
   /** The `m1_mm_manifest` query: decoded metadata manifest ordered by
-    * doc_id (rows-only check; decode is stubbed).
+    * doc_id. Oracle-exact: every column is recomputed by the DuckDB
+    * oracle from the fixture formulas (PNG is lossless, so the codec
+    * output equals the formulas bit-for-bit).
     */
   def manifest(s: SparkSession, dir: String): DataFrame =
     decodeBatched(s, dir).toDF()
@@ -63,38 +191,21 @@ object Multimodal {
         col("channels"), col("phash"))
       .orderBy(col("doc_id"))
 
-  /** STUB resize: stands in for a bilinear image resize. The real
-    * version decodes `payload`, resizes to (w, h) and re-encodes;
-    * the stub derives a deterministic fake thumbnail (w*h bytes of a
-    * rolling hash over the payload) so downstream plumbing — binary
-    * in, smaller binary out, metadata carried — is exercised for real.
-    */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](w * h) // ??? real codec resample goes here
-    var acc = 1469598103934665603L
-    var i   = 0
-    while (i < out.length) {
-      acc = (acc ^ payload(i % math.max(payload.length, 1))) * 1099511628211L
-      out(i) = acc.toByte
-      i += 1
-    }
-    out
-  }
-
-  /** Thumbnails: batched resize over partitions; output keeps the
-    * payload column shape (binary) plus the target dims.
+  /** Thumbnails: batched REAL decode → resample → re-encode over
+    * partitions; binary PNG in, smaller binary PNG out, dims carried.
     */
   def thumbnails(s: SparkSession, dir: String, w: Int = 32, h: Int = 32): DataFrame = {
     import s.implicits._
     withPayload(s, dir).as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
-        (id, resizeStub(bytes, w, h), w, h)
+        (id, encodePng(resizeImage(decodeImage(bytes), w, h)), w, h)
       }))
       .toDF("doc_id", "thumb", "width", "height")
   }
 
   /** STUB frame sampler: stands in for video frame extraction — the
-    * real version demuxes the container and decodes every k-th frame;
+    * real version demuxes the container and decodes every k-th frame
+    * (no video demuxer ships with the JDK, so this one stays a stub);
     * the stub cuts the payload into `frames` deterministic slices.
     * One input row fans out to `frames` rows (explode shape), each a
     * binary "frame" with its index — the schema a video pipeline
@@ -119,30 +230,14 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame")
   }
 
-  /** STUB feature extractor: stands in for a vision encoder — maps a
-    * payload to a fixed-dim float vector (deterministic fake). Output
-    * schema matches the embeddings table (`array<float>`), so the ANN
-    * operators (Ann.*) run on it unchanged — that composition is the
-    * point.
+  /** Embedding extraction: binary payload → REAL decode → pooled
+    * `array<float>` column.
     */
-  def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim) // ??? real encoder forward pass goes here
-    var acc = 1125899906842597L
-    var i   = 0
-    while (i < dim) {
-      acc = acc * 6364136223846793005L + 1442695040888963407L + payload(i % math.max(payload.length, 1))
-      out(i) = ((acc >>> 40).toInt / 8388608.0f) - 1.0f
-      i += 1
-    }
-    out
-  }
-
-  /** Embedding extraction: binary payload → `array<float>` column. */
   def extractFeatures(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     import s.implicits._
     withPayload(s, dir).as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
-        (id, featureStub(bytes, dim))
+        (id, imageFeatures(decodeImage(bytes), dim))
       }))
       .toDF("doc_id", "embedding")
   }

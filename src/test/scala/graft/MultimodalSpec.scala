@@ -4,31 +4,57 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
-  test("manifest emits typed metadata for every doc, deterministically") {
-    val a = Multimodal.manifest(spark, Sf).collect()
-    val b = Multimodal.manifest(spark, Sf).collect()
-    assert(a.length == Tables.documents(spark, Sf).count())
-    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // stub decode is deterministic
-    a.foreach { r =>
-      assert(r.getAs[Int]("n_bytes") > 0)
-      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 1920)
-      assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 1080)
-      assert(r.getAs[Int]("channels") == 3)
+  test("png payload is a real container and the codec round-trips the fixture pixels exactly") {
+    for (id <- Seq(0L, 1L, 17L, 24L, 4081L)) {
+      val bytes = Multimodal.pngPayload(id)
+      // genuine PNG magic, not a fake blob
+      assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      val img = Multimodal.decodeImage(bytes)
+      val (w, h) = Multimodal.imageDims(id)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == Multimodal.pixel(id, x, y),
+          s"pixel mismatch doc=$id ($x,$y)")
     }
   }
 
-  test("decode runs batched per partition") {
-    // payload bytes equal the utf-8 text length (ascii corpus)
-    val ds = Multimodal.decodeBatched(spark, Sf)
-    val withLen = ds.toDF().join(
-      Tables.documents(spark, Sf).selectExpr("doc_id", "length(text) AS tl"), "doc_id")
-    assert(withLen.filter("n_bytes != tl").count() == 0)
+  test("manifest emits decoded metadata for every doc, deterministically") {
+    val a = Multimodal.manifest(spark, Sf).collect()
+    val b = Multimodal.manifest(spark, Sf).collect()
+    assert(a.length == Tables.documents(spark, Sf).count())
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = Multimodal.imageDims(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == 3)
+      assert(r.getAs[Int]("n_bytes") == w * h * 3)
+      // phash folds the DECODED pixels; PNG lossless => equals the formula fold
+      var expect = 1125899906842597L
+      for (y <- 0 until h; x <- 0 until w)
+        expect = expect * 31L + Multimodal.pixel(id, x, y)
+      assert(r.getAs[Long]("phash") == expect)
+    }
   }
 
-  test("resize emits fixed-size binary thumbnails") {
+  test("decode runs batched per partition and reports decoded size") {
+    val ds = Multimodal.decodeBatched(spark, Sf)
+    assert(ds.filter(m => m.n_bytes != m.width * m.height * m.channels).count() == 0)
+  }
+
+  test("resize re-encodes real thumbnails whose pixels map back to the source") {
     val t = Multimodal.thumbnails(spark, Sf, w = 16, h = 16)
     assert(t.count() == Tables.documents(spark, Sf).count())
-    t.collect().foreach(r => assert(r.getAs[Array[Byte]]("thumb").length == 256))
+    t.limit(8).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val img = Multimodal.decodeImage(r.getAs[Array[Byte]]("thumb"))
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      val (sw, sh) = Multimodal.imageDims(id)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((img.getRGB(x, y) & 0xFFFFFF) ==
+          Multimodal.pixel(id, x * sw / 16, y * sh / 16),
+          s"thumb pixel mismatch doc=$id ($x,$y)")
+    }
   }
 
   test("frame sampling fans one doc into k indexed frames") {
@@ -40,13 +66,19 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.toSeq == Seq(4L))
   }
 
-  test("feature extraction composes with the ANN operators' schema") {
+  test("feature extraction pools real pixels and composes with the ANN operators' schema") {
     val e = Multimodal.extractFeatures(spark, Sf, dim = 64)
     val row = e.head()
     val v1 = row.getSeq[Float](row.fieldIndex("embedding")).toList
     assert(v1.length == 64)
+    assert(v1.forall(v => v >= -0.5f && v <= 0.5f)) // mean of [0,1] values, centered
     // deterministic: same payload -> same vector
     val again = Multimodal.extractFeatures(spark, Sf, dim = 64).head()
     assert(v1 == again.getSeq[Float](again.fieldIndex("embedding")).toList)
+    // and it IS the pooled decode of the fixture image
+    val id = row.getLong(row.fieldIndex("doc_id"))
+    val expect = Multimodal.imageFeatures(
+      Multimodal.decodeImage(Multimodal.pngPayload(id)), 64).toList
+    assert(v1 == expect)
   }
 }
