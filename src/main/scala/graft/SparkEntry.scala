@@ -26,6 +26,7 @@ object SparkEntry {
     "g6_region_elevation_join" -> GeoQueries.regionElevation _,
     "g7_raster_ingest"        -> GeoQueries.rasterIngest _,
     "g8_listing_manifest"     -> GeoQueries.listingManifest _,
+    "g9_raster_tiff"          -> GeoQueries.rasterIngestTiff _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -206,6 +207,13 @@ object SparkEntry {
     "g7_raster_ingest" -> raw"""
       |WITH $GridCte
       |SELECT tile_id, tile_key, lat0, lon0, TRUE AS key_matches_header,
+      |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
+      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |FROM grid WHERE tile_id < 50
+      |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    "g9_raster_tiff" -> raw"""
+      |WITH $GridCte
+      |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
       |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
       |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
       |FROM grid WHERE tile_id < 50

@@ -110,6 +110,80 @@ object Fixtures {
     }
   }
 
+  /** Minimal REAL baseline-TIFF payload for one tile: little-endian
+    * ("II"), one 32-bit SIGNED-int band (SampleFormat=2), STRIPED with
+    * 3 rows per strip (so multi-strip assembly and a short last strip
+    * are exercised), uncompressed — the structural subset of the
+    * GeoTIFFs the reference opens (main.rs:172-191). Pixel values are
+    * the same congruential elevation formula as the GRFT fixture, so
+    * the g7/g9 oracles share the grid CTE. Unlike GRFT, a TIFF carries
+    * no tile identity — exactly like real AW3D30 tiles, identity comes
+    * from the FILENAME.
+    */
+  private[graft] def tiffBytes(tileId: Int, n: Int = GridN,
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
+    val rowsPerStrip = 3
+    val numStrips = (n + rowsPerStrip - 1) / rowsPerStrip
+    val entries = 10
+    val ifdOff = 8
+    val ifdSize = 2 + entries * 12 + 4
+    val offArr = ifdOff + ifdSize          // strip-offsets array
+    val cntArr = offArr + 4 * numStrips    // strip-byte-counts array
+    val data = cntArr + 4 * numStrips      // first strip payload
+    val buf = ByteBuffer.allocate(data + 4 * n * n).order(order)
+    val bom = if (order == ByteOrder.LITTLE_ENDIAN) 'I' else 'M'
+    buf.put(bom.toByte).put(bom.toByte).putShort(42).putInt(ifdOff)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3) buf.putShort(value.toShort).putShort(0) // SHORT: inline, padded
+      else buf.putInt(value)                                // LONG
+    }
+    buf.putShort(entries.toShort)
+    entry(256, 4, 1, n)            // ImageWidth
+    entry(257, 4, 1, n)            // ImageLength
+    entry(258, 3, 1, 32)           // BitsPerSample
+    entry(259, 3, 1, 1)            // Compression: none
+    entry(262, 3, 1, 1)            // Photometric: BlackIsZero
+    entry(273, 4, numStrips, offArr) // StripOffsets -> array
+    entry(277, 3, 1, 1)            // SamplesPerPixel
+    entry(278, 4, 1, rowsPerStrip) // RowsPerStrip
+    entry(279, 4, numStrips, cntArr) // StripByteCounts -> array
+    entry(339, 3, 1, 2)            // SampleFormat: signed int
+    buf.putInt(0)                  // no next IFD
+    var off = data
+    for (s <- 0 until numStrips) {
+      val rows = math.min(rowsPerStrip, n - s * rowsPerStrip)
+      buf.putInt(off); off += 4 * rows * n
+    }
+    for (s <- 0 until numStrips) {
+      val rows = math.min(rowsPerStrip, n - s * rowsPerStrip)
+      buf.putInt(4 * rows * n)
+    }
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        buf.putInt(((tileId.toLong * 131 + x * 17 + y * 29) % 8848).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Ensure the TIFF raster directory for `dir` exists; one
+    * `<tile_key>.tif` per tile with tile_id < RasterLimit.
+    */
+  def ensureTiffs(s: SparkSession, dir: String): String = synchronized {
+    val out = fixtureRoot("tiffs", dir)
+    val tiles = tileRows(s, dir, RasterLimit)
+    ensureAtomic(out, tiles.length) { tmp =>
+      tiles.foreach { case (id, _, _, key) =>
+        Files.write(Paths.get(tmp.toString, s"$key.tif"), tiffBytes(id))
+      }
+    }
+  }
+
   /** Expected remote object size for the listing manifest (bytes —
     * small enough to write as real files).
     */

@@ -115,6 +115,41 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g9: raster ingestion from REAL TIFF containers — the closest twin
+    * of the reference's GeoTIFF open (main.rs:172-191): `binaryFile`
+    * over fixture-generated `.tif` files, each a genuine baseline TIFF
+    * (striped, int32 band) decoded byte-level by the TiffDecode
+    * expression. A TIFF carries no tile identity, so — exactly as the
+    * reference does with AW3D30 object keys — identity comes from the
+    * FILENAME, and tile coordinates come from joining the tile
+    * universe on that key (broadcast-sized dim at any corpus scale:
+    * it is one row per tile, not per pixel). `dims_ok` cross-checks
+    * the decoded raster dims against the expected grid size.
+    */
+  def rasterIngestTiff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureTiffs(s, dir)
+    val decoded = s.read.format("binaryFile").option("pathGlobFilter", "*.tif").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.tiff_decode(col("content")).as("r"))
+      .select(col("tile_key"),
+        (col("r.width") === Fixtures.GridN && col("r.height") === Fixtures.GridN).as("dims_ok"),
+        explode(col("r.points")).as("p"))
+      .groupBy(col("tile_key"), col("dims_ok"))
+      .agg(count(lit(1)).as("n_pixels"),
+        min(col("p.elevation")).as("min_elev"),
+        max(col("p.elevation")).as("max_elev"),
+        r6(avg(col("p.elevation"))).as("avg_elev"),
+        sum(col("p.elevation")).as("sum_elev"))
+    tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
+      .join(decoded, Seq("tile_key"))
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        col("dims_ok"), col("n_pixels"), col("min_elev"), col("max_elev"),
+        col("avg_elev"), col("sum_elev"))
+      .orderBy(col("tile_id"))
+  }
+
   /** g8: filesystem-listing manifest — the twin of the reference's
     * paged ListObjectsV2 + idempotent-download check (main.rs:266-331,
     * 135-161), against a REAL directory. The listing is DISTRIBUTED:

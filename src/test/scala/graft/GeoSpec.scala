@@ -110,6 +110,39 @@ class GeoSpec extends SparkSpec {
     assert(GeoQueries.rasterIngest(spark, Sf).filter(!col("key_matches_header")).count() == 0)
   }
 
+  test("g9: TiffDecode parses both byte orders and rejects malformed payloads") {
+    import spark.implicits._
+    val le = graft.geo.Fixtures.tiffBytes(7, n = 8)
+    val be = graft.geo.Fixtures.tiffBytes(7, n = 8, order = java.nio.ByteOrder.BIG_ENDIAN)
+    val bad = "not a tiff".getBytes
+    val truncated = le.take(le.length - 5)
+    val rows = Seq(le, be, bad, truncated).toDF("content")
+      .select(org.apache.spark.sql.graft.RasterExprs.tiff_decode(col("content")))
+      .collect()
+    assert(rows(2).isNullAt(0) && rows(3).isNullAt(0))
+    for (i <- 0 to 1) {
+      val r = rows(i).getStruct(0)
+      assert(r.getInt(0) == 8 && r.getInt(1) == 8)
+      val pts = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(pts.length == 64)
+      // same congruential formula as GRFT: (7*131 + x*17 + y*29) % 8848
+      assert(pts.forall(p =>
+        p.getInt(2) == (7 * 131 + p.getInt(0) * 17 + p.getInt(1) * 29) % 8848))
+    }
+  }
+
+  test("g9: TIFF ingest agrees with the GRFT ingest on every shared stat") {
+    val got = GeoQueries.rasterIngestTiff(spark, Sf)
+    assert(got.filter(!col("dims_ok")).count() == 0)
+    val a = got.select("tile_id", "tile_key", "lat0", "lon0",
+      "n_pixels", "min_elev", "max_elev", "avg_elev", "sum_elev")
+      .collect().map(_.toSeq).toSet
+    val b = GeoQueries.rasterIngest(spark, Sf).select("tile_id", "tile_key", "lat0", "lon0",
+      "n_pixels", "min_elev", "max_elev", "avg_elev", "sum_elev")
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("g8: FS listing manifest flags missing and torn downloads only") {
     val got = GeoQueries.listingManifest(spark, Sf)
       .select("tile_id").as[Long].collect().toSet
