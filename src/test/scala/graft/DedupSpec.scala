@@ -57,6 +57,12 @@ class DedupSpec extends SparkSpec {
     assert(pp == banded)
   }
 
+  test("d4 OPH signature is candidate-complete: pairs identical to classic MinHash, real corpus") {
+    val classic = Dedup.ngramJaccard(spark, Sf, oph = false).collect().map(_.toSeq).toSet
+    val oph = Dedup.ngramJaccard(spark, Sf, oph = true).collect().map(_.toSeq).toSet
+    assert(oph.nonEmpty && oph == classic)
+  }
+
   test("simhash flags exact and near dups within hamming 3") {
     val got = Dedup.simhashPairs(spark, plantedDir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
