@@ -1,0 +1,95 @@
+package graft.tools
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Builds the 10× scale-proxy dataset (default `.data/sf1`) from
+  * sf0.1 for the scaling-exponent measurement (Bench's `sf1`
+  * section). Only the tables the heavy queries consume are scaled:
+  * documents (d4/d6), embeddings (d5/s3), part (g6's tile universe).
+  *
+  * Replication preserves WITHIN-replica similarity structure exactly
+  * and decorrelates replicas, so candidate/pair counts scale ~10×
+  * (linearly), not quadratically in spurious cross-replica matches:
+  *
+  *  - documents: replica k applies a per-replica character bijection
+  *    (letters rotate by 7k mod 26 case-preserving, digits by k) —
+  *    a bijection on chars is a bijection on char-4-grams and words,
+  *    so every within-replica Jaccard / span structure is preserved
+  *    bit-for-bit, while cross-replica grams are disjoint except
+  *    letterless/digitless grams.
+  *  - embeddings: replica k applies a fixed dimension permutation +
+  *    sign flips (an orthogonal transform): within-replica cosines
+  *    are EXACTLY preserved; cross-replica cosines decorrelate.
+  *  - part: keys shift by k·stride; tile coords are functions of the
+  *    key, so the tile universe grows 10× with the same density.
+  *
+  * Replica 0 is the identity — sf0.1 is a subset of the output.
+  * Generation is fully distributed (10 unioned selects, no driver
+  * data); a _COMPLETE marker makes it build-once.
+  */
+object GenScale {
+  val Replicas = 10
+  val Stride = 1000000L
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digits = "0123456789"
+
+  private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
+
+  /** Per-replica character bijection via `translate` (codegen'd). */
+  private def cipher(text: org.apache.spark.sql.Column, k: Int) =
+    translate(text, Lower + Upper + Digits,
+      rot(Lower, 7 * k % 26) + rot(Upper, 7 * k % 26) + rot(Digits, k))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/root/repo/.data/sf1")
+    val marker = Paths.get(outDir, "_COMPLETE")
+    if (Files.exists(marker)) { println(s"[genscale] $outDir already complete"); return }
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosConf._1, Tables.NanosConf._2)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Replicas).map(k => f(base, k)).reduce(_.unionAll(_))
+
+    val docs = replicate(Tables.documents(spark, srcDir)) { (d, k) =>
+      d.select((col("doc_id") + k * Stride).as("doc_id"),
+        cipher(col("text"), k).as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+
+    val dim = 64
+    val embBase = Tables.embeddings(spark, srcDir)
+    val emb = replicate(embBase) { (e, k) =>
+      if (k == 0) e
+      else {
+        val rng = new scala.util.Random(1000 + k)
+        val perm = rng.shuffle((0 until dim).toList).toArray
+        val sign = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        val transformed = array((0 until dim).map(i =>
+          (element_at(col("embedding"), perm(i) + 1) * sign(i)).cast("float")): _*)
+        e.select((col("vec_id") + k * Stride).as("vec_id"),
+          transformed.as("embedding"), col("label"))
+      }
+    }
+
+    val part = replicate(Tables.part(spark, srcDir)) { (p, k) =>
+      p.withColumn("p_partkey", col("p_partkey") + k * Stride)
+    }
+
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    part.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    val counts = Seq("documents", "embeddings", "part")
+      .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
+    Files.write(marker, counts.mkString("\n").getBytes("UTF-8"))
+    println(s"[genscale] wrote $outDir: ${counts.mkString(", ")}")
+    spark.stop()
+  }
+}
