@@ -118,17 +118,34 @@ object Dedup {
     // (GramHashes hashes byte ranges in place). Cache is registered
     // with Caches so Bench/Verify release it between queries.
     val hashed = graft.Caches.track(hashedDocs)
-    def sigOf(h32: Column): Column =
-      if (oph) ArrayExprs.oph_sig(h32, bands * rows, permA(0), permB(0), P32, DensifyC)
-      else ArrayExprs.minhash_sig(h32, permA.take(bands * rows),
-        permB.take(bands * rows), P32)
-    val banded = hashed
-      .select(col("doc_id"), size(col("fh")).as("sz"), fold32(col("fh")).as("h32"))
-      .select(col("doc_id"), col("sz"), sigOf(col("h32")).as("sig"))
-      .select(col("doc_id"), col("sz"), posexplode(bandKeys(col("sig"), bands, rows)))
-      .select(col("doc_id"), col("sz"), col("pos").as("band"), col("col").as("bkey"))
+    // the self-join keys on bkey ALONE: each band key is seeded with
+    // its band index, so same-band collisions already carry the band
+    // identity and a cross-band key equality is a 2^-64 accident —
+    // which could only ADD a candidate the exact verify then rejects,
+    // never lose one. Dropping the band column from the join key and
+    // shuffle measured 1.65 vs 2.93 s cold (0.90 vs 1.02 warm) on the
+    // sf0.1 candidate stage with identical candidate sets
+    // (tools.TuneD4; bucket-groupBy pair generation measured too and
+    // rejected: no better than the join).
+    // OPH path: ONE fused kernel from 64-bit feature hashes straight
+    // to band keys (fold + slots + band mixing, no intermediate
+    // per-doc arrays). Classic path: materialized fold → signature →
+    // xxhash64 band keys, retained as the completeness cross-check
+    // (DedupSpec asserts identical verified outputs).
+    val banded =
+      if (oph) hashed
+        .select(col("doc_id"), size(col("fh")).as("sz"),
+          explode(ArrayExprs.oph_bands(col("fh"), bands, rows,
+            permA(0), permB(0), P32, DensifyC)).as("bkey"))
+      else hashed
+        .select(col("doc_id"), size(col("fh")).as("sz"), fold32(col("fh")).as("h32"))
+        .select(col("doc_id"), col("sz"),
+          ArrayExprs.minhash_sig(col("h32"), permA.take(bands * rows),
+            permB.take(bands * rows), P32).as("sig"))
+        .select(col("doc_id"), col("sz"),
+          explode(bandKeys(col("sig"), bands, rows)).as("bkey"))
     val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.sz"), col("y.sz")).cast("double") >=
             lit(threshold) * greatest(col("x.sz"), col("y.sz")))

@@ -36,7 +36,7 @@ object ProfileD4 {
     // mirrors the shipped d4 parameters: 128 bands × 8 rows + the
     // PPJoin size-compatibility prune in the candidate join
     val sig = h32.select(col("doc_id"),
-      ArrayExprs.minhash_sig(col("h32"), Dedup.permA.take(1024), Dedup.permB.take(1024), Dedup.P32).as("sig")).cache()
+      ArrayExprs.oph_sig(col("h32"), 1024, Dedup.permA(0), Dedup.permB(0), Dedup.P32, Dedup.DensifyC).as("sig")).cache()
     t("minhash_sig 1024")(sig.count())
     val banded = sig
       .join(hashed.select(col("doc_id"), size(col("fh")).as("sz")), "doc_id")

@@ -27,6 +27,13 @@ object ArrayExprs {
   def oph_sig(hashes: Column, k: Int, a: Long, b: Long, p: Long, c: Long): Column =
     ExpressionUtils.column(OphSig(ExpressionUtils.expression(hashes), k, a, b, p, c))
 
+  /** Fused 64-bit-hashes → OPH slots → LSH band keys kernel (see
+    * [[OphBands]]).
+    */
+  def oph_bands(hashes64: Column, bands: Int, rows: Int, a: Long, b: Long,
+      p: Long, c: Long): Column =
+    ExpressionUtils.column(OphBands(ExpressionUtils.expression(hashes64), bands, rows, a, b, p, c))
+
   /** Fused one-pass set Jaccard (what FuseJaccardRule rewrites the
     * composed intersect/union form into).
     */
@@ -497,4 +504,155 @@ case class OphSig(child: Expression, k: Int, a: Long, b: Long, p: Long, c: Long)
     })
 
   override protected def withNewChildInternal(c2: Expression): OphSig = copy(child = c2)
+}
+
+/** Fused d4 banding kernel: 64-bit feature hashes → 32-bit fold →
+  * OPH slots (same scheme as [[OphSig]], optimal densification) →
+  * `bands` LSH band keys, one per `rows` consecutive slots, in a
+  * single pass with no intermediate arrays. Replaces three stages
+  * that each materialized a per-doc array (an interpreted per-element
+  * `pmod` HOF for the fold, the k-slot signature, and an
+  * xxhash64-over-slices HOF for the band keys) with one codegen'd
+  * kernel emitting the `bands`-long key array directly.
+  *
+  * The band key is a seeded avalanche mix over the band's slots —
+  * not xxhash64 — which changes nothing semantically: a band key is
+  * an internal bucket id; equal slot runs still map to equal keys
+  * (candidate completeness is slot-determined) and a cross-band hash
+  * collision can only ADD a candidate that exact verification
+  * rejects. The 32-bit fold `h mod 2^32` equals the `pmod` HOF
+  * formulation bit-for-bit (power-of-two modulus of a two's-
+  * complement long is the unsigned low half).
+  */
+case class OphBands(child: Expression, bands: Int, rows: Int, a: Long, b: Long,
+    p: Long, c: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(bands > 0 && rows > 0)
+  private val k = bands * rows
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val hs = in.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val slots = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val v = (a * (hs.getLong(i) & 0xFFFFFFFFL) + b) % p
+      val bin = (v % k).toInt
+      if (v < slots(bin)) slots(bin) = v
+      i += 1
+    }
+    var anyFilled = false
+    i = 0
+    while (i < k && !anyFilled) { anyFilled = slots(i) != Long.MaxValue; i += 1 }
+    if (anyFilled) {
+      val filled = slots.map(_ != Long.MaxValue)
+      var j = 0
+      while (j < k) {
+        if (!filled(j)) {
+          var donor = -1
+          var t = 1
+          while (donor < 0 && t <= 256) {
+            var z = j * c + t * 0xC2B2AE3D27D4EB4FL
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            val d = (((z ^ (z >>> 31)) >>> 1) % k).toInt
+            if (filled(d)) donor = d
+            t += 1
+          }
+          if (donor < 0) {
+            var w = 1
+            while (!filled((j + w) % k)) w += 1
+            donor = (j + w) % k
+          }
+          slots(j) = slots(donor)
+        }
+        j += 1
+      }
+    }
+    val keys = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var h = bnd * 0x9E3779B97F4A7C15L + 0xC2B2AE3D27D4EB4FL
+      var r = 0
+      while (r < rows) {
+        h = (h ^ slots(bnd * rows + r)) * 0x9E3779B97F4A7C15L
+        h ^= h >>> 32
+        r += 1
+      }
+      keys(bnd) = h
+      bnd += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n")
+      val slots = ctx.freshName("slots")
+      val filled = ctx.freshName("filled")
+      val any = ctx.freshName("any")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val v = ctx.freshName("v")
+      val bin = ctx.freshName("bin")
+      val z = ctx.freshName("z")
+      val d = ctx.freshName("d")
+      val donor = ctx.freshName("donor")
+      val w = ctx.freshName("w")
+      val keys = ctx.freshName("keys")
+      val bnd = ctx.freshName("bnd")
+      val r = ctx.freshName("r")
+      val h = ctx.freshName("h")
+      s"""
+        |int $n = $in.numElements();
+        |long[] $slots = new long[$k];
+        |java.util.Arrays.fill($slots, Long.MAX_VALUE);
+        |for (int $i = 0; $i < $n; $i++) {
+        |  long $v = (${a}L * ($in.getLong($i) & 0xFFFFFFFFL) + ${b}L) % ${p}L;
+        |  int $bin = (int) ($v % $k);
+        |  if ($v < $slots[$bin]) $slots[$bin] = $v;
+        |}
+        |boolean $any = false;
+        |for (int $i = 0; $i < $k && !$any; $i++) $any = $slots[$i] != Long.MAX_VALUE;
+        |if ($any) {
+        |  boolean[] $filled = new boolean[$k];
+        |  for (int $i = 0; $i < $k; $i++) $filled[$i] = $slots[$i] != Long.MAX_VALUE;
+        |  for (int $j = 0; $j < $k; $j++) {
+        |    if (!$filled[$j]) {
+        |      int $donor = -1;
+        |      for (int $t = 1; $donor < 0 && $t <= 256; $t++) {
+        |        long $z = $j * ${c}L + $t * 0xC2B2AE3D27D4EB4FL;
+        |        $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+        |        $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+        |        int $d = (int) ((($z ^ ($z >>> 31)) >>> 1) % $k);
+        |        if ($filled[$d]) $donor = $d;
+        |      }
+        |      if ($donor < 0) {
+        |        int $w = 1;
+        |        while (!$filled[($j + $w) % $k]) $w++;
+        |        $donor = ($j + $w) % $k;
+        |      }
+        |      $slots[$j] = $slots[$donor];
+        |    }
+        |  }
+        |}
+        |long[] $keys = new long[$bands];
+        |for (int $bnd = 0; $bnd < $bands; $bnd++) {
+        |  long $h = $bnd * 0x9E3779B97F4A7C15L + 0xC2B2AE3D27D4EB4FL;
+        |  for (int $r = 0; $r < $rows; $r++) {
+        |    $h = ($h ^ $slots[$bnd * $rows + $r]) * 0x9E3779B97F4A7C15L;
+        |    $h ^= $h >>> 32;
+        |  }
+        |  $keys[$bnd] = $h;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c2: Expression): OphBands = copy(child = c2)
 }

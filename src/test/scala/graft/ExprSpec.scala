@@ -35,6 +35,54 @@ class ExprSpec extends SparkSpec {
     df.as[(Seq[Long], Seq[Long])].collect().foreach { case (a, b) => assert(a == b) }
   }
 
+  test("OphSig codegen == interpreted eval, and fills every slot") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(20)(Seq.fill(rnd.nextInt(60) + 1)(
+      rnd.nextLong().abs % 4294967296L)) :+ Seq.empty[Long]
+    val k = 64
+    val mk = () => org.apache.spark.sql.graft.OphSig(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType), true),
+      k, Dedup.permA(0), Dedup.permB(0), Dedup.P32, Dedup.DensifyC)
+    // codegen path (DataFrame) vs interpreted path (direct eval)
+    val viaDf = rows.toDF("h")
+      .select(ArrayExprs.oph_sig(col("h"), k, Dedup.permA(0), Dedup.permB(0),
+        Dedup.P32, Dedup.DensifyC))
+      .as[Seq[Long]].collect()
+    rows.zip(viaDf).foreach { case (in, got) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(in.toArray))
+      val interp = mk().eval(row)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+      assert(got == interp)
+      assert(got.length == k)
+      // non-empty input densifies every slot below the sentinel
+      if (in.nonEmpty) assert(got.forall(_ != Long.MaxValue))
+      else assert(got.forall(_ == Long.MaxValue))
+    }
+  }
+
+  test("OphBands codegen == interpreted eval, bands-many keys") {
+    val rnd = new scala.util.Random(4)
+    val rows = Seq.fill(20)(Seq.fill(rnd.nextInt(60) + 1)(rnd.nextLong()))
+    val (bands, rws) = (16, 4)
+    val viaDf = rows.toDF("h")
+      .select(ArrayExprs.oph_bands(col("h"), bands, rws, Dedup.permA(0),
+        Dedup.permB(0), Dedup.P32, Dedup.DensifyC))
+      .as[Seq[Long]].collect()
+    rows.zip(viaDf).foreach { case (in, got) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(in.toArray))
+      val interp = org.apache.spark.sql.graft.OphBands(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType), true),
+        bands, rws, Dedup.permA(0), Dedup.permB(0), Dedup.P32, Dedup.DensifyC)
+        .eval(row)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+      assert(got == interp && got.length == bands)
+    }
+  }
+
   test("GramHashes(word) set-equals xxhash64 over wordShingles strings") {
     import graft.functions.TextFns._
     val texts = Seq("the quick brown fox jumps over the lazy dog",
