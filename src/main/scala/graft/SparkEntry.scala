@@ -56,12 +56,14 @@ object SparkEntry {
       graft.operators.Quality.dqAudit(s, d)),
     "q27_pivot"               -> Relational.q27Pivot _,
     "q28_gapfill"             -> Relational.q28Gapfill _,
+    "q29_unpivot"             -> Relational.q29Unpivot _,
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
     "t3_langid"               -> TextAnalysis.langId _,
     "t4_fingerprint"          -> TextAnalysis.fingerprints _,
     "t5_top_terms"            -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
+    "t6_tfidf"                -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -509,6 +511,29 @@ object SparkEntry {
       |  list_reduce([strpos('0123456789abcdef', substr(md5($Nrm), i, 1)) - 1
       |               for i in range(1, 16)], (a, b) -> a*16 + b)::BIGINT AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_unpivot" -> raw"""
+      |WITH a AS (SELECT l_returnflag,
+      |  sum(l_quantity)::BIGINT AS qty_sum,
+      |  sum(round(l_extendedprice*100)::BIGINT)::BIGINT AS extprice_cents,
+      |  sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS disc_cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'qty_sum' AS metric, qty_sum AS value FROM a
+      |UNION ALL SELECT l_returnflag, 'extprice_cents', extprice_cents FROM a
+      |UNION ALL SELECT l_returnflag, 'disc_cents', disc_cents FROM a
+      |ORDER BY l_returnflag, metric""".stripMargin,
+    "t6_tfidf" -> raw"""
+      |WITH w AS (SELECT doc_id, unnest(string_split($Nrm, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |s AS (SELECT tf.doc_id, tf.w,
+      |        round(tf.tf::DOUBLE * (n.n - df.df + 0.5) / (df.df::DOUBLE + 0.5), 6) AS score
+      |      FROM tf JOIN df USING (w) CROSS JOIN n),
+      |r AS (SELECT doc_id, w, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+      |      FROM s)
+      |SELECT doc_id, rnk::INT AS rank, w AS term, score
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "t5_top_terms" -> raw"""
       |WITH d AS (SELECT doc_id, lang, unnest(list_distinct(string_split($Nrm, ' '))) AS w
       |           FROM documents),

@@ -497,6 +497,23 @@ object Relational {
       .orderBy(col("event_type"), spine("hour_epoch"))
   }
 
+  /** q29: UNPIVOT (melt) — the wide→long inverse of q27's pivot, via
+    * the built-in `Dataset.unpivot` (a Catalyst Expand: each row fans
+    * out to one row per value column IN PLACE, no shuffle beyond the
+    * upstream agg). All melted measures share one BIGINT domain
+    * (units/cents) as unpivot requires a common value type.
+    */
+  def q29Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty_sum"),
+        sumCents(col("l_extendedprice")).as("extprice_cents"),
+        sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_cents"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty_sum"), col("extprice_cents"), col("disc_cents")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   /** JSON extraction from the events.props payload + aggregate. */
   def q15Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -86,4 +86,37 @@ object TextAnalysis {
       .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
         col("col.label").as("term"), col("col.score").cast("long").as("doc_freq"))
       .orderBy(col("lang"), col("rank"))
+
+  /** t6: per-document top-k terms by TF-IDF — the keyword extractor a
+    * training-data pipeline runs for topic tagging / quality signals.
+    * The idf is the RATIONAL BM25 form `(N - df + 0.5)/(df + 0.5)`
+    * rather than a log: division and multiplication are correctly
+    * rounded IEEE ops, so the score is bit-identical in any engine
+    * (a libm `ln` is not), keeping the query oracle-exact. Shape:
+    * per-doc term counts (one shuffle), corpus document frequencies
+    * off the tf table (second shuffle, term-keyed — no skewed
+    * explode of raw tokens twice), a broadcast one-row corpus count,
+    * and the bounded-heap TopKLabeled per doc instead of a window
+    * (tie-break score desc, term asc — matches the oracle's ORDER
+    * BY). Scales: every shuffle key is (doc, term) or term; no
+    * driver-side state but the single N row.
+    */
+  def tfidfTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        r6(col("tf").cast("double") * (col("n") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.graft.TopKLabeled
+        .top_k_labeled(col("score"), col("w"), k).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.label").as("term"), col("col.score").as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

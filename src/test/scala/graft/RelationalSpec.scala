@@ -86,6 +86,20 @@ class RelationalSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n_customers") == Tables.customer(spark, Sf).count())
   }
 
+  test("q29 unpivot is the exact long form of the wide aggregate") {
+    val long = Relational.q29Unpivot(spark, Sf).collect()
+    val flags = Tables.lineitem(spark, Sf).select("l_returnflag").distinct().count()
+    assert(long.length == flags * 3) // 3 metrics per flag
+    // every (flag, metric) value equals the wide cell it was melted from
+    val wide = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty_sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    long.filter(_.getString(1) == "qty_sum").foreach { r =>
+      assert(r.getLong(2) == wide(r.getString(0)))
+    }
+  }
+
   test("q23 merge applies deletes, updates and inserts consistently") {
     val snapN = Tables.customer(spark, Sf).count()
     val rows = Relational.q23Merge(spark, Sf).collect()

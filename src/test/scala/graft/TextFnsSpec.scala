@@ -59,6 +59,28 @@ class TextFnsSpec extends SparkSpec {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("t6: bounded-heap TF-IDF equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextAnalysis
+    import graft.functions.Det._
+    val got = TextAnalysis.tfidfTerms(spark, Sf).collect().map(_.toSeq).toSeq
+    val docs = Tables.documents(spark, Sf)
+    val n = docs.count().toDouble
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "w")
+      .select(col("doc_id"), col("w"),
+        r6(col("tf").cast("double") * (lit(n) - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+    val exp = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp)
+  }
+
   test("langPredict returns a profile language deterministically") {
     val df = Seq("the data query stuff", "join filter sort x", "zzz").toDF("text")
       .select(words(col("text")).as("w")).select(langPredict(col("w")).as("p"))
