@@ -174,6 +174,30 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** STREAM-STREAM interval join: each click pairs with the same
+    * user's purchases landing within `windowMinutes` AFTER it — the
+    * attribution join every event pipeline runs. Both sides carry
+    * watermarks and the join condition bounds purchase time relative
+    * to click time, so the engine can size per-key state and EVICT
+    * rows once the watermark passes their join horizon — without the
+    * time bound a stream-stream join would buffer both streams
+    * forever. State is keyed by user_id (the equi-part of the
+    * condition); shuffle is one hash-partition per side per trigger.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    c.join(p,
+        expr(s"""c.user_id = p.user_id AND
+                 |p.ts >= c.ts AND
+                 |p.ts <= c.ts + INTERVAL $windowMinutes minutes""".stripMargin))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        unix_timestamp(col("c.ts")).as("click_epoch"),
+        unix_timestamp(col("p.ts")).as("purchase_epoch"))
+  }
+
   /** Streaming twin of g5's incremental ingest: a file-source stream
     * over a directory of parquet drops — each trigger processes only
     * newly-arrived files (Spark's file-source log IS the idempotent

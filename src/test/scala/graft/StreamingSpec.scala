@@ -284,6 +284,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join attributes purchases to clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.clickPurchaseJoin(
+        clicks.toDF().toDF("event_id", "ts", "user_id"),
+        purchases.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L),
+      (3L, Timestamp.valueOf("2024-01-01 10:00:00"), 8L))
+    purchases.addData(
+      (101L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L), // within 30m of click 1
+      (102L, Timestamp.valueOf("2024-01-01 11:00:00"), 7L), // outside any window
+      (103L, Timestamp.valueOf("2024-01-01 10:10:00"), 9L)) // no such user clicked
+    q.processAllAvailable()
+    val got = spark.table("attr_out")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 101L)))
+  }
+
   test("file-source ingest picks up only newly arrived files per trigger") {
     import spark.implicits._
     val dir = scratchDir("graft_ingest")
