@@ -132,7 +132,7 @@ object Dedup {
     // per-doc arrays). Classic path: materialized fold → signature →
     // xxhash64 band keys, retained as the completeness cross-check
     // (DedupSpec asserts identical verified outputs).
-    val banded =
+    val bandedBase =
       if (oph) hashed
         .select(col("doc_id"), size(col("fh")).as("sz"),
           explode(ArrayExprs.oph_bands(col("fh"), bands, rows,
@@ -144,6 +144,9 @@ object Dedup {
             permB.take(bands * rows), P32).as("sig"))
         .select(col("doc_id"), col("sz"),
           explode(bandKeys(col("sig"), bands, rows)).as("bkey"))
+    // both self-join sides read the SAME banded rows: cache them so
+    // the featurize→band kernel runs once, not once per side.
+    val banded = graft.Caches.track(bandedBase)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id") &&
