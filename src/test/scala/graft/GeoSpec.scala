@@ -131,6 +131,28 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g9: TiffDecode never throws on corrupted payloads — null or a decode, only") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    val base = graft.geo.Fixtures.tiffBytes(11, n = 8)
+    val rnd = new scala.util.Random(7)
+    // truncations at every boundary region + random byte flips: a
+    // malformed container must drop out (null), never crash the scan
+    val mutants =
+      (0 until base.length by 7).map(base.take(_)) ++
+      (1 to 300).map { _ =>
+        val m = base.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        m
+      }
+    mutants.foreach { m =>
+      val out = expr.eval(InternalRow(m)) // must not throw
+      assert(out == null || out.isInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    }
+  }
+
   test("g9: TIFF ingest agrees with the GRFT ingest on every shared stat") {
     val got = GeoQueries.rasterIngestTiff(spark, Sf)
     assert(got.filter(!col("dims_ok")).count() == 0)

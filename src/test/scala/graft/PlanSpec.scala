@@ -79,6 +79,22 @@ class PlanSpec extends SparkSpec {
     assert(!d6.contains("CartesianProduct") && !d6.contains("BroadcastNestedLoopJoin"), d6)
   }
 
+  test("q29: unpivot lowers to an in-place Expand, no extra shuffle or join") {
+    val p = formatted(Relational.q29Unpivot(spark, Sf))
+    assert(p.contains("Expand"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"))
+    // exactly the agg's exchange plus the final sort — melting adds
+    // none (count tree nodes only; the details section repeats names)
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges <= 2, s"unexpected exchanges:\n$p")
+  }
+
+  test("t6: the corpus-count side is broadcast, term joins are equi-joins") {
+    val p = formatted(graft.operators.TextAnalysis.tfidfTerms(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("asof join: custom sort-merge, one sort per side, no window/union") {
     val p = formatted(Relational.q14AsofJoin(spark, Sf))
     assert(p.contains("AsofMergeJoin"), p)
