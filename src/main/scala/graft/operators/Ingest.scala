@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed twin of the reference's bounded-concurrency download
@@ -58,17 +58,13 @@ object Ingest {
   def fetch(manifest: DataFrame, keyCol: String, maxConcurrent: Int,
       attempts: Int = 3, baseDelayMs: Long = 100)(fetcher: String => Array[Byte]): DataFrame = {
     val spark = manifest.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
-    val keys = manifest.select(col(keyCol).cast("string"))
+    import spark.implicits._
+    // Dataset[(String, Array[Byte])] keeps the whole path on the
+    // internal-row encoders — no external Row construction and no
+    // RowEncoder conversion layer on the fetch hot path.
+    manifest.select(col(keyCol).cast("string")).as[String]
       .repartition(maxConcurrent) // the concurrency bound: one worker per partition
-    val rows = keys.queryExecution.toRdd.mapPartitions { iter =>
-      iter.map { internal =>
-        val k = internal.getUTF8String(0).toString
-        Row(k, withRetry(attempts, baseDelayMs)(fetcher(k)))
-      }
-    }
-    spark.createDataFrame(rows, schema)
+      .mapPartitions(_.map(k => (k, withRetry(attempts, baseDelayMs)(fetcher(k)))))
+      .toDF(keyCol, "content")
   }
 }
