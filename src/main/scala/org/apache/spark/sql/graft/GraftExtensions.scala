@@ -62,7 +62,47 @@ object GraftExtensions {
     GramHashes(exprs(0), litInt(exprs(1), "word_shingle_hashes"), byWord = true)
   }
 
+  private def litLong(e: Expression, fn: String): Long = {
+    require(e.foldable, s"$fn: argument must be a literal")
+    e.eval(null).asInstanceOf[Number].longValue()
+  }
+
+  private def ophSigBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 6, "oph_sig(hashes32, k, a, b, p, c)")
+    OphSig(exprs(0), litInt(exprs(1), "oph_sig"), litLong(exprs(2), "oph_sig"),
+      litLong(exprs(3), "oph_sig"), litLong(exprs(4), "oph_sig"), litLong(exprs(5), "oph_sig"))
+  }
+
+  private def ophBandsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 7, "oph_bands(hashes64, bands, rows, a, b, p, c)")
+    OphBands(exprs(0), litInt(exprs(1), "oph_bands"), litInt(exprs(2), "oph_bands"),
+      litLong(exprs(3), "oph_bands"), litLong(exprs(4), "oph_bands"),
+      litLong(exprs(5), "oph_bands"), litLong(exprs(6), "oph_bands"))
+  }
+
+  private def rasterDecodeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "raster_decode(content)")
+    RasterDecode(exprs(0))
+  }
+
+  private def tiffDecodeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "tiff_decode(content)")
+    TiffDecode(exprs(0))
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("oph_sig"),
+      new ExpressionInfo(classOf[OphSig].getName, "oph_sig"),
+      ophSigBuilder _),
+    (FunctionIdentifier("oph_bands"),
+      new ExpressionInfo(classOf[OphBands].getName, "oph_bands"),
+      ophBandsBuilder _),
+    (FunctionIdentifier("raster_decode"),
+      new ExpressionInfo(classOf[RasterDecode].getName, "raster_decode"),
+      rasterDecodeBuilder _),
+    (FunctionIdentifier("tiff_decode"),
+      new ExpressionInfo(classOf[TiffDecode].getName, "tiff_decode"),
+      tiffDecodeBuilder _),
     (FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       floatDotBuilder _),

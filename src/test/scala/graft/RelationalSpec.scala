@@ -77,6 +77,20 @@ class RelationalSpec extends SparkSpec {
     assert(cg == 2) // 'abcd', 'bcde'
     val ws = spark.sql("SELECT size(word_shingle_hashes('a b c', 2))").collect().head.getInt(0)
     assert(ws == 2) // 'a b', 'b c'
+    val ob = spark.sql(
+      s"SELECT size(oph_bands(array(1L, 2L, 3L), 16, 4, ${graft.operators.Dedup.permA(0)}L, " +
+        s"${graft.operators.Dedup.permB(0)}L, ${graft.operators.Dedup.P32}L, " +
+        s"${graft.operators.Dedup.DensifyC}L))").collect().head.getInt(0)
+    assert(ob == 16)
+    val os = spark.sql(
+      s"SELECT size(oph_sig(array(1L, 2L), 32, ${graft.operators.Dedup.permA(0)}L, " +
+        s"${graft.operators.Dedup.permB(0)}L, ${graft.operators.Dedup.P32}L, " +
+        s"${graft.operators.Dedup.DensifyC}L))").collect().head.getInt(0)
+    assert(os == 32)
+    // byte-level decoders reachable from SQL too (malformed -> null)
+    val td = spark.sql("SELECT tiff_decode(CAST('junk' AS BINARY)) IS NULL, " +
+      "raster_decode(CAST('junk' AS BINARY)) IS NULL").collect().head
+    assert(td.getBoolean(0) && td.getBoolean(1))
   }
 
   test("rollup contains region subtotals and a grand total") {
