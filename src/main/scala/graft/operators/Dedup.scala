@@ -356,13 +356,29 @@ object Dedup {
     * and no driver — ever holds the corpus.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 0): DataFrame = {
     import s.implicits._
     import graft.functions.VecFns._
+    // blocks <= 0 → auto-size: enough block pairs to keep every core
+    // busy (blocks²/2 ≳ parallelism ⇒ blocks ≈ √(2·cores)), and at
+    // large n enough blocks that a task's two blocks (~2n/blocks
+    // vectors) fit a per-task working-set budget of ~8k vectors
+    // (64-dim float ≈ 4 MB (both sides) — far under executor memory, sized so
+    // the quadratic in-task loop stays cache-friendly). The output is
+    // block-count-invariant (identity-asserted in DedupSpec), so the
+    // dial is purely physical.
+    val nBlocks =
+      if (blocks > 0) blocks
+      else {
+        val n = Tables.embeddings(s, dir).count()
+        val forCores = math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt
+        val forMemory = math.ceil(n / 8192.0).toInt
+        math.max(math.max(forCores, forMemory), 1)
+      }
     val e = spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        pmod(col("vec_id"), lit(blocks)).as("bid"))
-    val pairIds = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+        pmod(col("vec_id"), lit(nBlocks)).as("bid"))
+    val pairIds = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
       .toDF("bi", "bj") // blocks²/2 rows — bounded, broadcast by design
     val a = e.join(broadcast(pairIds), col("bid") === col("bi"))
       .select(col("bi"), col("bj"), col("vec_id").as("ia"),

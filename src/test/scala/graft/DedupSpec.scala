@@ -96,7 +96,7 @@ class DedupSpec extends SparkSpec {
           .as("cosine"))
       .filter(col("cosine") >= 0.4)
       .collect().map(_.toSeq).toSet
-    for (blocks <- Seq(1, 3, 8)) {
+    for (blocks <- Seq(0, 1, 3, 8)) { // 0 = auto-sized
       val blocked = Dedup.embedNearDup(spark, Sf, threshold = 0.4, blocks = blocks)
         .collect().map(_.toSeq).toSet
       assert(blocked == naive, s"blocks=$blocks")
