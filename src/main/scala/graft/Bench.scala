@@ -102,8 +102,16 @@ object Bench {
     // plus the exponent vs this run's sf0.1 median.
     val scaleDir = sys.env.get("SPARK_GRAFT_BENCH_SCALE_DIR")
       .orElse(Some("/root/repo/.data/sf1").filter(_ => sfDir.contains("sf0.1")))
-      .filter(d => d.nonEmpty && d != "none" &&
-        new java.io.File(d, "documents.parquet").exists())
+      .filter(d => d.nonEmpty && d != "none")
+      .flatMap { d =>
+        // build-once: generate the 10x scale proxy if absent (fresh
+        // checkout); non-fatal — a failed build just skips the section
+        if (!new java.io.File(d, "_COMPLETE").exists())
+          try tools.GenScale.build(spark, sfDir, d)
+          catch { case e: Exception =>
+            System.err.println(s"[bench] scale-dir build failed: ${e.getMessage}") }
+        Some(d).filter(x => new java.io.File(x, "documents.parquet").exists())
+      }
     val sf1 = scaleDir.map { d =>
       val byName = SparkEntry.queries
       val entries = ScaleQueries.filter(byName.contains).map { name =>

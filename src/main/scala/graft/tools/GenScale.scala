@@ -47,14 +47,23 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/root/repo/.data/sf1")
-    val marker = Paths.get(outDir, "_COMPLETE")
-    if (Files.exists(marker)) { println(s"[genscale] $outDir already complete"); return }
+    val ownSession = SparkSession.getActiveSession.isEmpty
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, srcDir, outDir)
+    if (ownSession) spark.stop() // don't kill a caller's session (Bench)
+  }
+
+  /** Build the scale dataset with the caller's session; no-op if the
+    * completion marker is present.
+    */
+  def build(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val marker = Paths.get(outDir, "_COMPLETE")
+    if (Files.exists(marker)) { println(s"[genscale] $outDir already complete"); return }
 
     def replicate(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until Replicas).map(k => f(base, k)).reduce(_.unionAll(_))
@@ -90,6 +99,5 @@ object GenScale {
       .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
     Files.write(marker, counts.mkString("\n").getBytes("UTF-8"))
     println(s"[genscale] wrote $outDir: ${counts.mkString(", ")}")
-    spark.stop()
   }
 }

@@ -81,6 +81,26 @@ class PropertySpec extends SparkSpec {
     check("float-dot", prop)
   }
 
+  test("OphSig is order- and duplicate-invariant (a true SET signature)") {
+    import graft.operators.Dedup
+    val hashes = Gen.listOfN(40, Gen.choose(0L, 4294967295L))
+    val prop = Prop.forAll(Gen.listOfN(10, hashes)) { sets =>
+      val rnd = new scala.util.Random(9)
+      val rows = sets.map { h =>
+        val shuffled = rnd.shuffle(h)
+        val withDups = h ++ h.take(h.length / 2) // duplicates must not matter
+        (h, shuffled, withDups)
+      }
+      def sig(c: org.apache.spark.sql.Column) =
+        ArrayExprs.oph_sig(c, 32, Dedup.permA(0), Dedup.permB(0), Dedup.P32, Dedup.DensifyC)
+      val out = rows.toDF("a", "b", "c")
+        .select(sig(col("a")).as("sa"), sig(col("b")).as("sb"), sig(col("c")).as("sc"))
+        .as[(Seq[Long], Seq[Long], Seq[Long])].collect()
+      out.forall { case (sa, sb, sc) => sa == sb && sa == sc }
+    }
+    check("oph-invariance", prop)
+  }
+
   test("AsofJoin equals the window reference on arbitrary keyed event/order sets") {
     import org.apache.spark.sql.expressions.Window
     val row = Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 500L))
