@@ -18,6 +18,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode is container-agnostic: a JPEG payload decodes too (dims exact, pixels lossy)") {
+    val (w, h) = Multimodal.imageDims(5L)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, Multimodal.pixel(5L, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    assert((jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8) // JPEG SOI
+    val back = Multimodal.decodeImage(jpeg)
+    assert(back.getWidth == w && back.getHeight == h)
+    // lossy codec: pixels near, not equal — decode must still be sane
+    val d = (img.getRGB(0, 0) & 0xFF) - (back.getRGB(0, 0) & 0xFF)
+    assert(math.abs(d) < 64)
+  }
+
   test("manifest emits decoded metadata for every doc, deterministically") {
     val a = Multimodal.manifest(spark, Sf).collect()
     val b = Multimodal.manifest(spark, Sf).collect()
