@@ -68,6 +68,7 @@ object SparkEntry {
     "d1_exact_dedup"          -> Dedup.exact _,
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "d8_dup_clusters"         -> Dedup.dupClusters _,
     "d4_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d5_embed_neardup"        -> ((s: SparkSession, d: String) => Dedup.embedNearDup(s, d)),
     "d6_repeated_spans"       -> ((s: SparkSession, d: String) =>
@@ -587,6 +588,22 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin,
+    "d8_dup_clusters" -> raw"""
+      |WITH RECURSIVE $ShingleCte,
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |verts AS (SELECT DISTINCT src AS v FROM e),
+      |cc(v, lbl) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, cc.lbl FROM cc JOIN e ON cc.v = e.src),
+      |comp AS (SELECT v, min(lbl) AS cluster_id FROM cc GROUP BY v),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+      |SELECT comp.v AS doc_id, comp.cluster_id, sz.cluster_size
+      |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" -> raw"""
       |WITH $GramCte
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

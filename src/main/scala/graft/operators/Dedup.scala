@@ -247,6 +247,55 @@ object Dedup {
     verifyJaccard(cands, feats, threshold)
   }
 
+  /** d8: near-dup pair graph → DUPLICATE CLUSTERS via distributed
+    * connected components — the step a real dedup pipeline needs
+    * between pairwise similarity (d2–d5) and "keep one canonical doc
+    * per group": pairs say A~B and B~C; the cluster {A,B,C} with
+    * canonical min-id is what survives.
+    *
+    * Algorithm: min-label propagation (the DataFrame form of
+    * Hash-to-Min CC): every vertex starts labeled with itself; each
+    * round every vertex takes the min of its own and its neighbors'
+    * labels (one equi-join + one min-agg = one shuffle per round);
+    * converge when no label shrinks. Rounds needed = graph diameter —
+    * near-dup clusters are clique-like (diameter ≤ ~2), so this
+    * terminates in 2–3 rounds regardless of corpus size. Each round's
+    * frame is cache-materialized so lineage stays flat; the driver
+    * holds only the per-round change COUNT, never vertex data. At
+    * 100 TB this is exactly the shape that scales: label state is a
+    * (vertex, label) table partitioned by vertex, rounds are plain
+    * shuffles, and the iteration count is a property of cluster
+    * topology, not data volume.
+    *
+    * Output: one row per clustered doc — (doc_id, cluster_id =
+    * min doc_id in its component, cluster_size). Oracle: DuckDB
+    * recursive-CTE transitive closure over the same exact pair set.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("id_a"), col("id_b"))
+    val edges = graft.Caches.track(
+      pairs.unionAll(pairs.select(col("id_b"), col("id_a"))).toDF("src", "dst"))
+    var labels = graft.Caches.track(
+      edges.select(col("src").as("v")).distinct().select(col("v"), col("v").as("lbl")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(labels, edges("src") === labels("v"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = graft.Caches.track(labels
+        .join(nbrMin, labels("v") === nbrMin("dst"), "left_outer")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- SimHash ------------------------------------------------------
 
   /** 32-bit word hash from an md5 hex range — the engine-portable

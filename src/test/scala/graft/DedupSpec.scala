@@ -57,6 +57,30 @@ class DedupSpec extends SparkSpec {
     assert(pp == banded)
   }
 
+  test("d8: label propagation resolves transitive near-dup chains into one cluster") {
+    // planted graph: 0~1, 1~2 (and 0~2) form a component; 3, 4 are
+    // singletons and must not appear at all
+    val got = Dedup.dupClusters(spark, plantedDir).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    got.foreach { r =>
+      assert(r.getLong(1) == 0L)      // cluster id = min member
+      assert(r.getLong(2) == 3L)      // cluster size
+    }
+  }
+
+  test("d8: clusters partition the pair graph on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val clusters = Dedup.dupClusters(spark, Sf)
+    val labelOf = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLsh(spark, Sf).select("id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // every pair's endpoints share a cluster, and every cluster id is a member min
+    pairs.foreach { case (a, b) => assert(labelOf(a) == labelOf(b)) }
+    clusters.groupBy(col("cluster_id")).agg(min(col("doc_id")).as("m")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("d4 OPH signature is candidate-complete: pairs identical to classic MinHash, real corpus") {
     val classic = Dedup.ngramJaccard(spark, Sf, oph = false).collect().map(_.toSeq).toSet
     val oph = Dedup.ngramJaccard(spark, Sf, oph = true).collect().map(_.toSeq).toSet
