@@ -253,47 +253,89 @@ object Dedup {
     * per group": pairs say A~B and B~C; the cluster {A,B,C} with
     * canonical min-id is what survives.
     *
-    * Algorithm: min-label propagation (the DataFrame form of
-    * Hash-to-Min CC): every vertex starts labeled with itself; each
-    * round every vertex takes the min of its own and its neighbors'
-    * labels (one equi-join + one min-agg = one shuffle per round);
-    * converge when no label shrinks. Rounds needed = graph diameter —
-    * near-dup clusters are clique-like (diameter ≤ ~2), so this
-    * terminates in 2–3 rounds regardless of corpus size. Each round's
-    * frame is cache-materialized so lineage stays flat; the driver
-    * holds only the per-round change COUNT, never vertex data. At
-    * 100 TB this is exactly the shape that scales: label state is a
-    * (vertex, label) table partitioned by vertex, rounds are plain
-    * shuffles, and the iteration count is a property of cluster
-    * topology, not data volume.
-    *
     * Output: one row per clustered doc — (doc_id, cluster_id =
     * min doc_id in its component, cluster_size). Oracle: DuckDB
     * recursive-CTE transitive closure over the same exact pair set.
+    * CC algorithm: [[connectedComponents]] (contraction-first).
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select(col("id_a"), col("id_b"))
-    val edges = graft.Caches.track(
-      pairs.unionAll(pairs.select(col("id_b"), col("id_a"))).toDF("src", "dst"))
-    var labels = graft.Caches.track(
-      edges.select(col("src").as("v")).distinct().select(col("v"), col("v").as("lbl")))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val nbrMin = edges.join(labels, edges("src") === labels("v"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      val next = graft.Caches.track(labels
-        .join(nbrMin, labels("v") === nbrMin("dst"), "left_outer")
-        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
-        .filter(col("lbl") < col("old")).count()
-      labels = next
-      rounds += 1
-    }
+    val pairs = graft.Caches.track(minhashLsh(s, dir).select(col("id_a"), col("id_b")))
+    // size the CC stages to the GRAPH, not the session default: a dup
+    // graph is orders of magnitude smaller than its corpus — ~500k
+    // edges per partition keeps tiny graphs at 1 task while a 100 TB
+    // corpus's billions of edges still fan out to thousands of tasks.
+    val nParts = math.max(1, (pairs.count() * 2 / 500000L).toInt)
+    val labels = connectedComponents(s, pairs, nParts)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Distributed connected components over an undirected pair list →
+    * one (v, lbl) row per vertex, lbl = min vertex id in v's
+    * component.
+    *
+    * Contraction-first design (vs round-per-diameter label
+    * propagation, which pays a full join+agg stage set per round —
+    * measured 1.5 s/round of pure overhead on a 256-edge sf0.1
+    * graph): each partition collapses its edges with an in-memory
+    * union-find in ONE mapPartitions pass (union-by-min ⇒ every
+    * local root is its local component's minimum); the only state
+    * that leaves a task is the (vertex, local root) relation. A
+    * vertex seen by several partitions stitches its roots together,
+    * so the cross-partition structure is the BOUNDARY graph
+    * (min-root → other root, one star per shared vertex) — empty
+    * whenever no component spans partitions, and orders of magnitude
+    * smaller than the input otherwise (only local roots survive).
+    * Recurse on that contracted graph with fewer partitions until it
+    * is empty; compose labels on the way out. Termination is
+    * structural: at 1 partition the union-find is global and the
+    * boundary is empty — no convergence loop, no change-count
+    * actions, no round cap. At 100 TB: one linear pass over edges,
+    * then recursion depth ≤ log₄(partitions) over data that shrinks
+    * by the contraction factor each level; per-task memory is the
+    * union-find map, bounded by the edges-per-partition dial.
+    * mapPartitions is the legitimate tool here — union-find is
+    * genuinely imperative per-partition state no Expression/agg
+    * expresses.
+    */
+  private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame,
+      partitions: Int): DataFrame = {
+    import s.implicits._
+    val sym = pairs.toDF("src", "dst")
+    val edges = sym.unionAll(sym.select(col("dst"), col("src")))
+      .repartition(math.max(1, partitions), col("src"))
+    val local = graft.Caches.track(edges.as[(Long, Long)].mapPartitions { it =>
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val ks = parent.keys.toArray // snapshot: find() mutates the map
+      ks.iterator.map(v => (v, find(v)))
+    }.toDF("v", "plbl"))
+    val minLbl = graft.Caches.track(
+      local.groupBy(col("v")).agg(min(col("plbl")).as("lbl")))
+    val boundary = local.join(minLbl, "v")
+      .filter(col("plbl") =!= col("lbl"))
+      .select(col("lbl").as("src"), col("plbl").as("dst")).distinct()
+    if (boundary.isEmpty) minLbl.select(col("v"), col("lbl"))
+    else {
+      val rootLbl = connectedComponents(s, boundary, math.max(1, partitions / 4))
+        .toDF("r", "rlbl")
+      minLbl.join(rootLbl, minLbl("lbl") === col("r"), "left_outer")
+        .select(minLbl("v"), coalesce(col("rlbl"), minLbl("lbl")).as("lbl"))
+    }
   }
 
   // --- SimHash ------------------------------------------------------

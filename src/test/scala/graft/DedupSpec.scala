@@ -68,6 +68,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d8 core: connectedComponents stitches components across partitions") {
+    // a 64-vertex chain (diameter 63, guaranteed to straddle 3 hash
+    // partitions ⇒ the boundary-graph recursion actually runs) plus a
+    // detached pair; labels must be the global component minima
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(spark, pairs, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 66)
+    (0L to 63L).foreach(v => assert(got(v) == 0L))
+    assert(got(100L) == 100L && got(101L) == 100L)
+  }
+
   test("d8: clusters partition the pair graph on the real corpus") {
     import org.apache.spark.sql.functions._
     val clusters = Dedup.dupClusters(spark, Sf)
