@@ -21,6 +21,22 @@ object Caches {
     cached
   }
 
+  /** Globally sort `df` without executing its pipeline twice: a
+    * range exchange computes its partition bounds with a SEPARATE
+    * sampling job over the child, so every narrow stage below an
+    * `orderBy` — codec decode, candidate verify, similarity compute —
+    * runs once for the sample and again for the real shuffle.
+    * Materializing the child first turns the sampling job into a
+    * cache read. Use whenever the pre-sort chain is CPU-heavy; the
+    * cache is tracked, so Bench/Verify release it between queries.
+    * (At cluster scale the same trade holds — Spark caches spill to
+    * executor disk — but a 100 TB pipeline would normally persist the
+    * unsorted result and sort on read instead.)
+    */
+  private[graft] def ordered(df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    track(df).orderBy(cols: _*)
+
   /** Unpersist every tracked cache (non-blocking). */
   def clear(): Unit = {
     var df = live.poll()

@@ -85,6 +85,8 @@ object SparkEntry {
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     // multimodal
     "m1_mm_manifest"          -> Multimodal.manifest _,
+    "m2_frame_manifest"       -> ((s: SparkSession, d: String) =>
+      Multimodal.frameManifest(s, d)),
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)))
@@ -578,6 +580,20 @@ object SparkEntry {
       |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
       |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS phash
       |FROM p ORDER BY doc_id""".stripMargin,
+    "m2_frame_manifest" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h,
+      |  (doc_id % 5 + 2)::INT AS n FROM documents),
+      |f AS (SELECT doc_id, w, h, n, unnest(range(0, n, 2)) AS fi FROM d),
+      |p AS (SELECT doc_id, fi, n, w, h,
+      |  list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |    [(((doc_id * 31 + fi * 101 + (i % w) * 7 + (i // w) * 13) % 256) * 65793)::HUGEINT
+      |     for i in range(0, w * h)]),
+      |    (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM f)
+      |SELECT doc_id, fi::INT AS frame_idx, n AS n_frames, w AS width, h AS height,
+      |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS fhash
+      |FROM p ORDER BY doc_id, frame_idx""".stripMargin,
     "d1_exact_dedup" -> raw"""
       |SELECT md5($Nrm) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,

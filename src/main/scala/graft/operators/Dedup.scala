@@ -23,13 +23,19 @@ import org.apache.spark.sql.graft.ArrayExprs
 object Dedup {
 
   /** Spread a narrow local scan across all cores BEFORE a CPU-bound
-    * featurize stage: the test corpus is one parquet split, which
-    * would otherwise serialize the whole per-doc pipeline onto one
-    * core. On a cluster the scan arrives pre-split and this becomes a
-    * cheap round-robin of similarly-sized blocks.
+    * featurize stage — but ONLY when the scan is actually narrow (the
+    * test corpus is one parquet split, which would serialize the
+    * per-doc pipeline onto one core). A cluster scan of a large
+    * corpus arrives pre-split into hundreds of tasks; repartitioning
+    * it again would shuffle the whole corpus for nothing, so the
+    * shuffle is skipped once the scan already has half the cores
+    * busy.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
 
   /** Exact dedup: md5 of the canonical (lowercased,
     * whitespace-normalized) text; one row per content group with the
@@ -208,10 +214,11 @@ object Dedup {
       threshold: Double): DataFrame = {
     val fa = hashed.select(col("doc_id").as("id_a"), col("fh").as("fa"))
     val fb = hashed.select(col("doc_id").as("id_b"), col("fh").as("fb"))
-    cands.join(fa, "id_a").join(fb, "id_b")
-      .select(col("id_a"), col("id_b"), r6(jaccard(col("fa"), col("fb"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
+    graft.Caches.ordered(
+      cands.join(fa, "id_a").join(fb, "id_b")
+        .select(col("id_a"), col("id_b"), r6(jaccard(col("fa"), col("fb"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      col("id_a"), col("id_b"))
   }
 
   // --- PPJoin-style prefix filtering (alternative candidate scheme) --
@@ -267,9 +274,10 @@ object Dedup {
     val nParts = math.max(1, (pairs.count() * 2 / 500000L).toInt)
     val labels = connectedComponents(s, pairs, nParts)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+    graft.Caches.ordered(
+      labels.join(sizes, "lbl")
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size")),
+      col("doc_id"))
   }
 
   /** Distributed connected components over an undirected pair list →
@@ -410,15 +418,16 @@ object Dedup {
         posexplode(array(keyExprs: _*)))
       .select(col("doc_id"), col("hi"), col("lo"),
         col("pos").as("chunk"), col("col").as("ckey"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        (bit_count(col("x.lo").bitwiseXOR(col("y.lo"))) +
-          bit_count(col("x.hi").bitwiseXOR(col("y.hi")))).cast("int").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy(col("id_a"), col("id_b"))
+    graft.Caches.ordered(
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          (bit_count(col("x.lo").bitwiseXOR(col("y.lo"))) +
+            bit_count(col("x.hi").bitwiseXOR(col("y.hi")))).cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming),
+      col("id_a"), col("id_b"))
   }
 
   // --- embedding cosine near-dup ------------------------------------
@@ -477,14 +486,15 @@ object Dedup {
     val b = e.join(broadcast(pairIds), col("bid") === col("bj"))
       .select(col("bi"), col("bj"), col("vec_id").as("ib"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bi", "bj")) // shuffled equi-join on the pair key
-      // same-block pairs meet with bi == bj: keep one orientation;
-      // cross-block pairs meet exactly once in either orientation
-      .filter(col("bi") < col("bj") || col("ia") < col("ib"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"),
-        r6(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
+    graft.Caches.ordered(
+      a.join(b, Seq("bi", "bj")) // shuffled equi-join on the pair key
+        // same-block pairs meet with bi == bj: keep one orientation;
+        // cross-block pairs meet exactly once in either orientation
+        .filter(col("bi") < col("bj") || col("ia") < col("ib"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"),
+          r6(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cosine"))
+        .filter(col("cosine") >= threshold),
+      col("id_a"), col("id_b"))
   }
 }

@@ -24,8 +24,11 @@ case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
   * extraction operate on REAL decoded pixels through ImageIO — no
   * external deps, PNG is lossless, so decoded pixels equal the
   * fixture formula exactly and the m1 manifest stays oracle-exact.
-  * Only VIDEO frame sampling remains a clearly-marked stub (no
-  * demuxer in the JDK). The Spark-side shape is the point at scale:
+  * The VIDEO path is real too: fixture videos are genuine animated
+  * GIFs (the JDK's one native multi-frame container), frame sampling
+  * is an actual demux + per-frame decode, and grayscale frames make
+  * the GIF palette lossless — so the m2 frame manifest is
+  * oracle-exact as well. The Spark-side shape is the point at scale:
   * binary payload column, batched per-partition decoding (the JVM
   * analog of a Pandas-UDF `mapInPandas` batch), typed
   * `Dataset[MediaMeta]` output, and partition counts that scale with
@@ -186,10 +189,13 @@ object Multimodal {
     * output equals the formulas bit-for-bit).
     */
   def manifest(s: SparkSession, dir: String): DataFrame =
-    decodeBatched(s, dir).toDF()
-      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-        col("channels"), col("phash"))
-      .orderBy(col("doc_id"))
+    // ordered(): the codec pipeline is narrow, so a bare orderBy's
+    // range-sampling job would decode every image twice
+    graft.Caches.ordered(
+      decodeBatched(s, dir).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("channels"), col("phash")),
+      col("doc_id"))
 
   /** Thumbnails: batched REAL decode → resample → re-encode over
     * partitions; binary PNG in, smaller binary PNG out, dims carried.
@@ -203,31 +209,142 @@ object Multimodal {
       .toDF("doc_id", "thumb", "width", "height")
   }
 
-  /** STUB frame sampler: stands in for video frame extraction — the
-    * real version demuxes the container and decodes every k-th frame
-    * (no video demuxer ships with the JDK, so this one stays a stub);
-    * the stub cuts the payload into `frames` deterministic slices.
-    * One input row fans out to `frames` rows (explode shape), each a
-    * binary "frame" with its index — the schema a video pipeline
-    * needs downstream.
+  // --- video: REAL multi-frame container (animated GIF) -------------
+  // GIF is the one multi-frame media container the JDK demuxes and
+  // encodes natively (ImageIO's gif plugin supports image sequences),
+  // so the video path needs no stub: fixture "videos" are genuine
+  // animated GIFs, frame sampling is a real demux (per-frame decode
+  // through the codec), and — because the fixture frames are
+  // grayscale (≤ 256 colors ⇒ GIF's palette is lossless) — decoded
+  // pixels equal the fixture formula exactly, keeping the frame
+  // manifest oracle-exact like m1.
+
+  /** Frame count for a doc's fixture video: 2..6. */
+  def frameCount(docId: Long): Int = (math.floorMod(docId, 5L) + 2L).toInt
+
+  /** Fixture frame pixel (grayscale 0..255) at (frame f, x, y). */
+  def framePixel(docId: Long, f: Int, x: Int, y: Int): Int =
+    math.floorMod(docId * 31L + f * 101L + x * 7L + y * 13L, 256L).toInt
+
+  /** REAL animated-GIF container bytes for a doc's fixture video:
+    * frameCount full-size grayscale frames written as a GIF image
+    * sequence through the JDK encoder. Any GIF demuxer opens these.
     */
-  def frameSampleStub(payload: Array[Byte], frames: Int): Seq[Array[Byte]] = {
-    val n = math.max(payload.length / math.max(frames, 1), 1)
-    (0 until frames).map { f => // ??? real demux/decode goes here
-      val from = math.min(f * n, payload.length)
-      val until = math.min(from + n, payload.length)
-      java.util.Arrays.copyOfRange(payload, from, until)
-    }
+  def gifPayload(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val n = frameCount(docId)
+      while (f < n) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, framePixel(docId, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
-  /** Sampled frames: one row per (doc, frame index). */
-  def sampledFrames(s: SparkSession, dir: String, frames: Int = 4): DataFrame = {
+  /** REAL video demux: every frame of a multi-frame container decoded
+    * through the JDK's GIF plugin (`getNumImages(true)` forces a full
+    * stream scan — the demux step; `read(i)` decodes frame i).
+    */
+  def demuxFrames(payload: Array[Byte]): IndexedSeq[BufferedImage] = {
+    ImageIO.setUseCache(false)
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read)
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Documents with a binary VIDEO payload column (real animated
+    * GIFs), the video twin of [[withPayload]].
+    */
+  def withVideoPayload(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    withPayload(s, dir).as[(Long, Array[Byte])]
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // codec is CPU-bound
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, gifPayload(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Sampled frames: REAL demux + per-frame decode, keeping every
+    * `stride`-th frame. One input row fans out to ceil(n/stride) rows
+    * (explode shape), each a re-encoded single-frame binary with its
+    * index — the schema a video pipeline needs downstream.
+    */
+  def sampledFrames(s: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    import s.implicits._
+    withVideoPayload(s, dir).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        frameSampleStub(bytes, frames).zipWithIndex.map { case (fr, idx) => (id, idx, fr) }
+        demuxFrames(bytes).zipWithIndex.collect {
+          case (fr, idx) if idx % stride == 0 => (id, idx, encodePng(toRgb(fr)))
+        }
       }
       .toDF("doc_id", "frame_idx", "frame")
+  }
+
+  /** Copy a decoded frame into a plain sRGB raster before re-encoding:
+    * the GIF plugin's indexed/gray frames pass raw palette values
+    * through getRGB, but handing that image object straight to another
+    * encoder triggers a gray→sRGB colorspace conversion (gamma shifts
+    * every pixel). The getRGB copy is the identity the demux tests
+    * assert, so the re-encoded container is lossless.
+    */
+  private def toRgb(img: BufferedImage): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { out.setRGB(x, y, img.getRGB(x, y) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** The `m2_frame_manifest` query: demuxed-frame metadata manifest —
+    * one row per sampled frame (every `stride`-th), all fields from
+    * the DECODED frames: dims from the codec, `fhash` the same
+    * row-major fold as m1 over actual frame pixels. Oracle-exact: the
+    * grayscale fixture frames survive GIF's palette losslessly, so
+    * DuckDB recomputes every column from the fixture formulas.
+    */
+  def frameManifest(s: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    import s.implicits._
+    val unsorted = withVideoPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val frames = demuxFrames(bytes)
+        frames.zipWithIndex.collect { case (img, idx) if idx % stride == 0 =>
+          var hash = 1125899906842597L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { hash = hash * 31L + (img.getRGB(x, y) & 0xFFFFFF); x += 1 }
+            y += 1
+          }
+          (id, idx, frames.length, img.getWidth, img.getHeight, hash)
+        }
+      }))
+      .toDF("doc_id", "frame_idx", "n_frames", "width", "height", "fhash")
+    // ordered(): the demux+decode pipeline is narrow, so a bare
+    // orderBy's range-sampling job would demux every video twice
+    graft.Caches.ordered(unsorted, col("doc_id"), col("frame_idx"))
   }
 
   /** Embedding extraction: binary payload → REAL decode → pooled

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
+import org.apache.spark.sql.functions.col
 
 class MultimodalSpec extends SparkSpec {
 
@@ -72,13 +73,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frame sampling fans one doc into k indexed frames") {
-    val f = Multimodal.sampledFrames(spark, Sf, frames = 4)
-    val docs = Tables.documents(spark, Sf).count()
-    assert(f.count() == docs * 4)
+  test("gif payload is a real multi-frame container and demux round-trips every frame exactly") {
+    for (id <- Seq(0L, 3L, 17L, 24L, 4081L)) {
+      val bytes = Multimodal.gifPayload(id)
+      // genuine GIF magic, not a fake blob
+      assert(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8')
+      val frames = Multimodal.demuxFrames(bytes)
+      assert(frames.length == Multimodal.frameCount(id))
+      val (w, h) = Multimodal.imageDims(id)
+      frames.zipWithIndex.foreach { case (img, f) =>
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y) & 0xFFFFFF
+          val v = Multimodal.framePixel(id, f, x, y)
+          // grayscale fixture ⇒ GIF palette is lossless and r=g=b
+          assert(rgb == v * 0x10101, s"frame pixel mismatch doc=$id f=$f ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("frame sampling demuxes real videos into every stride-th decoded frame") {
+    val f = Multimodal.sampledFrames(spark, Sf, stride = 2)
     import spark.implicits._
-    val idx = f.groupBy("doc_id").count().select("count").distinct().as[Long].collect()
-    assert(idx.toSeq == Seq(4L))
+    val perDoc = f.groupBy("doc_id").count().as[(Long, Long)].collect()
+    perDoc.foreach { case (id, n) =>
+      val total = Multimodal.frameCount(id)
+      assert(n == (total + 1) / 2, s"doc=$id total=$total sampled=$n")
+    }
+    // sampled frames are themselves decodable containers with the fixture pixels
+    val r = f.filter(col("doc_id") === 3L && col("frame_idx") === 2).head()
+    val img = Multimodal.decodeImage(r.getAs[Array[Byte]]("frame"))
+    val (w, h) = Multimodal.imageDims(3L)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == Multimodal.framePixel(3L, 2, x, y) * 0x10101)
   }
 
   test("feature extraction pools real pixels and composes with the ANN operators' schema") {
