@@ -71,6 +71,9 @@ object SparkEntry {
     "d8_dup_clusters"         -> Dedup.dupClusters _,
     "d4_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d5_embed_neardup"        -> ((s: SparkSession, d: String) => Dedup.embedNearDup(s, d)),
+    // approximate by construction (cluster-bounded) → no SQL oracle;
+    // recall vs d5's exact pairs + precision 1.0 asserted in DedupSpec
+    "d9_semdedup"             -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
     "d6_repeated_spans"       -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.repeatedSpans(s, d)),
     "d7_decontaminate"        -> ((s: SparkSession, d: String) =>

@@ -165,7 +165,8 @@ object Ann {
   /** The nprobe best centroid ids for a vector, as an array column:
     * scores sorted descending via sort on (-score, id) structs.
     */
-  private def topClusters(v: Column, cents: Array[Array[Float]], nprobe: Int): Column = {
+  private[operators] def topClusters(v: Column, cents: Array[Array[Float]],
+      nprobe: Int): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       val half = c.map(x => x.toDouble * x.toDouble).sum / 2
       struct((lit(half) - graft.functions.VecFns.dot(v, typedLit(c.toSeq))).as("negscore"),

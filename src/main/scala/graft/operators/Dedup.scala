@@ -497,4 +497,46 @@ object Dedup {
         .filter(col("cosine") >= threshold),
       col("id_a"), col("id_b"))
   }
+
+  /** d9: SEMANTIC dedup, the published sublinear scale path for
+    * embedding near-dup (SemDeDup, Abbas et al. 2023): k-means
+    * partitions the corpus into clusters, and only WITHIN-cluster
+    * pairs are scored — compute is n·(cluster size)·passign²/2
+    * instead of d5's n²/2, linear in n once the cluster-size target
+    * is fixed. Approximate by construction (a pair split across
+    * clusters is never scored), so this is the s2/s3-style
+    * recall-measured operator, while d5 stays the exact oracle-checked
+    * one; every pair d9 DOES emit carries its exact cosine (precision
+    * 1.0 — asserted in DedupSpec along with the measured recall floor
+    * vs d5).
+    *
+    * Scale shape: centroids come from Ann's fused one-pass Lloyd's
+    * (shuffle = O(k·dim·tasks) cells); each vector replicates to its
+    * `passign` nearest clusters (the IVF multi-probe trick, lifting
+    * recall across cluster boundaries); the self-join shuffles on the
+    * cluster id, so a task holds one cluster's members — the
+    * cluster-size target is the per-task working-set dial, exactly
+    * d5's `blocks` dial but data-aware. SemDeDup at 5 B docs ran
+    * k = 50k: the centroid matrix (k·dim floats) stays a driver-side
+    * broadcast, the corpus never does.
+    */
+  def semDedup(s: SparkSession, dir: String, threshold: Double = 0.4,
+      clusterSize: Int = 256, passign: Int = 3, iters: Int = 3): DataFrame = {
+    import graft.functions.VecFns._
+    val e = graft.Caches.track(spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
+    val k = math.max(16, math.ceil(e.count().toDouble / clusterSize).toInt)
+    val cents = Ann.kmeansCentroids(e, k, iters)
+    val assigned = graft.Caches.track(e.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(Ann.topClusters(col("embedding"), cents, passign)).as("cl")))
+    graft.Caches.ordered(
+      assigned.as("x").join(assigned.as("y"),
+          col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+          r6(cosinePre(col("x.embedding"), col("y.embedding"),
+            col("x.nrm"), col("y.nrm"))).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .distinct(), // a pair may meet in up to `passign` shared clusters
+      col("id_a"), col("id_b"))
+  }
 }

@@ -139,4 +139,22 @@ class DedupSpec extends SparkSpec {
       assert(blocked == naive, s"blocks=$blocks")
     }
   }
+
+  test("d9 semdedup: precision 1.0 against exact d5, measured recall floor holds") {
+    val exact = Dedup.embedNearDup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = Dedup.semDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    // precision 1.0: every cluster-bounded pair is a true exact pair,
+    // with the identical cosine (same kernel, same rounding)
+    sem.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive $k")
+      assert(exact(k) == c, s"cosine drift $k")
+    }
+    // recall is deterministic (k-means init = lowest vec_ids): 0.909
+    // measured at this fixture with defaults (passign=3, iters=3);
+    // floor leaves headroom for parameter-neutral refactors only
+    assert(sem.length.toDouble / exact.size >= 0.85,
+      s"recall ${sem.length.toDouble / exact.size}")
+  }
 }
