@@ -27,7 +27,8 @@ object Bench {
     * drivers plus the documented-quadratic d5.
     */
   private val ScaleQueries = Seq("d4_ngram_jaccard", "d5_embed_neardup",
-    "d6_repeated_spans", "g6_region_elevation_join", "s3_ann_ivf")
+    "d6_repeated_spans", "d8_dup_clusters", "d9_semdedup",
+    "g6_region_elevation_join", "s3_ann_ivf")
 
   private def loadAvg(): Double = {
     try {
@@ -58,8 +59,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg()
     // warm up the JVM/codegen/parquet paths so the first timed query
-    // doesn't absorb session startup.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // doesn't absorb session startup. (The scale-proxy dir carries
+    // only documents/embeddings/part — fall back for direct runs
+    // against it.)
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Exception => spark.read.parquet(s"$sfDir/documents.parquet").count() }
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     var failed = List.empty[String]

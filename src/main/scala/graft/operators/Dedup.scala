@@ -519,6 +519,17 @@ object Dedup {
     * d5's `blocks` dial but data-aware. SemDeDup at 5 B docs ran
     * k = 50k: the centroid matrix (k·dim floats) stays a driver-side
     * broadcast, the corpus never does.
+    *
+    * Measured (tools.TryD9, defaults): recall vs d5 0.909 at the
+    * sf0.001 fixture, 0.834 at sf0.1, 0.47 at the 10× scale proxy —
+    * the decay is a property of THIS corpus (embeddings are
+    * deliberately gapless: qualifying pairs sit at the 0.4 threshold
+    * inside a continuous similarity bulk, so k-means has no cluster
+    * structure to find; real embedding corpora cluster, which is the
+    * published method's premise). The cost curve is the point:
+    * sf0.1 → sf1 exponent 0.31 vs d5's 1.06, crossover already at
+    * 10× (d9 7.1 s vs d5 15.8 s at sf1) — at 100 TB d5 is infeasible
+    * and this is the path.
     */
   def semDedup(s: SparkSession, dir: String, threshold: Double = 0.4,
       clusterSize: Int = 256, passign: Int = 3, iters: Int = 3): DataFrame = {

@@ -28,6 +28,21 @@ case class SessionState(sessionId: Long, startMs: Long, lastMs: Long,
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
     start_epoch: Long, end_epoch: Long, value_cents: Long)
 
+/** A document arriving on a stream for near-dup detection. */
+case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
+
+/** One doc landing in one LSH band bucket (streaming near-dup);
+  * carries the watermarked event-time column itself — the unsupported-
+  * operation checker requires it present in the FMGWS input.
+  */
+case class BandRow(bkey: Long, doc_id: Long, ts: Timestamp, fh: Seq[Long])
+
+/** Per-band-bucket state: docs seen within the watermark horizon. */
+case class BandBucket(ids: Seq[Long], ms: Seq[Long], fhs: Seq[Seq[Long]])
+
+/** An emitted near-dup pair; `ts` is the later doc's event time. */
+case class PairOut(id_a: Long, id_b: Long, jaccard: Double, ts: Timestamp)
+
 /** Structured Streaming operators over the events stream. Each
   * transform takes a DataFrame so the same logic runs on a batch
   * frame (oracle-checked via Relational.q12EventsWindow) and on a
@@ -173,6 +188,102 @@ object EventStreams {
           org.apache.spark.sql.functions.col("text"))))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming twin of d2's MinHash-LSH near-dup: documents band into
+    * the SAME 32×4 LSH buckets as the batch operator (identical
+    * kernels — fold32 → minhash_sig → bandKeys), and each band bucket
+    * keeps flatMapGroupsWithState state of the docs seen within the
+    * watermark horizon; a new arrival exact-verifies (word-3-shingle
+    * Jaccard on the stored hash sets) against its bucket's members
+    * and emits qualifying pairs immediately. State per bucket is
+    * bounded by the event-time timeout: members older than the
+    * watermark age out exactly like dedupStream's hashes — the only
+    * policy that survives an unbounded stream. Shuffle is one
+    * hash-partition on the band key per trigger, the streaming analog
+    * of the batch candidate join.
+    *
+    * Emission is AT-LEAST-ONCE per pair: docs sharing several bands
+    * emit once per shared band (a band's state knows nothing of other
+    * bands). The batch operator's `distinct()` becomes, in streaming,
+    * either a downstream keyed sink upsert (the production shape) or
+    * a chained dropDuplicatesWithinWatermark — StreamingSpec asserts
+    * the DISTINCT pair set equals batch d2 on the same corpus.
+    */
+  def nearDupStream(docs: Dataset[DocEvent], threshold: Double = 0.8,
+      ttlMinutes: Int = 10): Dataset[PairOut] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.graft.ArrayExprs
+    import graft.operators.Dedup
+    val nBands = 32; val nRows = 4
+    docs.toDF()
+      .withWatermark("ts", s"$ttlMinutes minutes")
+      .select(col("doc_id"), col("ts"),
+        ArrayExprs.word_shingle_hashes(
+          graft.functions.TextFns.normalize(col("text")), 3).as("fh"))
+      .select(col("doc_id"), col("ts"),
+        explode(Dedup.bandKeys(
+          ArrayExprs.minhash_sig(Dedup.fold32(col("fh")),
+            Dedup.permA.take(nBands * nRows), Dedup.permB.take(nBands * nRows),
+            Dedup.P32),
+          nBands, nRows)).as("bkey"),
+        col("fh"))
+      .select(col("bkey"), col("doc_id"), col("ts"), col("fh")).as[BandRow]
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        nearDupFn(threshold, ttlMinutes * 60000L))
+  }
+
+  private[graft] def nearDupFn(threshold: Double, ttlMs: Long)(
+      bkey: Long, rows: Iterator[BandRow],
+      state: GroupState[BandBucket]): Iterator[PairOut] = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (state.hasTimedOut) {
+      // age out members the watermark has passed; drop empty buckets
+      val wm = state.getCurrentWatermarkMs()
+      val b = state.get
+      val keep = b.ids.indices.filter(i => b.ms(i) >= wm)
+      if (keep.isEmpty) state.remove()
+      else {
+        state.update(BandBucket(keep.map(b.ids), keep.map(b.ms), keep.map(b.fhs)))
+        state.setTimeoutTimestamp(keep.map(b.ms).max + ttlMs)
+      }
+      Iterator.empty
+    } else {
+      val cur = state.getOption.getOrElse(BandBucket(Nil, Nil, Nil))
+      // the timeout branch only fires for buckets with NO data this
+      // batch — a bucket receiving data evicts its expired members
+      // here, so a late twin of an aged-out doc cannot pair with it
+      val wm = state.getCurrentWatermarkMs()
+      val live = cur.ids.indices.filter(i => cur.ms(i) >= wm)
+      val ids = live.map(cur.ids).toBuffer
+      val mss = live.map(cur.ms).toBuffer
+      val fhs = live.map(cur.fhs).toBuffer
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+      // deterministic fold order so a batch-internal pair is emitted
+      // with the later doc as the arrival regardless of row order
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+        if (!ids.contains(r.doc_id)) {
+          val rMs = r.ts.getTime
+          val set = r.fh.toSet
+          var i = 0
+          while (i < ids.length) {
+            val other = fhs(i)
+            val inter = other.count(set.contains)
+            val j = inter.toDouble / (set.size + other.size - inter)
+            if (j >= threshold) out += PairOut(
+              math.min(r.doc_id, ids(i)), math.max(r.doc_id, ids(i)),
+              r6(j), new Timestamp(math.max(rMs, mss(i))))
+            i += 1
+          }
+          ids += r.doc_id; mss += rMs; fhs += r.fh
+        }
+      }
+      state.update(BandBucket(ids.toSeq, mss.toSeq, fhs.toSeq))
+      state.setTimeoutTimestamp(mss.max + ttlMs)
+      out.iterator
+    }
+  }
 
   /** STREAM-STREAM interval join: each click pairs with the same
     * user's purchases landing within `windowMinutes` AFTER it — the

@@ -141,6 +141,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("d9 semdedup: precision 1.0 against exact d5, measured recall floor holds") {
+    // the within-cluster self-join must be a shuffled equi-join on the
+    // cluster id — never a nested-loop/cartesian fallback
+    val plan = Dedup.semDedup(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    graft.Caches.clear()
     val exact = Dedup.embedNearDup(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val sem = Dedup.semDedup(spark, Sf).collect()

@@ -307,6 +307,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 101L)))
   }
 
+  test("streaming near-dup emits exactly the batch d2 pair set on the same corpus") {
+    import graft.streaming.DocEvent
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => DocEvent(r.getLong(0), t0, r.getString(1)))
+    val mem = MemoryStream[DocEvent]
+    val q = EventStreams.nearDupStream(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    mem.addData(docs.toIndexedSeq)
+    q.processAllAvailable()
+    // at-least-once per shared band → distinct, then exact set-compare
+    val got = spark.table("neardup_out").select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val want = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.Caches.clear()
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("near-dup state ages out with the watermark: an evicted doc pairs no more") {
+    import graft.streaming.DocEvent
+    implicit val sqlCtx = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mem = MemoryStream[DocEvent]
+    val q = EventStreams.nearDupStream(mem.toDS(), ttlMinutes = 10).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("neardup_ttl_out").start()
+    mem.addData(DocEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), text))
+    q.processAllAvailable()
+    // an unrelated far-future doc pushes the watermark past doc 1's horizon
+    mem.addData(DocEvent(2L, Timestamp.valueOf("2024-01-01 11:00:00"),
+      "totally different words in here entirely unrelated content stream"))
+    q.processAllAvailable()
+    // doc 1's exact twin arrives after eviction: no pair may surface
+    mem.addData(DocEvent(3L, Timestamp.valueOf("2024-01-01 11:01:00"), text))
+    q.processAllAvailable()
+    assert(spark.table("neardup_ttl_out").count() == 0)
+    // control: a twin arriving WITHIN the horizon pairs immediately
+    mem.addData(DocEvent(4L, Timestamp.valueOf("2024-01-01 11:02:00"), text))
+    q.processAllAvailable()
+    val pairs = spark.table("neardup_ttl_out").select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(pairs == Set((3L, 4L, 1.0)))
+  }
+
   test("file-source ingest picks up only newly arrived files per trigger") {
     import spark.implicits._
     val dir = scratchDir("graft_ingest")
