@@ -99,13 +99,20 @@ object Bench {
       .mkString("{", ",", "}")
     val raw = results.map { case (k, t) => "\"" + k + "\":" + jarr(t) }
       .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(r => median(r._2)).filterNot(_.isNaN).sum
 
     // 10x-scale section: one run per heavy query at the scale dir,
-    // plus the exponent vs this run's sf0.1 median.
-    val scaleDir = sys.env.get("SPARK_GRAFT_BENCH_SCALE_DIR")
-      .orElse(Some("/root/repo/.data/sf1").filter(_ => sfDir.contains("sf0.1")))
+    // plus the exponent vs this run's sf0.1 median. An ONLY subset
+    // gates this section too — a local-iteration run must not build
+    // the proxy or time excluded queries (their exponents would be
+    // meaningless anyway with no base median).
+    val scaleWanted = ScaleQueries
+      .filter(SparkEntry.queries.contains)
+      .filter(name => only.forall(_.contains(name)))
+    val scaleDir = Some(())
+      .filter(_ => scaleWanted.nonEmpty)
+      .flatMap(_ => sys.env.get("SPARK_GRAFT_BENCH_SCALE_DIR")
+        .orElse(Some("/root/repo/.data/sf1").filter(_ => sfDir.contains("sf0.1"))))
       .filter(d => d.nonEmpty && d != "none")
       .flatMap { d =>
         // build-once: generate the 10x scale proxy if absent (fresh
@@ -114,11 +121,13 @@ object Bench {
           try tools.GenScale.build(spark, sfDir, d)
           catch { case e: Exception =>
             System.err.println(s"[bench] scale-dir build failed: ${e.getMessage}") }
-        Some(d).filter(x => new java.io.File(x, "documents.parquet").exists())
+        // gate on the build's completion marker, not one table: a
+        // half-built dir would yield unexplained per-query failures
+        Some(d).filter(x => new java.io.File(x, "_COMPLETE").exists())
       }
     val sf1 = scaleDir.map { d =>
       val byName = SparkEntry.queries
-      val entries = ScaleQueries.filter(byName.contains).map { name =>
+      val entries = scaleWanted.map { name =>
         val t = median(time(name, byName(name), d, 1))
         val base = median(results.collectFirst { case (`name`, ts) => ts }.getOrElse(Nil))
         val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
@@ -128,6 +137,8 @@ object Bench {
       s""","sf1":{"dir":"$d","runs":1,"queries":${entries.mkString("{", ",", "}")}}"""
     }.getOrElse("")
 
+    // serialized AFTER the scale runs so their failures are recorded
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadAvg()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_raw":$raw,"failed":$fs,"runs":$runs,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"$sf1}""")
     spark.stop()

@@ -144,10 +144,14 @@ object Fixtures {
     entry(258, 3, 1, 32)           // BitsPerSample
     entry(259, 3, 1, 1)            // Compression: none
     entry(262, 3, 1, 1)            // Photometric: BlackIsZero
-    entry(273, 4, numStrips, offArr) // StripOffsets -> array
+    // a count-1 LONG value is INLINE per the TIFF rule (readers,
+    // ours included, only dereference when 4·count > 4) — so a
+    // single-strip image must carry the offset/count directly, not a
+    // pointer; the unused array slots become padding
+    entry(273, 4, numStrips, if (numStrips == 1) data else offArr) // StripOffsets
     entry(277, 3, 1, 1)            // SamplesPerPixel
     entry(278, 4, 1, rowsPerStrip) // RowsPerStrip
-    entry(279, 4, numStrips, cntArr) // StripByteCounts -> array
+    entry(279, 4, numStrips, if (numStrips == 1) 4 * n * n else cntArr) // StripByteCounts
     entry(339, 3, 1, 2)            // SampleFormat: signed int
     buf.putInt(0)                  // no next IFD
     var off = data

@@ -99,10 +99,16 @@ object Ann {
     */
   def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
     import e.sparkSession.implicits._
-    var cents: Array[Array[Float]] = e.where(col("embedding").isNotNull)
+    // init from the k lowest vec_ids — guarded like the iteration
+    // path: an empty corpus fails loudly, and a short/odd-length
+    // vector among the k lowest ids must not become `dim` (it would
+    // filter out the whole real corpus and freeze centroids at init)
+    val cand: Array[Array[Float]] = e.where(col("embedding").isNotNull)
       .orderBy("vec_id").limit(k)
       .select("embedding").as[Seq[Float]].collect().map(_.toArray)
-    val dim = cents.head.length
+    require(cand.nonEmpty, "kmeansCentroids: no non-null embeddings in corpus")
+    val dim = cand.map(_.length).groupBy(identity).maxBy(_._2.length)._1
+    var cents = cand.filter(_.length == dim) // k may shrink; callers use cents.length
     val sums = (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
     // a null or short embedding would form a null-key group (NPE on

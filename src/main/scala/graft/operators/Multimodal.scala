@@ -272,6 +272,19 @@ object Multimodal {
     } finally { reader.dispose(); iis.close() }
   }
 
+  /** Total demux for untrusted payloads: a corrupt container yields
+    * None instead of an exception — the skip-bad-records shape a
+    * 100 TB media pipeline needs (count the Nones, never kill the
+    * job). The fixture queries use the strict [[demuxFrames]] (their
+    * payloads are valid by construction); MultimodalSpec fuzzes this
+    * one with truncations and byte flips.
+    */
+  def tryDemux(payload: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    try {
+      val fs = demuxFrames(payload)
+      if (fs.isEmpty) None else Some(fs)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Documents with a binary VIDEO payload column (real animated
     * GIFs), the video twin of [[withPayload]].
     */

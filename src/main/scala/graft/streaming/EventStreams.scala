@@ -270,10 +270,12 @@ object EventStreams {
           while (i < ids.length) {
             val other = fhs(i)
             val inter = other.count(set.contains)
-            val j = inter.toDouble / (set.size + other.size - inter)
+            // threshold the ROUNDED value — batch verifyJaccard emits
+            // on round(j, 6) >= t, and the parity contract is exact
+            val j = r6(inter.toDouble / (set.size + other.size - inter))
             if (j >= threshold) out += PairOut(
               math.min(r.doc_id, ids(i)), math.max(r.doc_id, ids(i)),
-              r6(j), new Timestamp(math.max(rMs, mss(i))))
+              j, new Timestamp(math.max(rMs, mss(i))))
             i += 1
           }
           ids += r.doc_id; mss += rMs; fhs += r.fh

@@ -409,13 +409,46 @@ case class OphSig(child: Expression, k: Int, a: Long, b: Long, p: Long, c: Long)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(in: Any): Any = {
-    val hs = in.asInstanceOf[ArrayData]
+  override def nullSafeEval(in: Any): Any =
+    new GenericArrayData(
+      OphKernel.slots(in.asInstanceOf[ArrayData], k, a, b, p, c, false))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      |  org.apache.spark.sql.graft.OphKernel.slots(
+      |    $in, $k, ${a}L, ${b}L, ${p}L, ${c}L, false));
+    """.stripMargin)
+
+  override protected def withNewChildInternal(c2: Expression): OphSig = copy(child = c2)
+}
+
+/** The OPH slot-fill + optimal-densification kernel, shared by the
+  * interpreted AND generated paths of [[OphSig]] and [[OphBands]] —
+  * one implementation, four call sites, so a densification change can
+  * never make the measurement tools' signatures (oph_sig) diverge
+  * from the shipped d4 path (oph_bands). Static forwarders make the
+  * methods directly callable from generated Java; the JIT inlines hot
+  * statics, so this costs nothing over the previous inline codegen.
+  */
+object OphKernel {
+
+  /** One-pass slot fill (min hashed value per bin; Long.MaxValue =
+    * empty) followed by optimal densification: an empty bin copies a
+    * donor found by seeded per-(bin, attempt) probing over the
+    * ORIGINAL occupancy, with a rotation-walk fallback after 256
+    * misses. `fold32` applies the 32-bit fold (`h & 0xFFFFFFFF`)
+    * before the universal hash — the OphBands input convention.
+    */
+  def slots(hs: ArrayData, k: Int, a: Long, b: Long, p: Long, c: Long,
+      fold32: Boolean): Array[Long] = {
     val n = hs.numElements()
-    val slots = Array.fill(k)(Long.MaxValue) // MaxValue = empty (v < p < MaxValue)
+    val slots = new Array[Long](k)
+    java.util.Arrays.fill(slots, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val v = (a * hs.getLong(i) + b) % p
+      val h = if (fold32) hs.getLong(i) & 0xFFFFFFFFL else hs.getLong(i)
+      val v = (a * h + b) % p
       val bin = (v % k).toInt
       if (v < slots(bin)) slots(bin) = v
       i += 1
@@ -424,7 +457,9 @@ case class OphSig(child: Expression, k: Int, a: Long, b: Long, p: Long, c: Long)
     i = 0
     while (i < k && !anyFilled) { anyFilled = slots(i) != Long.MaxValue; i += 1 }
     if (anyFilled) {
-      val filled = slots.map(_ != Long.MaxValue) // probe ORIGINAL occupancy
+      val filled = new Array[Boolean](k) // probe ORIGINAL occupancy
+      i = 0
+      while (i < k) { filled(i) = slots(i) != Long.MaxValue; i += 1 }
       var j = 0
       while (j < k) {
         if (!filled(j)) {
@@ -448,62 +483,28 @@ case class OphSig(child: Expression, k: Int, a: Long, b: Long, p: Long, c: Long)
         j += 1
       }
     }
-    new GenericArrayData(slots)
+    slots
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, in => {
-      val n = ctx.freshName("n")
-      val slots = ctx.freshName("slots")
-      val filled = ctx.freshName("filled")
-      val any = ctx.freshName("any")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val t = ctx.freshName("t")
-      val v = ctx.freshName("v")
-      val bin = ctx.freshName("bin")
-      val z = ctx.freshName("z")
-      val d = ctx.freshName("d")
-      val donor = ctx.freshName("donor")
-      val w = ctx.freshName("w")
-      s"""
-        |int $n = $in.numElements();
-        |long[] $slots = new long[$k];
-        |java.util.Arrays.fill($slots, Long.MAX_VALUE);
-        |for (int $i = 0; $i < $n; $i++) {
-        |  long $v = (${a}L * $in.getLong($i) + ${b}L) % ${p}L;
-        |  int $bin = (int) ($v % $k);
-        |  if ($v < $slots[$bin]) $slots[$bin] = $v;
-        |}
-        |boolean $any = false;
-        |for (int $i = 0; $i < $k && !$any; $i++) $any = $slots[$i] != Long.MAX_VALUE;
-        |if ($any) {
-        |  boolean[] $filled = new boolean[$k];
-        |  for (int $i = 0; $i < $k; $i++) $filled[$i] = $slots[$i] != Long.MAX_VALUE;
-        |  for (int $j = 0; $j < $k; $j++) {
-        |    if (!$filled[$j]) {
-        |      int $donor = -1;
-        |      for (int $t = 1; $donor < 0 && $t <= 256; $t++) {
-        |        long $z = $j * ${c}L + $t * 0xC2B2AE3D27D4EB4FL;
-        |        $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
-        |        $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
-        |        int $d = (int) ((($z ^ ($z >>> 31)) >>> 1) % $k);
-        |        if ($filled[$d]) $donor = $d;
-        |      }
-        |      if ($donor < 0) {
-        |        int $w = 1;
-        |        while (!$filled[($j + $w) % $k]) $w++;
-        |        $donor = ($j + $w) % $k;
-        |      }
-        |      $slots[$j] = $slots[$donor];
-        |    }
-        |  }
-        |}
-        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($slots);
-      """.stripMargin
-    })
-
-  override protected def withNewChildInternal(c2: Expression): OphSig = copy(child = c2)
+  /** Seeded avalanche mix of each band's `rows` consecutive slots
+    * into one 64-bit band key.
+    */
+  def bandKeys(slots: Array[Long], bands: Int, rows: Int): Array[Long] = {
+    val keys = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var h = bnd * 0x9E3779B97F4A7C15L + 0xC2B2AE3D27D4EB4FL
+      var r = 0
+      while (r < rows) {
+        h = (h ^ slots(bnd * rows + r)) * 0x9E3779B97F4A7C15L
+        h ^= h >>> 32
+        r += 1
+      }
+      keys(bnd) = h
+      bnd += 1
+    }
+    keys
+  }
 }
 
 /** Fused d4 banding kernel: 64-bit feature hashes → 32-bit fold →
@@ -534,125 +535,19 @@ case class OphBands(child: Expression, bands: Int, rows: Int, a: Long, b: Long,
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(in: Any): Any = {
-    val hs = in.asInstanceOf[ArrayData]
-    val n = hs.numElements()
-    val slots = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val v = (a * (hs.getLong(i) & 0xFFFFFFFFL) + b) % p
-      val bin = (v % k).toInt
-      if (v < slots(bin)) slots(bin) = v
-      i += 1
-    }
-    var anyFilled = false
-    i = 0
-    while (i < k && !anyFilled) { anyFilled = slots(i) != Long.MaxValue; i += 1 }
-    if (anyFilled) {
-      val filled = slots.map(_ != Long.MaxValue)
-      var j = 0
-      while (j < k) {
-        if (!filled(j)) {
-          var donor = -1
-          var t = 1
-          while (donor < 0 && t <= 256) {
-            var z = j * c + t * 0xC2B2AE3D27D4EB4FL
-            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-            val d = (((z ^ (z >>> 31)) >>> 1) % k).toInt
-            if (filled(d)) donor = d
-            t += 1
-          }
-          if (donor < 0) {
-            var w = 1
-            while (!filled((j + w) % k)) w += 1
-            donor = (j + w) % k
-          }
-          slots(j) = slots(donor)
-        }
-        j += 1
-      }
-    }
-    val keys = new Array[Long](bands)
-    var bnd = 0
-    while (bnd < bands) {
-      var h = bnd * 0x9E3779B97F4A7C15L + 0xC2B2AE3D27D4EB4FL
-      var r = 0
-      while (r < rows) {
-        h = (h ^ slots(bnd * rows + r)) * 0x9E3779B97F4A7C15L
-        h ^= h >>> 32
-        r += 1
-      }
-      keys(bnd) = h
-      bnd += 1
-    }
-    new GenericArrayData(keys)
-  }
+  override def nullSafeEval(in: Any): Any =
+    new GenericArrayData(OphKernel.bandKeys(
+      OphKernel.slots(in.asInstanceOf[ArrayData], k, a, b, p, c, true),
+      bands, rows))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, in => {
-      val n = ctx.freshName("n")
-      val slots = ctx.freshName("slots")
-      val filled = ctx.freshName("filled")
-      val any = ctx.freshName("any")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val t = ctx.freshName("t")
-      val v = ctx.freshName("v")
-      val bin = ctx.freshName("bin")
-      val z = ctx.freshName("z")
-      val d = ctx.freshName("d")
-      val donor = ctx.freshName("donor")
-      val w = ctx.freshName("w")
-      val keys = ctx.freshName("keys")
-      val bnd = ctx.freshName("bnd")
-      val r = ctx.freshName("r")
-      val h = ctx.freshName("h")
-      s"""
-        |int $n = $in.numElements();
-        |long[] $slots = new long[$k];
-        |java.util.Arrays.fill($slots, Long.MAX_VALUE);
-        |for (int $i = 0; $i < $n; $i++) {
-        |  long $v = (${a}L * ($in.getLong($i) & 0xFFFFFFFFL) + ${b}L) % ${p}L;
-        |  int $bin = (int) ($v % $k);
-        |  if ($v < $slots[$bin]) $slots[$bin] = $v;
-        |}
-        |boolean $any = false;
-        |for (int $i = 0; $i < $k && !$any; $i++) $any = $slots[$i] != Long.MAX_VALUE;
-        |if ($any) {
-        |  boolean[] $filled = new boolean[$k];
-        |  for (int $i = 0; $i < $k; $i++) $filled[$i] = $slots[$i] != Long.MAX_VALUE;
-        |  for (int $j = 0; $j < $k; $j++) {
-        |    if (!$filled[$j]) {
-        |      int $donor = -1;
-        |      for (int $t = 1; $donor < 0 && $t <= 256; $t++) {
-        |        long $z = $j * ${c}L + $t * 0xC2B2AE3D27D4EB4FL;
-        |        $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
-        |        $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
-        |        int $d = (int) ((($z ^ ($z >>> 31)) >>> 1) % $k);
-        |        if ($filled[$d]) $donor = $d;
-        |      }
-        |      if ($donor < 0) {
-        |        int $w = 1;
-        |        while (!$filled[($j + $w) % $k]) $w++;
-        |        $donor = ($j + $w) % $k;
-        |      }
-        |      $slots[$j] = $slots[$donor];
-        |    }
-        |  }
-        |}
-        |long[] $keys = new long[$bands];
-        |for (int $bnd = 0; $bnd < $bands; $bnd++) {
-        |  long $h = $bnd * 0x9E3779B97F4A7C15L + 0xC2B2AE3D27D4EB4FL;
-        |  for (int $r = 0; $r < $rows; $r++) {
-        |    $h = ($h ^ $slots[$bnd * $rows + $r]) * 0x9E3779B97F4A7C15L;
-        |    $h ^= $h >>> 32;
-        |  }
-        |  $keys[$bnd] = $h;
-        |}
-        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
-      """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, in => s"""
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      |  org.apache.spark.sql.graft.OphKernel.bandKeys(
+      |    org.apache.spark.sql.graft.OphKernel.slots(
+      |      $in, $k, ${a}L, ${b}L, ${p}L, ${c}L, true),
+      |    $bands, $rows));
+    """.stripMargin)
 
   override protected def withNewChildInternal(c2: Expression): OphBands = copy(child = c2)
 }

@@ -131,6 +131,27 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g9: a SINGLE-strip TIFF decodes exactly (count-1 LONG values are inline)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    for (order <- Seq(java.nio.ByteOrder.LITTLE_ENDIAN, java.nio.ByteOrder.BIG_ENDIAN);
+         n <- Seq(1, 2, 3)) { // rowsPerStrip = 3 ⇒ all single-strip
+      val out = expr.eval(InternalRow(graft.geo.Fixtures.tiffBytes(7, n, order)))
+        .asInstanceOf[InternalRow]
+      assert(out != null, s"n=$n $order decoded to null")
+      assert(out.getInt(0) == n && out.getInt(1) == n)
+      val pts = out.getArray(2)
+      assert(pts.numElements() == n * n)
+      for (i <- 0 until n * n) {
+        val p = pts.getStruct(i, 3)
+        val (x, y) = (p.getInt(0), p.getInt(1))
+        assert(p.getInt(2) == ((7L * 131 + x * 17 + y * 29) % 8848).toInt)
+      }
+    }
+  }
+
   test("g9: TiffDecode never throws on corrupted payloads — null or a decode, only") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

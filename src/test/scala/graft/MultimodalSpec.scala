@@ -110,6 +110,28 @@ class MultimodalSpec extends SparkSpec {
       assert((img.getRGB(x, y) & 0xFFFFFF) == Multimodal.framePixel(3L, 2, x, y) * 0x10101)
   }
 
+  test("tryDemux never escalates on corrupted containers — Some(frames) or None, only") {
+    val base = Multimodal.gifPayload(17L)
+    val rnd = new scala.util.Random(11)
+    // truncations at every boundary region + random byte flips: a
+    // malformed container must drop out (None), never crash a task
+    val mutants =
+      (0 until base.length by 5).map(base.take(_)) ++
+      (1 to 300).map { _ =>
+        val m = base.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        m
+      } :+ Array.empty[Byte] :+ Array.fill(64)(0x41.toByte)
+    mutants.foreach { m =>
+      Multimodal.tryDemux(m) match {
+        case Some(frames) => assert(frames.nonEmpty)
+        case None         => // skipped record — the correct outcome
+      }
+    }
+    // and the pristine container still demuxes through the same API
+    assert(Multimodal.tryDemux(base).exists(_.length == Multimodal.frameCount(17L)))
+  }
+
   test("feature extraction pools real pixels and composes with the ANN operators' schema") {
     val e = Multimodal.extractFeatures(spark, Sf, dim = 64)
     val row = e.head()
