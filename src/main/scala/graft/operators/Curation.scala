@@ -43,10 +43,14 @@ object Curation {
       .select(col("g"))
     // pass 2 — string verify, but ONLY for docs containing a hot hash
     // (~10% of the corpus here): exact string group-by removes any
-    // hash-collision false positives
-    val candDocs = h.select(col("doc_id"), col("nrm"), explode(col("hs")).as("g"))
+    // hash-collision false positives. The hot-hash join carries ONLY
+    // (doc_id, g) — joining the exploded rows with nrm attached would
+    // shuffle every document string once per gram (corpus × ~250 at
+    // scale); the strings re-attach afterwards, one row per hot doc
+    val hotDocs = h.select(col("doc_id"), explode(col("hs")).as("g"))
       .join(hot, "g")
-      .select(col("doc_id"), col("nrm")).distinct()
+      .select(col("doc_id")).distinct()
+    val candDocs = h.join(hotDocs, "doc_id").select(col("doc_id"), col("nrm"))
     candDocs
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), length(col("nrm")) - (width - 1)),
