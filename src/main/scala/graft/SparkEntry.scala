@@ -57,6 +57,8 @@ object SparkEntry {
     "q27_pivot"               -> Relational.q27Pivot _,
     "q28_gapfill"             -> Relational.q28Gapfill _,
     "q29_unpivot"             -> Relational.q29Unpivot _,
+    "q30_sliding"             -> Relational.q30Sliding _,
+    "q31_ntile"               -> Relational.q31Ntile _,
     // text analysis
     "t1_token_count"          -> TextAnalysis.tokenCounts _,
     "t2_quality"              -> TextAnalysis.qualityScores _,
@@ -527,6 +529,23 @@ object SparkEntry {
       |UNION ALL SELECT l_returnflag, 'extprice_cents', extprice_cents FROM a
       |UNION ALL SELECT l_returnflag, 'disc_cents', disc_cents FROM a
       |ORDER BY l_returnflag, metric""".stripMargin,
+    "q30_sliding" -> raw"""
+      |SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  l_quantity::BIGINT AS qty,
+      |  CAST(sum(l_quantity::BIGINT) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_orderkey, l_linenumber, l_quantity::BIGINT
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_4row
+      |FROM lineitem WHERE l_suppkey < 20
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q31_ntile" -> raw"""
+      |SELECT c_custkey, c_nationkey,
+      |  round(c_acctbal*100)::BIGINT AS acctbal_cents,
+      |  CAST(ntile(4) OVER (
+      |    PARTITION BY c_nationkey
+      |    ORDER BY round(c_acctbal*100)::BIGINT DESC, c_custkey) AS INTEGER) AS quartile
+      |FROM customer
+      |ORDER BY c_nationkey, quartile, c_custkey""".stripMargin,
     "t6_tfidf" -> raw"""
       |WITH w AS (SELECT doc_id, unnest(string_split($Nrm, ' ')) AS w FROM documents),
       |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),

@@ -514,6 +514,46 @@ object Relational {
         "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** q30: SLIDING-FRAME window — per supplier, the 4-row moving
+    * quantity sum over its lineitems in (orderkey, linenumber) order.
+    * `ROWS BETWEEN 3 PRECEDING AND CURRENT ROW` is the bounded-frame
+    * shape (running q9 is the unbounded one). The frame order is
+    * (orderkey, linenumber, qty): this corpus has duplicate
+    * (orderkey, linenumber) pairs, and qty breaks every tie that
+    * could change a frame sum — rows still tied are FULL duplicates
+    * of the projection, so any engine-internal order yields the same
+    * result multiset. Quantities are integral, so no FP association
+    * ambiguity survives either engine's frame evaluation strategy.
+    * One shuffle on the partition key.
+    */
+  def q30Sliding(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"))
+      .rowsBetween(-3, 0)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") < 20) // partition-key filter: pushes below the window
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("qty_4row", sum(col("qty")).over(w))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q31: NTILE quartiles — customers bucketed into balance quartiles
+    * WITHIN their nation. The order key carries the unique c_custkey
+    * tiebreaker, so bucket boundaries are engine-deterministic
+    * (Spark and DuckDB share the ntile remainder rule: earlier
+    * buckets take the extra rows). One shuffle on the nation key.
+    */
+  def q31Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("acctbal_cents").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal_cents"))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("c_nationkey"), col("quartile"), col("c_custkey"))
+  }
+
   /** JSON extraction from the events.props payload + aggregate. */
   def q15Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
