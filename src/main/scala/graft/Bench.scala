@@ -117,13 +117,29 @@ object Bench {
       .flatMap { d =>
         // build-once: generate the 10x scale proxy if absent (fresh
         // checkout); non-fatal — a failed build just skips the section
-        if (!new java.io.File(d, "_COMPLETE").exists())
-          try tools.GenScale.build(spark, sfDir, d)
-          catch { case e: Exception =>
-            System.err.println(s"[bench] scale-dir build failed: ${e.getMessage}") }
+        val marker = java.nio.file.Paths.get(d, "_COMPLETE")
+        try {
+          // the marker records the built row counts — validate them
+          // against the CURRENT source corpus, or a proxy built from
+          // older/different testdata would produce plausible-looking
+          // but meaningless exponents in the auditable JSON
+          if (java.nio.file.Files.exists(marker)) {
+            val expected = Seq("documents", "embeddings", "part").map { t =>
+              s"$t=${spark.read.parquet(s"$sfDir/$t.parquet").count() * tools.GenScale.Replicas}"
+            }
+            val recorded = new String(
+              java.nio.file.Files.readAllBytes(marker), "UTF-8").linesIterator.toSeq
+            if (recorded != expected) {
+              System.err.println(s"[bench] scale dir $d is stale vs $sfDir; rebuilding")
+              java.nio.file.Files.delete(marker)
+            }
+          }
+          if (!java.nio.file.Files.exists(marker)) tools.GenScale.build(spark, sfDir, d)
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] scale-dir build failed: ${e.getMessage}") }
         // gate on the build's completion marker, not one table: a
         // half-built dir would yield unexplained per-query failures
-        Some(d).filter(x => new java.io.File(x, "_COMPLETE").exists())
+        Some(d).filter(_ => java.nio.file.Files.exists(marker))
       }
     val sf1 = scaleDir.map { d =>
       val byName = SparkEntry.queries

@@ -87,6 +87,22 @@ object Multimodal {
     img
   }
 
+  /** Row-major fold over decoded pixel values — the ONE
+    * implementation behind m1's `phash` and m2's `fhash`; both DuckDB
+    * oracles recompute this exact fold (seed, ·31, 24-bit mask) as a
+    * HUGEINT reduction, so the two call sites must never diverge.
+    */
+  def pixelFold(img: BufferedImage): Long = {
+    var hash = 1125899906842597L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { hash = hash * 31L + (img.getRGB(x, y) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    hash
+  }
+
   /** Decode one payload to typed metadata. All fields come from the
     * DECODED image: dims and band count from the codec, `phash` a
     * row-major fold over the actual pixel values.
@@ -95,14 +111,7 @@ object Multimodal {
     val img = decodeImage(payload)
     val (w, h) = (img.getWidth, img.getHeight)
     val channels = img.getRaster.getNumBands
-    var hash = 1125899906842597L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { hash = hash * 31L + (img.getRGB(x, y) & 0xFFFFFF); x += 1 }
-      y += 1
-    }
-    MediaMeta(docId, w * h * channels, w, h, channels, hash)
+    MediaMeta(docId, w * h * channels, w, h, channels, pixelFold(img))
   }
 
   /** REAL nearest-neighbor resample of a decoded image. Deliberately
@@ -344,14 +353,7 @@ object Multimodal {
       .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
         val frames = demuxFrames(bytes)
         frames.zipWithIndex.collect { case (img, idx) if idx % stride == 0 =>
-          var hash = 1125899906842597L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) { hash = hash * 31L + (img.getRGB(x, y) & 0xFFFFFF); x += 1 }
-            y += 1
-          }
-          (id, idx, frames.length, img.getWidth, img.getHeight, hash)
+          (id, idx, frames.length, img.getWidth, img.getHeight, pixelFold(img))
         }
       }))
       .toDF("doc_id", "frame_idx", "n_frames", "width", "height", "fhash")

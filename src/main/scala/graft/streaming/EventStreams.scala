@@ -220,13 +220,15 @@ object EventStreams {
       .select(col("doc_id"), col("ts"),
         ArrayExprs.word_shingle_hashes(
           graft.functions.TextFns.normalize(col("text")), 3).as("fh"))
-      .select(col("doc_id"), col("ts"),
-        explode(Dedup.bandKeys(
-          ArrayExprs.minhash_sig(Dedup.fold32(col("fh")),
-            Dedup.permA.take(nBands * nRows), Dedup.permB.take(nBands * nRows),
-            Dedup.P32),
-          nBands, nRows)).as("bkey"),
-        col("fh"))
+      // sig MUST be its own projection attribute: inlined inside
+      // bandKeys' transform lambda it would re-run the full
+      // 128-permutation signature once per band (pitfall (a))
+      .select(col("doc_id"), col("ts"), col("fh"),
+        ArrayExprs.minhash_sig(Dedup.fold32(col("fh")),
+          Dedup.permA.take(nBands * nRows), Dedup.permB.take(nBands * nRows),
+          Dedup.P32).as("sig"))
+      .select(col("doc_id"), col("ts"), col("fh"),
+        explode(Dedup.bandKeys(col("sig"), nBands, nRows)).as("bkey"))
       .select(col("bkey"), col("doc_id"), col("ts"), col("fh")).as[BandRow]
       .groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

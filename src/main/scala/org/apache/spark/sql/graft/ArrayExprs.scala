@@ -411,13 +411,13 @@ case class OphSig(child: Expression, k: Int, a: Long, b: Long, p: Long, c: Long)
 
   override def nullSafeEval(in: Any): Any =
     new GenericArrayData(
-      OphKernel.slots(in.asInstanceOf[ArrayData], k, a, b, p, c, false))
+      OphKernel.slots(in.asInstanceOf[ArrayData], k, a, b, p, c))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in => s"""
       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       |  org.apache.spark.sql.graft.OphKernel.slots(
-      |    $in, $k, ${a}L, ${b}L, ${p}L, ${c}L, false));
+      |    $in, $k, ${a}L, ${b}L, ${p}L, ${c}L));
     """.stripMargin)
 
   override protected def withNewChildInternal(c2: Expression): OphSig = copy(child = c2)
@@ -437,17 +437,22 @@ object OphKernel {
     * empty) followed by optimal densification: an empty bin copies a
     * donor found by seeded per-(bin, attempt) probing over the
     * ORIGINAL occupancy, with a rotation-walk fallback after 256
-    * misses. `fold32` applies the 32-bit fold (`h & 0xFFFFFFFF`)
-    * before the universal hash — the OphBands input convention.
+    * misses. The 32-bit fold (`h & 0xFFFFFFFF`) is applied
+    * UNCONDITIONALLY: it is the identity on oph_sig's in-contract
+    * 32-bit inputs, it is the input convention of oph_bands' raw
+    * 64-bit hashes, and it makes the kernel TOTAL — a negative or
+    * 64-bit value fed to oph_sig via SQL yields a deterministic
+    * signature instead of a negative-bin ArrayIndexOutOfBounds that
+    * kills the query.
     */
-  def slots(hs: ArrayData, k: Int, a: Long, b: Long, p: Long, c: Long,
-      fold32: Boolean): Array[Long] = {
+  def slots(hs: ArrayData, k: Int, a: Long, b: Long, p: Long,
+      c: Long): Array[Long] = {
     val n = hs.numElements()
     val slots = new Array[Long](k)
     java.util.Arrays.fill(slots, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = if (fold32) hs.getLong(i) & 0xFFFFFFFFL else hs.getLong(i)
+      val h = hs.getLong(i) & 0xFFFFFFFFL
       val v = (a * h + b) % p
       val bin = (v % k).toInt
       if (v < slots(bin)) slots(bin) = v
@@ -537,7 +542,7 @@ case class OphBands(child: Expression, bands: Int, rows: Int, a: Long, b: Long,
 
   override def nullSafeEval(in: Any): Any =
     new GenericArrayData(OphKernel.bandKeys(
-      OphKernel.slots(in.asInstanceOf[ArrayData], k, a, b, p, c, true),
+      OphKernel.slots(in.asInstanceOf[ArrayData], k, a, b, p, c),
       bands, rows))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -545,7 +550,7 @@ case class OphBands(child: Expression, bands: Int, rows: Int, a: Long, b: Long,
       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       |  org.apache.spark.sql.graft.OphKernel.bandKeys(
       |    org.apache.spark.sql.graft.OphKernel.slots(
-      |      $in, $k, ${a}L, ${b}L, ${p}L, ${c}L, true),
+      |      $in, $k, ${a}L, ${b}L, ${p}L, ${c}L),
       |    $bands, $rows));
     """.stripMargin)
 

@@ -176,6 +176,14 @@ case class TiffDecode(child: Expression)
     val offsets = values(273).getOrElse(return null)
     val counts = values(279).getOrElse(return null)
     if (offsets.length != counts.length || offsets.isEmpty) return null
+    // allocate ONLY what the payload can actually back: header-claimed
+    // dims must match the strip data present in the container, or a
+    // ~200-byte crafted payload claiming 16384x16384 would OOM the
+    // task here instead of decoding to null
+    var claimed = 0L
+    var ci = 0
+    while (ci < counts.length) { claimed += counts(ci); ci += 1 }
+    if (claimed != 4L * width * height || claimed > bytes.length) return null
 
     val points = new Array[Any](width * height)
     var row = 0

@@ -161,7 +161,16 @@ class GeoSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     // truncations at every boundary region + random byte flips: a
     // malformed container must drop out (null), never crash the scan
+    // a tiny payload CLAIMING huge dims must fail the strip-backing
+    // check before the pixel array is allocated (OOM guard): patch
+    // ImageWidth/ImageLength (first two IFD entries, inline LONGs at
+    // ifd+2+{0,1}*12+8) up to the 16384 cap
+    val huge = base.clone()
+    val bb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(10 + 8, 16384)
+    bb.putInt(22 + 8, 16384)
     val mutants =
+      Seq(huge) ++
       (0 until base.length by 7).map(base.take(_)) ++
       (1 to 300).map { _ =>
         val m = base.clone()
@@ -172,6 +181,7 @@ class GeoSpec extends SparkSpec {
       val out = expr.eval(InternalRow(m)) // must not throw
       assert(out == null || out.isInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
     }
+    assert(expr.eval(InternalRow(huge)) == null)
   }
 
   test("g9: TIFF ingest agrees with the GRFT ingest on every shared stat") {
