@@ -97,7 +97,7 @@ object Ann {
     * corpus never moves to the driver.
     * Deterministic init: the k lowest vec_ids.
     */
-  def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Float]] = {
+  def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 3): Array[Array[Float]] = {
     import e.sparkSession.implicits._
     // init from the k lowest vec_ids — guarded like the iteration
     // path: an empty corpus fails loudly, and a short/odd-length
@@ -188,7 +188,7 @@ object Ann {
     * whole partitions at the scan instead of filtering rows.
     */
   def buildIvfIndex(s: SparkSession, dir: String, indexPath: String,
-      nlist: Int = 16, iters: Int = 5): Unit = {
+      nlist: Int = 16, iters: Int = 3): Unit = {
     import s.implicits._
     // cached: the Lloyd iterations and the final partitioned write all
     // re-scan this projection.
