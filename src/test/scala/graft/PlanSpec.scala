@@ -13,6 +13,15 @@ class PlanSpec extends SparkSpec {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("q30: the partition-key filter pushes below the window to the scan") {
+    val p = formatted(Relational.q30Sliding(spark, Sf))
+    // filtering on the window PARTITION key is push-safe: frames never
+    // cross partitions, so the predicate must reach the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_suppkey,20)"), p)
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!read.contains("l_extendedprice"), "projection must prune unused columns")
+  }
+
   test("q6: every predicate reaches the parquet scan; schema pruned to 4 columns") {
     val p = formatted(Relational.q6Filter(spark, Sf))
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"))
