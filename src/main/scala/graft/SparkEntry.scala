@@ -537,7 +537,7 @@ object SparkEntry {
       |    ORDER BY l_orderkey, l_linenumber, l_quantity::BIGINT
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_4row
       |FROM lineitem WHERE l_suppkey < 20
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, qty, qty_4row""".stripMargin,
     "q31_ntile" -> raw"""
       |SELECT c_custkey, c_nationkey,
       |  round(c_acctbal*100)::BIGINT AS acctbal_cents,

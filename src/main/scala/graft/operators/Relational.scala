@@ -535,7 +535,14 @@ object Relational {
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("qty"))
       .withColumn("qty_4row", sum(col("qty")).over(w))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      // qty/qty_4row complete the sort key: (suppkey, orderkey, linenumber)
+      // is NOT unique here, and two rows tied on it can still carry
+      // different frame sums (frames at adjacent positions drop different
+      // trailing rows). With all five columns in the sort, rows that
+      // remain tied are identical, so output order is deterministic in
+      // any engine.
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("qty"), col("qty_4row"))
   }
 
   /** q31: NTILE quartiles — customers bucketed into balance quartiles

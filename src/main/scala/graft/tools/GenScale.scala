@@ -26,8 +26,14 @@ import graft.Tables
   *    key, so the tile universe grows 10× with the same density.
   *
   * Replica 0 is the identity — sf0.1 is a subset of the output.
-  * Generation is fully distributed (10 unioned selects, no driver
+  * Generation is fully distributed (N unioned selects, no driver
   * data); a _COMPLETE marker makes it build-once.
+  *
+  * `replicas` defaults to 10 (the sf1 proxy); Bench's sf10 section
+  * passes 100 for the second scale decade. The character cipher stays
+  * a distinct bijection per replica for any count < 130 (letter
+  * rotation has period 26, digit rotation 10, lcm 130), so replica
+  * gram spaces remain pairwise disjoint at 100 replicas too.
   */
 object GenScale {
   val Replicas = 10
@@ -47,6 +53,7 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/root/repo/.data/sf1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(Replicas)
     val ownSession = SparkSession.getActiveSession.isEmpty
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,19 +61,22 @@ object GenScale {
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, srcDir, outDir)
+    build(spark, srcDir, outDir, replicas)
     if (ownSession) spark.stop() // don't kill a caller's session (Bench)
   }
 
   /** Build the scale dataset with the caller's session; no-op if the
     * completion marker is present.
     */
-  def build(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def build(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int = Replicas): Unit = {
+    require(replicas > 0 && replicas < 130,
+      s"replicas must be in (0, 130) for distinct ciphers, got $replicas")
     val marker = Paths.get(outDir, "_COMPLETE")
     if (Files.exists(marker)) { println(s"[genscale] $outDir already complete"); return }
 
     def replicate(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until Replicas).map(k => f(base, k)).reduce(_.unionAll(_))
+      (0 until replicas).map(k => f(base, k)).reduce(_.unionAll(_))
 
     val docs = replicate(Tables.documents(spark, srcDir)) { (d, k) =>
       d.select((col("doc_id") + k * Stride).as("doc_id"),
