@@ -188,6 +188,151 @@ object Fixtures {
     }
   }
 
+  /** Grid size for the DEFLATE/tiled TIFF fixtures: 24 is NOT a
+    * multiple of the 16-pixel tile size, so the 2x2 tile grid has
+    * right- and bottom-edge padding the decoder must drop.
+    */
+  val GridN2 = 24
+
+  /** DEFLATE-compressed TIFF payload for one tile — the layout real
+    * AW3D30 GeoTIFFs ship (GDAL writes DEFLATE, usually with the
+    * horizontal-differencing predictor): same congruential pixel
+    * formula as [[tiffBytes]], Compression=8 (zlib), optional
+    * predictor 317=2, STRIPED (5 rows per strip) or TILED (16x16,
+    * tags 322-325, edge tiles zero-padded). Built as a real TIFF
+    * writer would: decoded segments -> predictor differencing ->
+    * per-segment Deflater -> IFD with spec-ordered tags and
+    * inline-vs-offset values resolved by the fits-in-4-bytes rule.
+    */
+  private[graft] def tiffBytesDeflate(tileId: Int, n: Int = GridN2,
+      tiled: Boolean = false, predictor: Int = 2,
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
+    def pix(x: Int, y: Int): Int = ((tileId.toLong * 131 + x * 17 + y * 29) % 8848).toInt
+
+    val (segRowSamples, decoded: Array[Array[Byte]]) =
+      if (tiled) {
+        val tw = 16; val th = 16
+        val across = (n + tw - 1) / tw
+        val down = (n + th - 1) / th
+        (tw, Array.tabulate(across * down) { t =>
+          val x0 = (t % across) * tw; val y0 = (t / across) * th
+          val bb = ByteBuffer.allocate(4 * tw * th).order(order)
+          for (r <- 0 until th; x <- 0 until tw) {
+            val gx = x0 + x; val gy = y0 + r
+            bb.putInt(if (gx < n && gy < n) pix(gx, gy) else 0)
+          }
+          bb.array()
+        })
+      } else {
+        val rps = 5
+        val nStrips = (n + rps - 1) / rps
+        (n, Array.tabulate(nStrips) { s =>
+          val rows = math.min(rps, n - s * rps)
+          val bb = ByteBuffer.allocate(4 * rows * n).order(order)
+          for (r <- 0 until rows; x <- 0 until n) bb.putInt(pix(x, s * rps + r))
+          bb.array()
+        })
+      }
+
+    val segments = decoded.map { seg =>
+      val d = seg.clone()
+      if (predictor == 2) {
+        // horizontal differencing: store each sample as the delta
+        // from its left neighbor (right-to-left so lower samples
+        // keep their original values while diffing)
+        val b = ByteBuffer.wrap(d).order(order)
+        val rows = d.length / (4 * segRowSamples)
+        for (r <- 0 until rows; x <- (segRowSamples - 1) to 1 by -1) {
+          val p = (r * segRowSamples + x) * 4
+          b.putInt(p, b.getInt(p) - b.getInt(p - 4))
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.util.zip.DeflaterOutputStream(bos)
+      dos.write(d); dos.close()
+      bos.toByteArray
+    }
+
+    // IFD entries in ascending tag order, as the spec requires
+    case class E(tag: Int, typ: Int, vs: Array[Long])
+    def short(tag: Int, v: Long) = E(tag, 3, Array(v))
+    def long(tag: Int, vs: Long*) = E(tag, 4, vs.toArray)
+    val layoutTags =
+      if (tiled) Seq(long(322, 16), long(323, 16),
+        E(324, 4, new Array[Long](segments.length)), // patched below
+        long(325, segments.map(_.length.toLong): _*))
+      else Seq(E(273, 4, new Array[Long](segments.length)),
+        long(278, 5), long(279, segments.map(_.length.toLong): _*))
+    val entries = (Seq(long(256, n), long(257, n), short(258, 32),
+      short(259, 8), short(262, 1), short(277, 1)) ++ layoutTags ++
+      (if (predictor == 2) Seq(short(317, 2)) else Nil) ++
+      Seq(short(339, 2))).sortBy(_.tag)
+
+    val ifdOff = 8
+    val ifdSize = 2 + entries.length * 12 + 4
+    def extSize(e: E): Int = {
+      val elem = if (e.typ == 3) 2 else 4
+      if (elem * e.vs.length <= 4) 0 else elem * e.vs.length
+    }
+    // external arrays follow the IFD; segment data follows them
+    var extOff = ifdOff + ifdSize
+    val extOffsets = entries.map { e => val o = extOff; extOff += extSize(e); o }
+    val segOffsets = new Array[Long](segments.length)
+    var dataOff = extOff
+    for (i <- segments.indices) { segOffsets(i) = dataOff; dataOff += segments(i).length }
+    // patch the offsets tag (273/324) now that data positions are known
+    val patched = entries.map { e =>
+      if (e.tag == 273 || e.tag == 324) e.copy(vs = segOffsets) else e
+    }
+
+    val buf = ByteBuffer.allocate(dataOff).order(order)
+    val bom = if (order == ByteOrder.LITTLE_ENDIAN) 'I' else 'M'
+    buf.put(bom.toByte).put(bom.toByte).putShort(42).putInt(ifdOff)
+    buf.putShort(patched.length.toShort)
+    patched.zip(extOffsets).foreach { case (e, eo) =>
+      buf.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.vs.length)
+      val elem = if (e.typ == 3) 2 else 4
+      if (elem * e.vs.length <= 4) { // inline, zero-padded to 4
+        val before = buf.position()
+        e.vs.foreach(v => if (e.typ == 3) buf.putShort(v.toShort) else buf.putInt(v.toInt))
+        while (buf.position() < before + 4) buf.put(0.toByte)
+      } else buf.putInt(eo)
+    }
+    buf.putInt(0) // no next IFD
+    patched.zip(extOffsets).foreach { case (e, eo) =>
+      if (extSize(e) > 0) {
+        buf.position(eo)
+        e.vs.foreach(v => if (e.typ == 3) buf.putShort(v.toShort) else buf.putInt(v.toInt))
+      }
+    }
+    for (i <- segments.indices) {
+      buf.position(segOffsets(i).toInt)
+      buf.put(segments(i))
+    }
+    buf.array()
+  }
+
+  /** Ensure the DEFLATE-TIFF fixture directory for `dir` exists; one
+    * `<tile_key>.tif` per tile with tile_id < RasterLimit, cycling
+    * three real-world layouts so one scan exercises them all:
+    * id%3==0 -> striped, no predictor; id%3==1 -> striped,
+    * predictor 2; id%3==2 -> TILED 16x16, predictor 2, big-endian.
+    */
+  def ensureTiffsDeflate(s: SparkSession, dir: String): String = synchronized {
+    val out = fixtureRoot("tiffs_deflate", dir)
+    val tiles = tileRows(s, dir, RasterLimit)
+    ensureAtomic(out, tiles.length) { tmp =>
+      tiles.foreach { case (id, _, _, key) =>
+        val bytes = id % 3 match {
+          case 0 => tiffBytesDeflate(id, predictor = 1)
+          case 1 => tiffBytesDeflate(id)
+          case _ => tiffBytesDeflate(id, tiled = true, order = ByteOrder.BIG_ENDIAN)
+        }
+        Files.write(Paths.get(tmp.toString, s"$key.tif"), bytes)
+      }
+    }
+  }
+
   /** Expected remote object size for the listing manifest (bytes —
     * small enough to write as real files).
     */

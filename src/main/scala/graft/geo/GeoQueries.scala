@@ -150,6 +150,41 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g10: raster ingestion from DEFLATE-compressed TIFFs — the layout
+    * the reference's GDAL open (main.rs:172-191) actually encounters:
+    * real AW3D30 GeoTIFFs ship zlib-compressed, predictor-differenced,
+    * striped or tiled. The fixture cycles all three layouts
+    * (striped/no-predictor, striped/predictor-2, tiled-16x16/
+    * predictor-2/big-endian) through ONE scan, so this query proves
+    * the decoder handles a mixed-layout corpus — exactly what a bulk
+    * AW3D30 ingest sees across GDAL versions. Same plan shape as g9:
+    * decode + explode per file row, one grouped agg, broadcast-sized
+    * tile-universe join for identity.
+    */
+  def rasterIngestTiffDeflate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureTiffsDeflate(s, dir)
+    val decoded = s.read.format("binaryFile").option("pathGlobFilter", "*.tif").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.tiff_decode(col("content")).as("r"))
+      .select(col("tile_key"),
+        (col("r.width") === Fixtures.GridN2 && col("r.height") === Fixtures.GridN2).as("dims_ok"),
+        explode(col("r.points")).as("p"))
+      .groupBy(col("tile_key"), col("dims_ok"))
+      .agg(count(lit(1)).as("n_pixels"),
+        min(col("p.elevation")).as("min_elev"),
+        max(col("p.elevation")).as("max_elev"),
+        r6(avg(col("p.elevation"))).as("avg_elev"),
+        sum(col("p.elevation")).as("sum_elev"))
+    tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
+      .join(decoded, Seq("tile_key"))
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        col("dims_ok"), col("n_pixels"), col("min_elev"), col("max_elev"),
+        col("avg_elev"), col("sum_elev"))
+      .orderBy(col("tile_id"))
+  }
+
   /** g8: filesystem-listing manifest — the twin of the reference's
     * paged ListObjectsV2 + idempotent-download check (main.rs:266-331,
     * 135-161), against a REAL directory. The listing is DISTRIBUTED:

@@ -79,21 +79,30 @@ case class RasterDecode(child: Expression)
 
 /** Byte-level decoder for the structural subset of TIFF the
   * reference's GeoTIFF band read consumes (main.rs:172-191,
-  * `Dataset::open` → `read_band_as::<i32>`): baseline TIFF 6.0,
-  * uncompressed, striped, one 32-bit signed-integer sample per pixel.
-  * A REAL TIFF parser, not a fixture-shaped one: it honors either
-  * byte order ("II"/"MM"), walks the IFD, resolves inline-vs-offset
-  * values by size (per spec: a value whose byte size fits in 4 is
-  * stored inline), and reassembles pixel rows across strips, so any
-  * conforming writer's output decodes — our fixture writer is merely
-  * one such writer.
+  * `Dataset::open` → `read_band_as::<i32>`): TIFF 6.0, one 32-bit
+  * signed-integer sample per pixel, STRIPED or TILED (tags 322-325),
+  * uncompressed or DEFLATE (Compression=8, zlib via
+  * `java.util.zip.Inflater`), with optional horizontal-differencing
+  * predictor (tag 317 = 2) — the layout real AW3D30 GeoTIFFs actually
+  * ship (GDAL writes them DEFLATE-compressed). A REAL TIFF parser,
+  * not a fixture-shaped one: it honors either byte order ("II"/"MM"),
+  * walks the IFD, resolves inline-vs-offset values by size (per spec:
+  * a value whose byte size fits in 4 is stored inline), reassembles
+  * pixel rows across strips, and pastes edge-padded tiles into the
+  * image, so any conforming writer's output decodes — our fixture
+  * writer is merely one such writer.
   *
   * Returns `struct(width, height, points array<struct<x, y,
   * elevation>>)`, or NULL for payloads that are malformed or outside
-  * the subset (compressed, tiled, multi-band, non-int32) — such files
-  * drop out instead of poisoning the scan, mirroring RasterDecode.
-  * Unlike GRFT, TIFF carries no tile identity: as with real AW3D30
-  * tiles, identity comes from the filename (main.rs:108-133).
+  * the subset (non-DEFLATE compression, multi-band, non-int32) —
+  * such files drop out instead of poisoning the scan, mirroring
+  * RasterDecode. Decompression is bomb-guarded: the pixel array is
+  * only allocated once the container's segment byte counts can
+  * plausibly back the claimed dimensions (zlib's maximum expansion is
+  * ~1032x; we gate at 1100x), and each segment must inflate to
+  * EXACTLY its layout-implied size. Unlike GRFT, TIFF carries no tile
+  * identity: as with real AW3D30 tiles, identity comes from the
+  * filename (main.rs:108-133).
   */
 case class TiffDecode(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -167,48 +176,155 @@ case class TiffDecode(child: Expression)
     val width = scalar(256).getOrElse(return null).toInt
     val height = scalar(257).getOrElse(return null).toInt
     if (width <= 0 || height <= 0 || width > 16384 || height > 16384) return null
-    // subset gate: uncompressed single-band signed 32-bit samples
-    if (scalar(259).getOrElse(1L) != 1L) return null
+    // subset gate: single-band signed 32-bit samples, none/DEFLATE
+    val compression = scalar(259).getOrElse(1L)
+    if (compression != 1L && compression != 8L) return null
     if (scalar(258).getOrElse(return null) != 32L) return null
     if (scalar(277).getOrElse(1L) != 1L) return null
     if (scalar(339).getOrElse(1L) != 2L) return null
-    val rowsPerStrip = scalar(278).getOrElse(height.toLong)
-    val offsets = values(273).getOrElse(return null)
-    val counts = values(279).getOrElse(return null)
-    if (offsets.length != counts.length || offsets.isEmpty) return null
-    // allocate ONLY what the payload can actually back: header-claimed
-    // dims must match the strip data present in the container, or a
-    // ~200-byte crafted payload claiming 16384x16384 would OOM the
-    // task here instead of decoding to null
-    var claimed = 0L
-    var ci = 0
-    while (ci < counts.length) { claimed += counts(ci); ci += 1 }
-    if (claimed != 4L * width * height || claimed > bytes.length) return null
+    val predictor = scalar(317).getOrElse(1L)
+    if (predictor != 1L && predictor != 2L) return null
 
-    val points = new Array[Any](width * height)
-    var row = 0
-    var s = 0
-    while (s < offsets.length) {
-      val off = offsets(s)
-      val len = counts(s)
-      if (off < 0 || len < 0 || off + len > bytes.length) return null
-      val rows = (len / (4L * width)).toInt
-      if (len != 4L * width * rows || rows > rowsPerStrip) return null
+    // exactly one layout: classic strips (273/279) or tiles (322-325)
+    val isTiled = entryPos.contains(324) || entryPos.contains(322)
+    if (isTiled == entryPos.contains(273)) return null
+
+    /** One decoded segment (strip or tile) of exactly `expectedLen`
+      * bytes — a bounds-checked raw slice, or a bounded inflate that
+      * must consume its input and produce neither more nor less.
+      */
+    def segment(off: Long, len: Long, expectedLen: Int): Array[Byte] = {
+      if (off < 0 || len <= 0 || off + len > bytes.length || off > Int.MaxValue) return null
+      if (compression == 1L) {
+        if (len != expectedLen) return null
+        java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+      } else {
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(bytes, off.toInt, len.toInt)
+          val out = new Array[Byte](expectedLen)
+          var total = 0
+          while (total < expectedLen && !inf.finished()) {
+            val k = inf.inflate(out, total, expectedLen - total)
+            // truncated stream, or a header demanding a preset
+            // dictionary (FDICT) — without this check a crafted
+            // payload spins this loop forever
+            if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+            total += k
+          }
+          if (total != expectedLen) return null
+          // reject surplus decoded bytes beyond the layout-implied size
+          if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return null
+          out
+        } catch { case _: java.util.zip.DataFormatException => return null }
+        finally inf.end()
+      }
+    }
+
+    /** Undo horizontal differencing (predictor 2) in place: each
+      * sample is stored as the delta from its left neighbor, per row
+      * of `rowSamples` int32s, in the file's byte order.
+      */
+    def undoPredictor(data: Array[Byte], rowSamples: Int): Unit = {
+      val b = java.nio.ByteBuffer.wrap(data).order(order)
+      val rows = data.length / (4 * rowSamples)
       var r = 0
       while (r < rows) {
-        if (row >= height) return null // more strip rows than ImageLength
-        var x = 0
-        while (x < width) {
-          points(row * width + x) = new GenericInternalRow(
-            Array[Any](x, row, buf.getInt((off + 4L * (r.toLong * width + x)).toInt)))
-          x += 1
-        }
-        r += 1; row += 1
+        var p = r * rowSamples * 4 + 4
+        val end = (r + 1) * rowSamples * 4
+        while (p < end) { b.putInt(p, b.getInt(p) + b.getInt(p - 4)); p += 4 }
+        r += 1
       }
-      s += 1
     }
-    if (row != height) return null // strips did not cover the image
-    new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points)))
+
+    /** Allocate the pixel array ONLY once the container's segment
+      * byte counts can back the claimed dims: uncompressed must match
+      * exactly; DEFLATE is gated at zlib's ~1032x max expansion — a
+      * ~200-byte crafted payload claiming 16384x16384 fails here
+      * instead of OOMing the task.
+      */
+    def backed(counts: Array[Long], decodedTotal: Long): Boolean = {
+      var claimed = 0L
+      var ci = 0
+      while (ci < counts.length) {
+        if (counts(ci) < 0) return false
+        claimed += counts(ci); ci += 1
+      }
+      claimed <= bytes.length &&
+        (if (compression == 1L) claimed == decodedTotal
+         else decodedTotal <= claimed * 1100L)
+    }
+
+    if (isTiled) {
+      val tw = scalar(322).getOrElse(return null).toInt
+      val th = scalar(323).getOrElse(return null).toInt
+      // spec: tile dims are positive multiples of 16
+      if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0 ||
+        tw > 16384 || th > 16384) return null
+      val across = (width + tw - 1) / tw
+      val down = (height + th - 1) / th
+      val offsets = values(324).getOrElse(return null)
+      val counts = values(325).getOrElse(return null)
+      if (offsets.length != across.toLong * down || counts.length != offsets.length)
+        return null
+      if (!backed(counts, 4L * tw * th * across * down)) return null
+
+      val points = new Array[Any](width * height)
+      var t = 0
+      while (t < offsets.length) {
+        val data = segment(offsets(t), counts(t), 4 * tw * th)
+        if (data == null) return null
+        if (predictor == 2L) undoPredictor(data, tw)
+        val db = java.nio.ByteBuffer.wrap(data).order(order)
+        val x0 = (t % across) * tw
+        val y0 = (t / across) * th
+        // paste the tile's valid region; right/bottom padding drops
+        var r = 0
+        while (r < th && y0 + r < height) {
+          var x = 0
+          while (x < tw && x0 + x < width) {
+            points((y0 + r) * width + (x0 + x)) = new GenericInternalRow(
+              Array[Any](x0 + x, y0 + r, db.getInt(4 * (r * tw + x))))
+            x += 1
+          }
+          r += 1
+        }
+        t += 1
+      }
+      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points)))
+    } else {
+      val rowsPerStrip = scalar(278).getOrElse(height.toLong)
+      if (rowsPerStrip <= 0) return null
+      val offsets = values(273).getOrElse(return null)
+      val counts = values(279).getOrElse(return null)
+      val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+      if (offsets.length != nStrips || counts.length != offsets.length) return null
+      if (!backed(counts, 4L * width * height)) return null
+
+      val points = new Array[Any](width * height)
+      var row = 0
+      var s = 0
+      while (s < offsets.length) {
+        val rows = math.min(rowsPerStrip, (height - row).toLong).toInt
+        val data = segment(offsets(s), counts(s), 4 * width * rows)
+        if (data == null) return null
+        if (predictor == 2L) undoPredictor(data, width)
+        val db = java.nio.ByteBuffer.wrap(data).order(order)
+        var r = 0
+        while (r < rows) {
+          var x = 0
+          while (x < width) {
+            points(row * width + x) = new GenericInternalRow(
+              Array[Any](x, row, db.getInt(4 * (r * width + x))))
+            x += 1
+          }
+          r += 1; row += 1
+        }
+        s += 1
+      }
+      if (row != height) return null // strips did not cover the image
+      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points)))
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): TiffDecode = copy(child = c)

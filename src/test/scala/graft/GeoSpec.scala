@@ -196,6 +196,85 @@ class GeoSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("g10: TiffDecode round-trips every DEFLATE layout the fixture cycles") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    val n = graft.geo.Fixtures.GridN2
+    val variants = Seq(
+      graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1),
+      graft.geo.Fixtures.tiffBytesDeflate(9),
+      graft.geo.Fixtures.tiffBytesDeflate(9, tiled = true),
+      graft.geo.Fixtures.tiffBytesDeflate(9, tiled = true,
+        order = java.nio.ByteOrder.BIG_ENDIAN),
+      // non-multiple-of-16 grid exercises a 16x16 tile fully padded
+      // on two sides AND a striped short last strip
+      graft.geo.Fixtures.tiffBytesDeflate(9, n = 17, tiled = true),
+      graft.geo.Fixtures.tiffBytesDeflate(9, n = 17))
+    for ((bytes, vi) <- variants.zipWithIndex) {
+      val nn = if (vi >= 4) 17 else n
+      val out = expr.eval(InternalRow(bytes)).asInstanceOf[InternalRow]
+      assert(out != null, s"variant $vi decoded to null")
+      assert(out.getInt(0) == nn && out.getInt(1) == nn)
+      val pts = out.getArray(2)
+      assert(pts.numElements() == nn * nn, s"variant $vi")
+      for (i <- 0 until nn * nn) {
+        val p = pts.getStruct(i, 3)
+        val (x, y) = (p.getInt(0), p.getInt(1))
+        assert(p.getInt(2) == ((9L * 131 + x * 17 + y * 29) % 8848).toInt,
+          s"variant $vi pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("g10: DEFLATE TIFF ingest agrees with the formula on every stat") {
+    import spark.implicits._
+    val got = GeoQueries.rasterIngestTiffDeflate(spark, Sf)
+    assert(got.filter(!col("dims_ok")).count() == 0)
+    val n = graft.geo.Fixtures.GridN2
+    val a = got.select("tile_id", "n_pixels", "min_elev", "max_elev", "sum_elev")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    val ids = Geo.tiles(spark, Sf).filter(col("tile_id") < graft.geo.Fixtures.RasterLimit)
+      .select("tile_id").as[Long].collect()
+    val b = ids.map { id =>
+      val elevs = for (y <- 0 until n; x <- 0 until n)
+        yield ((id * 131 + x * 17 + y * 29) % 8848).toInt
+      (id, (n * n).toLong, elevs.min, elevs.max, elevs.map(_.toLong).sum)
+    }.toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("g10: TiffDecode never throws on corrupted DEFLATE payloads; bombs are gated") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    val rnd = new scala.util.Random(13)
+    for (base <- Seq(graft.geo.Fixtures.tiffBytesDeflate(11),
+      graft.geo.Fixtures.tiffBytesDeflate(11, tiled = true))) {
+      // a tiny compressed payload claiming the 16384x16384 cap must
+      // fail the decoded-bytes backing gate (zlib max expansion) long
+      // before the 268M-element pixel array would be allocated
+      val huge = base.clone()
+      val bb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(10 + 8, 16384)
+      bb.putInt(22 + 8, 16384)
+      assert(expr.eval(InternalRow(huge)) == null)
+      val mutants =
+        (0 until base.length by 7).map(base.take(_)) ++
+        (1 to 300).map { _ =>
+          val m = base.clone()
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          m
+        }
+      mutants.foreach { m =>
+        val out = expr.eval(InternalRow(m)) // must not throw
+        assert(out == null || out.isInstanceOf[InternalRow])
+      }
+    }
+  }
+
   test("g8: FS listing manifest flags missing and torn downloads only") {
     val got = GeoQueries.listingManifest(spark, Sf)
       .select("tile_id").as[Long].collect().toSet
