@@ -95,17 +95,22 @@ object Ann {
     * shuffle moves O(k·dim·tasks) cells, never corpus×dim exploded
     * rows. Only the k×dim centroid matrix is collected (tiny); the
     * corpus never moves to the driver.
-    * Deterministic init: the k lowest vec_ids.
+    * Deterministic init: the k lowest vec_ids. A caller that already
+    * holds ≥ k non-null candidates in that order (e.g. semDedup's
+    * fused count+init collect) passes them via `init` and skips the
+    * init job here.
     */
-  def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 3): Array[Array[Float]] = {
+  def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 3,
+      init: Option[Array[Array[Float]]] = None): Array[Array[Float]] = {
     import e.sparkSession.implicits._
     // init from the k lowest vec_ids — guarded like the iteration
     // path: an empty corpus fails loudly, and a short/odd-length
     // vector among the k lowest ids must not become `dim` (it would
     // filter out the whole real corpus and freeze centroids at init)
-    val cand: Array[Array[Float]] = e.where(col("embedding").isNotNull)
-      .orderBy("vec_id").limit(k)
-      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    val cand: Array[Array[Float]] = init.map(_.take(k)).getOrElse(
+      e.where(col("embedding").isNotNull)
+        .orderBy("vec_id").limit(k)
+        .select("embedding").as[Seq[Float]].collect().map(_.toArray))
     require(cand.nonEmpty, "kmeansCentroids: no non-null embeddings in corpus")
     val dim = cand.map(_.length).groupBy(identity).maxBy(_._2.length)._1
     var cents = cand.filter(_.length == dim) // k may shrink; callers use cents.length

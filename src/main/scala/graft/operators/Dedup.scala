@@ -167,11 +167,83 @@ object Dedup {
     * MinHash-LSH, 32 bands × 4 rows (miss probability at 0.8: ~5e-8).
     */
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    lshVerifiedPairs(
-      spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          ArrayExprs.word_shingle_hashes(normalize(col("text")), 3).as("fh")),
-      bands = 32, rows = 4, threshold)
+    lshVerifiedPairs(shingleHashed(s, dir, lit(true)), bands = 32, rows = 4, threshold)
+
+  // --- persisted dedup index (incremental d2) ------------------------
+
+  /** Word-3-shingle feature hashes for a document set — the shared
+    * featurize step of d2, its streaming twin, and the persisted
+    * index below.
+    */
+  private def shingleHashed(s: SparkSession, dir: String, pred: Column): DataFrame =
+    spread(Tables.documents(s, dir).filter(pred).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        ArrayExprs.word_shingle_hashes(normalize(col("text")), 3).as("fh"))
+
+  /** Banded projection (doc_id, sz, fh, bands: array<long>) with the
+    * exact d2 kernels (classic MinHashSig — byte-identical band keys
+    * to minhashLsh, so index-vs-self-contained identity holds by
+    * construction).
+    */
+  private def withBands(hashed: DataFrame, bands: Int, rows: Int): DataFrame =
+    hashed
+      .select(col("doc_id"), size(col("fh")).as("sz"), col("fh"),
+        fold32(col("fh")).as("h32"))
+      .select(col("doc_id"), col("sz"), col("fh"),
+        ArrayExprs.minhash_sig(col("h32"), permA.take(bands * rows),
+          permB.take(bands * rows), P32).as("sig"))
+      .select(col("doc_id"), col("sz"), col("fh"),
+        bandKeys(col("sig"), bands, rows).as("bands"))
+
+  /** Build the d2 DEDUP INDEX once — the offline half of production
+    * incremental dedup, the s2/s3 persisted-index pattern applied to
+    * MinHash-LSH: per corpus doc, its feature-hash array (fh, the
+    * verify-side representation), set size, and the LSH band keys as
+    * a STORED array column. New batches then check against the corpus
+    * without re-featurizing it. One parquet, two pruned access paths:
+    * the band probe reads (doc_id, sz, bands) — fh, the wide column,
+    * prunes out of the scan (ReadSchema asserted in DedupSpec) — and
+    * the verify join reads (doc_id, fh) only for candidate survivors.
+    */
+  def buildDedupIndex(s: SparkSession, dir: String, indexPath: String,
+      pred: Column = lit(true), bands: Int = 32, rows: Int = 4): Unit =
+    withBands(shingleHashed(s, dir, pred), bands, rows)
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** Incremental d2: verified near-dup pairs INVOLVING a delta batch,
+    * probed against the persisted corpus index — the per-batch half
+    * of production incremental dedup. Each delta doc's band keys
+    * equi-join against index ∪ delta bands, so delta×corpus and
+    * delta×delta pairs surface while corpus×corpus work never
+    * re-runs; with the corpus pairs already known (from the index
+    * build era), `thisResult ∪ corpusPairs == minhashLsh(union)`
+    * exactly (asserted in DedupSpec). Shuffle is delta × bands probe
+    * rows against the index's band rows — incremental cost scales
+    * with the BATCH, not the corpus, which is what makes continuous
+    * 100 TB ingestion affordable.
+    */
+  def minhashLshDelta(s: SparkSession, dir: String, indexPath: String,
+      deltaPred: Column, bands: Int = 32, rows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val delta = graft.Caches.track(
+      withBands(shingleHashed(s, dir, deltaPred), bands, rows))
+    val idx = s.read.parquet(indexPath)
+    def bandRows(df: DataFrame) = df
+      .select(col("doc_id"), col("sz"), explode(col("bands")).as("bkey"))
+    val deltaBands = bandRows(delta)
+    val allBands = bandRows(idx).unionAll(deltaBands)
+    val cands = deltaBands.as("x").join(allBands.as("y"),
+        col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >=
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+      .distinct()
+    val fhAll = idx.select(col("doc_id"), col("fh"))
+      .unionAll(delta.select(col("doc_id"), col("fh")))
+    verifyJaccard(cands, fhAll, threshold)
+  }
 
   /** d4: near-dup pairs with exact char-4-gram Jaccard ≥ 0.7 via
     * MinHash-LSH, 128 bands × 8 rows. The steep curve matters here:
@@ -267,12 +339,12 @@ object Dedup {
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.Caches.track(minhashLsh(s, dir).select(col("id_a"), col("id_b")))
-    // size the CC stages to the GRAPH, not the session default: a dup
-    // graph is orders of magnitude smaller than its corpus — ~500k
-    // edges per partition keeps tiny graphs at 1 task while a 100 TB
-    // corpus's billions of edges still fan out to thousands of tasks.
-    val nParts = math.max(1, (pairs.count() * 2 / 500000L).toInt)
-    val labels = connectedComponents(s, pairs, nParts)
+    // CC stages size themselves to the GRAPH via AQE (the default
+    // partitions = -1 path below): the repartition-by-column shuffle
+    // coalesces from measured byte counts, so a tiny dup graph runs
+    // as 1 task while a 100 TB corpus's billions of edges keep
+    // thousands — with no driver-side pre-count job (r4 VERDICT #7).
+    val labels = connectedComponents(s, pairs)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     graft.Caches.ordered(
       labels.join(sizes, "lbl")
@@ -301,19 +373,33 @@ object Dedup {
     * structural: at 1 partition the union-find is global and the
     * boundary is empty — no convergence loop, no change-count
     * actions, no round cap. At 100 TB: one linear pass over edges,
-    * then recursion depth ≤ log₄(partitions) over data that shrinks
-    * by the contraction factor each level; per-task memory is the
-    * union-find map, bounded by the edges-per-partition dial.
-    * mapPartitions is the legitimate tool here — union-find is
-    * genuinely imperative per-partition state no Expression/agg
-    * expresses.
+    * then recursion over data that shrinks by the contraction factor
+    * each level; per-task memory is the union-find map, bounded by
+    * the edges-per-partition size. mapPartitions is the legitimate
+    * tool here — union-find is genuinely imperative per-partition
+    * state no Expression/agg expresses.
+    *
+    * Partition sizing: `partitions > 0` is the explicit dial
+    * (tests/tools); the default -1 lets AQE right-size the
+    * repartition-by-column shuffle from MEASURED byte counts
+    * (REPARTITION_BY_COL shuffles are coalescible), so no driver-side
+    * pre-count job runs — a tiny graph collapses to one task, a huge
+    * one fans out to `spark.sql.adaptive.coalescePartitions.
+    * initialPartitionNum`, the standard cluster-sizing knob. In AQE
+    * mode, `depth >= 3` forces one partition (a global union-find ⇒
+    * empty boundary), so recursion terminates structurally even on a
+    * graph that stops contracting; real boundary graphs are tiny by
+    * level 1.
     */
   private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame,
-      partitions: Int): DataFrame = {
+      partitions: Int = -1, depth: Int = 0): DataFrame = {
     import s.implicits._
     val sym = pairs.toDF("src", "dst")
-    val edges = sym.unionAll(sym.select(col("dst"), col("src")))
-      .repartition(math.max(1, partitions), col("src"))
+    val edgesFlat = sym.unionAll(sym.select(col("dst"), col("src")))
+    val edges =
+      if (partitions > 0) edgesFlat.repartition(partitions, col("src"))
+      else if (depth >= 3) edgesFlat.repartition(1, col("src"))
+      else edgesFlat.repartition(col("src"))
     val local = graft.Caches.track(edges.as[(Long, Long)].mapPartitions { it =>
       val parent = new scala.collection.mutable.LongMap[Long]()
       def find(x: Long): Long = {
@@ -339,7 +425,8 @@ object Dedup {
       .select(col("lbl").as("src"), col("plbl").as("dst")).distinct()
     if (boundary.isEmpty) minLbl.select(col("v"), col("lbl"))
     else {
-      val rootLbl = connectedComponents(s, boundary, math.max(1, partitions / 4))
+      val rootLbl = connectedComponents(s, boundary,
+          if (partitions > 0) math.max(1, partitions / 4) else partitions, depth + 1)
         .toDF("r", "rlbl")
       minLbl.join(rootLbl, minLbl("lbl") === col("r"), "left_outer")
         .select(minLbl("v"), coalesce(col("rlbl"), minLbl("lbl")).as("lbl"))
@@ -466,20 +553,25 @@ object Dedup {
     // (64-dim float ≈ 4 MB (both sides) — far under executor memory, sized so
     // the quadratic in-task loop stays cache-friendly). The output is
     // block-count-invariant (identity-asserted in DedupSpec), so the
-    // dial is purely physical.
+    // dial is purely physical. Capped at 1024: pairIds grows as
+    // blocks²/2 and must stay broadcast-small (≤ ~524k rows ≈ 8 MB);
+    // past the cap (n > ~8.4M vectors) the per-task working set grows
+    // past the 8k budget instead — the honest price of an exact
+    // all-pairs answer, and the signal to switch to d9/semDedup, this
+    // operator's documented sublinear scale path.
     val nBlocks =
       if (blocks > 0) blocks
       else {
         val n = Tables.embeddings(s, dir).count()
         val forCores = math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt
         val forMemory = math.ceil(n / 8192.0).toInt
-        math.max(math.max(forCores, forMemory), 1)
+        math.min(math.max(math.max(forCores, forMemory), 1), 1024)
       }
     val e = spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         pmod(col("vec_id"), lit(nBlocks)).as("bid"))
     val pairIds = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
-      .toDF("bi", "bj") // blocks²/2 rows — bounded, broadcast by design
+      .toDF("bi", "bj") // ≤ 1024²/2 rows by the nBlocks cap — broadcastable
     val a = e.join(broadcast(pairIds), col("bid") === col("bi"))
       .select(col("bi"), col("bj"), col("vec_id").as("ia"),
         col("embedding").as("ea"), col("nrm").as("na"))
@@ -533,11 +625,31 @@ object Dedup {
     */
   def semDedup(s: SparkSession, dir: String, threshold: Double = 0.4,
       clusterSize: Int = 256, passign: Int = 3, iters: Int = 3): DataFrame = {
+    import s.implicits._
     import graft.functions.VecFns._
     val e = graft.Caches.track(spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
-    val k = math.max(16, math.ceil(e.count().toDouble / clusterSize).toInt)
-    val cents = Ann.kmeansCentroids(e, k, iters)
+    // Fused count + centroid init (r4 VERDICT #7): observe() rides
+    // the TakeOrdered scan that collects the init candidates — the
+    // sort sees every row, so the metric is the full corpus count and
+    // no separate count() job runs. InitCap bounds driver memory
+    // (4096 · 64-dim floats ≈ 1 MB); only if k must exceed it
+    // (n > InitCap·clusterSize ≈ 1M vectors at the default dial) does
+    // the one extra bounded init job run — at that scale clusterSize
+    // gets retuned anyway (SemDeDup's published 5B-doc run used
+    // k = 50k with far larger clusters).
+    val InitCap = 4096
+    val obs = org.apache.spark.sql.Observation()
+    val cand: Array[Array[Float]] = e.observe(obs, count(lit(1)).as("n"))
+      .where(col("embedding").isNotNull)
+      .orderBy("vec_id").limit(InitCap)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    val n = obs.get("n").asInstanceOf[Long]
+    val k = math.max(16, math.ceil(n.toDouble / clusterSize).toInt)
+    val cents =
+      if (k <= cand.length || cand.length < InitCap)
+        Ann.kmeansCentroids(e, k, iters, Some(cand))
+      else Ann.kmeansCentroids(e, k, iters)
     val assigned = graft.Caches.track(e.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(Ann.topClusters(col("embedding"), cents, passign)).as("cl")))
     graft.Caches.ordered(

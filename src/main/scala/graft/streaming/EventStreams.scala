@@ -208,6 +208,18 @@ object EventStreams {
     * either a downstream keyed sink upsert (the production shape) or
     * a chained dropDuplicatesWithinWatermark — StreamingSpec asserts
     * the DISTINCT pair set equals batch d2 on the same corpus.
+    *
+    * STATE SIZE: each doc's full shingle-hash array is stored once
+    * PER BAND — a 32× amplification over the corpus working set
+    * (band state is self-contained by design: exact verification
+    * never crosses state keys, so a bucket can verify its own members
+    * with no second lookup). The real state dial is therefore
+    * `ttlMinutes` × arrival rate × nBands × avg shingle count; on a
+    * high-rate stream with a long watermark, shrink the TTL (or move
+    * to a doc-keyed fh store + id-only band buckets, trading a
+    * stream-stream join per verification) before the state store
+    * becomes the bottleneck — RocksDB state (StreamingSpec's parity
+    * run) extends the runway but not the asymptote.
     */
   def nearDupStream(docs: Dataset[DocEvent], threshold: Double = 0.8,
       ttlMinutes: Int = 10): Dataset[PairOut] = {

@@ -57,6 +57,39 @@ class DedupSpec extends SparkSpec {
     assert(pp == banded)
   }
 
+  test("incremental d2: delta-vs-index pairs + base pairs == self-contained d2 on the union") {
+    val idx = scratchDir("graft_dedup_idx")
+    // base = docs 0,1,3,4 ; delta = doc 2 (the exact dup of 0) — the
+    // delta probe must surface 2's pairs with base docs AND the base
+    // near-pair (0,1) must come from the base run, not the delta
+    val basePred = col("doc_id") =!= 2L
+    val deltaPred = col("doc_id") === 2L
+    Dedup.buildDedupIndex(spark, plantedDir, idx, basePred)
+    val deltaPairs = Dedup.minhashLshDelta(spark, plantedDir, idx, deltaPred,
+        threshold = 0.5).collect().map(_.toSeq).toSet
+    // base pairs via the same public kernels on the base subset
+    val basePairs = Dedup.pairsFromHashed(
+        Tables.documents(spark, plantedDir).filter(basePred)
+          .select(col("doc_id"), org.apache.spark.sql.graft.ArrayExprs
+            .word_shingle_hashes(graft.functions.TextFns.normalize(col("text")), 3).as("fh")),
+        bands = 32, rows = 4, threshold = 0.5).collect().map(_.toSeq).toSet
+    val full = Dedup.minhashLsh(spark, plantedDir, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(deltaPairs.nonEmpty && basePairs.nonEmpty)
+    assert((deltaPairs & basePairs).isEmpty) // clean partition, no overlap
+    assert((deltaPairs | basePairs) == full)
+    // the band-probe scan of the persisted index must prune fh (the
+    // wide verify column) out of the read — the stored-column pruned
+    // -scan promise of the s2 index, kept by the dedup index
+    val plan = Dedup.minhashLshDelta(spark, plantedDir, idx, deltaPred, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    val idxScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("bands")).toSeq
+    assert(idxScans.nonEmpty, plan)
+    assert(idxScans.exists(!_.contains("fh")),
+      s"band-probe scan must prune the fh column:\n$plan")
+  }
+
   test("d8: label propagation resolves transitive near-dup chains into one cluster") {
     // planted graph: 0~1, 1~2 (and 0~2) form a component; 3, 4 are
     // singletons and must not appear at all
