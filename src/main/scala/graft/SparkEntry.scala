@@ -28,6 +28,7 @@ object SparkEntry {
     "g8_listing_manifest"     -> GeoQueries.listingManifest _,
     "g9_raster_tiff"          -> GeoQueries.rasterIngestTiff _,
     "g10_raster_tiff_deflate" -> GeoQueries.rasterIngestTiffDeflate _,
+    "g11_partition_prune"     -> GeoQueries.tiledRegionQuery _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -240,6 +241,14 @@ object SparkEntry {
       |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
       |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    "g11_partition_prune" -> raw"""
+      |WITH $GridCte
+      |SELECT tile_key, min(tile_id) AS first_tile_id, count(*) AS n_pixels,
+      |       min(elevation) AS min_elev, max(elevation) AS max_elev,
+      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |FROM grid
+      |WHERE tile_id < 500 AND lat0 BETWEEN 23 AND 80 AND lon0 BETWEEN -25 AND 49
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g8_listing_manifest" -> raw"""
       |WITH $TilesCte,
       |r AS (SELECT tile_id, tile_key, (tile_id*131)%4096 + 64 AS size_bytes

@@ -353,4 +353,28 @@ object Fixtures {
       }
     }
   }
+
+  /** Tile-id bound for the partitioned-sink fixture (g11). */
+  val TiledLimit = 500
+
+  /** Ensure the tile-partitioned parquet sink for `dir` exists and
+    * return its path: the bounded grid written through Geo.writeTiled
+    * — the reference's file-per-tile layout (main.rs:272-296) as a
+    * queryable dataset. The frame is repartitioned by tile_key first
+    * so every partition directory holds ONE file (without it each of
+    * the 32 write tasks opens a file per key it sees — a small-files
+    * explosion that at sink scale also blows write-side memory).
+    * Same atomic tmp-then-rename publication as ensureAtomic; the
+    * expected-count marker holds the deterministic ROW count (tiles ×
+    * n²), checked before trusting an existing dir. Spark ignores the
+    * underscore-prefixed marker when reading the root as parquet.
+    */
+  def ensureTiledSink(s: SparkSession, dir: String): String = synchronized {
+    val out = fixtureRoot("tiled_sink", dir)
+    val grid = Geo.gridExpand(Geo.tiles(s, dir).filter(col("tile_id") < TiledLimit))
+    val nTiles = Geo.tiles(s, dir).filter(col("tile_id") < TiledLimit).count()
+    ensureAtomic(out, (nTiles * GridN * GridN).toInt) { tmp =>
+      Geo.writeTiled(grid.repartition(col("tile_key")), tmp.toString)
+    }
+  }
 }

@@ -43,6 +43,29 @@ object Geo {
   val ListingPrefixes: Seq[String] =
     for (h <- Seq("N", "S"); d <- 0 to 9) yield s"ALPSMLC30_${h}0$d"
 
+  /** Scala mirror of `tileKey` for driver-side key construction (the
+    * reference addresses tiles by FILENAME the same way, main.rs:108-161
+    * — a region resolves to key strings with no data read). GeoSpec
+    * asserts this mirror is byte-identical to the column formatter over
+    * the whole bounded id space, so they cannot drift apart silently.
+    */
+  def tileKeyString(lat: Int, lon: Int): String =
+    f"ALPSMLC30_${if (lat >= 0) "N" else "S"}%s${math.abs(lat)}%03d${if (lon >= 0) "E" else "W"}%s${math.abs(lon)}%03d_DSM"
+
+  /** Tile keys whose origin falls in a bbox, enumerated by pure
+    * arithmetic over the bounded tile-id space — the driver-side
+    * "region → partition directories" resolution used by the
+    * partition-pruned sink query (g11). Bounded output: a bbox holds
+    * at most (latHi-latLo+1)·(lonHi-lonLo+1) distinct keys, so the
+    * resulting IN-list stays broadcast-trivial at any corpus scale.
+    */
+  def regionKeys(idLimit: Int, latLo: Int, latHi: Int, lonLo: Int, lonHi: Int): Seq[String] =
+    (0 until idLimit).iterator
+      .map(id => (Math.floorMod(id * 37, 181) - 90, Math.floorMod(id * 73, 361) - 180))
+      .filter { case (lat, lon) => lat >= latLo && lat <= latHi && lon >= lonLo && lon <= lonHi }
+      .map { case (lat, lon) => tileKeyString(lat, lon) }
+      .toSeq.distinct
+
   /** Format a signed (lat, lon) into the reference's tile key. */
   def tileKey(lat: Column, lon: Column): Column =
     format_string(

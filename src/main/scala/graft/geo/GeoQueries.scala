@@ -185,6 +185,33 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g11: region query against the tile-partitioned parquet sink —
+    * the reference's file-per-tile layout (main.rs:272-296) paying off
+    * at QUERY time. The region resolves to its tile keys by pure
+    * driver-side arithmetic (Geo.regionKeys — exactly how the
+    * reference addresses tiles by filename, main.rs:108-161); the
+    * resulting IN-list lands in the scan's PartitionFilters, so the
+    * scan opens only the region's partition directories (asserted in
+    * PlanSpec). At 100 TB this is the difference between reading the
+    * world and reading Europe: pruning happens at file-listing time,
+    * before any byte of parquet is fetched.
+    */
+  def tiledRegionQuery(s: SparkSession, dir: String): DataFrame = {
+    val fixture = Fixtures.ensureTiledSink(s, dir)
+    // europe bbox (main.rs:56-88), same bounds as inEurope
+    val keys = regionKeys(Fixtures.TiledLimit, 23, 80, -25, 49)
+    s.read.parquet(fixture)
+      .filter(col("tile_key").isin(keys: _*))
+      .groupBy(col("tile_key"))
+      .agg(min(col("tile_id")).as("first_tile_id"),
+        count(lit(1)).as("n_pixels"),
+        min(col("elevation")).as("min_elev"),
+        max(col("elevation")).as("max_elev"),
+        r6(avg(col("elevation"))).as("avg_elev"),
+        sum(col("elevation")).as("sum_elev"))
+      .orderBy(col("tile_key"))
+  }
+
   /** g8: filesystem-listing manifest — the twin of the reference's
     * paged ListObjectsV2 + idempotent-download check (main.rs:266-331,
     * 135-161), against a REAL directory. The listing is DISTRIBUTED:

@@ -21,6 +21,28 @@ class GeoSpec extends SparkSpec {
     assert(keys.contains("ALPSMLC30_S014W077_DSM"))
   }
 
+  test("tileKeyString mirror is byte-identical to the column formatter") {
+    // every (lat, lon) the bounded id space can produce, both ways
+    val ids = (0 until 800).map(_.toLong)
+    val fromCol = ids.toDF("id")
+      .select(Geo.tileKey(Geo.tileLat(col("id")), Geo.tileLon(col("id"))).as("key"))
+      .as[String].collect()
+    val fromScala = ids.map(id =>
+      Geo.tileKeyString(Math.floorMod(id * 37, 181).toInt - 90,
+        Math.floorMod(id * 73, 361).toInt - 180))
+    assert(fromCol.toSeq == fromScala)
+  }
+
+  test("regionKeys enumerates exactly the tiles the column predicate admits") {
+    val expected = Geo.tiles(spark, Sf)
+      .filter(col("tile_id") < geo.Fixtures.TiledLimit &&
+        Geo.inEurope(col("lat0"), col("lon0")))
+      .select("tile_key").distinct().as[String].collect().toSet
+    val got = Geo.regionKeys(geo.Fixtures.TiledLimit, 23, 80, -25, 49).toSet
+    // regionKeys covers the full id space; data may hold fewer ids
+    assert(expected.subsetOf(got), (expected -- got).take(5).toString)
+  }
+
   test("malformed tile keys parse to null") {
     val df = Seq("garbage", "ALPSMLC30_X050E006_DSM").toDF("key")
       .select(Geo.parseLat(col("key")).as("plat"))

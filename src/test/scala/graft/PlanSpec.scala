@@ -104,6 +104,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("g11: the region IN-list prunes partitions at listing time") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val fixture = graft.geo.Fixtures.ensureTiledSink(spark, Sf)
+    val keys = graft.geo.Geo.regionKeys(graft.geo.Fixtures.TiledLimit, 23, 80, -25, 49)
+    // the full query's scan must carry the IN-list as a PARTITION
+    // filter (directory-level), not a data filter (row-level)
+    val p = formatted(graft.geo.GeoQueries.tiledRegionQuery(spark, Sf))
+    val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters")).get
+    assert(pf.contains("tile_key") && (pf.contains(" INSET ") || pf.contains(" IN ")), pf)
+    // metric-level proof on the bare scan (no AQE wrapper): the scan
+    // must open only the region's directories, not the world's
+    val scanDf = spark.read.parquet(fixture).filter(col("tile_key").isin(keys: _*))
+    scanDf.collect()
+    val scan = scanDf.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    val readPartitions = scan.metrics("numPartitions").value
+    val total = spark.read.parquet(fixture).select("tile_key").distinct().count()
+    assert(readPartitions > 0 && readPartitions < total,
+      s"read $readPartitions of $total partitions")
+  }
+
   test("asof join: custom sort-merge, one sort per side, no window/union") {
     val p = formatted(Relational.q14AsofJoin(spark, Sf))
     assert(p.contains("AsofMergeJoin"), p)
