@@ -13,12 +13,33 @@ object Joins {
     * row-identical to the plain equi-join (asserted in JoinsSpec).
     * Use when a known hot key defeats AQE's skew split (e.g. the
     * null-like default key of a fact table).
+    *
+    * The salt is DETERMINISTIC (a hash of data columns) on purpose: a
+    * non-deterministic salt (rand(), monotonically_increasing_id())
+    * is a correctness hazard at scale — on a partial stage retry the
+    * recomputed rows draw NEW salts while already-fetched shuffle
+    * blocks keep the old ones, so rows can duplicate or vanish (the
+    * classic nondeterministic-repartition-key failure). `saltCols`
+    * names the row-distinguishing columns to hash (with `key`);
+    * default = every column, which is always correct but widens the
+    * scan to the full row — SaltProbe measures the 2-column events
+    * scan growing to all 6 (props included) under the default, so
+    * pass one narrow unique column (an id) when the table has one.
+    * Rows identical across (key ++ saltCols) share a salt; that only
+    * defeats spreading if the hot key's rows are near-all duplicates.
     */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
-      salt: Int = 16): DataFrame = {
+      salt: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
+    val hashed = (key +: (if (saltCols.nonEmpty) saltCols else skewed.columns.toSeq.diff(Seq(key))))
+      .distinct.map(col)
     val l = skewed.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)).cast("int"))
-    val r = small.withColumn("_salt",
+      pmod(xxhash64(hashed: _*), lit(salt)).cast("int"))
+    // spread the dim BEFORE exploding: a small dim often arrives as
+    // 1-2 input splits, and without this those tasks generate and
+    // shuffle-write ALL salt x |small| replicated rows — TrySkew
+    // measured that straggler at the same cost as the skew being
+    // fixed. The extra exchange moves only the pre-replication rows.
+    val r = small.repartition(salt).withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }

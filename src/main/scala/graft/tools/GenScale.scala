@@ -110,4 +110,43 @@ object GenScale {
     Files.write(marker, counts.mkString("\n").getBytes("UTF-8"))
     println(s"[genscale] wrote $outDir: ${counts.mkString(", ")}")
   }
+
+  /** Synthetic hot user for the skewed variant — a value outside the
+    * natural id range, playing the "null-like default key" role the
+    * saltedJoin Scaladoc warns about.
+    */
+  val HotUser = -1L
+
+  /** Opt-in SKEWED scale variant (TrySkew): events replicated
+    * `replicas`× (ids shifted per replica, as in `build`), then every
+    * 5th event reassigned to one hot user — so one key owns exactly
+    * 20% of the fact table. The source corpus has no natural skew
+    * (top user ≈ 0.1% of rows), so salted-vs-plain join behavior can
+    * only be MEASURED on this. Also writes the matching `users` dim
+    * (distinct user_id + derived segment) so the join under test reads
+    * both sides from parquet, keeping dim construction out of the
+    * measurement.
+    */
+  def buildSkewedEvents(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
+    val marker = Paths.get(outDir, "_COMPLETE")
+    if (Files.exists(marker)) { println(s"[genscale] $outDir already complete"); return }
+    val base = Tables.events(spark, srcDir)
+    val ev = (0 until replicas).map { k =>
+      base.select((col("event_id") + k * Stride).as("event_id"), col("ts"),
+        (col("user_id") + k * Stride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionAll(_))
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(HotUser)).otherwise(col("user_id")))
+    ev.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    spark.read.parquet(s"$outDir/events.parquet")
+      .select("user_id").distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(1000)).cast("int"))
+      .write.mode("overwrite").parquet(s"$outDir/users.parquet")
+    val counts = Seq("events", "users")
+      .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
+    Files.write(marker, counts.mkString("\n").getBytes("UTF-8"))
+    println(s"[genscale] wrote $outDir: ${counts.mkString(", ")}")
+  }
 }
