@@ -90,6 +90,7 @@ object SparkEntry {
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
+    "s4_ann_pq"               -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     // multimodal
     "m1_mm_manifest"          -> Multimodal.manifest _,
     "m2_frame_manifest"       -> ((s: SparkSession, d: String) =>

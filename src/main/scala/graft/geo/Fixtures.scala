@@ -357,6 +357,15 @@ object Fixtures {
   /** Tile-id bound for the partitioned-sink fixture (g11). */
   val TiledLimit = 500
 
+  /** Sink dirs already validated this JVM — ensureTiledSink's
+    * completeness check costs a Spark count job (expected rows derive
+    * from the CURRENT source corpus), which is pure overhead on every
+    * bench re-run after the first. Publication is atomic and the
+    * fixture is immutable once complete, so within-JVM memoization is
+    * sound.
+    */
+  private val tiledSinkReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Ensure the tile-partitioned parquet sink for `dir` exists and
     * return its path: the bounded grid written through Geo.writeTiled
     * — the reference's file-per-tile layout (main.rs:272-296) as a
@@ -370,11 +379,15 @@ object Fixtures {
     * underscore-prefixed marker when reading the root as parquet.
     */
   def ensureTiledSink(s: SparkSession, dir: String): String = synchronized {
+    val cached = tiledSinkReady.get(dir)
+    if (cached != null) return cached
     val out = fixtureRoot("tiled_sink", dir)
     val grid = Geo.gridExpand(Geo.tiles(s, dir).filter(col("tile_id") < TiledLimit))
     val nTiles = Geo.tiles(s, dir).filter(col("tile_id") < TiledLimit).count()
-    ensureAtomic(out, (nTiles * GridN * GridN).toInt) { tmp =>
+    val path = ensureAtomic(out, (nTiles * GridN * GridN).toInt) { tmp =>
       Geo.writeTiled(grid.repartition(col("tile_key")), tmp.toString)
     }
+    tiledSinkReady.put(dir, path)
+    path
   }
 }

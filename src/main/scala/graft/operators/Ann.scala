@@ -295,6 +295,155 @@ object Ann {
         cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
   }
 
+  // --- product quantization (PQ) ------------------------------------
+
+  /** PQ layout: M subspaces of Dim/M dims, Ksub centroids each —
+    * codes are M small ints per vector (Jégou/Douze/Schmid 2011,
+    * "Product quantization for nearest neighbor search"). At 64
+    * float dims, 256 B/vector compresses to M=8 code bytes (+1
+    * stored approx-norm float): the difference between an ANN scan
+    * that fits executor memory at 100 TB and one that doesn't.
+    */
+  val PqM = 8
+  val PqKsub = 16
+
+  /** Train the M per-subspace codebooks: kmeansCentroids reused per
+    * subspace over the sliced corpus — distributed like every Lloyd's
+    * pass here; only M × Ksub × (Dim/M) floats ever reach the driver.
+    */
+  private[graft] def pqCodebooks(e: DataFrame, m: Int = PqM,
+      ksub: Int = PqKsub): Array[Array[Array[Float]]] = {
+    val sub = Dim / m
+    (0 until m).map { i =>
+      kmeansCentroids(
+        e.select(col("vec_id"), slice(col("embedding"), i * sub + 1, sub).as("embedding")),
+        ksub)
+    }.toArray
+  }
+
+  /** PQ-encode: per subspace, the nearest codebook entry's id —
+    * an array<int> of length M. Reuses the single-evaluation argmax
+    * of assignCluster per subspace.
+    */
+  private def pqEncode(v: Column, books: Array[Array[Array[Float]]]): Column = {
+    val sub = Dim / books.length
+    array(books.zipWithIndex.map { case (b, i) =>
+      assignCluster(slice(v, i * sub + 1, sub), b)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Reconstructed norm from the codes alone: subspaces are disjoint
+    * coordinate blocks, so |x̂|² = Σ_m |c_m[code_m]|² exactly (for the
+    * reconstruction x̂; it approximates |x|). Stored at build time so
+    * queries never touch the float vectors until re-rank.
+    */
+  private def pqNorm(codes: Column, books: Array[Array[Array[Float]]]): Column = {
+    val sq = books.map(_.map(c => c.map(x => x.toDouble * x.toDouble).sum))
+    sqrt(books.indices.map { m =>
+      element_at(typedLit(sq(m).toSeq), element_at(codes, m + 1) + 1)
+    }.reduce(_ + _))
+  }
+
+  /** Build the PQ index ONCE (offline, like buildIvfIndex): the M
+    * codebooks persist as a tiny parquet; the corpus persists as
+    * (vec_id, codes, pq_nrm) — ~20 B/row against the raw table's
+    * ~260 — plus the full vectors stay in the source table for the
+    * re-rank fetch.
+    */
+  def buildPqIndex(s: SparkSession, dir: String, indexPath: String,
+      m: Int = PqM, ksub: Int = PqKsub): Unit = {
+    import s.implicits._
+    val e = graft.Caches.track(Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding")))
+    val books = pqCodebooks(e, m, ksub)
+    books.zipWithIndex.flatMap { case (b, i) =>
+      b.zipWithIndex.map { case (c, j) => (i, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    e.select(col("vec_id"), pqEncode(col("embedding"), books).as("codes"))
+      .withColumn("pq_nrm", pqNorm(col("codes"), books))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+  }
+
+  /** Query the PQ index by asymmetric distance (ADC): each query
+    * precomputes its M × Ksub lookup table of subspace dot products
+    * (M·Ksub doubles per query — driver-side, queries are bounded
+    * like every probe set here), stage 1 scans ONLY the codes parquet
+    * — the approximate score per corpus row is M array lookups + adds,
+    * no float-vector I/O — and keeps `rerank` candidates per query via
+    * the bounded heap; stage 2 fetches full vectors for those
+    * candidates only and ranks exact cosine, so reported scores are
+    * exact and PQ error only costs recall (asserted vs the brute
+    * baseline in AnnSpec).
+    */
+  def pqTopKIndexed(s: SparkSession, dir: String, indexPath: String,
+      k: Int = K, rerank: Int = 4 * K): DataFrame = {
+    import s.implicits._
+    val loaded = s.read.parquet(s"$indexPath/codebooks")
+      .select(col("subspace"), col("code"), col("centroid"))
+      .as[(Int, Int, Seq[Float])].collect()
+    val m = loaded.map(_._1).max + 1
+    val ksub = loaded.map(_._2).max + 1
+    val books = Array.ofDim[Array[Float]](m, ksub)
+    loaded.foreach { case (mi, j, c) => books(mi)(j) = c.toArray }
+    val sub = Dim / m
+    // bounded query set, collected like ivf's probe buckets
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .as[(Long, Seq[Float], Double)].collect()
+    val qdf = qs.map { case (qid, emb, qnrm) =>
+      val lut = Array.tabulate(m * ksub) { idx =>
+        val (mi, j) = (idx / ksub, idx % ksub)
+        var d = 0.0
+        var t = 0
+        while (t < sub) { d += emb(mi * sub + t) * books(mi)(j)(t); t += 1 }
+        d
+      }
+      (qid, lut.toSeq, qnrm)
+    }.toSeq.toDF("q_id", "lut", "q_nrm")
+    val codes = s.read.parquet(s"$indexPath/codes")
+    val adc = books.indices.map { mi =>
+      element_at(col("lut"), lit(mi * ksub + 1) + element_at(col("codes"), mi + 1))
+    }.reduce(_ + _)
+    // stage 1: ADC-approximate cosine over codes only; top `rerank`
+    // survivors per query through the same bounded heap as final rank
+    val cand = broadcast(qdf).join(codes, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (adc / greatest(col("pq_nrm"), lit(1e-12))).as("cos_raw"))
+      .groupBy(col("q_id"))
+      .agg(org.apache.spark.sql.graft.TopKCosine
+        .top_k(col("cos_raw"), col("vec_id"), rerank).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"))
+    // stage 2: exact cosine on the shortlist only
+    val full = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    rankTopK(
+      cand.join(full, Seq("vec_id"))
+        .join(broadcast(qdf.select(col("q_id"), col("q_nrm"))), Seq("q_id"))
+        .join(broadcast(full.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
+  }
+
+  /** Self-contained PQ ANN (s4 driver query): builds the index into a
+    * per-sf scratch path once (build-once gate: the codes write's
+    * _SUCCESS — Spark stamps it last, so a torn build rebuilds), then
+    * queries it. The separate build/query entry points above are the
+    * production shape; this wrapper is the driver-runnable twin.
+    */
+  def pqTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = synchronized {
+    val indexPath = new java.io.File(
+      new java.io.File(sys.props("user.dir"), "target/fixtures"),
+      "graft_pq_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists())
+      buildPqIndex(s, dir, indexPath)
+    pqTopKIndexed(s, dir, indexPath, k)
+  }
+
   /** Sketch-LSH ANN: a 256-bit hyperplane sketch per vector; queries
     * (broadcast — k queries ≪ corpus, the s1 shape) prefilter the
     * corpus by sketch Hamming distance ≤ τ, then exact cosine ranks

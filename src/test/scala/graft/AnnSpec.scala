@@ -76,6 +76,31 @@ class AnnSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("PQ ANN: recall vs brute baseline, exact re-ranked scores, codes-only stage 1") {
+    val idx = scratchDir("graft_pq")
+    Ann.buildPqIndex(spark, Sf, idx)
+    val exactRows = Ann.bruteForceTopK(spark, Sf)
+      .select("q_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    val exact = exactRows.map(r => (r._1, r._2)).toSet
+    val pq = Ann.pqTopKIndexed(spark, Sf, idx)
+      .select("q_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    val recall = (exact & pq.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    info(f"PQ recall@${Ann.K} vs brute = $recall%.3f")
+    assert(recall >= 0.5, s"recall $recall")
+    // re-rank is exact cosine: every overlapping pair reports the
+    // brute baseline's score bit-for-bit
+    val exactScore = exactRows.map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, n, c) =>
+      exactScore.get((q, n)).foreach(e => assert(e == c, s"($q,$n): $e != $c")) }
+    // stage 1 must scan the codes parquet only — never the vectors
+    val plan = Ann.pqTopKIndexed(spark, Sf, idx).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val codeScans = plan.linesIterator
+      .filter(l => l.startsWith("ReadSchema") && l.contains("codes:")).toSeq
+    assert(codeScans.nonEmpty && codeScans.forall(!_.contains("embedding")),
+      s"stage-1 scan must read codes, not vectors:\n$plan")
+  }
+
   test("k-means assigns every vector and centroids are finite") {
     val e = Tables.embeddings(spark, Sf)
     val cents = Ann.kmeansCentroids(e.select("vec_id", "embedding"), k = 8, iters = 3)
