@@ -155,7 +155,7 @@ object Bench {
           if (java.nio.file.Files.exists(marker)) {
             val expected = Seq("documents", "embeddings", "part").map { t =>
               s"$t=${spark.read.parquet(s"$sfDir/$t.parquet").count() * replicas}"
-            }
+            } :+ tools.GenScale.CipherTag
             val recorded = new String(
               java.nio.file.Files.readAllBytes(marker), "UTF-8").linesIterator.toSeq
             if (recorded != expected) {

@@ -429,6 +429,146 @@ object Ann {
       k)
   }
 
+  // --- IVF-PQ (residual product quantization inside IVF lists) ------
+
+  /** Build the composed IVF-PQ index — the full production ANN layout
+    * (FAISS's IVFADC shape): a coarse k-means quantizer partitions the
+    * corpus into `nlist` lists, each vector PQ-encodes its RESIDUAL
+    * against its list centroid (residuals are tighter than raw vectors
+    * — the same codebook budget spends its resolution near the data),
+    * and the codes parquet is PARTITIONED BY list so a query's probes
+    * prune whole partitions before the ADC scan. Persisted: coarse
+    * centroids, residual codebooks, and (vec_id, codes, pq_nrm)
+    * bucket-partitioned. pq_nrm is |x̂| of the reconstruction
+    * x̂ = c_bucket + r̂, computed at build time from the stored columns
+    * alone.
+    */
+  def buildIvfPqIndex(s: SparkSession, dir: String, indexPath: String,
+      nlist: Int = 16, m: Int = PqM, ksub: Int = PqKsub): Unit = {
+    import s.implicits._
+    val e = graft.Caches.track(Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding")))
+    val cents = kmeansCentroids(e, nlist)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val bucketed = graft.Caches.track(e
+      .withColumn("bucket", assignCluster(col("embedding"), cents))
+      .withColumn("residual",
+        zip_with(col("embedding"), element_at(centsLit, col("bucket") + 1),
+          (a, b) => (a - b).cast("float"))))
+    val books = pqCodebooks(
+      bucketed.select(col("vec_id"), col("residual").as("embedding")), m, ksub)
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    books.zipWithIndex.flatMap { case (b, i) =>
+      b.zipWithIndex.map { case (c, j) => (i, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    // |x̂|² = |c_b|² + 2·c_b·r̂ + |r̂|², all three terms functions of
+    // (bucket, codes): per subspace, LUT2[b][m][j] = 2·c_b,m·c^r_mj +
+    // |c^r_mj|² — nlist·M·Ksub doubles, a literal like every codebook
+    val sub = Dim / m
+    val cSq = cents.map(c => c.map(x => x.toDouble * x.toDouble).sum)
+    val lut2: Seq[Seq[Double]] = cents.indices.map { b =>
+      (0 until m).flatMap { mi =>
+        (0 until ksub).map { j =>
+          var cr = 0.0
+          var rr = 0.0
+          var t = 0
+          while (t < sub) {
+            val r = books(mi)(j)(t).toDouble
+            cr += cents(b)(mi * sub + t) * r
+            rr += r * r
+            t += 1
+          }
+          2 * cr + rr
+        }
+      }
+    }
+    val nrm2 = element_at(typedLit(cSq.toSeq), col("bucket") + 1) +
+      (0 until m).map { mi =>
+        element_at(element_at(typedLit(lut2), col("bucket") + 1),
+          lit(mi * ksub + 1) + element_at(col("codes"), mi + 1))
+      }.reduce(_ + _)
+    bucketed
+      .select(col("vec_id"), col("bucket"),
+        pqEncode(col("residual"), books).as("codes"))
+      .withColumn("pq_nrm", sqrt(greatest(nrm2, lit(0d))))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/codes")
+  }
+
+  /** Query the IVF-PQ index: probes prune to nprobe bucket partitions
+    * (PartitionFilters, like ivfTopKIndexed), the ADC scan reads only
+    * (vec_id, codes, pq_nrm) in those partitions — approximate score
+    * q·x̂ = q·c_bucket + Σ_m LUT_q[m][code_m], both terms from
+    * driver-side tables of bounded size — and the shortlist re-ranks
+    * with exact cosine (scores identical to brute for returned pairs,
+    * asserted in AnnSpec). At 100 TB this reads nprobe/nlist of a
+    * 13×-compressed corpus: the two pruning axes (partitions × bytes
+    * per row) multiply.
+    */
+  def ivfPqTopKIndexed(s: SparkSession, dir: String, indexPath: String,
+      k: Int = K, nprobe: Int = 4, rerank: Int = 4 * K): DataFrame = {
+    import s.implicits._
+    val cents: Array[Array[Float]] = s.read.parquet(s"$indexPath/centroids")
+      .orderBy("bucket").select("centroid").as[Seq[Float]].collect().map(_.toArray)
+    val loaded = s.read.parquet(s"$indexPath/codebooks")
+      .select(col("subspace"), col("code"), col("centroid"))
+      .as[(Int, Int, Seq[Float])].collect()
+    val m = loaded.map(_._1).max + 1
+    val ksub = loaded.map(_._2).max + 1
+    val books = Array.ofDim[Array[Float]](m, ksub)
+    loaded.foreach { case (mi, j, c) => books(mi)(j) = c.toArray }
+    val sub = Dim / m
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .as[(Long, Seq[Float], Double)].collect()
+    // per (query, probed bucket): the q·c_b term and the shared LUT
+    val probeRows = qs.flatMap { case (qid, emb, qnrm) =>
+      val lut = Array.tabulate(m * ksub) { idx =>
+        val (mi, j) = (idx / ksub, idx % ksub)
+        var d = 0.0
+        var t = 0
+        while (t < sub) { d += emb(mi * sub + t) * books(mi)(j)(t); t += 1 }
+        d
+      }.toSeq
+      val byScore = cents.zipWithIndex.map { case (c, b) =>
+        var qc = 0.0
+        var cc = 0.0
+        var t = 0
+        while (t < Dim) { qc += emb(t) * c(t); cc += c(t) * c(t); t += 1 }
+        (qc - cc / 2, b, qc) // same probe score as topClusters
+      }.sortBy(r => (-r._1, r._2)).take(nprobe)
+      byScore.map { case (_, b, qc) => (qid, b, qc, lut, qnrm) }
+    }.toSeq
+    val probes = probeRows.toDF("q_id", "bucket", "qc", "lut", "q_nrm")
+    val probedBuckets = probeRows.map(_._2).distinct
+    val codes = s.read.parquet(s"$indexPath/codes")
+      .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+    val adc = col("qc") + books.indices.map { mi =>
+      element_at(col("lut"), lit(mi * ksub + 1) + element_at(col("codes"), mi + 1))
+    }.reduce(_ + _)
+    val cand = broadcast(probes).join(codes, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (adc / greatest(col("pq_nrm"), lit(1e-12))).as("cos_raw"))
+      .groupBy(col("q_id"))
+      .agg(org.apache.spark.sql.graft.TopKCosine
+        .top_k(col("cos_raw"), col("vec_id"), rerank).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"))
+    val full = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    rankTopK(
+      cand.join(full, Seq("vec_id"))
+        .join(broadcast(probes.select(col("q_id"), col("q_nrm")).distinct()), Seq("q_id"))
+        .join(broadcast(full.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
+  }
+
   /** Self-contained PQ ANN (s4 driver query): builds the index into a
     * per-sf scratch path once (build-once gate: the codes write's
     * _SUCCESS — Spark stamps it last, so a torn build rebuilds), then

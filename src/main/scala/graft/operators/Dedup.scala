@@ -123,7 +123,29 @@ object Dedup {
     // both verify sides; gram strings never exist as columns at all
     // (GramHashes hashes byte ranges in place). Cache is registered
     // with Caches so Bench/Verify release it between queries.
-    val hashed = graft.Caches.track(hashedDocs)
+    val hashedAll = graft.Caches.track(hashedDocs)
+
+    // --- exact-duplicate collapse (lossless) --------------------------
+    // Docs with the same distinct gram SET are pairwise J = 1 and
+    // behave identically in every band, so each extra copy of a
+    // duplicated doc re-collides in ALL `bands` bands: an f-member
+    // family costs f²·bands/2 join emissions. Web corpora carry
+    // 30-60% exact-duplicate rates, so collapse FIRST: group docs by
+    // their sorted gram set (the array itself is the grouping key —
+    // no hash-collision risk), run LSH + verify on one representative
+    // per set, then expand — within-family pairs at J = 1 and
+    // rep-pair J copied to every member cross pair, both
+    // output-proportional. Result is row-identical to running on the
+    // full corpus: J(a, b) depends only on the two gram sets.
+    // Null-fh docs can never pair (null J filters out) — excluded.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sfh")
+    val members = graft.Caches.track(hashedAll
+      .where(col("fh").isNotNull)
+      .select(col("doc_id"), array_sort(col("fh")).as("sfh"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("rep")))
+    val hashed = graft.Caches.track(hashedAll.join(
+      members.where(col("doc_id") === col("rep")).select(col("doc_id")), "doc_id"))
     // the self-join keys on bkey ALONE: each band key is seeded with
     // its band index, so same-band collisions already carry the band
     // identity and a cross-band key equality is a 2^-64 accident —
@@ -160,7 +182,20 @@ object Dedup {
             lit(threshold) * greatest(col("x.sz"), col("y.sz")))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, hashed, threshold)
+    val repPairs = verifyJaccardRaw(cands, hashed, threshold)
+    // expand representatives back to members: within-family pairs are
+    // J = 1 by construction; each rep pair fans out to its members'
+    // cross product with the verified J (all output-proportional)
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("doc_id").as("da")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("doc_id").as("db")), "id_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
+    graft.Caches.ordered(within.unionAll(cross), col("id_a"), col("id_b"))
   }
 
   /** d2: near-dup pairs with exact word-3-shingle Jaccard ≥ 0.8 via
@@ -280,17 +315,32 @@ object Dedup {
       bands = 128, rows = 8, threshold, oph)
 
   /** Exact-Jaccard verification of candidate pairs against the
-    * feature arrays; only candidates shuffle.
+    * feature arrays; only candidates shuffle. The arrays sort ONCE
+    * per doc (before the candidate fan-out duplicates them per pair),
+    * so the per-pair kernel is a zero-allocation two-pointer merge
+    * with a threshold abort (SortedJaccardGe) instead of two boxed
+    * hash sets per pair — outputs bit-identical to the jaccard()+
+    * filter form it replaces (r6-margin abort, ExprSpec).
     */
   private def verifyJaccard(cands: DataFrame, hashed: DataFrame,
-      threshold: Double): DataFrame = {
-    val fa = hashed.select(col("doc_id").as("id_a"), col("fh").as("fa"))
-    val fb = hashed.select(col("doc_id").as("id_b"), col("fh").as("fb"))
-    graft.Caches.ordered(
-      cands.join(fa, "id_a").join(fb, "id_b")
-        .select(col("id_a"), col("id_b"), r6(jaccard(col("fa"), col("fb"))).as("jaccard"))
-        .filter(col("jaccard") >= threshold),
+      threshold: Double): DataFrame =
+    graft.Caches.ordered(verifyJaccardRaw(cands, hashed, threshold),
       col("id_a"), col("id_b"))
+
+  /** Verify without the final presentation sort — for callers that
+    * post-process the pairs (lshVerifiedPairs' family expansion) and
+    * sort once at the end.
+    */
+  private def verifyJaccardRaw(cands: DataFrame, hashed: DataFrame,
+      threshold: Double): DataFrame = {
+    val sortedFh = array_sort(col("fh"))
+    val fa = hashed.select(col("doc_id").as("id_a"), sortedFh.as("fa"))
+    val fb = hashed.select(col("doc_id").as("id_b"), sortedFh.as("fb"))
+    cands.join(fa, "id_a").join(fb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        r6(org.apache.spark.sql.graft.ArrayExprs
+          .jaccard_sorted_ge(col("fa"), col("fb"), threshold)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // --- PPJoin-style prefix filtering (alternative candidate scheme) --

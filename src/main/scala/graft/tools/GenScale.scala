@@ -27,28 +27,51 @@ import graft.Tables
   *
   * Replica 0 is the identity — sf0.1 is a subset of the output.
   * Generation is fully distributed (N unioned selects, no driver
-  * data); a _COMPLETE marker makes it build-once.
+  * data); a _COMPLETE marker makes it build-once. The marker carries
+  * a cipher-version tag, so dirs built by an older generator
+  * auto-rebuild (Bench validates the tag along with the counts).
   *
   * `replicas` defaults to 10 (the sf1 proxy); Bench's sf10 section
-  * passes 100 for the second scale decade. The character cipher stays
-  * a distinct bijection per replica for any count < 130 (letter
-  * rotation has period 26, digit rotation 10, lcm 130), so replica
-  * gram spaces remain pairwise disjoint at 100 replicas too.
+  * passes 100 for the second scale decade. The per-replica bijection
+  * is a SEEDED RANDOM PERMUTATION of the letter and digit alphabets
+  * (case-preserving) — NOT a rotation. The original rotation cipher
+  * had period 26 for letters, so for digit-free texts replicas k and
+  * k+26 were bit-identical: at 100 replicas the corpus silently
+  * carried 74% exact-duplicate rows (measured on the first sf10
+  * build), which quadratically inflated every dedup query's pair
+  * counts and poisoned the measured exponents. Random permutations
+  * draw from a 26!-sized family: two replicas sharing a letter
+  * mapping is negligible at any replica count, and cross-replica
+  * grams collide only when the permutations agree on every char of
+  * the gram.
   */
 object GenScale {
   val Replicas = 10
   val Stride = 1000000L
 
+  /** Marker tag: bump to invalidate proxy dirs built by an older
+    * generator (counts alone can't tell the ciphers apart).
+    */
+  val CipherTag = "cipher=perm-v2"
+
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
   private val Digits = "0123456789"
 
-  private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
-
-  /** Per-replica character bijection via `translate` (codegen'd). */
+  /** Per-replica character bijection via `translate` (codegen'd):
+    * replica 0 is the identity; replica k>0 applies a seeded random
+    * permutation of letters (same permutation upper-cased, so case
+    * structure is preserved) and of digits.
+    */
   private def cipher(text: org.apache.spark.sql.Column, k: Int) =
-    translate(text, Lower + Upper + Digits,
-      rot(Lower, 7 * k % 26) + rot(Upper, 7 * k % 26) + rot(Digits, k))
+    if (k == 0) text
+    else {
+      val rng = new scala.util.Random(9000 + k)
+      val lowerPerm = rng.shuffle(Lower.toList).mkString
+      val digitPerm = rng.shuffle(Digits.toList).mkString
+      translate(text, Lower + Upper + Digits,
+        lowerPerm + lowerPerm.toUpperCase + digitPerm)
+    }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -106,7 +129,7 @@ object GenScale {
     emb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     part.write.mode("overwrite").parquet(s"$outDir/part.parquet")
     val counts = Seq("documents", "embeddings", "part")
-      .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
+      .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}") :+ CipherTag
     Files.write(marker, counts.mkString("\n").getBytes("UTF-8"))
     println(s"[genscale] wrote $outDir: ${counts.mkString(", ")}")
   }

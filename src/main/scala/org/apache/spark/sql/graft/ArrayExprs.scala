@@ -40,6 +40,13 @@ object ArrayExprs {
   def jaccard_sets(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSets(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Merge-based set Jaccard with threshold abort over SORTED-distinct
+    * long arrays (see [[SortedJaccardGe]]).
+    */
+  def jaccard_sorted_ge(a: Column, b: Column, tau: Double): Column =
+    ExpressionUtils.column(SortedJaccardGe(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), tau))
+
   /** Distinct xxhash64 values of the character n-grams of a
     * normalized string, hashed in place (no gram strings built).
     */

@@ -49,6 +49,58 @@ case class JaccardSets(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Merge-based set Jaccard over two SORTED-distinct `array<long>`
+  * inputs with a threshold abort — the verify kernel for candidate
+  * pairs at scale. A two-pointer merge computes |A∩B| with zero
+  * allocation and zero boxing (JaccardSets builds two boxed HashSets
+  * PER PAIR — at 39M sf10 candidates that is the dominant d4 cost);
+  * |A∪B| = |A|+|B|−|A∩B| because each input is itself a set. The
+  * merge ABORTS returning −1 as soon as the best-possible Jaccard
+  * (inter + min(rem_a, rem_b) matched from here on) falls below
+  * `tau − 1e-6`: candidates destined for the ≥ τ filter's floor are
+  * rejected in O(prefix), and the 1e-6 margin guarantees no pair
+  * whose ROUNDED (r6) value reaches τ is ever aborted — so outputs
+  * are bit-identical to JaccardSets + filter (asserted in ExprSpec).
+  * Callers MUST pass sorted inputs (Dedup.verifyJaccard sorts once
+  * per doc, before the candidate fan-out). Same null semantics as
+  * JaccardSets: two empty sets → null.
+  */
+case class SortedJaccardGe(left: Expression, right: Expression, tau: Double)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private val bound = tau - 1e-6
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val la = xs.numElements()
+    val lb = ys.numElements()
+    if (la == 0 && lb == 0) return null
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < la && j < lb) {
+      val maxInter = inter + math.min(la - i, lb - j)
+      if (maxInter < bound * (la + lb - maxInter)) return -1.0
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (la + lb - inter).toDouble
+  }
+
+  override def prettyName: String = "jaccard_sorted_ge"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccardGe =
+    copy(left = l, right = r)
+}
+
 /** Optimizer rule: rewrite the composed HOF form
   * `cast(size(array_intersect(a,b)) as double) /
   *  cast(size(array_union(a,b)) as double)`

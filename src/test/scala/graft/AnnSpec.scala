@@ -101,6 +101,32 @@ class AnnSpec extends SparkSpec {
       s"stage-1 scan must read codes, not vectors:\n$plan")
   }
 
+  test("IVF-PQ: partition-pruned ADC scan, recall floor, exact re-ranked scores") {
+    val idx = scratchDir("graft_ivfpq")
+    Ann.buildIvfPqIndex(spark, Sf, idx)
+    val exactRows = Ann.bruteForceTopK(spark, Sf)
+      .select("q_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    val res = Ann.ivfPqTopKIndexed(spark, Sf, idx)
+      .select("q_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    val exact = exactRows.map(r => (r._1, r._2)).toSet
+    val recall = (exact & res.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    info(f"IVF-PQ recall@${Ann.K} vs brute = $recall%.3f")
+    // bounded below by the IVF probe loss (s3 floor) times PQ loss
+    assert(recall >= 0.35, s"recall $recall")
+    val exactScore = exactRows.map(r => (r._1, r._2) -> r._3).toMap
+    res.foreach { case (q, n, c) =>
+      exactScore.get((q, n)).foreach(e => assert(e == c, s"($q,$n): $e != $c")) }
+    // the ADC scan must prune to the probed bucket partitions AND
+    // read codes, never float vectors
+    val plan = Ann.ivfPqTopKIndexed(spark, Sf, idx).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.linesIterator.exists(l =>
+      l.trim.startsWith("PartitionFilters") && l.contains("bucket")), plan)
+    val codeScans = plan.linesIterator
+      .filter(l => l.startsWith("ReadSchema") && l.contains("codes:")).toSeq
+    assert(codeScans.nonEmpty && codeScans.forall(!_.contains("embedding")), plan)
+  }
+
   test("k-means assigns every vector and centroids are finite") {
     val e = Tables.embeddings(spark, Sf)
     val cents = Ann.kmeansCentroids(e.select("vec_id", "embedding"), k = 8, iters = 3)

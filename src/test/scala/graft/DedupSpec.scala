@@ -46,6 +46,25 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._2 == 4L))
   }
 
+  test("exact-set collapse expands losslessly, incl. same-set different-order texts") {
+    val dir = scratchDir("graft_dedup_fam")
+    // same circular char-4-gram SET in two different first-occurrence
+    // orders: the collapse must group by SET, not by text or by the
+    // unsorted gram array
+    val rot1 = "abcdeabc"
+    val rot2 = "bcdeabcd"
+    val other = "totally different words entirely here"
+    val docs = Seq((0L, rot1), (1L, rot2), (2L, rot1), (3L, rot2),
+      (4L, other), (5L, other))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.ngramJaccard(spark, dir, threshold = 0.7)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val fam = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b, 1.0)
+    assert(got == (fam.toSet + ((4L, 5L, 1.0))), got.toString)
+  }
+
   test("prefixJaccard (PPJoin variant) agrees with the banded result") {
     val docs = Tables.documents(spark, plantedDir)
       .select(col("doc_id"), graft.functions.TextFns.normalize(col("text")).as("nrm"))

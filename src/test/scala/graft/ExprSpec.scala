@@ -138,6 +138,28 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("SortedJaccardGe == JaccardSets above the r6-safe abort margin, below stays below τ") {
+    val rnd = new scala.util.Random(11)
+    // distinct sorted arrays with overlap levels spanning the threshold
+    val rows = Seq.fill(300)((
+      Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(40).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(40).toLong).distinct.sorted))
+    for (tau <- Seq(0.0, 0.5, 0.7, 0.8)) {
+      val both = rows.toDF("a", "b").select(
+        ArrayExprs.jaccard_sets(col("a"), col("b")).as("js"),
+        ArrayExprs.jaccard_sorted_ge(col("a"), col("b"), tau).as("jm"))
+        .as[(Double, Double)].collect()
+      both.foreach { case (js, jm) =>
+        if (js >= tau - 1e-6) assert(jm == js, s"tau=$tau: $jm != $js")
+        else assert(jm < tau, s"tau=$tau: aborted value $jm must stay below tau (js=$js)")
+      }
+    }
+    // null semantics match: two empty sets
+    val nulls = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(ArrayExprs.jaccard_sorted_ge(col("a"), col("b"), 0.7).as("j")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("JaccardSets on two empty arrays is null (composed 0/0 semantics)") {
     val df = Seq((Seq.empty[Long], Seq.empty[Long]), (Seq(1L), Seq.empty[Long]))
       .toDF("a", "b")
