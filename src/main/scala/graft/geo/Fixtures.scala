@@ -382,10 +382,10 @@ object Fixtures {
     val cached = tiledSinkReady.get(dir)
     if (cached != null) return cached
     val out = fixtureRoot("tiled_sink", dir)
-    val grid = Geo.gridExpand(Geo.tiles(s, dir).filter(col("tile_id") < TiledLimit))
-    val nTiles = Geo.tiles(s, dir).filter(col("tile_id") < TiledLimit).count()
+    val tiles = Geo.tiles(s, dir).filter(col("tile_id") < TiledLimit)
+    val nTiles = tiles.count()
     val path = ensureAtomic(out, (nTiles * GridN * GridN).toInt) { tmp =>
-      Geo.writeTiled(grid.repartition(col("tile_key")), tmp.toString)
+      Geo.writeTiled(Geo.gridExpand(tiles).repartition(col("tile_key")), tmp.toString)
     }
     tiledSinkReady.put(dir, path)
     path

@@ -366,67 +366,92 @@ object Ann {
       .write.mode("overwrite").parquet(s"$indexPath/codes")
   }
 
-  /** Query the PQ index by asymmetric distance (ADC): each query
-    * precomputes its M × Ksub lookup table of subspace dot products
-    * (M·Ksub doubles per query — driver-side, queries are bounded
-    * like every probe set here), stage 1 scans ONLY the codes parquet
-    * — the approximate score per corpus row is M array lookups + adds,
-    * no float-vector I/O — and keeps `rerank` candidates per query via
-    * the bounded heap; stage 2 fetches full vectors for those
-    * candidates only and ranks exact cosine, so reported scores are
-    * exact and PQ error only costs recall (asserted vs the brute
-    * baseline in AnnSpec).
+  /** Load the per-subspace codebooks written by buildPqIndex /
+    * buildIvfPqIndex, indexed [subspace][code].
     */
-  def pqTopKIndexed(s: SparkSession, dir: String, indexPath: String,
-      k: Int = K, rerank: Int = 4 * K): DataFrame = {
+  private def loadCodebooks(s: SparkSession, path: String): Array[Array[Array[Float]]] = {
     import s.implicits._
-    val loaded = s.read.parquet(s"$indexPath/codebooks")
+    val loaded = s.read.parquet(path)
       .select(col("subspace"), col("code"), col("centroid"))
       .as[(Int, Int, Seq[Float])].collect()
-    val m = loaded.map(_._1).max + 1
-    val ksub = loaded.map(_._2).max + 1
-    val books = Array.ofDim[Array[Float]](m, ksub)
+    val books = Array.ofDim[Array[Float]](
+      loaded.map(_._1).max + 1, loaded.map(_._2).max + 1)
     loaded.foreach { case (mi, j, c) => books(mi)(j) = c.toArray }
-    val sub = Dim / m
-    // bounded query set, collected like ivf's probe buckets
-    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .as[(Long, Seq[Float], Double)].collect()
-    val qdf = qs.map { case (qid, emb, qnrm) =>
-      val lut = Array.tabulate(m * ksub) { idx =>
-        val (mi, j) = (idx / ksub, idx % ksub)
-        var d = 0.0
-        var t = 0
-        while (t < sub) { d += emb(mi * sub + t) * books(mi)(j)(t); t += 1 }
-        d
-      }
-      (qid, lut.toSeq, qnrm)
-    }.toSeq.toDF("q_id", "lut", "q_nrm")
-    val codes = s.read.parquet(s"$indexPath/codes")
-    val adc = books.indices.map { mi =>
+    books
+  }
+
+  /** Per-query ADC lookup table, flattened: lut(mi·ksub + j) =
+    * q_mi · c_mi,j.
+    */
+  private def adcLut(emb: Seq[Float], books: Array[Array[Array[Float]]]): Seq[Double] = {
+    val ksub = books(0).length
+    val sub = Dim / books.length
+    Array.tabulate(books.length * ksub) { idx =>
+      val (mi, j) = (idx / ksub, idx % ksub)
+      var d = 0.0
+      var t = 0
+      while (t < sub) { d += emb(mi * sub + t) * books(mi)(j)(t); t += 1 }
+      d
+    }.toSeq
+  }
+
+  /** ADC score column over a row's `codes` against its query's `lut`:
+    * Σ_m lut[m·ksub + codes[m]] — M array lookups and adds per row.
+    */
+  private def adcSum(m: Int, ksub: Int): Column =
+    (0 until m).map { mi =>
       element_at(col("lut"), lit(mi * ksub + 1) + element_at(col("codes"), mi + 1))
     }.reduce(_ + _)
-    // stage 1: ADC-approximate cosine over codes only; top `rerank`
-    // survivors per query through the same bounded heap as final rank
-    val cand = broadcast(qdf).join(codes, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        (adc / greatest(col("pq_nrm"), lit(1e-12))).as("cos_raw"))
+
+  /** Shared PQ stage 2: bounded-heap shortlist of `rerank` ADC
+    * candidates per query, then exact-cosine re-rank against the full
+    * vectors — reported scores equal the brute baseline bit-for-bit,
+    * PQ error only costs recall.
+    */
+  private def rerankExact(s: SparkSession, dir: String, adcCands: DataFrame,
+      qNrm: DataFrame, k: Int, rerank: Int): DataFrame = {
+    val shortlist = adcCands
       .groupBy(col("q_id"))
       .agg(org.apache.spark.sql.graft.TopKCosine
         .top_k(col("cos_raw"), col("vec_id"), rerank).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("c"))
       .select(col("q_id"), col("c.id").as("vec_id"))
-    // stage 2: exact cosine on the shortlist only
     val full = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     rankTopK(
-      cand.join(full, Seq("vec_id"))
-        .join(broadcast(qdf.select(col("q_id"), col("q_nrm"))), Seq("q_id"))
+      shortlist.join(full, Seq("vec_id"))
+        .join(broadcast(qNrm), Seq("q_id"))
         .join(broadcast(full.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), Seq("q_id"))
         .select(col("q_id"), col("vec_id"),
           cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
       k)
+  }
+
+  /** Query the PQ index by asymmetric distance (ADC): each query
+    * precomputes its M × Ksub lookup table of subspace dot products
+    * (M·Ksub doubles per query — driver-side, queries are bounded
+    * like every probe set here), stage 1 scans ONLY the codes parquet
+    * — the approximate score per corpus row is M array lookups + adds,
+    * no float-vector I/O — and stage 2 re-ranks exact (rerankExact;
+    * recall asserted vs the brute baseline in AnnSpec).
+    */
+  def pqTopKIndexed(s: SparkSession, dir: String, indexPath: String,
+      k: Int = K, rerank: Int = 4 * K): DataFrame = {
+    import s.implicits._
+    val books = loadCodebooks(s, s"$indexPath/codebooks")
+    // bounded query set, collected like ivf's probe buckets
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .as[(Long, Seq[Float], Double)].collect()
+    val qdf = qs.map { case (qid, emb, qnrm) => (qid, adcLut(emb, books), qnrm) }
+      .toSeq.toDF("q_id", "lut", "q_nrm")
+    val codes = s.read.parquet(s"$indexPath/codes")
+    val adcCands = broadcast(qdf).join(codes, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (adcSum(books.length, books(0).length) /
+          greatest(col("pq_nrm"), lit(1e-12))).as("cos_raw"))
+    rerankExact(s, dir, adcCands, qdf.select(col("q_id"), col("q_nrm")), k, rerank)
   }
 
   // --- IVF-PQ (residual product quantization inside IVF lists) ------
@@ -512,26 +537,13 @@ object Ann {
     import s.implicits._
     val cents: Array[Array[Float]] = s.read.parquet(s"$indexPath/centroids")
       .orderBy("bucket").select("centroid").as[Seq[Float]].collect().map(_.toArray)
-    val loaded = s.read.parquet(s"$indexPath/codebooks")
-      .select(col("subspace"), col("code"), col("centroid"))
-      .as[(Int, Int, Seq[Float])].collect()
-    val m = loaded.map(_._1).max + 1
-    val ksub = loaded.map(_._2).max + 1
-    val books = Array.ofDim[Array[Float]](m, ksub)
-    loaded.foreach { case (mi, j, c) => books(mi)(j) = c.toArray }
-    val sub = Dim / m
+    val books = loadCodebooks(s, s"$indexPath/codebooks")
     val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .as[(Long, Seq[Float], Double)].collect()
     // per (query, probed bucket): the q·c_b term and the shared LUT
     val probeRows = qs.flatMap { case (qid, emb, qnrm) =>
-      val lut = Array.tabulate(m * ksub) { idx =>
-        val (mi, j) = (idx / ksub, idx % ksub)
-        var d = 0.0
-        var t = 0
-        while (t < sub) { d += emb(mi * sub + t) * books(mi)(j)(t); t += 1 }
-        d
-      }.toSeq
+      val lut = adcLut(emb, books)
       val byScore = cents.zipWithIndex.map { case (c, b) =>
         var qc = 0.0
         var cc = 0.0
@@ -545,42 +557,43 @@ object Ann {
     val probedBuckets = probeRows.map(_._2).distinct
     val codes = s.read.parquet(s"$indexPath/codes")
       .filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
-    val adc = col("qc") + books.indices.map { mi =>
-      element_at(col("lut"), lit(mi * ksub + 1) + element_at(col("codes"), mi + 1))
-    }.reduce(_ + _)
-    val cand = broadcast(probes).join(codes, Seq("bucket"))
+    // residual ADC: q·x̂ = q·c_bucket (driver-computed `qc`) + LUT sum
+    val adcCands = broadcast(probes).join(codes, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        (adc / greatest(col("pq_nrm"), lit(1e-12))).as("cos_raw"))
-      .groupBy(col("q_id"))
-      .agg(org.apache.spark.sql.graft.TopKCosine
-        .top_k(col("cos_raw"), col("vec_id"), rerank).as("tk"))
-      .select(col("q_id"), explode(col("tk")).as("c"))
-      .select(col("q_id"), col("c.id").as("vec_id"))
-    val full = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    rankTopK(
-      cand.join(full, Seq("vec_id"))
-        .join(broadcast(probes.select(col("q_id"), col("q_nrm")).distinct()), Seq("q_id"))
-        .join(broadcast(full.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
-      k)
+        ((col("qc") + adcSum(books.length, books(0).length)) /
+          greatest(col("pq_nrm"), lit(1e-12))).as("cos_raw"))
+    rerankExact(s, dir, adcCands,
+      probes.select(col("q_id"), col("q_nrm")).distinct(), k, rerank)
   }
 
+  /** Index paths already validated this JVM (row-count staleness
+    * check below costs two small count jobs — pure overhead on every
+    * bench re-run after the first).
+    */
+  private val pqIndexReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Self-contained PQ ANN (s4 driver query): builds the index into a
-    * per-sf scratch path once (build-once gate: the codes write's
-    * _SUCCESS — Spark stamps it last, so a torn build rebuilds), then
-    * queries it. The separate build/query entry points above are the
-    * production shape; this wrapper is the driver-runnable twin.
+    * per-sf scratch path once, then queries it. Build-once gate: the
+    * codes write's _SUCCESS (Spark stamps it last, so a torn build
+    * rebuilds) PLUS a row-count check against the CURRENT corpus —
+    * regenerated testdata under the same path must not silently serve
+    * stale codes (same staleness discipline as Bench's proxy markers
+    * and Fixtures.ensureAtomic). The separate build/query entry
+    * points above are the production shape; this wrapper is the
+    * driver-runnable twin.
     */
   def pqTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = synchronized {
     val indexPath = new java.io.File(
       new java.io.File(sys.props("user.dir"), "target/fixtures"),
       "graft_pq_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists())
-      buildPqIndex(s, dir, indexPath)
+    if (pqIndexReady.get(dir) == null) {
+      val fresh = new java.io.File(s"$indexPath/codes/_SUCCESS").exists() &&
+        s.read.parquet(s"$indexPath/codes").count() ==
+          Tables.embeddings(s, dir).select("vec_id").count()
+      if (!fresh) buildPqIndex(s, dir, indexPath)
+      pqIndexReady.put(dir, indexPath)
+    }
     pqTopKIndexed(s, dir, indexPath, k)
   }
 

@@ -94,6 +94,11 @@ object Dedup {
 
   /** Public entry for composed pipelines (Pipelines.curate): verified
     * near-dup pairs from an already-hashed (doc_id, fh) corpus.
+    * `fh` SHOULD carry distinct elements (GramHashes output does);
+    * multisets are tolerated — verify and the set-collapse dedupe
+    * defensively — but the size-compatibility prune uses |fh| as the
+    * set size, so heavily-repeated elements can over-prune candidates
+    * (pre-existing behavior, unchanged).
     */
   def pairsFromHashed(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = lshVerifiedPairs(hashedDocs, bands, rows, threshold)
@@ -118,6 +123,12 @@ object Dedup {
     * the existing join.
     */
   private def lshVerifiedPairs(hashedDocs: DataFrame, bands: Int, rows: Int,
+      threshold: Double, oph: Boolean = false): DataFrame =
+    graft.Caches.ordered(
+      lshVerifiedPairsRaw(hashedDocs, bands, rows, threshold, oph),
+      col("id_a"), col("id_b"))
+
+  private[operators] def lshVerifiedPairsRaw(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double, oph: Boolean = false): DataFrame = {
     // hashed feature sets (doc_id, fh: array<long>) feed banding AND
     // both verify sides; gram strings never exist as columns at all
@@ -138,14 +149,41 @@ object Dedup {
     // output-proportional. Result is row-identical to running on the
     // full corpus: J(a, b) depends only on the two gram sets.
     // Null-fh docs can never pair (null J filters out) — excluded.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("sfh")
-    val members = graft.Caches.track(hashedAll
-      .where(col("fh").isNotNull)
-      .select(col("doc_id"), array_sort(col("fh")).as("sfh"))
-      .withColumn("rep", min(col("doc_id")).over(w))
-      .select(col("doc_id"), col("rep")))
-    val hashed = graft.Caches.track(hashedAll.join(
-      members.where(col("doc_id") === col("rep")).select(col("doc_id")), "doc_id"))
+    //
+    // DETECTION first, on a skinny (set-hash, size) aggregate: a
+    // duplicate-free corpus (every sf dir here) pays one 16-byte-row
+    // groupBy instead of the array-keyed window + semi-join + three
+    // expansion joins. A hash false positive only arms the exact
+    // collapse below (which groups by the SET itself — harmless); a
+    // false negative is impossible (equal sets ⇒ equal hash).
+    // NOTE: the probe is an EAGER job at DataFrame-construction time
+    // (the returned plan is data-dependent) — same pattern as
+    // ivfTopKIndexed's probed-bucket collect; merely building or
+    // explaining a d2/d4 frame featurizes the corpus once.
+    // array_distinct before sort: internal producers (GramHashes)
+    // already emit distinct hashes, but pairsFromHashed is public and
+    // JaccardSets' set semantics must hold for multiset inputs too —
+    // both the set-key grouping here and the merge kernel in verify
+    // assume distinct elements
+    val sfh = array_sort(array_distinct(col("fh")))
+    val hasDups = !hashedAll.where(col("fh").isNotNull)
+      .groupBy(xxhash64(sfh).as("k"), size(col("fh")).as("s"))
+      .count().where(col("count") > 1).isEmpty
+    val membersOpt =
+      if (!hasDups) None
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sfh")
+        Some(graft.Caches.track(hashedAll
+          .where(col("fh").isNotNull)
+          .select(col("doc_id"), sfh.as("sfh"))
+          .withColumn("rep", min(col("doc_id")).over(w))
+          .select(col("doc_id"), col("rep"))))
+      }
+    val hashed = membersOpt match {
+      case None => hashedAll
+      case Some(members) => graft.Caches.track(hashedAll.join(
+        members.where(col("doc_id") === col("rep")).select(col("doc_id")), "doc_id"))
+    }
     // the self-join keys on bkey ALONE: each band key is seeded with
     // its band index, so same-band collisions already carry the band
     // identity and a cross-band key equality is a 2^-64 accident —
@@ -183,19 +221,24 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     val repPairs = verifyJaccardRaw(cands, hashed, threshold)
-    // expand representatives back to members: within-family pairs are
-    // J = 1 by construction; each rep pair fans out to its members'
-    // cross product with the verified J (all output-proportional)
-    val within = members.as("x").join(members.as("y"),
-        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        lit(1.0).as("jaccard"))
-    val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("doc_id").as("da")), "id_a")
-      .join(members.select(col("rep").as("id_b"), col("doc_id").as("db")), "id_b")
-      .select(least(col("da"), col("db")).as("id_a"),
-        greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
-    graft.Caches.ordered(within.unionAll(cross), col("id_a"), col("id_b"))
+    membersOpt match {
+      case None => repPairs
+      case Some(members) =>
+        // expand representatives back to members: within-family pairs
+        // are J = 1 by construction; each rep pair fans out to its
+        // members' cross product with the verified J (all
+        // output-proportional)
+        val within = members.as("x").join(members.as("y"),
+            col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+            lit(1.0).as("jaccard"))
+        val cross = repPairs
+          .join(members.select(col("rep").as("id_a"), col("doc_id").as("da")), "id_a")
+          .join(members.select(col("rep").as("id_b"), col("doc_id").as("db")), "id_b")
+          .select(least(col("da"), col("db")).as("id_a"),
+            greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
+        within.unionAll(cross)
+    }
   }
 
   /** d2: near-dup pairs with exact word-3-shingle Jaccard ≥ 0.8 via
@@ -262,7 +305,12 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val delta = graft.Caches.track(
       withBands(shingleHashed(s, dir, deltaPred), bands, rows))
+    // a delta doc may ALREADY be in the index (at-least-once ingestion
+    // retries re-deliver batches): keep the delta's copy and anti-join
+    // it out of the index side, or every overlapping doc would carry
+    // two fh rows into the verify joins and multiply output pair rows
     val idx = s.read.parquet(indexPath)
+      .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
     def bandRows(df: DataFrame) = df
       .select(col("doc_id"), col("sz"), explode(col("bands")).as("bkey"))
     val deltaBands = bandRows(delta)
@@ -333,7 +381,10 @@ object Dedup {
     */
   private def verifyJaccardRaw(cands: DataFrame, hashed: DataFrame,
       threshold: Double): DataFrame = {
-    val sortedFh = array_sort(col("fh"))
+    // distinct THEN sort: the merge kernel computes |A∪B| as
+    // |A|+|B|−|A∩B|, which is set arithmetic — a multiset input from
+    // the public pairsFromHashed path must collapse first
+    val sortedFh = array_sort(array_distinct(col("fh")))
     val fa = hashed.select(col("doc_id").as("id_a"), sortedFh.as("fa"))
     val fb = hashed.select(col("doc_id").as("id_b"), sortedFh.as("fb"))
     cands.join(fa, "id_a").join(fb, "id_b")
@@ -388,7 +439,11 @@ object Dedup {
     * CC algorithm: [[connectedComponents]] (contraction-first).
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.Caches.track(minhashLsh(s, dir).select(col("id_a"), col("id_b")))
+    // raw (unordered) pairs: d8 consumes the SET — d2's final
+    // presentation sort would be two wasted jobs here
+    val pairs = graft.Caches.track(
+      lshVerifiedPairsRaw(shingleHashed(s, dir, lit(true)), bands = 32, rows = 4,
+        threshold = 0.8).select(col("id_a"), col("id_b")))
     // CC stages size themselves to the GRAPH via AQE (the default
     // partitions = -1 path below): the repartition-by-column shuffle
     // coalesces from measured byte counts, so a tiny dup graph runs

@@ -176,6 +176,12 @@ case class TiffDecode(child: Expression)
     val width = scalar(256).getOrElse(return null).toInt
     val height = scalar(257).getOrElse(return null).toInt
     if (width <= 0 || height <= 0 || width > 16384 || height > 16384) return null
+    // total-pixel cap: per-axis caps alone admit 16384² = 268M pixels
+    // (~25 GB of row structs) from a ~1 MB DEFLATE payload inside the
+    // 1100x expansion gate below. 2^24 covers a full 3600x3600 AW3D30
+    // tile (13M px) with headroom while bounding the allocation BEFORE
+    // any array is sized from attacker-controlled dims.
+    if (width.toLong * height > (1L << 24)) return null
     // subset gate: single-band signed 32-bit samples, none/DEFLATE
     val compression = scalar(259).getOrElse(1L)
     if (compression != 1L && compression != 8L) return null

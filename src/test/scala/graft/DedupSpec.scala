@@ -109,6 +109,21 @@ class DedupSpec extends SparkSpec {
       s"band-probe scan must prune the fh column:\n$plan")
   }
 
+  test("incremental d2: a re-delivered delta overlapping the index emits no duplicate rows") {
+    val idx = scratchDir("graft_dedup_idx_ovl")
+    // index the WHOLE corpus, then re-deliver doc 2 as the delta — the
+    // at-least-once retry case: doc 2 is in the index AND the delta
+    Dedup.buildDedupIndex(spark, plantedDir, idx, lit(true))
+    val rows = Dedup.minhashLshDelta(spark, plantedDir, idx, col("doc_id") === 2L,
+        threshold = 0.5).collect().map(_.toSeq)
+    assert(rows.distinct.length == rows.length,
+      s"duplicate pair rows from index/delta overlap: $rows")
+    // and the pair set is exactly doc 2's pairs from the full run
+    val full = Dedup.minhashLsh(spark, plantedDir, threshold = 0.5)
+      .collect().map(_.toSeq).filter(r => r(0) == 2L || r(1) == 2L).toSet
+    assert(rows.toSet == full, s"${rows.toSet} != $full")
+  }
+
   test("d8: label propagation resolves transitive near-dup chains into one cluster") {
     // planted graph: 0~1, 1~2 (and 0~2) form a component; 3, 4 are
     // singletons and must not appear at all
