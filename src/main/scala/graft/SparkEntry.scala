@@ -68,6 +68,7 @@ object SparkEntry {
     "t4_fingerprint"          -> TextAnalysis.fingerprints _,
     "t5_top_terms"            -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "t6_tfidf"                -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
+    "t7_pii_redact"           -> TextAnalysis.piiRedact _,
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -91,10 +92,15 @@ object SparkEntry {
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "s4_ann_pq"               -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
+    // approximate by construction (coarse-quantizer pruning + PQ codes)
+    // → no SQL oracle; recall + exact-re-rank score identity in AnnSpec
+    "s5_ann_ivfpq"            -> ((s: SparkSession, d: String) => Ann.ivfPqTopK(s, d)),
     // multimodal
     "m1_mm_manifest"          -> Multimodal.manifest _,
     "m2_frame_manifest"       -> ((s: SparkSession, d: String) =>
       Multimodal.frameManifest(s, d)),
+    "m3_audio_manifest"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Audio.manifest(s, d)),
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)))
@@ -609,6 +615,42 @@ object SparkEntry {
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
       |ORDER BY id_a, id_b""".stripMargin,
+    "m3_audio_manifest" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 1200 + 400)::INT AS n FROM documents),
+      |p AS (SELECT doc_id, n,
+      |  [(doc_id * 131 + i * 17) % 65536 for i in range(0, n)] AS sm FROM d),
+      |h AS (SELECT doc_id, n,
+      |  list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |    [((x + 32768) % 65536)::HUGEINT for x in sm]),
+      |    (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT) AS hu,
+      |  list_sum([(x - 32768) * (x - 32768) for x in sm])::BIGINT AS energy
+      |  FROM p)
+      |SELECT doc_id, n AS n_samples, 8000 AS sample_rate, 1 AS channels,
+      |  (n // 8)::INT AS duration_ms, energy,
+      |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS ahash
+      |FROM h ORDER BY doc_id""".stripMargin,
+    "t7_pii_redact" -> raw"""
+      |WITH t AS (SELECT doc_id, text ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail-'
+      |        || (doc_id % 7) || '.example.com' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) || '.0.'
+      |        || (doc_id % 100) ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+      |        || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) AS t2
+      |  FROM documents),
+      |r AS (SELECT doc_id, t2,
+      |  regexp_replace(regexp_replace(regexp_replace(t2,
+      |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+      |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+      |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS red
+      |  FROM t)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t2, '${TextAnalysis.EmailRe}'))::INT AS n_email,
+      |  len(regexp_extract_all(t2, '${TextAnalysis.Ipv4Re}'))::INT AS n_ip,
+      |  len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}'))::INT AS n_phone,
+      |  length(red)::INT AS redacted_len, md5(red) AS redacted_md5
+      |FROM r ORDER BY doc_id""".stripMargin,
     "m1_mm_manifest" -> raw"""
       |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
       |  FROM documents),

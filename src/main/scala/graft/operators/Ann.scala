@@ -597,6 +597,28 @@ object Ann {
     pqTopKIndexed(s, dir, indexPath, k)
   }
 
+  /** Self-contained IVF-PQ ANN (s5 driver query): builds the composed
+    * index into a per-sf scratch path once, then queries it — the same
+    * build-once gate discipline as [[pqTopK]] (_SUCCESS + row-count
+    * freshness vs the current corpus). The production shape stays the
+    * separate buildIvfPqIndex / ivfPqTopKIndexed entry points.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = synchronized {
+    val indexPath = new java.io.File(
+      new java.io.File(sys.props("user.dir"), "target/fixtures"),
+      "graft_ivfpq_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (ivfPqIndexReady.get(dir) == null) {
+      val fresh = new java.io.File(s"$indexPath/codes/_SUCCESS").exists() &&
+        s.read.parquet(s"$indexPath/codes").count() ==
+          Tables.embeddings(s, dir).select("vec_id").count()
+      if (!fresh) buildIvfPqIndex(s, dir, indexPath)
+      ivfPqIndexReady.put(dir, indexPath)
+    }
+    ivfPqTopKIndexed(s, dir, indexPath, k)
+  }
+
+  private val ivfPqIndexReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sketch-LSH ANN: a 256-bit hyperplane sketch per vector; queries
     * (broadcast — k queries ≪ corpus, the s1 shape) prefilter the
     * corpus by sketch Hamming distance ≤ τ, then exact cosine ranks

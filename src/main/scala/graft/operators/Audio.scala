@@ -1,0 +1,231 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Typed metadata emitted by the audio decoder. All fields come from
+  * the DECODED stream: sample count and format from the codec,
+  * `energy` the integer sum of squared samples, `ahash` the same
+  * ·31 fold m1/m2 use — every one a pure function of the PCM content
+  * (WAV is lossless), so the DuckDB oracle recomputes them all.
+  */
+case class AudioMeta(doc_id: Long, n_samples: Int, sample_rate: Int,
+    channels: Int, duration_ms: Int, energy: Long, ahash: Long)
+
+/** Multimodal AUDIO path — the third modality beside m1 (image) and
+  * m2 (video), real end-to-end like both: payloads are genuine WAV
+  * (RIFF) containers encoded with `javax.sound.sampled` (the JDK's
+  * native audio codec — no external deps, headless-safe: file
+  * encode/decode never touches an audio device), fixture samples are
+  * a deterministic integer formula of (doc_id, i), and 16-bit PCM is
+  * lossless — so what the codec decodes IS the formula and the m3
+  * manifest stays oracle-exact. The Spark-side shape matches
+  * Multimodal: binary payload column, batched per-partition decode
+  * (the JVM analog of a Pandas-UDF `mapInPandas` batch), typed
+  * `Dataset[AudioMeta]`, partitions ∝ cores (codecs are CPU-bound).
+  */
+object Audio {
+
+  val BatchSize = 64
+
+  /** Fixture format: mono 16-bit little-endian PCM at 8 kHz. */
+  val SampleRate = 8000
+  private val Fmt =
+    new AudioFormat(SampleRate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+
+  // --- deterministic audio fixtures ---------------------------------
+
+  /** Fixture sample count for a doc: 400..1599. */
+  def sampleCount(docId: Long): Int = (math.floorMod(docId, 1200L) + 400L).toInt
+
+  /** Fixture sample i (signed 16-bit): ((id·131 + i·17) mod 2¹⁶) − 2¹⁵. */
+  def sample(docId: Long, i: Int): Short =
+    (math.floorMod(docId * 131L + i * 17L, 65536L) - 32768L).toShort
+
+  /** REAL WAV container bytes for a doc's fixture clip: the PCM frames
+    * streamed through the JDK encoder (`AudioSystem.write` emits the
+    * RIFF/fmt/data chunk structure any WAV reader opens).
+    */
+  def wavPayload(docId: Long): Array[Byte] = {
+    val n = sampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sample(docId, i)
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val in = new AudioInputStream(new ByteArrayInputStream(pcm), Fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos) finally in.close()
+    bos.toByteArray
+  }
+
+  // --- real codec kernels -------------------------------------------
+
+  /** REAL audio decode via the JDK codec: container → (format, PCM
+    * samples). Rejects anything that is not 16-bit mono PCM the
+    * fixture way — a malformed container throws here (use
+    * [[tryDecode]] on untrusted payloads).
+    */
+  def decodeAudio(payload: Array[Byte]): (AudioFormat, Array[Short]) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+        f.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported audio format: $f")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      if (f.isBigEndian)
+        while (i < n) {
+          out(i) = (((bytes(i * 2) & 0xFF) << 8) | (bytes(i * 2 + 1) & 0xFF)).toShort
+          i += 1
+        }
+      else
+        while (i < n) {
+          out(i) = (((bytes(i * 2 + 1) & 0xFF) << 8) | (bytes(i * 2) & 0xFF)).toShort
+          i += 1
+        }
+      (f, out)
+    } finally in.close()
+  }
+
+  /** Total decode for untrusted payloads: corrupt container → None —
+    * the skip-bad-records shape (count the Nones, never kill a 100 TB
+    * job). AudioSpec fuzzes this with truncations and byte flips.
+    */
+  def tryDecode(payload: Array[Byte]): Option[(AudioFormat, Array[Short])] =
+    try {
+      val r = decodeAudio(payload)
+      if (r._2.isEmpty) None else Some(r)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode one payload to typed metadata — every field from the
+    * DECODED stream. `energy` = Σ s² (fits a long: ≤ 2³⁰ per sample),
+    * `ahash` = the shared ·31 fold over unsigned 16-bit sample values
+    * (the m1/m2 pixelFold discipline; DuckDB recomputes it as a
+    * HUGEINT reduction).
+    */
+  def decode(docId: Long, payload: Array[Byte]): AudioMeta = {
+    val (f, samples) = decodeAudio(payload)
+    val rate = f.getSampleRate.toInt
+    var energy = 0L
+    var hash = 1125899906842597L
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toLong
+      energy += s * s
+      hash = hash * 31L + (s & 0xFFFFL)
+      i += 1
+    }
+    AudioMeta(docId, samples.length, rate, f.getChannels,
+      (samples.length.toLong * 1000L / rate).toInt, energy, hash)
+  }
+
+  /** REAL frame-energy features: samples split into `frame`-sized
+    * windows, per-window mean |s|/2¹⁵ mean-pooled round-robin into
+    * `dim` cells — computed from the actual decoded stream, schema
+    * `array<float>` so the ANN operators run on it unchanged (the
+    * audio twin of Multimodal.imageFeatures).
+    */
+  def audioFeatures(samples: Array[Short], dim: Int, frame: Int = 160): Array[Float] = {
+    val nf = (samples.length + frame - 1) / frame
+    val sums = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    var w = 0
+    while (w < nf) {
+      var acc = 0.0
+      var i = w * frame
+      val end = math.min(i + frame, samples.length)
+      val len = end - i
+      while (i < end) { acc += math.abs(samples(i).toInt); i += 1 }
+      sums(w % dim) += (acc / len / 32768.0).toFloat
+      counts(w % dim) += 1
+      w += 1
+    }
+    Array.tabulate(dim)(i => if (counts(i) == 0) 0f else sums(i) / counts(i))
+  }
+
+  /** REAL resample by integer decimation (keep every `factor`-th
+    * sample) → re-encode WAV at rate/factor. Deliberately decimation
+    * (not interpolation): bit-exact, so tests assert
+    * out(i) == source(i·factor) against the fixture formula.
+    */
+  def decimate(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val (f, samples) = decodeAudio(payload)
+    val n = (samples.length + factor - 1) / factor
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = samples(i * factor)
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val outFmt = new AudioFormat(f.getSampleRate / factor, 16, 1, true, false)
+    val in = new AudioInputStream(new ByteArrayInputStream(pcm), outFmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos) finally in.close()
+    bos.toByteArray
+  }
+
+  // --- Spark plumbing -----------------------------------------------
+
+  /** Documents with a binary audio payload column: a REAL WAV per doc
+    * (fixture clip keyed by doc_id — the container has no audio
+    * corpus, so clips are generated, but the bytes are genuine RIFF
+    * containers round-tripped through the codec).
+    */
+  def withPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // codec is CPU-bound
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, wavPayload(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Batched decode over partitions — the mapInPandas-batch shape. */
+  def decodeBatched(s: SparkSession, dir: String): Dataset[AudioMeta] = {
+    import s.implicits._
+    withPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        decode(id, bytes)
+      }))
+  }
+
+  /** The `m3_audio_manifest` query: decoded-audio metadata manifest
+    * ordered by doc_id. Oracle-exact: 16-bit PCM through a WAV
+    * container is lossless, so DuckDB recomputes every column from
+    * the fixture formula (sample list → HUGEINT ·31 fold + integer
+    * energy sum).
+    */
+  def manifest(s: SparkSession, dir: String): DataFrame =
+    // ordered(): the codec pipeline is narrow, so a bare orderBy's
+    // range-sampling job would decode every clip twice
+    graft.Caches.ordered(
+      decodeBatched(s, dir).toDF()
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"), col("channels"),
+          col("duration_ms"), col("energy"), col("ahash")),
+      col("doc_id"))
+
+  /** Embedding extraction: binary payload → REAL decode → pooled
+    * frame-energy `array<float>` column (composes with Ann.*).
+    */
+  def extractFeatures(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        (id, audioFeatures(decodeAudio(bytes)._2, dim))
+      }))
+      .toDF("doc_id", "embedding")
+  }
+}

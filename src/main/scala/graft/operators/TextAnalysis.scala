@@ -119,4 +119,56 @@ object TextAnalysis {
         col("col.label").as("term"), col("col.score").as("score"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /** PII patterns shared by the Spark query and (string-identical,
+    * SURVEY §5) the DuckDB oracle. Deliberately restricted to syntax
+    * Java regex and RE2 interpret identically: character classes,
+    * bounded repetition, `\b` word boundaries — no lookaround, no
+    * backreferences (RE2 has neither).
+    */
+  val EmailRe = raw"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+  val Ipv4Re  = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+  val PhoneRe = raw"\b555-\d{4}\b"
+
+  /** PII-bearing text derived deterministically from (text, doc_id) —
+    * the corpus ships no PII, so contact strings are appended by
+    * arithmetic both engines compute identically (the §3 discipline:
+    * derive, don't synthesize a private table). ~1/3 of docs gain an
+    * email, 1/5 an IPv4, 1/7 a phone; overlaps compose.
+    */
+  private def withPii(c: org.apache.spark.sql.Column) = concat(c,
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact user"), col("doc_id"), lit("@mail-"),
+        col("doc_id") % 7, lit(".example.com"))).otherwise(""),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" from 10."), col("doc_id") % 256, lit(".0."),
+        col("doc_id") % 100)).otherwise(""),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(""))
+
+  /** t7: PII detection + redaction — the scrubbing pass every
+    * training-data pipeline runs before anything else. One scan, pure
+    * codegen'd column expressions (match counts via
+    * `regexp_extract_all`, redaction via chained `regexp_replace`),
+    * no shuffle but the final order — trivially 100-TB-shaped. The
+    * redacted text itself leaves the query as an md5 + length (the
+    * oracle-comparable projection of a full-text column).
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val t = withPii(col("text"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ip"),
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phone"),
+        length(redacted).as("redacted_len"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -127,6 +127,16 @@ class AnnSpec extends SparkSpec {
     assert(codeScans.nonEmpty && codeScans.forall(!_.contains("embedding")), plan)
   }
 
+  test("s5 wrapper: self-contained ivfPqTopK equals a fresh indexed query") {
+    val idx = scratchDir("graft_ivfpq_ref")
+    Ann.buildIvfPqIndex(spark, Sf, idx)
+    val ref = Ann.ivfPqTopKIndexed(spark, Sf, idx).collect().map(_.toSeq).toSeq
+    val got = Ann.ivfPqTopK(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == ref)
+    // second call hits the build-once gate (no rebuild) and agrees
+    assert(Ann.ivfPqTopK(spark, Sf).collect().map(_.toSeq).toSeq == got)
+  }
+
   test("k-means assigns every vector and centroids are finite") {
     val e = Tables.embeddings(spark, Sf)
     val cents = Ann.kmeansCentroids(e.select("vec_id", "embedding"), k = 8, iters = 3)

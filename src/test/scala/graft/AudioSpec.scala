@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Audio
+import org.apache.spark.sql.functions.col
+
+class AudioSpec extends SparkSpec {
+
+  test("wav payload is a real RIFF container and the codec round-trips the fixture samples exactly") {
+    for (id <- Seq(0L, 1L, 17L, 399L, 4081L)) {
+      val bytes = Audio.wavPayload(id)
+      // genuine RIFF/WAVE magic, not a fake blob
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      assert(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+      val (f, samples) = Audio.decodeAudio(bytes)
+      assert(f.getSampleRate.toInt == Audio.SampleRate && f.getChannels == 1)
+      val n = Audio.sampleCount(id)
+      assert(samples.length == n)
+      var i = 0
+      while (i < n) {
+        assert(samples(i) == Audio.sample(id, i), s"sample mismatch doc=$id i=$i")
+        i += 1
+      }
+    }
+  }
+
+  test("decode metadata equals the fixture formula (energy, fold hash, duration)") {
+    for (id <- Seq(3L, 42L, 499L)) {
+      val meta = Audio.decode(id, Audio.wavPayload(id))
+      val n = Audio.sampleCount(id)
+      var energy = 0L
+      var hash = 1125899906842597L
+      for (i <- 0 until n) {
+        val s = Audio.sample(id, i).toLong
+        energy += s * s
+        hash = hash * 31L + (s & 0xFFFFL)
+      }
+      assert(meta == graft.operators.AudioMeta(id, n, 8000, 1, n / 8, energy, hash))
+    }
+  }
+
+  test("decimate keeps every factor-th sample bit-exactly at the halved rate") {
+    val id = 11L
+    val out = Audio.decimate(Audio.wavPayload(id), 2)
+    val (f, samples) = Audio.decodeAudio(out)
+    assert(f.getSampleRate.toInt == Audio.SampleRate / 2)
+    val n = Audio.sampleCount(id)
+    assert(samples.length == (n + 1) / 2)
+    samples.indices.foreach(i => assert(samples(i) == Audio.sample(id, i * 2)))
+  }
+
+  test("audioFeatures pools frame energies into the requested dim, in [0,1]") {
+    val (_, samples) = Audio.decodeAudio(Audio.wavPayload(7L))
+    val feats = Audio.audioFeatures(samples, 64)
+    assert(feats.length == 64)
+    assert(feats.forall(v => v >= 0f && v <= 1f))
+    // deterministic
+    assert(feats.sameElements(Audio.audioFeatures(samples, 64)))
+  }
+
+  test("tryDecode never throws on corrupt containers (truncations + byte flips)") {
+    val good = Audio.wavPayload(5L)
+    assert(Audio.tryDecode(good).isDefined)
+    for (cut <- Seq(0, 3, 11, 40, good.length / 2))
+      Audio.tryDecode(good.take(cut)) // must not throw
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      val pos = rnd.nextInt(m.length)
+      m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+      Audio.tryDecode(m) // must not throw; may be None or a garbled Some
+    }
+    assert(Audio.tryDecode(Array.fill[Byte](64)(0x41)).isEmpty)
+  }
+
+  test("m3 manifest emits decoded metadata for every doc, ordered and deterministic") {
+    val rows = Audio.manifest(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+    // spot-check a row against the local decode
+    val r = rows.find(_.getLong(0) == 42L).get
+    val m = Audio.decode(42L, Audio.wavPayload(42L))
+    assert(r.getInt(1) == m.n_samples && r.getInt(4) == m.duration_ms &&
+      r.getLong(5) == m.energy && r.getLong(6) == m.ahash)
+  }
+
+  test("extractFeatures emits ANN-compatible array<float> embeddings") {
+    val df = Audio.extractFeatures(spark, Sf, dim = 16)
+    val row = df.filter(col("doc_id") === 9L).collect().head
+    val emb = row.getSeq[Float](1)
+    assert(emb.length == 16)
+    val (_, samples) = Audio.decodeAudio(Audio.wavPayload(9L))
+    assert(emb == Audio.audioFeatures(samples, 16).toSeq)
+  }
+}

@@ -89,4 +89,34 @@ class TextFnsSpec extends SparkSpec {
     assert(Set("de", "en", "es", "fr", "zh").contains(got(2))) // tie → deterministic first
     assert(got(2) == "de") // all-zero scores: first in sorted profile order
   }
+
+  test("t7: PII counts match the planted contacts and redaction removes every match") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.piiRedact(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (if (id % 3 == 0) 1 else 0), s"n_email doc=$id")
+      assert(r.getInt(2) == (if (id % 5 == 0) 1 else 0), s"n_ip doc=$id")
+      assert(r.getInt(3) == (if (id % 7 == 0) 1 else 0), s"n_phone doc=$id")
+    }
+    // recompute a redaction locally (Java regex — the engine the Spark
+    // side uses) and assert the query's md5/len agree, and that no
+    // pattern survives in the redacted text
+    val doc = Tables.documents(spark, Sf)
+      .filter(col("doc_id") === 105L) // 105 = 3·5·7: all three kinds planted
+      .select(col("text")).as[String].collect().head
+    val t2 = doc + " contact user105@mail-0.example.com" + " from 10.105.0.5" + " call 555-0105"
+    val red = t2.replaceAll(TextAnalysis.EmailRe, "<EMAIL>")
+      .replaceAll(TextAnalysis.Ipv4Re, "<IP>")
+      .replaceAll(TextAnalysis.PhoneRe, "<PHONE>")
+    assert(!TextAnalysis.EmailRe.r.findFirstIn(red).isDefined &&
+      !TextAnalysis.Ipv4Re.r.findFirstIn(red).isDefined &&
+      !TextAnalysis.PhoneRe.r.findFirstIn(red).isDefined)
+    val got = rows.find(_.getLong(0) == 105L).get
+    assert(got.getInt(4) == red.length)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.getString(5) == md5)
+  }
 }
