@@ -307,9 +307,11 @@ object Ann {
   val PqM = 8
   val PqKsub = 16
 
-  /** Train the M per-subspace codebooks: kmeansCentroids reused per
-    * subspace over the sliced corpus — distributed like every Lloyd's
-    * pass here; only M × Ksub × (Dim/M) floats ever reach the driver.
+  /** Reference codebook training: kmeansCentroids per subspace over
+    * the sliced corpus. Correct but M× the scans and shuffles of the
+    * fused path below — kept as the identity oracle for it (AnnSpec
+    * asserts fused == per-subspace on the fixture corpus); builds use
+    * [[pqCodebooksFused]].
     */
   private[graft] def pqCodebooks(e: DataFrame, m: Int = PqM,
       ksub: Int = PqKsub): Array[Array[Array[Float]]] = {
@@ -319,6 +321,53 @@ object Ann {
         e.select(col("vec_id"), slice(col("embedding"), i * sub + 1, sub).as("embedding")),
         ksub)
     }.toArray
+  }
+
+  /** Train ALL M per-subspace codebooks in one distributed pass per
+    * Lloyd's iteration: each row explodes into M (subspace, cluster,
+    * slice) entries, one groupBy(subspace, cluster) computes every
+    * codebook's update — 1 seed job + `iters` shuffles total, against
+    * M × (1 + iters) scan/shuffle rounds for the per-subspace loop,
+    * with the SAME shuffle volume per iteration after map-side
+    * combine (M·Ksub groups × (Dim/M + 1) cells per task, vs M
+    * successive passes of Ksub × (Dim/M + 1)). Same math: seeds are
+    * the slices of the ksub lowest vec_ids, updates the per-cluster
+    * means, empty clusters keep their previous centroid.
+    */
+  private[graft] def pqCodebooksFused(e: DataFrame, m: Int = PqM,
+      ksub: Int = PqKsub, iters: Int = 3): Array[Array[Array[Float]]] = {
+    import e.sparkSession.implicits._
+    val sub = Dim / m
+    // one full-width gate replaces the per-subspace null/short checks
+    val clean = e.where(col("embedding").isNotNull && size(col("embedding")) === Dim)
+    val seed = clean.orderBy("vec_id").limit(ksub)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    require(seed.nonEmpty, "pqCodebooksFused: no full-width embeddings in corpus")
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(mi => seed.map(_.slice(mi * sub, mi * sub + sub)))
+    val sums = (0 until sub).map(i =>
+      sum(element_at(col("sl"), i + 1).cast("double")).as(s"s$i"))
+    for (_ <- 0 until iters) {
+      val upd = clean.select(posexplode(array((0 until m).map { mi =>
+          val sl = slice(col("embedding"), mi * sub + 1, sub)
+          struct(assignCluster(sl, books(mi)).as("c"), sl.as("sl"))
+        }: _*)))
+        .select(col("pos").as("mi"), col("col.c").as("c"), col("col.sl").as("sl"))
+        .groupBy(col("mi"), col("c")).agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      upd.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val mi = r.getInt(0)
+          val c = r.getInt(1)
+          val n = r.getLong(2).toDouble
+          var i = 0
+          while (i < sub) { next(mi)(c)(i) = (r.getDouble(i + 3) / n).toFloat; i += 1 }
+        }
+      }
+      books = next
+    }
+    books
   }
 
   /** PQ-encode: per subspace, the nearest codebook entry's id —
@@ -356,7 +405,7 @@ object Ann {
     val e = graft.Caches.track(Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding")))
-    val books = pqCodebooks(e, m, ksub)
+    val books = pqCodebooksFused(e, m, ksub)
     books.zipWithIndex.flatMap { case (b, i) =>
       b.zipWithIndex.map { case (c, j) => (i, j, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
@@ -481,7 +530,7 @@ object Ann {
       .withColumn("residual",
         zip_with(col("embedding"), element_at(centsLit, col("bucket") + 1),
           (a, b) => (a - b).cast("float"))))
-    val books = pqCodebooks(
+    val books = pqCodebooksFused(
       bucketed.select(col("vec_id"), col("residual").as("embedding")), m, ksub)
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("bucket", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")

@@ -137,6 +137,19 @@ class AnnSpec extends SparkSpec {
     assert(Ann.ivfPqTopK(spark, Sf).collect().map(_.toSeq).toSeq == got)
   }
 
+  test("fused PQ codebook training equals the per-subspace reference") {
+    val e = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val ref = Ann.pqCodebooks(e)
+    val fused = Ann.pqCodebooksFused(e)
+    assert(fused.length == ref.length)
+    // tolerance, not bitwise: cluster means are distributed double
+    // sums whose partial-merge order is not fixed; the float-rounded
+    // results agree to well under any assignment-flipping margin
+    for (mi <- ref.indices; j <- ref(mi).indices; t <- ref(mi)(j).indices)
+      assert(math.abs(fused(mi)(j)(t) - ref(mi)(j)(t)) <= 1e-5f,
+        s"codebook ($mi,$j,$t): ${fused(mi)(j)(t)} vs ${ref(mi)(j)(t)}")
+  }
+
   test("k-means assigns every vector and centroids are finite") {
     val e = Tables.embeddings(spark, Sf)
     val cents = Ann.kmeansCentroids(e.select("vec_id", "embedding"), k = 8, iters = 3)
