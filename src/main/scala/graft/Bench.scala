@@ -34,6 +34,15 @@ import org.apache.spark.sql.SparkSession
   * proceeds but the JSON is stamped `"contended": true` — a
   * contended artifact self-declares it cannot be compared across
   * rounds.
+  *
+  * MID-RUN pollution (r5 lesson: the start gate passed, then the box
+  * loaded up and t6's raws read [1.38, 2.22, 3.26]): the loadavg
+  * can't police the run it is part of, but the raw arrays can — any
+  * query whose runs_raw max/min exceeds 2.5x lands in
+  * `"spread_flags"`, and `queries_min` carries each query's MINIMUM
+  * run, the most contention-resistant point estimate for cross-round
+  * comparison. The full JSON is also written to `target/bench.json`
+  * so the artifact of record survives driver-side stdout truncation.
   */
 object Bench {
   /** Queries measured at the 10x scale dir; the suite's top cost
@@ -75,8 +84,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
+      // wide schemas (m-family structs) otherwise spam truncation
+      // WARNings into the artifact log on every plan print
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: bench stderr is part of the audited artifact;
+    // per-query WARN noise (codegen fallbacks, AQE notices) buries
+    // the gate/failure lines a reader actually needs
+    spark.sparkContext.setLogLevel("ERROR")
     // contention gate: wait (bounded) for a quiet box; stamp the
     // artifact if it never quiets down rather than committing numbers
     // that only reproduce under the same background load.
@@ -120,6 +135,13 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
 
+    /** A runs_raw array whose max/min exceeds 2.5x means some runs
+      * were polluted (load arrived mid-run) — the median of such an
+      * array is not comparable across rounds and must self-declare.
+      */
+    def spreadPolluted(times: Seq[Double]): Boolean =
+      times.size >= 2 && times.min > 0 && times.max / times.min > 2.5
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => (name, time(name, fn, sfDir, runs)) }
@@ -129,6 +151,11 @@ object Bench {
       .mkString("{", ",", "}")
     val raw = results.map { case (k, t) => "\"" + k + "\":" + jarr(t) }
       .mkString("{", ",", "}")
+    val mins = results.map { case (k, t) =>
+      "\"" + k + "\":" + jnum(if (t.isEmpty) Double.NaN else t.min) }
+      .mkString("{", ",", "}")
+    val spreadFlags = new scala.collection.mutable.ArrayBuffer[String]()
+    results.foreach { case (k, t) => if (spreadPolluted(t)) spreadFlags += k }
     val total = results.map(r => median(r._2)).filterNot(_.isNaN).sum
 
     // Scale sections: median-of-n per heavy query at each scale dir,
@@ -189,7 +216,10 @@ object Bench {
           val base = median(results.collectFirst { case (`name`, r) => r }.getOrElse(Nil))
           val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
                     else math.log10(t / base) / decades // ~1.0 = linear
-          "\"" + name + "\":{\"sec\":" + jnum(t) + ",\"exponent\":" + jnum(exp) +
+          if (spreadPolluted(ts)) spreadFlags += s"$label:$name"
+          "\"" + name + "\":{\"sec\":" + jnum(t) +
+            ",\"min\":" + jnum(if (ts.isEmpty) Double.NaN else ts.min) +
+            ",\"exponent\":" + jnum(exp) +
             ",\"runs_raw\":" + jarr(ts) + "}"
         }
         s""","$label":{"dir":"$d","runs":$runsN,"queries":${entries.mkString("{", ",", "}")}}"""
@@ -197,7 +227,11 @@ object Bench {
     }
 
     val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_RUNS", "3").toInt
-    val scale10Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE10_RUNS", "1").toInt
+    // default 2 at 100x: the r5 artifact's single runs scattered up to
+    // 2.3x across independent measurements — one run per query cannot
+    // be compared across rounds; two runs bound the JIT/page-cache
+    // warmup AND arm the spread flag, at ~6 min extra wall
+    val scale10Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE10_RUNS", "2").toInt
     val sf1 = scaleSection("sf1", "SPARK_GRAFT_BENCH_SCALE_DIR",
       "/root/repo/.data/sf1", tools.GenScale.Replicas, 1.0, scaleRuns, ScaleQueries)
     val sf10 = scaleSection("sf10", "SPARK_GRAFT_BENCH_SCALE10_DIR",
@@ -205,8 +239,15 @@ object Bench {
 
     // serialized AFTER the scale runs so their failures are recorded
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sfl = spreadFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadAvg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_raw":$raw,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"$sf1$sf10}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"$sf1$sf10}"""
+    println(json)
+    // the artifact of record, immune to stdout capture truncation
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -122,13 +122,6 @@ object Dedup {
     * the classic first-stage PPJoin cut. Free either way: it rides
     * the existing join.
     */
-  /** Memoized duplicate-detection verdicts, keyed by the hashed-docs
-    * logical plan's semanticHash (an immutable corpus + identical
-    * query ⇒ identical verdict within a JVM).
-    */
-  private val dupVerdicts =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
-
   private def lshVerifiedPairs(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double, oph: Boolean = false): DataFrame =
     graft.Caches.ordered(
@@ -137,66 +130,102 @@ object Dedup {
 
   private[operators] def lshVerifiedPairsRaw(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double, oph: Boolean = false): DataFrame = {
+    val (repPairs, dupMembers) =
+      lshRepPairs(hashedDocs, bands, rows, threshold, oph)
+    // expand representatives back to members: within-family pairs are
+    // J = 1 by construction; each rep pair fans out to its members'
+    // cross product with the verified J (all output-proportional).
+    // The expansion joins are LEFT-OUTER against the dup-family
+    // mapping with an identity coalesce — a rep outside any dup
+    // family (every doc, on a dup-free corpus) passes through
+    // unchanged, so no full-corpus mapping is ever built or joined.
+    val within = dupMembers.as("x").join(dupMembers.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(dupMembers.select(col("rep").as("id_a"), col("doc_id").as("da")),
+        Seq("id_a"), "left_outer")
+      .join(dupMembers.select(col("rep").as("id_b"), col("doc_id").as("db")),
+        Seq("id_b"), "left_outer")
+      .select(
+        least(coalesce(col("da"), col("id_a")),
+          coalesce(col("db"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("da"), col("id_a")),
+          coalesce(col("db"), col("id_b"))).as("id_b"),
+        col("jaccard"))
+    within.unionAll(cross)
+  }
+
+  /** The LSH pipeline up to (but not including) family expansion:
+    * verified near-dup pairs over one REPRESENTATIVE per distinct
+    * gram set, plus the (doc_id, rep) mapping for members of
+    * duplicated families (empty on a dup-free corpus). Callers that
+    * consume pair STRUCTURE rather than the pairs themselves
+    * (dupClusters) work on this collapsed view directly — an f-member
+    * duplicate family contributes one vertex instead of an f-clique.
+    */
+  private def lshRepPairs(hashedDocs: DataFrame, bands: Int, rows: Int,
+      threshold: Double, oph: Boolean = false): (DataFrame, DataFrame) = {
     // hashed feature sets (doc_id, fh: array<long>) feed banding AND
     // both verify sides; gram strings never exist as columns at all
     // (GramHashes hashes byte ranges in place). Cache is registered
     // with Caches so Bench/Verify release it between queries.
     val hashedAll = graft.Caches.track(hashedDocs)
 
-    // --- exact-duplicate collapse (lossless) --------------------------
+    // --- exact-duplicate collapse (lossless, static plan) -------------
     // Docs with the same distinct gram SET are pairwise J = 1 and
     // behave identically in every band, so each extra copy of a
     // duplicated doc re-collides in ALL `bands` bands: an f-member
     // family costs f²·bands/2 join emissions. Web corpora carry
-    // 30-60% exact-duplicate rates, so collapse FIRST: group docs by
-    // their sorted gram set (the array itself is the grouping key —
-    // no hash-collision risk), run LSH + verify on one representative
-    // per set, then expand — within-family pairs at J = 1 and
-    // rep-pair J copied to every member cross pair, both
-    // output-proportional. Result is row-identical to running on the
-    // full corpus: J(a, b) depends only on the two gram sets.
-    // Null-fh docs can never pair (null J filters out) — excluded.
+    // 30-60% exact-duplicate rates, so collapse FIRST: run LSH +
+    // verify on one representative per set, then expand — within-
+    // family pairs at J = 1 and rep-pair J copied to every member
+    // cross pair, both output-proportional. Result is row-identical
+    // to running on the full corpus: J(a, b) depends only on the two
+    // gram sets. Null-fh docs can never pair (null J filters out).
     //
-    // DETECTION first, on a skinny (set-hash, size) aggregate: a
-    // duplicate-free corpus (every sf dir here) pays one 16-byte-row
-    // groupBy instead of the array-keyed window + semi-join + three
-    // expansion joins. A hash false positive only arms the exact
-    // collapse below (which groups by the SET itself — harmless); a
-    // false negative is impossible (equal sets ⇒ equal hash).
-    // NOTE: the probe is an EAGER job at DataFrame-construction time
-    // (the returned plan is data-dependent) — same pattern as
-    // ivfTopKIndexed's probed-bucket collect; merely building or
-    // explaining a d2/d4 frame featurizes the corpus once.
+    // The plan is STATIC — no data-dependent branch, so constructing
+    // or explaining a d2/d4 frame runs no job (the r5 detection probe
+    // did). Families key on a SKINNY 128-bit set hash (two xxhash64
+    // seeds over the sorted distinct grams) + distinct size, so the
+    // family groupBy shuffles ~28-byte rows, never the gram arrays.
+    // `dupFams` keeps only families with ≥2 members; on a duplicate-
+    // free corpus it is EMPTY at runtime and AQE's empty-relation
+    // propagation collapses every downstream join — the inner join
+    // (dupMembers) to an empty relation, the left-anti (collapse) to
+    // a passthrough of its left side, the left-outers (expansion) to
+    // null-padded projections — so the dup-free path pays exactly one
+    // skinny groupBy over the cached featurized corpus and nothing
+    // else. A 128-bit key collision (P ≈ n²/2^129, ~1e-15 at a
+    // trillion docs) could merge two distinct sets into one family;
+    // the same order of risk as the xxhash64 feature representation
+    // the verify step already stands on (featureHashes64, P ≈ 1e-11).
     // array_distinct before sort: internal producers (GramHashes)
     // already emit distinct hashes, but pairsFromHashed is public and
     // JaccardSets' set semantics must hold for multiset inputs too —
     // both the set-key grouping here and the merge kernel in verify
-    // assume distinct elements
+    // assume distinct elements.
     val sfh = array_sort(array_distinct(col("fh")))
-    // verdict memoized per logical plan (semanticHash) for the JVM's
-    // lifetime: Bench re-runs the same query back-to-back with caches
-    // cleared, and re-probing an immutable corpus every run would
-    // charge the detection to every measurement
-    val planKey = hashedDocs.queryExecution.logical.semanticHash()
-    val hasDups = dupVerdicts.computeIfAbsent(planKey, _ =>
-      !hashedAll.where(col("fh").isNotNull)
-        .groupBy(xxhash64(sfh).as("k"), size(col("fh")).as("s"))
-        .count().where(col("count") > 1).isEmpty)
-    val membersOpt =
-      if (!hasDups) None
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("sfh")
-        Some(graft.Caches.track(hashedAll
-          .where(col("fh").isNotNull)
-          .select(col("doc_id"), sfh.as("sfh"))
-          .withColumn("rep", min(col("doc_id")).over(w))
-          .select(col("doc_id"), col("rep"))))
-      }
-    val hashed = membersOpt match {
-      case None => hashedAll
-      case Some(members) => graft.Caches.track(hashedAll.join(
-        members.where(col("doc_id") === col("rep")).select(col("doc_id")), "doc_id"))
-    }
+    // (doc_id, rep) for members of DUPLICATED families only — empty
+    // on a dup-free corpus (cache of an empty frame is trivial). A
+    // window over the skinny key gives rep + family size in ONE
+    // exchange (a groupBy would need a join back to recover members)
+    val famW = org.apache.spark.sql.expressions.Window
+      .partitionBy("fk1", "fk2", "fsz")
+    val dupMembers = graft.Caches.track(
+      hashedAll.where(col("fh").isNotNull)
+        .select(col("doc_id"), xxhash64(sfh).as("fk1"),
+          xxhash64(lit(0x517cc1b727220a95L), sfh).as("fk2"),
+          size(sfh).as("fsz"))
+        .select(col("doc_id"), min(col("doc_id")).over(famW).as("rep"),
+          count(lit(1)).over(famW).as("fam"))
+        .where(col("fam") > 1)
+        .select(col("doc_id"), col("rep")))
+    // drop non-representative duplicate members before banding
+    val hashed = graft.Caches.track(hashedAll.join(
+      dupMembers.where(col("doc_id") =!= col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti"))
     // the self-join keys on bkey ALONE: each band key is seeded with
     // its band index, so same-band collisions already carry the band
     // identity and a cross-band key equality is a 2^-64 accident —
@@ -233,25 +262,7 @@ object Dedup {
             lit(threshold) * greatest(col("x.sz"), col("y.sz")))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val repPairs = verifyJaccardRaw(cands, hashed, threshold)
-    membersOpt match {
-      case None => repPairs
-      case Some(members) =>
-        // expand representatives back to members: within-family pairs
-        // are J = 1 by construction; each rep pair fans out to its
-        // members' cross product with the verified J (all
-        // output-proportional)
-        val within = members.as("x").join(members.as("y"),
-            col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-            lit(1.0).as("jaccard"))
-        val cross = repPairs
-          .join(members.select(col("rep").as("id_a"), col("doc_id").as("da")), "id_a")
-          .join(members.select(col("rep").as("id_b"), col("doc_id").as("db")), "id_b")
-          .select(least(col("da"), col("db")).as("id_a"),
-            greatest(col("da"), col("db")).as("id_b"), col("jaccard"))
-        within.unionAll(cross)
-    }
+    (verifyJaccardRaw(cands, hashed, threshold), dupMembers)
   }
 
   /** d2: near-dup pairs with exact word-3-shingle Jaccard ≥ 0.8 via
@@ -452,21 +463,41 @@ object Dedup {
     * CC algorithm: [[connectedComponents]] (contraction-first).
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    // raw (unordered) pairs: d8 consumes the SET — d2's final
-    // presentation sort would be two wasted jobs here
-    val pairs = graft.Caches.track(
-      lshVerifiedPairsRaw(shingleHashed(s, dir, lit(true)), bands = 32, rows = 4,
-        threshold = 0.8).select(col("id_a"), col("id_b")))
+    // d8 consumes pair STRUCTURE, so it works on the COLLAPSED view:
+    // CC runs on rep pairs only (an f-member exact-duplicate family
+    // is one vertex, never an f-clique of edges), and dup-family
+    // members attach to their rep's component afterwards — a family
+    // is a clique through its rep, so connectivity is identical to
+    // CC over the expanded pair set, and cluster_id = min member
+    // still holds because each rep IS its family's minimum. Also
+    // skips d2's three expansion joins entirely.
+    val (repPairsRaw, dupMembers) =
+      lshRepPairs(shingleHashed(s, dir, lit(true)), bands = 32, rows = 4,
+        threshold = 0.8)
+    val repPairs = graft.Caches.track(repPairsRaw.select(col("id_a"), col("id_b")))
     // CC stages size themselves to the GRAPH via AQE (the default
     // partitions = -1 path below): the repartition-by-column shuffle
     // coalesces from measured byte counts, so a tiny dup graph runs
     // as 1 task while a 100 TB corpus's billions of edges keep
     // thousands — with no driver-side pre-count job (r4 VERDICT #7).
-    val labels = connectedComponents(s, pairs)
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    val repLbls = connectedComponents(s, repPairs)
+    // attach dup-family members in ONE full-outer join: a matched
+    // rep fans out to its members with the component label; a
+    // left-only family (rep has no rep pairs) is a component of its
+    // own (lbl = rep = min member); a right-only vertex is an
+    // ordinary doc keeping its CC label. Empty dupMembers (dup-free
+    // corpus) AQE-propagates the join to a passthrough of repLbls.
+    val labels = dupMembers.as("m")
+      .join(repLbls.as("l"), col("m.rep") === col("l.v"), "full_outer")
+      .select(coalesce(col("m.doc_id"), col("l.v")).as("v"),
+        coalesce(col("l.lbl"), col("m.rep")).as("lbl"))
+    // cluster_size over a window: one shuffle on lbl, vs the r5
+    // groupBy + join-back's two exchanges (partition width = cluster
+    // size, bounded like the groupBy's reduce key)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
     graft.Caches.ordered(
-      labels.join(sizes, "lbl")
-        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size")),
+      labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size")),
       col("doc_id"))
   }
 
@@ -498,27 +529,49 @@ object Dedup {
     * state no Expression/agg expresses.
     *
     * Partition sizing: `partitions > 0` is the explicit dial
-    * (tests/tools); the default -1 lets AQE right-size the
+    * (tests/tools); the default -1 lets AQE right-size the level-0
     * repartition-by-column shuffle from MEASURED byte counts
     * (REPARTITION_BY_COL shuffles are coalescible), so no driver-side
-    * pre-count job runs — a tiny graph collapses to one task, a huge
-    * one fans out to `spark.sql.adaptive.coalescePartitions.
-    * initialPartitionNum`, the standard cluster-sizing knob. In AQE
-    * mode, `depth >= 3` forces one partition (a global union-find ⇒
-    * empty boundary), so recursion terminates structurally even on a
-    * graph that stops contracting; real boundary graphs are tiny by
-    * level 1.
+    * pre-count job runs.
+    *
+    * The plan is STATICALLY TWO LEVELS — one action, no isEmpty
+    * probes: level 0 contracts per-partition; level 1 runs the
+    * boundary graph — already contracted by orders of magnitude — as
+    * ONE partition, a global union-find whose labels are exact by
+    * construction, so no further level can be needed. On a graph
+    * whose components never span partitions the boundary is empty
+    * and AQE's empty-relation propagation turns the level-1 work and
+    * the label-composition join into passthroughs at runtime. (The
+    * r5 shape recursed data-dependently with an isEmpty action per
+    * level, each re-triggering its upstream stages, and AQE's
+    * `parallelismFirst` coalescing kept 32 partitions for a 256-edge
+    * graph — 4 levels of near-empty stages, the d8 cost center. A
+    * boundary graph too big for one task would mean a component
+    * structure spanning most of a 100 TB corpus; the `partitions`
+    * dial remains for that pathology.)
     */
   private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame,
       partitions: Int = -1, depth: Int = 0): DataFrame = {
     import s.implicits._
+    // both edge directions from ONE scan via explode — a unionAll of
+    // (pairs, pairs.swap) would embed the pair pipeline's logical
+    // subtree twice, doubling analysis cost and plan size
     val sym = pairs.toDF("src", "dst")
-    val edgesFlat = sym.unionAll(sym.select(col("dst"), col("src")))
+    val edgesFlat = sym.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // terminal level: a single partition makes the union-find global,
+    // so its labels are exact and no boundary can remain
+    val terminal = depth >= 1 || partitions == 1
     val edges =
-      if (partitions > 0) edgesFlat.repartition(partitions, col("src"))
-      else if (depth >= 3) edgesFlat.repartition(1, col("src"))
+      if (terminal) edgesFlat.repartition(1, col("src"))
+      else if (partitions > 0) edgesFlat.repartition(partitions, col("src"))
       else edgesFlat.repartition(col("src"))
-    val local = graft.Caches.track(edges.as[(Long, Long)].mapPartitions { it =>
+    // not cached: `grouped` below is local's only consumer and is
+    // itself cached, so caching here would hold the widest
+    // intermediate twice
+    val local = edges.as[(Long, Long)].mapPartitions { it =>
       val parent = new scala.collection.mutable.LongMap[Long]()
       def find(x: Long): Long = {
         var r = x
@@ -535,17 +588,25 @@ object Dedup {
       }
       val ks = parent.keys.toArray // snapshot: find() mutates the map
       ks.iterator.map(v => (v, find(v)))
-    }.toDF("v", "plbl"))
-    val minLbl = graft.Caches.track(
-      local.groupBy(col("v")).agg(min(col("plbl")).as("lbl")))
-    val boundary = local.join(minLbl, "v")
-      .filter(col("plbl") =!= col("lbl"))
-      .select(col("lbl").as("src"), col("plbl").as("dst")).distinct()
-    if (boundary.isEmpty) minLbl.select(col("v"), col("lbl"))
+    }.toDF("v", "plbl")
+    if (terminal) local.toDF("v", "lbl") // one partition ⇒ labels exact
     else {
-      val rootLbl = connectedComponents(s, boundary,
-          if (partitions > 0) math.max(1, partitions / 4) else partitions, depth + 1)
-        .toDF("r", "rlbl")
+      // ONE shuffle per level: the min label and the full per-vertex
+      // root set ride the same groupBy (roots is bounded by the number
+      // of partitions that saw v), so the boundary graph derives from
+      // the aggregate without joining `local` back on v (the r5
+      // shape's extra shuffle per level)
+      val grouped = graft.Caches.track(
+        local.groupBy(col("v")).agg(min(col("plbl")).as("lbl"),
+          collect_set(col("plbl")).as("roots")))
+      val minLbl = grouped.select(col("v"), col("lbl"))
+      // no distinct(): the level-1 union-find no-ops on a duplicate
+      // edge, so deduplicating here would buy nothing for the price
+      // of a whole extra exchange
+      val boundary = grouped
+        .select(col("lbl").as("src"), explode(col("roots")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val rootLbl = connectedComponents(s, boundary, 1, depth + 1).toDF("r", "rlbl")
       minLbl.join(rootLbl, minLbl("lbl") === col("r"), "left_outer")
         .select(minLbl("v"), coalesce(col("rlbl"), minLbl("lbl")).as("lbl"))
     }

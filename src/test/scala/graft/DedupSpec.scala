@@ -65,6 +65,34 @@ class DedupSpec extends SparkSpec {
     assert(got == (fam.toSet + ((4L, 5L, 1.0))), got.toString)
   }
 
+  test("constructing and explaining a d2/d4 frame runs no Spark job") {
+    // the r5 dup-detection probe was an eager job at DataFrame
+    // construction; the r6 static-plan collapse must not execute
+    // anything until an action runs
+    val dir = plantedDir // materialize the fixture before listening
+    Tables.documents(spark, dir) // warm the one-time schema-footer read
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(j.stageInfos.map(s => s.name + "@" + s.details.linesIterator
+          .take(3).mkString("|")).mkString(" / "))
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val d2 = Dedup.minhashLsh(spark, dir, threshold = 0.5)
+      val d4 = Dedup.ngramJaccard(spark, dir, threshold = 0.7)
+      d2.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      d4.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      Thread.sleep(1000) // listener bus is async
+      assert(jobs.isEmpty,
+        s"frame construction/explain ran ${jobs.size} jobs: " +
+          jobs.toArray.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("prefixJaccard (PPJoin variant) agrees with the banded result") {
     val docs = Tables.documents(spark, plantedDir)
       .select(col("doc_id"), graft.functions.TextFns.normalize(col("text")).as("nrm"))
