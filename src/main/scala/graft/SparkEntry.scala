@@ -29,6 +29,7 @@ object SparkEntry {
     "g9_raster_tiff"          -> GeoQueries.rasterIngestTiff _,
     "g10_raster_tiff_deflate" -> GeoQueries.rasterIngestTiffDeflate _,
     "g11_partition_prune"     -> GeoQueries.tiledRegionQuery _,
+    "g12_raster_tiff_i16"     -> GeoQueries.rasterIngestTiffI16 _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -238,6 +239,17 @@ object SparkEntry {
       |FROM grid WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     "g10_raster_tiff_deflate" -> raw"""
+      |WITH $TilesCte,
+      |grid2 AS (
+      |  SELECT tile_id, tile_key, lat0, lon0,
+      |         ((tile_id*131 + xs.x*17 + ys.y*29)%8848)::INT AS elevation
+      |  FROM keyed, generate_series(0,23) ys(y), generate_series(0,23) xs(x))
+      |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
+      |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
+      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |FROM grid2 WHERE tile_id < 50
+      |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    "g12_raster_tiff_i16" -> raw"""
       |WITH $TilesCte,
       |grid2 AS (
       |  SELECT tile_id, tile_key, lat0, lon0,

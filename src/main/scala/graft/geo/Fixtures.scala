@@ -197,17 +197,26 @@ object Fixtures {
   /** DEFLATE-compressed TIFF payload for one tile — the layout real
     * AW3D30 GeoTIFFs ship (GDAL writes DEFLATE, usually with the
     * horizontal-differencing predictor): same congruential pixel
-    * formula as [[tiffBytes]], Compression=8 (zlib), optional
-    * predictor 317=2, STRIPED (5 rows per strip) or TILED (16x16,
-    * tags 322-325, edge tiles zero-padded). Built as a real TIFF
+    * formula as [[tiffBytes]], Compression=8 (zlib) or none
+    * (`compress = false`), optional predictor 317=2, STRIPED (5 rows
+    * per strip) or TILED (16x16, tags 322-325, edge tiles
+    * zero-padded), samples Int32 or Int16 (`bits = 16` — the sample
+    * format real AW3D30 DSM tiles actually carry; the elevation
+    * formula's range [0, 8848) fits int16). Built as a real TIFF
     * writer would: decoded segments -> predictor differencing ->
     * per-segment Deflater -> IFD with spec-ordered tags and
     * inline-vs-offset values resolved by the fits-in-4-bytes rule.
     */
   private[graft] def tiffBytesDeflate(tileId: Int, n: Int = GridN2,
       tiled: Boolean = false, predictor: Int = 2,
-      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN, bits: Int = 32,
+      compress: Boolean = true): Array[Byte] = {
+    require(bits == 16 || bits == 32)
+    val bp = bits / 8 // bytes per sample
     def pix(x: Int, y: Int): Int = ((tileId.toLong * 131 + x * 17 + y * 29) % 8848).toInt
+
+    def putPix(bb: ByteBuffer, v: Int): Unit =
+      if (bp == 4) bb.putInt(v) else bb.putShort(v.toShort)
 
     val (segRowSamples, decoded: Array[Array[Byte]]) =
       if (tiled) {
@@ -216,10 +225,10 @@ object Fixtures {
         val down = (n + th - 1) / th
         (tw, Array.tabulate(across * down) { t =>
           val x0 = (t % across) * tw; val y0 = (t / across) * th
-          val bb = ByteBuffer.allocate(4 * tw * th).order(order)
+          val bb = ByteBuffer.allocate(bp * tw * th).order(order)
           for (r <- 0 until th; x <- 0 until tw) {
             val gx = x0 + x; val gy = y0 + r
-            bb.putInt(if (gx < n && gy < n) pix(gx, gy) else 0)
+            putPix(bb, if (gx < n && gy < n) pix(gx, gy) else 0)
           }
           bb.array()
         })
@@ -228,8 +237,8 @@ object Fixtures {
         val nStrips = (n + rps - 1) / rps
         (n, Array.tabulate(nStrips) { s =>
           val rows = math.min(rps, n - s * rps)
-          val bb = ByteBuffer.allocate(4 * rows * n).order(order)
-          for (r <- 0 until rows; x <- 0 until n) bb.putInt(pix(x, s * rps + r))
+          val bb = ByteBuffer.allocate(bp * rows * n).order(order)
+          for (r <- 0 until rows; x <- 0 until n) putPix(bb, pix(x, s * rps + r))
           bb.array()
         })
       }
@@ -239,18 +248,23 @@ object Fixtures {
       if (predictor == 2) {
         // horizontal differencing: store each sample as the delta
         // from its left neighbor (right-to-left so lower samples
-        // keep their original values while diffing)
+        // keep their original values while diffing; int16 deltas
+        // wrap in 16-bit arithmetic, per spec)
         val b = ByteBuffer.wrap(d).order(order)
-        val rows = d.length / (4 * segRowSamples)
+        val rows = d.length / (bp * segRowSamples)
         for (r <- 0 until rows; x <- (segRowSamples - 1) to 1 by -1) {
-          val p = (r * segRowSamples + x) * 4
-          b.putInt(p, b.getInt(p) - b.getInt(p - 4))
+          val p = (r * segRowSamples + x) * bp
+          if (bp == 4) b.putInt(p, b.getInt(p) - b.getInt(p - 4))
+          else b.putShort(p, (b.getShort(p) - b.getShort(p - 2)).toShort)
         }
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      val dos = new java.util.zip.DeflaterOutputStream(bos)
-      dos.write(d); dos.close()
-      bos.toByteArray
+      if (!compress) d
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.util.zip.DeflaterOutputStream(bos)
+        dos.write(d); dos.close()
+        bos.toByteArray
+      }
     }
 
     // IFD entries in ascending tag order, as the spec requires
@@ -263,8 +277,8 @@ object Fixtures {
         long(325, segments.map(_.length.toLong): _*))
       else Seq(E(273, 4, new Array[Long](segments.length)),
         long(278, 5), long(279, segments.map(_.length.toLong): _*))
-    val entries = (Seq(long(256, n), long(257, n), short(258, 32),
-      short(259, 8), short(262, 1), short(277, 1)) ++ layoutTags ++
+    val entries = (Seq(long(256, n), long(257, n), short(258, bits),
+      short(259, if (compress) 8 else 1), short(262, 1), short(277, 1)) ++ layoutTags ++
       (if (predictor == 2) Seq(short(317, 2)) else Nil) ++
       Seq(short(339, 2))).sortBy(_.tag)
 
@@ -327,6 +341,29 @@ object Fixtures {
           case 0 => tiffBytesDeflate(id, predictor = 1)
           case 1 => tiffBytesDeflate(id)
           case _ => tiffBytesDeflate(id, tiled = true, order = ByteOrder.BIG_ENDIAN)
+        }
+        Files.write(Paths.get(tmp.toString, s"$key.tif"), bytes)
+      }
+    }
+  }
+
+  /** Ensure the Int16-TIFF fixture directory for `dir` exists — the
+    * sample format REAL AW3D30 DSM GeoTIFFs ship. One `<tile_key>.tif`
+    * per tile with tile_id < RasterLimit, cycling three layouts so one
+    * scan exercises them all: id%3==0 -> baseline (uncompressed,
+    * striped, no predictor); id%3==1 -> DEFLATE striped predictor 2;
+    * id%3==2 -> DEFLATE TILED 16x16 predictor 2, big-endian.
+    */
+  def ensureTiffsI16(s: SparkSession, dir: String): String = synchronized {
+    val out = fixtureRoot("tiffs_i16", dir)
+    val tiles = tileRows(s, dir, RasterLimit)
+    ensureAtomic(out, tiles.length) { tmp =>
+      tiles.foreach { case (id, _, _, key) =>
+        val bytes = id % 3 match {
+          case 0 => tiffBytesDeflate(id, predictor = 1, bits = 16, compress = false)
+          case 1 => tiffBytesDeflate(id, bits = 16)
+          case _ => tiffBytesDeflate(id, tiled = true,
+            order = ByteOrder.BIG_ENDIAN, bits = 16)
         }
         Files.write(Paths.get(tmp.toString, s"$key.tif"), bytes)
       }

@@ -185,6 +185,38 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g12: raster ingestion from Int16 TIFFs — the sample format real
+    * AW3D30 DSM GeoTIFFs actually carry (the reference's
+    * `read_band_as::<i32>`, main.rs:172-191, widens Int16 bands to
+    * i32 at read; TiffDecode's int32 elevation band does the same).
+    * The fixture cycles baseline (uncompressed striped), DEFLATE
+    * striped predictor-2, and DEFLATE tiled big-endian layouts — all
+    * Int16 — through ONE scan; same plan shape as g9/g10.
+    */
+  def rasterIngestTiffI16(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureTiffsI16(s, dir)
+    val decoded = s.read.format("binaryFile").option("pathGlobFilter", "*.tif").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.tiff_decode(col("content")).as("r"))
+      .select(col("tile_key"),
+        (col("r.width") === Fixtures.GridN2 && col("r.height") === Fixtures.GridN2).as("dims_ok"),
+        explode(col("r.points")).as("p"))
+      .groupBy(col("tile_key"), col("dims_ok"))
+      .agg(count(lit(1)).as("n_pixels"),
+        min(col("p.elevation")).as("min_elev"),
+        max(col("p.elevation")).as("max_elev"),
+        r6(avg(col("p.elevation"))).as("avg_elev"),
+        sum(col("p.elevation")).as("sum_elev"))
+    tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
+      .join(decoded, Seq("tile_key"))
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        col("dims_ok"), col("n_pixels"), col("min_elev"), col("max_elev"),
+        col("avg_elev"), col("sum_elev"))
+      .orderBy(col("tile_id"))
+  }
+
   /** g11: region query against the tile-partitioned parquet sink —
     * the reference's file-per-tile layout (main.rs:272-296) paying off
     * at QUERY time. The region resolves to its tile keys by pure

@@ -79,9 +79,11 @@ case class RasterDecode(child: Expression)
 
 /** Byte-level decoder for the structural subset of TIFF the
   * reference's GeoTIFF band read consumes (main.rs:172-191,
-  * `Dataset::open` → `read_band_as::<i32>`): TIFF 6.0, one 32-bit
-  * signed-integer sample per pixel, STRIPED or TILED (tags 322-325),
-  * uncompressed or DEFLATE (Compression=8, zlib via
+  * `Dataset::open` → `read_band_as::<i32>`): TIFF 6.0, one signed
+  * 16- or 32-bit integer sample per pixel (real AW3D30 DSM tiles
+  * ship Int16 — the reference widens to i32 at read time, as does
+  * this decoder's int32 elevation band), STRIPED or TILED (tags
+  * 322-325), uncompressed or DEFLATE (Compression=8, zlib via
   * `java.util.zip.Inflater`), with optional horizontal-differencing
   * predictor (tag 317 = 2) — the layout real AW3D30 GeoTIFFs actually
   * ship (GDAL writes them DEFLATE-compressed). A REAL TIFF parser,
@@ -182,10 +184,14 @@ case class TiffDecode(child: Expression)
     // tile (13M px) with headroom while bounding the allocation BEFORE
     // any array is sized from attacker-controlled dims.
     if (width.toLong * height > (1L << 24)) return null
-    // subset gate: single-band signed 32-bit samples, none/DEFLATE
+    // subset gate: single-band signed 16/32-bit samples, none/DEFLATE
     val compression = scalar(259).getOrElse(1L)
     if (compression != 1L && compression != 8L) return null
-    if (scalar(258).getOrElse(return null) != 32L) return null
+    val bits = scalar(258).getOrElse(return null)
+    if (bits != 16L && bits != 32L) return null
+    // bytes per stored sample; Int16 (the real AW3D30 DSM sample
+    // format) sign-extends into the int32 elevation band on read
+    val bps = (bits / 8).toInt
     if (scalar(277).getOrElse(1L) != 1L) return null
     if (scalar(339).getOrElse(1L) != 2L) return null
     val predictor = scalar(317).getOrElse(1L)
@@ -229,19 +235,29 @@ case class TiffDecode(child: Expression)
 
     /** Undo horizontal differencing (predictor 2) in place: each
       * sample is stored as the delta from its left neighbor, per row
-      * of `rowSamples` int32s, in the file's byte order.
+      * of `rowSamples` samples of `bps` bytes, in the file's byte
+      * order (Int16 deltas wrap in 16-bit arithmetic, per spec).
       */
     def undoPredictor(data: Array[Byte], rowSamples: Int): Unit = {
       val b = java.nio.ByteBuffer.wrap(data).order(order)
-      val rows = data.length / (4 * rowSamples)
+      val rows = data.length / (bps * rowSamples)
       var r = 0
       while (r < rows) {
-        var p = r * rowSamples * 4 + 4
-        val end = (r + 1) * rowSamples * 4
-        while (p < end) { b.putInt(p, b.getInt(p) + b.getInt(p - 4)); p += 4 }
+        var p = r * rowSamples * bps + bps
+        val end = (r + 1) * rowSamples * bps
+        if (bps == 4)
+          while (p < end) { b.putInt(p, b.getInt(p) + b.getInt(p - 4)); p += 4 }
+        else
+          while (p < end) {
+            b.putShort(p, (b.getShort(p) + b.getShort(p - 2)).toShort); p += 2
+          }
         r += 1
       }
     }
+
+    /** Sample `idx` of a decoded segment, widened to int32. */
+    def sample(db: java.nio.ByteBuffer, idx: Int): Int =
+      if (bps == 4) db.getInt(4 * idx) else db.getShort(2 * idx).toInt
 
     /** Allocate the pixel array ONLY once the container's segment
       * byte counts can back the claimed dims: uncompressed must match
@@ -273,12 +289,12 @@ case class TiffDecode(child: Expression)
       val counts = values(325).getOrElse(return null)
       if (offsets.length != across.toLong * down || counts.length != offsets.length)
         return null
-      if (!backed(counts, 4L * tw * th * across * down)) return null
+      if (!backed(counts, bps.toLong * tw * th * across * down)) return null
 
       val points = new Array[Any](width * height)
       var t = 0
       while (t < offsets.length) {
-        val data = segment(offsets(t), counts(t), 4 * tw * th)
+        val data = segment(offsets(t), counts(t), bps * tw * th)
         if (data == null) return null
         if (predictor == 2L) undoPredictor(data, tw)
         val db = java.nio.ByteBuffer.wrap(data).order(order)
@@ -290,7 +306,7 @@ case class TiffDecode(child: Expression)
           var x = 0
           while (x < tw && x0 + x < width) {
             points((y0 + r) * width + (x0 + x)) = new GenericInternalRow(
-              Array[Any](x0 + x, y0 + r, db.getInt(4 * (r * tw + x))))
+              Array[Any](x0 + x, y0 + r, sample(db, r * tw + x)))
             x += 1
           }
           r += 1
@@ -305,14 +321,14 @@ case class TiffDecode(child: Expression)
       val counts = values(279).getOrElse(return null)
       val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
       if (offsets.length != nStrips || counts.length != offsets.length) return null
-      if (!backed(counts, 4L * width * height)) return null
+      if (!backed(counts, bps.toLong * width * height)) return null
 
       val points = new Array[Any](width * height)
       var row = 0
       var s = 0
       while (s < offsets.length) {
         val rows = math.min(rowsPerStrip, (height - row).toLong).toInt
-        val data = segment(offsets(s), counts(s), 4 * width * rows)
+        val data = segment(offsets(s), counts(s), bps * width * rows)
         if (data == null) return null
         if (predictor == 2L) undoPredictor(data, width)
         val db = java.nio.ByteBuffer.wrap(data).order(order)
@@ -321,7 +337,7 @@ case class TiffDecode(child: Expression)
           var x = 0
           while (x < width) {
             points(row * width + x) = new GenericInternalRow(
-              Array[Any](x, row, db.getInt(4 * (r * width + x))))
+              Array[Any](x, row, sample(db, r * width + x)))
             x += 1
           }
           r += 1; row += 1

@@ -233,9 +233,17 @@ class GeoSpec extends SparkSpec {
       // non-multiple-of-16 grid exercises a 16x16 tile fully padded
       // on two sides AND a striped short last strip
       graft.geo.Fixtures.tiffBytesDeflate(9, n = 17, tiled = true),
-      graft.geo.Fixtures.tiffBytesDeflate(9, n = 17))
+      graft.geo.Fixtures.tiffBytesDeflate(9, n = 17),
+      // Int16 band (real AW3D30 sample format), every layout: baseline
+      // uncompressed, DEFLATE striped +/- predictor, DEFLATE tiled BE
+      graft.geo.Fixtures.tiffBytesDeflate(9, bits = 16, predictor = 1,
+        compress = false),
+      graft.geo.Fixtures.tiffBytesDeflate(9, bits = 16),
+      graft.geo.Fixtures.tiffBytesDeflate(9, bits = 16, tiled = true,
+        order = java.nio.ByteOrder.BIG_ENDIAN),
+      graft.geo.Fixtures.tiffBytesDeflate(9, bits = 16, n = 17, tiled = true))
     for ((bytes, vi) <- variants.zipWithIndex) {
-      val nn = if (vi >= 4) 17 else n
+      val nn = if (vi == 4 || vi == 5 || vi == 9) 17 else n
       val out = expr.eval(InternalRow(bytes)).asInstanceOf[InternalRow]
       assert(out != null, s"variant $vi decoded to null")
       assert(out.getInt(0) == nn && out.getInt(1) == nn)
@@ -267,6 +275,23 @@ class GeoSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("g12: Int16 TIFF ingest agrees with the formula on every stat") {
+    import spark.implicits._
+    val got = GeoQueries.rasterIngestTiffI16(spark, Sf)
+    assert(got.filter(!col("dims_ok")).count() == 0)
+    val n = graft.geo.Fixtures.GridN2
+    val a = got.select("tile_id", "n_pixels", "min_elev", "max_elev", "sum_elev")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    val ids = Geo.tiles(spark, Sf).filter(col("tile_id") < graft.geo.Fixtures.RasterLimit)
+      .select("tile_id").as[Long].collect()
+    val b = ids.map { id =>
+      val elevs = for (y <- 0 until n; x <- 0 until n)
+        yield ((id * 131 + x * 17 + y * 29) % 8848).toInt
+      (id, (n * n).toLong, elevs.min, elevs.max, elevs.map(_.toLong).sum)
+    }.toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("g10: TiffDecode never throws on corrupted DEFLATE payloads; bombs are gated") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
@@ -274,7 +299,10 @@ class GeoSpec extends SparkSpec {
     val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
     val rnd = new scala.util.Random(13)
     for (base <- Seq(graft.geo.Fixtures.tiffBytesDeflate(11),
-      graft.geo.Fixtures.tiffBytesDeflate(11, tiled = true))) {
+      graft.geo.Fixtures.tiffBytesDeflate(11, tiled = true),
+      graft.geo.Fixtures.tiffBytesDeflate(11, bits = 16),
+      graft.geo.Fixtures.tiffBytesDeflate(11, bits = 16, predictor = 1,
+        compress = false))) {
       // a tiny compressed payload claiming the 16384x16384 cap must
       // fail the decoded-bytes backing gate (zlib max expansion) long
       // before the 268M-element pixel array would be allocated
