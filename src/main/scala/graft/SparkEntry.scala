@@ -102,6 +102,9 @@ object SparkEntry {
       Multimodal.frameManifest(s, d)),
     "m3_audio_manifest"       -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.manifest(s, d)),
+    // ingest sources (file-format parse + quarantine audit)
+    "j1_jsonl_ingest"         -> graft.operators.IngestQueries.jsonlIngest _,
+    "j2_csv_ingest"           -> graft.operators.IngestQueries.csvIngest _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)))
@@ -260,6 +263,24 @@ object SparkEntry {
       |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
       |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    "j1_jsonl_ingest" -> raw"""
+      |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,
+      |       count(*) FILTER (WHERE doc_id % 7 = 3) AS n_quarantine,
+      |       (sum(doc_id) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_doc_id,
+      |       (sum(n_chars) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_n_chars,
+      |       (sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                         for i in range(1, 9)], (a, b) -> a*16 + b))
+      |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold
+      |FROM documents WHERE doc_id < 400""".stripMargin,
+    "j2_csv_ingest" -> raw"""
+      |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,
+      |       count(*) FILTER (WHERE doc_id % 7 = 3) AS n_quarantine,
+      |       (sum(doc_id) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_doc_id,
+      |       (sum(n_chars) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_n_chars,
+      |       (sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                         for i in range(1, 9)], (a, b) -> a*16 + b))
+      |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold
+      |FROM documents WHERE doc_id < 400""".stripMargin,
     "g11_partition_prune" -> raw"""
       |WITH $GridCte
       |SELECT tile_key, min(tile_id) AS first_tile_id, count(*) AS n_pixels,

@@ -26,7 +26,7 @@ object Fixtures {
   /** Fixtures live under the build's target/ dir (gitignored, inside
     * the repo) — keyed by the sf dir so scale factors don't collide.
     */
-  private def fixtureRoot(kind: String, dir: String): File =
+  private[graft] def fixtureRoot(kind: String, dir: String): File =
     new File(new File(sys.props("user.dir"), "target/fixtures"),
       s"graft_${kind}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
 
@@ -52,7 +52,7 @@ object Fixtures {
     * cross-process deployment would need Files.move(ATOMIC_MOVE)
     * under a file lock.
     */
-  private def ensureAtomic(out: File, expected: Int)(write: File => Unit): String = {
+  private[graft] def ensureAtomic(out: File, expected: Int)(write: File => Unit): String = {
     val marker = new File(out, CompleteMarker)
     val complete = marker.exists() &&
       new String(Files.readAllBytes(marker.toPath)).trim == expected.toString

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{IngestFixtures, TextSources}
+
+/** j1/j2: oracle-checked ingest audits over the REAL file-format
+  * sources (TextSources). Each reads its fixture corpus — clean rows
+  * plus rule-planted torn lines (IngestFixtures) — and folds the
+  * whole ingest into ONE conditional aggregate over ONE scan (the q26
+  * shape): clean/quarantine counts plus content sums the DuckDB
+  * oracle recomputes from the documents table and the same doc_id
+  * tearing rule. `text_fold` is the engine-portable md5-hex fold
+  * (t4's family, 8 hex digits so a corpus-wide sum stays far inside
+  * int64), proving the parsed TEXT round-tripped byte-exactly, not
+  * just that row counts line up.
+  */
+object IngestQueries {
+
+  /** Portable 32-bit content fold: first 8 hex digits of md5. */
+  private def fold32(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def audit(df: DataFrame): DataFrame = {
+    val clean = col("_corrupt_record").isNull
+    df.agg(
+      count(when(clean, 1)).as("n_clean"),
+      count(when(!clean, 1)).as("n_quarantine"),
+      sum(when(clean, col("doc_id"))).as("sum_doc_id"),
+      sum(when(clean, col("n_chars"))).as("sum_n_chars"),
+      sum(when(clean, fold32(col("text")))).as("text_fold"))
+  }
+
+  /** j1: JSONL ingest audit — text + from_json computed corrupt
+    * column (see TextSources.readJsonl for why not the JSON source).
+    */
+  def jsonlIngest(s: SparkSession, dir: String): DataFrame =
+    audit(TextSources.readJsonl(s, IngestFixtures.ensureJsonl(s, dir)))
+
+  /** j2: CSV ingest audit — RFC-4180 multiLine with the PERMISSIVE
+    * corrupt column; referencing the corrupt column BESIDE the data
+    * columns in one aggregate is the allowed shape (corrupt-only
+    * projection off a raw scan is what Spark forbids).
+    */
+  def csvIngest(s: SparkSession, dir: String): DataFrame =
+    audit(TextSources.readCsv(s, IngestFixtures.ensureCsv(s, dir)))
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.geo.Fixtures
+
+/** Deterministic JSONL/CSV ingest fixtures — the on-disk corpora the
+  * j1/j2 driver queries read through TextSources. Following the §3
+  * fixture discipline (rasterBytes, listingSize): every byte derives
+  * from the documents table plus doc_id arithmetic, so the DuckDB
+  * oracle recomputes the expected result from the TABLE while the
+  * Spark side genuinely parses files. Torn lines are planted by rule
+  * — `doc_id % TornMod == TornRem` — because the driver corpora ship
+  * no corrupt rows; the oracle counts the same rule.
+  *
+  * JSONL tearing truncates the serialized line at 2/3 length: a JSON
+  * object cut before its closing brace can never parse, so the rule
+  * is deterministic on BOTH engines without parsing anything. CSV
+  * tearing prefixes the doc_id field with a letter (type mismatch →
+  * PERMISSIVE corrupt row); an unclosed quote is deliberately NOT
+  * used — in multiLine mode it would swallow the following records,
+  * making the quarantine count depend on record order.
+  */
+object IngestFixtures {
+
+  /** Corpus bound: rows with doc_id < DocLimit feed the fixture —
+    * bounded driver-side collect for WRITING only, as with the geo
+    * fixtures.
+    */
+  val DocLimit = 400
+  val TornMod = 7
+  val TornRem = 3
+
+  private def docRows(s: SparkSession, dir: String): Array[(Long, String, String, String, Long)] =
+    Tables.documents(s, dir).filter(col("doc_id") < DocLimit)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+
+  /** Spec-correct JSON string escape (quote, backslash, control). */
+  private def jesc(x: String): String = {
+    val b = new StringBuilder(x.length + 8)
+    x.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** RFC-4180 field: always quoted, inner quotes doubled. */
+  private def cesc(x: String): String = "\"" + x.replace("\"", "\"\"") + "\""
+
+  /** Ensure the JSONL corpus for `dir`: one object per line; lines for
+    * torn doc_ids truncated to 2/3 length; a blank line every 50 docs
+    * (shard padding the reader must drop, not quarantine).
+    */
+  def ensureJsonl(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("jsonl", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 1) { tmp =>
+      val sb = new StringBuilder
+      rows.zipWithIndex.foreach { case ((id, text, lang, src, nc), i) =>
+        val line = s"""{"doc_id":$id,"text":"${jesc(text)}","lang":"${jesc(lang)}","source":"${jesc(src)}","n_chars":$nc}"""
+        sb.append(
+          if (id % TornMod == TornRem) line.substring(0, math.max(1, line.length * 2 / 3))
+          else line)
+        sb.append('\n')
+        if (i % 50 == 49) sb.append('\n')
+      }
+      Files.write(Paths.get(tmp.toString, "corpus.jsonl"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Ensure the headered CSV corpus for `dir`: quoted string fields;
+    * torn doc_ids carry a non-numeric doc_id (type mismatch → the
+    * PERMISSIVE corrupt column), never an unclosed quote.
+    */
+  def ensureCsv(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("csv", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 1) { tmp =>
+      val sb = new StringBuilder("doc_id,text,lang,source,n_chars\n")
+      rows.foreach { case (id, text, lang, src, nc) =>
+        val idField = if (id % TornMod == TornRem) s"t$id" else id.toString
+        sb.append(idField).append(',').append(cesc(text)).append(',')
+          .append(cesc(lang)).append(',').append(cesc(src)).append(',')
+          .append(nc).append('\n')
+      }
+      Files.write(Paths.get(tmp.toString, "corpus.csv"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+}

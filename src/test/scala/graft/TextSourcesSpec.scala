@@ -73,6 +73,21 @@ class TextSourcesSpec extends SparkSpec {
     assert(bad.select("raw_line").as[String].collect().head.startsWith("oops"))
   }
 
+  test("j1/j2 ingest audits: torn-rule counts and clean-side sums agree across formats") {
+    val sf = "/root/testdata/sf0.001"
+    val j1 = graft.operators.IngestQueries.jsonlIngest(spark, sf).collect()(0)
+    val j2 = graft.operators.IngestQueries.csvIngest(spark, sf).collect()(0)
+    // both formats carry the same corpus and the same tearing rule,
+    // so the audits must agree exactly — and the quarantine count
+    // must match the doc_id % 7 == 3 rule on the bounded corpus
+    assert(j1 == j2, s"$j1 vs $j2")
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") <
+        graft.sources.IngestFixtures.DocLimit)
+    val torn = docs.filter(org.apache.spark.sql.functions.expr("doc_id % 7 = 3")).count()
+    assert(j1.getLong(1) == torn && j1.getLong(0) == docs.count() - torn)
+  }
+
   test("explicit schema means no inference scan: read plans carry the declared types") {
     val dir = scratchDir("jsonl_schema")
     TextSources.writeJsonl(Tables.documents(spark, Sf).limit(5), s"$dir/docs")
