@@ -45,19 +45,25 @@ import org.apache.spark.sql.SparkSession
   * so the artifact of record survives driver-side stdout truncation.
   */
 object Bench {
-  /** Queries measured at the 10x scale dir; the suite's top cost
-    * drivers plus the documented-quadratic d5.
+  /** Queries measured at the 10x scale dir: the suite's top cost
+    * drivers, the documented-quadratic d5, and (r6) one query per
+    * previously-uncovered cost family — d2 (collapse-bearing LSH),
+    * t6 (three joins), s5 (partition-pruned ADC), m3 (codec-bound) —
+    * so no family's scaling rests on extrapolation.
     */
   private val ScaleQueries = Seq("d4_ngram_jaccard", "d5_embed_neardup",
     "d6_repeated_spans", "d8_dup_clusters", "d9_semdedup",
-    "g6_region_elevation_join", "s3_ann_ivf")
+    "g6_region_elevation_join", "s3_ann_ivf", "d2_minhash_lsh",
+    "t6_tfidf", "s5_ann_ivfpq", "m3_audio_manifest")
 
-  /** The 100x decade drops d5: it is the documented-quadratic
-    * exactness oracle (capped at sf1 by design; d9 is its scale
-    * path), and 100x of an n² query is minutes of wall time that
-    * would measure nothing new.
+  /** The 100x decade keeps the original six cost drivers: d5 is the
+    * documented-quadratic exactness oracle (capped at sf1 by design;
+    * d9 is its scale path), and the r6 sf1 additions stay sf1-only —
+    * their first decade bounds the exponent at a fraction of the
+    * 100x wall-clock.
     */
-  private val Scale10Queries = ScaleQueries.filterNot(_ == "d5_embed_neardup")
+  private val Scale10Queries = Seq("d4_ngram_jaccard", "d6_repeated_spans",
+    "d8_dup_clusters", "d9_semdedup", "g6_region_elevation_join", "s3_ann_ivf")
 
   private def loadAvg(): Double = {
     try {

@@ -173,18 +173,16 @@ object Ann {
       k)
   }
 
-  /** The nprobe best centroid ids for a vector, as an array column:
-    * scores sorted descending via sort on (-score, id) structs.
+  /** The nprobe best centroid ids for a vector, as an array column —
+    * the codegen'd NearestClusters kernel (bit-identical scores and
+    * tie order to the r5 sort-of-(negscore, id)-structs formulation;
+    * see its Scaladoc for why the sort form was replaced: k literal
+    * structs in the plan and an O(k log k) per-row sort, both ruinous
+    * once k ∝ corpus/clusterSize reaches thousands).
     */
   private[operators] def topClusters(v: Column, cents: Array[Array[Float]],
-      nprobe: Int): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x.toDouble * x.toDouble).sum / 2
-      struct((lit(half) - graft.functions.VecFns.dot(v, typedLit(c.toSeq))).as("negscore"),
-        lit(i).as("id"))
-    }
-    slice(transform(sort_array(array(scored: _*)), x => x("id")), 1, nprobe)
-  }
+      nprobe: Int): Column =
+    org.apache.spark.sql.graft.ArrayExprs.nearest_clusters(v, cents, nprobe)
 
   /** Build the IVF index ONCE — the offline job of a real 100 TB ANN
     * deployment: the k-means centroid matrix persists as a tiny

@@ -47,6 +47,12 @@ object ArrayExprs {
     ExpressionUtils.column(SortedJaccardGe(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), tau))
 
+  /** The `nprobe` nearest centroid ids for a float vector (see
+    * [[NearestClusters]]).
+    */
+  def nearest_clusters(v: Column, cents: Array[Array[Float]], nprobe: Int): Column =
+    ExpressionUtils.column(NearestClusters(ExpressionUtils.expression(v), cents, nprobe))
+
   /** Distinct xxhash64 values of the character n-grams of a
     * normalized string, hashed in place (no gram strings built).
     */
@@ -274,6 +280,98 @@ case class GramHashes(child: Expression, n: Int, byWord: Boolean)
   * or a null element make the whole result null — asserted in
   * ExprSpec.
   */
+/** The `nprobe` nearest centroid ids (ascending by (score, id)) for a
+  * float vector — the coarse-quantizer assignment kernel shared by
+  * k-means training, IVF/PQ bucket assignment, and d9's multi-probe
+  * cluster replication. Score and ordering are BIT-IDENTICAL to the
+  * sort-of-structs formulation it replaces (Ann.topClusters r5):
+  * negscore = Σc²/2 − dot(v, c) with both sides left-to-right double
+  * folds, ties broken by ascending centroid id. The sort form built
+  * k literal-struct expressions in the PLAN (k ≈ n/256 reaches
+  * thousands at scale — analysis alone took seconds per d9 run) and
+  * sorted all k structs per ROW; this is one plan node holding the
+  * centroid matrix as a reference object, an O(k·dim) fused loop,
+  * and an O(nprobe) insertion — no per-row allocation beyond the
+  * result. Returns null for a null vector, a null element, or a
+  * dim mismatch with the centroids (the sort form had no defined
+  * order there; every call site filters such rows before or after).
+  */
+case class NearestClusters(child: Expression, cents: Array[Array[Float]],
+    nprobe: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // Σc²/2 per centroid, the same left-to-right double fold the r5
+  // column formulation evaluated at plan-construction time
+  @transient private lazy val halves: Array[Double] =
+    cents.map(_.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) / 2)
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val out = NearestClusters.select(v, cents, halves, nprobe)
+    if (out == null) null else new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      val hRef = ctx.addReferenceObj("halves", halves, "double[]")
+      val out = ctx.freshName("out")
+      s"""
+        |int[] $out = org.apache.spark.sql.graft.NearestClusters.select(
+        |  $a, $cRef, $hRef, $nprobe);
+        |if ($out == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} =
+        |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out); }
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): NearestClusters =
+    copy(child = c)
+}
+
+object NearestClusters {
+  /** Shared eval/codegen kernel: ids of the `nprobe` smallest
+    * (Σc²/2 − dot, id) pairs, or null for a bad vector. Static so the
+    * generated code calls it without capturing the expression.
+    */
+  def select(v: ArrayData, cents: Array[Array[Float]], halves: Array[Double],
+      nprobe: Int): Array[Int] = {
+    val n = v.numElements()
+    val k = cents.length
+    if (k > 0 && cents(0).length != n) return null
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    val m = math.min(nprobe, k)
+    if (m <= 0) return Array.emptyIntArray
+    val bs = new Array[Double](m)
+    val bi = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      var s = 0.0
+      i = 0
+      while (i < n) { s += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+      val neg = halves(c) - s
+      // strict-less insertion keeps equal scores in ascending-id order
+      if (filled < m) {
+        var p = filled
+        while (p > 0 && neg < bs(p - 1)) { bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1 }
+        bs(p) = neg; bi(p) = c; filled += 1
+      } else if (neg < bs(m - 1)) {
+        var p = m - 1
+        while (p > 0 && neg < bs(p - 1)) { bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1 }
+        bs(p) = neg; bi(p) = c
+      }
+      c += 1
+    }
+    if (filled == m) bi else java.util.Arrays.copyOf(bi, filled)
+  }
+}
+
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 

@@ -160,6 +160,38 @@ class ExprSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("NearestClusters == the sort-of-(negscore,id)-structs formulation bitwise") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val k = 37
+    val cents = Array.fill(k)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // duplicate centroids force score ties — the tie must break by id
+    cents(12) = cents(3).clone()
+    cents(30) = cents(3).clone()
+    val rows = Seq.fill(200)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // the r5 formulation, inlined as the reference
+    def reference(v: org.apache.spark.sql.Column, nprobe: Int) = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        val half = c.map(x => x.toDouble * x.toDouble).sum / 2
+        struct((lit(half) - graft.functions.VecFns.dot(v, typedLit(c.toSeq))).as("negscore"),
+          lit(i).as("id"))
+      }
+      slice(transform(sort_array(array(scored: _*)), x => x("id")), 1, nprobe)
+    }
+    for (nprobe <- Seq(1, 3, 5, k + 4)) {
+      val both = rows.toDF("v").select(
+        ArrayExprs.nearest_clusters(col("v"), cents, nprobe).as("a"),
+        reference(col("v"), nprobe).as("b"))
+        .as[(Seq[Int], Seq[Int])].collect()
+      both.foreach { case (a, b) => assert(a == b, s"nprobe=$nprobe: $a != $b") }
+    }
+    // a vector of the wrong dim is null (the sort form had no defined
+    // order there; call sites filter such rows)
+    val bad = Seq(Seq.fill(dim + 1)(0.5f)).toDF("v")
+      .select(ArrayExprs.nearest_clusters(col("v"), cents, 3).as("a")).collect()
+    assert(bad.head.isNullAt(0))
+  }
+
   test("JaccardSets on two empty arrays is null (composed 0/0 semantics)") {
     val df = Seq((Seq.empty[Long], Seq.empty[Long]), (Seq(1L), Seq.empty[Long]))
       .toDF("a", "b")
