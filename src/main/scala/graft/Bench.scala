@@ -141,12 +141,21 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
 
-    /** A runs_raw array whose max/min exceeds 2.5x means some runs
-      * were polluted (load arrived mid-run) — the median of such an
-      * array is not comparable across rounds and must self-declare.
+    /** A runs_raw array whose max/min exceeds 2.5x — with the maximum
+      * NOT in the first run — means load arrived MID-run: JIT/codegen
+      * warmup only ever makes run 0 the slowest, so a later run being
+      * the outlier is the contention signature (r5's polluted t6 read
+      * [1.38, 2.22, 3.26]). The median of such an array is not
+      * comparable across rounds and must self-declare. Sub-second
+      * absolute spreads are exempt (the 0.75 s floor): scheduler
+      * jitter on a 0.2 s query trips the ratio on a QUIET box — a
+      * quiet r6 run flagged 10 such queries — and a flag that fires
+      * without pollution can't adjudicate anything; cross-round
+      * regressions that matter move seconds, not fractions.
       */
     def spreadPolluted(times: Seq[Double]): Boolean =
-      times.size >= 2 && times.min > 0 && times.max / times.min > 2.5
+      times.size >= 2 && times.min > 0 && times.max / times.min > 2.5 &&
+        times.indexOf(times.max) != 0 && times.max - times.min > 0.75
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

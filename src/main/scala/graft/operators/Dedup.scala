@@ -222,10 +222,17 @@ object Dedup {
           count(lit(1)).over(famW).as("fam"))
         .where(col("fam") > 1)
         .select(col("doc_id"), col("rep")))
-    // drop non-representative duplicate members before banding
-    val hashed = graft.Caches.track(hashedAll.join(
+    // drop non-representative duplicate members before banding. NOT
+    // cached: its three consumers (banding, both verify sides) each
+    // re-derive it with one broadcast-anti pass over the hashedAll
+    // cache — caching it too held a second copy of the corpus-sized
+    // feature arrays, which at the 100x proxy pushed total cache past
+    // the memory store and evicted the banded cache into
+    // recomputation (measured: d4 sf10 189 -> 300 s, recovered by
+    // dropping this cache)
+    val hashed = hashedAll.join(
       dupMembers.where(col("doc_id") =!= col("rep")).select(col("doc_id")),
-      Seq("doc_id"), "left_anti"))
+      Seq("doc_id"), "left_anti")
     // the self-join keys on bkey ALONE: each band key is seeded with
     // its band index, so same-band collisions already carry the band
     // identity and a cross-band key equality is a 2^-64 accident —
