@@ -26,6 +26,8 @@ object StageProbe {
         sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_PARFIRST", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_INITPART", "32"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
