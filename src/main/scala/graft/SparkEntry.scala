@@ -70,6 +70,8 @@ object SparkEntry {
     "t5_top_terms"            -> ((s: SparkSession, d: String) => TextAnalysis.topTerms(s, d)),
     "t6_tfidf"                -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
     "t7_pii_redact"           -> TextAnalysis.piiRedact _,
+    "t8_heavy_hitters"        -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heavyHitters(s, d)),
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -88,6 +90,8 @@ object SparkEntry {
       graft.operators.Curation.stratifiedSample(s, d)),
     "p3_pack_manifest"        -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.packManifest(s, d)),
+    "p4_pps_sample"           -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.ppsSample(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -684,6 +688,16 @@ object SparkEntry {
       |  len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}'))::INT AS n_phone,
       |  length(red)::INT AS redacted_len, md5(red) AS redacted_md5
       |FROM r ORDER BY doc_id""".stripMargin,
+    // t8: the oracle recomputes heavy hitters the EXACT way (full
+    // groupBy + integer threshold) — the MG sketch path must land on
+    // the identical set because pass 2 is exact over a candidate
+    // superset (see TextAnalysis.heavyHitters)
+    "t8_heavy_hitters" -> raw"""
+      |WITH w AS (SELECT unnest(string_split($Nrm, ' ')) AS w FROM documents),
+      |c AS (SELECT w, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
+      |t AS (SELECT sum(cnt) AS n FROM c)
+      |SELECT w AS term, cnt FROM c, t WHERE cnt * 256 >= n
+      |ORDER BY cnt DESC, term""".stripMargin,
     "m1_mm_manifest" -> raw"""
       |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
       |  FROM documents),
@@ -785,6 +799,19 @@ object SparkEntry {
       |SELECT doc_id, lang, n_tokens, (start // 2048)::BIGINT AS seq_id,
       |       (start % 2048)::BIGINT AS seq_offset
       |FROM w ORDER BY doc_id""".stripMargin,
+    // p4: pure integer arithmetic end to end (cumulative sums, `//`
+    // integer division) — the draw reproduces bit-exactly across
+    // engines, same discipline as p2's md5 buckets
+    "p4_pps_sample" -> raw"""
+      |WITH d AS (SELECT doc_id, len(string_split($Nrm, ' '))::BIGINT AS w
+      |           FROM documents),
+      |c AS (SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+      |t AS (SELECT greatest(sum(w) // 500, 1) AS stride FROM d)
+      |SELECT doc_id, w, cum::BIGINT AS cum,
+      |       (cum // stride - (cum - w) // stride)::BIGINT AS n_hits
+      |FROM c, t WHERE cum // stride > (cum - w) // stride
+      |ORDER BY doc_id""".stripMargin,
     "p1_curate" -> raw"""
       |WITH base AS (
       |  SELECT doc_id, lang, text,

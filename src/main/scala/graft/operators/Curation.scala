@@ -163,4 +163,53 @@ object Curation {
         pmod(col("start"), lit(budget.toLong)).as("seq_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** p4: systematic probability-proportional-to-size sampling — the
+    * curation stage that draws ~`k` documents with inclusion
+    * probability ∝ token weight (longer docs proportionally likelier,
+    * the standard PPS design for "sample by content volume, not doc
+    * count"). Each doc owns the half-open weight interval
+    * `(cum − w, cum]` on the cumulative-weight line; a doc is drawn
+    * iff its interval contains a multiple of the stride
+    * `S = max(W/k, 1)` — classic systematic PPS (Madow 1949), which
+    * needs ONE pass, no rejection, and gives exactly-proportional
+    * coverage (`n_hits` = multiples covered, ≥ 2 for docs heavier
+    * than S). Everything is INTEGER arithmetic (`div`, no floats), so
+    * the draw is reproducible across engines and the DuckDB oracle is
+    * bit-exact — the same cross-engine-determinism discipline as p2's
+    * md5 buckets. The cumulative sum reuses p3's sharded two-pass
+    * prefix (shard-local windows of ≤ `shardWidth` rows + a skinny
+    * per-shard offset join): no global single-reducer window at any
+    * scale, identical to the naive window for every shardWidth
+    * (CurationSpec). The total weight rides a broadcast 1-row
+    * aggregate (t6's N pattern) — no driver-side job at construction.
+    */
+  def ppsSample(s: SparkSession, dir: String, k: Int = 500,
+      shardWidth: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("w"),
+        expr(s"doc_id div $shardWidth").as("shard"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = docs.withColumn("cum_local", sum(col("w")).over(wLocal))
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-shard totals: corpus/shardWidth rows — the only global
+    // window runs over that skinny frame, never the corpus
+    val offsets = docs.groupBy(col("shard"))
+      .agg(sum(col("w")).as("shard_w"))
+      .withColumn("offset", coalesce(sum(col("shard_w")).over(wShard), lit(0L)))
+      .select(col("shard"), col("offset"))
+    val total = docs.agg(sum(col("w")).as("tot"))
+    local.join(offsets, Seq("shard"))
+      .withColumn("cum", col("offset") + col("cum_local"))
+      .crossJoin(broadcast(total))
+      .withColumn("stride", greatest(expr(s"tot div $k"), lit(1L)))
+      .withColumn("n_hits",
+        expr("cum div stride") - expr("(cum - w) div stride"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
 }

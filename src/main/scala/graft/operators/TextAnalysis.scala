@@ -171,4 +171,41 @@ object TextAnalysis {
         md5(redacted).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** t8: EXACT corpus heavy hitters (terms with count ≥ N/`phiInv`)
+    * via the two-pass Misra-Gries scheme — the 100-TB shape for
+    * "which terms dominate the corpus": a full `groupBy(term)` makes
+    * the shuffle ∝ DISTINCT TERMS (billions on web text); here pass 1
+    * aggregates a width-bounded MG sketch (each map-side partial ≤
+    * `width` counters, the shuffle carries one sketch per partition)
+    * whose invariant — counter ≥ true − N/(width+1) — guarantees
+    * every true heavy hitter survives; pass 2 exact-counts ONLY the ≤
+    * `width` candidates (an `isin` filter compiles to a codegen'd
+    * InSet probe; map-side combine caps the second shuffle at width
+    * rows/task). Output is EXACT and deterministic even though the
+    * sketch itself is partition-order-dependent: extra candidates are
+    * removed by the exact-count threshold, and the MG bound proves no
+    * true hitter is missing (width=1024 » phiInv=256, so the max MG
+    * undercount N/1025 < the N/256 threshold). Driver state is the
+    * one bounded sketch — same class as the IVF centroid collects.
+    * The threshold compare is integer (`cnt·phiInv ≥ N`), so the
+    * DuckDB oracle is bit-exact.
+    */
+  def heavyHitters(s: SparkSession, dir: String, phiInv: Long = 256,
+      width: Int = 1024): DataFrame = {
+    require(width > phiInv, "MG no-miss guarantee needs width > phiInv")
+    val toks = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+    val sk = toks
+      .agg(org.apache.spark.sql.graft.MisraGries.mg_sketch(col("w"), width).as("mg"))
+      .select(col("mg.n").as("n"), col("mg.entries.term").as("terms"))
+      .head()
+    val n = sk.getLong(0)
+    val cands = sk.getSeq[String](1)
+    toks.filter(col("w").isin(cands: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(phiInv) >= lit(n))
+      .select(col("w").as("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
 }

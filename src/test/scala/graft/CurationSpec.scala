@@ -96,4 +96,41 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(frac - quota) < 0.15, s"$lang frac=$frac quota=$quota")
     }
   }
+
+  test("p4: sharded PPS sample equals the naive single-window form, any shard width") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    val base = Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("w"))
+      .withColumn("cum", sum(col("w")).over(w))
+    val tot = base.agg(sum(col("w"))).collect()(0).getLong(0)
+    val stride = math.max(tot / 500, 1L)
+    val naive = base
+      .withColumn("n_hits", expr(s"cum div $stride") - expr(s"(cum - w) div $stride"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
+      .collect().map(_.toSeq).toSet
+    for (width <- Seq(1L, 7L, 1000L)) {
+      val got = Curation.ppsSample(spark, Sf, k = 500, shardWidth = width)
+        .collect().map(_.toSeq).toSet
+      assert(got == naive && got.nonEmpty, s"shardWidth=$width")
+    }
+  }
+
+  test("p4: systematic PPS draw count and coverage invariants") {
+    val rows = Curation.ppsSample(spark, Sf, k = 100).collect()
+    val tot = Tables.documents(spark, Sf)
+      .agg(sum(size(words(col("text"))))).collect()(0).getLong(0)
+    val stride = math.max(tot / 100, 1L)
+    // systematic PPS draws exactly floor(W / S) interval hits in total
+    assert(rows.map(_.getLong(3)).sum == tot / stride)
+    // a doc's hit count never exceeds its weight/stride + 1 (interval
+    // of length w covers at most w/S + 1 multiples)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) / stride + 1, r.toString)
+    }
+    // determinism
+    val again = Curation.ppsSample(spark, Sf, k = 100).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
