@@ -90,7 +90,15 @@ object GraftExtensions {
     TiffDecode(exprs(0))
   }
 
+  private def mgSketchBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "mg_sketch(term, width)")
+    MisraGries(exprs(0), litInt(exprs(1), "mg_sketch")).toAggregateExpression()
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_sketch"),
+      mgSketchBuilder _),
     (FunctionIdentifier("oph_sig"),
       new ExpressionInfo(classOf[OphSig].getName, "oph_sig"),
       ophSigBuilder _),

@@ -75,6 +75,12 @@ class RelationalSpec extends SparkSpec {
     assert(sh.length == 2 && sh.forall(v => v >= 0 && v < (1L << 32)))
     val cg = spark.sql("SELECT size(char_gram_hashes('abcde', 4))").collect().head.getInt(0)
     assert(cg == 2) // 'abcd', 'bcde'
+    val mg = spark.sql(
+      "SELECT mg_sketch(w, 8) FROM VALUES ('a'), ('a'), ('b') AS t(w)")
+      .collect().head.getStruct(0)
+    assert(mg.getLong(0) == 3)
+    assert(mg.getSeq[org.apache.spark.sql.Row](1)
+      .map(e => e.getString(0) -> e.getLong(1)).toMap == Map("a" -> 2L, "b" -> 1L))
     val ws = spark.sql("SELECT size(word_shingle_hashes('a b c', 2))").collect().head.getInt(0)
     assert(ws == 2) // 'a b', 'b c'
     val ob = spark.sql(
