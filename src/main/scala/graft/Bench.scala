@@ -54,7 +54,8 @@ object Bench {
   private val ScaleQueries = Seq("d4_ngram_jaccard", "d5_embed_neardup",
     "d6_repeated_spans", "d8_dup_clusters", "d9_semdedup",
     "g6_region_elevation_join", "s3_ann_ivf", "d2_minhash_lsh",
-    "t6_tfidf", "s5_ann_ivfpq", "m3_audio_manifest")
+    "t6_tfidf", "s5_ann_ivfpq", "m3_audio_manifest",
+    "t8_heavy_hitters")
 
   /** The 100x decade keeps the original six cost drivers: d5 is the
     * documented-quadratic exactness oracle (capped at sf1 by design;
