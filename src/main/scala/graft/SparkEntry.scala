@@ -92,6 +92,8 @@ object SparkEntry {
       graft.operators.Curation.packManifest(s, d)),
     "p4_pps_sample"           -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.ppsSample(s, d)),
+    "p5_temperature_mix"      -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.temperatureMixQuery(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -812,6 +814,24 @@ object SparkEntry {
       |       (cum // stride - (cum - w) // stride)::BIGINT AS n_hits
       |FROM c, t WHERE cum // stride > (cum - w) // stride
       |ORDER BY doc_id""".stripMargin,
+    // p5: α=1/2 temperature mixing stays integer because sqrt is the
+    // one correctly-rounded IEEE power — floor(sqrt(n)) and the
+    // nested integer divisions reproduce bit-exactly across engines
+    "p5_temperature_mix" -> raw"""
+      |WITH d AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 64 < 32 THEN 0 WHEN doc_id % 64 < 48 THEN 1
+      |       WHEN doc_id % 64 < 56 THEN 2 WHEN doc_id % 64 < 60 THEN 3
+      |       ELSE 4 END AS mix_src,
+      |  list_reduce([strpos('0123456789abcdef', substr(md5('tmix' || doc_id::VARCHAR), i, 1)) - 1
+      |               for i in range(1, 9)], (a, b) -> a*16 + b) % 100000 AS bucket
+      |  FROM documents),
+      |c AS (SELECT mix_src, count(*)::BIGINT AS n_s,
+      |             floor(sqrt(count(*)))::BIGINT AS w_s FROM d GROUP BY 1),
+      |t AS (SELECT sum(w_s)::BIGINT AS w_tot FROM c),
+      |th AS (SELECT mix_src, least(((100000 * 300 * w_s) // w_tot) // n_s, 100000) AS t_s
+      |       FROM c, t)
+      |SELECT d.doc_id, d.mix_src, d.bucket FROM d JOIN th USING (mix_src)
+      |WHERE d.bucket < th.t_s ORDER BY doc_id""".stripMargin,
     "p1_curate" -> raw"""
       |WITH base AS (
       |  SELECT doc_id, lang, text,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns._
@@ -212,4 +212,61 @@ object Curation {
       .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
       .orderBy(col("doc_id"))
   }
+
+  /** Temperature-based source mixing (α = 0.5) — the published
+    * recipe for re-balancing a multi-source corpus (multilingual
+    * pretraining: Devlin et al. 2019 mBERT exponentiated smoothing,
+    * Conneau & Lample 2019 XLM): draw from source s with probability
+    * ∝ n_s^α, upweighting low-resource sources relative to their raw
+    * share. α is FIXED at 1/2 because that is the exactness-preserving
+    * exponent: n^0.5 is `sqrt`, the one power IEEE 754 requires
+    * correctly rounded (a libm `pow`/`ln` is not), so
+    * `floor(sqrt(n_s))` is bit-identical in any engine and the whole
+    * draw stays integer — per-source weight w_s = isqrt(n_s), target
+    * share k·w_s/W (W = Σw_s), acceptance threshold
+    * t_s = min(B, (B·k·w_s) div W div n_s) out of bucket space B
+    * (nested `div` ≡ dividing by the product, dodging the 64-bit
+    * overflow W·n_s would risk at corpus scale), and a doc is drawn
+    * iff its p2-style md5 bucket < t_s. Shape: a tiny per-source
+    * aggregate, a broadcast threshold map, then ONE stateless
+    * per-row filter — no shuffle of the corpus, 100-TB-trivial.
+    *
+    * `docs` must carry (doc_id, mix_src); the driver query plants a
+    * deterministic skewed tier key from doc_id arithmetic (§3
+    * discipline — the synthetic corpus ships uniform sources, which
+    * would make every rate equal).
+    */
+  def temperatureMix(docs: DataFrame, k: Long = 300, B: Long = 100000L): DataFrame = {
+    val counts = docs.groupBy(col("mix_src")).agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("w_s")).as("w_tot"))
+    val th = counts.crossJoin(broadcast(tot))
+      .withColumn("t_s",
+        least(expr(s"(($B * $k * w_s) div w_tot) div n_s"), lit(B)))
+      .select(col("mix_src"), col("t_s"))
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("tmix"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(B))
+    docs.withColumn("bucket", bucket)
+      .join(broadcast(th), "mix_src")
+      .filter(col("bucket") < col("t_s"))
+      .select(col("doc_id"), col("mix_src"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The planted-skew mix key for the p5 driver query: five
+    * geometric tiers over doc_id % 64 (32/16/8/4/4 per 64 — an 8:1
+    * spread, present at EVERY sf since doc_ids are dense from 0),
+    * pure integer compares so any engine derives the identical key.
+    */
+  def skewTier: Column = {
+    val b = pmod(col("doc_id"), lit(64L))
+    when(b < 32, 0).when(b < 48, 1).when(b < 56, 2)
+      .when(b < 60, 3).otherwise(4)
+  }
+
+  /** p5: temperature mixing over the planted skew tiers. */
+  def temperatureMixQuery(s: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(s, dir)
+      .select(col("doc_id"), skewTier.as("mix_src")))
 }

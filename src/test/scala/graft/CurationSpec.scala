@@ -133,4 +133,28 @@ class CurationSpec extends SparkSpec {
     val again = Curation.ppsSample(spark, Sf, k = 100).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("p5: temperature mix equals a driver-side recomputation of the integer draw") {
+    val k = 30L
+    val B = 100000L
+    val base = Tables.documents(spark, Sf)
+      .select(col("doc_id"), Curation.skewTier.as("mix_src"),
+        pmod(conv(substring(md5(concat(lit("tmix"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(B)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nS = base.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wS = nS.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val wTot = wS.values.sum
+    val tS = nS.map { case (src, n) => src -> math.min(B * k * wS(src) / wTot / n, B) }
+    val naive = base.filter { case (_, src, b) => b < tS(src) }
+      .map { case (id, src, b) => Seq(id, src, b) }.toSet
+    val got = Curation.temperatureMix(
+      Tables.documents(spark, Sf).select(col("doc_id"), Curation.skewTier.as("mix_src")),
+      k = k, B = B).collect().map(_.toSeq).toSet
+    assert(got == naive && got.nonEmpty)
+    // temperature upweighting: smaller sources get a rate at least as
+    // high as larger ones (strict when uncapped)
+    val rates = nS.keys.toSeq.sortBy(nS).map(src => tS(src))
+    assert(rates.zip(rates.tail).forall { case (small, large) => small >= large })
+  }
 }
