@@ -35,6 +35,32 @@ class StreamingSpec extends SparkSpec {
     assert(b10.getLong(2) == 2 && b10.getLong(3) == 300)
   }
 
+  test("streaming mg_sketch accumulates exact counts across micro-batches when width > distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[String]
+    // complete-mode global aggregation: the TypedImperativeAggregate
+    // buffer serializes into the state store between micro-batches,
+    // so the sketch must survive a serialize/deserialize/merge cycle
+    // per batch — the property that makes corpus-stats-over-a-stream
+    // work at all
+    val q = mem.toDF().toDF("w")
+      .agg(org.apache.spark.sql.graft.MisraGries.mg_sketch(col("w"), 64).as("mg"))
+      .select(col("mg.n").as("n"), col("mg.entries").as("entries"))
+      .writeStream.outputMode("complete").format("memory").queryName("mg_out").start()
+    mem.addData("a", "b", "a")
+    q.processAllAvailable()
+    mem.addData("a", "c", "b", "a")
+    q.processAllAvailable()
+    val row = spark.table("mg_out").collect().head
+    q.stop()
+    assert(row.getLong(0) == 7)
+    val entries = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(e => e.getString(0) -> e.getLong(1)).toMap
+    // width 64 > 3 distinct: exact regardless of batch/merge order
+    assert(entries == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("stateful sessionize closes sessions on gap and matches batch semantics") {
     import graft.streaming.{EventStreams, SessionEvent}
     implicit val sqlCtx = spark.sqlContext
