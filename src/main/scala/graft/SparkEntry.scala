@@ -94,6 +94,8 @@ object SparkEntry {
       graft.operators.Curation.ppsSample(s, d)),
     "p5_temperature_mix"      -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.temperatureMixQuery(s, d)),
+    "p6_fixed_sample"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.fixedSample(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -832,6 +834,18 @@ object SparkEntry {
       |       FROM c, t)
       |SELECT d.doc_id, d.mix_src, d.bucket FROM d JOIN th USING (mix_src)
       |WHERE d.bucket < th.t_s ORDER BY doc_id""".stripMargin,
+    // p6: ties on the 32-bit draw break by doc_id in both engines
+    // (heap order (score desc, id asc) ≡ ORDER BY bucket, doc_id)
+    "p6_fixed_sample" -> raw"""
+      |WITH b AS (SELECT doc_id, lang,
+      |  list_reduce([strpos('0123456789abcdef', substr(md5('fix' || doc_id::VARCHAR), i, 1)) - 1
+      |               for i in range(1, 9)], (a, b) -> a*16 + b) AS bucket
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, bucket,
+      |        row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rnk
+      |      FROM b)
+      |SELECT lang, rnk::INT AS rank, doc_id, bucket::BIGINT AS bucket
+      |FROM r WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
     "p1_curate" -> raw"""
       |WITH base AS (
       |  SELECT doc_id, lang, text,

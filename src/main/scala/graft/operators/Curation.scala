@@ -269,4 +269,37 @@ object Curation {
   def temperatureMixQuery(s: SparkSession, dir: String): DataFrame =
     temperatureMix(Tables.documents(s, dir)
       .select(col("doc_id"), skewTier.as("mix_src")))
+
+  /** p6: EXACTLY-k-per-group deterministic sample — the other half of
+    * the stratified-sampling story (p2 draws at a RATE; eval sets and
+    * per-language dev splits need an exact count). Each doc gets the
+    * p2-style md5 draw; the k smallest draws per language win. The
+    * ranking runs on the bounded-heap TopKCosine aggregate (t5's
+    * no-window-funnel pattern): map-side partials keep ≤ k rows per
+    * group per task and partials merge associatively, so no window
+    * ever sorts a language's full corpus through one reducer — at
+    * 100 TB a `row_number().over(partitionBy(lang))` is a
+    * single-task funnel per language; this is the same output with
+    * ≤ k·tasks shuffled rows per group. Ties on the 32-bit draw
+    * break by doc_id asc in BOTH engines (the heap's (score desc,
+    * id asc) order ≡ the oracle's ORDER BY bucket, doc_id), and the
+    * draw is recomputed from doc_id after the explode — cheaper than
+    * carrying it through the heap.
+    */
+  def fixedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("fix"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), bucket.as("bucket"))
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.graft.TopKCosine
+        .top_k(-col("bucket").cast("double"), col("doc_id"), k).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("fix"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .orderBy(col("lang"), col("rank"))
+  }
 }

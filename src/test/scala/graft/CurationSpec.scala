@@ -157,4 +157,25 @@ class CurationSpec extends SparkSpec {
     val rates = nS.keys.toSeq.sortBy(nS).map(src => tS(src))
     assert(rates.zip(rates.tail).forall { case (small, large) => small >= large })
   }
+
+  test("p6: bounded-heap fixed sample equals the window row_number form") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    val bucket = conv(substring(md5(concat(lit("fix"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val naive = Tables.documents(spark, Sf)
+      .select(col("lang"), col("doc_id"), bucket.as("bucket"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("lang")).orderBy(col("bucket"), col("doc_id")))
+        .cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("bucket"))
+      .collect().map(_.toSeq).toSet
+    val got = Curation.fixedSample(spark, Sf, k = k).collect()
+    assert(got.map(_.toSeq).toSet == naive)
+    // exactly k per language (corpus has ≥ k docs per lang at this sf)
+    got.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.length == k, s"$lang has ${rows.length} rows")
+    }
+  }
 }
