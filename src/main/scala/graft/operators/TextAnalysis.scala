@@ -196,15 +196,18 @@ object TextAnalysis {
     require(width > phiInv, "MG no-miss guarantee needs width > phiInv")
     val toks = Tables.documents(s, dir)
       .select(explode(words(col("text"))).as("w"))
+    // ONE lazy DAG, no driver-side collect and no job at frame
+    // construction (the d2/d4 static-plan discipline): the sketch is
+    // a broadcast subtree — ≤ width (candidate, N) rows, N riding
+    // every entry row so a single broadcast carries both the
+    // candidate set and the threshold input — and pass 2 is a
+    // broadcast-hash semi join + map-side-combined count.
     val sk = toks
       .agg(org.apache.spark.sql.graft.MisraGries.mg_sketch(col("w"), width).as("mg"))
-      .select(col("mg.n").as("n"), col("mg.entries.term").as("terms"))
-      .head()
-    val n = sk.getLong(0)
-    val cands = sk.getSeq[String](1)
-    toks.filter(col("w").isin(cands: _*))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * lit(phiInv) >= lit(n))
+      .select(col("mg.n").as("n"), explode(col("mg.entries.term")).as("w"))
+    toks.join(broadcast(sk), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"), min(col("n")).as("n"))
+      .filter(col("cnt") * lit(phiInv) >= col("n"))
       .select(col("w").as("term"), col("cnt"))
       .orderBy(col("cnt").desc, col("term"))
   }
