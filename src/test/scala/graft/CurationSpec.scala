@@ -178,4 +178,32 @@ class CurationSpec extends SparkSpec {
       assert(rows.length == k, s"$lang has ${rows.length} rows")
     }
   }
+
+  test("constructing and explaining the r6 curation/text frames runs no Spark job") {
+    // the d2/d4 static-plan discipline (DedupSpec) extended to the
+    // r6 additions: t8's sketch is a broadcast SUBTREE, p4's total a
+    // broadcast 1-row aggregate, p5's thresholds a broadcast map —
+    // none may execute before an action
+    Tables.documents(spark, Sf) // warm the one-time schema-footer read
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(j.stageInfos.map(_.name).mkString(" / "))
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val frames = Seq(
+        graft.operators.TextAnalysis.heavyHitters(spark, Sf),
+        Curation.ppsSample(spark, Sf),
+        Curation.temperatureMixQuery(spark, Sf),
+        Curation.fixedSample(spark, Sf))
+      frames.foreach(_.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      Thread.sleep(1000) // listener bus is async
+      assert(jobs.isEmpty,
+        s"construction/explain ran ${jobs.size} jobs: " +
+          jobs.toArray.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
