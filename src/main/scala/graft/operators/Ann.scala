@@ -689,4 +689,67 @@ object Ann {
     */
   def lshTopK(s: SparkSession, dir: String, k: Int = K): DataFrame =
     rankTopK(sketchCandidates(s, dir), k)
+
+  // --- filtered ANN (metadata predicate + vector search) -------------
+
+  /** Filtered EXACT top-k: each query q searches only vectors with
+    * `label = q mod 10` — the "filtered vector search" every
+    * production vector store exposes (category/tenant/language
+    * constraints on the neighbor set). The predicate rides the
+    * broadcast-join condition, so it cuts candidates BEFORE any
+    * cosine is computed; post-filtering a plain top-k instead would
+    * return < k rows whenever the unfiltered neighborhood is
+    * label-diverse (the classic filtered-ANN failure mode).
+    */
+  def filteredBruteTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), pmod(col("vec_id"), lit(10)).cast("int").as("want"))
+    rankTopK(
+      broadcast(q).join(e,
+          col("q_id") =!= col("vec_id") && col("label") === col("want"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
+  }
+
+  /** s6: filtered IVF ANN — the scale path for predicate + vector
+    * search. The coarse quantizer partitions by geometry and the
+    * label predicate filters WITHIN the probed lists (it rides the
+    * probe join's condition, before any full-vector cosine). At
+    * 100 TB the persisted layout extends to
+    * `partitionBy(bucket, label)` so both the probe set AND the
+    * predicate prune whole partitions (buildIvfIndex writes
+    * partitionBy(bucket) today; label is a one-line addition there —
+    * the self-contained query keeps the filter-in-join form, which
+    * is plan-equivalent for the local corpus). Recall vs
+    * filteredBruteTopK asserted in AnnSpec; nprobe is raised to 8
+    * (vs ivfTopK's 4) because a 10%-selective predicate thins each
+    * probed list ~10x, so more lists must be probed to fill k
+    * filtered neighbors — the published filtered-search adjustment.
+    */
+  def filteredIvfTopK(s: SparkSession, dir: String, k: Int = K,
+      nlist: Int = 16, nprobe: Int = 8): DataFrame = {
+    val e = graft.Caches.track(Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm")))
+    val cents = kmeansCentroids(e, nlist)
+    val corpus = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+      assignCluster(col("embedding"), cents).as("bucket"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), pmod(col("vec_id"), lit(10)).cast("int").as("want"),
+        explode(topClusters(col("embedding"), cents, nprobe)).as("bucket"))
+    rankTopK(
+      broadcast(probes).join(corpus, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id") && col("label") === col("want"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
+  }
 }

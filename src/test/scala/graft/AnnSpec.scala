@@ -37,6 +37,38 @@ class AnnSpec extends SparkSpec {
     assert(frac < 0.05, s"candidate fraction $frac")
   }
 
+  test("s6: filtered ANN honors the predicate and tracks the filtered-brute baseline") {
+    val exact = Ann.filteredBruteTopK(spark, Sf).collect()
+    // the filtered baseline itself: every neighbor carries the
+    // query's target label, full k rows per query (each label class
+    // holds ~50 > k vectors at this sf), ranks consistent
+    val labels = Tables.embeddings(spark, Sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(exact.length == 20 * Ann.K)
+    exact.foreach { r =>
+      assert(labels(r.getLong(2)) == (r.getLong(0) % 10).toInt,
+        s"neighbor ${r.getLong(2)} violates query ${r.getLong(0)}'s label filter")
+    }
+    val ivf = Ann.filteredIvfTopK(spark, Sf).collect()
+    ivf.foreach { r =>
+      assert(labels(r.getLong(2)) == (r.getLong(0) % 10).toInt)
+    }
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exactSet & ivfSet).size.toDouble / exactSet.size
+    // nprobe=8 of nlist=16 probes half the lists; the 10x-selective
+    // predicate thins each, but geometric concentration must still
+    // beat the probed fraction
+    assert(recall >= 0.5, s"filtered recall $recall")
+    // where IVF returns a pair, its score must equal the exact score
+    // (same cosine kernel on the same vectors)
+    val exactScore = exact.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      exactScore.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
   test("IVF ANN recall vs brute-force baseline") {
     val exact = Ann.bruteForceTopK(spark, Sf)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
