@@ -211,4 +211,91 @@ object TextAnalysis {
       .select(col("w").as("term"), col("cnt"))
       .orderBy(col("cnt").desc, col("term"))
   }
+
+  /** Per-doc word-n-gram repetition numerators, computed WITHOUT a
+    * shuffle: the gram array is sorted once so equal grams become
+    * adjacent runs, and one `aggregate` fold walks the runs tracking
+    * (a) the best run by (count, char-length) — strict-better
+    * replacement over the ascending-lex walk keeps the
+    * lexicographically-smallest gram among full ties, matching the
+    * oracle's `ORDER BY cnt DESC, clen DESC, gram` — and (b) the
+    * char mass of all runs with count ≥ 2. Char length of a gram
+    * excludes its joiner spaces (`length - (n-1)`), so numerators are
+    * in the same unit as t2's space-free char count. Emits
+    * struct(top_num = bestCount·bestClen, dup_num = Σ_{c≥2} c·clen) —
+    * both integers, so the DuckDB comparison is bit-exact.
+    */
+  private def gramRepNums(w: Column, n: Int): Column = {
+    val grams = when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_sort(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+    val init = struct(
+      lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bestCnt"), lit(0L).as("bestClen"),
+      lit(0L).as("bestNum"), lit(0L).as("dupNum"))
+    // close the open run into (best*, dup*); a zero-length run (empty
+    // array / first element) is a no-op because 0 > bestCnt is false
+    // and run >= 2 is false
+    def closed(acc: Column) = {
+      val cl = (length(acc("prev")) - lit(n - 1)).cast("long")
+      val better = (acc("run") > acc("bestCnt")) ||
+        (acc("run") === acc("bestCnt") && cl > acc("bestClen"))
+      (when(better, acc("run")).otherwise(acc("bestCnt")),
+        when(better, cl).otherwise(acc("bestClen")),
+        when(better, acc("run") * cl).otherwise(acc("bestNum")),
+        acc("dupNum") +
+          when(acc("run") >= 2, acc("run") * cl).otherwise(lit(0L)))
+    }
+    aggregate(grams, init,
+      (acc, g) => {
+        val same = acc("prev") === g
+        val (bc, bl, bn, dn) = closed(acc)
+        struct(
+          g.as("prev"),
+          when(same, acc("run") + 1).otherwise(lit(1L)).as("run"),
+          when(same, acc("bestCnt")).otherwise(bc).as("bestCnt"),
+          when(same, acc("bestClen")).otherwise(bl).as("bestClen"),
+          when(same, acc("bestNum")).otherwise(bn).as("bestNum"),
+          when(same, acc("dupNum")).otherwise(dn).as("dupNum"))
+      },
+      acc => {
+        val (_, _, bn, dn) = closed(acc)
+        struct(bn.as("top_num"), dn.as("dup_num"))
+      })
+  }
+
+  /** t9: within-document repetition signals — the Gopher "repetition
+    * removal" quality rules (Rae et al. 2021, Table A1; also Dolma
+    * and RedPajama-v2 quality signals): the fraction of a document's
+    * characters covered by its most frequent word 2-gram / 3-gram and
+    * by all duplicated 5-grams. Complements t2 (length/stopword/TTR
+    * statics) and d6 (CROSS-document spans) — this is the
+    * within-document boilerplate/loop detector every pretraining
+    * pipeline runs. One scan, pure column expressions, no shuffle but
+    * the final order; per-row cost is O(L log L) in doc length, so
+    * the operator is trivially corpus-linear at 100 TB. Integer
+    * numerators ride next to the r6-rounded fractions so the oracle
+    * hash never depends on float formatting alone.
+    */
+  def repSignals(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), normalize(col("text")).as("nrm"))
+      .select(col("doc_id"), col("nrm"), split(col("nrm"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        (length(col("nrm")) - (size(col("w")) - 1)).cast("long").as("n_chars"),
+        gramRepNums(col("w"), 2).as("g2"),
+        gramRepNums(col("w"), 3).as("g3"),
+        gramRepNums(col("w"), 5).as("g5"))
+    def frac(num: Column) =
+      when(col("n_chars") > 0,
+        r6(num.cast("double") / col("n_chars"))).otherwise(lit(0.0))
+    base.select(col("doc_id"), col("n_words"), col("n_chars"),
+      col("g2.top_num").as("top2_num"),
+      col("g3.top_num").as("top3_num"),
+      col("g5.dup_num").as("dup5_num"),
+      frac(col("g2.top_num")).as("top2_cfrac"),
+      frac(col("g3.top_num")).as("top3_cfrac"),
+      frac(col("g5.dup_num")).as("dup5_cfrac"))
+      .orderBy(col("doc_id"))
+  }
 }
