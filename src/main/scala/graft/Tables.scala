@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic star schema
   * (/root/testdata/sf*). One parquet file per table; Catalyst handles
@@ -37,15 +37,25 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = read(s, s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = read(s, s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = read(s, s"$dir/lineitem.parquet")
-  /** events.ts is TIMESTAMP(NANOS) in parquet; with NanosConf set it
-    * arrives as int64 nanos and is floor-converted to a micros
-    * timestamp (integer `div`, no double roundoff).
+  /** events.ts normalization — the loader owns the physical-type
+    * contract so a testdata regeneration can never break an operator.
+    * Three parquet encodings are accepted, all normalized to
+    * session-zoned TimestampType (`timestamp`):
+    *   - int64 TIMESTAMP(NANOS) (with NanosConf set it arrives as
+    *     LongType nanos) → floor-converted to micros (integer `div`,
+    *     no double roundoff);
+    *   - timestamp[us] WITHOUT timezone (TIMESTAMP_NTZ) → cast to
+    *     TimestampType — the session is UTC, so wall-clock values are
+    *     identical and every oracle comparison is unchanged;
+    *   - timestamp[us] WITH timezone (TimestampType) → passthrough.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = read(s, s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = read(s, s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, s"$dir/embeddings.parquet")

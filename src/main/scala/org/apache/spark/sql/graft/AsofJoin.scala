@@ -68,7 +68,14 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+    case AsofJoinPlan(l, r, lk, rk, lt0, rt0) =>
+      // NTZ/LTZ timestamp pairs coerce softly: both are micros-since-
+      // epoch longs at the physical layer, so an explicit Cast of the
+      // NTZ side to the session-zoned type is value-identical in a UTC
+      // session and keeps the operator usable when one input's parquet
+      // writer dropped (or added) the timezone annotation — the exact
+      // failure a testdata regeneration produced in r6.
+      val (lt, rt) = coerceTimes(lt0, rt0)
       // the merge loop compares left values against right values
       // directly, so mismatched types would surface as a mid-execution
       // ClassCastException — fail at planning with a clear message.
@@ -78,6 +85,16 @@ object AsofJoinStrategy extends SparkStrategy {
         s"as-of join time columns must share a data type, got ${lt.dataType.sql} vs ${rt.dataType.sql}")
       AsofMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
+  }
+
+  private def coerceTimes(lt: Expression, rt: Expression): (Expression, Expression) = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    (lt.dataType, rt.dataType) match {
+      case (TimestampNTZType, TimestampType) => (Cast(lt, TimestampType), rt)
+      case (TimestampType, TimestampNTZType) => (lt, Cast(rt, TimestampType))
+      case _                                 => (lt, rt)
+    }
   }
 }
 
