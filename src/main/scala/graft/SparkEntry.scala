@@ -72,6 +72,7 @@ object SparkEntry {
     "t7_pii_redact"           -> TextAnalysis.piiRedact _,
     "t8_heavy_hitters"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.heavyHitters(s, d)),
+    "t9_rep_signals"          -> TextAnalysis.repSignals _,
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -703,6 +704,39 @@ object SparkEntry {
       |t AS (SELECT sum(cnt) AS n FROM c)
       |SELECT w AS term, cnt FROM c, t WHERE cnt * 256 >= n
       |ORDER BY cnt DESC, term""".stripMargin,
+    // t9: the oracle recomputes the repetition numerators from first
+    // principles — unnest all word n-grams (n ∈ 2,3,5), count per
+    // (doc, n, gram), pick the top gram by (cnt, clen) and sum the
+    // duplicated char mass; integer numerators keep the hash compare
+    // independent of float formatting (fractions are round(…, 6) on
+    // both engines)
+    "t9_rep_signals" -> raw"""
+      |WITH d AS (SELECT doc_id, $Nrm AS nrm, string_split($Nrm, ' ') AS w FROM documents),
+      |base AS (SELECT doc_id, len(w)::INT AS n_words,
+      |  (length(nrm) - (len(w) - 1))::BIGINT AS n_chars, w FROM d),
+      |g AS (SELECT doc_id, n, unnest(CASE WHEN len(w) >= n
+      |    THEN [array_to_string(w[i:i+n-1], ' ') for i in range(1, len(w)-n+2)]
+      |    ELSE [] END) AS gram
+      |  FROM base, (SELECT unnest([2,3,5]) AS n) ns),
+      |c AS (SELECT doc_id, n, gram, count(*)::BIGINT AS cnt,
+      |  (length(gram) - (n - 1))::BIGINT AS clen FROM g GROUP BY doc_id, n, gram),
+      |top AS (SELECT doc_id, n, cnt * clen AS num,
+      |  row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, clen DESC, gram) AS rn
+      |  FROM c),
+      |dup AS (SELECT doc_id, n, coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * clen END), 0)::BIGINT AS num
+      |  FROM c GROUP BY doc_id, n)
+      |SELECT b.doc_id, b.n_words, b.n_chars,
+      |  coalesce(t2.num, 0) AS top2_num,
+      |  coalesce(t3.num, 0) AS top3_num,
+      |  coalesce(d5.num, 0) AS dup5_num,
+      |  CASE WHEN b.n_chars > 0 THEN round(coalesce(t2.num, 0)::DOUBLE / b.n_chars, 6) ELSE 0.0 END AS top2_cfrac,
+      |  CASE WHEN b.n_chars > 0 THEN round(coalesce(t3.num, 0)::DOUBLE / b.n_chars, 6) ELSE 0.0 END AS top3_cfrac,
+      |  CASE WHEN b.n_chars > 0 THEN round(coalesce(d5.num, 0)::DOUBLE / b.n_chars, 6) ELSE 0.0 END AS dup5_cfrac
+      |FROM base b
+      |LEFT JOIN top t2 ON b.doc_id = t2.doc_id AND t2.n = 2 AND t2.rn = 1
+      |LEFT JOIN top t3 ON b.doc_id = t3.doc_id AND t3.n = 3 AND t3.rn = 1
+      |LEFT JOIN dup d5 ON b.doc_id = d5.doc_id AND d5.n = 5
+      |ORDER BY b.doc_id""".stripMargin,
     "m1_mm_manifest" -> raw"""
       |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
       |  FROM documents),

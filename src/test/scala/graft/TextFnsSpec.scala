@@ -119,4 +119,33 @@ class TextFnsSpec extends SparkSpec {
       .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got.getString(5) == md5)
   }
+
+  test("t9 repSignals: hand-computed repetition numerators and fractions") {
+    val dir = scratchDir("graft_t9")
+    // hand-computed (chars exclude joiner spaces; grams OVERLAP, so
+    // cfrac can exceed 1 on degenerate loops — the Gopher signals are
+    // thresholds, not probabilities):
+    //   doc 0 "x y x y z": n_chars 5; "x y"×2 clen 2 → top2 4 (0.8);
+    //     all 3-grams unique, clen 3 → top3 3 (0.6); no dup 5-gram → 0
+    //   doc 1 "a a a a a a": n_chars 6; "a a"×5 → top2 10; "a a a"×4
+    //     clen 3 → top3 12; "a a a a a"×2 clen 5 → dup5 10 (1.666667)
+    //   doc 2 "hello world": n_chars 10; one 2-gram → top2 10 (1.0);
+    //     no 3-grams → 0
+    //   doc 3 "solo": single word, every signal 0
+    Seq(
+      (0L, "x y x y z", "en", "s", 9L),
+      (1L, "a a a a a a", "en", "s", 11L),
+      (2L, "Hello  WORLD", "en", "s", 12L), // normalization folds case+spaces
+      (3L, "solo", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.repSignals(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    assert(got(0L) == ((5, 5L, 4L, 3L, 0L, 0.8, 0.6, 0.0)))
+    assert(got(1L) == ((6, 6L, 10L, 12L, 10L, 1.666667, 2.0, 1.666667)))
+    assert(got(2L) == ((2, 10L, 10L, 0L, 0L, 1.0, 0.0, 0.0)))
+    assert(got(3L) == ((1, 4L, 0L, 0L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
