@@ -41,24 +41,34 @@ object Curation {
     val hot = h.select(explode(col("hs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col("g"))
-    // pass 2 — string verify, but ONLY for docs containing a hot hash
-    // (~10% of the corpus here): exact string group-by removes any
-    // hash-collision false positives. The hot-hash join carries ONLY
-    // (doc_id, g) — joining the exploded rows with nrm attached would
-    // shuffle every document string once per gram (corpus × ~250 at
-    // scale); the strings re-attach afterwards, one row per hot doc
-    val hotDocs = h.select(col("doc_id"), explode(col("hs")).as("g"))
+    // pass 2 — string verify, but ONLY for HOT WINDOWS (r7; previously
+    // all windows of any doc containing ≥1 hot hash — on a corpus
+    // where most docs share some boilerplate that candidate set is
+    // nearly the whole corpus and the span-string shuffle + group-by
+    // dominates the query: at the 100× proxy, ~4 GB shuffled and
+    // ~19 GB spilled). Each doc re-attaches its hot-hash set (8-byte
+    // longs, shuffle stays skinny) and keeps only windows whose
+    // in-place xxhash64 is a member — sound because a span in ≥2 docs
+    // necessarily has a hot hash, so the filter can never drop a true
+    // repeat; `xxhash64(span)` and the GramHashes kernel hash the same
+    // bytes with the same seed (identity asserted in ExprSpec). The
+    // exact string group-by still removes hash-collision false
+    // positives — the candidates→verify discipline is unchanged, the
+    // candidate set is just windows-that-can-win instead of
+    // docs-that-might-contain-one.
+    val hotPerDoc = h.select(col("doc_id"), explode(col("hs")).as("g"))
       .join(hot, "g")
-      .select(col("doc_id")).distinct()
-    val candDocs = h.join(hotDocs, "doc_id").select(col("doc_id"), col("nrm"))
-    candDocs
+      .groupBy(col("doc_id")).agg(collect_set(col("g")).as("hotg"))
+    h.join(hotPerDoc, "doc_id")
       .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), length(col("nrm")) - (width - 1)),
-          i => col("nrm").substr(i, lit(width))))).as("span"))
+        filter(
+          transform(sequence(lit(1), length(col("nrm")) - (width - 1)),
+            i => col("nrm").substr(i, lit(width))),
+          sp => array_contains(col("hotg"), xxhash64(sp))))).as("span"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
-      .filter(col("n_docs") >= 2) // a doc without the span's hot hash can't contain it
+      .filter(col("n_docs") >= 2) // removes xxhash64-collision candidates
       .orderBy(col("span"))
   }
 
