@@ -158,6 +158,25 @@ object Bench {
       times.size >= 2 && times.min > 0 && times.max / times.min > 2.5 &&
         times.indexOf(times.max) != 0 && times.max - times.min > 0.75
 
+    /** The r6 miss (VERDICT #4a): p1 ran [22.7, 10.0, 14.5] — run 0
+      * looked like JIT warmup (max at index 0 is exempt above), but
+      * the POST-warmup runs disagreed by 1.45x / 4.5 s, which warmup
+      * cannot explain: after run 0 the JVM is warm, so runs 1..n on a
+      * quiet box sit within ~±15%. A wide post-warmup spread means
+      * load arrived (or left) mid-run and the median is polluted even
+      * though no single ratio tripped 2.5x. Thresholds: ratio ≥ 1.4
+      * with ≥ 1.5 s absolute delta — quiet-box jitter stays under
+      * both, and sub-second scheduler noise can't fire it.
+      */
+    def postWarmupPolluted(times: Seq[Double]): Boolean = {
+      val later = times.drop(1)
+      later.size >= 2 && later.min > 0 && later.max / later.min >= 1.4 &&
+        later.max - later.min >= 1.5
+    }
+
+    def polluted(times: Seq[Double]): Boolean =
+      spreadPolluted(times) || postWarmupPolluted(times)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => (name, time(name, fn, sfDir, runs)) }
@@ -171,7 +190,7 @@ object Bench {
       "\"" + k + "\":" + jnum(if (t.isEmpty) Double.NaN else t.min) }
       .mkString("{", ",", "}")
     val spreadFlags = new scala.collection.mutable.ArrayBuffer[String]()
-    results.foreach { case (k, t) => if (spreadPolluted(t)) spreadFlags += k }
+    results.foreach { case (k, t) => if (polluted(t)) spreadFlags += k }
     val total = results.map(r => median(r._2)).filterNot(_.isNaN).sum
 
     // Scale sections: median-of-n per heavy query at each scale dir,
@@ -220,25 +239,59 @@ object Bench {
       * so sf1 and sf10 entries compare directly; raw per-run times
       * ride along for the same auditability as the main suite.
       */
+    /** `interleave`: run the section as runsN PASSES over the query
+      * list, each pass's order rotated by pass×(size/runsN), instead
+      * of n consecutive runs per query (VERDICT r6 #4c). With the
+      * consecutive shape a query inherits whatever page-cache /
+      * memory-store pressure the queries before it left behind — r6's
+      * g6 measured 56.4 s in-suite vs 7.9 s isolated purely from
+      * running after the d-family — and no amount of per-query runs
+      * reveals it because every run sits in the same neighborhood.
+      * Rotation gives each query runs in different neighborhoods
+      * (including one near the front for queries mid-list), so its
+      * MIN approximates the isolated cost and an ordering-inherited
+      * median self-declares through the spread flags. Deterministic
+      * (no RNG): artifacts stay reproducible.
+      */
     def scaleSection(label: String, envKey: String, default: String,
-        replicas: Int, decades: Double, runsN: Int, queries: Seq[String]): String = {
+        replicas: Int, decades: Double, runsN: Int, queries: Seq[String],
+        interleave: Boolean = false): String = {
       val wanted = queries
         .filter(SparkEntry.queries.contains)
         .filter(name => only.forall(_.contains(name)))
       resolveScaleDir(envKey, default, replicas, wanted).map { d =>
+        val byName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+        wanted.foreach(byName(_) = Vector.empty)
+        if (interleave && wanted.size > 1) {
+          val step = math.max(1, wanted.size / math.max(1, runsN))
+          for (pass <- 0 until runsN) {
+            val off = (pass * step) % wanted.size
+            val rotated = wanted.drop(off) ++ wanted.take(off)
+            // odd passes also reverse: rotation alone can keep the
+            // same heavy→light adjacency (d9 preceded g6 in both
+            // rotations of the r6 list); reversal guarantees each
+            // pair's order flips at least once across passes
+            val order = if (pass % 2 == 1) rotated.reverse else rotated
+            order.foreach { name =>
+              byName(name) ++= time(name, SparkEntry.queries(name), d, 1)
+            }
+          }
+        } else wanted.foreach { name =>
+          byName(name) = time(name, SparkEntry.queries(name), d, runsN).toVector
+        }
         val entries = wanted.map { name =>
-          val ts = time(name, SparkEntry.queries(name), d, runsN)
+          val ts = byName(name)
           val t = median(ts)
           val base = median(results.collectFirst { case (`name`, r) => r }.getOrElse(Nil))
           val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
                     else math.log10(t / base) / decades // ~1.0 = linear
-          if (spreadPolluted(ts)) spreadFlags += s"$label:$name"
+          if (polluted(ts)) spreadFlags += s"$label:$name"
           "\"" + name + "\":{\"sec\":" + jnum(t) +
             ",\"min\":" + jnum(if (ts.isEmpty) Double.NaN else ts.min) +
             ",\"exponent\":" + jnum(exp) +
             ",\"runs_raw\":" + jarr(ts) + "}"
         }
-        s""","$label":{"dir":"$d","runs":$runsN,"queries":${entries.mkString("{", ",", "}")}}"""
+        s""","$label":{"dir":"$d","runs":$runsN,"interleaved":$interleave,"queries":${entries.mkString("{", ",", "}")}}"""
       }.getOrElse("")
     }
 
@@ -251,7 +304,8 @@ object Bench {
     val sf1 = scaleSection("sf1", "SPARK_GRAFT_BENCH_SCALE_DIR",
       "/root/repo/.data/sf1", tools.GenScale.Replicas, 1.0, scaleRuns, ScaleQueries)
     val sf10 = scaleSection("sf10", "SPARK_GRAFT_BENCH_SCALE10_DIR",
-      "/root/repo/.data/sf10", 100, 2.0, scale10Runs, Scale10Queries)
+      "/root/repo/.data/sf10", 100, 2.0, scale10Runs, Scale10Queries,
+      interleave = true)
 
     // serialized AFTER the scale runs so their failures are recorded
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -259,11 +313,17 @@ object Bench {
     val loadEnd = loadAvg()
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"$sf1$sf10}"""
     println(json)
-    // the artifact of record, immune to stdout capture truncation
-    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+    // the artifact of record, immune to stdout capture truncation.
+    // ONLY-subset runs write a stamped side file instead (VERDICT r6
+    // #4b): a local spot-bench must never overwrite the full-suite
+    // artifact — in r6 a judge subset run clobbered the round's
+    // bench.json and the real numbers survived only in quoted text.
+    val artifact = if (only.isEmpty) "target/bench.json"
+      else s"target/bench-subset-${System.currentTimeMillis()}.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}") }
+      System.err.println(s"[bench] could not write $artifact: ${e.getMessage}") }
     spark.stop()
   }
 }
