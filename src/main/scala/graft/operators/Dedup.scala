@@ -410,15 +410,44 @@ object Dedup {
     * post-process the pairs (lshVerifiedPairs' family expansion) and
     * sort once at the end.
     */
+  /** Bloom pre-verify width: 32×64 = 2048 bits (256 B/doc). At d4's
+    * ~300-500 distinct grams/doc the bitmap stays unsaturated enough
+    * that the lossless bound rejects nearly the whole sub-threshold
+    * candidate mass (measured at the 100× proxy, tools.TuneD4Sketch:
+    * 11.96M candidates, bound < 0.7 for 11.94M — 99.79% — with 0
+    * false drops against exact Jaccard); d2's smaller shingle sets
+    * are even less saturated. Saturation only weakens the bound
+    * toward KEEPING, so width tunes cost, never correctness.
+    */
+  private val BloomWords = 32
+
   private def verifyJaccardRaw(cands: DataFrame, hashed: DataFrame,
       threshold: Double): DataFrame = {
     // distinct THEN sort: the merge kernel computes |A∪B| as
     // |A|+|B|−|A∩B|, which is set arithmetic — a multiset input from
     // the public pairsFromHashed path must collapse first
     val sortedFh = array_sort(array_distinct(col("fh")))
+    // stage 1 — lossless Bloom-bound reject on SKINNY sketch sides
+    // (256 B vs multi-KB gram arrays): candidates overwhelmingly sit
+    // far below τ (the LSH curve admits J≈0.3-0.5 pairs at percent
+    // rates, and there are n² of them to sample from), so rejecting
+    // them BEFORE the gram arrays join cuts both the verify shuffle
+    // and the merge-kernel CPU to the near-τ fraction. The bound
+    // never rejects a pair the exact verify would keep (BloomBoundGe
+    // Scaladoc; property-asserted), so output is row-identical.
+    val dfh = array_distinct(col("fh"))
+    val ska = hashed.select(col("doc_id").as("id_a"), size(dfh).as("sza"),
+      org.apache.spark.sql.graft.ArrayExprs.bloom_bits(dfh, BloomWords).as("bma"))
+    val skb = hashed.select(col("doc_id").as("id_b"), size(dfh).as("szb"),
+      org.apache.spark.sql.graft.ArrayExprs.bloom_bits(dfh, BloomWords).as("bmb"))
+    val survivors = cands.join(ska, "id_a").join(skb, "id_b")
+      .filter(org.apache.spark.sql.graft.ArrayExprs.bloom_bound_ge(
+        col("bma"), col("bmb"), col("sza"), col("szb"), threshold))
+      .select(col("id_a"), col("id_b"))
+    // stage 2 — exact merge verify on the survivors only
     val fa = hashed.select(col("doc_id").as("id_a"), sortedFh.as("fa"))
     val fb = hashed.select(col("doc_id").as("id_b"), sortedFh.as("fb"))
-    cands.join(fa, "id_a").join(fb, "id_b")
+    survivors.join(fa, "id_a").join(fb, "id_b")
       .select(col("id_a"), col("id_b"),
         r6(org.apache.spark.sql.graft.ArrayExprs
           .jaccard_sorted_ge(col("fa"), col("fb"), threshold)).as("jaccard"))

@@ -65,6 +65,21 @@ object ArrayExprs {
   def word_shingle_hashes(nrm: Column, k: Int): Column =
     ExpressionUtils.column(GramHashes(ExpressionUtils.expression(nrm), k, byWord = true))
 
+  /** Bloom bitmap (`words`×64 bits) of a long-hash set (see
+    * [[BloomBits]]).
+    */
+  def bloom_bits(hashes: Column, words: Int): Column =
+    ExpressionUtils.column(BloomBits(ExpressionUtils.expression(hashes), words))
+
+  /** Lossless Bloom-bound pre-verify for Jaccard ≥ tau (see
+    * [[BloomBoundGe]]).
+    */
+  def bloom_bound_ge(ba: Column, bb: Column, sza: Column, szb: Column,
+      tau: Double): Column =
+    ExpressionUtils.column(BloomBoundGe(
+      ExpressionUtils.expression(ba), ExpressionUtils.expression(bb),
+      ExpressionUtils.expression(sza), ExpressionUtils.expression(szb), tau))
+
   /** Codegen'd multi-bit hyperplane sketch: bit b of the output is
     * sign(v · plane_b), packed into `bits/64` longs. `planes` is the
     * flattened [bits × dim] matrix.
@@ -660,4 +675,101 @@ case class OphBands(child: Expression, bands: Int, rows: Int, a: Long, b: Long,
     """.stripMargin)
 
   override protected def withNewChildInternal(c2: Expression): OphBands = copy(child = c2)
+}
+
+/** Per-document Bloom bitmap of a 64-bit feature-hash SET: an
+  * m = words×64 bit array with bit `pmod(g, m)` set for every gram
+  * hash g. Deterministic and order-insensitive, so it commutes with
+  * the array_sort/array_distinct the verify path applies. Input must
+  * be distinct-element (a set) only so that the SIZE carried next to
+  * it means |A| — the bitmap itself tolerates duplicates.
+  */
+case class BloomBits(child: Expression, words: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(words > 0)
+  private val m = words * 64
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < n) {
+      val idx = java.lang.Math.floorMod(xs.getLong(i), m.toLong).toInt
+      out(idx >> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "bloom_bits"
+  override protected def withNewChildInternal(c: Expression): BloomBits = copy(child = c)
+}
+
+/** LOSSLESS Bloom-bound candidate pre-verify for Jaccard ≥ τ (the
+  * cheap reject between LSH banding and the exact merge kernel).
+  *
+  * Soundness: a bit set in bitmap `a` but clear in `b` certifies at
+  * least one gram of A absent from B (any B-gram on that index would
+  * have set b's bit), so with pab = pop(a&~b), pba = pop(b&~a):
+  * |A\B| ≥ pab, |B\A| ≥ pba, hence |A∩B| ≤ |A|−pab and
+  * |A∪B| ≥ |A|+pba (and symmetric), giving the deterministic bound
+  *   J ≤ min((|A|−pab)/(|A|+pba), (|B|−pba)/(|B|+pab)).
+  * Returns bound ≥ τ−1e−6 (the SortedJaccardGe margin discipline):
+  * a FALSE can only reject pairs the exact ≥ τ verify would reject —
+  * never a true pair — so outputs through the filter are identical
+  * (property-asserted in ExprSpec against exact Jaccard). Bitmap
+  * saturation only WEAKENS the bound toward keeping; correctness
+  * never depends on m.
+  */
+case class BloomBoundGe(ba: Expression, bb: Expression,
+    sza: Expression, szb: Expression, tau: Double)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = ba
+  override def second: Expression = bb
+  override def third: Expression = sza
+  override def fourth: Expression = szb
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), IntegerType, IntegerType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  private val margin = tau - 1e-6
+
+  override def nullSafeEval(a: Any, b: Any, na: Any, nb: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val la = na.asInstanceOf[Int]
+    val lb = nb.asInstanceOf[Int]
+    if (la == 0 || lb == 0) return margin <= 0.0
+    val n = math.min(xs.numElements(), ys.numElements())
+    var pab = 0
+    var pba = 0
+    var i = 0
+    while (i < n) {
+      val wa = xs.getLong(i)
+      val wb = ys.getLong(i)
+      pab += java.lang.Long.bitCount(wa & ~wb)
+      pba += java.lang.Long.bitCount(wb & ~wa)
+      i += 1
+    }
+    val bound = math.min(
+      (la - pab).toDouble / (la + pba).toDouble,
+      (lb - pba).toDouble / (lb + pab).toDouble)
+    bound >= margin
+  }
+
+  override def prettyName: String = "bloom_bound_ge"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): BloomBoundGe =
+    copy(ba = f, bb = s, sza = t, szb = q)
 }

@@ -160,6 +160,37 @@ class ExprSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("BloomBoundGe is lossless: never rejects a pair whose exact Jaccard reaches tau") {
+    val rnd = new scala.util.Random(29)
+    // overlap levels spanning the threshold, hash values spread over
+    // the full long range (the real feature-hash domain), PLUS tiny
+    // widths (words=1,2) where saturation is maximal — the bound must
+    // stay sound (only ever weaker) even when every bit is set
+    val universe = Seq.fill(4000)(rnd.nextLong())
+    val rows = Seq.fill(400) {
+      val base = Seq.fill(rnd.nextInt(300) + 1)(universe(rnd.nextInt(universe.size))).distinct
+      val keep = base.filter(_ => rnd.nextDouble() < 0.3 + rnd.nextDouble() * 0.7)
+      val extra = Seq.fill(rnd.nextInt(120))(universe(rnd.nextInt(universe.size))).distinct
+      (base.sorted, (keep ++ extra).distinct.sorted)
+    }
+    for (words <- Seq(1, 2, 32); tau <- Seq(0.5, 0.7, 0.8)) {
+      val got = rows.toDF("a", "b").select(
+        ArrayExprs.jaccard_sets(col("a"), col("b")).as("j"),
+        ArrayExprs.bloom_bound_ge(
+          ArrayExprs.bloom_bits(col("a"), words),
+          ArrayExprs.bloom_bits(col("b"), words),
+          size(col("a")), size(col("b")), tau).as("keep"))
+        .as[(Double, Boolean)].collect()
+      got.foreach { case (j, keep) =>
+        if (j >= tau - 1e-6) assert(keep, s"words=$words tau=$tau: LOST true pair j=$j")
+      }
+      // effectiveness sanity at the real width only: some far-below-
+      // threshold pair must be rejected, else the filter is a no-op
+      if (words == 32 && tau == 0.8)
+        assert(got.exists { case (j, keep) => !keep && j < tau })
+    }
+  }
+
   test("NearestClusters == the sort-of-(negscore,id)-structs formulation bitwise") {
     val rnd = new scala.util.Random(23)
     val dim = 16
