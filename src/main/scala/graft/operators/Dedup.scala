@@ -838,6 +838,25 @@ object Dedup {
     * 10× (d9 7.1 s vs d5 15.8 s at sf1) — at 100 TB d5 is infeasible
     * and this is the path.
     */
+  /** Coarse-quantizer size: k = n/clusterSize, floored at 16, CAPPED
+    * so the centroid matrix (k·dim·4 B, held as a driver/broadcast
+    * reference object inside NearestClusters) never exceeds
+    * `capBytes` (default 64 MB — broadcast-table scale, ~3 s to ship
+    * at 10 GbE; a k ∝ n matrix would reach ~10 GB at 10^10 docs and
+    * kill every executor heap). Past the cap the EFFECTIVE cluster
+    * size grows with n instead — the published SemDeDup trade
+    * (k = 50k fixed for 5 B docs ⇒ ~100k-doc clusters): within-
+    * cluster pair work grows, driver/broadcast state does not.
+    * At that scale the within-cluster self-join stays distributed
+    * (one cluster per task) — the dial that must NOT grow with n is
+    * the matrix, and this bound pins it.
+    */
+  private[graft] def coarseK(n: Long, clusterSize: Int, dim: Int,
+      capBytes: Long = 64L << 20): Int = {
+    val kCap = math.max(16L, capBytes / (4L * math.max(1, dim)))
+    math.max(16L, math.min(kCap, math.ceil(n.toDouble / clusterSize).toLong)).toInt
+  }
+
   def semDedup(s: SparkSession, dir: String, threshold: Double = 0.4,
       clusterSize: Int = 256, passign: Int = 3, iters: Int = 3): DataFrame = {
     import s.implicits._
@@ -860,7 +879,8 @@ object Dedup {
       .orderBy("vec_id").limit(InitCap)
       .select("embedding").as[Seq[Float]].collect().map(_.toArray)
     val n = obs.get("n").asInstanceOf[Long]
-    val k = math.max(16, math.ceil(n.toDouble / clusterSize).toInt)
+    val dim = cand.headOption.map(_.length).getOrElse(64)
+    val k = coarseK(n, clusterSize, dim)
     // Train the coarse quantizer on a bounded deterministic sample
     // once the corpus outgrows it. Measured (StageProbe, sf10 proxy,
     // 5M vectors, k≈19.5k): the 3 Lloyd's training passes + the final

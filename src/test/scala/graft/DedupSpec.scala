@@ -257,4 +257,19 @@ class DedupSpec extends SparkSpec {
     assert(sem.length.toDouble / exact.size >= 0.85,
       s"recall ${sem.length.toDouble / exact.size}")
   }
+
+  test("d9 coarseK: centroid-matrix bytes stay bounded at any corpus size") {
+    val capBytes = 64L << 20
+    for (dim <- Seq(64, 768); n <- Seq(1e4, 1e6, 1e8, 1e10, 1e12).map(_.toLong)) {
+      val k = Dedup.coarseK(n, 256, dim, capBytes)
+      assert(k.toLong * dim * 4 <= math.max(capBytes, 16L * dim * 4),
+        s"n=$n dim=$dim k=$k matrix=${k.toLong * dim * 4}")
+      assert(k >= 16)
+    }
+    // below the cap the published k = n/clusterSize shape is unchanged
+    assert(Dedup.coarseK(1000000L, 256, 64) == math.ceil(1000000.0 / 256).toInt)
+    // at 10^10 docs the uncapped k would be ~39M (a ~10 GB matrix at
+    // dim 64); the cap pins it at capBytes/(4*dim)
+    assert(Dedup.coarseK(10000000000L, 256, 64) == (64L << 20) / (4 * 64))
+  }
 }
