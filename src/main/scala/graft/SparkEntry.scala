@@ -28,6 +28,7 @@ object SparkEntry {
     "g8_listing_manifest"     -> GeoQueries.listingManifest _,
     "g9_raster_tiff"          -> GeoQueries.rasterIngestTiff _,
     "g10_raster_tiff_deflate" -> GeoQueries.rasterIngestTiffDeflate _,
+    "g13_raster_tiff_nodata"  -> GeoQueries.rasterIngestTiffNodata _,
     "g11_partition_prune"     -> GeoQueries.tiledRegionQuery _,
     "g12_raster_tiff_i16"     -> GeoQueries.rasterIngestTiffI16 _,
     // relational core
@@ -271,6 +272,24 @@ object SparkEntry {
       |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
       |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
       |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |FROM grid2 WHERE tile_id < 50
+      |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    // g13: the oracle re-derives the NoData mask from the same
+    // (tile, x, y) arithmetic the fixture writer plants it with, maps
+    // sentinels to NULL, and aggregates valid pixels — NULL-skipping
+    // aggregate semantics match Spark's
+    "g13_raster_tiff_nodata" -> raw"""
+      |WITH $TilesCte,
+      |grid2 AS (
+      |  SELECT tile_id, tile_key, lat0, lon0,
+      |         CASE WHEN (xs.x*13 + ys.y*7 + tile_id) % 89 = 0 THEN NULL
+      |              ELSE ((tile_id*131 + xs.x*17 + ys.y*29)%8848)::INT END AS elev
+      |  FROM keyed, generate_series(0,23) ys(y), generate_series(0,23) xs(x))
+      |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok, -9999 AS nodata,
+      |       count(*) AS n_pixels,
+      |       count(*) FILTER (WHERE elev IS NULL) AS n_nodata,
+      |       min(elev) AS min_elev, max(elev) AS max_elev,
+      |       round(avg(elev), 6) AS avg_elev, sum(elev)::BIGINT AS sum_elev
       |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     "j1_jsonl_ingest" -> raw"""

@@ -207,13 +207,55 @@ object Fixtures {
     * per-segment Deflater -> IFD with spec-ordered tags and
     * inline-vs-offset values resolved by the fits-in-4-bytes rule.
     */
+  /** Conforming literal-only TIFF-LZW stream: ClearCode, every byte
+    * as its own (root) code, EOI — no string matching, so the
+    * "compressed" stream is ~9/8 the input size, but it exercises the
+    * decoder's table growth, EARLY-CHANGE width bumps at 511/1023/
+    * 2047, and mid-stream Clear resets exactly as a real writer's
+    * stream would (the decoder cannot tell literal-only output from
+    * an unlucky corpus). Width/add bookkeeping mirrors the decoder:
+    * the first code after a Clear assigns no table entry.
+    */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc = (acc << width) | code; accBits += width
+      while (accBits >= 8) { bos.write(((acc >>> (accBits - 8)) & 0xFF).toInt); accBits -= 8 }
+    }
+    var width = 9
+    var nextCode = 258
+    var first = true
+    put(256, width) // Clear
+    var i = 0
+    while (i < data.length) {
+      if (nextCode >= 4093) { put(256, width); width = 9; nextCode = 258; first = true }
+      put(data(i) & 0xFF, width)
+      if (first) first = false
+      else {
+        nextCode += 1
+        if (nextCode == (1 << width) - 1 && width < 12) width += 1
+      }
+      i += 1
+    }
+    put(257, width) // EOI
+    if (accBits > 0) bos.write(((acc << (8 - accBits)) & 0xFF).toInt) // flush, zero-padded
+    bos.toByteArray
+  }
+
   private[graft] def tiffBytesDeflate(tileId: Int, n: Int = GridN2,
       tiled: Boolean = false, predictor: Int = 2,
       order: ByteOrder = ByteOrder.LITTLE_ENDIAN, bits: Int = 32,
-      compress: Boolean = true): Array[Byte] = {
+      compress: Boolean = true, lzw: Boolean = false,
+      noData: Option[Int] = None): Array[Byte] = {
     require(bits == 16 || bits == 32)
+    require(!(lzw && compress), "pick one codec")
     val bp = bits / 8 // bytes per sample
-    def pix(x: Int, y: Int): Int = ((tileId.toLong * 131 + x * 17 + y * 29) % 8848).toInt
+    // NoData sentinel planted by deterministic (tile, x, y) arithmetic
+    // (§3 discipline — the oracle re-derives the same mask)
+    def pix(x: Int, y: Int): Int =
+      if (noData.isDefined && (x * 13 + y * 7 + tileId) % 89 == 0) noData.get
+      else ((tileId.toLong * 131 + x * 17 + y * 29) % 8848).toInt
 
     def putPix(bb: ByteBuffer, v: Int): Unit =
       if (bp == 4) bb.putInt(v) else bb.putShort(v.toShort)
@@ -258,7 +300,8 @@ object Fixtures {
           else b.putShort(p, (b.getShort(p) - b.getShort(p - 2)).toShort)
         }
       }
-      if (!compress) d
+      if (lzw) lzwEncode(d)
+      else if (!compress) d
       else {
         val bos = new java.io.ByteArrayOutputStream()
         val dos = new java.util.zip.DeflaterOutputStream(bos)
@@ -271,6 +314,9 @@ object Fixtures {
     case class E(tag: Int, typ: Int, vs: Array[Long])
     def short(tag: Int, v: Long) = E(tag, 3, Array(v))
     def long(tag: Int, vs: Long*) = E(tag, 4, vs.toArray)
+    // ASCII tag (type 2): one value per byte, NUL-terminated
+    def asciiE(tag: Int, s: String) =
+      E(tag, 2, (s + "\u0000").getBytes("US-ASCII").map(_.toLong & 0xFF))
     val layoutTags =
       if (tiled) Seq(long(322, 16), long(323, 16),
         E(324, 4, new Array[Long](segments.length)), // patched below
@@ -278,14 +324,17 @@ object Fixtures {
       else Seq(E(273, 4, new Array[Long](segments.length)),
         long(278, 5), long(279, segments.map(_.length.toLong): _*))
     val entries = (Seq(long(256, n), long(257, n), short(258, bits),
-      short(259, if (compress) 8 else 1), short(262, 1), short(277, 1)) ++ layoutTags ++
+      short(259, if (lzw) 5 else if (compress) 8 else 1), short(262, 1), short(277, 1)) ++
+      layoutTags ++
       (if (predictor == 2) Seq(short(317, 2)) else Nil) ++
-      Seq(short(339, 2))).sortBy(_.tag)
+      Seq(short(339, 2)) ++
+      noData.map(v => asciiE(42113, v.toString)).toSeq).sortBy(_.tag)
 
     val ifdOff = 8
     val ifdSize = 2 + entries.length * 12 + 4
+    def elemSize(typ: Int): Int = if (typ == 2) 1 else if (typ == 3) 2 else 4
     def extSize(e: E): Int = {
-      val elem = if (e.typ == 3) 2 else 4
+      val elem = elemSize(e.typ)
       if (elem * e.vs.length <= 4) 0 else elem * e.vs.length
     }
     // external arrays follow the IFD; segment data follows them
@@ -303,12 +352,15 @@ object Fixtures {
     val bom = if (order == ByteOrder.LITTLE_ENDIAN) 'I' else 'M'
     buf.put(bom.toByte).put(bom.toByte).putShort(42).putInt(ifdOff)
     buf.putShort(patched.length.toShort)
+    def putVal(e: E, v: Long): Unit =
+      if (e.typ == 2) buf.put(v.toByte)
+      else if (e.typ == 3) buf.putShort(v.toShort)
+      else buf.putInt(v.toInt)
     patched.zip(extOffsets).foreach { case (e, eo) =>
       buf.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.vs.length)
-      val elem = if (e.typ == 3) 2 else 4
-      if (elem * e.vs.length <= 4) { // inline, zero-padded to 4
+      if (elemSize(e.typ) * e.vs.length <= 4) { // inline, zero-padded to 4
         val before = buf.position()
-        e.vs.foreach(v => if (e.typ == 3) buf.putShort(v.toShort) else buf.putInt(v.toInt))
+        e.vs.foreach(v => putVal(e, v))
         while (buf.position() < before + 4) buf.put(0.toByte)
       } else buf.putInt(eo)
     }
@@ -316,7 +368,7 @@ object Fixtures {
     patched.zip(extOffsets).foreach { case (e, eo) =>
       if (extSize(e) > 0) {
         buf.position(eo)
-        e.vs.foreach(v => if (e.typ == 3) buf.putShort(v.toShort) else buf.putInt(v.toInt))
+        e.vs.foreach(v => putVal(e, v))
       }
     }
     for (i <- segments.indices) {
@@ -364,6 +416,37 @@ object Fixtures {
           case 1 => tiffBytesDeflate(id, bits = 16)
           case _ => tiffBytesDeflate(id, tiled = true,
             order = ByteOrder.BIG_ENDIAN, bits = 16)
+        }
+        Files.write(Paths.get(tmp.toString, s"$key.tif"), bytes)
+      }
+    }
+  }
+
+  /** The NoData sentinel real AW3D30 DSMs carry (GDAL_NODATA). */
+  val NoDataVal = -9999
+
+  /** Ensure the NoData + LZW fixture directory: Int16 tiles (the real
+    * DSM sample format), every file carrying GDAL_NODATA = -9999 with
+    * sentinel pixels planted by deterministic (tile, x, y) arithmetic,
+    * cycling FOUR layouts through one scan: id%4==0 -> uncompressed
+    * striped; 1 -> DEFLATE striped predictor 2; 2 -> LZW striped
+    * predictor 2 (the other codec GDAL commonly writes); 3 -> DEFLATE
+    * tiled 16x16 big-endian.
+    */
+  def ensureTiffsNodata(s: SparkSession, dir: String): String = synchronized {
+    val out = fixtureRoot("tiffs_nodata", dir)
+    val tiles = tileRows(s, dir, RasterLimit)
+    val nd = Some(NoDataVal)
+    ensureAtomic(out, tiles.length) { tmp =>
+      tiles.foreach { case (id, _, _, key) =>
+        val bytes = id % 4 match {
+          case 0 => tiffBytesDeflate(id, predictor = 1, bits = 16,
+            compress = false, noData = nd)
+          case 1 => tiffBytesDeflate(id, bits = 16, noData = nd)
+          case 2 => tiffBytesDeflate(id, bits = 16, compress = false,
+            lzw = true, noData = nd)
+          case _ => tiffBytesDeflate(id, tiled = true,
+            order = ByteOrder.BIG_ENDIAN, bits = 16, noData = nd)
         }
         Files.write(Paths.get(tmp.toString, s"$key.tif"), bytes)
       }

@@ -217,6 +217,44 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g13: NoData-aware raster ingestion across FOUR layouts in one
+    * scan — uncompressed, DEFLATE striped predictor-2, LZW striped
+    * predictor-2 (the other codec GDAL commonly writes, decoded by
+    * the full TIFF-LZW decompressor incl. early change), and DEFLATE
+    * tiled big-endian — all Int16 with GDAL_NODATA = -9999 (ASCII tag
+    * 42113, the sentinel real AW3D30 DSMs carry; main.rs:172-191
+    * reads through GDAL, which surfaces it as the band's NoData).
+    * The sentinel maps to SQL NULL with one `when` — GDAL's mask-band
+    * semantic — so aggregates skip void pixels natively while
+    * `n_nodata` audits how many each tile carried.
+    */
+  def rasterIngestTiffNodata(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureTiffsNodata(s, dir)
+    val decoded = s.read.format("binaryFile").option("pathGlobFilter", "*.tif").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.tiff_decode(col("content")).as("r"))
+      .select(col("tile_key"),
+        (col("r.width") === Fixtures.GridN2 && col("r.height") === Fixtures.GridN2).as("dims_ok"),
+        col("r.nodata").as("nodata"), explode(col("r.points")).as("p"))
+      .withColumn("elev", when(col("nodata").isNotNull &&
+        col("p.elevation") === col("nodata"), lit(null)).otherwise(col("p.elevation")))
+      .groupBy(col("tile_key"), col("dims_ok"), col("nodata"))
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(when(col("elev").isNull, 1L).otherwise(0L)).as("n_nodata"),
+        min(col("elev")).as("min_elev"),
+        max(col("elev")).as("max_elev"),
+        r6(avg(col("elev"))).as("avg_elev"),
+        sum(col("elev")).as("sum_elev"))
+    tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
+      .join(decoded, Seq("tile_key"))
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        col("dims_ok"), col("nodata"), col("n_pixels"), col("n_nodata"),
+        col("min_elev"), col("max_elev"), col("avg_elev"), col("sum_elev"))
+      .orderBy(col("tile_id"))
+  }
+
   /** g11: region query against the tile-partitioned parquet sink —
     * the reference's file-per-tile layout (main.rs:272-296) paying off
     * at QUERY time. The region resolves to its tile keys by pure

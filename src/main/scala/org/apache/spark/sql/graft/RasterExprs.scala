@@ -119,10 +119,18 @@ case class TiffDecode(child: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("points", ArrayType(pointType, containsNull = false), nullable = false)))
+    StructField("points", ArrayType(pointType, containsNull = false), nullable = false),
+    // GDAL's band NoData sentinel (ASCII tag 42113, e.g. "-9999" on
+    // real AW3D30 DSMs) — null when the file carries none; LAST so
+    // pre-existing positional consumers keep their offsets. The band
+    // stays a primitive int array; callers map elevation = nodata to
+    // SQL null with one `when` (the GDAL mask-band semantic), so
+    // files without the tag pay nothing.
+    StructField("nodata", IntegerType, nullable = true)))
 
   override def nullable: Boolean = true
 
+  private final val TypeAscii = 2
   private final val TypeShort = 3
   private final val TypeLong = 4
 
@@ -175,6 +183,33 @@ case class TiffDecode(child: Expression)
     }
     def scalar(tag: Int): Option[Long] = values(tag).collect { case a if a.length == 1 => a(0) }
 
+    /** An ASCII tag's string (NUL-trimmed), inline-vs-offset resolved
+      * like values().
+      */
+    def ascii(tag: Int): Option[String] = entryPos.get(tag).flatMap { p =>
+      if ((buf.getShort(p + 2) & 0xFFFF) != TypeAscii) return None
+      val count = buf.getInt(p + 4)
+      if (count <= 0 || count > 256) return None
+      val base =
+        if (count <= 4) p + 8
+        else {
+          val off = buf.getInt(p + 8)
+          if (off < 0 || off.toLong + count > bytes.length) return None
+          off
+        }
+      Some(new String(bytes, base, count, java.nio.charset.StandardCharsets.US_ASCII)
+        .takeWhile(_ != '\u0000').trim)
+    }
+
+    // GDAL_NODATA (42113): integral decimal forms only — the DSM
+    // sentinel is an integer band value ("-9999", GDAL may print
+    // "-9999.0"); anything else (NaN, scientific) stays null rather
+    // than silently mis-marking pixels
+    val noData: Option[Int] = ascii(42113).flatMap { s0 =>
+      val s = if (s0.endsWith(".0")) s0.dropRight(2) else s0
+      try Some(java.lang.Integer.parseInt(s)) catch { case _: NumberFormatException => None }
+    }
+
     val width = scalar(256).getOrElse(return null).toInt
     val height = scalar(257).getOrElse(return null).toInt
     if (width <= 0 || height <= 0 || width > 16384 || height > 16384) return null
@@ -184,9 +219,11 @@ case class TiffDecode(child: Expression)
     // tile (13M px) with headroom while bounding the allocation BEFORE
     // any array is sized from attacker-controlled dims.
     if (width.toLong * height > (1L << 24)) return null
-    // subset gate: single-band signed 16/32-bit samples, none/DEFLATE
+    // subset gate: single-band signed 16/32-bit samples; compression
+    // none (1), LZW (5 — the other codec GDAL commonly writes), or
+    // DEFLATE (8)
     val compression = scalar(259).getOrElse(1L)
-    if (compression != 1L && compression != 8L) return null
+    if (compression != 1L && compression != 5L && compression != 8L) return null
     val bits = scalar(258).getOrElse(return null)
     if (bits != 16L && bits != 32L) return null
     // bytes per stored sample; Int16 (the real AW3D30 DSM sample
@@ -210,6 +247,8 @@ case class TiffDecode(child: Expression)
       if (compression == 1L) {
         if (len != expectedLen) return null
         java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+      } else if (compression == 5L) {
+        TiffLzw.decode(bytes, off.toInt, len.toInt, expectedLen)
       } else {
         val inf = new java.util.zip.Inflater()
         try {
@@ -274,6 +313,9 @@ case class TiffDecode(child: Expression)
       }
       claimed <= bytes.length &&
         (if (compression == 1L) claimed == decodedTotal
+         // LZW: ≤ 8c/9 codes from c bytes, each emitting ≤ 4096 bytes
+         // ⇒ ratio < 3641; DEFLATE: zlib max ~1032x. Gated with slack.
+         else if (compression == 5L) decodedTotal <= claimed * 3700L
          else decodedTotal <= claimed * 1100L)
     }
 
@@ -313,7 +355,7 @@ case class TiffDecode(child: Expression)
         }
         t += 1
       }
-      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points)))
+      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points), noData.map(Int.box).orNull))
     } else {
       val rowsPerStrip = scalar(278).getOrElse(height.toLong)
       if (rowsPerStrip <= 0) return null
@@ -345,9 +387,110 @@ case class TiffDecode(child: Expression)
         s += 1
       }
       if (row != height) return null // strips did not cover the image
-      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points)))
+      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points), noData.map(Int.box).orNull))
     }
   }
 
   override protected def withNewChildInternal(c: Expression): TiffDecode = copy(child = c)
+}
+
+/** TIFF 6.0 LZW decompressor (Compression = 5): MSB-first bit
+  * packing, variable code width 9→12 with the spec's EARLY CHANGE
+  * (the width bumps when the NEXT code to be assigned would be
+  * 2^w − 1 — TIFF writers, GDAL included, all use it), ClearCode 256,
+  * EndOfInformation 257, and the KwKwK case (a code equal to the next
+  * unassigned entry decodes as prev + prev[0]). Total: every
+  * malformed input path — out-of-range code, missing EOI, output
+  * overflow/underflow, truncated bitstream — returns null rather than
+  * throwing, matching TiffDecode's poison-free scan contract. Output
+  * length is exact-checked against the layout-implied segment size,
+  * the same discipline as the DEFLATE path. Strings materialize by
+  * backward suffix walk into the output buffer (no per-code byte
+  * array concatenation), so decode is O(output bytes).
+  */
+object TiffLzw {
+  private final val Clear = 256
+  private final val Eoi = 257
+
+  def decode(bytes: Array[Byte], off: Int, len: Int, expectedLen: Int): Array[Byte] = {
+    val out = new Array[Byte](expectedLen)
+    var outPos = 0
+    // code tables: entry c is prefix(c) ++ suffix(c); roots 0..255
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    var c = 0
+    while (c < 256) { prefix(c) = -1; suffix(c) = c.toByte; length(c) = 1; c += 1 }
+
+    var nextCode = 258
+    var width = 9
+    var prev = -1
+
+    // MSB-first bit reader
+    var acc = 0L
+    var accBits = 0
+    var pos = off
+    val end = off + len
+
+    /** Write code's string at outPos (backward suffix walk); returns
+      * its first byte or -1 on overflow.
+      */
+    def emit(code: Int): Int = {
+      val l = length(code)
+      if (outPos + l > expectedLen) return -1
+      var p = outPos + l - 1
+      var cc = code
+      while (cc >= 0) { out(p) = suffix(cc); p -= 1; cc = prefix(cc) }
+      outPos += l
+      out(outPos - l) & 0xFF
+    }
+
+    while (true) {
+      while (accBits < width && pos < end) {
+        acc = (acc << 8) | (bytes(pos) & 0xFF); accBits += 8; pos += 1
+      }
+      if (accBits < width) return null // truncated before EOI
+      val code = ((acc >>> (accBits - width)) & ((1 << width) - 1)).toInt
+      accBits -= width
+
+      if (code == Eoi) {
+        if (outPos != expectedLen) return null
+        return out
+      } else if (code == Clear) {
+        nextCode = 258; width = 9; prev = -1
+      } else if (prev < 0) {
+        // first code after a clear must be a root
+        if (code > 255) return null
+        if (emit(code) < 0) return null
+        prev = code
+      } else if (code < nextCode) {
+        val first = emit(code)
+        if (first < 0) return null
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev; suffix(nextCode) = first.toByte
+          length(nextCode) = length(prev) + 1
+          nextCode += 1
+          if (nextCode == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      } else if (code == nextCode && nextCode < 4096) {
+        // KwKwK: entry being defined — prev's string plus its own
+        // first byte; materialize the entry FIRST, then emit it
+        val l = length(prev) + 1
+        if (outPos + l > expectedLen) return null
+        prefix(nextCode) = prev; suffix(nextCode) = 0 // patched below
+        length(nextCode) = l
+        var p = outPos + l - 2
+        var cc = prev
+        while (cc >= 0) { out(p) = suffix(cc); p -= 1; cc = prefix(cc) }
+        out(outPos + l - 1) = out(outPos) // K = first byte of prev's string
+        suffix(nextCode) = out(outPos)
+        outPos += l
+        nextCode += 1
+        if (nextCode == (1 << width) - 1 && width < 12) width += 1
+        prev = code
+      } else return null // code beyond the table
+    }
+    null // unreachable
+  }
 }

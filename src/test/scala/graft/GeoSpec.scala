@@ -325,6 +325,85 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g13: TIFF-LZW round-trips across width bumps and clear resets; corrupt never throws") {
+    val rnd = new scala.util.Random(17)
+    // sizes straddling the 9->10->11->12-bit early-change boundaries
+    // (253/765/1789 payload bytes after the first code) and the 4093
+    // clear-reset threshold of the literal-only writer
+    for (size <- Seq(0, 1, 200, 253, 254, 765, 766, 1789, 1790, 3835, 3836, 5000, 20000)) {
+      val data = Array.fill(size)(rnd.nextInt(256).toByte)
+      val enc = graft.geo.Fixtures.lzwEncode(data)
+      val dec = org.apache.spark.sql.graft.TiffLzw.decode(enc, 0, enc.length, size)
+      assert(dec != null && java.util.Arrays.equals(dec, data), s"size=$size")
+      // wrong expected length must fail, not mis-size
+      if (size > 0)
+        assert(org.apache.spark.sql.graft.TiffLzw.decode(enc, 0, enc.length, size - 1) == null)
+    }
+    // real-LZW shape: a decoder-side stream with actual string codes
+    // incl. the KwKwK case ("ababab...": encoder would emit 97,98,258,
+    // 260(=KwKwK)...) — hand-build one and check against a reference
+    // decode of repeated text through the fixture path is below; here
+    // assert corrupt streams never throw
+    val base = graft.geo.Fixtures.lzwEncode(Array.fill(500)(rnd.nextInt(256).toByte))
+    (1 to 300).foreach { _ =>
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      val out = org.apache.spark.sql.graft.TiffLzw.decode(m, 0, m.length, 500)
+      assert(out == null || out.length == 500) // never throws, never mis-sizes
+    }
+  }
+
+  test("g13: NoData tag decodes, sentinel pixels null out, fuzz extended to LZW layout") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    val nd = Some(graft.geo.Fixtures.NoDataVal)
+    val n = graft.geo.Fixtures.GridN2
+    for ((bytes, lzw) <- Seq(
+      (graft.geo.Fixtures.tiffBytesDeflate(7, bits = 16, compress = false,
+        lzw = true, noData = nd), true),
+      (graft.geo.Fixtures.tiffBytesDeflate(7, bits = 16, noData = nd), false),
+      (graft.geo.Fixtures.tiffBytesDeflate(7, tiled = true, bits = 16,
+        order = java.nio.ByteOrder.BIG_ENDIAN, noData = nd), false))) {
+      val row = expr.eval(InternalRow(bytes)).asInstanceOf[InternalRow]
+      assert(row != null, s"decode failed lzw=$lzw")
+      assert(row.getInt(0) == n && row.getInt(1) == n)
+      assert(!row.isNullAt(3) && row.getInt(3) == graft.geo.Fixtures.NoDataVal)
+      val pts = row.getArray(2)
+      var sentinels = 0
+      (0 until pts.numElements()).foreach { i =>
+        val p = pts.getStruct(i, 3)
+        val x = p.getInt(0); val y = p.getInt(1); val e = p.getInt(2)
+        val expected = if ((x * 13 + y * 7 + 7) % 89 == 0) graft.geo.Fixtures.NoDataVal
+          else ((7L * 131 + x * 17 + y * 29) % 8848).toInt
+        assert(e == expected, s"($x,$y) lzw=$lzw")
+        if (e == graft.geo.Fixtures.NoDataVal) sentinels += 1
+      }
+      assert(sentinels > 0)
+    }
+    // fuzz: byte flips + truncations of the LZW-compressed container
+    // never throw (extends the g10 fuzz to the new codec)
+    val rnd = new scala.util.Random(19)
+    val base = graft.geo.Fixtures.tiffBytesDeflate(11, bits = 16, compress = false,
+      lzw = true, noData = nd)
+    val mutants =
+      (0 until base.length by 7).map(base.take(_)) ++
+      (1 to 300).map { _ =>
+        val m = base.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        m
+      }
+    mutants.foreach { m =>
+      val out = expr.eval(InternalRow(m))
+      assert(out == null || out.isInstanceOf[InternalRow])
+    }
+    // a file WITHOUT the tag decodes with a null nodata field
+    val plain = graft.geo.Fixtures.tiffBytesDeflate(7, bits = 16)
+    val prow = expr.eval(InternalRow(plain)).asInstanceOf[InternalRow]
+    assert(prow.isNullAt(3))
+  }
+
   test("g8: FS listing manifest flags missing and torn downloads only") {
     val got = GeoQueries.listingManifest(spark, Sf)
       .select("tile_id").as[Long].collect().toSet
