@@ -70,4 +70,49 @@ class IngestSpec extends SparkSpec {
     val tiles = manifest.count()
     assert(pixels == tiles * 64)
   }
+
+  test("g8: object-store config injection reaches the task-side FileSystem (the S3A path)") {
+    // The reference points its client at a custom endpoint with
+    // anonymous credentials (main.rs:254-263). The Hadoop twin is
+    // pure configuration — for a real bucket:
+    //   fs.s3a.endpoint                  = https://<custom-endpoint>
+    //   fs.s3a.aws.credentials.provider  = ...AnonymousAWSCredentialsProvider
+    //   fs.s3a.path.style.access         = true
+    // This test proves the injection CHAIN those keys ride: session
+    // hadoopConfiguration → SerializableConfiguration → task-side
+    // Path.getFileSystem → FileSystem.initialize(conf), using a
+    // conf-registered scheme (mock3a) whose init records what it saw.
+    // FsListing itself is scheme-agnostic — the same code lists
+    // file://, mock3a://, or s3a://.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mock3a.impl", classOf[Mock3aFileSystem].getName)
+    hc.set("fs.mock3a.endpoint", "https://objects.example.edu")
+    hc.set("fs.mock3a.aws.credentials.provider", "AnonymousAWSCredentialsProvider")
+    hc.set("fs.mock3a.path.style.access", "true")
+    try {
+      val fixture = graft.geo.Fixtures.ensureListing(spark, Sf)
+      val viaMock = org.apache.spark.sql.graft.FsListing
+        .listByPrefix(spark, "mock3a://raster" + new java.io.File(fixture).getAbsolutePath,
+          graft.geo.Geo.ListingPrefixes, ".grft")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val viaLocal = org.apache.spark.sql.graft.FsListing
+        .listByPrefix(spark, fixture, graft.geo.Geo.ListingPrefixes, ".grft")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // identical manifest through the object-store scheme
+      assert(viaMock.nonEmpty && viaMock == viaLocal)
+      // the task-side FileSystem saw the injected endpoint + creds
+      val (bucket, endpoint, creds, pathStyle) = Mock3aFileSystem.seen.get
+      assert(bucket == "raster") // the reference's bucket name role
+      assert(endpoint == "https://objects.example.edu")
+      assert(creds == "AnonymousAWSCredentialsProvider")
+      assert(pathStyle == "true")
+    } finally {
+      // unset the conf; the cached mock3a FileSystem instance is
+      // harmless (unique scheme) and closing ALL cached filesystems
+      // would yank file:// out from under concurrent Spark internals
+      Seq("fs.mock3a.impl", "fs.mock3a.endpoint",
+        "fs.mock3a.aws.credentials.provider", "fs.mock3a.path.style.access")
+        .foreach(hc.unset)
+    }
+  }
 }
