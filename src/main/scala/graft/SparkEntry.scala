@@ -76,6 +76,7 @@ object SparkEntry {
     "t9_rep_signals"          -> TextAnalysis.repSignals _,
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
+    "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
@@ -109,6 +110,8 @@ object SparkEntry {
     "s5_ann_ivfpq"            -> ((s: SparkSession, d: String) => Ann.ivfPqTopK(s, d)),
     // multimodal
     "m1_mm_manifest"          -> Multimodal.manifest _,
+    "m4_frame_neardup"        -> ((s: SparkSession, d: String) =>
+      Multimodal.frameNearDup(s, d)),
     "m2_frame_manifest"       -> ((s: SparkSession, d: String) =>
       Multimodal.frameManifest(s, d)),
     "m3_audio_manifest"       -> ((s: SparkSession, d: String) =>
@@ -785,9 +788,72 @@ object SparkEntry {
       |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
       |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS fhash
       |FROM p ORDER BY doc_id, frame_idx""".stripMargin,
+    // m4: the oracle recomputes each frame's 64-bit average-hash from
+    // the fixture pixel formula with the SAME integer threshold rule
+    // (blockSum·totalPixels > totalSum·blockPixels, MSB-first fold)
+    // and brute-forces the Hamming join — the Spark side must land on
+    // the identical pair set through real GIF decode + chunk blocking
+    "m4_frame_neardup" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h,
+      |  (doc_id % 5 + 2)::INT AS n FROM documents),
+      |f AS (SELECT doc_id, w, h, unnest(range(0, n, 2)) AS fi FROM d),
+      |s AS (SELECT doc_id, fi, w, h,
+      |  list_sum([(doc_id * 31 + fi * 101 + (i % w) * 7 + (i // w) * 13) % 256
+      |            for i in range(0, w * h)])::BIGINT AS total FROM f),
+      |sg AS (SELECT doc_id, fi,
+      |  list_reduce(list_prepend(0::HUGEINT, [
+      |    (CASE WHEN
+      |      (list_sum([(doc_id * 31 + fi * 101 + (i % w) * 7 + (i // w) * 13) % 256
+      |        for i in range(0, w * h)
+      |        if (i % w) >= (b % 8) * w // 8 AND (i % w) < ((b % 8) + 1) * w // 8
+      |          AND (i // w) >= (b // 8) * h // 8 AND (i // w) < ((b // 8) + 1) * h // 8
+      |       ]))::BIGINT * (w * h)
+      |      > total * ((((b % 8) + 1) * w // 8 - (b % 8) * w // 8)
+      |               * (((b // 8) + 1) * h // 8 - (b // 8) * h // 8))
+      |     THEN 1 ELSE 0 END)::HUGEINT
+      |    for b in range(0, 64)]),
+      |    (acc, bit) -> acc * 2 + bit) AS hu
+      |  FROM s),
+      |sig AS (SELECT doc_id, fi::INT AS fi,
+      |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS sig
+      |  FROM sg)
+      |SELECT a.doc_id AS doc_a, a.fi AS frame_a, b.doc_id AS doc_b, b.fi AS frame_b,
+      |       bit_count(xor(a.sig, b.sig))::INT AS hamming
+      |FROM sig a JOIN sig b
+      |  ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.fi < b.fi))
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin,
     "d1_exact_dedup" -> raw"""
       |SELECT md5($Nrm) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    // d10: the oracle re-derives the raw URL from the same doc_id
+    // arithmetic, then runs the identical canonicalization chain in
+    // DuckDB string/list functions — byte-exact both sides
+    "d10_url_dedup" -> raw"""
+      |WITH r AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.Site' || (doc_id % 97) % 37 || '.Example.COM:443/News/' ||
+      |    (doc_id % 97) % 11 || '/Item' || (doc_id % 97) % 101 || '/?id=' ||
+      |    (doc_id % 97) % 13 || '&utm_source=s' || doc_id % 5 || '&Lang=' ||
+      |    (doc_id % 97) % 3 || '&ref=tw' || '&utm_campaign=c' || doc_id % 7 AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)), '^www\.', ''), ':443$$', '') ||
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1), '/+$$', '') ||
+      |    CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&') ELSE '' END AS canonical_url
+      |  FROM (SELECT doc_id, url,
+      |    list_sort([lower(split_part(q, '=', 1)) || '=' || split_part(q, '=', 2)
+      |      for q in string_split(regexp_extract(url, '\?(.*)$$', 1), '&')
+      |      if q <> '' and not starts_with(q, 'utm_')
+      |        and not regexp_matches(q, '^[Rr]ef=')]) AS p
+      |    FROM r))
+      |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper,
+      |       sum(doc_id)::BIGINT AS id_sum
+      |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     "d2_minhash_lsh" -> raw"""
       |WITH $ShingleCte
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -312,4 +312,56 @@ object Curation {
           16, 10).cast("long"))
       .orderBy(col("lang"), col("rank"))
   }
+
+  /** d10: URL canonicalization + exact URL dedup — the first dedup
+    * stage of every web-corpus pipeline (CCNet, RefinedWeb, Dolma
+    * dedupe documents by canonical URL before any content pass,
+    * because re-crawls of one page dominate raw crawl duplicates).
+    * Canonicalization: lowercase scheme+host, strip a `www.` host
+    * prefix and the scheme's default port, strip trailing path
+    * slashes, drop tracking parameters (`utm_*`, `ref`), lowercase
+    * remaining parameter KEYS and sort parameters byte-wise. All pure
+    * column expressions in one projection — a stateless per-row map,
+    * pushdown-friendly, zero shuffles before the final group-by
+    * (which at 100 TB shuffles one skinny (url, id) pair per doc).
+    *
+    * The documents table ships no URL column, so raw URLs derive
+    * deterministically from doc_id (§3 discipline): mixed-case
+    * host/scheme, default port, tracking params whose VALUES vary
+    * per doc within a canonical group (doc_id-driven) while the
+    * canonical identity is (doc_id % 97)-driven — so raw strings
+    * differ inside a group and the oracle proves the whole
+    * normalization chain byte-exactly.
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id"), lit(97))
+    val raw = concat(
+      lit("HTTPS://WWW.Site"), pmod(h, lit(37)),
+      lit(".Example.COM:443/News/"), pmod(h, lit(11)),
+      lit("/Item"), pmod(h, lit(101)), lit("/?id="), pmod(h, lit(13)),
+      lit("&utm_source=s"), pmod(col("doc_id"), lit(5)),
+      lit("&Lang="), pmod(h, lit(3)),
+      lit("&ref=tw"), lit("&utm_campaign=c"), pmod(col("doc_id"), lit(7)))
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?]+)", 1))
+    val host = regexp_replace(regexp_replace(hostport, "^www\\.", ""), ":443$", "")
+    val path = regexp_replace(
+      regexp_extract(col("url"), "^[A-Za-z]+://[^/?]+([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(col("url"), "\\?(.*)$", 1)
+    val params = sort_array(transform(
+      filter(split(query, "&"), p =>
+        p =!= "" && !p.startsWith("utm_") && !p.rlike("^[Rr]ef=")),
+      p => concat(lower(substring_index(p, "=", 1)), lit("="),
+        substring_index(p, "=", -1))))
+    val canonical = concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("url"))
+      .select(col("doc_id"), canonical.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("canonical_url"))
+  }
 }

@@ -362,6 +362,94 @@ object Multimodal {
     graft.Caches.ordered(unsorted, col("doc_id"), col("frame_idx"))
   }
 
+  /** 64-bit average-hash of a decoded grayscale frame — the standard
+    * perceptual frame signature (aHash): the image pools onto an 8×8
+    * grid (uneven integer block bounds `b·w/8`), bit b = block mean >
+    * global mean, compared by INTEGER cross-multiplication
+    * (blockSum·totalPixels > totalSum·blockPixels) so the DuckDB
+    * oracle reproduces every bit without touching floats. MSB-first
+    * fold (block 0 highest) keeps the sign bit meaningful as bit 63.
+    */
+  def avgHash64(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val n = w.toLong * h
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { total += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      val bx = b % 8; val by = b / 8
+      val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bs = 0L
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) { bs += raster.getSample(xx, yy, 0); xx += 1 }
+        yy += 1
+      }
+      val bn = (x1 - x0).toLong * (y1 - y0)
+      sig = (sig << 1) | (if (bs * n > total * bn) 1L else 0L)
+      b += 1
+    }
+    sig
+  }
+
+  /** The `m4_frame_neardup` query: NEAR-DUPLICATE FRAMES across
+    * videos — the multimodal × dedup composition every video-corpus
+    * pipeline runs (static intros, shared stock footage, re-encodes
+    * of one clip): every stride-th frame of every video decodes to a
+    * 64-bit average-hash ([[avgHash64]]), and frame pairs within
+    * Hamming distance `maxHamming` surface as duplicate candidates.
+    *
+    * Scale shape is d3's exactly: each signature explodes into 4
+    * 16-bit chunks; a pair with Hamming ≤ 3 must agree on ≥ 1 chunk
+    * (pigeonhole — lossless blocking), so candidates come from a
+    * chunk-keyed equi-join (shuffle ∝ frames·4, never frames²) and
+    * the exact `bit_count(xor)` filter keeps true pairs only. Oracle:
+    * DuckDB recomputes every signature from the fixture formulas with
+    * the same integer threshold rule and brute-forces the pair join.
+    */
+  def frameNearDup(s: SparkSession, dir: String, stride: Int = 2,
+      maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val sigs = graft.Caches.track(withVideoPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        demuxFrames(bytes).zipWithIndex.collect {
+          case (img, idx) if idx % stride == 0 => (id, idx, avgHash64(img))
+        }
+      }))
+      .toDF("doc_id", "frame_idx", "sig"))
+    val chunked = sigs.select(col("doc_id"), col("frame_idx"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      // arithmetic shift + 16-bit mask ≡ unsigned shift + mask
+      .withColumn("cv", expr("shiftright(sig, ci * 16) & 65535"))
+    val cands = chunked.as("x").join(chunked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          (col("x.doc_id") < col("y.doc_id") ||
+            (col("x.doc_id") === col("y.doc_id") &&
+              col("x.frame_idx") < col("y.frame_idx"))))
+      .select(col("x.doc_id").as("doc_a"), col("x.frame_idx").as("frame_a"),
+        col("x.sig").as("sig_a"),
+        col("y.doc_id").as("doc_b"), col("y.frame_idx").as("frame_b"),
+        col("y.sig").as("sig_b"))
+      .distinct()
+    graft.Caches.ordered(
+      cands.withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"),
+          col("hamming")),
+      col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"))
+  }
+
   /** Embedding extraction: binary payload → REAL decode → pooled
     * `array<float>` column.
     */

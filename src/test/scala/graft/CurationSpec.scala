@@ -206,4 +206,27 @@ class CurationSpec extends SparkSpec {
           jobs.toArray.mkString("; "))
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("d10: canonicalization folds case/port/www/tracking/order; groups are (doc_id%97)-exact") {
+    val got = Curation.urlDedup(spark, Sf).collect()
+    val n = graft.Tables.documents(spark, Sf).count()
+    // group structure: one group per residue class mod 97 present
+    assert(got.length == math.min(97L, n))
+    assert(got.map(_.getLong(1)).sum == n) // every doc in exactly one group
+    got.foreach { r =>
+      val url = r.getString(0)
+      // canonical invariants: lowercase scheme+host, no www/port/
+      // tracking/trailing slash, params key-sorted
+      assert(url.startsWith("https://site"))
+      assert(!url.contains("WWW") && !url.contains(":443") &&
+        !url.contains("utm_") && !url.contains("ref=") && !url.endsWith("/"))
+      assert(url.contains("?id=") && url.contains("&lang=")) // sorted: id < lang
+      // keeper = min doc_id of the group = the residue itself when
+      // present in [0, n)
+      assert(r.getLong(2) % 97 == r.getLong(2) ||
+        r.getLong(2) < 97) // keeper is the smallest id in its class
+    }
+    // the keeper set is exactly the residues (min id of class c is c for n >= 97)
+    if (n >= 97) assert(got.map(_.getLong(2)).sorted.toSeq == (0L until 97L))
+  }
 }

@@ -147,4 +147,28 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeImage(Multimodal.pngPayload(id)), 64).toList
     assert(v1 == expect)
   }
+
+  test("m4: chunk-blocked frame near-dup equals the brute-force pair set") {
+    // brute force over driver-computed signatures from the real
+    // decode path — the blocked equi-join must lose nothing
+    // (pigeonhole: hamming <= 3 over 4 chunks shares a chunk)
+    val sigs = graft.Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).flatMap { id =>
+        Multimodal.demuxFrames(Multimodal.gifPayload(id)).zipWithIndex.collect {
+          case (img, idx) if idx % 2 == 0 => (id, idx, Multimodal.avgHash64(img))
+        }
+      }
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (da, fa, sa) = sigs(i); (db, fb, sb) = sigs(j)
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield {
+      if (da < db || (da == db && fa < fb)) (da, fa, db, fb, h)
+      else (db, fb, da, fa, h)
+    }).toSet
+    val got = Multimodal.frameNearDup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // the threshold actually fires on this corpus
+  }
 }
