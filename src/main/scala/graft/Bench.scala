@@ -120,9 +120,29 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     var failed = List.empty[String]
 
+    /** Total JVM GC milliseconds so far (all collectors). */
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.max(0L)).sum
+    }
+    // per-query GC seconds (summed over runs) — the r7 sf10 finding:
+    // late-suite queries inflated up to 10x over their isolated cost
+    // (g6: 53-82 s in-suite vs 4.6-10.7 isolated) and nothing in the
+    // artifact said WHY. GC time riding next to wall time makes a
+    // JVM-state artifact self-diagnosing: slow + high gc_sec = heap
+    // inheritance, slow + low gc_sec = the query itself.
+    val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String, n: Int): Seq[Double] =
+        dir: String, n: Int, gcFirst: Boolean = false): Seq[Double] =
       (0 until n).flatMap { _ =>
+        // scale sections opt in to a pre-run System.gc(): hundreds of
+        // earlier query executions leave the old gen full of dead
+        // cache blocks, and a 20-80 s scale query otherwise pays the
+        // inherited collection mid-measurement
+        if (gcFirst) System.gc()
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, dir).count(); true }
@@ -132,6 +152,7 @@ object Bench {
             false
           }
           finally Caches.clear() // release per-query caches between runs
+        gcByQuery(name) = gcByQuery.getOrElse(name, 0.0) + (gcMs() - g0) / 1e3
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
 
@@ -273,11 +294,11 @@ object Bench {
             // pair's order flips at least once across passes
             val order = if (pass % 2 == 1) rotated.reverse else rotated
             order.foreach { name =>
-              byName(name) ++= time(name, SparkEntry.queries(name), d, 1)
+              byName(name) ++= time(name, SparkEntry.queries(name), d, 1, gcFirst = true)
             }
           }
         } else wanted.foreach { name =>
-          byName(name) = time(name, SparkEntry.queries(name), d, runsN).toVector
+          byName(name) = time(name, SparkEntry.queries(name), d, runsN, gcFirst = true).toVector
         }
         val entries = wanted.map { name =>
           val ts = byName(name)
@@ -311,7 +332,13 @@ object Bench {
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfl = spreadFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadAvg()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"$sf1$sf10}"""
+    // per-query GC seconds summed over every run of that query (main
+    // suite + scale sections share keys with "sf1:"/"sf10:" prefixes
+    // absent — scale runs accumulate into the same key; the DELTA a
+    // reader needs is gc vs wall within one artifact)
+    val gcs = gcByQuery.map { case (k, v) =>
+      "\"" + k + "\":" + jnum(math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"$sf1$sf10}"""
     println(json)
     // the artifact of record, immune to stdout capture truncation.
     // ONLY-subset runs write a stamped side file instead (VERDICT r6
