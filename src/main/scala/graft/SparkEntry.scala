@@ -77,6 +77,7 @@ object SparkEntry {
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
+    "d11_line_dedup"          -> ((s: SparkSession, d: String) => Dedup.lineDedup(s, d)),
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
@@ -854,6 +855,32 @@ object SparkEntry {
       |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper,
       |       sum(doc_id)::BIGINT AS id_sum
       |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+    // d11: the oracle re-segments each doc into the same 8-word
+    // windows with list slicing, counts corpus frequency per line,
+    // and reconstructs kept text — byte-exact both sides
+    "d11_line_dedup" -> raw"""
+      |WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ln AS (
+      |  SELECT doc_id,
+      |         unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS line_no,
+      |         ws
+      |  FROM w),
+      |ln2 AS (
+      |  SELECT doc_id, line_no,
+      |         array_to_string(ws[(line_no*8 + 1):(line_no*8 + 8)], ' ') AS line
+      |  FROM ln),
+      |hot AS (
+      |  SELECT md5(line) AS h FROM ln2
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3)
+      |SELECT l.doc_id,
+      |       count(*) AS n_lines,
+      |       count(h.h) AS n_dup_lines,
+      |       length(coalesce(string_agg(CASE WHEN h.h IS NULL THEN l.line END,
+      |         ' ' ORDER BY l.line_no), ''))::BIGINT AS kept_chars,
+      |       coalesce(string_agg(CASE WHEN h.h IS NULL THEN l.line END,
+      |         ' ' ORDER BY l.line_no), '') AS kept_text
+      |FROM ln2 l LEFT JOIN hot h ON md5(l.line) = h.h
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d2_minhash_lsh" -> raw"""
       |WITH $ShingleCte
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -46,6 +46,30 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._2 == 4L))
   }
 
+  test("line dedup strips corpus-hot 8-word windows, keeps within-doc repeats") {
+    val dir = scratchDir("graft_linededup")
+    val hotLine = "w1 w2 w3 w4 w5 w6 w7 w8" // in 3 docs ⇒ hot
+    val b0 = "only in doc zero"             // short trailing window
+    val c1 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val twice = "t1 t2 t3 t4 t5 t6 t7 t8"   // twice in ONE doc ⇒ not hot
+    val docs = Seq(
+      (0L, s"$hotLine $b0"),     // lines: [hot, b0]
+      (1L, s"$c1 $hotLine"),     // hot at window 1 (aligned)
+      (2L, hotLine),             // all lines removed
+      (3L, s"$twice $twice"))    // distinct-doc count 1 — kept
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.lineDedup(spark, dir)
+      .select("doc_id", "n_lines", "n_dup_lines", "kept_chars", "kept_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, b0.length.toLong, b0),
+      (1L, 2L, 1L, c1.length.toLong, c1),
+      (2L, 1L, 1L, 0L, ""),
+      (3L, 2L, 0L, (s"$twice $twice").length.toLong, s"$twice $twice")), got.toString)
+  }
+
   test("exact-set collapse expands losslessly, incl. same-set different-order texts") {
     val dir = scratchDir("graft_dedup_fam")
     // same circular char-4-gram SET in two different first-occurrence
