@@ -74,6 +74,7 @@ object SparkEntry {
     "t8_heavy_hitters"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.heavyHitters(s, d)),
     "t9_rep_signals"          -> TextAnalysis.repSignals _,
+    "t10_domain_stats"        -> TextAnalysis.domainStats _,
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
@@ -733,6 +734,19 @@ object SparkEntry {
     // duplicated char mass; integer numerators keep the hash compare
     // independent of float formatting (fractions are round(…, 6) on
     // both engines)
+    // t10: host and URL identity re-derived from the generating
+    // formulas (doc_id % 97 drives the canonical identity), so the
+    // Spark side's real string-extraction chain is independently
+    // re-proven against pure arithmetic
+    "t10_domain_stats" -> raw"""
+      |WITH d AS (SELECT doc_id, text, lang, n_chars, doc_id % 97 AS h FROM documents)
+      |SELECT 'site' || h % 37 || '.example.com' AS host,
+      |       count(*) AS n_docs,
+      |       count(DISTINCT h) AS n_urls,
+      |       count(DISTINCT lang) AS n_langs,
+      |       sum(len(string_split(text, ' ')))::BIGINT AS tok_sum,
+      |       round(avg(n_chars), 6) AS avg_chars
+      |FROM d GROUP BY 1 ORDER BY host""".stripMargin,
     "t9_rep_signals" -> raw"""
       |WITH d AS (SELECT doc_id, $Nrm AS nrm, string_split($Nrm, ' ') AS w FROM documents),
       |base AS (SELECT doc_id, len(w)::INT AS n_words,

@@ -333,35 +333,56 @@ object Curation {
     * differ inside a group and the oracle proves the whole
     * normalization chain byte-exactly.
     */
-  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+  def urlDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), syntheticUrl.as("url"))
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("canonical_url"))
+
+  /** The deterministic raw URL the documents table would carry if the
+    * synthetic corpus shipped one (§3 discipline; see urlDedup's
+    * Scaladoc for why the tracking-param VALUES vary per doc while
+    * the canonical identity is (doc_id % 97)-driven).
+    */
+  private[operators] def syntheticUrl: Column = {
     val h = pmod(col("doc_id"), lit(97))
-    val raw = concat(
+    concat(
       lit("HTTPS://WWW.Site"), pmod(h, lit(37)),
       lit(".Example.COM:443/News/"), pmod(h, lit(11)),
       lit("/Item"), pmod(h, lit(101)), lit("/?id="), pmod(h, lit(13)),
       lit("&utm_source=s"), pmod(col("doc_id"), lit(5)),
       lit("&Lang="), pmod(h, lit(3)),
       lit("&ref=tw"), lit("&utm_campaign=c"), pmod(col("doc_id"), lit(7)))
-    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
-    val hostport = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?]+)", 1))
-    val host = regexp_replace(regexp_replace(hostport, "^www\\.", ""), ":443$", "")
+  }
+
+  /** Canonical host: lowercased, `www.` prefix and default port
+    * stripped — the registrable-domain key a corpus mix report
+    * groups by.
+    */
+  private[operators] def urlHost(url: Column): Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?]+)", 1)),
+      "^www\\.", ""), ":443$", "")
+
+  /** Full canonicalization chain (see urlDedup Scaladoc): lowercase
+    * scheme+host, strip www./default port/trailing slashes, drop
+    * tracking params, lowercase+sort surviving params.
+    */
+  private[operators] def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val path = regexp_replace(
-      regexp_extract(col("url"), "^[A-Za-z]+://[^/?]+([^?]*)", 1), "/+$", "")
-    val query = regexp_extract(col("url"), "\\?(.*)$", 1)
+      regexp_extract(url, "^[A-Za-z]+://[^/?]+([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?(.*)$", 1)
     val params = sort_array(transform(
       filter(split(query, "&"), p =>
         p =!= "" && !p.startsWith("utm_") && !p.rlike("^[Rr]ef=")),
       p => concat(lower(substring_index(p, "=", 1)), lit("="),
         substring_index(p, "=", -1))))
-    val canonical = concat(scheme, lit("://"), host, path,
+    concat(scheme, lit("://"), urlHost(url), path,
       when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
         .otherwise(lit("")))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), raw.as("url"))
-      .select(col("doc_id"), canonical.as("canonical_url"))
-      .groupBy(col("canonical_url"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
-        sum(col("doc_id")).as("id_sum"))
-      .orderBy(col("canonical_url"))
   }
 }

@@ -298,4 +298,34 @@ object TextAnalysis {
       frac(col("g5.dup_num")).as("dup5_cfrac"))
       .orderBy(col("doc_id"))
   }
+
+  /** t10: per-host corpus mix report — the domain-level audit every
+    * web-corpus pipeline publishes (CCNet's per-domain stats, Dolma's
+    * domain mix tables, RefinedWeb §3.1): docs, distinct canonical
+    * URLs, languages, token volume, and mean document length per
+    * registrable host. Composes d10's canonicalization chain (the
+    * Spark side goes through the real string extraction; the oracle
+    * derives host and URL identity from the generating formulas, so
+    * the chain is independently re-proven). Scale shape: stateless
+    * per-row projection → one group-by on the skinny host key with
+    * map-side partial aggregation; distinct counts are exact
+    * (two-phase expand) — at 100 TB the host cardinality (~10^7) is
+    * trivially reducer-sized, and a skew-heavy host (a crawl
+    * dominated by one domain) still partial-aggregates map-side.
+    */
+  def domainStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        Curation.syntheticUrl.as("url"))
+      .select(Curation.urlHost(col("url")).as("host"),
+        Curation.canonicalUrl(col("url")).as("canonical_url"),
+        col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("canonical_url")).as("n_urls"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("toks")).as("tok_sum"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy(col("host"))
 }

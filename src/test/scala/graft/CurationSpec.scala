@@ -229,4 +229,25 @@ class CurationSpec extends SparkSpec {
     // the keeper set is exactly the residues (min id of class c is c for n >= 97)
     if (n >= 97) assert(got.map(_.getLong(2)).sorted.toSeq == (0L until 97L))
   }
+
+  test("t10: per-host mix report — hosts are h%37 classes, counts partition the corpus") {
+    val got = graft.operators.TextAnalysis.domainStats(spark, Sf).collect()
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text", "lang", "n_chars").collect()
+    val n = docs.length.toLong
+    // host structure: one row per residue class (doc_id%97)%37 present
+    val classes = docs.map(r => (r.getLong(0) % 97) % 37).distinct.length
+    assert(got.length == classes)
+    assert(got.map(_.getLong(1)).sum == n) // n_docs partitions the corpus
+    val byHost = docs.groupBy(r => s"site${(r.getLong(0) % 97) % 37}.example.com")
+    got.foreach { r =>
+      val host = r.getString(0)
+      assert(host.matches("site\\d+\\.example\\.com"), host)
+      val grp = byHost(host)
+      assert(r.getLong(1) == grp.length.toLong)                       // n_docs
+      assert(r.getLong(2) == grp.map(_.getLong(0) % 97).distinct.length) // n_urls
+      assert(r.getLong(3) == grp.map(_.getString(2)).distinct.length)    // n_langs
+      assert(r.getLong(4) == grp.map(_.getString(1).split(" ", -1).length.toLong).sum) // tok_sum
+    }
+  }
 }
