@@ -126,6 +126,29 @@ class PlanSpec extends SparkSpec {
       s"read $readPartitions of $total partitions")
   }
 
+  test("d11: frequency-pass shuffle is skinny — no line text through the hot-count exchange") {
+    val df = Dedup.lineDedup(spark, Sf)
+    val p = formatted(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the formatted details list each Exchange's Input columns; the
+    // hot-count side must shuffle only (hash, doc_id) — the line text
+    // may ride an exchange ONLY on the strip-join/reconstruct path
+    // (where it is the payload being deduplicated)
+    val blocks = p.split(raw"\n\n").toSeq
+    val exchanges = blocks.filter(b => b.contains("Exchange") && b.contains("Input"))
+    assert(exchanges.nonEmpty, p)
+    // the distinct-count partial groups by (md5(line), doc_id); its
+    // exchange must carry the grouping hash + doc_id ONLY — Catalyst
+    // names the unaliased md5 key `_groupingexpression`
+    val skinny = exchanges.exists { b =>
+      b.contains("_groupingexpression") && !b.contains("line#")
+    }
+    assert(skinny, "no skinny frequency exchange found:\n" + p)
+    // the hot set reaches the strip join as a broadcast, so line text
+    // crosses an exchange only in the per-doc reconstruct aggregate
+    assert(p.contains("BroadcastHashJoin LeftOuter"), p)
+  }
+
   test("asof join: custom sort-merge, one sort per side, no window/union") {
     val p = formatted(Relational.q14AsofJoin(spark, Sf))
     assert(p.contains("AsofMergeJoin"), p)
