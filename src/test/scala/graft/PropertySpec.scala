@@ -101,6 +101,31 @@ class PropertySpec extends SparkSpec {
     check("oph-invariance", prop)
   }
 
+  test("lineDedup segmentation+reconstruct is lossless on arbitrary text") {
+    // join(split(s, " "), " ") == s for ANY s (single-char separator),
+    // and chunked re-joining is associative — so with no corpus-hot
+    // lines, kept_text must be the original text byte-for-byte, and
+    // with everything hot (minDocs = 1) the dual invariant holds
+    val prop = Prop.forAll(Gen.listOfN(30, text)) { texts =>
+      val dir = scratchDir("graft_linededup_prop")
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val nothingHot = graft.operators.Dedup
+        .lineDedup(spark, dir, minDocs = texts.length + 1)
+        .select("doc_id", "n_dup_lines", "kept_text")
+        .as[(Long, Long, String)].collect()
+      val allHot = graft.operators.Dedup.lineDedup(spark, dir, minDocs = 1)
+        .select("n_lines", "n_dup_lines", "kept_text")
+        .as[(Long, Long, String)].collect()
+      nothingHot.forall { case (id, nd, kept) =>
+        nd == 0L && kept == texts(id.toInt)
+      } && allHot.forall { case (nl, nd, kept) => nl == nd && kept == "" }
+    }
+    check("line-dedup-identity", prop, cases = 3)
+  }
+
   test("AsofJoin equals the window reference on arbitrary keyed event/order sets") {
     import org.apache.spark.sql.expressions.Window
     val row = Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 500L))
