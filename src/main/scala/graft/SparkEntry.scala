@@ -31,6 +31,7 @@ object SparkEntry {
     "g13_raster_tiff_nodata"  -> GeoQueries.rasterIngestTiffNodata _,
     "g11_partition_prune"     -> GeoQueries.tiledRegionQuery _,
     "g12_raster_tiff_i16"     -> GeoQueries.rasterIngestTiffI16 _,
+    "g14_slope_aspect"        -> GeoQueries.slopeAspect _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -268,6 +269,45 @@ object SparkEntry {
       |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
       |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    // g14: neighbors re-derived from the congruential pixel formula
+    // (all operands non-negative, so % agrees across engines);
+    // dzdx/dzdy/tan2 are INTEGER Horn numerators — no float trig in
+    // the hash (libm atan is not bit-identical across engines)
+    "g14_slope_aspect" -> (raw"""
+      |WITH $TilesCte,
+      |px AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(1,6) ys(y), generate_series(1,6) xs(x)
+      |  WHERE tile_id < 50),
+      |zz AS (
+      |  SELECT *,
+      |    (tile_id*131 + (x+1)*17 + (y-1)*29) % 8848 AS ze_n,
+      |    (tile_id*131 + (x+1)*17 + (y  )*29) % 8848 AS ze,
+      |    (tile_id*131 + (x+1)*17 + (y+1)*29) % 8848 AS ze_s,
+      |    (tile_id*131 + (x-1)*17 + (y-1)*29) % 8848 AS zw_n,
+      |    (tile_id*131 + (x-1)*17 + (y  )*29) % 8848 AS zw,
+      |    (tile_id*131 + (x-1)*17 + (y+1)*29) % 8848 AS zw_s,
+      |    (tile_id*131 + (x  )*17 + (y-1)*29) % 8848 AS zn,
+      |    (tile_id*131 + (x  )*17 + (y+1)*29) % 8848 AS zs
+      |  FROM px),
+      |h AS (
+      |  SELECT tile_id, tile_key, x, y,
+      |    (ze_n + 2*ze + ze_s - zw_n - 2*zw - zw_s)::BIGINT AS dzdx_num,
+      |    (zw_s + 2*zs + ze_s - zw_n - 2*zn - ze_n)::BIGINT AS dzdy_num
+      |  FROM zz)
+      |SELECT tile_id, tile_key, x, y, dzdx_num, dzdy_num,
+      |  (dzdx_num*dzdx_num + dzdy_num*dzdy_num)::BIGINT AS tan2_num,
+      |  CASE WHEN dzdx_num = 0 AND dzdy_num = 0 THEN 'flat'
+      |       WHEN abs(dzdx_num) > abs(dzdy_num) THEN
+      |         CASE WHEN dzdx_num > 0 THEN 'E' ELSE 'W' END
+      |       WHEN abs(dzdy_num) > abs(dzdx_num) THEN
+      |         CASE WHEN dzdy_num > 0 THEN 'S' ELSE 'N' END
+      |       ELSE CASE WHEN dzdx_num > 0 AND dzdy_num > 0 THEN 'SE'
+      |                 WHEN dzdx_num > 0 THEN 'NE'
+      |                 WHEN dzdy_num > 0 THEN 'SW'
+      |                 ELSE 'NW' END
+      |  END AS grad_octant
+      |FROM h ORDER BY tile_id, y, x""").stripMargin,
     "g12_raster_tiff_i16" -> raw"""
       |WITH $TilesCte,
       |grid2 AS (

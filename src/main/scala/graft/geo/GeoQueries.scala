@@ -313,6 +313,68 @@ object GeoQueries {
     * pixel fans out to its member sets via a generator, then a single
     * grouped agg.
     */
+  /** g14: slope/aspect over the decoded raster — Horn's method (Horn
+    * 1981; the same 3×3 kernel `gdaldem slope/aspect` applies to
+    * AW3D30 DSM tiles). Consumes the REAL binary decode path (g7's
+    * GRFT fixtures): per-tile pixel array → neighborhood access by
+    * index arithmetic inside the array — PURE column expressions,
+    * ZERO shuffle (the tile is the processing unit, as in any raster
+    * engine; a 3600×3600 production tile works the same way, one
+    * array per file split). Emits INTEGER Horn numerators
+    * (dzdx = east-west, dzdy = SOUTHWARD — grid y grows south, the
+    * north-up geotransform's negative row step) and the integer
+    * tan²-numerator `dzdx²+dzdy²` (slope = atan(√tan2/(8·cell)));
+    * no float trig crosses the oracle hash because libm atan is not
+    * bit-identical across engines. `grad_octant` classifies the
+    * steepest-ASCENT direction into 45° sectors (cardinal when one
+    * |gradient| strictly dominates, diagonal on exact ties) —
+    * integer comparisons only, byte-identical both sides.
+    */
+  def slopeAspect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val n = 8
+    val decoded = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+    // interior pixels only (the 3×3 kernel is undefined on the rim —
+    // gdaldem likewise emits nodata on edges)
+    val interior = flatten(transform(sequence(lit(1), lit(n - 2)), yi =>
+      transform(sequence(lit(1), lit(n - 2)), xi =>
+        struct(xi.as("x"), yi.as("y")))))
+    val px = decoded
+      .select(col("tile_key"), col("tile_id"), col("e"),
+        explode(interior).as("p"))
+      .select(col("tile_key"), col("tile_id"), col("e"),
+        col("p.x").as("x"), col("p.y").as("y"))
+    def z(dx: Int, dy: Int): org.apache.spark.sql.Column = // row-major, 1-based element_at
+      element_at(col("e"), (col("y") + dy) * n + col("x") + dx + 1)
+    val dzdx = (z(1, -1) + z(1, 0) * 2 + z(1, 1)) -
+      (z(-1, -1) + z(-1, 0) * 2 + z(-1, 1))
+    val dzdy = (z(-1, 1) + z(0, 1) * 2 + z(1, 1)) -
+      (z(-1, -1) + z(0, -1) * 2 + z(1, -1))
+    px.select(col("tile_id"), col("tile_key"), col("x"), col("y"),
+        dzdx.as("dzdx_num"), dzdy.as("dzdy_num"))
+      .withColumn("tan2_num",
+        col("dzdx_num") * col("dzdx_num") + col("dzdy_num") * col("dzdy_num"))
+      .withColumn("grad_octant",
+        when(col("dzdx_num") === 0 && col("dzdy_num") === 0, "flat")
+          .when(abs(col("dzdx_num")) > abs(col("dzdy_num")),
+            when(col("dzdx_num") > 0, "E").otherwise("W"))
+          .when(abs(col("dzdy_num")) > abs(col("dzdx_num")),
+            when(col("dzdy_num") > 0, "S").otherwise("N"))
+          .otherwise( // exact diagonal: |dzdx| == |dzdy| != 0
+            when(col("dzdx_num") > 0 && col("dzdy_num") > 0, "SE")
+              .when(col("dzdx_num") > 0, "NE")
+              .when(col("dzdy_num") > 0, "SW")
+              .otherwise("NW")))
+      .orderBy(col("tile_id"), col("y"), col("x"))
+  }
+
   def regionElevation(s: SparkSession, dir: String): DataFrame = {
     val g = gridExpand(tiles(s, dir))
       .withColumn("lat0", tileLat(col("tile_id")))

@@ -440,6 +440,33 @@ class GeoSpec extends SparkSpec {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("g14: Horn numerators match an independent recomputation; octants classify exactly") {
+    val got = GeoQueries.slopeAspect(spark, Sf)
+      .select("tile_id", "x", "y", "dzdx_num", "dzdy_num", "tan2_num", "grad_octant")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))))
+      .toMap
+    assert(got.nonEmpty && got.size % 36 == 0) // 6x6 interior per tile
+    def z(t: Long, x: Int, y: Int): Long = (t * 131 + x * 17 + y * 29) % 8848
+    got.foreach { case ((t, x, y), (dx, dy, t2, oct)) =>
+      val edx = (z(t, x + 1, y - 1) + 2 * z(t, x + 1, y) + z(t, x + 1, y + 1)) -
+        (z(t, x - 1, y - 1) + 2 * z(t, x - 1, y) + z(t, x - 1, y + 1))
+      val edy = (z(t, x - 1, y + 1) + 2 * z(t, x, y + 1) + z(t, x + 1, y + 1)) -
+        (z(t, x - 1, y - 1) + 2 * z(t, x, y - 1) + z(t, x + 1, y - 1))
+      assert(dx == edx && dy == edy && t2 == edx * edx + edy * edy, s"($t,$x,$y)")
+      val eo =
+        if (edx == 0 && edy == 0) "flat"
+        else if (math.abs(edx) > math.abs(edy)) { if (edx > 0) "E" else "W" }
+        else if (math.abs(edy) > math.abs(edx)) { if (edy > 0) "S" else "N" }
+        else if (edx > 0 && edy > 0) "SE"
+        else if (edx > 0) "NE"
+        else if (edy > 0) "SW"
+        else "NW"
+      assert(oct == eo, s"($t,$x,$y): $oct vs $eo")
+    }
+  }
+
   test("g1/g2/g5 run at sf0.001 with sane shapes") {
     assert(GeoQueries.tileParse(spark, Sf).filter(!col("roundtrip_ok")).count() == 0)
     val g2 = GeoQueries.regionFilter(spark, Sf).collect().head
