@@ -32,6 +32,7 @@ object SparkEntry {
     "g11_partition_prune"     -> GeoQueries.tiledRegionQuery _,
     "g12_raster_tiff_i16"     -> GeoQueries.rasterIngestTiffI16 _,
     "g14_slope_aspect"        -> GeoQueries.slopeAspect _,
+    "g15_flow_dir"            -> GeoQueries.flowDir _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -308,6 +309,52 @@ object SparkEntry {
       |                 ELSE 'NW' END
       |  END AS grad_octant
       |FROM h ORDER BY tile_id, y, x""").stripMargin,
+    // g15: same neighbor re-derivation as g14; the argmax mirrors the
+    // Spark side's lexicographic (score, priority) struct max — and
+    // cardinal/diagonal score ties are impossible in integers
+    // (2a² = b² ⇒ a = b = 0), so the winner is unambiguous
+    "g15_flow_dir" -> (raw"""
+      |WITH $TilesCte,
+      |px AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(1,6) ys(y), generate_series(1,6) xs(x)
+      |  WHERE tile_id < 50),
+      |zz AS (
+      |  SELECT *,
+      |    (tile_id*131 + (x  )*17 + (y  )*29) % 8848 AS z0,
+      |    (tile_id*131 + (x+1)*17 + (y-1)*29) % 8848 AS ze_n,
+      |    (tile_id*131 + (x+1)*17 + (y  )*29) % 8848 AS ze,
+      |    (tile_id*131 + (x+1)*17 + (y+1)*29) % 8848 AS ze_s,
+      |    (tile_id*131 + (x-1)*17 + (y-1)*29) % 8848 AS zw_n,
+      |    (tile_id*131 + (x-1)*17 + (y  )*29) % 8848 AS zw,
+      |    (tile_id*131 + (x-1)*17 + (y+1)*29) % 8848 AS zw_s,
+      |    (tile_id*131 + (x  )*17 + (y-1)*29) % 8848 AS zn,
+      |    (tile_id*131 + (x  )*17 + (y+1)*29) % 8848 AS zs
+      |  FROM px),
+      |cand AS (
+      |  SELECT tile_id, x, y, unnest([
+      |    struct_pack(code :=   1, pr := 1, drop := z0 - ze,   diag := false),
+      |    struct_pack(code :=   2, pr := 2, drop := z0 - ze_s, diag := true),
+      |    struct_pack(code :=   4, pr := 3, drop := z0 - zs,   diag := false),
+      |    struct_pack(code :=   8, pr := 4, drop := z0 - zw_s, diag := true),
+      |    struct_pack(code :=  16, pr := 5, drop := z0 - zw,   diag := false),
+      |    struct_pack(code :=  32, pr := 6, drop := z0 - zw_n, diag := true),
+      |    struct_pack(code :=  64, pr := 7, drop := z0 - zn,   diag := false),
+      |    struct_pack(code := 128, pr := 8, drop := z0 - ze_n, diag := true)
+      |  ]) AS f FROM zz),
+      |best AS (
+      |  SELECT tile_id, x, y, f.code AS code, f.drop AS drop, f.diag AS diag,
+      |         row_number() OVER (PARTITION BY tile_id, x, y
+      |           ORDER BY f.drop*f.drop*(CASE WHEN f.diag THEN 1 ELSE 2 END) DESC,
+      |                    f.pr ASC) AS rn
+      |  FROM cand WHERE f.drop > 0)
+      |SELECT px.tile_id, px.tile_key, px.x, px.y,
+      |       coalesce(b.code, 0)::INT AS flow_dir,
+      |       coalesce(b.drop, 0)::BIGINT AS drop_num,
+      |       coalesce(b.diag, false) AS diag
+      |FROM px LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      |  USING (tile_id, x, y)
+      |ORDER BY px.tile_id, px.y, px.x""").stripMargin,
     "g12_raster_tiff_i16" -> raw"""
       |WITH $TilesCte,
       |grid2 AS (

@@ -375,6 +375,67 @@ object GeoQueries {
       .orderBy(col("tile_id"), col("y"), col("x"))
   }
 
+  /** g15: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
+    * TauDEM's first hydrology pass): each interior pixel drains to
+    * the neighbor with the steepest positive descent drop/dist,
+    * dist 1 cardinal / √2 diagonal, encoded with the ESRI
+    * power-of-two codes (E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64,
+    * NE=128; 0 = sink). Exactness: comparing drop a (cardinal) vs
+    * b (diagonal) as a/1 vs b/√2 ⟺ 2a² vs b² for positive drops —
+    * and 2a² = b² has no nonzero integer solutions (√2 irrational),
+    * so cross-class ties are IMPOSSIBLE and the argmax is
+    * integer-exact; same-class ties break by fixed E,SE,S,SW,W,NW,
+    * N,NE priority. Same zero-shuffle per-tile array shape as g14;
+    * the argmax is `array_max` over a (score, -priority, code)
+    * struct array — lexicographic struct compare, byte-identical to
+    * the oracle's ORDER BY score DESC, priority ASC.
+    */
+  def flowDir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val n = 8
+    val decoded = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+    val interior = flatten(transform(sequence(lit(1), lit(n - 2)), yi =>
+      transform(sequence(lit(1), lit(n - 2)), xi =>
+        struct(xi.as("x"), yi.as("y")))))
+    val px = decoded
+      .select(col("tile_key"), col("tile_id"), col("e"),
+        explode(interior).as("p"))
+      .select(col("tile_key"), col("tile_id"), col("e"),
+        col("p.x").as("x"), col("p.y").as("y"))
+    def z(dx: Int, dy: Int): org.apache.spark.sql.Column =
+      element_at(col("e"), (col("y") + dy) * n + col("x") + dx + 1)
+    val z0 = z(0, 0)
+    // ESRI code order with its tie-break priority; (dx, dy, code,
+    // priority, diagonal)
+    val neighbors = Seq(
+      (1, 0, 1, 1, false), (1, 1, 2, 2, true), (0, 1, 4, 3, false),
+      (-1, 1, 8, 4, true), (-1, 0, 16, 5, false), (-1, -1, 32, 6, true),
+      (0, -1, 64, 7, false), (1, -1, 128, 8, true))
+    val cands = array(neighbors.map { case (dx, dy, code, pr, diag) =>
+      val drop = z0 - z(dx, dy)
+      val score = drop * drop * (if (diag) 1 else 2)
+      struct(score.as("score"), lit(-pr).as("negpr"),
+        lit(code).as("code"), drop.as("drop"), lit(diag).as("diag"))
+    }: _*)
+    val pos = filter(cands, c => c.getField("drop") > 0)
+    val best = array_max(pos)
+    px.select(col("tile_id"), col("tile_key"), col("x"), col("y"),
+        when(size(pos) === 0, 0).otherwise(best.getField("code"))
+          .cast("int").as("flow_dir"),
+        when(size(pos) === 0, 0L).otherwise(best.getField("drop"))
+          .cast("long").as("drop_num"),
+        when(size(pos) === 0, false).otherwise(best.getField("diag"))
+          .as("diag"))
+      .orderBy(col("tile_id"), col("y"), col("x"))
+  }
+
   def regionElevation(s: SparkSession, dir: String): DataFrame = {
     val g = gridExpand(tiles(s, dir))
       .withColumn("lat0", tileLat(col("tile_id")))

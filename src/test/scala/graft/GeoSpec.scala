@@ -467,6 +467,36 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g15: D8 flow direction matches an independent argmax; sinks and ties exact") {
+    val got = GeoQueries.flowDir(spark, Sf)
+      .select("tile_id", "x", "y", "flow_dir", "drop_num", "diag")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)),
+        (r.getInt(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got.nonEmpty && got.size % 36 == 0)
+    def z(t: Long, x: Int, y: Int): Long = (t * 131 + x * 17 + y * 29) % 8848
+    val nb = Seq( // ESRI order: (dx, dy, code, diag)
+      (1, 0, 1, false), (1, 1, 2, true), (0, 1, 4, false), (-1, 1, 8, true),
+      (-1, 0, 16, false), (-1, -1, 32, true), (0, -1, 64, false), (1, -1, 128, true))
+    got.foreach { case ((t, x, y), (code, drop, diag)) =>
+      val z0 = z(t, x, y)
+      val pos = nb.map { case (dx, dy, c, d) => (c, z0 - z(t, x + dx, y + dy), d) }
+        .filter(_._2 > 0)
+      if (pos.isEmpty) assert(code == 0 && drop == 0L && !diag, s"($t,$x,$y)")
+      else {
+        // max score = drop^2 * (2 cardinal / 1 diagonal); first in
+        // ESRI order wins same-class ties (cross-class ties impossible)
+        def score(p: (Int, Long, Boolean)): Long =
+          p._2 * p._2 * (if (p._3) 1 else 2)
+        val bestScore = pos.map(score).max
+        val expected = pos.find(score(_) == bestScore).get // priority order
+        assert(code == expected._1 && drop == expected._2 && diag == expected._3,
+          s"($t,$x,$y): got ($code,$drop,$diag) exp $expected")
+      }
+    }
+  }
+
   test("g1/g2/g5 run at sf0.001 with sane shapes") {
     assert(GeoQueries.tileParse(spark, Sf).filter(!col("roundtrip_ok")).count() == 0)
     val g2 = GeoQueries.regionFilter(spark, Sf).collect().head
