@@ -47,6 +47,7 @@ object SparkEntry {
     "q12_events_window"       -> Relational.q12EventsWindow _,
     "q13_sessionize"          -> Relational.q13Sessionize _,
     "q14_asof_join"           -> Relational.q14AsofJoin _,
+    "q32_asof_forward"        -> Relational.q32AsofForward _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
     "q17_quantiles"           -> Relational.q17Quantiles _,
@@ -526,6 +527,22 @@ object SparkEntry {
       |      FROM u)
       |SELECT event_id, uid AS user_id, floor(epoch(t))::BIGINT AS ts_epoch, asof_orderkey
       |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // q32: events sort BEFORE orders at equal t (kind 0 < 1), so a
+    // same-timestamp order falls inside the CURRENT ROW..FOLLOWING
+    // frame — the inclusive rt >= lt forward semantic
+    "q32_asof_forward" -> raw"""
+      |WITH ord AS (SELECT o_custkey AS uid, o_orderdate AS t, max(o_orderkey) AS o_orderkey
+      |             FROM orders GROUP BY 1, 2),
+      |u AS (SELECT uid, t, o_orderkey, NULL::BIGINT AS event_id, 1 AS kind FROM ord
+      |      UNION ALL
+      |      SELECT user_id, ts, NULL::BIGINT, event_id, 0 FROM events
+      |      WHERE event_type = 'purchase'),
+      |w AS (SELECT *, first_value(o_orderkey IGNORE NULLS)
+      |        OVER (PARTITION BY uid ORDER BY t, kind
+      |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_orderkey
+      |      FROM u)
+      |SELECT event_id, uid AS user_id, floor(epoch(t))::BIGINT AS ts_epoch, next_orderkey
+      |FROM w WHERE kind = 0 ORDER BY event_id""".stripMargin,
     "q15_json" -> raw"""
       |SELECT event_type, count(*) AS n,
       |       sum(json_extract_string(props, '$$.k')::BIGINT)::BIGINT AS sum_k,

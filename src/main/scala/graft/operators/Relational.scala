@@ -226,6 +226,25 @@ object Relational {
     * formulation this replaces survives in AsofJoinSpec as the
     * cross-check reference.)
     */
+  /** q32: FORWARD as-of join — the "next order at or after the event"
+    * mirror of q14 (same custom partitioned sort-merge operator,
+    * forward direction: earliest right with rt >= lt).
+    */
+  def q32AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    org.apache.spark.sql.graft.AsofJoin
+      .asofForward(ev, ord, col("user_id"), col("o_custkey"),
+        col("ts"), col("o_orderdate").cast("timestamp"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        col("o_orderkey").as("next_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   def q14AsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
       .groupBy(col("o_custkey"), col("o_orderdate"))

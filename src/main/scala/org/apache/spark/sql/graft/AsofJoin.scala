@@ -17,6 +17,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * row the LATEST right row of the same key with `rt <= lt`
   * (backward-looking, inclusive), or nulls when none exists —
   * left-outer semantics, exactly one output row per left row.
+  * `asofForward` is the mirror: the EARLIEST right row with
+  * `rt >= lt` ("next event at or after") — same plan shape, and the
+  * merge is strictly simpler (the lookahead row is the candidate;
+  * nothing is carried).
   *
   * Physical strategy: a PARTITIONED SORT-MERGE — both sides hash-
   * shuffle on their key (ClusteredDistribution) and sort within
@@ -47,19 +51,36 @@ object AsofJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTime: Column, rightTime: Column): DataFrame = {
+      leftTime: Column, rightTime: Column): DataFrame =
+    build(left, right, leftKey, rightKey, leftTime, rightTime, forward = false)
+
+  /** Public API: forward (earliest-≥) as-of join — "next event at or
+    * after": attaches the EARLIEST right row of the same key with
+    * `rt >= lt`. Same partitioned sort-merge, same single forward
+    * pass; the merge needs no carried row at all (the lookahead row
+    * IS the candidate), so forward is the cheaper direction.
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column): DataFrame =
+    build(left, right, leftKey, rightKey, leftTime, rightTime, forward = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column, forward: Boolean): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val plan = AsofJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       spark.expression(leftKey), spark.expression(rightKey),
-      spark.expression(leftTime), spark.expression(rightTime))
+      spark.expression(leftTime), spark.expression(rightTime), forward)
     Dataset.ofRows(spark, plan)
   }
 }
 
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofJoinPlan =
@@ -68,7 +89,7 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt0, rt0) =>
+    case AsofJoinPlan(l, r, lk, rk, lt0, rt0, fwd) =>
       // NTZ/LTZ timestamp pairs coerce softly: both are micros-since-
       // epoch longs at the physical layer, so an explicit Cast of the
       // NTZ side to the session-zoned type is value-identical in a UTC
@@ -83,7 +104,7 @@ object AsofJoinStrategy extends SparkStrategy {
         s"as-of join key columns must share a data type, got ${lk.dataType.sql} vs ${rk.dataType.sql}")
       require(lt.dataType == rt.dataType,
         s"as-of join time columns must share a data type, got ${lt.dataType.sql} vs ${rt.dataType.sql}")
-      AsofMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      AsofMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 
@@ -100,7 +121,8 @@ object AsofJoinStrategy extends SparkStrategy {
 
 case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -172,7 +194,27 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
       }
       advanceRight()
 
-      lIter.map { lrow =>
+      if (forward) lIter.map { lrow =>
+        // forward: skip right rows strictly before (k, t); the
+        // lookahead row itself is then the earliest candidate — no
+        // carried copy needed (left times only grow within a key, so
+        // skipped rows can never match a later left row)
+        val kt = lProj(lrow)
+        var matched = false
+        if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+          val k = kGet(kt, 0); val t = tGet(kt, 1)
+          var more = rRow != null
+          while (more) {
+            if (rKeyV < k || (rKeyV == k && rTimeV < t)) {
+              advanceRight()
+              more = rRow != null
+            } else more = false
+          }
+          matched = rRow != null && rKeyV == k
+        }
+        proj(joined(lrow, if (matched) rRow else nullRight))
+      }
+      else lIter.map { lrow =>
         val kt = lProj(lrow)
         var matched = false
         if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
@@ -228,7 +270,24 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
       }
       advanceRight()
 
-      lIter.map { lrow =>
+      if (forward) lIter.map { lrow =>
+        // forward: skip strictly-before rows; lookahead is the match
+        val k = lk.eval(lrow); val t = lt.eval(lrow)
+        var matched = false
+        if (k != null && t != null) {
+          var more = rRow != null
+          while (more) {
+            val c = keyOrd.compare(rKeyV, k)
+            if (c < 0 || (c == 0 && timeOrd.compare(rTimeV, t) < 0)) {
+              advanceRight()
+              more = rRow != null
+            } else more = false
+          }
+          matched = rRow != null && keyOrd.compare(rKeyV, k) == 0
+        }
+        proj(joined(lrow, if (matched) rRow else nullRight))
+      }
+      else lIter.map { lrow =>
         val k = lk.eval(lrow); val t = lt.eval(lrow)
         if (k != null && t != null) {
           // consume all right rows at-or-before (k, t); the last one

@@ -69,6 +69,61 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.size == 200 && got == exp)
   }
 
+  /** Forward reference: time-sorted union + first(ignoreNulls) over
+    * the CURRENT ROW..FOLLOWING frame, events before right rows at
+    * equal t (inclusive rt >= lt).
+    */
+  private def windowReferenceFwd(ev: DataFrame, ord: DataFrame): DataFrame = {
+    val o = ord.select(col("k").as("uid"), col("t"), col("payload"),
+      lit(null).cast("long").as("ev_id"), lit(1).as("kind"))
+    val e = ev.select(col("k").as("uid"), col("t"),
+      lit(null).cast("long").as("payload"), col("ev_id"), lit(0).as("kind"))
+    val w = Window.partitionBy(col("uid")).orderBy(col("t"), col("kind"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    o.unionByName(e)
+      .withColumn("next_payload", first(col("payload"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("ev_id"), col("next_payload"))
+  }
+
+  test("forward asof equals the window reference on randomized data, longs and strings") {
+    val rnd = new scala.util.Random(17)
+    val ev = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .toDF("ev_id", "k", "tl").select(col("ev_id"), col("k"),
+        timestamp_seconds(col("tl")).as("t"))
+    val ord = (1 to 300).map { _ => (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong) }
+      .distinct.zipWithIndex
+      .map { case ((k, tl), i) => (k, tl, i.toLong) }
+      .toDF("k", "tl", "payload").select(col("k"),
+        timestamp_seconds(col("tl")).as("t"), col("payload"))
+    val got = AsofJoin.asofForward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
+      .select(col("ev_id"), col("payload")).as[(Long, Option[Long])].collect().toMap
+    val exp = windowReferenceFwd(
+      ev.select(col("k"), col("t"), col("ev_id")), ord)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got.size == 400 && got == exp)
+    // generic path: string keys
+    val evS = ev.select(col("ev_id"), concat(lit("k"), col("k")).as("k"), col("t"))
+    val ordS = ord.select(concat(lit("k"), col("k")).as("k"), col("t"), col("payload"))
+    val gotS = AsofJoin.asofForward(evS, ordS, evS("k"), ordS("k"), evS("t"), ordS("t"))
+      .select(col("ev_id"), col("payload")).as[(Long, Option[Long])].collect().toMap
+    val expS = windowReferenceFwd(
+      evS.select(col("k"), col("t"), col("ev_id")), ordS)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(gotS.size == 400 && gotS == expS)
+  }
+
+  test("forward inclusive bound: a right row exactly at the left time matches; earliest wins") {
+    val ev  = Seq((1L, 1L, 100L), (2L, 1L, 101L), (3L, 1L, 500L)).toDF("ev_id", "k", "tl")
+      .select(col("ev_id"), col("k"), timestamp_seconds(col("tl")).as("t"))
+    val ord = Seq((1L, 100L, 42L), (1L, 150L, 43L)).toDF("k", "tl", "payload")
+      .select(col("k"), timestamp_seconds(col("tl")).as("t"), col("payload"))
+    val got = AsofJoin.asofForward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
+      .select(col("ev_id"), col("payload")).as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(42L), 2L -> Some(43L), 3L -> None))
+  }
+
   test("left rows with no match (or unmatched keys) get nulls; null keys/times never match") {
     val ev = Seq(
       (1L, Some(1L), Some(100L)),  // matched

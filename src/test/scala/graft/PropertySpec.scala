@@ -144,14 +144,22 @@ class PropertySpec extends SparkSpec {
         val got = org.apache.spark.sql.graft.AsofJoin
           .asofBackward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
           .select(col("ev_id"), col("payload")).as[(Long, Option[Long])].collect().toMap
-        // reference: max payload-bearing (t, payload) per key at or before each event
+        val gotF = org.apache.spark.sql.graft.AsofJoin
+          .asofForward(ev, ord, ev("k"), ord("k"), ev("t"), ord("t"))
+          .select(col("ev_id"), col("payload")).as[(Long, Option[Long])].collect().toMap
+        // reference: max payload-bearing (t, payload) per key at or before each
+        // event (backward) / min at or after (forward)
         val byKey = ordRows.distinct.zipWithIndex
           .map { case ((k, t), i) => (k, t, i.toLong) }.groupBy(_._1)
         val exp = evRows.zipWithIndex.map { case ((k, t), i) =>
           i.toLong -> byKey.getOrElse(k, Nil).filter(_._2 <= t)
             .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
         }.toMap
-        got == exp
+        val expF = evRows.zipWithIndex.map { case ((k, t), i) =>
+          i.toLong -> byKey.getOrElse(k, Nil).filter(_._2 >= t)
+            .sortBy(r => (r._2, r._3)).headOption.map(_._3)
+        }.toMap
+        got == exp && gotF == expF
     }
     check("asof-join", prop, cases = 4)
   }
