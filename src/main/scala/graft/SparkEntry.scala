@@ -48,6 +48,7 @@ object SparkEntry {
     "q13_sessionize"          -> Relational.q13Sessionize _,
     "q14_asof_join"           -> Relational.q14AsofJoin _,
     "q32_asof_forward"        -> Relational.q32AsofForward _,
+    "q33_asof_nearest"        -> Relational.q33AsofNearest _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
     "q17_quantiles"           -> Relational.q17Quantiles _,
@@ -543,6 +544,23 @@ object SparkEntry {
       |      FROM u)
       |SELECT event_id, uid AS user_id, floor(epoch(t))::BIGINT AS ts_epoch, next_orderkey
       |FROM w WHERE kind = 0 ORDER BY event_id""".stripMargin,
+    // q33: the oracle ranks ALL same-key orders by (|Δt| in integer
+    // microseconds, backward-first) — an independent formulation of
+    // the two-directional composition
+    "q33_asof_nearest" -> raw"""
+      |WITH ord AS (SELECT o_custkey AS uid, o_orderdate AS t, max(o_orderkey) AS o_orderkey
+      |             FROM orders GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |cand AS (
+      |  SELECT e.event_id, o.o_orderkey,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |           ORDER BY abs(epoch_us(o.t::TIMESTAMP) - epoch_us(e.ts)),
+      |                    CASE WHEN o.t::TIMESTAMP <= e.ts THEN 0 ELSE 1 END) AS rn
+      |  FROM e JOIN ord o ON o.uid = e.user_id)
+      |SELECT e.event_id, e.user_id, floor(epoch(e.ts))::BIGINT AS ts_epoch,
+      |       c.o_orderkey AS nearest_orderkey
+      |FROM e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+      |ORDER BY e.event_id""".stripMargin,
     "q15_json" -> raw"""
       |SELECT event_type, count(*) AS n,
       |       sum(json_extract_string(props, '$$.k')::BIGINT)::BIGINT AS sum_k,

@@ -245,6 +245,40 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q33: NEAREST as-of — pandas `merge_asof(direction='nearest')`
+    * semantics: the match minimizing |Δt|, ties to the backward
+    * (at-or-before) side. Composed from the two directions of the
+    * custom operator (each one shuffle+sort per side, one row per
+    * event) plus an event_id-keyed pick; Δt compares as INTEGER
+    * microseconds (unix_micros), so the argmin is exact.
+    */
+  def q33AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val asof = org.apache.spark.sql.graft.AsofJoin
+    val rT = col("o_orderdate").cast("timestamp")
+    val b = asof.asofBackward(ev, ord, col("user_id"), col("o_custkey"),
+        col("ts"), rT)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("bk"), unix_micros(rT).as("bt"))
+    val f = asof.asofForward(ev, ord, col("user_id"), col("o_custkey"),
+        col("ts"), rT)
+      .select(col("event_id").as("event_id_f"),
+        col("o_orderkey").as("fk"), unix_micros(rT).as("ft"))
+    val us = unix_micros(col("ts"))
+    b.join(f, col("event_id") === col("event_id_f"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        when(col("bk").isNull, col("fk"))
+          .when(col("fk").isNull, col("bk"))
+          .when(us - col("bt") <= col("ft") - us, col("bk"))
+          .otherwise(col("fk")).as("nearest_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   def q14AsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
       .groupBy(col("o_custkey"), col("o_orderdate"))

@@ -124,6 +124,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Map(1L -> Some(42L), 2L -> Some(43L), 3L -> None))
   }
 
+  test("nearest composition picks the smaller |dt|, ties backward, one-sided falls through") {
+    val dir = scratchDir("graft_asof_nearest")
+    // orders for user 1 at days 10 and 20 (epoch days); events at
+    // day 14 (backward nearer), 16 (forward nearer), 15 (tie →
+    // backward), 25 (forward absent → backward), 5 (backward absent
+    // → forward); user 9 has no orders → null
+    val day = 86400L
+    Seq((1L, 10L * day), (2L, 20L * day))
+      .map { case (ok, sec) => (ok, 1L, new java.sql.Timestamp(sec * 1000)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((100L, 1L, 14L), (101L, 1L, 16L), (102L, 1L, 15L),
+      (103L, 1L, 25L), (104L, 1L, 5L), (105L, 9L, 15L))
+      .map { case (e, u, d) => (e, u, new java.sql.Timestamp(d * day * 1000), "purchase", "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.q33AsofNearest(spark, dir)
+      .select("event_id", "nearest_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(100L -> Some(1L), 101L -> Some(2L), 102L -> Some(1L),
+      103L -> Some(2L), 104L -> Some(1L), 105L -> None), got.toString)
+  }
+
   test("left rows with no match (or unmatched keys) get nulls; null keys/times never match") {
     val ev = Seq(
       (1L, Some(1L), Some(100L)),  // matched
