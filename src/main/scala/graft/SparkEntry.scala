@@ -79,6 +79,8 @@ object SparkEntry {
       TextAnalysis.heavyHitters(s, d)),
     "t9_rep_signals"          -> TextAnalysis.repSignals _,
     "t10_domain_stats"        -> TextAnalysis.domainStats _,
+    "t11_quality_model"       -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityModel(s, d)),
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
@@ -896,6 +898,26 @@ object SparkEntry {
       |LEFT JOIN top t3 ON b.doc_id = t3.doc_id AND t3.n = 3 AND t3.rn = 1
       |LEFT JOIN dup d5 ON b.doc_id = d5.doc_id AND d5.n = 5
       |ORDER BY b.doc_id""".stripMargin,
+    // t11: weights re-derived per bigram from the same md5-hex fold
+    // p2 established; LEFT JOIN keeps feature-less (<2-word) docs at
+    // score 0 / keep false
+    "t11_quality_model" -> raw"""
+      |WITH d AS (SELECT doc_id, string_split($Nrm, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+      |    ELSE [] END) AS gram FROM d),
+      |s AS (SELECT doc_id,
+      |  (list_reduce([strpos('0123456789abcdef', substr(md5('qm' || gram), i, 1)) - 1
+      |     for i in range(1, 9)], (a, b) -> a*16 + b) % 4096) % 401 - 200 AS wgt
+      |  FROM g),
+      |a AS (SELECT doc_id, count(*)::BIGINT AS n_feats, sum(wgt)::BIGINT AS score
+      |  FROM s GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+      |  coalesce(a.score, 0)::BIGINT AS score,
+      |  coalesce(a.score, 0) > 0 AS keep,
+      |  CASE WHEN coalesce(a.n_feats, 0) > 0
+      |       THEN round(a.score::DOUBLE / a.n_feats, 6) ELSE 0.0 END AS score_per_feat
+      |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "m1_mm_manifest" -> raw"""
       |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
       |  FROM documents),

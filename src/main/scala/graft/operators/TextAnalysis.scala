@@ -328,4 +328,54 @@ object TextAnalysis {
         sum(col("toks")).as("tok_sum"),
         round(avg(col("n_chars")), 6).as("avg_chars"))
       .orderBy(col("host"))
+
+  /** Engine-portable hashed-feature weight for the t11 linear scorer:
+    * the feature's bucket is the p2 md5-hex fold (first 8 hex digits
+    * of md5(salt ++ feature) as an integer) mod `buckets`, and its
+    * weight maps the bucket into [−200, 200] by `bucket mod 401 −
+    * 200`. Every step is integer arithmetic on an md5 both engines
+    * compute identically, so the DuckDB oracle reproduces each weight
+    * bit-exactly.
+    */
+  private def featWeight(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(concat(lit("qm"), g)), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong)) % 401 - 200
+
+  /** t11: quality-classifier scoring — the hashed-feature linear
+    * classifier stage of GPT-3's pipeline (Brown et al. 2020,
+    * Appendix A: a classifier scores every web document against a
+    * curated target, and the score gates inclusion) and CCNet's
+    * fastText step. Features are word bigrams WITH multiplicity
+    * hashed into `buckets` (the fastText/Vowpal hashing trick —
+    * fixed-width model state regardless of vocabulary); the model is
+    * a sparse linear scorer `score = Σ w[h(g)]`. Coefficients here
+    * are a deterministic integer function of the bucket (the
+    * container ships no trained artifacts) — the SHAPE is the real
+    * stage: at 100 TB a trained weight vector rides the closure as a
+    * `buckets`-sized broadcast array and nothing else changes.
+    *
+    * Scale: scoring is a pure per-row fold over the doc's bigram
+    * array (one `aggregate` higher-order function) — zero shuffle,
+    * zero model-lookup join, corpus-linear, and it shares the one
+    * documents scan with t2/t9. Integer score and feature count ride
+    * beside the r6-rounded per-feature mean so the oracle hash never
+    * rests on float formatting.
+    */
+  def qualityModel(s: SparkSession, dir: String, buckets: Int = 4096): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", slice(col("w"), i, lit(2))))).as("g"))
+    base.select(col("doc_id"),
+        size(col("g")).cast("long").as("n_feats"),
+        aggregate(col("g"), lit(0L), (acc, x) => acc + featWeight(x, buckets))
+          .as("score"))
+      .withColumn("keep", col("score") > 0)
+      .withColumn("score_per_feat",
+        when(col("n_feats") > 0, r6(col("score").cast("double") / col("n_feats")))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
 }

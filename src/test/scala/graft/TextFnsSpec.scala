@@ -148,4 +148,29 @@ class TextFnsSpec extends SparkSpec {
     assert(got(2L) == ((2, 10L, 10L, 0L, 0L, 1.0, 0.0, 0.0)))
     assert(got(3L) == ((1, 4L, 0L, 0L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("t11 qualityModel: score is the md5-fold linear model over bigrams") {
+    val dir = scratchDir("graft_t11")
+    Seq(
+      (0L, "The data  QUERY runs", "en", "s", 20L), // normalization folds case+spaces
+      (1L, "solo", "en", "s", 4L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent JVM re-derivation of the md5-hex-fold weight
+    def weight(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("qm" + g).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 4096L) % 401L - 200L
+    }
+    val exp0 = Seq("the data", "data query", "query runs").map(weight).sum
+    val expMean = BigDecimal(exp0.toDouble / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.operators.TextAnalysis.qualityModel(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((3L, exp0, exp0 > 0, expMean)))
+    assert(got(1L) == ((0L, 0L, false, 0.0))) // single word: no features
+    assert(got(2L) == ((0L, 0L, false, 0.0))) // empty text: no features
+  }
 }
