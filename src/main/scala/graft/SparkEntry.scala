@@ -107,6 +107,8 @@ object SparkEntry {
       graft.operators.Curation.temperatureMixQuery(s, d)),
     "p6_fixed_sample"         -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.fixedSample(s, d)),
+    "p7_dsir_select"          -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.dsirSelect(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -1151,6 +1153,27 @@ object SparkEntry {
       |      FROM b)
       |SELECT lang, rnk::INT AS rank, doc_id, bucket::BIGINT AS bucket
       |FROM r WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
+    // p7: importance re-derived from scratch — token buckets via the
+    // md5-hex fold, integer smoothed target/raw ratio, top-k with the
+    // same (importance DESC, doc_id) tie-break
+    "p7_dsir_select" -> raw"""
+      |WITH t AS (SELECT doc_id, lang, unnest(string_split($Nrm, ' ')) AS w
+      |  FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |  list_reduce([strpos('0123456789abcdef', substr(md5('dsir' || w), i, 1)) - 1
+      |               for i in range(1, 9)], (a, b) -> a*16 + b) % 8192 AS bucket
+      |  FROM t),
+      |pairs AS (SELECT doc_id, lang, bucket, count(*)::BIGINT AS cnt
+      |  FROM b GROUP BY doc_id, lang, bucket),
+      |bk AS (SELECT bucket, sum(cnt)::BIGINT AS raw_cnt,
+      |  coalesce(sum(cnt) FILTER (WHERE lang = 'en'), 0)::BIGINT AS tgt_cnt
+      |  FROM pairs GROUP BY bucket),
+      |sc AS (SELECT bucket, (tgt_cnt + 1) * 1000000 // (raw_cnt + 1) AS score FROM bk),
+      |imp AS (SELECT p.doc_id, p.lang, sum(p.cnt)::BIGINT AS n_words,
+      |  sum(p.cnt * sc.score)::BIGINT AS importance
+      |  FROM pairs p JOIN sc USING (bucket) GROUP BY p.doc_id, p.lang)
+      |SELECT doc_id, lang, n_words, importance FROM imp
+      |ORDER BY importance DESC, doc_id LIMIT 300""".stripMargin,
     "p1_curate" -> raw"""
       |WITH base AS (
       |  SELECT doc_id, lang, text,

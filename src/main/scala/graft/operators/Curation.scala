@@ -385,4 +385,55 @@ object Curation {
       when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
         .otherwise(lit("")))
   }
+
+  /** p7: DSIR data selection — hashed-n-gram importance resampling
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): raw documents are scored by how much
+    * their token distribution resembles a curated TARGET corpus, via
+    * bucket-level target/raw frequency ratios over hashed unigrams,
+    * and the top-weighted docs are selected. The target here is the
+    * `lang = 'en'` slice (standing in for DSIR's Wikipedia+books
+    * target); features are words hashed into `buckets` by the p2
+    * md5-hex fold, and the per-bucket score is the integer ratio
+    * `(tgt+1)·10⁶ div (raw+1)` — add-one smoothing, and integer
+    * arithmetic end-to-end so a doc's importance (Σ cnt·score over
+    * its buckets) is bit-reproducible in any engine. (DSIR proper
+    * draws with Gumbel noise; the deterministic top-k is the
+    * reproducible variant — a Gumbel draw is one extra hashed column
+    * if sampling is wanted.)
+    *
+    * Scale shape: two token-level aggregations with map-side partial
+    * aggregation — (doc, bucket) term counts, then bucket totals
+    * whose reducer state is bounded by `buckets` regardless of corpus
+    * size; the `buckets`-row score table joins back as an explicit
+    * BROADCAST; selection is `orderBy.limit(k)` which Spark executes
+    * as TakeOrderedAndProject (per-partition bounded heap + driver
+    * merge of k·partitions rows — no global sort shuffle at any
+    * scale).
+    */
+  def dsirSelect(s: SparkSession, dir: String, buckets: Int = 8192,
+      k: Int = 300): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("dsir"), col("w"))), 1, 8), 16, 10)
+        .cast("long"), lit(buckets.toLong))
+    def pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val scores = pairs
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("raw_cnt"),
+        coalesce(sum(when(col("lang") === "en", col("cnt"))), lit(0L)).as("tgt_cnt"))
+      .select(col("bucket"),
+        expr("(tgt_cnt + 1) * 1000000 div (raw_cnt + 1)").as("score"))
+    pairs.join(broadcast(scores), "bucket")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("score")).as("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+  }
 }

@@ -179,6 +179,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("p7: DSIR importance equals a driver-side recomputation; selection is TakeOrdered") {
+    val B = 8192L
+    def fold(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val tok = Tables.documents(spark, Sf).select("doc_id", "lang", "text")
+      .collect().map { r =>
+        val w = r.getString(2).trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+        (r.getLong(0), r.getString(1), w.map(x => fold("dsir" + x) % B))
+      }
+    val rawCnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val tgtCnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    tok.foreach { case (_, lang, bs) =>
+      bs.foreach { b => rawCnt(b) += 1; if (lang == "en") tgtCnt(b) += 1 }
+    }
+    def score(b: Long) = (tgtCnt(b) + 1) * 1000000L / (rawCnt(b) + 1)
+    val k = 25
+    val exp = tok.map { case (id, lang, bs) => (id, lang, bs.length.toLong, bs.map(score).sum) }
+      .sortBy { case (id, _, _, im) => (-im, id) }.take(k)
+      .map { case (id, lang, nw, im) => Seq(id, lang, nw, im) }.toSeq
+    val q = Curation.dsirSelect(spark, Sf, k = k)
+    assert(q.collect().map(_.toSeq).toSeq == exp)
+    // selection must be the bounded per-partition heap, not a global sort
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("constructing and explaining the r6 curation/text frames runs no Spark job") {
     // the d2/d4 static-plan discipline (DedupSpec) extended to the
     // r6 additions: t8's sketch is a broadcast SUBTREE, p4's total a
