@@ -126,6 +126,8 @@ object SparkEntry {
       Multimodal.frameManifest(s, d)),
     "m3_audio_manifest"       -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.manifest(s, d)),
+    "m5_audio_neardup"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Audio.audioNearDup(s, d)),
     // ingest sources (file-format parse + quarantine audit)
     "j1_jsonl_ingest"         -> graft.operators.IngestQueries.jsonlIngest _,
     "j2_csv_ingest"           -> graft.operators.IngestQueries.csvIngest _,
@@ -985,6 +987,31 @@ object SparkEntry {
       |  ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.fi < b.fi))
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin,
+    // m5: fingerprints re-derived row-wise (unnest samples → segment
+    // group-by → ordered-list fold); 63 bits fit plain BIGINT
+    "m5_audio_neardup" -> raw"""
+      |WITH d AS (SELECT doc_id, doc_id % 40 AS fam FROM documents),
+      |p AS (SELECT doc_id, fam, (fam % 1200 + 400) AS n,
+      |  (doc_id * 131) % (fam % 1200 + 400) AS spike FROM d),
+      |s AS (SELECT doc_id, fam, n, spike, unnest(range(0, n)) AS i FROM p),
+      |v AS (SELECT doc_id, (i * 64 // n) AS b,
+      |  abs(CASE WHEN i = spike THEN 32767
+      |      ELSE (fam * 40503 + i * i * 13933 + i * 7919) % 65536 - 32768 END) AS av
+      |  FROM s),
+      |seg AS (SELECT doc_id, b, sum(av)::BIGINT AS sv, count(*)::BIGINT AS cn
+      |  FROM v GROUP BY doc_id, b),
+      |l AS (SELECT doc_id, list(sv ORDER BY b) AS svs, list(cn ORDER BY b) AS cns
+      |  FROM seg GROUP BY doc_id),
+      |sig AS (SELECT doc_id,
+      |  list_reduce([(CASE WHEN svs[b+1] * cns[b+2] > svs[b+2] * cns[b+1]
+      |                THEN 1 ELSE 0 END)::BIGINT for b in range(0, 63)],
+      |    (acc, bit) -> acc * 2 + bit) AS sig
+      |  FROM l)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       bit_count(xor(a.sig, b.sig))::INT AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin,
     "d1_exact_dedup" -> raw"""
       |SELECT md5($Nrm) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,

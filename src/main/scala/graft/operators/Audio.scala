@@ -52,10 +52,19 @@ object Audio {
     */
   def wavPayload(docId: Long): Array[Byte] = {
     val n = sampleCount(docId)
+    encodeWav(Array.tabulate(n)(i => sample(docId, i)))
+  }
+
+  /** REAL WAV container bytes for an arbitrary 16-bit mono PCM clip
+    * (the fixture encoder, shared by m3's per-doc clips and m5's clip
+    * families).
+    */
+  def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = sample(docId, i)
+      val s = samples(i)
       pcm(i * 2) = (s & 0xFF).toByte
       pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
@@ -64,6 +73,28 @@ object Audio {
     val bos = new ByteArrayOutputStream()
     try AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos) finally in.close()
     bos.toByteArray
+  }
+
+  /** m5 fixture: clip FAMILIES — a doc's clip is its family's content
+    * (family = doc_id mod 40; samples are a quadratic-congruential
+    * scramble of (fam, i), so unlike m3's slow sawtooth the waveform
+    * is noise-like and families are acoustically distinct) with ONE
+    * doc-specific full-scale sample spliced in at position
+    * `doc_id·131 mod n` — the audio analog of a re-encode with a
+    * click/glitch. Family members therefore fingerprint within a few
+    * bits of each other (the two spikes disturb at most two of 64
+    * segment means) while cross-family distances are ~32: the corpus
+    * carries a genuine near-dup band, not just exact dups.
+    */
+  def famClipPayload(docId: Long): Array[Byte] = {
+    val fam = math.floorMod(docId, 40L)
+    val n = sampleCount(fam)
+    val spike = math.floorMod(docId * 131L, n.toLong).toInt
+    encodeWav(Array.tabulate(n) { i =>
+      if (i == spike) 32767.toShort
+      else (math.floorMod(fam * 40503L + i.toLong * i * 13933L + i * 7919L,
+        65536L) - 32768L).toShort
+    })
   }
 
   // --- real codec kernels -------------------------------------------
@@ -216,6 +247,79 @@ object Audio {
         .select(col("doc_id"), col("n_samples"), col("sample_rate"), col("channels"),
           col("duration_ms"), col("energy"), col("ahash")),
       col("doc_id"))
+
+  /** 63-bit energy-profile fingerprint of a decoded clip — the
+    * acoustic-fingerprint shape (Chromaprint/Shazam-family: coarse
+    * spectro-temporal energy deltas as bits) reduced to what is exact
+    * without an FFT: the clip splits into 64 time segments
+    * (segment of sample i = `i·64 div n`), and bit b (of 63, MSB
+    * first) is the INTEGER cross-multiplied comparison of adjacent
+    * segments' mean |sample| — `sv_b·cn_{b+1} > sv_{b+1}·cn_b`. 63
+    * bits keep the value non-negative in a signed 64-bit lane, so the
+    * DuckDB oracle folds the same bits in plain BIGINT with no
+    * unsigned-wrap gymnastics (cf. m2/m3's HUGEINT fold).
+    */
+  def energySig63(samples: Array[Short]): Long = {
+    val n = samples.length
+    val sv = new Array[Long](64)
+    val cn = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * 64L / n).toInt
+      sv(b) += math.abs(samples(i).toInt)
+      cn(b) += 1
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 63) {
+      sig = (sig << 1) | (if (sv(b) * cn(b + 1) > sv(b + 1) * cn(b)) 1L else 0L)
+      b += 1
+    }
+    sig
+  }
+
+  /** The `m5_audio_neardup` query: NEAR-DUPLICATE CLIPS across the
+    * audio corpus — the audio twin of m4's frame near-dup (re-encodes,
+    * re-masters, and silence-padded reposts dominate real audio
+    * corpora): every clip decodes (REAL codec path) to its 63-bit
+    * energy-profile fingerprint ([[energySig63]]), and clip pairs
+    * within Hamming distance `maxHamming` surface as duplicate
+    * candidates.
+    *
+    * Scale shape is d3/m4's: each signature explodes into 4 16-bit
+    * chunks; a pair within Hamming ≤ 3 must agree on ≥ 1 chunk
+    * (pigeonhole over 4 chunks — lossless blocking), so candidates
+    * come from a chunk-keyed equi-join (shuffle ∝ clips·4, never
+    * clips²) and the exact `bit_count(xor)` filter keeps true pairs.
+    * Oracle: DuckDB recomputes every fingerprint from the fixture
+    * formulas (16-bit PCM through WAV is lossless, so the decoded
+    * stream IS the formula) and brute-forces the pair join.
+    */
+  def audioNearDup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val sigs = graft.Caches.track(Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+        (id, energySig63(decodeAudio(famClipPayload(id))._2))
+      })).toDF("doc_id", "sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .withColumn("cv", expr("shiftright(sig, ci * 16) & 65535"))
+    val cands = chunked.as("x").join(chunked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.sig").as("sig_a"),
+        col("y.doc_id").as("doc_b"), col("y.sig").as("sig_b"))
+      .distinct()
+    graft.Caches.ordered(
+      cands.withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming")),
+      col("doc_a"), col("doc_b"))
+  }
 
   /** Embedding extraction: binary payload → REAL decode → pooled
     * frame-energy `array<float>` column (composes with Ann.*).

@@ -91,4 +91,25 @@ class AudioSpec extends SparkSpec {
     val (_, samples) = Audio.decodeAudio(Audio.wavPayload(9L))
     assert(emb == Audio.audioFeatures(samples, 16).toSeq)
   }
+
+  test("m5: chunk-blocked audio near-dup equals the brute-force pair set") {
+    // brute force over driver-computed fingerprints from the real
+    // decode path — the blocked equi-join must lose nothing
+    // (pigeonhole: hamming <= 3 over 4 chunks shares a chunk)
+    val sigs = Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).map { id =>
+        (id, Audio.energySig63(Audio.decodeAudio(Audio.famClipPayload(id))._2))
+      }
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (da, sa) = sigs(i); (db, sb) = sigs(j)
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield if (da < db) (da, db, h) else (db, da, h)).toSet
+    val got = Audio.audioNearDup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // family structure guarantees true pairs
+    // equal-offset family members are EXACT dups (hamming 0)
+    assert(brute.exists(_._3 == 0))
+  }
 }
