@@ -33,6 +33,7 @@ object SparkEntry {
     "g12_raster_tiff_i16"     -> GeoQueries.rasterIngestTiffI16 _,
     "g14_slope_aspect"        -> GeoQueries.slopeAspect _,
     "g15_flow_dir"            -> GeoQueries.flowDir _,
+    "g16_zorder"              -> GeoQueries.zorderLayout _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -196,6 +197,22 @@ object SparkEntry {
     * reproduces the formula pixels bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
+    // g16: Morton interleave re-derived term-by-term with shifts; the
+    // span/n_cells columns ARE the layout proof (≤7 and 1 on every row)
+    "g16_zorder" -> raw"""
+      |WITH $TilesCte,
+      |z AS (SELECT tile_id, lat0, lon0,
+      |  list_sum([(((lat0 + 90) >> i) & 1) * (1::BIGINT << (2*i)) +
+      |            (((lon0 + 180) >> i) & 1) * (1::BIGINT << (2*i+1))
+      |            for i in range(0, 9)]) AS zcode
+      |  FROM tiles)
+      |SELECT zcode // 64 AS zblock, count(*)::BIGINT AS n_tiles,
+      |  min(lat0) AS lat_min, max(lat0) AS lat_max,
+      |  min(lon0) AS lon_min, max(lon0) AS lon_max,
+      |  max(lat0) - min(lat0) AS lat_span,
+      |  max(lon0) - min(lon0) AS lon_span,
+      |  count(DISTINCT ((lat0 + 90) // 8) * 1000 + ((lon0 + 180) // 8))::BIGINT AS n_cells
+      |FROM z GROUP BY zblock ORDER BY zblock""".stripMargin,
     "g1_tile_parse" -> raw"""
       |WITH $TilesCte
       |SELECT tile_id, tile_key, lat0, lon0,

@@ -141,6 +141,25 @@ object Geo {
           .cast("int").as("elevation"))
   }
 
+  /** Morton (Z-order) interleave of two 9-bit non-negative integers:
+    * bit i of `a` lands at output position 2i, bit i of `b` at 2i+1 —
+    * the space-filling-curve clustering key behind Delta Z-ORDER /
+    * Iceberg sort orders. Pure integer bit arithmetic (9 shift-mask
+    * terms summed), whole-stage-codegen'd, and reproduced term-by-term
+    * by the DuckDB oracle.
+    */
+  def morton9(a: Column, b: Column): Column =
+    (0 until 9).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Scala mirror of [[morton9]] for driver-side checks. */
+  def morton9Long(a: Int, b: Int): Long =
+    (0 until 9).map { i =>
+      (((a >> i) & 1).toLong << (2 * i)) | (((b >> i) & 1).toLong << (2 * i + 1))
+    }.sum
+
   /** Snappy parquet sink partitioned by tile — the distributed twin of
     * the reference's file-per-tile layout (main.rs:272-296): partition
     * pruning on `tile_key` replaces its filename-based addressing.

@@ -452,4 +452,36 @@ object GeoQueries {
         max(col("elevation")).as("max_elev"))
       .orderBy(col("set_name"))
   }
+
+  /** g16: Z-order layout audit — the clustering-key analysis a
+    * 100 TB deployment runs before choosing its file layout (Delta
+    * `ZORDER BY`, Iceberg sort orders): every tile gets the Morton
+    * interleave of its shifted-to-unsigned origin
+    * (`zcode = morton(lat0+90, lon0+180)`), and the report aggregates
+    * per aligned 64-code Z-block. The output columns ARE the layout
+    * proof, verified exactly by the oracle: each block's lat/lon span
+    * is ≤ 7 and `n_cells = 1` (a 64-code Morton block is an aligned
+    * 8×8 square — `zcode div 64 = morton(lat div 8, lon div 8)`), so
+    * files written in zcode ranges carry compact bounding boxes and
+    * ANY bbox query prunes on parquet min/max stats in BOTH
+    * dimensions — unlike a lat-major sort, where a lon-constrained
+    * query reads every file. Pure column arithmetic, one skinny
+    * group-by; the layout write itself is `repartitionByRange(zcode)`
+    * + `sortWithinPartitions(zcode)` at the sink (GeoSpec round-trips
+    * it).
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    Geo.tiles(s, dir)
+      .select(col("tile_id"), col("lat0"), col("lon0"),
+        Geo.morton9(col("lat0") + lit(90), col("lon0") + lit(180)).as("zcode"))
+      .withColumn("zblock", expr("zcode div 64"))
+      .groupBy(col("zblock"))
+      .agg(count(lit(1)).as("n_tiles"),
+        min(col("lat0")).as("lat_min"), max(col("lat0")).as("lat_max"),
+        min(col("lon0")).as("lon_min"), max(col("lon0")).as("lon_max"),
+        (max(col("lat0")) - min(col("lat0"))).as("lat_span"),
+        (max(col("lon0")) - min(col("lon0"))).as("lon_span"),
+        count_distinct(expr("((lat0 + 90) div 8) * 1000 + ((lon0 + 180) div 8)"))
+          .as("n_cells"))
+      .orderBy(col("zblock"))
 }

@@ -506,4 +506,49 @@ class GeoSpec extends SparkSpec {
     val total = Geo.tiles(spark, Sf).count()
     assert(g5.count() < total && g5.count() > 0)
   }
+
+  test("g16: Morton column matches the JVM mirror; Z-blocks are aligned 8x8 cells") {
+    // exhaustive over the whole shifted (lat, lon) space: a 64-code
+    // block IS the aligned 8x8 square (the property that makes
+    // min/max pruning work in both dimensions)
+    for (a <- 0 to 180; b <- 0 to 360) {
+      val z = Geo.morton9Long(a, b)
+      assert(z / 64 == Geo.morton9Long(a / 8, b / 8), s"($a,$b)")
+    }
+    // column expression ≡ mirror over the tile universe
+    Geo.tiles(spark, Sf)
+      .select(col("lat0").cast("long"), col("lon0").cast("long"),
+        Geo.morton9(col("lat0") + lit(90), col("lon0") + lit(180)).cast("long").as("z"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) ==
+          Geo.morton9Long((r.getLong(0) + 90).toInt, (r.getLong(1) + 180).toInt))
+      }
+    // layout-audit invariants the oracle re-proves on every row
+    val audit = GeoQueries.zorderLayout(spark, Sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getLong(r.fieldIndex("lat_span")) <= 7)
+      assert(r.getLong(r.fieldIndex("lon_span")) <= 7)
+      assert(r.getLong(r.fieldIndex("n_cells")) == 1L)
+    }
+    // the z-sorted sink round-trips: ranges of zcode are written and
+    // read back in zcode order within each file
+    val dir = scratchDir("graft_g16")
+    val z = Geo.tiles(spark, Sf)
+      .select(col("tile_id"),
+        Geo.morton9(col("lat0") + lit(90), col("lon0") + lit(180)).as("zcode"))
+    z.repartitionByRange(4, col("zcode")).sortWithinPartitions(col("zcode"))
+      .write.mode("overwrite").parquet(s"$dir/ztiles")
+    val back = spark.read.parquet(s"$dir/ztiles")
+      .select(col("tile_id"), col("zcode"),
+        input_file_name().as("f"))
+      .collect().groupBy(_.getString(2))
+    // files hold disjoint zcode ranges (the layout bbox-pruning premise)
+    val ranges = back.values.map(rows =>
+      (rows.map(_.getLong(1)).min, rows.map(_.getLong(1)).max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+  }
 }
