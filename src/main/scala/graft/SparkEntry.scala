@@ -1007,7 +1007,7 @@ object SparkEntry {
     // m5: fingerprints re-derived row-wise (unnest samples → segment
     // group-by → ordered-list fold); 63 bits fit plain BIGINT
     "m5_audio_neardup" -> raw"""
-      |WITH d AS (SELECT doc_id, doc_id % 40 AS fam FROM documents),
+      |WITH d AS (SELECT doc_id, doc_id // 25 AS fam FROM documents),
       |p AS (SELECT doc_id, fam, (fam % 1200 + 400) AS n,
       |  (doc_id * 131) % (fam % 1200 + 400) AS spike FROM d),
       |s AS (SELECT doc_id, fam, n, spike, unnest(range(0, n)) AS i FROM p),

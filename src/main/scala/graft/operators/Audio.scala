@@ -76,18 +76,21 @@ object Audio {
   }
 
   /** m5 fixture: clip FAMILIES — a doc's clip is its family's content
-    * (family = doc_id mod 40; samples are a quadratic-congruential
-    * scramble of (fam, i), so unlike m3's slow sawtooth the waveform
-    * is noise-like and families are acoustically distinct) with ONE
-    * doc-specific full-scale sample spliced in at position
-    * `doc_id·131 mod n` — the audio analog of a re-encode with a
-    * click/glitch. Family members therefore fingerprint within a few
-    * bits of each other (the two spikes disturb at most two of 64
-    * segment means) while cross-family distances are ~32: the corpus
-    * carries a genuine near-dup band, not just exact dups.
+    * (family = doc_id div 25, so family SIZE is fixed at 25 and the
+    * family COUNT scales with the corpus — real dup clusters are
+    * bounded, and the pair output stays corpus-LINEAR at every sf;
+    * samples are a quadratic-congruential scramble of (fam, i), so
+    * unlike m3's slow sawtooth the waveform is noise-like and
+    * families are acoustically distinct) with ONE doc-specific
+    * full-scale sample spliced in at position `doc_id·131 mod n` —
+    * the audio analog of a re-encode with a click/glitch. Family
+    * members therefore fingerprint within a few bits of each other
+    * (the two spikes disturb at most two of 64 segment means) while
+    * cross-family distances are ~32: the corpus carries a genuine
+    * near-dup band, not just exact dups.
     */
   def famClipPayload(docId: Long): Array[Byte] = {
-    val fam = math.floorMod(docId, 40L)
+    val fam = docId / 25L
     val n = sampleCount(fam)
     val spike = math.floorMod(docId * 131L, n.toLong).toInt
     encodeWav(Array.tabulate(n) { i =>
