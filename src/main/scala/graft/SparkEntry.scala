@@ -34,6 +34,7 @@ object SparkEntry {
     "g14_slope_aspect"        -> GeoQueries.slopeAspect _,
     "g15_flow_dir"            -> GeoQueries.flowDir _,
     "g16_zorder"              -> GeoQueries.zorderLayout _,
+    "g17_overviews"           -> GeoQueries.overviews _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -197,6 +198,28 @@ object SparkEntry {
     * reproduces the formula pixels bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
+    // g17: every overview cell re-derived from the elevation formula
+    // (tile universe < 50 mirrors the raster fixture); integer block
+    // sums + min/max, r6 mean
+    "g17_overviews" -> raw"""
+      |WITH $TilesCte,
+      |cells AS (SELECT tile_id, tile_key, l.level AS level, (1 << l.level) AS f,
+      |    ox.ox AS ox, oy.oy AS oy
+      |  FROM keyed, (SELECT unnest([1, 2]) AS level) l,
+      |       generate_series(0, 3) ox(ox), generate_series(0, 3) oy(oy)
+      |  WHERE tile_id < 50 AND ox.ox < 8 // (1 << l.level)
+      |    AND oy.oy < 8 // (1 << l.level)),
+      |ks AS (SELECT *, unnest(range(0, f * f)) AS k FROM cells),
+      |px AS (SELECT tile_id, tile_key, level, f, ox, oy,
+      |  (tile_id * 131 + (ox * f + k % f) * 17 + (oy * f + k // f) * 29) % 8848 AS v
+      |  FROM ks),
+      |agg AS (SELECT tile_id, tile_key, level, ox, oy,
+      |  count(*)::BIGINT AS n_px, sum(v)::BIGINT AS block_sum,
+      |  min(v)::BIGINT AS block_min, max(v)::BIGINT AS block_max
+      |  FROM px GROUP BY tile_id, tile_key, level, ox, oy)
+      |SELECT tile_id, tile_key, level, ox, oy, n_px, block_sum, block_min,
+      |  block_max, round(block_sum::DOUBLE / n_px, 6) AS avg_elev
+      |FROM agg ORDER BY tile_id, level, oy, ox""".stripMargin,
     // g16: Morton interleave re-derived term-by-term with shifts; the
     // span/n_cells columns ARE the layout proof (≤7 and 1 on every row)
     "g16_zorder" -> raw"""

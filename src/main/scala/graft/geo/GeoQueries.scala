@@ -484,4 +484,57 @@ object GeoQueries {
         count_distinct(expr("((lat0 + 90) div 8) * 1000 + ((lon0 + 180) div 8)"))
           .as("n_cells"))
       .orderBy(col("zblock"))
+
+  /** g17: overview pyramid — `gdaladdo`'s power-of-two reduced-
+    * resolution levels (the overview build every production raster
+    * store runs so zoomed-out rendering and coarse analytics read
+    * level-2 instead of full resolution), over the REAL binary decode
+    * path: each tile's pixel array reduces to level-1 (2×) and
+    * level-2 (4×) grids, one output row per overview cell with the
+    * block's integer SUM riding beside the r6-rounded mean (GDAL
+    * `average` resampling — exact numerator, float only at the
+    * surface) plus min/max (the `minimum`/`maximum` kernels). Same
+    * zero-shuffle per-tile array shape as g14/g15: cells explode from
+    * a literal level/coordinate array, block pixels fold in place
+    * via one `aggregate` over index arithmetic — a 3600×3600
+    * production tile builds its whole pyramid inside its own file
+    * split, no exchange until the final order.
+    */
+  def overviews(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val n = 8
+    val decoded = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+    val cells = array((for {
+      l <- Seq(1, 2); f = 1 << l; m = n / f
+      oy <- 0 until m; ox <- 0 until m
+    } yield struct(lit(l).as("level"), lit(f).as("f"),
+      lit(ox).as("ox"), lit(oy).as("oy"))): _*)
+    val acc0 = struct(lit(0L).as("sum"), lit(Long.MaxValue).as("mn"),
+      lit(Long.MinValue).as("mx"))
+    decoded
+      .select(col("tile_key"), col("tile_id"), col("e"), explode(cells).as("c"))
+      .select(col("tile_key"), col("tile_id"),
+        col("c.level").as("level"), col("c.ox").as("ox"), col("c.oy").as("oy"),
+        (col("c.f") * col("c.f")).cast("long").as("n_px"),
+        aggregate(sequence(lit(0), col("c.f") * col("c.f") - 1), acc0,
+          (acc, k) => {
+            val px = element_at(col("e"),
+              (col("c.oy") * col("c.f") + k.divide(col("c.f")).cast("int")) * n +
+                col("c.ox") * col("c.f") + pmod(k, col("c.f")) + 1)
+            struct((acc("sum") + px).as("sum"),
+              least(acc("mn"), px).as("mn"), greatest(acc("mx"), px).as("mx"))
+          }).as("b"))
+      .select(col("tile_id"), col("tile_key"), col("level"), col("ox"), col("oy"),
+        col("n_px"), col("b.sum").as("block_sum"),
+        col("b.mn").as("block_min"), col("b.mx").as("block_max"),
+        r6(col("b.sum").cast("double") / col("n_px")).as("avg_elev"))
+      .orderBy(col("tile_id"), col("level"), col("oy"), col("ox"))
+  }
 }

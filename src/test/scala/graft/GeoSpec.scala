@@ -551,4 +551,32 @@ class GeoSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("g17: overview blocks re-derive from the elevation formula at both levels") {
+    val rows = GeoQueries.overviews(spark, Sf).collect()
+    // 50 fixture tiles x (16 level-1 + 4 level-2) cells
+    assert(rows.length == 50 * 20, s"got ${rows.length}")
+    def elev(t: Long, x: Int, y: Int): Long = Math.floorMod(t * 131 + x * 17 + y * 29, 8848)
+    rows.foreach { r =>
+      val (t, level, ox, oy) =
+        (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4))
+      val f = 1 << level
+      val block = for (ky <- 0 until f; kx <- 0 until f)
+        yield elev(t, ox * f + kx, oy * f + ky)
+      assert(r.getLong(5) == f.toLong * f)        // n_px
+      assert(r.getLong(6) == block.sum)           // block_sum
+      assert(r.getLong(7) == block.min)           // block_min
+      assert(r.getLong(8) == block.max)           // block_max
+    }
+    // a level-2 block sum equals the sum of its four level-1 children
+    // (the pyramid consistency gdaladdo relies on)
+    val l1 = rows.filter(_.getInt(2) == 1)
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)) -> r.getLong(6)).toMap
+    rows.filter(_.getInt(2) == 2).foreach { r =>
+      val (t, ox, oy) = (r.getLong(0), r.getInt(3), r.getInt(4))
+      val children = for (dy <- 0 to 1; dx <- 0 to 1)
+        yield l1((t, ox * 2 + dx, oy * 2 + dy))
+      assert(r.getLong(6) == children.sum)
+    }
+  }
 }
