@@ -51,6 +51,7 @@ object SparkEntry {
     "q14_asof_join"           -> Relational.q14AsofJoin _,
     "q32_asof_forward"        -> Relational.q32AsofForward _,
     "q33_asof_nearest"        -> Relational.q33AsofNearest _,
+    "q34_funnel"              -> Relational.q34Funnel _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
     "q17_quantiles"           -> Relational.q17Quantiles _,
@@ -593,6 +594,26 @@ object SparkEntry {
     // q33: the oracle ranks ALL same-key orders by (|Δt| in integer
     // microseconds, backward-first) — an independent formulation of
     // the two-directional composition
+    // q34: same fixed-depth stage chain, stage times as epoch micros
+    "q34_funnel" -> raw"""
+      |WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t_signup FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(us) AS t_view FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'view' AND us >= t_signup GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN s3 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+      |SELECT u.user_id, t_signup, t_view, t_click, t_purchase,
+      |  CASE WHEN t_purchase IS NOT NULL THEN 4
+      |       WHEN t_click IS NOT NULL THEN 3
+      |       WHEN t_view IS NOT NULL THEN 2
+      |       WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS stage_reached
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin,
     "q33_asof_nearest" -> raw"""
       |WITH ord AS (SELECT o_custkey AS uid, o_orderdate AS t, max(o_orderkey) AS o_orderkey
       |             FROM orders GROUP BY 1, 2),

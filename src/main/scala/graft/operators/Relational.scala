@@ -621,4 +621,46 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** q34: ordered conversion funnel — the product-analytics staple
+    * (signup → view → click → purchase, each stage the FIRST matching
+    * event at or after the previous stage's time). The naive
+    * formulation sorts every user's full event history through a
+    * window; this one exploits the funnel's FIXED depth instead: each
+    * stage is one filtered aggregate of (user, min event-micros)
+    * joined to the previous stage's skinny frame — 4 aggregations +
+    * equi-joins on user_id, all map-side-combinable, no per-user
+    * event list ever materializes, and every shuffled row is a
+    * 16-byte pair. Stage times ride as integer microseconds
+    * (`unix_micros` ≡ DuckDB `epoch_us`), so the oracle compare
+    * never touches timestamp formatting.
+    */
+  def q34Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    def first(typ: String, out: String): DataFrame =
+      ev.filter(col("event_type") === typ)
+        .groupBy(col("user_id")).agg(min(col("us")).as(out))
+    def next(typ: String, prev: DataFrame, prevCol: String, out: String): DataFrame =
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col(prevCol)), "user_id")
+        .filter(col("us") >= col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("us")).as(out))
+    val s1 = first("signup", "t_signup")
+    val s2 = next("view", s1, "t_signup", "t_view")
+    val s3 = next("click", s2, "t_view", "t_click")
+    val s4 = next("purchase", s3, "t_click", "t_purchase")
+    ev.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .join(s4, Seq("user_id"), "left")
+      .withColumn("stage_reached",
+        when(col("t_purchase").isNotNull, 4)
+          .when(col("t_click").isNotNull, 3)
+          .when(col("t_view").isNotNull, 2)
+          .when(col("t_signup").isNotNull, 1)
+          .otherwise(0))
+      .orderBy(col("user_id"))
+  }
 }

@@ -184,4 +184,34 @@ class RelationalSpec extends SparkSpec {
     rows.filter(!_.getAs[Boolean]("has_orders"))
       .foreach(r => assert(r.getAs[Long]("n_orders") == 0 && r.getAs[Long]("order_cents") == 0))
   }
+
+  test("q34 funnel: hand-computed stages incl. out-of-order, ties, and missing entry") {
+    val dir = scratchDir("graft_q34")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // (event_id, ts, user_id, event_type, value, props)
+    Seq(
+      // user 1: full funnel in order → stage 4
+      (1L, ts(10), 1L, "signup", 1.0, "{}"), (2L, ts(20), 1L, "view", 1.0, "{}"),
+      (3L, ts(30), 1L, "click", 1.0, "{}"), (4L, ts(40), 1L, "purchase", 1.0, "{}"),
+      // user 2: only view BEFORE signup → stage 1 (order matters)
+      (5L, ts(5), 2L, "view", 1.0, "{}"), (6L, ts(10), 2L, "signup", 1.0, "{}"),
+      // user 3: view ties signup's timestamp → inclusive, stage 2
+      (7L, ts(10), 3L, "signup", 1.0, "{}"), (8L, ts(10), 3L, "view", 1.0, "{}"),
+      // user 4: no signup at all → stage 0
+      (9L, ts(5), 4L, "click", 1.0, "{}"), (10L, ts(6), 4L, "purchase", 1.0, "{}"),
+      // user 5: skips click; purchase must NOT count → stage 2
+      (11L, ts(10), 5L, "signup", 1.0, "{}"), (12L, ts(12), 5L, "view", 1.0, "{}"),
+      (13L, ts(13), 5L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q34Funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), r.getInt(5)))).toMap
+    def us(sec: Long) = Some(sec * 1000000L)
+    assert(got(1L) == ((us(10), us(20), us(30), us(40), 4)))
+    assert(got(2L) == ((us(10), None, None, None, 1)))
+    assert(got(3L) == ((us(10), us(10), None, None, 2)))
+    assert(got(4L) == ((None, None, None, None, 0)))
+    assert(got(5L) == ((us(10), us(12), None, None, 2)))
+  }
 }
