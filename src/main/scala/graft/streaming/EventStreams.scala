@@ -31,6 +31,20 @@ case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
 /** A document arriving on a stream for near-dup detection. */
 case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
+/** A typed event for the streaming funnel. */
+case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+/** Per-user funnel state: stage times in epoch micros, None = not
+  * reached. Four optional longs — bounded regardless of stream length.
+  */
+case class FunnelState(t1: Option[Long], t2: Option[Long],
+    t3: Option[Long], t4: Option[Long])
+
+/** Emitted on each stage advance: the user's funnel snapshot. */
+case class FunnelOut(user_id: Long, stage_reached: Int,
+    t_signup: Option[Long], t_view: Option[Long], t_click: Option[Long],
+    t_purchase: Option[Long])
+
 /** One doc landing in one LSH band bucket (streaming near-dup);
   * carries the watermarked event-time column itself — the unsupported-
   * operation checker requires it present in the FMGWS input.
@@ -180,6 +194,62 @@ object EventStreams {
     * of state, which is the only state policy that survives an
     * unbounded stream.
     */
+  /** Streaming twin of q34's conversion funnel: a per-user stage
+    * machine in `flatMapGroupsWithState`. Each micro-batch's events
+    * sort by (event-micros, stage rank) — the tie rule that matches
+    * the batch operator's INCLUSIVE `ts >= prev` bound — and fold
+    * through the state greedily: a stage records the first eligible
+    * event at/after the previous stage's time, which on an in-order
+    * stream is exactly the batch chain of stage-wise minimums
+    * (greedy-earliest ≡ chained min under a time-ordered scan;
+    * StreamingSpec asserts parity against Relational.q34Funnel on a
+    * randomized corpus). A snapshot row is emitted on every advance —
+    * the "conversion event" feed a product pipeline tails. State is
+    * four optional longs per user (no event history), so it is
+    * bounded by the user population, not the stream; late
+    * (cross-batch out-of-order) events can only under-report a stage,
+    * never corrupt one — the prereq-time guard rides each transition.
+    */
+  private val StageOf = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
+
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(funnelFn)
+  }
+
+  private[graft] def funnelFn(userId: Long, events: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+    var st = state.getOption.getOrElse(FunnelState(None, None, None, None))
+    val out = Seq.newBuilder[FunnelOut]
+    def stageReached(s: FunnelState): Int =
+      if (s.t4.isDefined) 4 else if (s.t3.isDefined) 3
+      else if (s.t2.isDefined) 2 else if (s.t1.isDefined) 1 else 0
+    events.toSeq
+      .flatMap { e =>
+        val i = e.ts.toInstant
+        StageOf.get(e.event_type)
+          .map(r => (i.getEpochSecond * 1000000L + i.getNano / 1000L, r))
+      }
+      .sorted
+      .foreach { case (us, stage) =>
+        val next = stage match {
+          case 1 if st.t1.isEmpty                          => Some(st.copy(t1 = Some(us)))
+          case 2 if st.t2.isEmpty && st.t1.exists(_ <= us) => Some(st.copy(t2 = Some(us)))
+          case 3 if st.t3.isEmpty && st.t2.exists(_ <= us) => Some(st.copy(t3 = Some(us)))
+          case 4 if st.t4.isEmpty && st.t3.exists(_ <= us) => Some(st.copy(t4 = Some(us)))
+          case _                                           => None
+        }
+        next.foreach { ns =>
+          st = ns
+          out += FunnelOut(userId, stageReached(ns), ns.t1, ns.t2, ns.t3, ns.t4)
+        }
+      }
+    state.update(st)
+    out.result().iterator
+  }
+
   def dedupStream(docs: org.apache.spark.sql.DataFrame,
       watermarkDelay: String = "10 minutes"): org.apache.spark.sql.DataFrame =
     docs

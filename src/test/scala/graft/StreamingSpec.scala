@@ -381,6 +381,43 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((3L, 4L, 1.0)))
   }
 
+  test("streaming funnel matches batch q34 stages on a randomized in-order corpus") {
+    import graft.streaming.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    val dir = scratchDir("graft_sfunnel")
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + rnd.nextInt(100000) * 1000L),
+        rnd.nextInt(40).toLong, types(rnd.nextInt(types.length)), 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Relational.q34Funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(5), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4))))).toMap
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStream(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("funnel_out").start()
+    // two micro-batches, split where event time strictly increases so
+    // the stream is in order ACROSS batches too
+    val evs = rows.sortBy(_._2.getTime).map(r => FunnelEvent(r._3, r._2, r._4))
+    var cut = evs.length / 2
+    while (cut < evs.length && evs(cut - 1).ts == evs(cut).ts) cut += 1
+    mem.addData(evs.take(cut)); q.processAllAvailable()
+    mem.addData(evs.drop(cut)); q.processAllAvailable()
+    // final (max-stage) snapshot per user ≡ the batch chain of minimums
+    val fin = spark.table("funnel_out").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5)))))
+      .groupBy(_._1).map { case (u, snaps) => u -> snaps.map(_._2).maxBy(_._1) }
+    q.stop()
+    val reached = batch.filter(_._2._1 >= 1)
+    assert(fin.keySet == reached.keySet) // stage-0 users emit nothing
+    reached.foreach { case (u, exp) => assert(fin(u) == exp, s"user $u") }
+    assert(reached.values.exists(_._1 == 4)) // corpus exercises full depth
+  }
+
   test("file-source ingest picks up only newly arrived files per trigger") {
     import spark.implicits._
     val dir = scratchDir("graft_ingest")
