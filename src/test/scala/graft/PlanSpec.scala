@@ -158,4 +158,32 @@ class PlanSpec extends SparkSpec {
     // orderBy(event_id)
     assert(p.linesIterator.count(_.matches(raw".*\(\d+\) Sort.*")) == 3, p)
   }
+
+  test("t11: classifier scoring is a pure projection — only the final sort exchanges") {
+    val p = formatted(graft.operators.TextAnalysis.qualityModel(spark, Sf))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges <= 1, s"scoring must not shuffle:\n$p")
+  }
+
+  test("p7: the bucket score table broadcasts; no window funnels the selection") {
+    val p = formatted(graft.operators.Curation.dsirSelect(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g17: the pyramid build folds in place — no exchange before the final sort") {
+    val p = formatted(graft.geo.GeoQueries.overviews(spark, Sf))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges <= 1, s"pyramid must build inside the tile split:\n$p")
+  }
+
+  test("q34: funnel stages are aggregates + equi-joins, no per-user history window") {
+    val p = formatted(Relational.q34Funnel(spark, Sf))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
