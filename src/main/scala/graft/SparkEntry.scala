@@ -35,6 +35,8 @@ object SparkEntry {
     "g15_flow_dir"            -> GeoQueries.flowDir _,
     "g16_zorder"              -> GeoQueries.zorderLayout _,
     "g17_overviews"           -> GeoQueries.overviews _,
+    "g18_hillshade"           -> GeoQueries.hillshade _,
+    "g19_flow_accum"          -> GeoQueries.flowAccum _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -358,6 +360,96 @@ object SparkEntry {
       |                 ELSE 'NW' END
       |  END AS grad_octant
       |FROM h ORDER BY tile_id, y, x""").stripMargin,
+    // g18: the same integer Horn numerators as g14, then the IDENTICAL
+    // IEEE expression tree (cast, ·, /, sqrt are all correctly rounded
+    // → bit-identical doubles across engines); shade rounds via
+    // floor(x + 0.5), never round-half-even
+    "g18_hillshade" -> (raw"""
+      |WITH $TilesCte,
+      |px AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(1,6) ys(y), generate_series(1,6) xs(x)
+      |  WHERE tile_id < 50),
+      |zz AS (
+      |  SELECT *,
+      |    (tile_id*131 + (x+1)*17 + (y-1)*29) % 8848 AS ze_n,
+      |    (tile_id*131 + (x+1)*17 + (y  )*29) % 8848 AS ze,
+      |    (tile_id*131 + (x+1)*17 + (y+1)*29) % 8848 AS ze_s,
+      |    (tile_id*131 + (x-1)*17 + (y-1)*29) % 8848 AS zw_n,
+      |    (tile_id*131 + (x-1)*17 + (y  )*29) % 8848 AS zw,
+      |    (tile_id*131 + (x-1)*17 + (y+1)*29) % 8848 AS zw_s,
+      |    (tile_id*131 + (x  )*17 + (y-1)*29) % 8848 AS zn,
+      |    (tile_id*131 + (x  )*17 + (y+1)*29) % 8848 AS zs
+      |  FROM px),
+      |h AS (
+      |  SELECT tile_id, tile_key, x, y,
+      |    (ze_n + 2*ze + ze_s - zw_n - 2*zw - zw_s)::BIGINT AS dzdx_num,
+      |    (zw_s + 2*zs + ze_s - zw_n - 2*zn - ze_n)::BIGINT AS dzdy_num
+      |  FROM zz),
+      |f AS (
+      |  SELECT *, dzdx_num / 240.0 AS p, dzdy_num / 240.0 AS sg FROM h),
+      |c AS (
+      |  SELECT *, (0.5 * p + 0.5 * sg + sqrt(0.5)) /
+      |            sqrt(1.0 + p * p + sg * sg) AS cang FROM f)
+      |SELECT tile_id, tile_key, x, y, dzdx_num, dzdy_num,
+      |  round(cang, 6) AS cang_r6,
+      |  (CASE WHEN cang <= 0 THEN 1 ELSE floor(cang * 254 + 1.5) END)::BIGINT AS shade
+      |FROM c ORDER BY tile_id, y, x""").stripMargin,
+    // g19: succ = g15's argmax (row_number mirror), then a recursive
+    // CTE walks every cell's flow path; acc(c) = COUNT of (source,
+    // reached) pairs landing on c — each pair occurs at most once
+    // because the path is deterministic and strictly descends
+    "g19_flow_accum" -> (raw"""
+      |WITH RECURSIVE $TilesCte,
+      |px AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(1,6) ys(y), generate_series(1,6) xs(x)
+      |  WHERE tile_id < 50),
+      |zz AS (
+      |  SELECT *,
+      |    (tile_id*131 + (x  )*17 + (y  )*29) % 8848 AS z0,
+      |    (tile_id*131 + (x+1)*17 + (y-1)*29) % 8848 AS ze_n,
+      |    (tile_id*131 + (x+1)*17 + (y  )*29) % 8848 AS ze,
+      |    (tile_id*131 + (x+1)*17 + (y+1)*29) % 8848 AS ze_s,
+      |    (tile_id*131 + (x-1)*17 + (y-1)*29) % 8848 AS zw_n,
+      |    (tile_id*131 + (x-1)*17 + (y  )*29) % 8848 AS zw,
+      |    (tile_id*131 + (x-1)*17 + (y+1)*29) % 8848 AS zw_s,
+      |    (tile_id*131 + (x  )*17 + (y-1)*29) % 8848 AS zn,
+      |    (tile_id*131 + (x  )*17 + (y+1)*29) % 8848 AS zs
+      |  FROM px),
+      |cand AS (
+      |  SELECT tile_id, x, y, unnest([
+      |    struct_pack(dx :=  1, dy :=  0, pr := 1, drop := z0 - ze,   diag := false),
+      |    struct_pack(dx :=  1, dy :=  1, pr := 2, drop := z0 - ze_s, diag := true),
+      |    struct_pack(dx :=  0, dy :=  1, pr := 3, drop := z0 - zs,   diag := false),
+      |    struct_pack(dx := -1, dy :=  1, pr := 4, drop := z0 - zw_s, diag := true),
+      |    struct_pack(dx := -1, dy :=  0, pr := 5, drop := z0 - zw,   diag := false),
+      |    struct_pack(dx := -1, dy := -1, pr := 6, drop := z0 - zw_n, diag := true),
+      |    struct_pack(dx :=  0, dy := -1, pr := 7, drop := z0 - zn,   diag := false),
+      |    struct_pack(dx :=  1, dy := -1, pr := 8, drop := z0 - ze_n, diag := true)
+      |  ]) AS f FROM zz),
+      |ranked AS (
+      |  SELECT tile_id, x, y, x + f.dx AS tx, y + f.dy AS ty,
+      |         row_number() OVER (PARTITION BY tile_id, x, y
+      |           ORDER BY f.drop*f.drop*(CASE WHEN f.diag THEN 1 ELSE 2 END) DESC,
+      |                    f.pr ASC) AS rn
+      |  FROM cand WHERE f.drop > 0),
+      |succ AS (SELECT tile_id, x, y, tx, ty FROM ranked WHERE rn = 1),
+      |reach AS (
+      |  SELECT tile_id, x AS sx, y AS sy, tx AS cx, ty AS cy FROM succ
+      |  UNION ALL
+      |  SELECT r.tile_id, r.sx, r.sy, s.tx, s.ty
+      |  FROM reach r JOIN succ s
+      |    ON s.tile_id = r.tile_id AND s.x = r.cx AND s.y = r.cy),
+      |allpx AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(0,7) ys(y), generate_series(0,7) xs(x)
+      |  WHERE tile_id < 50),
+      |a AS (SELECT tile_id, cx AS x, cy AS y, count(*)::BIGINT AS acc
+      |      FROM reach GROUP BY 1, 2, 3)
+      |SELECT p.tile_id, p.tile_key, p.x, p.y, coalesce(a.acc, 0)::BIGINT AS acc
+      |FROM allpx p LEFT JOIN a USING (tile_id, x, y)
+      |ORDER BY p.tile_id, p.y, p.x""").stripMargin,
     // g15: same neighbor re-derivation as g14; the argmax mirrors the
     // Spark side's lexicographic (score, priority) struct max — and
     // cardinal/diagonal score ties are impossible in integers

@@ -330,7 +330,29 @@ object GeoQueries {
     * |gradient| strictly dominates, diagonal on exact ties) —
     * integer comparisons only, byte-identical both sides.
     */
-  def slopeAspect(s: SparkSession, dir: String): DataFrame = {
+  def slopeAspect(s: SparkSession, dir: String): DataFrame =
+    hornNumerators(s, dir)
+      .withColumn("tan2_num",
+        col("dzdx_num") * col("dzdx_num") + col("dzdy_num") * col("dzdy_num"))
+      .withColumn("grad_octant",
+        when(col("dzdx_num") === 0 && col("dzdy_num") === 0, "flat")
+          .when(abs(col("dzdx_num")) > abs(col("dzdy_num")),
+            when(col("dzdx_num") > 0, "E").otherwise("W"))
+          .when(abs(col("dzdy_num")) > abs(col("dzdx_num")),
+            when(col("dzdy_num") > 0, "S").otherwise("N"))
+          .otherwise( // exact diagonal: |dzdx| == |dzdy| != 0
+            when(col("dzdx_num") > 0 && col("dzdy_num") > 0, "SE")
+              .when(col("dzdx_num") > 0, "NE")
+              .when(col("dzdy_num") > 0, "SW")
+              .otherwise("NW")))
+      .orderBy(col("tile_id"), col("y"), col("x"))
+
+  /** Shared core of g14/g18: the decoded tile array → interior pixels
+    * with integer Horn numerators (dzdx east-west, dzdy SOUTHWARD —
+    * grid y grows south). Zero shuffle: neighborhood access is index
+    * arithmetic inside each tile's own array.
+    */
+  private def hornNumerators(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.RasterExprs
     val fixture = Fixtures.ensureRasters(s, dir)
     val n = 8
@@ -358,20 +380,73 @@ object GeoQueries {
     val dzdy = (z(-1, 1) + z(0, 1) * 2 + z(1, 1)) -
       (z(-1, -1) + z(0, -1) * 2 + z(1, -1))
     px.select(col("tile_id"), col("tile_key"), col("x"), col("y"),
-        dzdx.as("dzdx_num"), dzdy.as("dzdy_num"))
-      .withColumn("tan2_num",
-        col("dzdx_num") * col("dzdx_num") + col("dzdy_num") * col("dzdy_num"))
-      .withColumn("grad_octant",
-        when(col("dzdx_num") === 0 && col("dzdy_num") === 0, "flat")
-          .when(abs(col("dzdx_num")) > abs(col("dzdy_num")),
-            when(col("dzdx_num") > 0, "E").otherwise("W"))
-          .when(abs(col("dzdy_num")) > abs(col("dzdx_num")),
-            when(col("dzdy_num") > 0, "S").otherwise("N"))
-          .otherwise( // exact diagonal: |dzdx| == |dzdy| != 0
-            when(col("dzdx_num") > 0 && col("dzdy_num") > 0, "SE")
-              .when(col("dzdx_num") > 0, "NE")
-              .when(col("dzdy_num") > 0, "SW")
-              .otherwise("NW")))
+      dzdx.as("dzdx_num"), dzdy.as("dzdy_num"))
+  }
+
+  /** g18: hillshade — `gdaldem hillshade`'s Horn-kernel illumination
+    * (azimuth 315°, altitude 45°, the universal defaults), riding
+    * g14's integer numerators. cos(incidence) has the closed trig-free
+    * form GDAL itself computes (trig only ever applies to the constant
+    * sun angles):
+    *   cang = (0.5·p + 0.5·s + √0.5) / √(1 + p² + s²)
+    * with p = dzdx/(8·cell), s = dzdy/(8·cell) (southward gradient;
+    * 0.5 = cos 45°·cos 315° folded exactly, √0.5 = sin 45°), cell =
+    * 30 m (AW3D30's ground resolution). EVERY float op here — int→
+    * double cast, ·, /, sqrt — is correctly rounded under IEEE 754, so
+    * Spark and DuckDB evaluating the IDENTICAL expression tree produce
+    * bit-identical doubles and the oracle hash compares exactly; this
+    * is t6's rational-BM25 discipline extended to sqrt (the reason g14
+    * avoids atan does not apply — atan is the one non-correctly-
+    * rounded libm call in the pipeline). `shade` is GDAL's 1..255
+    * byte: 1 for self-shadowed (cang ≤ 0), else floor(254·cang + 1.5)
+    * — floor-based rounding, identical both engines. Zero shuffle
+    * before the output order, same per-tile array shape as g14.
+    */
+  def hillshade(s: SparkSession, dir: String): DataFrame = {
+    val p = col("dzdx_num") / lit(240.0)
+    val sg = col("dzdy_num") / lit(240.0)
+    val cang = (lit(0.5) * p + lit(0.5) * sg + sqrt(lit(0.5))) /
+      sqrt(lit(1.0) + p * p + sg * sg)
+    hornNumerators(s, dir)
+      .withColumn("cang_r6", graft.functions.Det.r6(cang))
+      .withColumn("shade",
+        when(cang <= 0, 1L).otherwise(floor(cang * lit(254) + lit(1.5))))
+      .orderBy(col("tile_id"), col("y"), col("x"))
+  }
+
+  /** g19: D8 flow ACCUMULATION — the second hydrology pass
+    * (O'Callaghan & Mark 1984; `gdaldem`'s TauDEM/GRASS `r.watershed`
+    * counterpart): for every cell, how many cells drain through it
+    * along g15's steepest-descent directions. Upstream-area maps are
+    * the input to stream extraction and wetness indices. The flow
+    * graph is a forest (each cell has ≤ 1 successor) with strictly
+    * decreasing elevation along every edge, so accumulation is ONE
+    * topological sweep — the FlowAccum expression processes each
+    * tile's array in descending-elevation order, O(n² log n²) per
+    * tile, inside the tile's own file split: ZERO shuffle (g14/g15's
+    * distribution shape; a 3600×3600 production tile accumulates in
+    * its own task). Only interior cells flow (the D8 kernel is
+    * undefined on the rim, g15); rim cells still RECEIVE flow. The
+    * oracle recomputes per-cell counts via a recursive CTE over the
+    * same argmax — transitive closure is affordable there because the
+    * oracle corpus is fixture-sized; the engine side never builds it.
+    */
+  def flowAccum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val n = 8
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        posexplode(RasterExprs.flow_accum(
+          transform(col("r.points"), p => p.getField("elevation").cast("long")),
+          lit(n))))
+      .select(col("tile_id"), col("tile_key"),
+        pmod(col("pos"), lit(n)).as("x"),
+        (col("pos") / lit(n)).cast("int").as("y"),
+        col("col").as("acc"))
       .orderBy(col("tile_id"), col("y"), col("x"))
   }
 

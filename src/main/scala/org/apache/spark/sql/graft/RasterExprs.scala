@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -15,6 +15,102 @@ object RasterExprs {
   /** Decode a baseline-TIFF raster payload (see [[TiffDecode]]). */
   def tiff_decode(content: Column): Column =
     ExpressionUtils.column(TiffDecode(ExpressionUtils.expression(content)))
+
+  /** D8 flow accumulation over a row-major tile array (see [[FlowAccum]]). */
+  def flow_accum(elev: Column, n: Column): Column =
+    ExpressionUtils.column(FlowAccum(
+      ExpressionUtils.expression(elev), ExpressionUtils.expression(n)))
+}
+
+/** D8 flow accumulation (O'Callaghan & Mark 1984) over one tile's
+  * row-major elevation array: for each cell, the number of cells whose
+  * steepest-descent flow path passes through it. Direction per
+  * interior cell is the EXACT argmax g15 computes in SQL — score =
+  * drop²·(2 for cardinal, 1 for diagonal), comparing drop/1 vs drop/√2
+  * without floats (2a² = b² has no nonzero integer solutions, so
+  * cardinal/diagonal ties are impossible); same-score same-class ties
+  * break by the fixed ESRI priority E,SE,S,SW,W,NW,N,NE. Rim cells
+  * have no direction (the 3×3 kernel is undefined there — gdaldem
+  * nodata semantics) but still receive flow.
+  *
+  * Drops are strictly positive along every edge, so the flow graph is
+  * a forest with strictly DECREASING elevation — one sweep in
+  * descending-elevation order propagates loads in topological order:
+  * load[succ(u)] += load[u], every upstream cell of u having already
+  * been folded in (anything flowing into u sits strictly higher).
+  * O(n² log n²) per tile, no state beyond the tile: the whole
+  * computation lives inside the tile's file split, which is how
+  * raster engines distribute (a 3600×3600 production tile is one call
+  * per file row). Eval-only (CodegenFallback) is fine off the codegen
+  * hot path: one call amortizes over n² output cells, exactly like
+  * RasterDecode.
+  */
+case class FlowAccum(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), IntegerType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // malformed (wrong-length) arrays yield null, mirroring RasterDecode
+  override def nullable: Boolean = true
+
+  // ESRI D8 neighbor ring in tie-break priority order:
+  // (dx, dy, diagonal)
+  private val Ring: Array[(Int, Int, Boolean)] = Array(
+    (1, 0, false), (1, 1, true), (0, 1, false), (-1, 1, true),
+    (-1, 0, false), (-1, -1, true), (0, -1, false), (1, -1, true))
+
+  override def nullSafeEval(elevAny: Any, nAny: Any): Any = {
+    val arr = elevAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    if (n < 3 || arr.numElements() != n * n) return null
+    val z = arr.toLongArray()
+    val total = n * n
+    val succ = new Array[Int](total)
+    java.util.Arrays.fill(succ, -1)
+    var y = 1
+    while (y < n - 1) {
+      var x = 1
+      while (x < n - 1) {
+        val i = y * n + x
+        val z0 = z(i)
+        var bestScore = 0L
+        var bestIdx = -1
+        var k = 0
+        while (k < 8) {
+          val (dx, dy, diag) = Ring(k)
+          val j = (y + dy) * n + (x + dx)
+          val drop = z0 - z(j)
+          if (drop > 0) {
+            val score = drop * drop * (if (diag) 1L else 2L)
+            if (score > bestScore) { bestScore = score; bestIdx = j } // strict >: first hit wins ties = ESRI priority
+          }
+          k += 1
+        }
+        succ(i) = bestIdx
+        x += 1
+      }
+      y += 1
+    }
+    // descending-elevation sweep = topological order of the flow forest
+    val order = Array.range(0, total)
+      .sortBy(i => -z(i))
+    val load = Array.fill(total)(1L)
+    var oi = 0
+    while (oi < total) {
+      val u = order(oi)
+      if (succ(u) >= 0) load(succ(u)) += load(u)
+      oi += 1
+    }
+    var i = 0
+    while (i < total) { load(i) -= 1; i += 1 } // acc excludes the cell itself
+    new GenericArrayData(load)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FlowAccum = copy(left = l, right = r)
 }
 
 /** Byte-level decoder for the deterministic GRFT raster format — the

@@ -497,6 +497,79 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g18: hillshade reproduces the JVM IEEE tree bit-for-bit; shade stays in 1..255") {
+    val got = GeoQueries.hillshade(spark, Sf)
+      .select("tile_id", "x", "y", "dzdx_num", "dzdy_num", "cang_r6", "shade")
+      .collect()
+    assert(got.nonEmpty && got.length % 36 == 0)
+    def z(t: Long, x: Int, y: Int): Long = (t * 131 + x * 17 + y * 29) % 8848
+    got.foreach { r =>
+      val (t, x, y) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val edx = (z(t, x + 1, y - 1) + 2 * z(t, x + 1, y) + z(t, x + 1, y + 1)) -
+        (z(t, x - 1, y - 1) + 2 * z(t, x - 1, y) + z(t, x - 1, y + 1))
+      val edy = (z(t, x - 1, y + 1) + 2 * z(t, x, y + 1) + z(t, x + 1, y + 1)) -
+        (z(t, x - 1, y - 1) + 2 * z(t, x, y - 1) + z(t, x + 1, y - 1))
+      assert(r.getLong(3) == edx && r.getLong(4) == edy)
+      // the JVM evaluates the identical IEEE tree — every op correctly
+      // rounded, so equality is EXACT, not approximate
+      val p = edx / 240.0
+      val s = edy / 240.0
+      val cang = (0.5 * p + 0.5 * s + math.sqrt(0.5)) /
+        math.sqrt(1.0 + p * p + s * s)
+      val r6 = BigDecimal(cang).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == r6, s"($t,$x,$y): ${r.getDouble(5)} vs $r6")
+      val shade = if (cang <= 0) 1L else math.floor(cang * 254 + 1.5).toLong
+      assert(r.getLong(6) == shade && shade >= 1 && shade <= 255, s"($t,$x,$y)")
+    }
+  }
+
+  test("g19: flow accumulation equals brute-force path following; mass conserves") {
+    val got = GeoQueries.flowAccum(spark, Sf)
+      .select("tile_id", "x", "y", "acc")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty && got.size % 64 == 0) // all 8x8 cells per tile
+    def z(t: Long, x: Int, y: Int): Long = (t * 131 + x * 17 + y * 29) % 8848
+    val nb = Seq( // ESRI priority order: (dx, dy, cardinal)
+      (1, 0, true), (1, 1, false), (0, 1, true), (-1, 1, false),
+      (-1, 0, true), (-1, -1, false), (0, -1, true), (1, -1, false))
+    val tiles = got.keys.map(_._1).toSeq.distinct
+    tiles.foreach { t =>
+      // successor per interior cell by the g15 argmax
+      def succ(x: Int, y: Int): Option[(Int, Int)] = {
+        if (x < 1 || x > 6 || y < 1 || y > 6) return None
+        val z0 = z(t, x, y)
+        val pos = nb.map { case (dx, dy, card) =>
+          ((x + dx, y + dy), z0 - z(t, x + dx, y + dy), card) }
+          .filter(_._2 > 0)
+        if (pos.isEmpty) None
+        else {
+          def score(p: ((Int, Int), Long, Boolean)): Long =
+            p._2 * p._2 * (if (p._3) 2 else 1)
+          val best = pos.map(score).max
+          Some(pos.find(score(_) == best).get._1)
+        }
+      }
+      // brute force: walk every interior cell's path to termination,
+      // counting visits — an algorithm independent of the expression's
+      // topological sweep
+      val visits = scala.collection.mutable.Map[(Int, Int), Long]().withDefaultValue(0L)
+      for (sy <- 1 to 6; sx <- 1 to 6) {
+        var cur = succ(sx, sy)
+        while (cur.isDefined) {
+          val c = cur.get
+          visits(c) += 1
+          cur = succ(c._1, c._2)
+        }
+      }
+      for (y <- 0 to 7; x <- 0 to 7)
+        assert(got((t, x, y)) == visits((x, y)), s"($t,$x,$y)")
+      // conservation: total accumulated flow = total path length
+      assert(got.filter(_._1._1 == t).values.sum == visits.values.sum)
+    }
+  }
+
   test("g1/g2/g5 run at sf0.001 with sane shapes") {
     assert(GeoQueries.tileParse(spark, Sf).filter(!col("roundtrip_ok")).count() == 0)
     val g2 = GeoQueries.regionFilter(spark, Sf).collect().head
