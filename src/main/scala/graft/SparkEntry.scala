@@ -133,6 +133,8 @@ object SparkEntry {
       graft.operators.Audio.manifest(s, d)),
     "m5_audio_neardup"        -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.audioNearDup(s, d)),
+    "m6_image_neardup"        -> ((s: SparkSession, d: String) =>
+      Multimodal.imageNearDup(s, d)),
     // ingest sources (file-format parse + quarantine audit)
     "j1_jsonl_ingest"         -> graft.operators.IngestQueries.jsonlIngest _,
     "j2_csv_ingest"           -> graft.operators.IngestQueries.csvIngest _,
@@ -1140,6 +1142,44 @@ object SparkEntry {
       |  ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.fi < b.fi))
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin,
+    // m6: signatures re-derived from the family-corpus formulas (the
+    // m4 HUGEINT fold, single image per doc, spike folded in via the
+    // same explicit mod-256 wrap the fixture writes); pairs brute-forced
+    "m6_image_neardup" -> raw"""
+      |WITH d AS (SELECT doc_id, doc_id // 25 AS fam FROM documents),
+      |p AS (SELECT doc_id, fam, (fam % 24 + 8)::INT AS w, (fam % 17 + 8)::INT AS h,
+      |  (doc_id * 131) % ((fam % 24 + 8) * (fam % 17 + 8)) AS spike,
+      |  (doc_id % 7) * 37 AS amp FROM d),
+      |s AS (SELECT doc_id, fam, w, h, spike, amp,
+      |  list_sum([CASE WHEN i = spike
+      |            THEN ((fam*40503 + i*i*13933 + i*7919) % 256 + amp) % 256
+      |            ELSE (fam*40503 + i*i*13933 + i*7919) % 256 END
+      |            for i in range(0, w * h)])::BIGINT AS total FROM p),
+      |sg AS (SELECT doc_id,
+      |  list_reduce(list_prepend(0::HUGEINT, [
+      |    (CASE WHEN
+      |      (list_sum([CASE WHEN i = spike
+      |          THEN ((fam*40503 + i*i*13933 + i*7919) % 256 + amp) % 256
+      |          ELSE (fam*40503 + i*i*13933 + i*7919) % 256 END
+      |        for i in range(0, w * h)
+      |        if (i % w) >= (b % 8) * w // 8 AND (i % w) < ((b % 8) + 1) * w // 8
+      |          AND (i // w) >= (b // 8) * h // 8 AND (i // w) < ((b // 8) + 1) * h // 8
+      |       ]))::BIGINT * (w * h)
+      |      > total * ((((b % 8) + 1) * w // 8 - (b % 8) * w // 8)
+      |               * (((b // 8) + 1) * h // 8 - (b // 8) * h // 8))
+      |     THEN 1 ELSE 0 END)::HUGEINT
+      |    for b in range(0, 64)]),
+      |    (acc, bit) -> acc * 2 + bit) AS hu
+      |  FROM s),
+      |sig AS (SELECT doc_id,
+      |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS sig
+      |  FROM sg)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       bit_count(xor(a.sig, b.sig))::INT AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin,
     // m5: fingerprints re-derived row-wise (unnest samples → segment
     // group-by → ordered-list fold); 63 bits fit plain BIGINT
     "m5_audio_neardup" -> raw"""

@@ -450,6 +450,100 @@ object Multimodal {
       col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"))
   }
 
+  // --- image near-dup: family-structured grayscale corpus -----------
+  // The m1/m4 fixtures key every pixel off doc_id, so no two images
+  // are alike and a near-dup query would return nothing. This corpus
+  // has the m5_audio_neardup family structure instead: docs in the
+  // same FIXED-SIZE family of 25 share a noise-like base image
+  // (quadratic-congruential in the pixel index — a linear formula
+  // would make every same-dims family a constant offset of the next
+  // mod 256, i.e. one giant cross-family dup cluster and quadratic
+  // pair output), and each doc perturbs ONE pixel (position and
+  // amplitude keyed by doc_id; amp 0 for doc_id%7==0, the exact-dup
+  // sub-band). Family count scales with the corpus while family size
+  // stays 25, so duplicate clusters stay bounded and the pair output
+  // is corpus-LINEAR at every sf.
+
+  /** Fixture family of a doc (fixed size 25). */
+  def imageFamily(docId: Long): Long = docId / 25
+
+  /** Family image dims: 8..31 × 8..24 (shared by the whole family). */
+  def familyDims(fam: Long): (Int, Int) =
+    ((math.floorMod(fam, 24L) + 8L).toInt, (math.floorMod(fam, 17L) + 8L).toInt)
+
+  /** Gray pixel value at row-major index i: the family's
+    * quadratic-congruential base, plus the doc's single spike (mod
+    * 256 — explicit wrap, no clamp, so the oracle reproduces it).
+    */
+  def familyPixel(docId: Long, i: Int): Int = {
+    val fam = imageFamily(docId)
+    val base = math.floorMod(fam * 40503L + i.toLong * i * 13933L + i * 7919L, 256L)
+    val (w, h) = familyDims(fam)
+    val spike = math.floorMod(docId * 131L, (w * h).toLong)
+    if (i == spike) math.floorMod(base + math.floorMod(docId, 7L) * 37L, 256L).toInt
+    else base.toInt
+  }
+
+  /** REAL grayscale PNG container for a doc's family image (8-bit
+    * gray is lossless through PNG, like m2's grayscale GIF frames).
+    */
+  def familyPngPayload(docId: Long): Array[Byte] = {
+    val (w, h) = familyDims(imageFamily(docId))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, familyPixel(docId, i))
+      i += 1
+    }
+    encodePng(img)
+  }
+
+  /** Documents with the family-corpus image payload column. */
+  def withFamilyPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // codec is CPU-bound
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, familyPngPayload(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** The `m6_image_neardup` query: NEAR-DUPLICATE IMAGES across the
+    * corpus — the image leg of the dedup × modality matrix (text d2,
+    * video frames m4, audio clips m5): re-saves, light edits, and
+    * single-pixel-corrupted re-uploads of one image. Every payload
+    * decodes through the REAL PNG codec to a 64-bit average-hash
+    * ([[avgHash64]] — integer cross-multiplication bits, float-free),
+    * then m4's lossless 4×16-bit chunk blocking (Hamming ≤ 3 shares a
+    * chunk by pigeonhole; shuffle ∝ images·4, never images²) feeds the
+    * exact `bit_count(xor)` filter. Oracle: DuckDB re-derives every
+    * signature from the fixture formulas and brute-forces the pairs.
+    */
+  def imageNearDup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val sigs = graft.Caches.track(withFamilyPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        (id, avgHash64(decodeImage(bytes)))
+      }))
+      .toDF("doc_id", "sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .withColumn("cv", expr("shiftright(sig, ci * 16) & 65535"))
+    val cands = chunked.as("x").join(chunked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.sig").as("sig_a"),
+        col("y.doc_id").as("doc_b"), col("y.sig").as("sig_b"))
+      .distinct()
+    graft.Caches.ordered(
+      cands.withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming")),
+      col("doc_a"), col("doc_b"))
+  }
+
   /** Embedding extraction: binary payload → REAL decode → pooled
     * `array<float>` column.
     */

@@ -171,4 +171,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, s"got=${got.size} brute=${brute.size}")
     assert(brute.nonEmpty) // the threshold actually fires on this corpus
   }
+
+  test("m6: chunk-blocked image near-dup equals brute force; family corpus has a real band") {
+    // brute force over driver-computed signatures from the REAL PNG
+    // decode path (gray PNG is lossless, so the codec round-trip is
+    // exact); the blocked equi-join must lose nothing
+    val sigs = graft.Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).map { id =>
+        (id, Multimodal.avgHash64(Multimodal.decodeImage(Multimodal.familyPngPayload(id))))
+      }
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (da, sa) = sigs(i); (db, sb) = sigs(j)
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield if (da < db) (da, db, h) else (db, da, h)).toSet
+    val got = Multimodal.imageNearDup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    // the fixture produces BOTH sub-bands: exact (hamming 0) and
+    // near (1..3) — and every pair stays within one family of 25
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 > 0))
+    brute.foreach { case (a, b, _) => assert(a / 25 == b / 25) }
+  }
 }
