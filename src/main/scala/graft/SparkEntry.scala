@@ -140,7 +140,9 @@ object SparkEntry {
     "j2_csv_ingest"           -> graft.operators.IngestQueries.csvIngest _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
-      graft.operators.Pipelines.curate(s, d)))
+      graft.operators.Pipelines.curate(s, d)),
+    "p8_web_pipeline"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Pipelines.webPipeline(s, d)))
 
   // ---- oracle fragments shared across queries -----------------------
 
@@ -1394,6 +1396,59 @@ object SparkEntry {
       |  FROM pairs p JOIN sc USING (bucket) GROUP BY p.doc_id, p.lang)
       |SELECT doc_id, lang, n_words, importance FROM imp
       |ORDER BY importance DESC, doc_id LIMIT 300""".stripMargin,
+    // p8: the oracle re-runs the whole funnel independently — the
+    // canonical-URL partition is (doc_id % 97) by the generating
+    // formula (d10 proves the string chain realizes exactly that
+    // partition), content keys are md5 of the shared normalization,
+    // repetition numerators are t9's CTEs, and stage flags fold with
+    // window minimums; every threshold is an integer comparison
+    "p8_web_pipeline" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 97) AS ugrp, md5($Nrm) AS chash,
+      |  $Nrm AS nrm, string_split($Nrm, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, ugrp, chash, len(w)::BIGINT AS n_words,
+      |  len(list_distinct(w))::BIGINT AS n_distinct,
+      |  (length(nrm) - (len(w) - 1))::BIGINT AS n_chars, w FROM d),
+      |g AS (SELECT doc_id, n, unnest(CASE WHEN len(w) >= n
+      |    THEN [array_to_string(w[i:i+n-1], ' ') for i in range(1, len(w)-n+2)]
+      |    ELSE [] END) AS gram
+      |  FROM b, (SELECT unnest([2,5]) AS n) ns),
+      |c AS (SELECT doc_id, n, gram, count(*)::BIGINT AS cnt,
+      |  (length(gram) - (n - 1))::BIGINT AS clen FROM g GROUP BY doc_id, n, gram),
+      |top AS (SELECT doc_id, cnt * clen AS num,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, clen DESC, gram) AS rn
+      |  FROM c WHERE n = 2),
+      |dup AS (SELECT doc_id, coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * clen END), 0)::BIGINT AS num
+      |  FROM c WHERE n = 5 GROUP BY doc_id),
+      |f0 AS (SELECT b.*, coalesce(t.num, 0) AS top2_num, coalesce(dp.num, 0) AS dup5_num
+      |  FROM b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+      |  LEFT JOIN dup dp USING (doc_id)),
+      |f1 AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY ugrp) AS k1 FROM f0),
+      |f2 AS (SELECT *, k1 AND doc_id = min(CASE WHEN k1 THEN doc_id END)
+      |  OVER (PARTITION BY chash) AS k2 FROM f1),
+      |f AS (SELECT *,
+      |  k2 AND n_words >= 10 AND n_distinct * 10 >= n_words * 3 AS k3,
+      |  k2 AND n_words >= 10 AND n_distinct * 10 >= n_words * 3
+      |    AND top2_num * 5 <= n_chars AND dup5_num * 10 <= n_chars * 3 AS k4
+      |  FROM f2),
+      |a AS (SELECT
+      |  count(*)::BIGINT AS d0, coalesce(sum(n_words), 0)::BIGINT AS w0,
+      |  sum(CASE WHEN k1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+      |  coalesce(sum(CASE WHEN k1 THEN n_words END), 0)::BIGINT AS w1,
+      |  sum(CASE WHEN k2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+      |  coalesce(sum(CASE WHEN k2 THEN n_words END), 0)::BIGINT AS w2,
+      |  sum(CASE WHEN k3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+      |  coalesce(sum(CASE WHEN k3 THEN n_words END), 0)::BIGINT AS w3,
+      |  sum(CASE WHEN k4 THEN 1 ELSE 0 END)::BIGINT AS d4,
+      |  coalesce(sum(CASE WHEN k4 THEN n_words END), 0)::BIGINT AS w4
+      |  FROM f)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_idx, 'raw' AS stage, d0 AS n_docs, w0 AS n_words,
+      |         0::BIGINT AS n_dropped FROM a
+      |  UNION ALL SELECT 1, 'url_dedup', d1, w1, d0 - d1 FROM a
+      |  UNION ALL SELECT 2, 'exact_dedup', d2, w2, d1 - d2 FROM a
+      |  UNION ALL SELECT 3, 'quality_gate', d3, w3, d2 - d3 FROM a
+      |  UNION ALL SELECT 4, 'repetition_gate', d4, w4, d3 - d4 FROM a)
+      |ORDER BY stage_idx""".stripMargin,
     "p1_curate" -> raw"""
       |WITH base AS (
       |  SELECT doc_id, lang, text,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns._
@@ -41,5 +41,80 @@ object Pipelines {
       .select(col("doc_id"), col("lang"), col("n_words"),
         round(col("ttr"), 6).as("ttr"))
       .orderBy(col("doc_id"))
+  }
+
+  /** p8: the FULL web-corpus curation funnel — the CCNet/RefinedWeb/
+    * Dolma stage chain composed end-to-end, with the per-stage audit
+    * every production pipeline publishes (how many docs and tokens
+    * each gate removed):
+    *
+    *   1. URL dedup (d10's canonicalization chain; keep each
+    *      canonical URL's lowest doc_id — re-crawls dominate raw
+    *      crawl duplicates, so this gate runs FIRST);
+    *   2. exact content dedup among URL survivors (d1's
+    *      md5-of-normalized-text key, lowest-id keeper);
+    *   3. quality gate (p1's statics): ≥ `minWords` words and
+    *      type-token ratio ≥ 0.3 — compared as the integer
+    *      cross-multiplication `distinct·10 ≥ words·3`, bit-exact in
+    *      any engine;
+    *   4. repetition gate (t9's Gopher signals, Rae et al. 2021
+    *      Table A1): drop when the most frequent word 2-gram covers
+    *      > 1/5 of characters (`top2_num·5 > n_chars`) or duplicated
+    *      5-grams cover > 3/10 (`dup5_num·10 > n_chars·3`) — integer
+    *      numerators, no float thresholds.
+    *
+    * Output: one row per stage (0 = raw corpus) with cumulative
+    * surviving docs, token volume, and per-stage drops — the funnel
+    * table a curation run reports.
+    *
+    * Scale shape: ONE pass computes every per-doc column (URL key,
+    * content hash, quality statics, repetition numerators — all
+    * stateless projections sharing the scan); the two dedup gates are
+    * the only shuffles, each on a SKINNY key (canonical URL string /
+    * 32-char hash) with the doc's 8-byte id — text never crosses an
+    * exchange; keeper sets join back by key. The funnel itself is one
+    * conditional aggregate folded to a single row and exploded to 5 —
+    * no per-stage rescan of the corpus.
+    */
+  def webPipeline(s: SparkSession, dir: String, minWords: Int = 10): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Curation.canonicalUrl(Curation.syntheticUrl).as("curl"),
+        normalize(col("text")).as("nrm"))
+      .select(col("doc_id"), col("curl"), md5(col("nrm")).as("chash"),
+        col("nrm"), split(col("nrm"), " ").as("w"))
+      .select(col("doc_id"), col("curl"), col("chash"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        (length(col("nrm")) - (size(col("w")) - 1)).cast("long").as("n_chars"),
+        TextAnalysis.gramRepNums(col("w"), 2).getField("top_num").as("top2_num"),
+        TextAnalysis.gramRepNums(col("w"), 5).getField("dup_num").as("dup5_num"))
+    val urlKeep = base.groupBy(col("curl"))
+      .agg(min(col("doc_id")).as("ukeeper"))
+    val f1 = base.join(urlKeep, Seq("curl"))
+      .withColumn("k1", col("doc_id") === col("ukeeper"))
+    val exKeep = f1.filter(col("k1")).groupBy(col("chash"))
+      .agg(min(col("doc_id")).as("ekeeper"))
+    val flags = f1.join(exKeep, Seq("chash"), "left")
+      .withColumn("k2", col("k1") && col("doc_id") === col("ekeeper"))
+      .withColumn("k3", col("k2") && col("n_words") >= minWords &&
+        col("n_distinct") * 10 >= col("n_words") * 3)
+      .withColumn("k4", col("k3") && col("top2_num") * 5 <= col("n_chars") &&
+        col("dup5_num") * 10 <= col("n_chars") * 3)
+    def stage(k: Column) = struct(
+      sum(when(k, 1L).otherwise(0L)).as("n_docs"),
+      coalesce(sum(when(k, col("n_words"))), lit(0L)).as("n_words"))
+    val one = flags.agg(
+      stage(lit(true)).as("s0"), stage(col("k1")).as("s1"),
+      stage(col("k2")).as("s2"), stage(col("k3")).as("s3"),
+      stage(col("k4")).as("s4"))
+    val names = Seq("raw", "url_dedup", "exact_dedup", "quality_gate", "repetition_gate")
+    one.select(explode(array((0 to 4).map(i => struct(
+        lit(i).as("stage_idx"), lit(names(i)).as("stage"),
+        col(s"s$i.n_docs").as("n_docs"), col(s"s$i.n_words").as("n_words"),
+        (col(s"s${math.max(i - 1, 0)}.n_docs") - col(s"s$i.n_docs"))
+          .as("n_dropped"))): _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("stage_idx"))
   }
 }

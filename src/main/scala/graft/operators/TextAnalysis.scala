@@ -225,7 +225,7 @@ object TextAnalysis {
     * struct(top_num = bestCount·bestClen, dup_num = Σ_{c≥2} c·clen) —
     * both integers, so the DuckDB comparison is bit-exact.
     */
-  private def gramRepNums(w: Column, n: Int): Column = {
+  private[operators] def gramRepNums(w: Column, n: Int): Column = {
     val grams = when(size(w) < n, array().cast("array<string>"))
       .otherwise(array_sort(transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n))))))

@@ -278,4 +278,23 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(4) == grp.map(_.getString(1).split(" ", -1).length.toLong).sum) // tok_sum
     }
   }
+
+  test("p8: funnel is monotone, stage drops reconcile, and URL stage keeps one doc per group") {
+    val rows = graft.operators.Pipelines.webPipeline(spark, Sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 5)
+    val docs = Tables.documents(spark, Sf).select("doc_id").collect().map(_.getLong(0))
+    // stage 0 is the raw corpus
+    assert(rows(0).getLong(2) == docs.length.toLong)
+    // survival is monotone non-increasing and drops reconcile exactly
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(2) <= prev.getLong(2))
+      assert(cur.getLong(4) == prev.getLong(2) - cur.getLong(2))
+      assert(cur.getLong(3) <= prev.getLong(3)) // token volume shrinks too
+      case _ =>
+    }
+    // the URL gate keeps exactly one doc per canonical group — and the
+    // generating formula makes that group (doc_id % 97)
+    assert(rows(1).getLong(2) == docs.map(_ % 97).distinct.length.toLong)
+  }
 }
