@@ -56,7 +56,7 @@ object Bench {
     "g6_region_elevation_join", "s3_ann_ivf", "d2_minhash_lsh",
     "t6_tfidf", "s5_ann_ivfpq", "m3_audio_manifest",
     "t8_heavy_hitters", "d11_line_dedup", "m5_audio_neardup",
-    "p7_dsir_select")
+    "p7_dsir_select", "m6_image_neardup", "p8_web_pipeline")
 
   /** The 100x decade keeps the original six cost drivers: d5 is the
     * documented-quadratic exactness oracle (capped at sf1 by design;

@@ -90,6 +90,7 @@ object SparkEntry {
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
     "d11_line_dedup"          -> ((s: SparkSession, d: String) => Dedup.lineDedup(s, d)),
+    "d12_containment"         -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
@@ -1240,6 +1241,18 @@ object SparkEntry {
     // d11: the oracle re-segments each doc into the same 8-word
     // windows with list slicing, counts corpus frequency per line,
     // and reconstructs kept text — byte-exact both sides
+    // d12: brute-force exact containment over the same distinct
+    // shingle sets (both directions emitted; integer threshold)
+    "d12_containment" -> raw"""
+      |WITH $ShingleCte,
+      |f AS (SELECT doc_id, s, len(s)::BIGINT AS sz FROM sh)
+      |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      |  a.sz AS sz_contained, b.sz AS sz_container,
+      |  len(list_intersect(a.s, b.s))::BIGINT AS inter_sz,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE / a.sz, 6) AS containment
+      |FROM f a JOIN f b ON a.doc_id <> b.doc_id
+      |WHERE a.sz >= 5 AND len(list_intersect(a.s, b.s)) * 10 >= a.sz * 9
+      |ORDER BY contained_id, container_id""".stripMargin,
     "d11_line_dedup" -> raw"""
       |WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |ln AS (

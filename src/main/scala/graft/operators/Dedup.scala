@@ -487,6 +487,82 @@ object Dedup {
     verifyJaccard(cands, feats, threshold)
   }
 
+  /** d12: asymmetric CONTAINMENT dedup — the "document A is mostly a
+    * quote/subset of document B" detector symmetric Jaccard cannot
+    * see: a tweet-sized excerpt inside a long article has J ≈ |A|/|B|
+    * (tiny) but containment C(A→B) = |A∩B|/|A| ≈ 1. Boilerplate
+    * wrappers around syndicated articles, quoted posts, and
+    * re-publications with added commentary are the classic web-corpus
+    * cases (the phenomenon Lee et al. 2021's suffix dedup catches at
+    * substring granularity; this is the set-of-shingles form).
+    *
+    * Candidates are PREFIX-FILTERED on the CONTAINED side only (the
+    * asymmetric analog of PPJoin): with A's distinct word-3-shingles
+    * ordered rarest-first (global df), C(A→B) ≥ t forces B to share
+    * at least one of A's first ⌊(1−t)·|A|⌋+1 shingles — if all of
+    * A's prefix misses B, the intersection is at most
+    * |A| − prefix < t·|A|. The ordering choice only affects
+    * selectivity, never correctness. B carries no prefix (asymmetry
+    * is the point), so the join is A-prefix × B-all on the 8-byte
+    * shingle hash — shuffle ∝ corpus shingles + (1−t)-fraction of
+    * the contained side, linear in the corpus; a size prune
+    * (|B| ≥ t·|A|, integer cross-multiplication) rides the join
+    * condition. Exact verify on survivors via the codegen'd built-in
+    * `array_intersect`; thresholds compare as integers
+    * (`i·10 ≥ |A|·9`), so the oracle (brute-force O(n²) exact
+    * containment over the same shingle sets) matches bit-for-bit.
+    * The contained side needs ≥ `minGrams` shingles — containment
+    * over 2-3 shingles is noise, the same floor every containment
+    * paper applies.
+    */
+  def containment(s: SparkSession, dir: String, thresholdTenths: Int = 9,
+      minGrams: Int = 5): DataFrame =
+    containmentOf(spread(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+      thresholdTenths, minGrams)
+
+  /** Containment over any (doc_id, text) frame — d12's kernel, also
+    * the spec's entry for planted quote-in-article fixtures.
+    */
+  def containmentOf(docs: DataFrame, thresholdTenths: Int = 9,
+      minGrams: Int = 5): DataFrame = {
+    // t = thresholdTenths/10 as an exact rational, so every threshold
+    // comparison below is an integer cross-multiplication
+    val threshold = thresholdTenths / 10.0
+    val hashed = graft.Caches.track(docs
+      .select(col("doc_id"),
+        ArrayExprs.word_shingle_hashes(normalize(col("text")), 3).as("fh"))
+      .select(col("doc_id"), array_distinct(col("fh")).as("fh")))
+    val feats = hashed.select(col("doc_id"), col("fh"),
+      size(col("fh")).cast("long").as("sz"))
+    val exploded = feats.select(col("doc_id"), col("sz"), explode(col("fh")).as("g"))
+    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // contained-side prefix, rarest-first
+    val prefix = exploded.filter(col("sz") >= minGrams).join(freq, "g")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(transform(col("sg"), x => x("g").cast("long")), lit(1),
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))).as("g"))
+    val cands = prefix.as("x").join(exploded.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.sz") * 10 >= col("x.sz") * thresholdTenths)
+      .select(col("x.doc_id").as("contained_id"), col("y.doc_id").as("container_id"))
+      .distinct()
+    val fa = feats.select(col("doc_id").as("contained_id"), col("fh").as("fa"),
+      col("sz").as("sz_contained"))
+    val fb = feats.select(col("doc_id").as("container_id"), col("fh").as("fb"),
+      col("sz").as("sz_container"))
+    graft.Caches.ordered(
+      cands.join(fa, "contained_id").join(fb, "container_id")
+        .withColumn("inter_sz", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+        .filter(col("inter_sz") * 10 >= col("sz_contained") * thresholdTenths)
+        .select(col("contained_id"), col("container_id"), col("sz_contained"),
+          col("sz_container"), col("inter_sz"),
+          graft.functions.Det.r6(col("inter_sz").cast("double") / col("sz_contained"))
+            .as("containment")),
+      col("contained_id"), col("container_id"))
+  }
+
   /** d8: near-dup pair graph → DUPLICATE CLUSTERS via distributed
     * connected components — the step a real dedup pipeline needs
     * between pairwise similarity (d2–d5) and "keep one canonical doc

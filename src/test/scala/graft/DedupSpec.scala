@@ -128,6 +128,52 @@ class DedupSpec extends SparkSpec {
     assert(pp == banded)
   }
 
+  test("d12: prefix-filtered containment equals brute force on the real corpus") {
+    import graft.functions.TextFns
+    // brute force: exact containment over distinct word-3-shingle
+    // string sets, computed driver-side — the prefix filter must lose
+    // nothing
+    val sets = Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextFns.normalize(col("text")).as("nrm"))
+      .collect().map { r =>
+        val w = r.getString(1).split(" ", -1)
+        val sh = if (w.length < 3) Set(w.mkString(" "))
+          else w.sliding(3).map(_.mkString(" ")).toSet
+        (r.getLong(0), sh)
+      }
+    val brute = (for {
+      (da, sa) <- sets; (db, sb) <- sets
+      if da != db && sa.size >= 5
+      i = (sa intersect sb).size if i * 10 >= sa.size * 9
+    } yield (da, db, sa.size.toLong, sb.size.toLong, i.toLong)).toSet
+    val got = Dedup.containment(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty)
+    val setsBy = sets.toMap
+    assert(brute.forall { case (a, b, sa, _, i) =>
+      i <= math.min(setsBy(a).size, setsBy(b).size) && i >= 0.9 * sa - 1e-9 })
+  }
+
+  test("d12: a planted quote inside a long article is found despite tiny Jaccard") {
+    // the case symmetric near-dup CANNOT see: a 14-word excerpt of a
+    // 120-word article — containment 1.0, Jaccard ≈ 0.1
+    val words = (0 until 120).map(i => s"w${i * 37 % 211}")
+    val article = words.mkString(" ")
+    val quote = words.slice(40, 54).mkString(" ")
+    val unrelated = (0 until 60).map(i => s"x${i}").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, quote), (2L, article), (3L, unrelated))).toDF("doc_id", "text")
+    val got = Dedup.containmentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0))) // quote⊂article, nothing else
+    // and the pair is genuinely invisible to the symmetric threshold
+    val qs = quote.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val as = article.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val j = (qs intersect as).size.toDouble / (qs union as).size
+    assert(j < 0.2, s"fixture drifted: J=$j")
+  }
+
   test("incremental d2: delta-vs-index pairs + base pairs == self-contained d2 on the union") {
     val idx = scratchDir("graft_dedup_idx")
     // base = docs 0,1,3,4 ; delta = doc 2 (the exact dup of 0) — the
