@@ -37,6 +37,7 @@ object SparkEntry {
     "g17_overviews"           -> GeoQueries.overviews _,
     "g18_hillshade"           -> GeoQueries.hillshade _,
     "g19_flow_accum"          -> GeoQueries.flowAccum _,
+    "g20_halo_slope"          -> GeoQueries.haloSlope _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -455,6 +456,36 @@ object SparkEntry {
       |SELECT p.tile_id, p.tile_key, p.x, p.y, coalesce(a.acc, 0)::BIGINT AS acc
       |FROM allpx p LEFT JOIN a USING (tile_id, x, y)
       |ORDER BY p.tile_id, p.y, p.x""").stripMargin,
+    // g20: the mosaic's ONE global pixel formula makes every window —
+    // including boundary-straddling ones — directly evaluable; the
+    // coverage condition (all 9 global pixels inside the mosaic) is
+    // exactly the Spark side's null-strip filter on a solid rectangle
+    "g20_halo_slope" -> (raw"""
+      |WITH t AS (SELECT la.lat0 AS lat0, lo.lon0 AS lon0
+      |  FROM generate_series(10,17) la(lat0), generate_series(20,27) lo(lon0)),
+      |rim AS (SELECT lat0, lon0, xs.x::INT AS x, ys.y::INT AS y,
+      |  (lon0 - 20) * 8 + xs.x AS gx, (17 - lat0) * 8 + ys.y AS gy
+      |  FROM t, generate_series(0,7) ys(y), generate_series(0,7) xs(x)
+      |  WHERE xs.x = 0 OR xs.x = 7 OR ys.y = 0 OR ys.y = 7),
+      |cov AS (SELECT * FROM rim
+      |  WHERE gx BETWEEN 1 AND 62 AND gy BETWEEN 1 AND 62),
+      |zz AS (SELECT lat0, lon0, x, y,
+      |  ((gx+1)*17 + (gy-1)*29 + ((gx+1)*(gy-1)) % 97) % 8848 AS ze_n,
+      |  ((gx+1)*17 + (gy  )*29 + ((gx+1)*(gy  )) % 97) % 8848 AS ze,
+      |  ((gx+1)*17 + (gy+1)*29 + ((gx+1)*(gy+1)) % 97) % 8848 AS ze_s,
+      |  ((gx-1)*17 + (gy-1)*29 + ((gx-1)*(gy-1)) % 97) % 8848 AS zw_n,
+      |  ((gx-1)*17 + (gy  )*29 + ((gx-1)*(gy  )) % 97) % 8848 AS zw,
+      |  ((gx-1)*17 + (gy+1)*29 + ((gx-1)*(gy+1)) % 97) % 8848 AS zw_s,
+      |  ((gx  )*17 + (gy-1)*29 + ((gx  )*(gy-1)) % 97) % 8848 AS zn,
+      |  ((gx  )*17 + (gy+1)*29 + ((gx  )*(gy+1)) % 97) % 8848 AS zs
+      |  FROM cov),
+      |h AS (SELECT lat0::INT AS lat0, lon0::INT AS lon0, x, y,
+      |  (ze_n + 2*ze + ze_s - zw_n - 2*zw - zw_s)::BIGINT AS dzdx_num,
+      |  (zw_s + 2*zs + ze_s - zw_n - 2*zn - ze_n)::BIGINT AS dzdy_num
+      |  FROM zz)
+      |SELECT lat0, lon0, x, y, dzdx_num, dzdy_num,
+      |  (dzdx_num*dzdx_num + dzdy_num*dzdy_num)::BIGINT AS tan2_num
+      |FROM h ORDER BY lat0, lon0, y, x""").stripMargin,
     // g15: same neighbor re-derivation as g14; the argmax mirrors the
     // Spark side's lexicographic (score, priority) struct max — and
     // cardinal/diagonal score ties are impossible in integers

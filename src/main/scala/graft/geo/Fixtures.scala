@@ -110,6 +110,61 @@ object Fixtures {
     }
   }
 
+  // --- contiguous mosaic (cross-tile / halo-exchange fixtures) ------
+  // The main tile universe scatters origins (id·37 % 181 …), so no two
+  // fixture tiles are ever adjacent and cross-tile kernels would be
+  // vacuous on it. The mosaic is a solid MosaicW × MosaicW block of
+  // 1°-adjacent tiles whose pixels come from one GLOBAL formula over
+  // mosaic pixel coordinates — so a 3×3 window that straddles a tile
+  // boundary has a well-defined value the oracle recomputes directly.
+
+  val MosaicW = 8
+  val MosaicLat0 = 10 // lat0 ∈ [10, 17], northernmost row of tiles is lat0 = 17
+  val MosaicLon0 = 20 // lon0 ∈ [20, 27]
+
+  /** Global mosaic pixel value. gx grows east, gy grows SOUTH (grid
+    * row order); the cross term makes gradients vary in both axes.
+    */
+  private[graft] def mosaicElev(gx: Int, gy: Int): Int =
+    (((gx.toLong * 17 + gy.toLong * 29 + (gx.toLong * gy) % 97) % 8848)).toInt
+
+  private[graft] def mosaicBytes(lat0: Int, lon0: Int, n: Int = GridN): Array[Byte] = {
+    val tileId = (lat0 - MosaicLat0) * MosaicW + (lon0 - MosaicLon0)
+    val buf = ByteBuffer.allocate(20 + 4 * n * n).order(ByteOrder.BIG_ENDIAN)
+    buf.put('G'.toByte).put('R'.toByte).put('F'.toByte).put('T'.toByte)
+    buf.putInt(tileId).putInt(lat0).putInt(lon0).putInt(n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val gx = (lon0 - MosaicLon0) * n + x
+        val gy = (MosaicLat0 + MosaicW - 1 - lat0) * n + y
+        buf.putInt(mosaicElev(gx, gy))
+        x += 1
+      }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Ensure the mosaic GRFT directory exists; returns its path. One
+    * `<tile_key>.grft` per mosaic origin — genuine adjacency, unlike
+    * the scattered main universe.
+    */
+  def ensureMosaic(s: SparkSession, dir: String): String = synchronized {
+    val out = fixtureRoot("mosaic", dir)
+    val origins = for {
+      lat0 <- MosaicLat0 until (MosaicLat0 + MosaicW)
+      lon0 <- MosaicLon0 until (MosaicLon0 + MosaicW)
+    } yield (lat0, lon0)
+    ensureAtomic(out, origins.length) { tmp =>
+      origins.foreach { case (lat0, lon0) =>
+        val key = f"ALPSMLC30_N$lat0%03dE$lon0%03d_DSM"
+        Files.write(Paths.get(tmp.toString, s"$key.grft"), mosaicBytes(lat0, lon0))
+      }
+    }
+  }
+
   /** Minimal REAL baseline-TIFF payload for one tile: little-endian
     * ("II"), one 32-bit SIGNED-int band (SampleFormat=2), STRIPED with
     * 3 rows per strip (so multi-strip assembly and a short last strip

@@ -511,6 +511,107 @@ object GeoQueries {
       .orderBy(col("tile_id"), col("y"), col("x"))
   }
 
+  /** g20: HALO-EXCHANGE Horn kernel — the distributed-raster
+    * primitive g14 sidesteps by skipping rims: a 3×3 window at a tile
+    * edge needs pixels from the NEIGHBOR tile, which lives in a
+    * different file split. Every production raster engine (GDAL warp
+    * workers, Dask-array `map_overlap`, Sedona raster) solves this
+    * with halo (ghost-cell) exchange, and this query is its
+    * Spark-native form:
+    *
+    *   1. each decoded tile EMITS its boundary strips to its 8
+    *      neighbors — two n-pixel rows, two n-pixel columns, four
+    *      1-pixel corners, addressed by the RECEIVER's origin: the
+    *      shuffle moves ~4n+4 pixels per tile (the PERIMETER), never
+    *      the n² interior — at a production 3600² tile that is 14.4 k
+    *      pixels exchanged vs 12.96 M held in place, a 900:1 ratio;
+    *   2. one `groupBy(receiver)` assembles each tile's (n+2)²
+    *      padded array from its own pixels ('C' entry) plus the ≤ 8
+    *      received strips — phantom receivers outside the mosaic
+    *      (strips sent past the edge) drop because they have no core;
+    *   3. RIM pixels whose full 3×3 padded window is present (all
+    *      neighbors existed) get the exact integer Horn numerators of
+    *      g14; windows reaching past the corpus edge stay undefined,
+    *      exactly as gdaldem emits nodata at the mosaic boundary.
+    *
+    * Runs on the contiguous mosaic fixture (Fixtures.ensureMosaic —
+    * the scattered main universe has no adjacent tiles, so cross-tile
+    * windows only exist here); pixels carry ONE global formula, so
+    * the oracle evaluates boundary-straddling windows directly.
+    */
+  def haloSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureMosaic(s, dir)
+    val n = Fixtures.GridN
+    val np = n + 2
+    val decoded = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("r.lat0").as("lat0"), col("r.lon0").as("lon0"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+    def colStrip(x: Int) = transform(sequence(lit(0), lit(n - 1)),
+      yy => element_at(col("e"), yy * n + x + 1))
+    def rowStrip(y: Int) = slice(col("e"), y * n + 1, n)
+    def onePx(x: Int, y: Int) = array(element_at(col("e"), lit(y * n + x + 1)))
+    def msg(dlat: Int, dlon: Int, dir: String, strip: org.apache.spark.sql.Column) =
+      struct((col("lat0") + dlat).as("rlat"), (col("lon0") + dlon).as("rlon"),
+        lit(dir).as("dir"), strip.as("strip"))
+    // a receiver's 'W' halo is its west neighbor's EASTmost column,
+    // so the west neighbor (us) addresses lon0+1; likewise for all 8.
+    // Grid y grows SOUTH: the south neighbor is lat0 - 1.
+    val msgs = array(
+      msg(0, 1, "W", colStrip(n - 1)), msg(0, -1, "E", colStrip(0)),
+      msg(-1, 0, "N", rowStrip(n - 1)), msg(1, 0, "S", rowStrip(0)),
+      msg(-1, 1, "NW", onePx(n - 1, n - 1)), msg(-1, -1, "NE", onePx(0, n - 1)),
+      msg(1, 1, "SW", onePx(n - 1, 0)), msg(1, -1, "SE", onePx(0, 0)),
+      msg(0, 0, "C", col("e")))
+    val halos = decoded.select(explode(msgs).as("m"))
+      .select(col("m.rlat").as("lat0"), col("m.rlon").as("lon0"),
+        col("m.dir").as("dir"), col("m.strip").as("strip"))
+    val asm = halos.groupBy(col("lat0"), col("lon0"))
+      .agg(map_from_entries(collect_list(struct(col("dir"), col("strip")))).as("hm"))
+      .filter(element_at(col("hm"), lit("C")).isNotNull)
+    // (n+2)² padded array: own core in the middle, strips on the rim,
+    // null where no neighbor existed
+    val own = element_at(col("hm"), lit("C"))
+    def hstrip(d: String) = element_at(col("hm"), lit(d))
+    val padded = transform(sequence(lit(0), lit(np * np - 1)), idx => {
+      val px = pmod(idx, lit(np))
+      val py = ((idx - pmod(idx, lit(np))) / lit(np)).cast("int")
+      when(px === 0 && py === 0, element_at(hstrip("NW"), 1))
+        .when(px === np - 1 && py === 0, element_at(hstrip("NE"), 1))
+        .when(px === 0 && py === np - 1, element_at(hstrip("SW"), 1))
+        .when(px === np - 1 && py === np - 1, element_at(hstrip("SE"), 1))
+        .when(py === 0, element_at(hstrip("N"), px))
+        .when(py === np - 1, element_at(hstrip("S"), px))
+        .when(px === 0, element_at(hstrip("W"), py))
+        .when(px === np - 1, element_at(hstrip("E"), py))
+        .otherwise(element_at(own, (py - 1) * n + px))
+    })
+    val rimCoords = array((for {
+      y <- 0 until n; x <- 0 until n
+      if x == 0 || x == n - 1 || y == 0 || y == n - 1
+    } yield struct(lit(x).as("x"), lit(y).as("y"))): _*)
+    val px = asm.select(col("lat0"), col("lon0"), padded.as("pe"),
+        explode(rimCoords).as("p"))
+      .select(col("lat0"), col("lon0"), col("pe"),
+        col("p.x").as("x"), col("p.y").as("y"))
+    def z(dx: Int, dy: Int) =
+      element_at(col("pe"), (col("y") + 1 + dy) * np + col("x") + 1 + dx + 1)
+    val window = array((for (dy <- -1 to 1; dx <- -1 to 1) yield z(dx, dy)): _*)
+    val dzdx = (z(1, -1) + z(1, 0) * 2 + z(1, 1)) -
+      (z(-1, -1) + z(-1, 0) * 2 + z(-1, 1))
+    val dzdy = (z(-1, 1) + z(0, 1) * 2 + z(1, 1)) -
+      (z(-1, -1) + z(0, -1) * 2 + z(1, -1))
+    px.filter(!exists(window, c => c.isNull))
+      .select(col("lat0"), col("lon0"), col("x"), col("y"),
+        dzdx.as("dzdx_num"), dzdy.as("dzdy_num"))
+      .withColumn("tan2_num",
+        col("dzdx_num") * col("dzdx_num") + col("dzdy_num") * col("dzdy_num"))
+      .orderBy(col("lat0"), col("lon0"), col("y"), col("x"))
+  }
+
   def regionElevation(s: SparkSession, dir: String): DataFrame = {
     val g = gridExpand(tiles(s, dir))
       .withColumn("lat0", tileLat(col("tile_id")))

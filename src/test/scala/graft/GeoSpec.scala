@@ -570,6 +570,45 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g20: halo-exchanged rim numerators equal the global formula across tile boundaries") {
+    import graft.geo.Fixtures
+    val got = GeoQueries.haloSlope(spark, Sf)
+      .select("lat0", "lon0", "x", "y", "dzdx_num", "dzdy_num", "tan2_num")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)),
+        (r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val n = Fixtures.GridN
+    val w = Fixtures.MosaicW
+    def e(gx: Int, gy: Int): Long = Fixtures.mosaicElev(gx, gy).toLong
+    // expected set: every rim pixel whose 3x3 window stays inside the
+    // mosaic's global pixel rectangle — including windows that cross
+    // into a NEIGHBOR TILE (the whole point of the halo exchange)
+    var crossBoundary = 0
+    val expected = (for {
+      lat0 <- Fixtures.MosaicLat0 until (Fixtures.MosaicLat0 + w)
+      lon0 <- Fixtures.MosaicLon0 until (Fixtures.MosaicLon0 + w)
+      y <- 0 until n; x <- 0 until n
+      if x == 0 || x == n - 1 || y == 0 || y == n - 1
+      gx = (lon0 - Fixtures.MosaicLon0) * n + x
+      gy = (Fixtures.MosaicLat0 + w - 1 - lat0) * n + y
+      if gx >= 1 && gx <= w * n - 2 && gy >= 1 && gy <= w * n - 2
+    } yield {
+      crossBoundary += 1
+      val dzdx = (e(gx + 1, gy - 1) + 2 * e(gx + 1, gy) + e(gx + 1, gy + 1)) -
+        (e(gx - 1, gy - 1) + 2 * e(gx - 1, gy) + e(gx - 1, gy + 1))
+      val dzdy = (e(gx - 1, gy + 1) + 2 * e(gx, gy + 1) + e(gx + 1, gy + 1)) -
+        (e(gx - 1, gy - 1) + 2 * e(gx, gy - 1) + e(gx + 1, gy - 1))
+      ((lat0, lon0, x, y), (dzdx, dzdy, dzdx * dzdx + dzdy * dzdy))
+    }).toMap
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    // interior tiles contribute their ENTIRE rim (full haloes); the
+    // mosaic's outer boundary pixels are absent (no neighbor = nodata)
+    val interiorRims = (w - 2) * (w - 2) * (4 * n - 4)
+    assert(got.size > interiorRims) // interior tiles + partial boundary-tile rims
+    assert(!got.contains((Fixtures.MosaicLat0 + w - 1, Fixtures.MosaicLon0, 0, 0))) // NW mosaic corner
+  }
+
   test("g1/g2/g5 run at sf0.001 with sane shapes") {
     assert(GeoQueries.tileParse(spark, Sf).filter(!col("roundtrip_ok")).count() == 0)
     val g2 = GeoQueries.regionFilter(spark, Sf).collect().head
