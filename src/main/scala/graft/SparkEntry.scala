@@ -55,6 +55,8 @@ object SparkEntry {
     "q32_asof_forward"        -> Relational.q32AsofForward _,
     "q33_asof_nearest"        -> Relational.q33AsofNearest _,
     "q34_funnel"              -> Relational.q34Funnel _,
+    "q36_concurrency"         -> ((s, d) => Relational.q36Concurrency(s, d)),
+    "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
     "q17_quantiles"           -> Relational.q17Quantiles _,
@@ -742,6 +744,46 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q36: sweep-line concurrency — the oracle is the naive global
+    // running window over per-second nets; the engine's sharded
+    // two-pass prefix must agree exactly
+    "q36_concurrency" -> raw"""
+      |WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |                       OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+      |                     THEN 1 ELSE 0 END AS new_session FROM x),
+      |z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                       ROWS UNBOUNDED PRECEDING) AS session_id FROM y),
+      |sess AS (SELECT user_id, session_id,
+      |                floor(epoch(min(ts)))::BIGINT AS st,
+      |                floor(epoch(max(ts)))::BIGINT AS en
+      |         FROM z GROUP BY 1, 2),
+      |d AS (SELECT st AS t, 1 AS dd FROM sess
+      |      UNION ALL SELECT en + 1, -1 FROM sess),
+      |n AS (SELECT t, sum(dd)::BIGINT AS net FROM d GROUP BY 1),
+      |r AS (SELECT t, sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS conc
+      |      FROM n)
+      |SELECT t // 3600 AS hour, max(conc)::BIGINT AS peak_concurrent,
+      |       count(*)::BIGINT AS n_changes
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q37: cohort retention — integer week buckets (floor-epoch div
+    // 604800 on both engines), cells from already-distinct (user,
+    // week) pairs so count(*) ≡ distinct users, per-mille integer rate
+    "q37_retention" -> raw"""
+      |WITH uw AS (SELECT DISTINCT user_id,
+      |              floor(epoch(ts))::BIGINT // 604800 AS week FROM events),
+      |f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+      |cells AS (SELECT f.cohort_week, uw.week - f.cohort_week AS week_offset,
+      |                 count(*) AS n_active
+      |          FROM uw JOIN f USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort_week, n_active AS cohort_size FROM cells WHERE week_offset = 0)
+      |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+      |       (c.n_active * 1000) // s.cohort_size AS retained_pm
+      |FROM cells c JOIN sz s USING (cohort_week)
+      |ORDER BY 1, 2""".stripMargin,
     "q33_asof_nearest" -> raw"""
       |WITH ord AS (SELECT o_custkey AS uid, o_orderdate AS t, max(o_orderkey) AS o_orderkey
       |             FROM orders GROUP BY 1, 2),

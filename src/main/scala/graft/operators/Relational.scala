@@ -663,4 +663,82 @@ object Relational {
           .otherwise(0))
       .orderBy(col("user_id"))
   }
+
+  /** q36: peak concurrent sessions per hour — the sweep-line /
+    * interval-stabbing aggregate (load curves, capacity planning,
+    * "how many sessions were open at once"). Each q13 session
+    * contributes +1 at its start second and −1 one past its inclusive
+    * end; the running sum of per-second nets IS the concurrency
+    * curve, and the hourly report takes its max over each hour's
+    * change points (hours with no change carry no row — the curve is
+    * constant there).
+    *
+    * The classic formulation is one global `ORDER BY t` running
+    * window — a single reducer over every session boundary at 100 TB.
+    * This is the sharded two-pass prefix instead (p3/p4's pattern on
+    * the TIME axis): deltas first collapse to per-second nets (skinny
+    * 16-byte rows, map-side combinable), shard-local running sums run
+    * in bounded `t div shardSec` window partitions, and only the
+    * per-shard totals (seconds/shardSec rows) cross the one global
+    * window. Identity with the naive window for every shardSec is
+    * asserted in RelationalSpec. All-integer end-to-end.
+    */
+  def q36Concurrency(s: SparkSession, dir: String, shardSec: Long = 86400L): DataFrame = {
+    val sess = q13Sessionize(s, dir).select(col("start_epoch"), col("end_epoch"))
+    val deltas = sess.select(col("start_epoch").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select((col("end_epoch") + 1).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("net"))
+      .withColumn("shard", expr(s"t div $shardSec"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = deltas.withColumn("cum_local", sum(col("net")).over(wLocal))
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy(col("shard")).agg(sum(col("net")).as("shard_net"))
+      .withColumn("offset", coalesce(sum(col("shard_net")).over(wShard), lit(0L)))
+      .select(col("shard"), col("offset"))
+    local.join(offsets, Seq("shard"))
+      .withColumn("conc", col("offset") + col("cum_local"))
+      .groupBy(expr("t div 3600").as("hour"))
+      .agg(max(col("conc")).as("peak_concurrent"), count(lit(1)).as("n_changes"))
+      .orderBy(col("hour"))
+  }
+
+  /** q37: cohort retention matrix — the other product-analytics
+    * staple beside q34's funnel (Amplitude/Mixpanel retention tables):
+    * users are cohorted by the week of their FIRST event, and each
+    * (cohort_week, week_offset) cell counts how many of that cohort
+    * were active `offset` weeks later, with a per-mille retention
+    * rate against the cohort size.
+    *
+    * All-integer arithmetic end-to-end: week = floor(epoch seconds)
+    * `div` 604800 on both engines, retained_pm an integer cross
+    * division — nothing float crosses the oracle hash. The shape is
+    * the 100-TB one: the raw scan reduces immediately to DISTINCT
+    * (user, week) pairs (16-byte rows — at 100 TB of events this is
+    * bounded by users × horizon-weeks, orders of magnitude smaller
+    * than events), first-week is a map-side-combinable min per user,
+    * and because (user, week) pairs are already distinct and
+    * (cohort, offset) is a function of (user, week), the cell count
+    * is a plain count(*) — no countDistinct expand anywhere. The
+    * offset-0 self-join attaches cohort sizes to a frame whose
+    * cardinality is cohorts × offsets (tiny at any corpus size, AQE
+    * broadcasts it).
+    */
+  def q37Retention(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("week"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val cells = uw.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .withColumn("retained_pm", expr("(n_active * 1000) div cohort_size"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"), col("retained_pm"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

@@ -214,4 +214,60 @@ class RelationalSpec extends SparkSpec {
     assert(got(4L) == ((None, None, None, None, 0)))
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
+
+  test("q36 concurrency: hand-computed sweep-line peaks; shard width never changes the result") {
+    val dir = scratchDir("graft_q36")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // sessions (30-min gap): u1 [100,1000]; u2 [500,500]; u3 [900,900]
+    // and [3000,3000] (gap 2100 > 1800 splits); u4 [4000,4000] (hour 1)
+    Seq(
+      (1L, ts(100), 1L, "view", 1.0, "{}"), (2L, ts(1000), 1L, "view", 1.0, "{}"),
+      (3L, ts(500), 2L, "view", 1.0, "{}"),
+      (4L, ts(900), 3L, "view", 1.0, "{}"), (5L, ts(3000), 3L, "view", 1.0, "{}"),
+      (6L, ts(4000), 4L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q36Concurrency(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // hour 0 change points: 100(+1→1) 500(+1→2) 501(−1→1) 900(+1→2)
+    // 901(−1→1) 1001(−1→0) 3000(+1→1) 3001(−1→0); hour 1: 4000/4001
+    assert(got(0L) == ((2L, 8L)))
+    assert(got(1L) == ((1L, 2L)))
+    assert(got.size == 2)
+    // sharded prefix ≡ naive at a shard width that splits hour 0
+    val fine = Relational.q36Concurrency(spark, dir, shardSec = 5L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fine == got)
+  }
+
+  test("q37 retention: hand-computed cohort cells, within-week dedup, integer per-mille") {
+    val dir = scratchDir("graft_q37")
+    val W = 604800L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // (event_id, ts, user_id, event_type, value, props)
+    Seq(
+      // user 1 (cohort week 0): two events in week 0 (must count once),
+      // active weeks 0, 1, 3
+      (1L, ts(10), 1L, "view", 1.0, "{}"), (2L, ts(20), 1L, "click", 1.0, "{}"),
+      (3L, ts(W + 5), 1L, "view", 1.0, "{}"), (4L, ts(3 * W + 5), 1L, "view", 1.0, "{}"),
+      // user 2 (cohort week 0): active weeks 0, 1
+      (5L, ts(30), 2L, "view", 1.0, "{}"), (6L, ts(W + 9), 2L, "view", 1.0, "{}"),
+      // user 3 (cohort week 1): active week 1 only
+      (7L, ts(W + 1), 3L, "view", 1.0, "{}"),
+      // user 4 (cohort week 1): active weeks 1, 3
+      (8L, ts(W + 2), 4L, "view", 1.0, "{}"), (9L, ts(3 * W + 2), 4L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q37Retention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cohort 0 (users 1,2): offset 0 → 2/2, offset 1 → 2/2, offset 3 → 1/2
+    assert(got((0L, 0L)) == ((2L, 2L, 1000L)))
+    assert(got((0L, 1L)) == ((2L, 2L, 1000L)))
+    assert(got((0L, 3L)) == ((1L, 2L, 500L)))
+    // cohort 1 (users 3,4): offset 0 → 2/2, offset 2 → 1/2
+    assert(got((1L, 0L)) == ((2L, 2L, 1000L)))
+    assert(got((1L, 2L)) == ((1L, 2L, 500L)))
+    assert(got.size == 5)
+  }
 }
