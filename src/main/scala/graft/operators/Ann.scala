@@ -173,6 +173,47 @@ object Ann {
       k)
   }
 
+  /** s7: corpus-wide approximate kNN GRAPH — every vector's top-k
+    * neighbors, not a 20-query search. This is the fan-in primitive
+    * of SemDeDup-style clustering, graph-based dedup, and
+    * kNN-graph algorithms (NN-Descent's initialization), and at
+    * corpus scale it cannot be brute-forced: the exact graph is an
+    * n² self-join. The IVF shape bounds it instead: each vector
+    * sits in its home list AND probes its `nprobe` nearest lists,
+    * so the candidate join is a bucket EQUI-join (probes ⋈ members
+    * on list id) Catalyst shuffles on the list key — shuffle ∝
+    * corpus·(nprobe+1) exploded rows, candidate pairs ∝
+    * corpus·nprobe·listSize, never n². Neither side broadcasts
+    * (both are corpus-sized — the difference from ivfTopK's 20-row
+    * probe frame). At 100 TB `nlist` scales ∝ n/listSize so
+    * per-list membership stays bounded (the d9 coarseK byte-bound
+    * governs the centroid matrix) and skewed lists split under AQE
+    * skew-join. Ranking is the bounded-heap TopKCosine partial
+    * aggregate: ≤ k rows per vector per map task cross the final
+    * shuffle. Approximate by construction → rows-only; AnnSpec
+    * asserts recall vs the exact n² graph on the fixture corpus and
+    * that emitted scores ARE exact cosines (identity on shared
+    * edges with the brute graph).
+    */
+  def knnJoin(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val e = graft.Caches.track(Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
+    val cents = kmeansCentroids(e, nlist)
+    val corpus = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      assignCluster(col("embedding"), cents).as("bucket"))
+    val probes = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"),
+      explode(topClusters(col("embedding"), cents, nprobe)).as("bucket"))
+    rankTopK(
+      probes.join(corpus, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
+  }
+
   /** The nprobe best centroid ids for a vector, as an array column —
     * the codegen'd NearestClusters kernel (bit-identical scores and
     * tie order to the r5 sort-of-(negscore, id)-structs formulation;

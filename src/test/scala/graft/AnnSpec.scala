@@ -69,6 +69,43 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("s7 kNN join: per-vector graph recall vs exact n² graph, exact scores on edges") {
+    val k = 5
+    // exact kNN graph computed in-JVM (500 × 64 at the fixture sf)
+    val vecs = Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => (id, e.toArray) }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.flatMap { case (q, qe) =>
+      vecs.filter(_._1 != q)
+        .map { case (v, ve) => (q, v, cos(qe, ve)) }
+        .sortBy { case (_, v, s) => (-s, v) }.take(k)
+    }
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val got = Ann.knnJoin(spark, Sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // every vector present with ≤ k ranked neighbors, no self-edges
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == vecs.length, s"graph covers ${byQ.size} of ${vecs.length} vectors")
+    assert(got.forall(t => t._1 != t._2))
+    val recall = (exactSet & got.map(t => (t._1, t._2)).toSet).size.toDouble / exactSet.size
+    info(f"kNN-graph recall@$k = $recall%.3f")
+    // nprobe=4 of nlist=16; same concentration argument as ivfTopK
+    assert(recall >= 0.4, s"recall $recall")
+    // emitted scores are EXACT cosines: agree with the in-JVM value
+    // to double-rounding of the r6() 6dp output rounding
+    val exactScore = exact.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, v, s) =>
+      exactScore.get((q, v)).foreach { es =>
+        assert(math.abs(es - s) < 5e-7, s"($q,$v): $es vs $s")
+      }
+    }
+  }
+
   test("IVF ANN recall vs brute-force baseline") {
     val exact = Ann.bruteForceTopK(spark, Sf)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
