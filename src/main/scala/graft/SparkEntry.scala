@@ -147,7 +147,9 @@ object SparkEntry {
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
     "p8_web_pipeline"         -> ((s: SparkSession, d: String) =>
-      graft.operators.Pipelines.webPipeline(s, d)))
+      graft.operators.Pipelines.webPipeline(s, d)),
+    "p9_cluster_select"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Pipelines.clusterSelect(s, d)))
 
   // ---- oracle fragments shared across queries -----------------------
 
@@ -1373,6 +1375,30 @@ object SparkEntry {
       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
       |SELECT comp.v AS doc_id, comp.cluster_id, sz.cluster_size
       |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // p9: d8's closure + a window argmax (n_words desc, doc_id asc) —
+    // the engine's map-side struct-max must agree exactly
+    "p9_cluster_select" -> raw"""
+      |WITH RECURSIVE $ShingleCte,
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |verts AS (SELECT DISTINCT src AS v FROM e),
+      |cc(v, lbl) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, cc.lbl FROM cc JOIN e ON cc.v = e.src),
+      |comp AS (SELECT v, min(lbl) AS cluster_id FROM cc GROUP BY v),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+      |nw AS (SELECT doc_id, len(w)::BIGINT AS n_words FROM d),
+      |m AS (SELECT comp.cluster_id, sz.cluster_size, comp.v, nw.n_words,
+      |        row_number() OVER (PARTITION BY comp.cluster_id
+      |                           ORDER BY nw.n_words DESC, comp.v ASC) AS rn
+      |      FROM comp JOIN sz USING (cluster_id) JOIN nw ON nw.doc_id = comp.v)
+      |SELECT cluster_id, cluster_size, v AS keep_id, n_words AS keep_n_words,
+      |       cluster_size - 1 AS n_dropped
+      |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "d4_ngram_jaccard" -> raw"""
       |WITH $GramCte
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

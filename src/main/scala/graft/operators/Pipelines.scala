@@ -43,6 +43,37 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** p9: cluster-aware survivor selection — the policy step between
+    * d8's duplicate CLUSTERS and the curated corpus: instead of p1's
+    * "keep lowest id", keep each cluster's BEST member (RefinedWeb/
+    * Dolma keep one representative per near-dup group; "longest
+    * member" is the standard content-preserving choice — it keeps
+    * the superset article over its excerpts). One row per cluster:
+    * the keeper, its length, and how many members drop.
+    *
+    * The argmax is `max(struct(n_words, −doc_id))` — a map-side-
+    * combinable aggregate (lexicographic struct max), NOT a window
+    * over cluster partitions, so no cluster's membership ever sorts
+    * through one task and ties break deterministically to the lowest
+    * doc_id. The n_words attach joins the corpus-wide 16-byte
+    * (doc_id, n_words) projection against the cluster-member frame
+    * (only docs in some near-dup component — the small side at any
+    * realistic dup rate; AQE picks the broadcast when it fits).
+    * Oracle: d8's recursive-CTE closure + a window argmax.
+    */
+  def clusterSelect(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dupClusters(s, dir)
+    val nw = Tables.documents(s, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_words"))
+    clusters.join(nw, "doc_id")
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(max(struct(col("n_words").as("w"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.nid")).as("keep_id"), col("best.w").as("keep_n_words"),
+        (col("cluster_size") - 1L).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** p8: the FULL web-corpus curation funnel — the CCNet/RefinedWeb/
     * Dolma stage chain composed end-to-end, with the per-stage audit
     * every production pipeline publishes (how many docs and tokens

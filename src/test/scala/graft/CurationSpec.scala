@@ -297,4 +297,31 @@ class CurationSpec extends SparkSpec {
     // generating formula makes that group (doc_id % 97)
     assert(rows(1).getLong(2) == docs.map(_ % 97).distinct.length.toLong)
   }
+
+  test("p9: struct-max keeper equals the window argmax; keeper is a cluster member") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Pipelines.clusterSelect(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty, "fixture corpus must contain near-dup clusters")
+    // reference: window row_number over the same clusters + n_words
+    val clusters = graft.operators.Dedup.dupClusters(spark, Sf)
+    val nw = Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(graft.functions.TextFns.words(col("text"))).cast("long").as("n_words"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("n_words").desc, col("doc_id").asc)
+    val ref = clusters.join(nw, "doc_id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"), col("doc_id"), col("n_words"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (cid, (sz, keepId, keepW, dropped)) =>
+      val (rsz, rid, rw) = ref(cid)
+      assert(sz == rsz && keepId == rid && keepW == rw, s"cluster $cid")
+      assert(dropped == sz - 1)
+    }
+    // every keeper belongs to its own cluster
+    val members = clusters.collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    got.foreach { case (cid, (_, keepId, _, _)) => assert(members.contains((cid, keepId))) }
+  }
 }
