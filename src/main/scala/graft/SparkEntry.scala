@@ -89,6 +89,7 @@ object SparkEntry {
     "t10_domain_stats"        -> TextAnalysis.domainStats _,
     "t11_quality_model"       -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityModel(s, d)),
+    "t12_gopher_gate"         -> TextAnalysis.gopherGate _,
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
@@ -1156,6 +1157,31 @@ object SparkEntry {
       |  CASE WHEN coalesce(a.n_feats, 0) > 0
       |       THEN round(a.score::DOUBLE / a.n_feats, 6) ELSE 0.0 END AS score_per_feat
       |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // t12: symbol words planted by doc_id arithmetic (doc_id mod 13
+    // literal '#' words appended in both engines); every rule an
+    // integer cross-multiplied comparison
+    "t12_gopher_gate" -> raw"""
+      |WITH d AS (SELECT doc_id,
+      |    string_split($Nrm, ' ') || ['#' for i in range(doc_id % 13)] AS w
+      |  FROM documents),
+      |n AS (SELECT doc_id, len(w)::INT AS n_words,
+      |    list_sum(list_transform(w, x -> length(x)))::BIGINT AS sum_chars,
+      |    len([x for x in w if regexp_matches(x, '[a-z]')])::INT AS n_alpha,
+      |    len([x for x in w if contains(x, '#')])::INT AS n_symbol,
+      |    len(list_intersect(list_distinct(w),
+      |        ['the','a','and','of','to','in']))::INT AS n_stop
+      |  FROM d)
+      |SELECT doc_id, n_words, sum_chars, n_alpha, n_symbol, n_stop,
+      |  n_words >= 50 AND n_words <= 100000 AS wc_ok,
+      |  sum_chars >= n_words * 3 AND sum_chars <= n_words * 10 AS mwl_ok,
+      |  n_alpha * 10 >= n_words * 8 AS alpha_ok,
+      |  n_symbol * 10 <= n_words AS sym_ok,
+      |  n_stop >= 2 AS stop_ok,
+      |  (n_words >= 50 AND n_words <= 100000)
+      |    AND (sum_chars >= n_words * 3 AND sum_chars <= n_words * 10)
+      |    AND (n_alpha * 10 >= n_words * 8) AND (n_symbol * 10 <= n_words)
+      |    AND (n_stop >= 2) AS gopher_pass
+      |FROM n ORDER BY doc_id""".stripMargin,
     "m1_mm_manifest" -> raw"""
       |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
       |  FROM documents),

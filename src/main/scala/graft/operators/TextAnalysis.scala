@@ -378,4 +378,42 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
   }
+
+  /** t12: the remaining Gopher quality-rule set (Rae et al. 2021,
+    * Table A1) beside t2's statics and t9's repetition signals —
+    * word-count bounds, mean-word-length bounds, alphabetic-word
+    * fraction, symbol-to-word ratio, and the stopword-presence rule,
+    * each as an INTEGER-numerator flag (cross-multiplied comparisons,
+    * no float thresholds anywhere) plus the conjunction `gopher_pass`.
+    *
+    * The fixture corpus carries no symbol words, so the symbol rule's
+    * input is PLANTED by doc_id arithmetic (§3 / t7's discipline):
+    * `doc_id mod 13` literal `#` words append to the word array in
+    * both engines, giving a genuine fail set at every sf. Everything
+    * is a stateless per-row projection sharing the one documents
+    * scan — zero shuffle before the final order, corpus-linear.
+    */
+  def gopherGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(words(col("text")),
+          array_repeat(lit("#"), (col("doc_id") % 13).cast("int"))).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).as("sum_chars"),
+        size(filter(col("w"), x => x.rlike("[a-z]"))).as("n_alpha"),
+        size(filter(col("w"), x => x.contains("#"))).as("n_symbol"),
+        size(array_intersect(array_distinct(col("w")),
+          array(Stopwords.map(lit): _*))).as("n_stop"))
+    base
+      .withColumn("wc_ok", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("mwl_ok",
+        col("sum_chars") >= col("n_words") * 3L && col("sum_chars") <= col("n_words") * 10L)
+      .withColumn("alpha_ok", col("n_alpha") * 10 >= col("n_words") * 8)
+      .withColumn("sym_ok", col("n_symbol") * 10 <= col("n_words"))
+      .withColumn("stop_ok", col("n_stop") >= 2)
+      .withColumn("gopher_pass",
+        col("wc_ok") && col("mwl_ok") && col("alpha_ok") && col("sym_ok") && col("stop_ok"))
+      .orderBy(col("doc_id"))
+  }
 }

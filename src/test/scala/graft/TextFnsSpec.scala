@@ -173,4 +173,39 @@ class TextFnsSpec extends SparkSpec {
     assert(got(1L) == ((0L, 0L, false, 0.0))) // single word: no features
     assert(got(2L) == ((0L, 0L, false, 0.0))) // empty text: no features
   }
+
+  test("t12 gopherGate: each rule fails on its hand-built doc, planted symbols count") {
+    val dir = scratchDir("graft_t12")
+    // 52 normal words incl. stopwords "the" and "of" → passes all
+    val good = (1 to 50).map(i => s"word$i").mkString("the of ", " ", "")
+    // id 5 plants 5 '#' words: 52 + 5 = 57 words, 5·10 = 50 ≤ 57 →
+    // sym_ok true at 5; id 12 plants 12: 12·10 = 120 > 64 → sym fail
+    Seq(
+      (0L, good, "en", "s", 1L),
+      (5L, good, "en", "s", 1L),
+      (12L, good, "en", "s", 1L),
+      // 10 words → wc fail (< 50); stopwords present
+      (1L, "the of tiny doc with just a few words here", "en", "s", 1L),
+      // 52 words of length 12 → mean word length 12 > 10 → mwl fail
+      (2L, (1 to 50).map(_ => "abcdefghijkl").mkString("the of ", " ", ""), "en", "s", 1L),
+      // 52 words, 50 numeric → alpha frac 2/52 < 0.8 → alpha fail
+      (3L, (1 to 50).map(i => s"$i$i").mkString("the of ", " ", ""), "en", "s", 1L),
+      // 52 words, only one distinct stopword → stop fail
+      (4L, (1 to 51).map(i => s"word$i").mkString("the ", " ", ""), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.gopherGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(4),
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+        r.getBoolean(10), r.getBoolean(11)))).toMap
+    // (n_words, n_symbol, wc, mwl, alpha, sym, stop, pass)
+    assert(got(0L) == ((52, 0, true, true, true, true, true, true)))
+    assert(got(5L) == ((57, 5, true, true, true, true, true, true)))
+    assert(got(12L)._2 == 12)
+    assert(!got(12L)._6 && !got(12L)._8) // sym fail kills the gate
+    assert(got(1L) == ((11, 1, false, true, true, true, true, false)))
+    assert(!got(2L)._4 && !got(2L)._8)   // mwl fail
+    assert(!got(3L)._5 && !got(3L)._8)   // alpha fail
+    assert(!got(4L)._7 && !got(4L)._8)   // stopword fail
+  }
 }
