@@ -38,6 +38,8 @@ object SparkEntry {
     "g18_hillshade"           -> GeoQueries.hillshade _,
     "g19_flow_accum"          -> GeoQueries.flowAccum _,
     "g20_halo_slope"          -> GeoQueries.haloSlope _,
+    "g21_compaction_plan"     -> ((s: SparkSession, d: String) =>
+      GeoQueries.compactionPlan(s, d)),
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -466,6 +468,18 @@ object SparkEntry {
     // including boundary-straddling ones — directly evaluable; the
     // coverage condition (all 9 global pixels inside the mosaic) is
     // exactly the Spark side's null-strip filter on a solid rectangle
+    // g21: the oracle is the naive global running window over the
+    // cumulative-size line; the engine's sharded prefix must agree
+    "g21_compaction_plan" -> (raw"""
+      |WITH $TilesCte,
+      |c AS (SELECT tile_id, size_bytes,
+      |        sum(size_bytes) OVER (ORDER BY tile_id ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM keyed)
+      |SELECT (cum - size_bytes) // 67108864 AS bin_id,
+      |       count(*) AS n_files, sum(size_bytes)::BIGINT AS bin_bytes,
+      |       sum(CASE WHEN size_bytes < 4000000 THEN 1 ELSE 0 END)::BIGINT AS n_small,
+      |       min(tile_id) AS min_tile, max(tile_id) AS max_tile
+      |FROM c GROUP BY 1 ORDER BY 1""").stripMargin,
     "g20_halo_slope" -> (raw"""
       |WITH t AS (SELECT la.lat0 AS lat0, lo.lon0 AS lon0
       |  FROM generate_series(10,17) la(lat0), generate_series(20,27) lo(lon0)),

@@ -713,4 +713,49 @@ object GeoQueries {
         r6(col("b.sum").cast("double") / col("n_px")).as("avg_elev"))
       .orderBy(col("tile_id"), col("level"), col("oy"), col("ox"))
   }
+
+  /** g21: small-file COMPACTION PLAN — the lakehouse maintenance pass
+    * (Delta OPTIMIZE / Iceberg rewriteDataFiles / Hive concatenate)
+    * every file-per-tile sink eventually needs: the reference writes
+    * one parquet per tile (main.rs:272-296), and a long-running ingest
+    * accumulates millions of MB-scale files whose per-file open cost
+    * dominates scans. The planner assigns files, in tile_id order, to
+    * output bins of ~`target` bytes by integer division of each
+    * file's START offset on the cumulative-size line — the
+    * deterministic streaming analog of first-fit packing (every bin
+    * except the last reaches ≥ target only by its final file, so bins
+    * never fragment).
+    *
+    * Scale: file manifests at 100 TB are 10^6-10^8 rows — distributed,
+    * not driver state; the cumulative line is p3/p4's sharded
+    * two-pass prefix (bounded `tile_id div shardWidth` window
+    * partitions + one skinny per-shard offset window), identical to
+    * the naive global window for every shardWidth (GeoSpec). Output
+    * is the bin manifest a rewrite job would execute: files, bytes,
+    * small-file count, id range per bin. All-integer.
+    */
+  def compactionPlan(s: SparkSession, dir: String, target: Long = 67108864L,
+      smallLimit: Long = 4000000L, shardWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = tiles(s, dir)
+      .select(col("tile_id"), col("size_bytes"),
+        expr(s"tile_id div $shardWidth").as("shard"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("tile_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = files.withColumn("cum_local", sum(col("size_bytes")).over(wLocal))
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = files.groupBy(col("shard")).agg(sum(col("size_bytes")).as("sb"))
+      .withColumn("offset", coalesce(sum(col("sb")).over(wShard), lit(0L)))
+      .select(col("shard"), col("offset"))
+    local.join(offsets, Seq("shard"))
+      .withColumn("bin_id", expr(s"(offset + cum_local - size_bytes) div $target"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("bin_bytes"),
+        sum(when(col("size_bytes") < smallLimit, 1L).otherwise(0L)).as("n_small"),
+        min(col("tile_id")).as("min_tile"),
+        max(col("tile_id")).as("max_tile"))
+      .orderBy(col("bin_id"))
+  }
 }

@@ -691,4 +691,27 @@ class GeoSpec extends SparkSpec {
       assert(r.getLong(6) == children.sum)
     }
   }
+
+  test("g21 compaction plan: sharded prefix == naive, bins contiguous and filled to target") {
+    val got = GeoQueries.compactionPlan(spark, Sf).collect()
+    val fine = GeoQueries.compactionPlan(spark, Sf, shardWidth = 7).collect()
+    assert(got.map(_.toSeq).toSeq == fine.map(_.toSeq).toSeq)
+    val bins = got.sortBy(_.getLong(0))
+    // bin ids contiguous from 0 (file sizes < target, so no bin skips)
+    assert(bins.map(_.getLong(0)).toSeq == (0L until bins.length).toSeq)
+    // id ranges disjoint and ordered
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+      case _ =>
+    }
+    // every bin but the last closes at or past its target boundary
+    val target = 67108864L
+    var cum = 0L
+    bins.init.zipWithIndex.foreach { case (r, i) =>
+      cum += r.getLong(2)
+      assert(cum >= (i + 1) * target, s"bin $i closes short: $cum")
+    }
+    // plan covers every file exactly once
+    assert(bins.map(_.getLong(1)).sum == graft.Tables.part(spark, Sf).count())
+  }
 }
