@@ -135,6 +135,8 @@ object SparkEntry {
     "m1_mm_manifest"          -> Multimodal.manifest _,
     "m4_frame_neardup"        -> ((s: SparkSession, d: String) =>
       Multimodal.frameNearDup(s, d)),
+    "m7_scene_cuts"           -> ((s: SparkSession, d: String) =>
+      Multimodal.sceneCuts(s, d)),
     "m2_frame_manifest"       -> ((s: SparkSession, d: String) =>
       Multimodal.frameManifest(s, d)),
     "m3_audio_manifest"       -> ((s: SparkSession, d: String) =>
@@ -1230,6 +1232,38 @@ object SparkEntry {
     // (blockSum·totalPixels > totalSum·blockPixels, MSB-first fold)
     // and brute-forces the Hamming join — the Spark side must land on
     // the identical pair set through real GIF decode + chunk blocking
+    // m7: m4's signature CTE at stride 1, joined to the NEXT frame of
+    // the same video — hamming > 40 bits flipped = scene cut
+    "m7_scene_cuts" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h,
+      |  (doc_id % 5 + 2)::INT AS n FROM documents),
+      |f AS (SELECT doc_id, w, h, unnest(range(0, n)) AS fi FROM d),
+      |s AS (SELECT doc_id, fi, w, h,
+      |  list_sum([(doc_id * 31 + fi * 101 + (i % w) * 7 + (i // w) * 13) % 256
+      |            for i in range(0, w * h)])::BIGINT AS total FROM f),
+      |sg AS (SELECT doc_id, fi,
+      |  list_reduce(list_prepend(0::HUGEINT, [
+      |    (CASE WHEN
+      |      (list_sum([(doc_id * 31 + fi * 101 + (i % w) * 7 + (i // w) * 13) % 256
+      |        for i in range(0, w * h)
+      |        if (i % w) >= (b % 8) * w // 8 AND (i % w) < ((b % 8) + 1) * w // 8
+      |          AND (i // w) >= (b // 8) * h // 8 AND (i // w) < ((b // 8) + 1) * h // 8
+      |       ]))::BIGINT * (w * h)
+      |      > total * ((((b % 8) + 1) * w // 8 - (b % 8) * w // 8)
+      |               * (((b // 8) + 1) * h // 8 - (b // 8) * h // 8))
+      |     THEN 1 ELSE 0 END)::HUGEINT
+      |    for b in range(0, 64)]),
+      |    (acc, bit) -> acc * 2 + bit) AS hu
+      |  FROM s),
+      |sig AS (SELECT doc_id, fi::INT AS fi,
+      |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS sig
+      |  FROM sg)
+      |SELECT a.doc_id, b.fi AS frame_idx,
+      |       bit_count(xor(a.sig, b.sig))::INT AS hamming,
+      |       bit_count(xor(a.sig, b.sig)) > 40 AS is_cut
+      |FROM sig a JOIN sig b ON b.doc_id = a.doc_id AND b.fi = a.fi + 1
+      |ORDER BY a.doc_id, frame_idx""".stripMargin,
     "m4_frame_neardup" -> raw"""
       |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h,
       |  (doc_id % 5 + 2)::INT AS n FROM documents),

@@ -450,6 +450,38 @@ object Multimodal {
       col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"))
   }
 
+  /** The `m7_scene_cuts` query: shot-boundary detection over the
+    * video corpus — the first pass of every video-understanding
+    * pipeline (ffmpeg's scdet / PySceneDetect content mode): a scene
+    * CUT is a transition whose adjacent-frame perceptual distance
+    * exceeds a threshold. Frames hash to [[avgHash64]] and
+    * consecutive pairs compare by Hamming distance, `> tau` bits
+    * flipped = cut.
+    *
+    * Scale shape: the VIDEO is the processing unit (g14's tile
+    * discipline) — demux, per-frame hash, and the adjacent-pair fold
+    * all happen inside the video's own split, so the operator is
+    * ZERO-shuffle and codec-bound linear; no frame table ever
+    * materializes, no window over (doc, frame) is needed. Output is
+    * one row per transition with the distance and the cut flag.
+    * Oracle: DuckDB recomputes every frame signature from the fixture
+    * formulas (m4's integer cross-multiplied aHash) and joins
+    * adjacent frames.
+    */
+  def sceneCuts(s: SparkSession, dir: String, tau: Int = 40): DataFrame = {
+    import s.implicits._
+    val unsorted = withVideoPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+        val sigs = demuxFrames(bytes).map(avgHash64)
+        sigs.sliding(2).zipWithIndex.collect {
+          case (Seq(a, b), i) => (id, i + 1, java.lang.Long.bitCount(a ^ b))
+        }
+      }))
+      .toDF("doc_id", "frame_idx", "hamming")
+      .withColumn("is_cut", col("hamming") > tau)
+    graft.Caches.ordered(unsorted, col("doc_id"), col("frame_idx"))
+  }
+
   // --- image near-dup: family-structured grayscale corpus -----------
   // The m1/m4 fixtures key every pixel off doc_id, so no two images
   // are alike and a near-dup query would return nothing. This corpus

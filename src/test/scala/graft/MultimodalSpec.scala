@@ -193,4 +193,23 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.exists(_._3 == 0) && brute.exists(_._3 > 0))
     brute.foreach { case (a, b, _) => assert(a / 25 == b / 25) }
   }
+
+  test("m7: scene-cut distances equal an independent demux+hash; both classes fire") {
+    val expect = graft.Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).flatMap { id =>
+        val sigs = Multimodal.demuxFrames(Multimodal.gifPayload(id)).map(Multimodal.avgHash64)
+        sigs.sliding(2).zipWithIndex.collect {
+          case (Seq(a, b), i) => (id, i + 1) -> java.lang.Long.bitCount(a ^ b)
+        }
+      }.toMap
+    val got = Multimodal.sceneCuts(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == expect.keySet) // one row per transition, n_frames - 1 per video
+    got.foreach { case (k, (h, cut)) =>
+      assert(h == expect(k), s"$k")
+      assert(cut == (h > 40))
+    }
+    // the threshold separates: corpus has cuts AND continuous transitions
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+  }
 }
