@@ -58,6 +58,7 @@ object SparkEntry {
     "q33_asof_nearest"        -> Relational.q33AsofNearest _,
     "q34_funnel"              -> Relational.q34Funnel _,
     "q36_concurrency"         -> ((s, d) => Relational.q36Concurrency(s, d)),
+    "q38_delta_agg"           -> Relational.q38DeltaAgg _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -764,6 +765,16 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q38: the oracle is the FULL recompute over (base ∖ deletes) ∪
+    // inserts — the maintained mv must equal it exactly
+    "q38_delta_agg" -> raw"""
+      |WITH base AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+      |kept AS (SELECT * FROM base WHERE o_orderkey % 50 <> 0),
+      |ins AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1997-01-01'),
+      |u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |       sum(round(o_totalprice*100)::BIGINT)::BIGINT AS total_cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // q36: sweep-line concurrency — the oracle is the naive global
     // running window over per-second nets; the engine's sharded
     // two-pass prefix must agree exactly

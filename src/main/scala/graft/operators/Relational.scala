@@ -664,6 +664,45 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q38: INCREMENTAL aggregate maintenance — the materialized-view
+    * delta-apply every warehouse runs nightly (Delta/BigQuery MV
+    * refresh, Flink's retractable aggregates): a stored per-priority
+    * revenue aggregate is brought current by applying a CDC batch
+    * (inserts = the new period's orders, deletes = late
+    * cancellations) WITHOUT rescanning history — count and sum are
+    * abelian-group aggregates, so mv' = mv ⊕ agg(inserts) ⊖
+    * agg(deletes), merged by group key.
+    *
+    * Here the "stored" mv is a frame over the base period (a
+    * self-contained query needs it); in production it is table state
+    * and the plan touches ONLY the delta: two delta-sized aggregates
+    * (both map-side combinable) and a groups-sized three-way
+    * full-outer merge — work ∝ |delta| + |groups|, independent of
+    * history size. The same algebra is why q1-style aggs stream
+    * (partial merge = the ⊕). RelationalSpec asserts the maintained
+    * result is row-identical to the full recompute; the oracle IS
+    * the full recompute.
+    */
+  def q38DeltaAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def agg(df: DataFrame, n: String, c: String) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(n), sumCents(col("o_totalprice")).as(c))
+    val mv = agg(o.filter(col("o_orderdate") < lit("1997-01-01")), "n0", "c0")
+    val ins = agg(o.filter(col("o_orderdate") >= lit("1997-01-01")), "ni", "ci")
+    val del = agg(o.filter(col("o_orderdate") < lit("1997-01-01") &&
+      pmod(col("o_orderkey"), lit(50)) === 0), "nd", "cd")
+    mv.join(ins, Seq("o_orderpriority"), "full_outer")
+      .join(del, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("ni"), lit(0L))
+          - coalesce(col("nd"), lit(0L))).as("n_orders"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("ci"), lit(0L))
+          - coalesce(col("cd"), lit(0L))).as("total_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** q36: peak concurrent sessions per hour — the sweep-line /
     * interval-stabbing aggregate (load curves, capacity planning,
     * "how many sessions were open at once"). Each q13 session

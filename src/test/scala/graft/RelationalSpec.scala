@@ -215,6 +215,22 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q38 delta-agg: maintained mv equals the full recompute") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, Sf)
+    val full = o.filter((col("o_orderdate") < lit("1997-01-01") &&
+        pmod(col("o_orderkey"), lit(50)) =!= 0) ||
+        col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Det.sumCents(col("o_totalprice")).as("total_cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = Relational.q38DeltaAgg(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == full)
+    assert(got.nonEmpty)
+  }
+
   test("q36 concurrency: hand-computed sweep-line peaks; shard width never changes the result") {
     val dir = scratchDir("graft_q36")
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
