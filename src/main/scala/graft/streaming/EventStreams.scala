@@ -77,6 +77,25 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Streaming twin of q38: a RETRACTABLE aggregate maintained from a
+    * CDC change stream — Flink's retract semantics re-expressed as a
+    * plain signed fold, legal because count/sum form an abelian group
+    * (the same algebra q38 applies in batch): an `I` row contributes
+    * +1/+cents, a `D` row −1/−cents, and the running group state is
+    * their sum. State = one row per group key (bounded by group
+    * cardinality, not stream length); update mode emits only groups a
+    * trigger changed. Input schema: (op: I|D, o_orderpriority,
+    * cents). StreamingSpec feeds the q38 CDC batches through
+    * micro-batches and asserts the final state is row-identical to
+    * the batch (oracle-checked) q38 result.
+    */
+  def retractableAgg(changes: DataFrame): DataFrame =
+    changes.select(col("o_orderpriority"),
+        when(col("op") === "I", 1L).otherwise(-1L).as("sgn"), col("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("sgn")).as("n_orders"),
+        sum(col("sgn") * col("cents")).as("total_cents"))
+
   /** Streaming twin of q13: gap-based (30 min) sessionization with
     * explicit state via flatMapGroupsWithState under EVENT-TIME
     * timeouts. A session closes when a same-user event arrives ≥ gap

@@ -61,6 +61,39 @@ class StreamingSpec extends SparkSpec {
     assert(entries == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("streaming retractable agg over CDC batches equals batch q38") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, Sf)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") < lit("1997-01-01")).as("is_base"),
+        col("o_orderpriority"),
+        graft.functions.Det.cents(col("o_totalprice")).as("cents"))
+      .collect()
+    def isBase(r: org.apache.spark.sql.Row) = r.getBoolean(1)
+    val base = o.filter(isBase)
+      .map(r => ("I", r.getString(2), r.getLong(3)))
+    val ins = o.filterNot(isBase)
+      .map(r => ("I", r.getString(2), r.getLong(3)))
+    val del = o.filter(r => isBase(r) && r.getLong(0) % 50 == 0)
+      .map(r => ("D", r.getString(2), r.getLong(3)))
+    val mem = MemoryStream[(String, String, Long)]
+    val q = graft.streaming.EventStreams.retractableAgg(
+        mem.toDF().toDF("op", "o_orderpriority", "cents"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("retract_out").start()
+    mem.addData(base.toIndexedSeq)         // batch 1: the historical load
+    q.processAllAvailable()
+    mem.addData((ins ++ del).toIndexedSeq) // batch 2: the CDC delta
+    q.processAllAvailable()
+    val got = spark.table("retract_out").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    val batch = graft.operators.Relational.q38DeltaAgg(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == batch)
+  }
+
   test("stateful sessionize closes sessions on gap and matches batch semantics") {
     import graft.streaming.{EventStreams, SessionEvent}
     implicit val sqlCtx = spark.sqlContext
