@@ -142,6 +142,8 @@ object SparkEntry {
       Multimodal.frameManifest(s, d)),
     "m3_audio_manifest"       -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.manifest(s, d)),
+    "m8_vad_segments"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Audio.vadSegments(s, d)),
     "m5_audio_neardup"        -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.audioNearDup(s, d)),
     "m6_image_neardup"        -> ((s: SparkSession, d: String) =>
@@ -1346,6 +1348,27 @@ object SparkEntry {
       |ORDER BY doc_a, doc_b""".stripMargin,
     // m5: fingerprints re-derived row-wise (unnest samples → segment
     // group-by → ordered-list fold); 63 bits fit plain BIGINT
+    // m8: per-frame integer loudness from the fixture formula (muted
+    // frames are planted zeros), segments rebuilt by gaps-and-islands
+    "m8_vad_segments" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 1200 + 400)::INT AS n FROM documents),
+      |f AS (SELECT doc_id, unnest(range(0, n // 160)) AS fr FROM d),
+      |e AS (SELECT doc_id, fr,
+      |  CASE WHEN (fr + doc_id) % 4 = 0 THEN 0
+      |       ELSE list_sum([abs((doc_id * 131 + i * 17) % 65536 - 32768)
+      |                      for i in range(fr * 160, fr * 160 + 160)])
+      |  END::BIGINT AS sum_abs
+      |  FROM f),
+      |c AS (SELECT doc_id, fr, sum_abs, sum_abs < 160 * 256 AS sil FROM e),
+      |g AS (SELECT *, fr - row_number() OVER (PARTITION BY doc_id, sil ORDER BY fr) AS grp
+      |      FROM c),
+      |seg AS (SELECT doc_id, sil, min(fr) AS sf, count(*) AS nf, sum(sum_abs) AS sa
+      |        FROM g GROUP BY doc_id, sil, grp)
+      |SELECT doc_id,
+      |       (row_number() OVER (PARTITION BY doc_id ORDER BY sf) - 1)::INT AS seg_idx,
+      |       sil AS is_silence, sf::INT AS start_frame, nf::INT AS n_frames,
+      |       sa::BIGINT AS sum_abs
+      |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
     "m5_audio_neardup" -> raw"""
       |WITH d AS (SELECT doc_id, doc_id // 25 AS fam FROM documents),
       |p AS (SELECT doc_id, fam, (fam % 1200 + 400) AS n,

@@ -282,6 +282,72 @@ object Audio {
     sig
   }
 
+  // --- m8: VAD / silence segmentation -------------------------------
+
+  /** Fixture sample with PLANTED silence: 160-sample frame
+    * `i div 160` is muted when `(frame + doc_id) mod 4 == 0`. The m3
+    * clips are wall-to-wall signal, so quiet spans are planted by
+    * doc_id arithmetic (§3/t7 discipline) — both engines derive the
+    * identical waveform.
+    */
+  def segSample(docId: Long, i: Int): Short =
+    if (math.floorMod(i / 160 + docId, 4L) == 0L) 0 else sample(docId, i)
+
+  /** REAL WAV bytes for the silence-planted clip. */
+  def segPayload(docId: Long): Array[Byte] = {
+    val n = sampleCount(docId)
+    encodeWav(Array.tabulate(n)(i => segSample(docId, i)))
+  }
+
+  /** The `m8_vad_segments` query: voice-activity / silence
+    * SEGMENTATION — the first pass of every speech-corpus pipeline
+    * (ffmpeg silencedetect, WebRTC VAD, Silero's preprocessing):
+    * the decoded clip splits into 20 ms (160-sample) frames, each
+    * frame classifies silent by an INTEGER loudness threshold
+    * (Σ|sample| < frame·256 — no floats), and consecutive same-state
+    * frames fold into segments (run-length encoding). Trailing
+    * partial frames are out of scope (documented; a real VAD pads).
+    *
+    * Scale shape: the CLIP is the processing unit (m7/g14's
+    * discipline) — decode, frame classification, and the RLE fold all
+    * run inside the clip's own split: ZERO shuffle, codec-bound
+    * linear, no frame table or per-clip window materializes. Output:
+    * one row per segment with its frame span and integer loudness
+    * mass. Oracle: DuckDB recomputes per-frame sums from the fixture
+    * formula and rebuilds segments with a gaps-and-islands window.
+    */
+  def vadSegments(s: SparkSession, dir: String, frame: Int = 160,
+      perSample: Int = 256): DataFrame = {
+    import s.implicits._
+    val unsorted = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, segPayload(id)))
+        .grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+          val (_, smp) = decodeAudio(bytes)
+          val nf = smp.length / frame
+          val sums = Array.tabulate(nf) { f =>
+            var sa = 0L; var i = f * frame; val end = i + frame
+            while (i < end) { sa += math.abs(smp(i).toInt); i += 1 }
+            sa
+          }
+          def silent(f: Int) = sums(f) < frame.toLong * perSample
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Boolean, Int, Int, Long)]
+          var f = 0; var seg = 0
+          while (f < nf) {
+            val st = silent(f)
+            var g = f; var mass = 0L
+            while (g < nf && silent(g) == st) { mass += sums(g); g += 1 }
+            out += ((id, seg, st, f, g - f, mass))
+            seg += 1; f = g
+          }
+          out
+        }))
+      .toDF("doc_id", "seg_idx", "is_silence", "start_frame", "n_frames", "sum_abs")
+    graft.Caches.ordered(unsorted, col("doc_id"), col("seg_idx"))
+  }
+
   /** The `m5_audio_neardup` query: NEAR-DUPLICATE CLIPS across the
     * audio corpus — the audio twin of m4's frame near-dup (re-encodes,
     * re-masters, and silence-padded reposts dominate real audio

@@ -112,4 +112,42 @@ class AudioSpec extends SparkSpec {
     // equal-offset family members are EXACT dups (hamming 0)
     assert(brute.exists(_._3 == 0))
   }
+
+  test("m8: VAD segments equal an independent decode+RLE; segments tile the clip") {
+    val expect = graft.Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).flatMap { id =>
+        val (_, smp) = Audio.decodeAudio(Audio.segPayload(id))
+        val nf = smp.length / 160
+        val sums = Array.tabulate(nf) { f =>
+          (f * 160 until (f + 1) * 160).map(i => math.abs(smp(i).toInt).toLong).sum
+        }
+        def sil(f: Int) = sums(f) < 160L * 256
+        val segs = scala.collection.mutable.ArrayBuffer.empty[((Long, Int), (Boolean, Int, Int, Long))]
+        var f = 0; var k = 0
+        while (f < nf) {
+          var g = f; var mass = 0L
+          while (g < nf && sil(g) == sil(f)) { mass += sums(g); g += 1 }
+          segs += (((id, k), (sil(f), f, g - f, mass)))
+          k += 1; f = g
+        }
+        segs
+      }.toMap
+    val got = Audio.vadSegments(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getBoolean(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(got == expect)
+    // corpus has both classes; per doc, segments tile [0, nf) with
+    // alternating states
+    assert(got.values.exists(_._1) && got.values.exists(!_._1))
+    got.groupBy(_._1._1).foreach { case (_, segs) =>
+      val inOrder = segs.toSeq.sortBy(_._1._2).map(_._2)
+      inOrder.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._2 == a._2 + a._3) // contiguous
+          assert(a._1 != b._1)        // states alternate
+        case _ =>
+      }
+      assert(inOrder.head._2 == 0)
+    }
+  }
 }
