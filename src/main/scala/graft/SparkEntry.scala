@@ -93,6 +93,8 @@ object SparkEntry {
     "t11_quality_model"       -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityModel(s, d)),
     "t12_gopher_gate"         -> TextAnalysis.gopherGate _,
+    "t13_oov_rate"            -> ((s: SparkSession, d: String) =>
+      TextAnalysis.oovRate(s, d)),
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
@@ -1186,6 +1188,22 @@ object SparkEntry {
       |  CASE WHEN coalesce(a.n_feats, 0) > 0
       |       THEN round(a.score::DOUBLE / a.n_feats, 6) ELSE 0.0 END AS score_per_feat
       |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // t13: vocab = t8's exact heavy-hitter rule (cnt·256 ≥ N), per-doc
+    // OOV mass + integer per-mille rate
+    "t13_oov_rate" -> raw"""
+      |WITH d AS (SELECT doc_id, string_split($Nrm, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS word FROM d),
+      |n AS (SELECT count(*) AS total FROM tok),
+      |v AS (SELECT word FROM tok, n GROUP BY word, total
+      |      HAVING count(*) * 256 >= total),
+      |iv AS (SELECT doc_id, count(*) AS n_iv FROM tok JOIN v USING (word)
+      |       GROUP BY doc_id)
+      |SELECT d.doc_id, len(d.w)::BIGINT AS n_words,
+      |  (len(d.w) - coalesce(iv.n_iv, 0))::BIGINT AS n_oov,
+      |  (CASE WHEN len(d.w) > 0
+      |        THEN ((len(d.w) - coalesce(iv.n_iv, 0)) * 1000) // len(d.w)
+      |        ELSE 0 END)::BIGINT AS oov_pm
+      |FROM d LEFT JOIN iv USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // t12: symbol words planted by doc_id arithmetic (doc_id mod 13
     // literal '#' words appended in both engines); every rule an
     // integer cross-multiplied comparison

@@ -212,6 +212,38 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** t13: out-of-vocabulary rate — the vocabulary-coverage signal
+    * (CCNet's LM-filtering proxy / fastText OOV diagnostics): how
+    * much of each document is NOT covered by the corpus's own
+    * heavy-hitter vocabulary (t8's EXACT `count·phiInv ≥ N` rule —
+    * deterministic, no top-k tie ambiguity). High OOV = junk,
+    * boilerplate code, or off-distribution text.
+    *
+    * Scale shape: the vocabulary is an aggregate-bounded frame
+    * (≤ phiInv terms by definition) riding a BROADCAST join — no
+    * collect; the per-doc in-vocab count is one token-explode +
+    * map-side-combinable groupBy(doc_id); everything integer
+    * (per-mille rate by integer division). Composes t8's Misra-Gries
+    * candidate machinery unchanged.
+    */
+  def oovRate(s: SparkSession, dir: String, phiInv: Long = 256,
+      width: Int = 1024): DataFrame = {
+    val vocab = heavyHitters(s, dir, phiInv, width)
+      .select(col("term").as("word"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val inv = docs.select(col("doc_id"), explode(col("w")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_iv"))
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(inv, Seq("doc_id"), "left")
+      .withColumn("n_oov", col("n_words") - coalesce(col("n_iv"), lit(0L)))
+      .withColumn("oov_pm",
+        when(col("n_words") > 0, expr("n_oov * 1000 div n_words")).otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("n_oov"), col("oov_pm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc word-n-gram repetition numerators, computed WITHOUT a
     * shuffle: the gram array is sorted once so equal grams become
     * adjacent runs, and one `aggregate` fold walks the runs tracking

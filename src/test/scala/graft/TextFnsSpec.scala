@@ -208,4 +208,23 @@ class TextFnsSpec extends SparkSpec {
     assert(!got(3L)._5 && !got(3L)._8)   // alpha fail
     assert(!got(4L)._7 && !got(4L)._8)   // stopword fail
   }
+
+  test("t13 oovRate: hand-computed OOV against the exact heavy-hitter vocab") {
+    val dir = scratchDir("graft_t13")
+    // 16 tokens total; at phiInv=4 the vocab rule cnt*4 >= 16 admits
+    // only "the" (cnt 6)
+    Seq(
+      (0L, "the the the the", "en", "s", 1L),
+      (1L, "the foo bar baz", "en", "s", 1L),
+      (2L, "the qux quux corge", "en", "s", 1L),
+      (3L, "grault garply waldo fred", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.oovRate(spark, dir, phiInv = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((4L, 0L, 0L)))
+    assert(got(1L) == ((4L, 3L, 750L)))
+    assert(got(2L) == ((4L, 3L, 750L)))
+    assert(got(3L) == ((4L, 4L, 1000L)))
+  }
 }
