@@ -153,6 +153,7 @@ object SparkEntry {
     // ingest sources (file-format parse + quarantine audit)
     "j1_jsonl_ingest"         -> graft.operators.IngestQueries.jsonlIngest _,
     "j2_csv_ingest"           -> graft.operators.IngestQueries.csvIngest _,
+    "j3_schema_evolution"     -> graft.operators.IngestQueries.schemaEvolution _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -606,6 +607,17 @@ object SparkEntry {
       |                         for i in range(1, 9)], (a, b) -> a*16 + b))
       |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold
       |FROM documents WHERE doc_id < 400""".stripMargin,
+    // j3: generation = doc_id mod 2; batch-0 rows predate the quality
+    // column (all null), batch-1 quality = doc_id·7 mod 100
+    "j3_schema_evolution" -> raw"""
+      |WITH d AS (SELECT doc_id, n_chars, (doc_id % 2)::INT AS batch
+      |           FROM documents WHERE doc_id < 400)
+      |SELECT batch, count(*) AS n_rows,
+      |       count(*) FILTER (WHERE batch = 0) AS n_null_quality,
+      |       coalesce(sum(doc_id * 7 % 100) FILTER (WHERE batch = 1), 0)::BIGINT
+      |         AS sum_quality,
+      |       sum(n_chars)::BIGINT AS sum_n_chars
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "g11_partition_prune" -> raw"""
       |WITH $GridCte
       |SELECT tile_key, min(tile_id) AS first_tile_id, count(*) AS n_pixels,

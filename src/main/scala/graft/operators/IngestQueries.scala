@@ -44,4 +44,28 @@ object IngestQueries {
     */
   def csvIngest(s: SparkSession, dir: String): DataFrame =
     audit(TextSources.readCsv(s, IngestFixtures.ensureCsv(s, dir)))
+
+  /** j3: SCHEMA-EVOLUTION ingest audit — the long-lived-table reality
+    * every lakehouse handles (Delta/Iceberg schema evolution, parquet
+    * `mergeSchema`): an old ingest generation lacks a column later
+    * generations carry, and a union read must surface it as null, not
+    * fail or silently drop it. Reads the two-generation fixture
+    * through the REAL merged-footer path (`mergeSchema=true` — footer
+    * reconciliation across files with different physical schemas; the
+    * generation id is a hive PARTITION column, so generation filters
+    * prune directories). The audit is one grouped aggregate per
+    * generation: rows, nulls of the evolved column, its sum, and the
+    * shared column's sum — the DuckDB oracle recomputes all four from
+    * the documents table and the generating rule.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame =
+    s.read.option("mergeSchema", "true")
+      .parquet(IngestFixtures.ensureEvolution(s, dir))
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("quality").isNull, 1)).as("n_null_quality"),
+        coalesce(sum(col("quality")), lit(0L)).as("sum_quality"),
+        sum(col("n_chars")).as("sum_n_chars"))
+      .orderBy(col("batch"))
 }

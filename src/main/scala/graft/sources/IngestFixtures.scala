@@ -99,4 +99,29 @@ object IngestFixtures {
         sb.toString.getBytes(StandardCharsets.UTF_8))
     }
   }
+
+  /** Ensure the SCHEMA-EVOLUTION parquet corpus for `dir`: two ingest
+    * generations under one hive-partitioned root — `batch=0` carries
+    * the v1 schema (doc_id, lang, n_chars), `batch=1` the evolved v2
+    * schema with an added `quality` column (`doc_id·7 mod 100`, the
+    * §3 arithmetic rule so the oracle recomputes it from the table).
+    * Batch membership = `doc_id mod 2`. Parquet written through the
+    * real Spark writer; a `_built` stamp makes the build idempotent.
+    */
+  def ensureEvolution(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("evo", dir)
+    val stamp = new java.io.File(out, "_built")
+    if (!stamp.exists) {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < DocLimit)
+      base.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=0")
+      base.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          pmod(col("doc_id") * 7, lit(100)).cast("long").as("quality"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=1")
+      Files.write(stamp.toPath, Array.emptyByteArray)
+    }
+    out.toString
+  }
 }

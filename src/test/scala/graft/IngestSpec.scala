@@ -115,4 +115,32 @@ class IngestSpec extends SparkSpec {
         .foreach(hc.unset)
     }
   }
+
+  test("j3: merged schema surfaces the evolved column as null in old generations; partition prunes") {
+    import org.apache.spark.sql.functions._
+    val path = graft.sources.IngestFixtures.ensureEvolution(spark, Sf)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(df.columns.contains("quality") && df.columns.contains("batch"))
+    // evolved column: null exactly on the pre-evolution generation
+    assert(df.filter(col("batch") === 0 && col("quality").isNotNull).count() == 0)
+    assert(df.filter(col("batch") === 1 && col("quality").isNull).count() == 0)
+    // evolved values follow the generating rule
+    df.filter(col("batch") === 1)
+      .select(col("doc_id"), col("quality")).collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(0) * 7 % 100))
+    // the generation id is a PARTITION column: a generation filter
+    // prunes directories at the scan
+    val plan = df.filter(col("batch") === 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch"),
+      s"expected partition pruning in:\n$plan")
+    // audit matches a direct recomputation from the documents table
+    val audit = graft.operators.IngestQueries.schemaEvolution(spark, Sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = graft.Tables.documents(spark, Sf).filter(col("doc_id") < 400)
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b0 = docs.filter(_._1 % 2 == 0)
+    val b1 = docs.filter(_._1 % 2 == 1)
+    assert(audit(0) == ((b0.length.toLong, b0.length.toLong, 0L, b0.map(_._2).sum)))
+    assert(audit(1) == ((b1.length.toLong, 0L, b1.map(t => t._1 * 7 % 100).sum, b1.map(_._2).sum)))
+  }
 }
