@@ -450,6 +450,40 @@ object GeoQueries {
       .orderBy(col("tile_id"), col("y"), col("x"))
   }
 
+  /** g22: D8 WATERSHED delineation — the basin partitioning
+    * (TauDEM/GRASS `r.watershed`'s labels output, the step after
+    * g19's accumulation): every cell labels with the TERMINAL cell
+    * its steepest-descent path reaches (interior sinks and rim
+    * receivers), so basins = flow trees. The Watershed expression
+    * runs one ASCENDING-elevation sweep per tile (a cell's successor
+    * is strictly lower, so labels resolve in topological order —
+    * the upstream mirror of FlowAccum's load sweep), inside the
+    * tile's own file split: ZERO shuffle, same per-tile cost and
+    * distribution story as g19. The oracle walks every flow path to
+    * termination via a recursive CTE over the same exact argmax.
+    */
+  def watersheds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val n = 8
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        posexplode(RasterExprs.watershed(
+          transform(col("r.points"), p => p.getField("elevation").cast("long")),
+          lit(n))))
+      .select(col("tile_id"), col("tile_key"),
+        pmod(col("pos"), lit(n)).as("x"),
+        (col("pos") / lit(n)).cast("int").as("y"),
+        col("col").as("basin_pos"),
+        pmod(col("col"), lit(n)).cast("int").as("basin_x"),
+        (col("col") / lit(n)).cast("int").as("basin_y"))
+      .withColumn("is_root", col("basin_pos") === col("y") * n + col("x"))
+      .orderBy(col("tile_id"), col("y"), col("x"))
+  }
+
   /** g15: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
     * TauDEM's first hydrology pass): each interior pixel drains to
     * the neighbor with the steepest positive descent drop/dist,

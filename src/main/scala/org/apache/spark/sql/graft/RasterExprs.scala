@@ -20,6 +20,11 @@ object RasterExprs {
   def flow_accum(elev: Column, n: Column): Column =
     ExpressionUtils.column(FlowAccum(
       ExpressionUtils.expression(elev), ExpressionUtils.expression(n)))
+
+  /** D8 watershed labels over a row-major tile array (see [[Watershed]]). */
+  def watershed(elev: Column, n: Column): Column =
+    ExpressionUtils.column(Watershed(
+      ExpressionUtils.expression(elev), ExpressionUtils.expression(n)))
 }
 
 /** D8 flow accumulation (O'Callaghan & Mark 1984) over one tile's
@@ -111,6 +116,85 @@ case class FlowAccum(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): FlowAccum = copy(left = l, right = r)
+}
+
+/** D8 WATERSHED labeling (basin delineation — TauDEM/GRASS
+  * `r.watershed`'s partitioning output, the step after g19's
+  * accumulation): every cell labels with the row-major index of the
+  * TERMINAL cell its steepest-descent path reaches. The flow graph
+  * is [[FlowAccum]]'s exact integer argmax forest; terminals are
+  * interior sinks (no positive drop) and rim cells (kernel undefined
+  * there, but they still receive flow — gdaldem nodata semantics), so
+  * each basin is one flow tree and the label is its root.
+  *
+  * One ASCENDING-elevation sweep assigns labels in topological order:
+  * a cell's successor sits strictly lower (drop > 0), so by the time
+  * a cell is processed its successor's basin is known — the upstream
+  * mirror of FlowAccum's descending load sweep, same O(n² log n²)
+  * per-tile cost, same zero-state per-split distribution story.
+  */
+case class Watershed(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), IntegerType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private val Ring: Array[(Int, Int, Boolean)] = Array(
+    (1, 0, false), (1, 1, true), (0, 1, false), (-1, 1, true),
+    (-1, 0, false), (-1, -1, true), (0, -1, false), (1, -1, true))
+
+  override def nullSafeEval(elevAny: Any, nAny: Any): Any = {
+    val arr = elevAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    if (n < 3 || arr.numElements() != n * n) return null
+    val z = arr.toLongArray()
+    val total = n * n
+    val succ = new Array[Int](total)
+    java.util.Arrays.fill(succ, -1)
+    var y = 1
+    while (y < n - 1) {
+      var x = 1
+      while (x < n - 1) {
+        val i = y * n + x
+        val z0 = z(i)
+        var bestScore = 0L
+        var bestIdx = -1
+        var k = 0
+        while (k < 8) {
+          val (dx, dy, diag) = Ring(k)
+          val j = (y + dy) * n + (x + dx)
+          val drop = z0 - z(j)
+          if (drop > 0) {
+            val score = drop * drop * (if (diag) 1L else 2L)
+            if (score > bestScore) { bestScore = score; bestIdx = j }
+          }
+          k += 1
+        }
+        succ(i) = bestIdx
+        x += 1
+      }
+      y += 1
+    }
+    // ascending-elevation sweep: successors resolve before their
+    // upstream cells (succ is strictly lower; equal-z cells are never
+    // each other's successors, so tie order is irrelevant)
+    val order = Array.range(0, total).sortBy(i => z(i))
+    val basin = new Array[Long](total)
+    var oi = 0
+    while (oi < total) {
+      val u = order(oi)
+      basin(u) = if (succ(u) < 0) u.toLong else basin(succ(u))
+      oi += 1
+    }
+    new GenericArrayData(basin)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Watershed = copy(left = l, right = r)
 }
 
 /** Byte-level decoder for the deterministic GRFT raster format — the

@@ -570,6 +570,50 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g22: watershed labels equal brute-force path following; basins partition the tile") {
+    val got = GeoQueries.watersheds(spark, Sf)
+      .select("tile_id", "x", "y", "basin_pos", "is_root")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.nonEmpty && got.size % 64 == 0)
+    def z(t: Long, x: Int, y: Int): Long = (t * 131 + x * 17 + y * 29) % 8848
+    val nb = Seq(
+      (1, 0, true), (1, 1, false), (0, 1, true), (-1, 1, false),
+      (-1, 0, true), (-1, -1, false), (0, -1, true), (1, -1, false))
+    got.keys.map(_._1).toSeq.distinct.foreach { t =>
+      def succ(x: Int, y: Int): Option[(Int, Int)] = {
+        if (x < 1 || x > 6 || y < 1 || y > 6) return None
+        val z0 = z(t, x, y)
+        val pos = nb.map { case (dx, dy, card) =>
+          ((x + dx, y + dy), z0 - z(t, x + dx, y + dy), card) }
+          .filter(_._2 > 0)
+        if (pos.isEmpty) None
+        else {
+          def score(p: ((Int, Int), Long, Boolean)): Long =
+            p._2 * p._2 * (if (p._3) 2 else 1)
+          val best = pos.map(score).max
+          Some(pos.find(score(_) == best).get._1)
+        }
+      }
+      for (y <- 0 to 7; x <- 0 to 7) {
+        // brute walk to the terminal cell
+        var cur = (x, y)
+        var next = succ(cur._1, cur._2)
+        while (next.isDefined) { cur = next.get; next = succ(cur._1, cur._2) }
+        val (basin, isRoot) = got((t, x, y))
+        assert(basin == cur._2 * 8 + cur._1, s"($t,$x,$y)")
+        assert(isRoot == (cur == ((x, y))), s"root flag ($t,$x,$y)")
+        // the label really is terminal: the basin cell has no successor
+        assert(succ(cur._1, cur._2).isEmpty)
+      }
+      // a root labels itself — basins partition the tile around roots
+      val tileCells = got.filter(_._1._1 == t)
+      val roots = tileCells.filter(_._2._2).map(_._2._1).toSet
+      assert(tileCells.values.map(_._1).toSet == roots)
+    }
+  }
+
   test("g20: halo-exchanged rim numerators equal the global formula across tile boundaries") {
     import graft.geo.Fixtures
     val got = GeoQueries.haloSlope(spark, Sf)
