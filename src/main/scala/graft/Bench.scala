@@ -56,7 +56,13 @@ object Bench {
     "g6_region_elevation_join", "s3_ann_ivf", "d2_minhash_lsh",
     "t6_tfidf", "s5_ann_ivfpq", "m3_audio_manifest",
     "t8_heavy_hitters", "d11_line_dedup", "m5_audio_neardup",
-    "p7_dsir_select", "m6_image_neardup", "p8_web_pipeline")
+    "p7_dsir_select", "m6_image_neardup", "p8_web_pipeline",
+    // r7 third-session additions with a measured first decade: p9
+    // (cluster-select composition, exp 0.27), s7 (kNN graph —
+    // adaptive nlist pins list size, see Ann.knnJoin), m7/m8
+    // (codec-bound). q36/q37 stay sf0.1-only: the proxy carries no
+    // events table.
+    "p9_cluster_select", "s7_knn_join", "m7_scene_cuts", "m8_vad_segments")
 
   /** The 100x decade keeps the original six cost drivers: d5 is the
     * documented-quadratic exactness oracle (capped at sf1 by design;

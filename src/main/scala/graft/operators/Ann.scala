@@ -195,12 +195,20 @@ object Ann {
     * that emitted scores ARE exact cosines (identity on shared
     * edges with the brute graph).
     */
-  def knnJoin(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
+  def knnJoin(s: SparkSession, dir: String, k: Int = 5, nlist: Int = -1,
       nprobe: Int = 4): DataFrame = {
     val e = graft.Caches.track(Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
-    val cents = kmeansCentroids(e, nlist)
+    // nlist defaults ADAPTIVE: list size pinned to ~512 so candidate
+    // pairs stay ∝ n·nprobe·512 (linear) instead of n²·nprobe/nlist —
+    // a fixed nlist goes quadratic one decade up. Capped at 4096 (the
+    // d9 coarseK centroid-matrix byte bound); floor 16 keeps the
+    // fixture corpus on the spec-measured recall curve. The count
+    // materializes the cached projection the query scans anyway.
+    val nl = if (nlist > 0) nlist
+      else math.min(4096L, math.max(16L, e.count() / 512L)).toInt
+    val cents = kmeansCentroids(e, nl)
     val corpus = e.select(col("vec_id"), col("embedding"), col("nrm"),
       assignCluster(col("embedding"), cents).as("bucket"))
     val probes = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
