@@ -102,6 +102,7 @@ object SparkEntry {
     "d11_line_dedup"          -> ((s: SparkSession, d: String) => Dedup.lineDedup(s, d)),
     "d12_containment"         -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "d13_triangles"           -> Dedup.graphTriangles _,
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
     "d4_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -1556,6 +1557,16 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin,
+    // d13: 3-way self-join over the same exact pair predicate
+    "d13_triangles" -> raw"""
+      |WITH $ShingleCte,
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8)
+      |SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      |FROM p e1 JOIN p e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+      |JOIN p e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+      |ORDER BY a, b, c""".stripMargin,
     "d8_dup_clusters" -> raw"""
       |WITH RECURSIVE $ShingleCte,
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -563,6 +563,35 @@ object Dedup {
       col("contained_id"), col("container_id"))
   }
 
+  /** d13: TRIANGLE census of the near-dup pair graph — the graph
+    * topology diagnostic beside d8's components (a component that is
+    * triangle-dense is a genuine duplicate clique; a triangle-free
+    * chain of borderline pairs is threshold noise — transitivity
+    * violations are how near-dup graphs are audited). Edges are d2's
+    * EXACT verified pairs (id_a < id_b).
+    *
+    * Algorithm: the "forward" / compact-forward shape — edges orient
+    * low→high id, wedges form by joining the edge list with itself on
+    * the shared LOW endpoint (b < c dedups each wedge), and a
+    * semi-join against the edge set closes them. Two equi-joins on
+    * 8-byte keys, shuffle ∝ Σ_v deg⁺(v)² (wedges) — never all
+    * triples; hub-skewed wedge keys split under AQE skew-join at
+    * scale. Output: one row per triangle (a < b < c). Oracle: DuckDB
+    * 3-way self-join over the same exact pair predicate.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Caches.track(
+      minhashLsh(s, dir).select(col("id_a"), col("id_b")))
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.id_a") === col("y.id_a") && col("x.id_b") < col("y.id_b"))
+      .select(col("x.id_a").as("a"), col("x.id_b").as("b"), col("y.id_b").as("c"))
+    graft.Caches.ordered(
+      wedges.join(e.select(col("id_a").as("b"), col("id_b").as("c")),
+          Seq("b", "c"), "left_semi")
+        .select(col("a"), col("b"), col("c")),
+      col("a"), col("b"), col("c"))
+  }
+
   /** d8: near-dup pair graph → DUPLICATE CLUSTERS via distributed
     * connected components — the step a real dedup pipeline needs
     * between pairwise similarity (d2–d5) and "keep one canonical doc

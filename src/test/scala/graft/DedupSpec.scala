@@ -46,6 +46,32 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._2 == 4L))
   }
 
+  test("d13: planted clique yields exactly its triangle; corpus matches brute force") {
+    val dir = scratchDir("graft_tri")
+    val base  = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    Seq(
+      (0L, base), (1L, base), (2L, base),   // identical clique of 3 → 1 triangle
+      (3L, other), (4L, other),             // pair only → no triangle
+      (5L, "totally unrelated text about shuffle partitions and codegen"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.graphTriangles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 2L)))
+    // corpus identity: brute-force closure over the exact d2 pair set
+    val pairs = Dedup.minhashLsh(spark, Sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (a, b) <- pairs; (a2, c) <- pairs
+      if a2 == a && c > b && pairs.contains((b, c))
+    } yield (a, b, c)).toSet
+    val corpus = Dedup.graphTriangles(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(corpus == brute)
+  }
+
   test("line dedup strips corpus-hot 8-word windows, keeps within-doc repeats") {
     val dir = scratchDir("graft_linededup")
     val hotLine = "w1 w2 w3 w4 w5 w6 w7 w8" // in 3 docs ⇒ hot
