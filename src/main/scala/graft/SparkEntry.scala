@@ -60,6 +60,7 @@ object SparkEntry {
     "q34_funnel"              -> Relational.q34Funnel _,
     "q36_concurrency"         -> ((s, d) => Relational.q36Concurrency(s, d)),
     "q38_delta_agg"           -> Relational.q38DeltaAgg _,
+    "q39_setops_all"          -> Relational.q39SetopsAll _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -841,6 +842,17 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q39: the same bag operators in DuckDB, folded to counts
+    "q39_setops_all" -> raw"""
+      |WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+      |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+      |ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+      |SELECT 'intersect_all' AS op, o_custkey AS custkey, count(*) AS n
+      |FROM ia GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all', o_custkey, count(*) FROM ea GROUP BY 2
+      |ORDER BY 1, 2""".stripMargin,
     // q38: the oracle is the FULL recompute over (base ∖ deletes) ∪
     // inserts — the maintained mv must equal it exactly
     "q38_delta_agg" -> raw"""

@@ -664,6 +664,33 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q39: MULTISET set operations — INTERSECT ALL / EXCEPT ALL, the
+    * bag-algebra semantics q19's DISTINCT forms erase (SQL:2003 bag
+    * operators; Spark rewrites them via ReplaceIntersectAll/
+    * ReplaceExceptAll into aggregate+generate plans — this query
+    * proves that path end-to-end): the 1997 order bag of customer
+    * keys vs the 1996 bag. A customer with 3 orders in '97 and 1 in
+    * '96 contributes 1 to INTERSECT ALL and 2 to EXCEPT ALL — bag
+    * min and bag difference, with multiplicity. Output folds each
+    * result bag to (op, custkey, n) so row order is deterministic;
+    * RelationalSpec asserts n ≡ the direct least/difference of the
+    * two count vectors.
+    */
+  def q39SetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def bag(y: Int) = o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val a = bag(1997)
+    val b = bag(1996)
+    def fold(df: DataFrame, op: String) =
+      df.groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("op", lit(op))
+    fold(a.intersectAll(b), "intersect_all")
+      .unionByName(fold(a.exceptAll(b), "except_all"))
+      .select(col("op"), col("custkey"), col("n"))
+      .orderBy(col("op"), col("custkey"))
+  }
+
   /** q38: INCREMENTAL aggregate maintenance — the materialized-view
     * delta-apply every warehouse runs nightly (Delta/BigQuery MV
     * refresh, Flink's retractable aggregates): a stored per-priority

@@ -215,6 +215,28 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q39 multiset ops: engine bags equal direct least/difference of count vectors") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, Sf)
+    def counts(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ca = counts(1997)
+    val cb = counts(1996)
+    val expIa = ca.flatMap { case (k, n) =>
+      cb.get(k).map(m => k -> math.min(n, m)) }.filter(_._2 > 0)
+    val expEa = ca.flatMap { case (k, n) =>
+      val d = n - cb.getOrElse(k, 0L); if (d > 0) Some(k -> d) else None }
+    val got = Relational.q39SetopsAll(spark, Sf).collect()
+      .groupBy(_.getString(0))
+      .map { case (op, rs) => op -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(got("intersect_all") == expIa)
+    assert(got("except_all") == expEa)
+    assert(expIa.nonEmpty && expEa.nonEmpty)
+    // genuinely multiset: some multiplicity above 1 survives
+    assert(got("except_all").values.exists(_ > 1) || got("intersect_all").values.exists(_ > 1))
+  }
+
   test("q38 delta-agg: maintained mv equals the full recompute") {
     import org.apache.spark.sql.functions._
     val o = Tables.orders(spark, Sf)
