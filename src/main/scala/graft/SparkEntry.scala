@@ -163,7 +163,9 @@ object SparkEntry {
     "p8_web_pipeline"         -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.webPipeline(s, d)),
     "p9_cluster_select"       -> ((s: SparkSession, d: String) =>
-      graft.operators.Pipelines.clusterSelect(s, d)))
+      graft.operators.Pipelines.clusterSelect(s, d)),
+    "p10_split_check"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Pipelines.splitCheck(s, d)))
 
   // ---- oracle fragments shared across queries -----------------------
 
@@ -1569,6 +1571,28 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin,
+    // p10: p2's md5-bucket rule decides the split; the exact pair
+    // predicate finds cross-split leaks
+    "p10_split_check" -> raw"""
+      |WITH $ShingleCte,
+      |fl AS (SELECT doc_id,
+      |  (list_reduce([strpos('0123456789abcdef',
+      |      substr(md5('splt' || doc_id::VARCHAR), i, 1)) - 1
+      |    for i in range(1, 9)], (a, b) -> a*16 + b) % 100) < 10 AS is_eval
+      |  FROM documents),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        round(len(list_intersect(a.s, b.s))::DOUBLE
+      |              / len(list_distinct(a.s || b.s)), 6) AS jaccard
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+      |                  / len(list_distinct(a.s || b.s)), 6) >= 0.8)
+      |SELECT CASE WHEN fa.is_eval THEN p.id_a ELSE p.id_b END AS eval_doc,
+      |       CASE WHEN fa.is_eval THEN p.id_b ELSE p.id_a END AS train_dup,
+      |       p.jaccard
+      |FROM p JOIN fl fa ON fa.doc_id = p.id_a
+      |       JOIN fl fb ON fb.doc_id = p.id_b
+      |WHERE fa.is_eval <> fb.is_eval
+      |ORDER BY eval_doc, train_dup""".stripMargin,
     // d13: 3-way self-join over the same exact pair predicate
     "d13_triangles" -> raw"""
       |WITH $ShingleCte,

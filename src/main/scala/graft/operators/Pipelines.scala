@@ -43,6 +43,40 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** p10: train/eval SPLIT with a cross-split leakage audit — the
+    * eval-hygiene composition every benchmark-construction pipeline
+    * runs (GPT-3's train-test overlap analysis, Brown et al. 2020
+    * §4; the reason d7-style decontamination exists): a deterministic
+    * md5-bucket split (p2's engine-portable rule — eval = bucket <
+    * `evalPct`) followed by the question the split alone cannot
+    * answer: which eval documents have a NEAR-DUPLICATE in train?
+    * Those eval rows leak — metrics on them measure memorization.
+    *
+    * Output: one row per leaking cross-split pair (eval doc, its
+    * train near-dup, exact Jaccard). Scale shape: the split is a
+    * stateless per-row hash flag (no count pass, pushdown-friendly);
+    * the pair set is d2's banded pipeline unchanged; the cross-split
+    * filter is two 9-byte flag joins onto the pair frame. Oracle:
+    * the same bucket rule + exact pair predicate in DuckDB.
+    */
+  def splitCheck(s: SparkSession, dir: String, evalPct: Int = 10): DataFrame = {
+    val flags = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (pmod(conv(substring(md5(concat(lit("splt"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(100)) < evalPct).as("is_eval"))
+    val pairs = Dedup.minhashLsh(s, dir)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    pairs
+      .join(flags.select(col("doc_id").as("id_a"), col("is_eval").as("ea")), "id_a")
+      .join(flags.select(col("doc_id").as("id_b"), col("is_eval").as("eb")), "id_b")
+      .filter(col("ea") =!= col("eb"))
+      .select(
+        when(col("ea"), col("id_a")).otherwise(col("id_b")).as("eval_doc"),
+        when(col("ea"), col("id_b")).otherwise(col("id_a")).as("train_dup"),
+        col("jaccard"))
+      .orderBy(col("eval_doc"), col("train_dup"))
+  }
+
   /** p9: cluster-aware survivor selection — the policy step between
     * d8's duplicate CLUSTERS and the curated corpus: instead of p1's
     * "keep lowest id", keep each cluster's BEST member (RefinedWeb/

@@ -298,6 +298,26 @@ class CurationSpec extends SparkSpec {
     assert(rows(1).getLong(2) == docs.map(_ % 97).distinct.length.toLong)
   }
 
+  test("p10: cross-split leaks surface, within-split dups do not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = scratchDir("graft_p10")
+    // md5('splt'||id) buckets: 0→28, 1→0, 2→3, 3→88, 4→88, 5→85 —
+    // so eval = {1, 2}, train = {0, 3, 4, 5}
+    val base  = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    Seq(
+      (0L, base), (1L, base), (2L, base),  // clique across the split
+      (3L, other), (4L, other),            // train-train pair: no leak
+      (5L, "unrelated text about shuffle partitions and codegen stages"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Pipelines.splitCheck(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 0L, 1.0), (2L, 0L, 1.0)))
+  }
+
   test("p9: struct-max keeper equals the window argmax; keeper is a cluster member") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Pipelines.clusterSelect(spark, Sf).collect()
