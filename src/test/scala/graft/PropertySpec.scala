@@ -163,4 +163,48 @@ class PropertySpec extends SparkSpec {
     }
     check("asof-join", prop, cases = 4)
   }
+
+  test("q36 sweep-line equals a brute-force per-second simulation on arbitrary event sets") {
+    // events → q13 sessions → deltas → sharded prefix → hourly peaks;
+    // the reference simulates the timeline second-by-second in plain
+    // Scala from the same session set — an algorithm with no shared
+    // code path (no prefix sums, no shards)
+    val row = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 8000L))
+    val prop = Prop.forAll(Gen.listOfN(50, row), Gen.oneOf(5L, 97L, 3600L)) {
+      (evRows, shardSec) =>
+        val dir = scratchDir("graft_q36_prop")
+        evRows.zipWithIndex
+          .map { case ((u, t), i) =>
+            (i.toLong, new java.sql.Timestamp(t * 1000L), u, "view", 1.0, "{}") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val got = graft.operators.Relational.q36Concurrency(spark, dir, shardSec)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        // reference: per-user sessions by the 30-min gap rule, then a
+        // second-by-second active count
+        val sessions = evRows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+          val ts = es.map(_._2).sorted
+          val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var start = ts.head; var prev = ts.head
+          ts.tail.foreach { t =>
+            if (t - prev > 1800) { segs += ((start, prev)); start = t }
+            prev = t
+          }
+          segs += ((start, prev))
+          segs
+        }
+        val deltas = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        sessions.foreach { case (a, b) => deltas(a) += 1; deltas(b + 1) -= 1 }
+        var run = 0L
+        val exp = scala.collection.mutable.Map[Long, (Long, Long)]()
+        deltas.keys.toSeq.sorted.foreach { t =>
+          run += deltas(t)
+          val h = t / 3600
+          val (pk, nc) = exp.getOrElse(h, (Long.MinValue, 0L))
+          exp(h) = (math.max(pk, run), nc + 1)
+        }
+        got == exp.toMap
+    }
+    check("q36-sweep-line", prop, cases = 5)
+  }
 }
