@@ -186,4 +186,70 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q37: retention cells count without a countDistinct expand") {
+    val p = formatted(Relational.q37Retention(spark, Sf))
+    // distinct (user, week) pairs make count(*) ≡ distinct users —
+    // an Expand node would mean the expensive two-phase distinct crept in
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q36/g21: sharded prefixes keep every window partition bounded (no empty partitionBy)") {
+    for (df <- Seq(Relational.q36Concurrency(spark, Sf),
+        graft.geo.GeoQueries.compactionPlan(spark, Sf))) {
+      val p = formatted(df)
+      // the corpus-sized window must carry a shard partition key; the
+      // only unpartitioned window is the skinny per-shard offset frame
+      val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(winSpecs.nonEmpty, p)
+      assert(winSpecs.exists(_.contains("shard#")), s"expected a shard-partitioned window:\n$p")
+    }
+  }
+
+  test("s7: neither side of the kNN bucket join broadcasts; join is an equi-join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = formatted(graft.operators.Ann.knnJoin(spark, Sf))
+      // both sides are corpus-sized: a hard-coded broadcast would OOM
+      // at scale, so with auto-broadcast off none may appear
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("t13: the heavy-hitter vocab side broadcasts even with auto-broadcast off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = formatted(graft.operators.TextAnalysis.oovRate(spark, Sf))
+      // the vocab frame is aggregate-bounded (≤ phiInv rows) and
+      // explicitly hinted — it must ride a broadcast join, never
+      // shuffle the token explode against it
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("p9: no window over cluster partitions — the keeper argmax is an aggregate") {
+    val p = formatted(graft.operators.Pipelines.clusterSelect(spark, Sf))
+    // dupClusters itself carries one window (cluster_size); the p9
+    // keeper selection must NOT add a row_number window on top
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("m7/m8: zero-shuffle per-payload operators — only the final sort exchanges") {
+    for (df <- Seq(graft.operators.Multimodal.sceneCuts(spark, Sf),
+        graft.operators.Audio.vadSegments(spark, Sf))) {
+      val p = formatted(df)
+      assert(!p.contains("Join") && !p.contains("Window"), p)
+      // exactly two exchanges are legitimate: the deliberate
+      // round-robin that spreads the CPU-bound codec over tasks
+      // (the local corpus is one split) and the final sort — nothing
+      // may shuffle BETWEEN decode and output
+      val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+      assert(exchanges <= 2, s"decode pipeline must stay narrow:\n$p")
+      assert(p.contains("RoundRobinPartitioning"), p)
+    }
+  }
 }
