@@ -95,6 +95,16 @@ object GraftExtensions {
     MisraGries(exprs(0), litInt(exprs(1), "mg_sketch")).toAggregateExpression()
   }
 
+  private def flowAccumBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "flow_accum(elevations, n)")
+    FlowAccum(exprs(0), exprs(1))
+  }
+
+  private def watershedBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "watershed(elevations, n)")
+    Watershed(exprs(0), exprs(1))
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("mg_sketch"),
       new ExpressionInfo(classOf[MisraGries].getName, "mg_sketch"),
@@ -125,7 +135,13 @@ object GraftExtensions {
       charGramBuilder _),
     (FunctionIdentifier("word_shingle_hashes"),
       new ExpressionInfo(classOf[GramHashes].getName, "word_shingle_hashes"),
-      wordShingleBuilder _))
+      wordShingleBuilder _),
+    (FunctionIdentifier("flow_accum"),
+      new ExpressionInfo(classOf[FlowAccum].getName, "flow_accum"),
+      flowAccumBuilder _),
+    (FunctionIdentifier("watershed"),
+      new ExpressionInfo(classOf[Watershed].getName, "watershed"),
+      watershedBuilder _))
 
   /** Register into an already-built session (tests, shells). */
   def register(spark: SparkSession): Unit =

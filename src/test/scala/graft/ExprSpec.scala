@@ -279,4 +279,20 @@ class ExprSpec extends SparkSpec {
     assert(got(0).getDouble(0) == 11.0)
     assert(got(1).isNullAt(0))
   }
+
+  test("flow_accum and watershed are SQL-callable through GraftExtensions") {
+    // 3×3 bowl: center lowest — all 8 ring cells would flow inward,
+    // but only the center is interior, so it is a sink (code 0):
+    // acc = 0 everywhere, every cell its own basin root
+    val bowl = "array(9L,8L,9L, 8L,1L,8L, 9L,8L,9L)"
+    val acc = spark.sql(s"SELECT flow_accum($bowl, 3) AS a").collect()(0)
+      .getSeq[Long](0)
+    assert(acc == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    val ws = spark.sql(s"SELECT watershed($bowl, 3) AS w").collect()(0)
+      .getSeq[Long](0)
+    assert(ws == (0 until 9).map(_.toLong))
+    // 3×4 is malformed for n=3 → null, mirroring RasterDecode
+    assert(spark.sql("SELECT watershed(array(1L,2L,3L,4L), 3) AS w")
+      .collect()(0).isNullAt(0))
+  }
 }
