@@ -61,6 +61,7 @@ object SparkEntry {
     "q36_concurrency"         -> ((s, d) => Relational.q36Concurrency(s, d)),
     "q38_delta_agg"           -> Relational.q38DeltaAgg _,
     "q39_setops_all"          -> Relational.q39SetopsAll _,
+    "q40_range_frame"         -> Relational.q40RangeFrame _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -844,6 +845,18 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q40: the same RANGE frame over integer epoch seconds — peers
+    // (same customer, same date) share a frame, no tiebreaker needed
+    "q40_range_frame" -> raw"""
+      |WITH o AS (SELECT o_orderkey, o_custkey,
+      |             floor(epoch(o_orderdate))::BIGINT AS t,
+      |             round(o_totalprice*100)::BIGINT AS c FROM orders)
+      |SELECT o_orderkey, o_custkey, t AS t_epoch,
+      |  sum(c) OVER (PARTITION BY o_custkey ORDER BY t
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)::BIGINT AS spend_30d_cents,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY t
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)::BIGINT AS n_30d
+      |FROM o ORDER BY o_orderkey""".stripMargin,
     // q39: the same bag operators in DuckDB, folded to counts
     "q39_setops_all" -> raw"""
       |WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),

