@@ -144,6 +144,8 @@ object SparkEntry {
       Multimodal.frameNearDup(s, d)),
     "m7_scene_cuts"           -> ((s: SparkSession, d: String) =>
       Multimodal.sceneCuts(s, d)),
+    "m9_visual_search"        -> ((s: SparkSession, d: String) =>
+      Multimodal.visualSearch(s, d)),
     "m2_frame_manifest"       -> ((s: SparkSession, d: String) =>
       Multimodal.frameManifest(s, d)),
     "m3_audio_manifest"       -> ((s: SparkSession, d: String) =>
@@ -1362,6 +1364,31 @@ object SparkEntry {
     // (blockSum·totalPixels > totalSum·blockPixels, MSB-first fold)
     // and brute-forces the Hamming join — the Spark side must land on
     // the identical pair set through real GIF decode + chunk blocking
+    // m9: signatures re-derived from the family-pixel formulas, exact
+    // integer-in-double cosine (< 2^53 throughout), window ranking
+    "m9_visual_search" -> raw"""
+      |WITH d AS (SELECT doc_id, ((doc_id // 25) % 24 + 8)::INT AS w,
+      |             ((doc_id // 25) % 17 + 8)::INT AS h,
+      |             (doc_id // 25) AS fam FROM documents),
+      |sg AS (SELECT doc_id,
+      |  [ list_sum([ CASE WHEN i = (doc_id * 131) % (w*h)
+      |      THEN ((fam * 40503 + i*i*13933 + i*7919) % 256 + (doc_id % 7) * 37) % 256
+      |      ELSE (fam * 40503 + i*i*13933 + i*7919) % 256 END
+      |      for i in range(0, w*h)
+      |      if (i % w) >= (b % 8) * w // 8 AND (i % w) < ((b % 8) + 1) * w // 8
+      |        AND (i // w) >= (b // 8) * h // 8 AND (i // w) < ((b // 8) + 1) * h // 8 ])
+      |    for b in range(0, 64) ]::DOUBLE[] AS v
+      |  FROM d),
+      |n AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM sg),
+      |c AS (SELECT q.doc_id AS q_id, x.doc_id AS vec_id,
+      |        list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cos_raw
+      |      FROM n q JOIN n x ON q.doc_id < 20 AND x.doc_id <> q.doc_id),
+      |r AS (SELECT q_id, vec_id, cos_raw,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY cos_raw DESC, vec_id ASC) AS rnk
+      |      FROM c)
+      |SELECT q_id, rnk::INT AS rank, vec_id AS neighbor_id, round(cos_raw, 6) AS cosine
+      |FROM r WHERE rnk <= 10 ORDER BY q_id, rank""".stripMargin,
     // m7: m4's signature CTE at stride 1, joined to the NEXT frame of
     // the same video — hamming > 40 bits flipped = scene cut
     "m7_scene_cuts" -> raw"""

@@ -28,7 +28,7 @@ object Ann {
     * do). Output order/ties identical to the window form: (cosine
     * desc, vec_id asc).
     */
-  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(cands: DataFrame, k: Int): DataFrame =
     cands.groupBy(col("q_id"))
       .agg(org.apache.spark.sql.graft.TopKCosine
         .top_k(col("cos_raw"), col("vec_id"), k).as("tk"))

@@ -541,6 +541,74 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** 8×8 integer block-sum signature of a decoded grayscale image —
+    * the all-integer cousin of [[avgHash64]] (same uneven `b·w/8`
+    * block bounds): 64 block SUMS instead of 64 threshold bits, so
+    * the signature carries brightness structure for SIMILARITY
+    * ranking, not just dup detection, and stays byte-exactly
+    * reproducible from the fixture formulas (no float pooling).
+    */
+  def blockSums64(img: BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val out = new Array[Long](64)
+    var b = 0
+    while (b < 64) {
+      val bx = b % 8; val by = b / 8
+      val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var s = 0L
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) { s += raster.getSample(xx, yy, 0); xx += 1 }
+        yy += 1
+      }
+      out(b) = s
+      b += 1
+    }
+    out
+  }
+
+  /** The `m9_visual_search` query: content-based image retrieval —
+    * the multimodal × ANN composition (CLIP-style visual search with
+    * the embedding stage stood in by [[blockSums64]], since no vision
+    * model ships in this container; the Spark-side plumbing — decode,
+    * per-image signature, broadcast query side, bounded-heap top-k —
+    * is exactly the production shape, and swapping the signature for
+    * a model embedding changes nothing downstream). Every image
+    * decodes (REAL PNG path) to its 64-long integer signature; the
+    * 20 query images broadcast; cosine is computed in double over
+    * INTEGER components (every product and partial sum < 2^53 —
+    * EXACT, so even the unrounded ranking order is engine-identical)
+    * and ranked by Ann's bounded-heap TopKCosine. Oracle: DuckDB
+    * re-derives every signature from the fixture formulas and ranks
+    * with a window — hash-exact.
+    */
+  def visualSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val sigs = graft.Caches.track(withFamilyPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val v = blockSums64(decodeImage(bytes))
+        var n2 = 0.0
+        var i = 0
+        while (i < 64) { n2 += v(i).toDouble * v(i); i += 1 }
+        (id, v, math.sqrt(n2))
+      }))
+      .toDF("vec_id", "sig", "nrm"))
+    val q = sigs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"), col("nrm").as("q_nrm"))
+    val dot = aggregate(
+      zip_with(col("q_sig"), col("sig"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x.cast("double"))
+    Ann.rankTopK(
+      broadcast(q).join(sigs, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot / (col("q_nrm") * col("nrm"))).as("cos_raw")),
+      k)
+  }
+
   /** The `m6_image_neardup` query: NEAR-DUPLICATE IMAGES across the
     * corpus — the image leg of the dedup × modality matrix (text d2,
     * video frames m4, audio clips m5): re-saves, light edits, and

@@ -194,6 +194,34 @@ class MultimodalSpec extends SparkSpec {
     brute.foreach { case (a, b, _) => assert(a / 25 == b / 25) }
   }
 
+  test("m9: visual search equals a driver-side exact cosine ranking") {
+    val ids = graft.Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val sigs = ids.map(id =>
+      id -> Multimodal.blockSums64(Multimodal.decodeImage(Multimodal.familyPngPayload(id))))
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = ids.filter(_ < 20).flatMap { q =>
+      ids.filter(_ != q).map(v => (q, v, cos(sigs(q), sigs(v))))
+        .sortBy { case (_, v, s) => (-s, v) }.take(10)
+        .zipWithIndex.map { case ((_, v, s), i) => (q, i + 1) -> ((v, s)) }
+    }.toMap
+    val got = Multimodal.visualSearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (v, s)) =>
+      assert(v == exp(k)._1, s"$k: $v vs ${exp(k)._1}")
+      assert(math.abs(s - exp(k)._2) < 5e-7, s"$k")
+    }
+  }
+
   test("m7: scene-cut distances equal an independent demux+hash; both classes fire") {
     val expect = graft.Tables.documents(spark, Sf).select("doc_id")
       .collect().map(_.getLong(0)).flatMap { id =>
