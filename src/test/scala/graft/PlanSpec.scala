@@ -238,6 +238,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("runtime filters: DPP prunes the tiled sink through a join; bloom filter reaches the fact side") {
+    import org.apache.spark.sql.functions._
+    // Dynamic partition pruning: querying the partitionBy(tile_key)
+    // sink through a join against a FILTERED dim must insert a
+    // dynamicpruning subquery on the partition column — the
+    // join-driven complement of g11's static IN-list pruning, and at
+    // 100 TB the difference between scanning 3 directories and all of
+    // them when the tile list comes from another table.
+    val dir = scratchDir("graft_dpp")
+    val tiles = graft.geo.Geo.tiles(spark, Sf).limit(200).cache()
+    graft.geo.Geo.writeTiled(
+      tiles.select(col("tile_key"), col("tile_id"), col("size_bytes")), dir)
+    val fact = spark.read.parquet(dir)
+    val dim = tiles.filter(col("tile_id") < 10).select(col("tile_key"), col("tile_id"))
+    val joined = fact.join(dim, Seq("tile_key"))
+      .groupBy(col("tile_key")).agg(sum(col("size_bytes")).as("s"))
+    val p = formatted(joined)
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      s"expected dynamic partition pruning:\n$p")
+    // Runtime bloom-filter join reduction on an unpartitioned fact
+    // join: with the feature forced on, the optimizer should inject a
+    // might_contain runtime filter on the fact's join key
+    val prevB = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val prevT = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // broadcast joins get no runtime filter (it would be pointless);
+    // force the shuffle join a 100 TB fact-fact join would use
+    val prevA = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, Sf)
+      val sel = Tables.orders(spark, Sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+        .select(col("o_orderkey"))
+      val q = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))
+      val bp = formatted(q)
+      assert(bp.contains("might_contain") || bp.contains("bloom"),
+        s"expected a runtime bloom filter on the fact side:\n$bp")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevA)
+      prevB.fold(spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled"))(
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", _))
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prevT.fold(spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"))(
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", _))
+    }
+  }
+
   test("m7/m8: zero-shuffle per-payload operators — only the final sort exchanges") {
     for (df <- Seq(graft.operators.Multimodal.sceneCuts(spark, Sf),
         graft.operators.Audio.vadSegments(spark, Sf))) {
