@@ -62,6 +62,7 @@ object SparkEntry {
     "q38_delta_agg"           -> Relational.q38DeltaAgg _,
     "q39_setops_all"          -> Relational.q39SetopsAll _,
     "q40_range_frame"         -> Relational.q40RangeFrame _,
+    "q41_session_window"      -> Relational.q41SessionWindow _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -847,6 +848,23 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q41: q13's manual construction with SPARK's merge rule (a new
+    // session starts when the gap is >= 30 min in integer MICROS —
+    // session_window merges on strict overlap), window.end = last+gap
+    "q41_session_window" -> raw"""
+      |WITH x AS (
+      |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+      |                     THEN 1 ELSE 0 END AS ns FROM x),
+      |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+      |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_epoch,
+      |       floor(epoch(max(ts)))::BIGINT + 1800 AS end_epoch,
+      |       count(*) AS n_events,
+      |       sum(round(value*100)::BIGINT)::BIGINT AS value_cents
+      |FROM z GROUP BY user_id, sid ORDER BY user_id, start_epoch""".stripMargin,
     // q40: the same RANGE frame over integer epoch seconds — peers
     // (same customer, same date) share a frame, no tiebreaker needed
     "q40_range_frame" -> raw"""

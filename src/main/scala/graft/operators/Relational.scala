@@ -664,6 +664,28 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q41: NATIVE session windows — `session_window(ts, gap)`, the
+    * Catalyst SessionWindow operator behind Structured Streaming's
+    * session aggregation, exercised on the batch path (q13 builds the
+    * same sessions MANUALLY via lag + running sum; this is the
+    * engine-native form, and the two must agree — the oracle
+    * recomputes q13's construction and maps `window.start = min ts`,
+    * `window.end = max ts + gap`). Sessions merge transitively inside
+    * the operator (an event chain each ≤ gap apart is ONE session
+    * regardless of total span), state is per (user, open-session) —
+    * the semantics that make it the streaming-safe primitive. One
+    * shuffle on the grouping key.
+    */
+  def q41SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sumCents(col("value")).as("value_cents"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("start_epoch"),
+        unix_timestamp(col("w.end")).as("end_epoch"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col("user_id"), col("start_epoch"))
+
   /** q40: RANGE-frame window — the VALUE-based frame semantics q30's
     * ROWS frame cannot express (a "last 30 days" rolling sum must
     * bound by the ORDER-BY VALUE, not a row count: with gaps or

@@ -215,6 +215,25 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q41 native session windows agree with q13's manual sessionization") {
+    // same corpus, two construction paths: the native SessionWindow
+    // operator and the lag+running-sum form. Sub-second gaps make the
+    // >= vs > edge invisible on this corpus, so the session SETS
+    // (user, start_epoch, n_events, cents) must coincide; q41's end
+    // is start-of-gap semantics (last + 30 min) vs q13's last event
+    val native = Relational.q41SessionWindow(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val manual = Relational.q13Sessionize(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2), r.getLong(5))).toSet
+    assert(native == manual)
+    // and ends are exactly last-event + gap
+    val ends = Relational.q41SessionWindow(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val manualEnds = Relational.q13Sessionize(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(4) + 1800L)).toMap
+    assert(ends == manualEnds)
+  }
+
   test("q40 range frame: value-bounded totals differ from a rows frame where dates gap") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q40RangeFrame(spark, Sf).collect()
