@@ -63,6 +63,7 @@ object SparkEntry {
     "q39_setops_all"          -> Relational.q39SetopsAll _,
     "q40_range_frame"         -> Relational.q40RangeFrame _,
     "q41_session_window"      -> Relational.q41SessionWindow _,
+    "q42_analyze_stats"       -> Relational.q42AnalyzeStats _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -848,6 +849,36 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q42: one row per (table, column) — counts recomputed per column
+    "q42_analyze_stats" -> raw"""
+      |WITH s AS (
+      |  SELECT 'orders' AS t, 'o_orderkey' AS c, count(*) AS n,
+      |         count(*) - count(o_orderkey) AS z, count(DISTINCT o_orderkey) AS d FROM orders
+      |  UNION ALL SELECT 'orders', 'o_custkey', count(*), count(*) - count(o_custkey),
+      |         count(DISTINCT o_custkey) FROM orders
+      |  UNION ALL SELECT 'orders', 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+      |         count(DISTINCT o_orderstatus) FROM orders
+      |  UNION ALL SELECT 'orders', 'o_totalprice', count(*), count(*) - count(o_totalprice),
+      |         count(DISTINCT o_totalprice) FROM orders
+      |  UNION ALL SELECT 'orders', 'o_orderdate', count(*), count(*) - count(o_orderdate),
+      |         count(DISTINCT o_orderdate) FROM orders
+      |  UNION ALL SELECT 'orders', 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+      |         count(DISTINCT o_orderpriority) FROM orders
+      |  UNION ALL SELECT 'events', 'event_id', count(*), count(*) - count(event_id),
+      |         count(DISTINCT event_id) FROM events
+      |  UNION ALL SELECT 'events', 'ts', count(*), count(*) - count(ts),
+      |         count(DISTINCT ts) FROM events
+      |  UNION ALL SELECT 'events', 'user_id', count(*), count(*) - count(user_id),
+      |         count(DISTINCT user_id) FROM events
+      |  UNION ALL SELECT 'events', 'event_type', count(*), count(*) - count(event_type),
+      |         count(DISTINCT event_type) FROM events
+      |  UNION ALL SELECT 'events', 'value', count(*), count(*) - count(value),
+      |         count(DISTINCT value) FROM events
+      |  UNION ALL SELECT 'events', 'props', count(*), count(*) - count(props),
+      |         count(DISTINCT props) FROM events)
+      |SELECT t AS table_name, c AS column_name, n::BIGINT AS n_rows,
+      |       z::BIGINT AS n_nulls, d::BIGINT AS n_distinct
+      |FROM s ORDER BY table_name, column_name""".stripMargin,
     // q41: q13's manual construction with SPARK's merge rule (a new
     // session starts when the gap is >= 30 min in integer MICROS —
     // session_window merges on strict overlap), window.end = last+gap

@@ -664,6 +664,33 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q42: ANALYZE-style column statistics — the stats-collection pass
+    * behind every cost-based optimizer (ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS; Delta/Iceberg column stats): per column,
+    * row count, null count, and EXACT distinct count, for two tables
+    * in ONE scan each (all per-column aggregates fold into a single
+    * agg node; the row explodes to one output row per column). Exact
+    * NDV is the oracle-checkable form — at 100 TB the same shape runs
+    * with approx_count_distinct (q16's HLL path) and nothing else
+    * changes. All-integer output.
+    */
+  def q42AnalyzeStats(s: SparkSession, dir: String): DataFrame = {
+    def stats(name: String, df: DataFrame): DataFrame = {
+      val aggs = df.columns.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"nd_$c")))
+      val one = df.agg(count(lit(1)).as("n_rows"), aggs.toSeq: _*)
+      one.select(explode(array(df.columns.map(c => struct(
+          lit(name).as("table_name"), lit(c).as("column_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
+        .select(col("r.*"))
+    }
+    stats("orders", Tables.orders(s, dir))
+      .unionByName(stats("events", Tables.events(s, dir)))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
   /** q41: NATIVE session windows — `session_window(ts, gap)`, the
     * Catalyst SessionWindow operator behind Structured Streaming's
     * session aggregation, exercised on the batch path (q13 builds the

@@ -215,6 +215,19 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q42 analyze stats: key column is unique, enum column is narrow, rows consistent") {
+    val got = Relational.q42AnalyzeStats(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (nOrders, _, ndKey) = got(("orders", "o_orderkey"))
+    assert(ndKey == nOrders)                       // primary key: distinct = rows
+    val (nEv, _, ndType) = got(("events", "event_type"))
+    assert(ndType < 10 && ndType > 1)              // enum column
+    assert(got(("events", "event_id"))._3 == nEv)  // event ids unique
+    assert(got.forall { case (_, (n, z, d)) => z >= 0 && d <= n })
+    assert(got.keys.count(_._1 == "orders") == 6 && got.keys.count(_._1 == "events") == 6)
+  }
+
   test("q41 native session windows agree with q13's manual sessionization") {
     // same corpus, two construction paths: the native SessionWindow
     // operator and the lag+running-sum form. Sub-second gaps make the
