@@ -94,6 +94,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming native session_window matches batch q41 once the watermark closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // two users, gaps straddling 30 min; sentinel user 99 only
+    // advances the watermark and is excluded from the comparison
+    val rows = Seq(
+      (1L, ts(600), 5.0), (1L, ts(900), 7.0),     // u1 session 1
+      (1L, ts(600 + 4000), 1.0),                  // u1 session 2 (gap 3700 > 1800)
+      (2L, ts(650), 2.0), (2L, ts(2400), 3.0))    // u2 one session (gap 1750 < 1800)
+    val dir = scratchDir("graft_q41s")
+    rows.zipWithIndex
+      .map { case ((u, t, v), i) => (i.toLong, t, u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Relational.q41SessionWindow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("start_epoch"),
+        unix_timestamp(col("w.end")).as("end_epoch"), col("n_events"), col("value_cents"))
+      .writeStream.outputMode("append").format("memory").queryName("sw_out").start()
+    mem.addData(rows.map { case (u, t, v) => (u, t, v) })
+    q.processAllAvailable()
+    mem.addData(Seq((99L, ts(1000000), 0.0))) // watermark far past every session end
+    q.processAllAvailable()
+    val streamed = spark.table("sw_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter(_._1 != 99L).toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(batch.size == 3) // u1 splits on the 3700 s gap, u2 merges
+  }
+
   test("stateful sessionize closes sessions on gap and matches batch semantics") {
     import graft.streaming.{EventStreams, SessionEvent}
     implicit val sqlCtx = spark.sqlContext
