@@ -222,6 +222,59 @@ object Ann {
       k)
   }
 
+  /** s8: GRAPH-based ANN — beam search over the s7 kNN graph, the
+    * NSW/HNSW family's search primitive re-expressed as bounded
+    * relational hops (no pointer-chasing state machine: each hop is
+    * one equi-join). From `nEntries` fixed entry vectors, every hop
+    * joins the current beam against the graph's edge list (candidates
+    * ∝ queries·beam·degree — bounded, never corpus-sized), scores the
+    * frontier by exact cosine, and keeps the best `beam` per query
+    * (bounded-heap TopKCosine, ≤ beam rows per query per task); the
+    * answer is the top-k of everything scored along the way. At scale
+    * the graph is a PERSISTED index (built once by s7's job, the way
+    * the IVF/PQ indexes persist) and each hop's join touches
+    * queries·beam·degree rows of it — the relational shape of
+    * HNSW's layer-0 search. Approximate → rows-only; AnnSpec asserts
+    * recall vs brute and exact-cosine score identity.
+    */
+  def graphSearchTopK(s: SparkSession, dir: String, k: Int = K, beam: Int = 12,
+      hops: Int = 4, nEntries: Int = 8, graphK: Int = 8): DataFrame = {
+    val e = graft.Caches.track(Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
+    val edges = graft.Caches.track(knnJoin(s, dir, k = graphK)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val entries = e.orderBy(col("vec_id")).limit(nEntries)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val cosc = cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm"))
+      .as("cos_raw")
+    def beamOf(scored: DataFrame): DataFrame =
+      scored.groupBy(col("q_id"))
+        .agg(org.apache.spark.sql.graft.TopKCosine
+          .top_k(col("cos_raw"), col("vec_id"), beam).as("tk"))
+        .select(col("q_id"), explode(col("tk.id")).as("vec_id"))
+    // hop 0: every query scores the fixed entry points (tiny
+    // inequality join — nEntries × queries rows)
+    var scoredAll = broadcast(q)
+      .join(entries, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosc)
+    var frontier = beamOf(scoredAll)
+    for (_ <- 1 to hops) {
+      val expand = frontier.join(edges, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .join(e, "vec_id")
+      val scored = broadcast(q).join(expand, Seq("q_id"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"), cosc)
+      scoredAll = scoredAll.unionByName(scored)
+        .groupBy(col("q_id"), col("vec_id")).agg(max(col("cos_raw")).as("cos_raw"))
+      frontier = beamOf(scoredAll)
+    }
+    rankTopK(scoredAll, k)
+  }
+
   /** The nprobe best centroid ids for a vector, as an array column —
     * the codegen'd NearestClusters kernel (bit-identical scores and
     * tie order to the r5 sort-of-(negscore, id)-structs formulation;

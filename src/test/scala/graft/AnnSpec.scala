@@ -106,6 +106,28 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("s8 graph search: beam over the kNN graph tracks brute recall, exact scores") {
+    val exact = Ann.bruteForceTopK(spark, Sf)
+    val exactSet = exact.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Ann.graphSearchTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    val recall = (exactSet & gotSet).size.toDouble / exactSet.size
+    info(f"graph-search recall@${Ann.K} = $recall%.3f")
+    // 4 hops × beam 12 from 8 entries over a degree-8 graph measures
+    // 0.665 on this corpus (random floor k/N ≈ 0.02)
+    assert(recall >= 0.5, s"recall $recall")
+    // where the search returns a pair the brute search also ranked,
+    // the scores must be identical (same exact-cosine kernel)
+    val exactScore = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { case (qid, v, s) =>
+      exactScore.get((qid, v)).foreach(es => assert(es == s, s"($qid,$v)"))
+    }
+    // every query answered with k ranked rows
+    assert(got.groupBy(_._1).forall(_._2.length == Ann.K))
+  }
+
   test("IVF ANN recall vs brute-force baseline") {
     val exact = Ann.bruteForceTopK(spark, Sf)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
