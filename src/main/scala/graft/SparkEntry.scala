@@ -64,6 +64,7 @@ object SparkEntry {
     "q40_range_frame"         -> Relational.q40RangeFrame _,
     "q41_session_window"      -> Relational.q41SessionWindow _,
     "q42_analyze_stats"       -> Relational.q42AnalyzeStats _,
+    "q43_cube"                -> Relational.q43Cube _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -850,6 +851,18 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q43: the full CUBE lattice, null keys to '(all)' as in q10
+    "q43_cube" -> raw"""
+      |SELECT coalesce(r_name, '(all)') AS region,
+      |       coalesce(o_orderpriority, '(all)') AS priority,
+      |       count(*) AS n_orders,
+      |       sum(round(o_totalprice*100)::BIGINT)::BIGINT AS total_cents
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, o_orderpriority)
+      |ORDER BY region, priority""".stripMargin,
     // q42: one row per (table, column) — counts recomputed per column
     "q42_analyze_stats" -> raw"""
       |WITH s AS (

@@ -664,6 +664,29 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q43: CUBE — the full 2^n grouping lattice (q10's ROLLUP walks
+    * only the prefix hierarchy; q24's GROUPING SETS picks explicit
+    * sets; CUBE materializes all four (region, priority) groupings in
+    * one Expand pass). Null group keys coalesce to '(all)' (the q10
+    * convention) so set identity is value-visible and the oracle hash
+    * never rests on NULL-vs-string semantics.
+    */
+  def q43Cube(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sumCents(col("o_totalprice")).as("total_cents"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("total_cents"))
+      .orderBy(col("region"), col("priority"))
+  }
+
   /** q42: ANALYZE-style column statistics — the stats-collection pass
     * behind every cost-based optimizer (ANALYZE TABLE ... COMPUTE
     * STATISTICS FOR COLUMNS; Delta/Iceberg column stats): per column,

@@ -215,6 +215,21 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q43 cube: lattice cells reconcile — margins sum to the grand total") {
+    val rows = Relational.q43Cube(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val grand = rows(("(all)", "(all)"))
+    val byRegion = rows.filter { case ((reg, pri), _) => reg != "(all)" && pri == "(all)" }
+    val byPri = rows.filter { case ((reg, pri), _) => reg == "(all)" && pri != "(all)" }
+    val cells = rows.filter { case ((reg, pri), _) => reg != "(all)" && pri != "(all)" }
+    for (group <- Seq(byRegion, byPri, cells)) {
+      assert(group.values.map(_._1).sum == grand._1)
+      assert(group.values.map(_._2).sum == grand._2)
+    }
+    // all four grouping levels present
+    assert(byRegion.nonEmpty && byPri.nonEmpty && cells.nonEmpty)
+  }
+
   test("q42 analyze stats: key column is unique, enum column is narrow, rows consistent") {
     val got = Relational.q42AnalyzeStats(spark, Sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
