@@ -222,6 +222,97 @@ object Ann {
       k)
   }
 
+  /** Candidate join + bounded-heap ranking shared by the self-contained
+    * kNN graph, the persisted build, and the delta path: probes ⋈
+    * members on the list id, exact cosine, top-k per probe vector.
+    */
+  private def knnEdges(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      probes.join(corpus, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
+      k)
+
+  /** Edges for a corpus frame under a FIXED centroid matrix — the
+    * deterministic core both the full build and the delta replay. */
+  private[graft] def knnEdgesWithCents(e: DataFrame, cents: Array[Array[Float]],
+      k: Int, nprobe: Int): DataFrame = {
+    val corpus = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      assignCluster(col("embedding"), cents).as("bucket"))
+    val probes = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"),
+      explode(topClusters(col("embedding"), cents, nprobe)).as("bucket"))
+    knnEdges(corpus, probes, k)
+  }
+
+  /** Persist the kNN-graph index — the offline build of an
+    * incremental neighbor-graph deployment (the ANN twin of d2's
+    * incremental dedup index): the coarse centroids persist FIXED (a
+    * delta batch assigns against them — retraining would silently
+    * move every list boundary), the corpus persists with each
+    * vector's home bucket AND its nprobe probe set (so a delta can
+    * find exactly which residents a new list member affects), and the
+    * edge list persists as the queryable graph.
+    */
+  def buildKnnGraphIndex(s: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nprobe: Int = 4, baseFilter: Column = lit(true)): Unit = {
+    import s.implicits._
+    val e = graft.Caches.track(Tables.embeddings(s, dir).filter(baseFilter)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
+    val nl = math.min(4096L, math.max(16L, e.count() / 512L)).toInt
+    val cents = kmeansCentroids(e, nl)
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+        assignCluster(col("embedding"), cents).as("bucket"),
+        topClusters(col("embedding"), cents, nprobe).as("probes"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/corpus")
+    knnEdgesWithCents(e, cents, k, nprobe)
+      .write.mode("overwrite").parquet(s"$indexPath/edges")
+  }
+
+  /** Incremental kNN-graph maintenance: fold a DELTA batch into the
+    * persisted graph WITHOUT recomputing resident edges that cannot
+    * have changed. A new vector can alter a resident's top-k only if
+    * it lands in a bucket that resident PROBES — so the re-query set
+    * is (delta vectors) ∪ (residents whose stored probe set meets a
+    * delta home bucket), found by one skinny explode+join; everyone
+    * else's stored edges are provably unchanged and pass through via
+    * an anti-join. Cost ∝ delta + affected, not corpus (the d2 delta
+    * discipline). AnnSpec asserts the folded graph is ROW-IDENTICAL
+    * to a from-scratch edge build over the full corpus under the same
+    * fixed centroids.
+    */
+  def knnGraphDelta(s: SparkSession, dir: String, indexPath: String,
+      deltaFilter: Column, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val cents: Array[Array[Float]] = s.read.parquet(s"$indexPath/centroids")
+      .orderBy("bucket").select("centroid").as[Seq[Float]].collect().map(_.toArray)
+    val base = s.read.parquet(s"$indexPath/corpus")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"), col("probes"))
+    val delta = graft.Caches.track(Tables.embeddings(s, dir).filter(deltaFilter)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        assignCluster(col("embedding"), cents).as("bucket"),
+        topClusters(col("embedding"), cents, nprobe).as("probes")))
+    val union = graft.Caches.track(base.unionByName(delta))
+    val deltaHomes = delta.select(col("bucket").as("hb")).distinct()
+    val affectedOld = base.select(col("vec_id"), explode(col("probes")).as("pb"))
+      .join(deltaHomes, col("pb") === col("hb"))
+      .select(col("vec_id")).distinct()
+    val requeryIds = graft.Caches.track(
+      affectedOld.unionByName(delta.select(col("vec_id"))).distinct())
+    val probes = union.join(requeryIds, Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), explode(col("probes")).as("bucket"))
+    val fresh = knnEdges(union.select(col("vec_id"), col("embedding"),
+      col("nrm"), col("bucket")), probes, k)
+    val kept = s.read.parquet(s"$indexPath/edges")
+      .join(requeryIds.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
+    graft.Caches.ordered(kept.unionByName(fresh), col("q_id"), col("rank"))
+  }
+
   /** s8: GRAPH-based ANN — beam search over the s7 kNN graph, the
     * NSW/HNSW family's search primitive re-expressed as bounded
     * relational hops (no pointer-chasing state machine: each hop is

@@ -128,6 +128,25 @@ class AnnSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.length == Ann.K))
   }
 
+  test("incremental kNN-graph delta equals a from-scratch build under fixed centroids") {
+    import org.apache.spark.sql.functions._
+    val idx = scratchDir("graft_knng")
+    Ann.buildKnnGraphIndex(spark, Sf, idx, baseFilter = col("vec_id") < 400)
+    val folded = Ann.knnGraphDelta(spark, Sf, idx, col("vec_id") >= 400).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val cents: Array[Array[Float]] = spark.read.parquet(s"$idx/centroids")
+      .orderBy("bucket").select("centroid").as[Seq[Float]].collect().map(_.toArray)
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VecFns.norm(col("embedding")).as("nrm"))
+    val full = Ann.knnEdgesWithCents(e, cents, 5, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(folded == full)
+    // every corpus vector is present in the folded graph
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(folded.keys.map(_._1).toSet.size.toLong == n)
+  }
+
   test("IVF ANN recall vs brute-force baseline") {
     val exact = Ann.bruteForceTopK(spark, Sf)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
