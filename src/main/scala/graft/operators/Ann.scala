@@ -359,8 +359,14 @@ object Ann {
       val scored = broadcast(q).join(expand, Seq("q_id"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"), cosc)
-      scoredAll = scoredAll.unionByName(scored)
-        .groupBy(col("q_id"), col("vec_id")).agg(max(col("cos_raw")).as("cos_raw"))
+      // cache each hop's accumulated frontier: scoredAll feeds BOTH
+      // the next beam and the next union — uncached, every hop
+      // re-evaluates all prior hops and the DAG compounds (measured
+      // 8.2 s → 5.5 s at sf0.1; the remainder is the graph build).
+      // The cached frame is queries×visited rows — bounded by
+      // queries·beam·degree·hops, never corpus-sized
+      scoredAll = graft.Caches.track(scoredAll.unionByName(scored)
+        .groupBy(col("q_id"), col("vec_id")).agg(max(col("cos_raw")).as("cos_raw")))
       frontier = beamOf(scoredAll)
     }
     rankTopK(scoredAll, k)
