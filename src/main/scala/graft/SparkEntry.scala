@@ -65,6 +65,7 @@ object SparkEntry {
     "q41_session_window"      -> Relational.q41SessionWindow _,
     "q42_analyze_stats"       -> Relational.q42AnalyzeStats _,
     "q43_cube"                -> Relational.q43Cube _,
+    "q44_not_in_null"         -> Relational.q44NotInNull _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -851,6 +852,19 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q44: the same three-valued NOT IN in DuckDB — unguarded must be 0
+    "q44_not_in_null" -> raw"""
+      |SELECT 'guarded' AS variant, count(*) AS n FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END
+      |   FROM orders WHERE year(o_orderdate) = 1996
+      |     AND (CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END) IS NOT NULL)
+      |UNION ALL
+      |SELECT 'unguarded', count(*) FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END
+      |   FROM orders WHERE year(o_orderdate) = 1996)
+      |ORDER BY variant""".stripMargin,
     // q43: the full CUBE lattice, null keys to '(all)' as in q10
     "q43_cube" -> raw"""
       |SELECT coalesce(r_name, '(all)') AS region,

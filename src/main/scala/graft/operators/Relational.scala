@@ -664,6 +664,36 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q44: NOT IN under NULLs — SQL's most notorious anti-join trap,
+    * through the engine's SQL surface: `x NOT IN (S)` is three-valued
+    * logic — one NULL in S makes the predicate UNKNOWN for every
+    * non-member, silently emptying the result. Spark plans this as a
+    * NULL-AWARE anti join (a plan shape that exists only for this
+    * semantic); a plain left-anti join would return the wrong answer.
+    * Both variants run against the same subquery (low orderkeys
+    * project as NULL by rule, so NULLs are guaranteed): the unguarded
+    * form must count ZERO, the IS-NOT-NULL-guarded form is the
+    * intended anti join. The oracle replays both — DuckDB shares the
+    * standard's semantics, so this doubles as a cross-engine proof
+    * the engine's null-aware path is standard-correct.
+    */
+  def q44NotInNull(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v44")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v44")
+    s.sql("""
+      SELECT 'guarded' AS variant, count(*) AS n FROM customer_v44
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END
+         FROM orders_v44 WHERE year(o_orderdate) = 1996
+           AND (CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END) IS NOT NULL)
+      UNION ALL
+      SELECT 'unguarded', count(*) FROM customer_v44
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END
+         FROM orders_v44 WHERE year(o_orderdate) = 1996)
+      ORDER BY variant""")
+  }
+
   /** q43: CUBE — the full 2^n grouping lattice (q10's ROLLUP walks
     * only the prefix hierarchy; q24's GROUPING SETS picks explicit
     * sets; CUBE materializes all four (region, priority) groupings in

@@ -215,6 +215,20 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q44 NOT IN nulls: unguarded form empties, guarded equals the anti join") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q44NotInNull(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("unguarded") == 0L) // one NULL in the subquery kills NOT IN
+    // guarded ≡ a plain left-anti join on the null-filtered key set
+    val keys = Tables.orders(spark, Sf)
+      .filter(year(col("o_orderdate")) === 1996 && pmod(col("o_orderkey"), lit(10)) =!= 0)
+      .select(col("o_custkey"))
+    val anti = Tables.customer(spark, Sf)
+      .join(keys, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(got("guarded") == anti && anti > 0)
+  }
+
   test("q43 cube: lattice cells reconcile — margins sum to the grand total") {
     val rows = Relational.q43Cube(spark, Sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
