@@ -425,8 +425,18 @@ object TextAnalysis {
     * is a stateless per-row projection sharing the one documents
     * scan — zero shuffle before the final order, corpus-linear.
     */
-  def gopherGate(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  def gopherGate(s: SparkSession, dir: String): DataFrame =
+    gopherGateFrame(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The t12 rule set over any (doc_id, text) frame — stateless pure
+    * projection, so the SAME transform runs on a batch table and on a
+    * readStream/MemoryStream frame unchanged (no sort, no state;
+    * StreamingSpec asserts streamed ≡ batch row-for-row). This is the
+    * deployment shape of a quality gate: score documents as they
+    * arrive, not in a nightly rescan.
+    */
+  def gopherGateFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         concat(words(col("text")),
           array_repeat(lit("#"), (col("doc_id") % 13).cast("int"))).as("w"))
@@ -437,7 +447,6 @@ object TextAnalysis {
         size(filter(col("w"), x => x.contains("#"))).as("n_symbol"),
         size(array_intersect(array_distinct(col("w")),
           array(Stopwords.map(lit): _*))).as("n_stop"))
-    base
       .withColumn("wc_ok", col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("mwl_ok",
         col("sum_chars") >= col("n_words") * 3L && col("sum_chars") <= col("n_words") * 10L)
@@ -446,6 +455,4 @@ object TextAnalysis {
       .withColumn("stop_ok", col("n_stop") >= 2)
       .withColumn("gopher_pass",
         col("wc_ok") && col("mwl_ok") && col("alpha_ok") && col("sym_ok") && col("stop_ok"))
-      .orderBy(col("doc_id"))
-  }
 }

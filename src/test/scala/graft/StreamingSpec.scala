@@ -61,6 +61,29 @@ class StreamingSpec extends SparkSpec {
     assert(entries == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("streaming quality gate: t12's stateless transform scores a doc stream identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(200)
+    val batch = graft.operators.TextAnalysis
+      .gopherGateFrame(docs.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis
+      .gopherGateFrame(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_out").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    val streamed = spark.table("gate_out").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    q.stop()
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming retractable agg over CDC batches equals batch q38") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
