@@ -102,6 +102,7 @@ object SparkEntry {
     "t12_gopher_gate"         -> TextAnalysis.gopherGate _,
     "t13_oov_rate"            -> ((s: SparkSession, d: String) =>
       TextAnalysis.oovRate(s, d)),
+    "t14_ngram_novelty"       -> TextAnalysis.ngramNovelty _,
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
@@ -1366,6 +1367,18 @@ object SparkEntry {
       |  CASE WHEN coalesce(a.n_feats, 0) > 0
       |       THEN round(a.score::DOUBLE / a.n_feats, 6) ELSE 0.0 END AS score_per_feat
       |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // t14: first-occurrence attribution on the shingle strings —
+    // engine-side hash attribution is identical absent xxhash64
+    // collisions, which this compare itself polices
+    "t14_ngram_novelty" -> raw"""
+      |WITH $ShingleCte,
+      |u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM u GROUP BY g)
+      |SELECT u.doc_id, count(*) AS n_shingles,
+      |  sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+      |  round(sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*), 6) AS novelty
+      |FROM u JOIN f USING (g) GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin,
     // t13: vocab = t8's exact heavy-hitter rule (cnt·256 ≥ N), per-doc
     // OOV mass + integer per-mille rate
     "t13_oov_rate" -> raw"""

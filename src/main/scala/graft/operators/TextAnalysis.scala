@@ -425,6 +425,43 @@ object TextAnalysis {
     * is a stateless per-row projection sharing the one documents
     * scan — zero shuffle before the final order, corpus-linear.
     */
+  /** t14: n-gram NOVELTY attribution — how much of each document is
+    * textually NEW relative to everything ingested before it (docs
+    * ordered by id = arrival order): a doc's novelty is the fraction
+    * of its distinct word-3-shingles whose FIRST corpus occurrence is
+    * this doc. The redundancy-growth curve this yields is the
+    * standard diminishing-returns diagnostic for continued crawling
+    * (each marginal crawl batch contributes less novel text), and
+    * per-doc novelty is a dedup-adjacent quality signal (a doc with
+    * near-zero novelty is recombined boilerplate even if no single
+    * pair passes d2's threshold).
+    *
+    * Scale shape: one shingle explode → min-doc attribution on the
+    * 8-byte hash key (map-side-combinable min), one join back on the
+    * same key, one per-doc count — shuffle ∝ corpus shingles, all
+    * skinny keys, corpus-linear. Integer numerators beside the
+    * rounded fraction keep the oracle hash float-free.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.ArrayExprs
+          .word_shingle_hashes(normalize(col("text")), 3)).as("h"))
+    // the kernel emits DISTINCT hashes per doc (its Scaladoc contract),
+    // so (doc_id, h) needs no dedup exchange; hashes are engine-
+    // internal (xxhash64) and never reach the output — the oracle
+    // attributes first-occurrence on the shingle STRINGS, identical
+    // unless xxhash64 collides inside the corpus (≈ n²/2⁶⁵)
+    val firstSeen = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        r6(col("n_novel").cast("double") / col("n_shingles")))
+      .orderBy(col("doc_id"))
+  }
+
   def gopherGate(s: SparkSession, dir: String): DataFrame =
     gopherGateFrame(Tables.documents(s, dir)).orderBy(col("doc_id"))
 

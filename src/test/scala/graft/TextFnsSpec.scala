@@ -209,6 +209,24 @@ class TextFnsSpec extends SparkSpec {
     assert(!got(4L)._7 && !got(4L)._8)   // stopword fail
   }
 
+  test("t14 novelty: first doc owns its shingles, exact copies have zero novelty") {
+    val dir = scratchDir("graft_t14")
+    val base = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (0L, base, "en", "s", 1L),                       // introduces all 4 shingles
+      (1L, base, "en", "s", 1L),                       // exact copy → novelty 0
+      (2L, s"$base eta theta", "en", "s", 1L),         // 2 of 6 shingles new
+      (3L, "wholly new words only here now", "en", "s", 1L)) // all new
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.ngramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((4L, 4L, 1.0)))
+    assert(got(1L) == ((4L, 0L, 0.0)))
+    assert(got(2L) == ((6L, 2L, 0.333333)))
+    assert(got(3L) == ((4L, 4L, 1.0)))
+  }
+
   test("t13 oovRate: hand-computed OOV against the exact heavy-hitter vocab") {
     val dir = scratchDir("graft_t13")
     // 16 tokens total; at phiInv=4 the vocab rule cnt*4 >= 16 admits
