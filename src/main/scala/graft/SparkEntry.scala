@@ -66,6 +66,7 @@ object SparkEntry {
     "q42_analyze_stats"       -> Relational.q42AnalyzeStats _,
     "q43_cube"                -> Relational.q43Cube _,
     "q44_not_in_null"         -> Relational.q44NotInNull _,
+    "q45_rank_dist"           -> Relational.q45RankDist _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -853,6 +854,17 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q45: identical normalized-rank definitions in both engines;
+    // unique order key makes them deterministic
+    "q45_rank_dist" -> raw"""
+      |WITH c AS (SELECT c_custkey, c_nationkey,
+      |             round(c_acctbal*100)::BIGINT AS bal_cents FROM customer)
+      |SELECT c_custkey, c_nationkey, bal_cents,
+      |  round(percent_rank() OVER (PARTITION BY c_nationkey
+      |    ORDER BY bal_cents, c_custkey), 6) AS pr,
+      |  round(cume_dist() OVER (PARTITION BY c_nationkey
+      |    ORDER BY bal_cents, c_custkey), 6) AS cd
+      |FROM c ORDER BY c_custkey""".stripMargin,
     // q44: the same three-valued NOT IN in DuckDB — unguarded must be 0
     "q44_not_in_null" -> raw"""
       |SELECT 'guarded' AS variant, count(*) AS n FROM customer

@@ -664,6 +664,24 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q45: distribution-position window functions — `percent_rank`
+    * (rank−1)/(n−1) and `cume_dist` #(peers ≤)/n, the normalized
+    * ranking pair q9/q31's rank/ntile don't cover (percentile
+    * position is scale-free, so downstream thresholds survive group
+    * size changes). Order key (acctbal cents, custkey) is unique ⇒
+    * both functions are engine-deterministic; doubles are exact
+    * ratios of small integers, r6-rounded for the compare.
+    */
+  def q45RankDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bal_cents"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"))
+      .withColumn("pr", r6(percent_rank().over(w)))
+      .withColumn("cd", r6(cume_dist().over(w)))
+      .orderBy(col("c_custkey"))
+  }
+
   /** q44: NOT IN under NULLs — SQL's most notorious anti-join trap,
     * through the engine's SQL surface: `x NOT IN (S)` is three-valued
     * logic — one NULL in S makes the predicate UNKNOWN for every

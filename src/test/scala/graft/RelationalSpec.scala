@@ -215,6 +215,21 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q45 percent_rank/cume_dist: bounds and monotonicity within each nation") {
+    val rows = Relational.q45RankDist(spark, Sf).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).values.foreach { ns =>
+      val ordered = ns.sortBy(t => (t._2, t._3))
+      assert(ordered.head._4 == 0.0)        // first percent_rank = 0
+      assert(ordered.last._5 == 1.0)        // last cume_dist = 1
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4 && a._5 <= b._5)
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("q44 NOT IN nulls: unguarded form empties, guarded equals the anti join") {
     import org.apache.spark.sql.functions._
     val got = Relational.q44NotInNull(spark, Sf).collect()
