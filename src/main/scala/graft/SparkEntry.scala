@@ -153,6 +153,8 @@ object SparkEntry {
       Multimodal.sceneCuts(s, d)),
     "m9_visual_search"        -> ((s: SparkSession, d: String) =>
       Multimodal.visualSearch(s, d)),
+    "m10_thumb_manifest"      -> ((s: SparkSession, d: String) =>
+      Multimodal.thumbManifest(s, d)),
     "m2_frame_manifest"       -> ((s: SparkSession, d: String) =>
       Multimodal.frameManifest(s, d)),
     "m3_audio_manifest"       -> ((s: SparkSession, d: String) =>
@@ -1466,6 +1468,23 @@ object SparkEntry {
     // (blockSum·totalPixels > totalSum·blockPixels, MSB-first fold)
     // and brute-forces the Hamming join — the Spark side must land on
     // the identical pair set through real GIF decode + chunk blocking
+    // m10: thumb pixel (tx,ty) = source (tx·w div 8, ty·h div 8) —
+    // integer index mapping over the m1 formulas, same HUGEINT fold
+    "m10_thumb_manifest" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |  list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |    [(((doc_id * 31 + ((i % 8) * w // 8) * 7 + ((i // 8) * h // 8) * 13) % 256) * 65536
+      |    + ((doc_id * 17 + ((i % 8) * w // 8) * 3 + ((i // 8) * h // 8) * 5) % 256) * 256
+      |    + ((doc_id * 7 + ((i % 8) * w // 8) * 11 + ((i // 8) * h // 8) * 3) % 256))::HUGEINT
+      |     for i in range(0, 64)]),
+      |    (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM d)
+      |SELECT doc_id, 8 AS twidth, 8 AS theight,
+      |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS thash
+      |FROM p ORDER BY doc_id""".stripMargin,
     // m9: signatures re-derived from the family-pixel formulas, exact
     // integer-in-double cosine (< 2^53 throughout), window ranking
     "m9_visual_search" -> raw"""

@@ -218,6 +218,33 @@ object Multimodal {
       .toDF("doc_id", "thumb", "width", "height")
   }
 
+  /** The `m10_thumb_manifest` query: thumbnail-generation audit —
+    * the derived-asset pipeline (CDN thumbnail jobs, dataset preview
+    * sheets) proven end-to-end through REAL codecs: decode → 8×8
+    * nearest-neighbor resample → PNG re-encode → decode AGAIN, and
+    * the manifest folds the round-tripped pixels. Passing the fold
+    * through the second decode proves the re-encoded container is a
+    * valid, lossless PNG (not just that resample math ran). Oracle:
+    * nearest-neighbor is pure integer index mapping
+    * (`sx = tx·w div 8`), so DuckDB re-derives every thumb pixel
+    * from the m1 fixture formulas and folds identically. Zero
+    * shuffle, codec-bound (m7/m8's distribution shape).
+    */
+  /** Test hook: the private PNG encoder for spec-side round-trips. */
+  private[graft] def encodePngPublic(img: BufferedImage): Array[Byte] = encodePng(img)
+
+  def thumbManifest(s: SparkSession, dir: String, tw: Int = 8, th: Int = 8): DataFrame = {
+    import s.implicits._
+    graft.Caches.ordered(
+      withPayload(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+          val round = decodeImage(encodePng(resizeImage(decodeImage(bytes), tw, th)))
+          (id, round.getWidth, round.getHeight, pixelFold(round))
+        }))
+        .toDF("doc_id", "twidth", "theight", "thash"),
+      col("doc_id"))
+  }
+
   // --- video: REAL multi-frame container (animated GIF) -------------
   // GIF is the one multi-frame media container the JDK demuxes and
   // encodes natively (ImageIO's gif plugin supports image sequences),

@@ -194,6 +194,19 @@ class MultimodalSpec extends SparkSpec {
     brute.foreach { case (a, b, _) => assert(a / 25 == b / 25) }
   }
 
+  test("m10: thumb manifest folds equal a driver-side decode→resize→re-encode→decode") {
+    val expect = graft.Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).map { id =>
+        val round = Multimodal.decodeImage(Multimodal.encodePngPublic(
+          Multimodal.resizeImage(Multimodal.decodeImage(Multimodal.pngPayload(id)), 8, 8)))
+        id -> ((round.getWidth, round.getHeight, Multimodal.pixelFold(round)))
+      }.toMap
+    val got = Multimodal.thumbManifest(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    got.values.foreach { case (w, h, _) => assert(w == 8 && h == 8) }
+  }
+
   test("m9: visual search equals a driver-side exact cosine ranking") {
     val ids = graft.Tables.documents(spark, Sf).select("doc_id")
       .collect().map(_.getLong(0))
