@@ -104,6 +104,7 @@ object SparkEntry {
     "t13_oov_rate"            -> ((s: SparkSession, d: String) =>
       TextAnalysis.oovRate(s, d)),
     "t14_ngram_novelty"       -> TextAnalysis.ngramNovelty _,
+    "t15_lang_confusion"      -> TextAnalysis.langConfusion _,
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
@@ -111,6 +112,7 @@ object SparkEntry {
     "d12_containment"         -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d13_triangles"           -> Dedup.graphTriangles _,
+    "d16_cluster_histogram"   -> Dedup.clusterSizeHistogram _,
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
     "d4_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -1381,6 +1383,26 @@ object SparkEntry {
       |  CASE WHEN coalesce(a.n_feats, 0) > 0
       |       THEN round(a.score::DOUBLE / a.n_feats, 6) ELSE 0.0 END AS score_per_feat
       |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // t15: t3's argmax re-derived, aggregated to the confusion matrix
+    "t15_lang_confusion" -> raw"""
+      |WITH d AS (SELECT doc_id, lang, string_split($Nrm, ' ') AS w FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |  len([x for x in w if list_contains(['window','group','merge'], x)])::INT AS s_de,
+      |  len([x for x in w if list_contains(['the','data','query'], x)])::INT AS s_en,
+      |  len([x for x in w if list_contains(['table','row','scan'], x)])::INT AS s_es,
+      |  len([x for x in w if list_contains(['join','filter','sort'], x)])::INT AS s_fr,
+      |  len([x for x in w if list_contains(['spark','batch','stream'], x)])::INT AS s_zh
+      |  FROM d),
+      |p AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM sc),
+      |pr AS (SELECT lang,
+      |  CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
+      |       WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS pred_lang FROM p),
+      |cells AS (SELECT lang, pred_lang, count(*) AS n FROM pr GROUP BY 1, 2),
+      |marg AS (SELECT lang, sum(n)::BIGINT AS n_label FROM cells GROUP BY 1)
+      |SELECT c.lang, c.pred_lang, c.n, m.n_label,
+      |       (c.n * 1000) // m.n_label AS rate_pm
+      |FROM cells c JOIN marg m USING (lang)
+      |ORDER BY c.lang, c.pred_lang""".stripMargin,
     // t14: first-occurrence attribution on the shingle strings —
     // engine-side hash attribution is identical absent xxhash64
     // collisions, which this compare itself polices
@@ -1732,6 +1754,24 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin,
+    // d16: d8's closure folded to the family-size histogram
+    "d16_cluster_histogram" -> raw"""
+      |WITH RECURSIVE $ShingleCte,
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |verts AS (SELECT DISTINCT src AS v FROM e),
+      |cc(v, lbl) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, cc.lbl FROM cc JOIN e ON cc.v = e.src),
+      |comp AS (SELECT v, min(lbl) AS cluster_id FROM cc GROUP BY v),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+      |SELECT cluster_size, count(*) AS n_clusters,
+      |       (cluster_size * count(*))::BIGINT AS n_docs
+      |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
     // p10: p2's md5-bucket rule decides the split; the exact pair
     // predicate finds cross-split leaks
     "p10_split_check" -> raw"""

@@ -563,6 +563,21 @@ object Dedup {
       col("contained_id"), col("container_id"))
   }
 
+  /** d16: duplicate-family SIZE DISTRIBUTION — the one-table summary
+    * a dedup run reports (what fraction of duplicated mass sits in
+    * pairs vs large syndication families; the histogram's tail
+    * decides whether d2's banding or d8's contraction is the cost
+    * center on a corpus): d8's clusters folded to one row per family
+    * size with family count and doc mass. Skinny double aggregation
+    * over d8's output — adds nothing to its scale profile.
+    */
+  def clusterSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir)
+      .groupBy(col("cluster_size"))
+      .agg(count_distinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** d13: TRIANGLE census of the near-dup pair graph — the graph
     * topology diagnostic beside d8's components (a component that is
     * triangle-dense is a genuine duplicate clique; a triangle-free

@@ -425,6 +425,24 @@ object TextAnalysis {
     * is a stateless per-row projection sharing the one documents
     * scan — zero shuffle before the final order, corpus-linear.
     */
+  /** t15: language-ID confusion MATRIX — t3's per-doc predictions
+    * aggregated to the (label × prediction) table a langid deployment
+    * monitors (the per-pair error mass tells which language pairs the
+    * profile method confuses); one skinny group-by over t3's
+    * projection, cells carry counts + label-marginal per-mille rates
+    * (integer division — float-free).
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = langId(s, dir).select(col("lang"), col("pred_lang"))
+    val cells = pred.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val marg = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_label"))
+    cells.join(marg, "lang")
+      .withColumn("rate_pm", expr("(n * 1000) div n_label"))
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_label"), col("rate_pm"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** t14: n-gram NOVELTY attribution — how much of each document is
     * textually NEW relative to everything ingested before it (docs
     * ordered by id = arrival order): a doc's novelty is the fraction

@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     assert(corpus == brute)
   }
 
+  test("d16: size histogram reconciles with d8's clusters") {
+    val clusters = Dedup.dupClusters(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val exp = clusters.groupBy(_._2).map { case (sz, rows) =>
+      sz -> ((rows.map(_._1).distinct.length.toLong, rows.length.toLong)) }
+    val got = Dedup.clusterSizeHistogram(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+    // doc mass reconciles with the member table
+    assert(got.values.map(_._2).sum == clusters.length.toLong)
+  }
+
   test("line dedup strips corpus-hot 8-word windows, keeps within-doc repeats") {
     val dir = scratchDir("graft_linededup")
     val hotLine = "w1 w2 w3 w4 w5 w6 w7 w8" // in 3 docs ⇒ hot

@@ -209,6 +209,24 @@ class TextFnsSpec extends SparkSpec {
     assert(!got(4L)._7 && !got(4L)._8)   // stopword fail
   }
 
+  test("t15 confusion matrix reconciles with t3's per-doc predictions") {
+    val pairs = graft.operators.TextAnalysis.langId(spark, Sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")))
+    val expCells = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = graft.operators.TextAnalysis.langConfusion(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.view.mapValues(_._1).toMap == expCells)
+    // marginals and rates reconcile
+    got.groupBy(_._1._1).foreach { case (lang, cells) =>
+      val nLabel = cells.head._2._2
+      assert(cells.values.map(_._1).sum == nLabel)
+      cells.foreach { case (_, (n, nl, pm)) =>
+        assert(nl == nLabel && pm == n * 1000 / nLabel)
+      }
+    }
+  }
+
   test("t14 novelty: first doc owns its shingles, exact copies have zero novelty") {
     val dir = scratchDir("graft_t14")
     val base = "alpha beta gamma delta epsilon zeta"
