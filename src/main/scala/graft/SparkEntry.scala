@@ -67,6 +67,7 @@ object SparkEntry {
     "q43_cube"                -> Relational.q43Cube _,
     "q44_not_in_null"         -> Relational.q44NotInNull _,
     "q45_rank_dist"           -> Relational.q45RankDist _,
+    "q46_waiting_orders"      -> Relational.q46WaitingOrders _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -858,6 +859,21 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q46: sole-blame lateness — EXISTS other supplier, NOT EXISTS
+    // other LATE supplier, over the collapsed (order, supplier) flags
+    "q46_waiting_orders" -> raw"""
+      |WITH j AS (SELECT l_orderkey, l_suppkey,
+      |    max(CASE WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 60
+      |             THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT * FROM j WHERE late = 1)
+      |SELECT c.l_suppkey, count(*) AS numwait FROM cand c
+      |WHERE EXISTS (SELECT 1 FROM j o
+      |              WHERE o.l_orderkey = c.l_orderkey AND o.l_suppkey <> c.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM cand x
+      |                  WHERE x.l_orderkey = c.l_orderkey AND x.l_suppkey <> c.l_suppkey)
+      |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
     // q45: identical normalized-rank definitions in both engines;
     // unique order key makes them deterministic
     "q45_rank_dist" -> raw"""

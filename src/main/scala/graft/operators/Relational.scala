@@ -664,6 +664,36 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q46: "suppliers who kept orders waiting" — the TPC-H Q21 shape,
+    * the suite's hardest semi/anti COMPOSITION on one fact: per
+    * supplier, orders where THIS supplier shipped late (> 60 days
+    * after the order date — the trimmed schema's receipt/commit twin),
+    * the order involved ANOTHER supplier (semi), and NO other
+    * supplier was late on it (anti) — sole-blame attribution. The
+    * per-(order, supplier) lateness flag collapses first (map-side
+    * combinable), so the semi and anti joins run over skinny 17-byte
+    * rows, never raw lineitems; both are equi-joins on l_orderkey
+    * with the supplier inequality in the condition. Deterministic
+    * top-20 by (numwait desc, suppkey).
+    */
+  def q46WaitingOrders(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60, 1)
+        .otherwise(0)).as("late"))
+    val cand = j.filter(col("late") === 1)
+    val multi = cand.as("c").join(j.as("o"),
+      col("c.l_orderkey") === col("o.l_orderkey") &&
+        col("c.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
+    val sole = multi.as("c").join(cand.as("x"),
+      col("c.l_orderkey") === col("x.l_orderkey") &&
+        col("c.l_suppkey") =!= col("x.l_suppkey"), "left_anti")
+    sole.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
   /** q45: distribution-position window functions — `percent_rank`
     * (rank−1)/(n−1) and `cume_dist` #(peers ≤)/n, the normalized
     * ranking pair q9/q31's rank/ntile don't cover (percentile

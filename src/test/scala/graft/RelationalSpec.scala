@@ -215,6 +215,26 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q46 waiting orders: brute-force sole-blame attribution agrees") {
+    import org.apache.spark.sql.functions._
+    val flags = Tables.lineitem(spark, Sf)
+      .join(Tables.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60, 1)
+        .otherwise(0)).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byOrder = flags.groupBy(_._1)
+    val exp = flags.filter(_._3 == 1).filter { case (o, s, _) =>
+      val others = byOrder(o).filter(_._2 != s)
+      others.nonEmpty && !others.exists(_._3 == 1)
+    }.groupBy(_._2).map { case (s, v) => s -> v.length.toLong }
+    val top = exp.toSeq.sortBy { case (s, n) => (-n, s) }.take(20).toMap
+    val got = Relational.q46WaitingOrders(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == top)
+    assert(got.nonEmpty)
+  }
+
   test("q45 percent_rank/cume_dist: bounds and monotonicity within each nation") {
     val rows = Relational.q45RankDist(spark, Sf).collect()
       .map(r => (r.getInt(1), r.getLong(2), r.getLong(0), r.getDouble(3), r.getDouble(4)))
