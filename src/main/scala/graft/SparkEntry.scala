@@ -41,6 +41,7 @@ object SparkEntry {
     "g21_compaction_plan"     -> ((s: SparkSession, d: String) =>
       GeoQueries.compactionPlan(s, d)),
     "g22_watersheds"          -> GeoQueries.watersheds _,
+    "g23_hypsometry"          -> GeoQueries.hypsometry _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -496,6 +497,23 @@ object SparkEntry {
     // including boundary-straddling ones — directly evaluable; the
     // coverage condition (all 9 global pixels inside the mosaic) is
     // exactly the Spark side's null-strip filter on a solid rectangle
+    // g23: g6's membership CTE bucketed to integer elevation deciles
+    "g23_hypsometry" -> (raw"""
+      |WITH $GridCte,
+      |m AS (
+      |  SELECT 'netherlands' AS set_name, elevation FROM grid
+      |    WHERE lat0 BETWEEN 50 AND 53 AND lon0 BETWEEN 3 AND 7
+      |  UNION ALL
+      |  SELECT 'france', elevation FROM grid
+      |    WHERE lat0 BETWEEN 42 AND 51 AND lon0 BETWEEN -6 AND 9
+      |  UNION ALL
+      |  SELECT 'europe', elevation FROM grid
+      |    WHERE lat0 BETWEEN 23 AND 80 AND lon0 BETWEEN -25 AND 49
+      |  UNION ALL
+      |  SELECT 'world', elevation FROM grid)
+      |SELECT set_name, (elevation * 10 // 8848)::INT AS decile,
+      |       count(*) AS n_pixels, sum(elevation)::BIGINT AS elev_sum
+      |FROM m GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // g22: g19's succ CTE, then a recursive walk from every cell to
     // its terminal (no-successor) cell — the basin label
     "g22_watersheds" -> (raw"""

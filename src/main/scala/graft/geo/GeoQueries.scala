@@ -663,6 +663,34 @@ object GeoQueries {
       .orderBy(col("set_name"))
   }
 
+  /** g23: per-region HYPSOMETRY — the elevation-distribution table
+    * behind hypsometric curves/integrals (the geomorphology summary
+    * `gdalinfo -hist` / GRASS `r.stats` produce per region): the
+    * expanded grid bucketed into integer elevation DECILES
+    * (`elevation·10 div 8848` — exact in both engines), one row per
+    * (region set, decile) with pixel count and integer elevation
+    * mass. Same one-generator + skinny-group-by shape as g6 (each
+    * pixel fans out to its member sets, then a map-side-combinable
+    * agg on ≤ 4·10 keys) — corpus-linear, no shuffle wider than the
+    * tiny key space.
+    */
+  def hypsometry(s: SparkSession, dir: String): DataFrame = {
+    val g = gridExpand(tiles(s, dir))
+      .withColumn("lat0", tileLat(col("tile_id")))
+      .withColumn("lon0", tileLon(col("tile_id")))
+    g.select(col("elevation"),
+        explode(filter(array(
+          when(inNetherlands(col("lat0"), col("lon0")), "netherlands"),
+          when(inFrance(col("lat0"), col("lon0")), "france"),
+          when(inEurope(col("lat0"), col("lon0")), "europe"),
+          lit("world")), x => x.isNotNull)).as("set_name"))
+      .withColumn("decile", expr("elevation * 10 div 8848").cast("int"))
+      .groupBy(col("set_name"), col("decile"))
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("elevation")).cast("long").as("elev_sum"))
+      .orderBy(col("set_name"), col("decile"))
+  }
+
   /** g16: Z-order layout audit — the clustering-key analysis a
     * 100 TB deployment runs before choosing its file layout (Delta
     * `ZORDER BY`, Iceberg sort orders): every tile gets the Morton

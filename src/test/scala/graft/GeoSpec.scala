@@ -758,4 +758,18 @@ class GeoSpec extends SparkSpec {
     // plan covers every file exactly once
     assert(bins.map(_.getLong(1)).sum == graft.Tables.part(spark, Sf).count())
   }
+  test("g23 hypsometry: deciles partition each region's pixel mass; reconciles with g6") {
+    val rows = GeoQueries.hypsometry(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val g6 = GeoQueries.regionElevation(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (set, ds) =>
+      assert(ds.map(_._3).sum == g6(set))      // decile masses tile the region
+      assert(ds.map(_._2).distinct.length == ds.length)
+      ds.foreach { case (_, d, _, _) => assert(d >= 0 && d <= 10) }
+    }
+    // region coverage mirrors g6 exactly (the fixture corpus may
+    // leave a small set empty — both queries must agree on which)
+    assert(rows.map(_._1).distinct.sorted.toSeq == g6.keys.toSeq.sorted)
+  }
 }
