@@ -69,6 +69,7 @@ object SparkEntry {
     "q44_not_in_null"         -> Relational.q44NotInNull _,
     "q45_rank_dist"           -> Relational.q45RankDist _,
     "q46_waiting_orders"      -> Relational.q46WaitingOrders _,
+    "q47_asof_tolerance"      -> ((s, d) => Relational.q47AsofTolerance(s, d)),
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -115,6 +116,7 @@ object SparkEntry {
     "d2_minhash_lsh"          -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d13_triangles"           -> Dedup.graphTriangles _,
     "d16_cluster_histogram"   -> Dedup.clusterSizeHistogram _,
+    "d17_source_dup_rates"    -> Dedup.sourceDupRates _,
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
     "d4_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -837,6 +839,26 @@ object SparkEntry {
       |        OVER (PARTITION BY uid ORDER BY t, kind ROWS UNBOUNDED PRECEDING) AS asof_orderkey
       |      FROM u)
       |SELECT event_id, uid AS user_id, floor(epoch(t))::BIGINT AS ts_epoch, asof_orderkey
+      |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // q47: q14's window form over clicks, carrying the matched
+    // click's TIME too, nulled past the 1-hour horizon
+    "q47_asof_tolerance" -> raw"""
+      |WITH cl AS (SELECT user_id AS uid, ts AS t, max(event_id) AS click_id
+      |            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |u AS (SELECT uid, t, click_id, NULL::BIGINT AS event_id, 0 AS kind FROM cl
+      |      UNION ALL
+      |      SELECT user_id, ts, NULL::BIGINT, event_id, 1 FROM events
+      |      WHERE event_type = 'purchase'),
+      |w AS (SELECT *,
+      |        last_value(click_id IGNORE NULLS)
+      |          OVER (PARTITION BY uid ORDER BY t, kind ROWS UNBOUNDED PRECEDING) AS ck,
+      |        last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+      |          OVER (PARTITION BY uid ORDER BY t, kind ROWS UNBOUNDED PRECEDING) AS ct
+      |      FROM u)
+      |SELECT event_id, uid AS user_id, floor(epoch(t))::BIGINT AS ts_epoch,
+      |  CASE WHEN ck IS NOT NULL
+      |        AND floor(epoch(t)) - floor(epoch(ct)) <= 3600
+      |       THEN ck END AS attr_click_id
       |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
     // q32: events sort BEFORE orders at equal t (kind 0 < 1), so a
     // same-timestamp order falls inside the CURRENT ROW..FOLLOWING
@@ -1788,6 +1810,15 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin,
+    // d17: d1's exact key, counted corpus-wide, rolled up per source
+    "d17_source_dup_rates" -> raw"""
+      |WITH k AS (SELECT doc_id, source, md5($Nrm) AS k FROM documents),
+      |c AS (SELECT k, count(*) AS kn FROM k GROUP BY 1)
+      |SELECT source, count(*) AS n_docs,
+      |  sum(CASE WHEN c.kn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+      |  (sum(CASE WHEN c.kn > 1 THEN 1 ELSE 0 END) * 1000) // count(*) AS dup_pm
+      |FROM k JOIN c USING (k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     // d16: d8's closure folded to the family-size histogram
     "d16_cluster_histogram" -> raw"""
       |WITH RECURSIVE $ShingleCte,

@@ -563,6 +563,27 @@ object Dedup {
       col("contained_id"), col("container_id"))
   }
 
+  /** d17: per-SOURCE duplication rates — the provenance-sliced dedup
+    * audit (which feeds are re-crawling each other): per `source`
+    * column value, docs, docs whose exact-dup key (d1's
+    * md5-of-normalized-text) appears more than once CORPUS-wide, and
+    * the integer per-mille rate. Key counts are a skinny 16-byte
+    * group-by; the flag joins back on the same key — corpus-linear,
+    * the d1 shape with one extra broadcast-sized source rollup.
+    */
+  def sourceDupRates(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(graft.functions.TextFns.normalize(col("text"))).as("k"))
+    val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("kn"))
+    keyed.join(counts, "k")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kn") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_pm", expr("(n_dup_docs * 1000) div n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** d16: duplicate-family SIZE DISTRIBUTION — the one-table summary
     * a dedup run reports (what fraction of duplicated mass sits in
     * pairs vs large syndication families; the histogram's tail

@@ -294,6 +294,35 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q47: as-of join with TOLERANCE — pandas `merge_asof(...,
+    * tolerance=...)`, completing the direction set (q14 backward, q32
+    * forward, q33 nearest): a backward match only COUNTS if it lies
+    * within the horizon — last-touch ATTRIBUTION: a purchase credits
+    * the user's most recent click only when it is ≤ 1 hour old
+    * (staler context is noise, not signal). Same custom sort-merge
+    * operator; the tolerance is a post-join null-out on integer epoch
+    * seconds, so the plan cost is exactly q14's.
+    */
+  def q47AsofTolerance(s: SparkSession, dir: String, horizonSec: Long = 3600L): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // dedupe clicks per (user, ts) to the max event_id — same
+    // determinism discipline as q14's per-(custkey, date) order dedup
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    org.apache.spark.sql.graft.AsofJoin
+      .asofBackward(purchases, clicks, col("user_id"), col("c_user"),
+        col("ts"), col("c_ts"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        when(col("click_id").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("c_ts")) <= horizonSec,
+          col("click_id")).as("attr_click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Sketch-based distinct counting: HyperLogLog++ (approx_count_
     * distinct) next to the exact counts it approximates — the 100 TB
     * path where exact countDistinct's shuffle is unaffordable.

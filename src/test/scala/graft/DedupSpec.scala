@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
     assert(corpus == brute)
   }
 
+  test("d17: per-source dup rates reconcile with d1's exact groups") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source"),
+        md5(graft.functions.TextFns.normalize(col("text"))).as("k"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val kn = docs.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val exp = docs.groupBy(_._1).map { case (src, v) =>
+      src -> ((v.length.toLong, v.count(t => kn(t._2) > 1).toLong)) }
+    val got = Dedup.sourceDupRates(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (src, (n, d)) =>
+      val (gn, gd, pm) = got(src)
+      assert(gn == n && gd == d && pm == d * 1000 / n, src)
+    }
+  }
+
   test("d16: size histogram reconciles with d8's clusters") {
     val clusters = Dedup.dupClusters(spark, Sf).collect()
       .map(r => (r.getLong(1), r.getLong(2)))

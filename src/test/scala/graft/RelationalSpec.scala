@@ -215,6 +215,32 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == ((us(10), us(12), None, None, 2)))
   }
 
+  test("q47 tolerance as-of: brute-force last-touch attribution agrees; horizon splits") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("t"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click")
+      .groupBy(_._2).view.mapValues(_.map(c => (c._3, c._1))).toMap
+    val got = Relational.q47AsofTolerance(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    got.foreach { case (eid, uid, ts, attr) =>
+      // latest click at or before ts; ties to max event_id (the dedup rule)
+      val cand = clicksByUser.getOrElse(uid, Array.empty[(Long, Long)])
+        .filter(_._1 <= ts)
+      val exp = if (cand.isEmpty) None else {
+        val bestT = cand.map(_._1).max
+        val id = cand.filter(_._1 == bestT).map(_._2).max
+        if (ts - bestT <= 3600L) Some(id) else None
+      }
+      assert(attr == exp, s"purchase $eid")
+    }
+    // the horizon genuinely splits: attributed and unattributed both occur
+    assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
+  }
+
   test("q46 waiting orders: brute-force sole-blame attribution agrees") {
     import org.apache.spark.sql.functions._
     val flags = Tables.lineitem(spark, Sf)
