@@ -37,6 +37,13 @@ for name in sorted(os.listdir(outdir)):
         gv, ev = g[c], e_[c]
         try:
             if gv.dtype != ev.dtype:
+                # The driver hashes value REPRESENTATIONS: int64 2 vs
+                # float64 2.0 hash differently even though == holds.
+                # DuckDB HUGEINT (uncast sum-derived ints) lands in
+                # pandas as float64/object — flag that as a mismatch.
+                gk, ek = gv.dtype.kind, ev.dtype.kind
+                if ('f' in (gk, ek)) and (gk != ek):
+                    bad.append((c, f"dtype skew (driver hash would differ): got {gv.dtype} exp {ev.dtype}")); continue
                 gv = gv.astype(object); ev = ev.astype(object)
             neq = ~(gv.eq(ev) | (gv.isna() & ev.isna()))
         except Exception as ex:

@@ -277,7 +277,7 @@ object SparkEntry {
       |            (((lon0 + 180) >> i) & 1) * (1::BIGINT << (2*i+1))
       |            for i in range(0, 9)]) AS zcode
       |  FROM tiles)
-      |SELECT zcode // 64 AS zblock, count(*)::BIGINT AS n_tiles,
+      |SELECT (zcode // 64)::BIGINT AS zblock, count(*)::BIGINT AS n_tiles,
       |  min(lat0) AS lat_min, max(lat0) AS lat_max,
       |  min(lon0) AS lon_min, max(lon0) AS lon_max,
       |  max(lat0) - min(lat0) AS lat_span,
@@ -581,7 +581,7 @@ object SparkEntry {
       |c AS (SELECT tile_id, size_bytes,
       |        sum(size_bytes) OVER (ORDER BY tile_id ROWS UNBOUNDED PRECEDING) AS cum
       |      FROM keyed)
-      |SELECT (cum - size_bytes) // 67108864 AS bin_id,
+      |SELECT ((cum - size_bytes) // 67108864)::BIGINT AS bin_id,
       |       count(*) AS n_files, sum(size_bytes)::BIGINT AS bin_bytes,
       |       sum(CASE WHEN size_bytes < 4000000 THEN 1 ELSE 0 END)::BIGINT AS n_small,
       |       min(tile_id) AS min_tile, max(tile_id) AS max_tile
@@ -1050,11 +1050,15 @@ object SparkEntry {
       |d AS (SELECT st AS t, 1 AS dd FROM sess
       |      UNION ALL SELECT en + 1, -1 FROM sess),
       |n AS (SELECT t, sum(dd)::BIGINT AS net FROM d GROUP BY 1),
-      |r AS (SELECT t, sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS conc
-      |      FROM n)
-      |SELECT t // 3600 AS hour, max(conc)::BIGINT AS peak_concurrent,
-      |       count(*)::BIGINT AS n_changes
-      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+      |r AS (SELECT t, sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS conc,
+      |             lead(t) OVER (ORDER BY t) AS t_next
+      |      FROM n),
+      |iv AS (SELECT conc, t // 3600 AS h0,
+      |              (coalesce(t_next, t + 1) - 1) // 3600 AS h1 FROM r),
+      |c AS (SELECT conc, h0, unnest(generate_series(h0, h1)) AS hour FROM iv)
+      |SELECT hour, max(conc)::BIGINT AS peak_concurrent,
+      |       sum(CASE WHEN hour = h0 THEN 1 ELSE 0 END)::BIGINT AS n_changes
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q37: cohort retention — integer week buckets (floor-epoch div
     // 604800 on both engines), cells from already-distinct (user,
     // week) pairs so count(*) ≡ distinct users, per-mille integer rate
@@ -1816,7 +1820,7 @@ object SparkEntry {
       |c AS (SELECT k, count(*) AS kn FROM k GROUP BY 1)
       |SELECT source, count(*) AS n_docs,
       |  sum(CASE WHEN c.kn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
-      |  (sum(CASE WHEN c.kn > 1 THEN 1 ELSE 0 END) * 1000) // count(*) AS dup_pm
+      |  ((sum(CASE WHEN c.kn > 1 THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT AS dup_pm
       |FROM k JOIN c USING (k)
       |GROUP BY 1 ORDER BY 1""".stripMargin,
     // d16: d8's closure folded to the family-size histogram

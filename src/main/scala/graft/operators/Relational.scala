@@ -944,9 +944,13 @@ object Relational {
     * "how many sessions were open at once"). Each q13 session
     * contributes +1 at its start second and −1 one past its inclusive
     * end; the running sum of per-second nets IS the concurrency
-    * curve, and the hourly report takes its max over each hour's
-    * change points (hours with no change carry no row — the curve is
-    * constant there).
+    * curve, and the hourly report takes the TRUE sup of that step
+    * function over each hour: every level is active on
+    * [t, next_change) and is a peak candidate for every hour that
+    * interval touches, so a session spanning an hour boundary seeds
+    * the next hour with its carried-in level, and hours with no
+    * change points still appear (n_changes = 0) at the carried
+    * level. Report ends at the last change point (level 0 after).
     *
     * The classic formulation is one global `ORDER BY t` running
     * window — a single reducer over every session boundary at 100 TB.
@@ -972,10 +976,29 @@ object Relational {
     val offsets = deltas.groupBy(col("shard")).agg(sum(col("net")).as("shard_net"))
       .withColumn("offset", coalesce(sum(col("shard_net")).over(wShard), lit(0L)))
       .select(col("shard"), col("offset"))
-    local.join(offsets, Seq("shard"))
+    val curve = local.join(offsets, Seq("shard"))
       .withColumn("conc", col("offset") + col("cum_local"))
-      .groupBy(expr("t div 3600").as("hour"))
-      .agg(max(col("conc")).as("peak_concurrent"), count(lit(1)).as("n_changes"))
+      .select(col("shard"), col("t"), col("conc"))
+    // Each level holds on [t, t_next): lead within the bounded shard
+    // window, shard-boundary nulls patched from the skinny per-shard
+    // first-t frame (same two-pass shape — no global window over the
+    // change points). The global last level is 0 (every +1 has its
+    // -1), so its single-hour interval is exact.
+    val wLead = Window.partitionBy(col("shard")).orderBy(col("t"))
+    val firsts = curve.groupBy(col("shard")).agg(min(col("t")).as("first_t"))
+      .withColumn("next_first", lead(col("first_t"), 1)
+        .over(Window.orderBy(col("shard"))))
+      .select(col("shard"), col("next_first"))
+    curve
+      .withColumn("t_next", lead(col("t"), 1).over(wLead))
+      .join(firsts, Seq("shard"))
+      .withColumn("t_next", coalesce(col("t_next"), col("next_first"), col("t") + 1))
+      .withColumn("h0", expr("t div 3600"))
+      .withColumn("h1", expr("(t_next - 1) div 3600"))
+      .select(col("conc"), col("h0"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+      .groupBy(col("hour"))
+      .agg(max(col("conc")).as("peak_concurrent"),
+        sum(when(col("hour") === col("h0"), 1L).otherwise(0L)).as("n_changes"))
       .orderBy(col("hour"))
   }
 

@@ -195,15 +195,20 @@ class PropertySpec extends SparkSpec {
         }
         val deltas = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
         sessions.foreach { case (a, b) => deltas(a) += 1; deltas(b + 1) -= 1 }
+        // true per-second simulation from first to last change point:
+        // every second's level is a peak candidate for its hour (the
+        // carry-in semantics), change points count toward their hour
+        val ts0 = deltas.keys.min; val ts1 = deltas.keys.max
         var run = 0L
-        val exp = scala.collection.mutable.Map[Long, (Long, Long)]()
-        deltas.keys.toSeq.sorted.foreach { t =>
-          run += deltas(t)
+        val peak = scala.collection.mutable.Map[Long, Long]()
+        val nchg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        (ts0 to ts1).foreach { t =>
+          if (deltas.contains(t)) { run += deltas(t); nchg(t / 3600) += 1 }
           val h = t / 3600
-          val (pk, nc) = exp.getOrElse(h, (Long.MinValue, 0L))
-          exp(h) = (math.max(pk, run), nc + 1)
+          peak(h) = math.max(peak.getOrElse(h, Long.MinValue), run)
         }
-        got == exp.toMap
+        val exp = peak.keys.map(h => h -> ((peak(h), nchg(h)))).toMap
+        got == exp
     }
     check("q36-sweep-line", prop, cases = 5)
   }

@@ -403,21 +403,29 @@ class RelationalSpec extends SparkSpec {
     val dir = scratchDir("graft_q36")
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     // sessions (30-min gap): u1 [100,1000]; u2 [500,500]; u3 [900,900]
-    // and [3000,3000] (gap 2100 > 1800 splits); u4 [4000,4000] (hour 1)
+    // and [3000,3000] (gap 2100 > 1800 splits); u4 [8000,8000] (hour
+    // 2); u5 [3500,4200] spans the hour-0/1 boundary — its carried-in
+    // level is hour 1's only nonzero candidate (no change point in
+    // hour 1 ever reaches it), the case the carry-in seeding exists for
     Seq(
       (1L, ts(100), 1L, "view", 1.0, "{}"), (2L, ts(1000), 1L, "view", 1.0, "{}"),
       (3L, ts(500), 2L, "view", 1.0, "{}"),
       (4L, ts(900), 3L, "view", 1.0, "{}"), (5L, ts(3000), 3L, "view", 1.0, "{}"),
-      (6L, ts(4000), 4L, "view", 1.0, "{}"))
+      (6L, ts(8000), 4L, "view", 1.0, "{}"),
+      (7L, ts(3500), 5L, "view", 1.0, "{}"), (8L, ts(4200), 5L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Relational.q36Concurrency(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // hour 0 change points: 100(+1→1) 500(+1→2) 501(−1→1) 900(+1→2)
-    // 901(−1→1) 1001(−1→0) 3000(+1→1) 3001(−1→0); hour 1: 4000/4001
-    assert(got(0L) == ((2L, 8L)))
-    assert(got(1L) == ((1L, 2L)))
-    assert(got.size == 2)
+    // 901(−1→1) 1001(−1→0) 3000(+1→1) 3001(−1→0) 3500(+1→1) → peak 2;
+    // hour 1: u5's level 1 carries across the boundary, its only
+    // change point 4201(−1→0) → peak 1 (not 0); hour 2: carry 0,
+    // 8000(+1→1) 8001(−1→0) → peak 1
+    assert(got(0L) == ((2L, 9L)))
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((1L, 2L)))
+    assert(got.size == 3)
     // sharded prefix ≡ naive at a shard width that splits hour 0
     val fine = Relational.q36Concurrency(spark, dir, shardSec = 5L).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
