@@ -218,6 +218,9 @@ object Multimodal {
       .toDF("doc_id", "thumb", "width", "height")
   }
 
+  /** Test hook: the private PNG encoder for spec-side round-trips. */
+  private[graft] def encodePngPublic(img: BufferedImage): Array[Byte] = encodePng(img)
+
   /** The `m10_thumb_manifest` query: thumbnail-generation audit —
     * the derived-asset pipeline (CDN thumbnail jobs, dataset preview
     * sheets) proven end-to-end through REAL codecs: decode → 8×8
@@ -230,9 +233,6 @@ object Multimodal {
     * from the m1 fixture formulas and folds identically. Zero
     * shuffle, codec-bound (m7/m8's distribution shape).
     */
-  /** Test hook: the private PNG encoder for spec-side round-trips. */
-  private[graft] def encodePngPublic(img: BufferedImage): Array[Byte] = encodePng(img)
-
   def thumbManifest(s: SparkSession, dir: String, tw: Int = 8, th: Int = 8): DataFrame = {
     import s.implicits._
     graft.Caches.ordered(

@@ -145,6 +145,33 @@ class AnnSpec extends SparkSpec {
     // every corpus vector is present in the folded graph
     val n = Tables.embeddings(spark, Sf).count()
     assert(folded.keys.map(_._1).toSet.size.toLong == n)
+    // params are persisted and enforced: a conflicting k/nprobe throws
+    // instead of silently replaying stored probe sets under the wrong
+    // parameterization
+    val p = spark.read.parquet(s"$idx/params").head()
+    assert((p.getInt(0), p.getInt(1)) == ((5, 4)))
+    intercept[IllegalArgumentException] {
+      Ann.knnGraphDelta(spark, Sf, idx, col("vec_id") >= 400, k = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.knnGraphDelta(spark, Sf, idx, col("vec_id") >= 400, nprobe = 2)
+    }
+    // a deltaFilter overlapping the base corpus is de-overlapped by
+    // the anti-join: same folded graph, no duplicated vec_ids
+    val overlapped = Ann.knnGraphDelta(spark, Sf, idx, col("vec_id") >= 300).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(overlapped == full)
+  }
+
+  test("s8 graph search with prebuilt edges is identical to the self-building call") {
+    import org.apache.spark.sql.functions.col
+    val edges = Ann.knnJoin(spark, Sf, k = 8)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+    val self = Ann.graphSearchTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val pre = Ann.graphSearchTopK(spark, Sf, prebuiltEdges = Some(edges)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pre == self)
   }
 
   test("IVF ANN recall vs brute-force baseline") {
