@@ -82,6 +82,40 @@ object Bench {
     }
   }
 
+  /** Core-saturating contention probe: every hardware thread spins a
+    * FIXED deterministic xorshift loop and the probe reports the wall
+    * seconds for all of them to finish. On a quiet box this is a
+    * stable constant (~0.2-0.4 s, recorded per round in SURVEY §7);
+    * under co-tenant load the scheduler time-slices the spinners and
+    * the probe inflates by roughly the contention factor. Sampled at
+    * scale-section pass boundaries (while Spark is idle) it dates
+    * contention that arrives MID-run — the r7 failure mode, where
+    * both interleaved sf10 passes ran 3-5x their quiet cost and
+    * nothing in the artifact could say whether the box or the engine
+    * was slow. loadavg alone cannot: it lags a minute and counts our
+    * own just-finished executor threads.
+    */
+  private def probeSec(): Double = {
+    val nThreads = Runtime.getRuntime.availableProcessors()
+    val work = 150000000L
+    val t0 = System.nanoTime()
+    val ts = (0 until nThreads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var n = 0L
+        while (n < work) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          n += 1
+        }
+        // publish so the loop cannot be elided
+        if (x == 42L) System.err.println("")
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def jnum(v: Double): String = if (v.isNaN) "null" else v.toString
 
   private def jarr(xs: Seq[Double]): String = xs.map(jnum).mkString("[", ",", "]")
@@ -117,6 +151,7 @@ object Bench {
       Thread.sleep(10000); waitedSec += 10; loadStart = loadAvg()
     }
     val contended = loadStart > loadGate
+    val probeStart = probeSec()
     // warm up the JVM/codegen/parquet paths so the first timed query
     // doesn't absorb session startup. (The scale-proxy dir carries
     // only documents/embeddings/part — fall back for direct runs
@@ -288,11 +323,24 @@ object Bench {
         .filter(SparkEntry.queries.contains)
         .filter(name => only.forall(_.contains(name)))
       resolveScaleDir(envKey, default, replicas, wanted).map { d =>
+        // quiet-wait gate per SECTION (the start-of-bench gate cannot
+        // police load that arrives during the main suite), then a
+        // loadavg + saturating-probe sample at every pass boundary so
+        // mid-section contention is DATED in the artifact, not
+        // inferred from query spreads after the fact (r7: both sf10
+        // passes ran 3-5x quiet cost, flags silent on the uniform
+        // slowdown).
+        var sl = loadAvg(); var w = 0
+        while (sl > loadGate && w < 120) { Thread.sleep(10000); w += 10; sl = loadAvg() }
+        val loadPasses = scala.collection.mutable.ArrayBuffer[Double]()
+        val probePasses = scala.collection.mutable.ArrayBuffer[Double]()
+        def sample(): Unit = { loadPasses += loadAvg(); probePasses += probeSec() }
         val byName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
         wanted.foreach(byName(_) = Vector.empty)
         if (interleave && wanted.size > 1) {
           val step = math.max(1, wanted.size / math.max(1, runsN))
           for (pass <- 0 until runsN) {
+            sample()
             val off = (pass * step) % wanted.size
             val rotated = wanted.drop(off) ++ wanted.take(off)
             // odd passes also reverse: rotation alone can keep the
@@ -304,9 +352,13 @@ object Bench {
               byName(name) ++= time(name, SparkEntry.queries(name), d, 1, gcFirst = true)
             }
           }
-        } else wanted.foreach { name =>
-          byName(name) = time(name, SparkEntry.queries(name), d, runsN, gcFirst = true).toVector
+        } else {
+          sample()
+          wanted.foreach { name =>
+            byName(name) = time(name, SparkEntry.queries(name), d, runsN, gcFirst = true).toVector
+          }
         }
+        sample()
         val entries = wanted.map { name =>
           val ts = byName(name)
           val t = median(ts)
@@ -319,7 +371,7 @@ object Bench {
             ",\"exponent\":" + jnum(exp) +
             ",\"runs_raw\":" + jarr(ts) + "}"
         }
-        s""","$label":{"dir":"$d","runs":$runsN,"interleaved":$interleave,"queries":${entries.mkString("{", ",", "}")}}"""
+        s""","$label":{"dir":"$d","runs":$runsN,"interleaved":$interleave,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
       }.getOrElse("")
     }
 
@@ -345,7 +397,12 @@ object Bench {
     // reader needs is gc vs wall within one artifact)
     val gcs = gcByQuery.map { case (k, v) =>
       "\"" + k + "\":" + jnum(math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"$sf1$sf10}"""
+    // start probe runs before the first timed query would be ideal,
+    // but probing here (after the suite) still brackets the run: a
+    // quiet probe_end with a quiet probe in every scale section means
+    // no co-tenant arrived during the measured windows
+    val probeEnd = probeSec()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEnd)},"sf":"$sfDir"$sf1$sf10}"""
     println(json)
     // the artifact of record, immune to stdout capture truncation.
     // ONLY-subset runs write a stamped side file instead (VERDICT r6

@@ -42,6 +42,8 @@ object SparkEntry {
       GeoQueries.compactionPlan(s, d)),
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
+    "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
+      GeoQueries.ruggedness(s, d)),
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -70,6 +72,7 @@ object SparkEntry {
     "q45_rank_dist"           -> Relational.q45RankDist _,
     "q46_waiting_orders"      -> Relational.q46WaitingOrders _,
     "q47_asof_tolerance"      -> ((s, d) => Relational.q47AsofTolerance(s, d)),
+    "q48_table_stats"         -> ((s, d) => Relational.q48TableStats(s, d)),
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -108,6 +111,8 @@ object SparkEntry {
       TextAnalysis.oovRate(s, d)),
     "t14_ngram_novelty"       -> TextAnalysis.ngramNovelty _,
     "t15_lang_confusion"      -> TextAnalysis.langConfusion _,
+    "t16_bigram_coverage"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramCoverage(s, d)),
     // dedup
     "d1_exact_dedup"          -> Dedup.exact _,
     "d10_url_dedup"           -> graft.operators.Curation.urlDedup _,
@@ -140,6 +145,8 @@ object SparkEntry {
       graft.operators.Curation.fixedSample(s, d)),
     "p7_dsir_select"          -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.dsirSelect(s, d)),
+    "p11_epoch_mix"           -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.epochMixQuery(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -370,6 +377,38 @@ object SparkEntry {
     // (all operands non-negative, so % agrees across engines);
     // dzdx/dzdy/tan2 are INTEGER Horn numerators — no float trig in
     // the hash (libm atan is not bit-identical across engines)
+    // g24: TRI — 8 squared neighbor differences per interior pixel,
+    // re-derived from the raster fixture formula; all integer, sums
+    // cast ::BIGINT (DuckDB sum is HUGEINT)
+    "g24_ruggedness" -> (raw"""
+      |WITH $TilesCte,
+      |px AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(1,6) ys(y), generate_series(1,6) xs(x)
+      |  WHERE tile_id < 50),
+      |zz AS (
+      |  SELECT tile_id, tile_key,
+      |    (tile_id*131 + x*17 + y*29) % 8848 AS zc,
+      |    (tile_id*131 + (x+1)*17 + (y-1)*29) % 8848 AS ze_n,
+      |    (tile_id*131 + (x+1)*17 + (y  )*29) % 8848 AS ze,
+      |    (tile_id*131 + (x+1)*17 + (y+1)*29) % 8848 AS ze_s,
+      |    (tile_id*131 + (x-1)*17 + (y-1)*29) % 8848 AS zw_n,
+      |    (tile_id*131 + (x-1)*17 + (y  )*29) % 8848 AS zw,
+      |    (tile_id*131 + (x-1)*17 + (y+1)*29) % 8848 AS zw_s,
+      |    (tile_id*131 + (x  )*17 + (y-1)*29) % 8848 AS zn,
+      |    (tile_id*131 + (x  )*17 + (y+1)*29) % 8848 AS zs
+      |  FROM px),
+      |t AS (
+      |  SELECT tile_id, tile_key,
+      |    (ze_n-zc)*(ze_n-zc) + (ze-zc)*(ze-zc) + (ze_s-zc)*(ze_s-zc) +
+      |    (zw_n-zc)*(zw_n-zc) + (zw-zc)*(zw-zc) + (zw_s-zc)*(zw_s-zc) +
+      |    (zn-zc)*(zn-zc) + (zs-zc)*(zs-zc) AS tri2
+      |  FROM zz)
+      |SELECT tile_id, tile_key, count(*) AS n_px,
+      |       sum(tri2)::BIGINT AS tri2_sum,
+      |       max(tri2)::BIGINT AS tri2_max,
+      |       sum(CASE WHEN tri2 > 100000000 THEN 1 ELSE 0 END)::BIGINT AS rugged_px
+      |FROM t GROUP BY 1, 2 ORDER BY tile_id""").stripMargin,
     "g14_slope_aspect" -> (raw"""
       |WITH $TilesCte,
       |px AS (
@@ -899,6 +938,32 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q48: equi-depth histogram boundary = value at rank ceil(n*b/8)
+    // of the sorted non-null multiset; all-integer (money as cents),
+    // deterministic under ties
+    "q48_table_stats" -> raw"""
+      |WITH u AS (
+      |  SELECT 'l_orderkey' AS col_name, l_orderkey::BIGINT AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity', l_quantity::BIGINT FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', round(l_extendedprice*100)::BIGINT FROM lineitem),
+      |st AS (SELECT col_name, count(*) AS n_rows, count(v) AS n_vals
+      |       FROM u GROUP BY 1),
+      |vals AS (SELECT col_name, v, count(*) AS cnt FROM u
+      |         WHERE v IS NOT NULL GROUP BY 1, 2),
+      |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY col_name ORDER BY v
+      |          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM vals),
+      |nd AS (SELECT col_name, count(*)::BIGINT AS ndv, min(v) AS min_v,
+      |              max(v) AS max_v FROM vals GROUP BY 1),
+      |x AS (SELECT c.col_name, b.b AS bucket, c.v, c.cum,
+      |             c.cum - c.cnt AS cum_prev, s.n_vals, s.n_rows
+      |      FROM cum c JOIN st s USING (col_name), generate_series(1,8) b(b)
+      |      WHERE (s.n_vals * b.b + 7) // 8 > c.cum - c.cnt
+      |        AND (s.n_vals * b.b + 7) // 8 <= c.cum)
+      |SELECT x.col_name, x.bucket::INT AS bucket, x.v AS hi, nd.ndv,
+      |       (x.n_rows - x.n_vals)::BIGINT AS n_nulls, nd.min_v, nd.max_v
+      |FROM x JOIN nd USING (col_name) ORDER BY x.col_name, x.bucket""".stripMargin,
     // q46: sole-blame lateness — EXISTS other supplier, NOT EXISTS
     // other LATE supplier, over the collapsed (order, supplier) flags
     "q46_waiting_orders" -> raw"""
@@ -1475,6 +1540,24 @@ object SparkEntry {
       |  round(sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)::DOUBLE
       |        / count(*), 6) AS novelty
       |FROM u JOIN f USING (g) GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin,
+    // t16: bigram coverage against the corpus-common bigram table
+    // (count >= 5); the engine counts xxhash64 of the bigram, the
+    // oracle counts the strings — identical short of a 64-bit
+    // collision (t14's argument)
+    "t16_bigram_coverage" -> raw"""
+      |WITH d AS (SELECT doc_id, string_split($Nrm, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |      FROM d),
+      |c AS (SELECT g, count(*) AS cnt FROM b GROUP BY g),
+      |j AS (SELECT doc_id, count(*) AS nb,
+      |        sum(CASE WHEN c.cnt >= 5 THEN 1 ELSE 0 END)::BIGINT AS nc
+      |      FROM b JOIN c USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(j.nb, 0)::BIGINT AS n_bigrams,
+      |  coalesce(j.nc, 0)::BIGINT AS n_common,
+      |  (CASE WHEN coalesce(j.nb, 0) = 0 THEN 0
+      |        ELSE (j.nc * 1000) // j.nb END)::BIGINT AS cover_pm
+      |FROM d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // t13: vocab = t8's exact heavy-hitter rule (cnt·256 ≥ N), per-doc
     // OOV mass + integer per-mille rate
     "t13_oov_rate" -> raw"""
@@ -1990,6 +2073,37 @@ object SparkEntry {
       |       FROM c, t)
       |SELECT d.doc_id, d.mix_src, d.bucket FROM d JOIN th USING (mix_src)
       |WHERE d.bucket < th.t_s ORDER BY doc_id""".stripMargin,
+    // p11: water-filling with epoch caps — the one float is the
+    // cap/weight sort ratio (IEEE divide, identical both engines);
+    // every comparison is cross-multiplied integers, allocations are
+    // integer floor division
+    "p11_epoch_mix" -> raw"""
+      |WITH per AS (SELECT source, sum(n_chars)::BIGINT AS c_s,
+      |               (substring(source, 4)::BIGINT % 5) + 1 AS w_s
+      |             FROM documents GROUP BY source),
+      |tot AS (SELECT sum(c_s)::BIGINT AS c_tot, sum(w_s)::BIGINT AS w_tot FROM per),
+      |b AS (SELECT per.*, c_tot * 2 AS budget, c_s * 3 AS cap_tokens, w_tot
+      |      FROM per, tot),
+      |o AS (SELECT *,
+      |        cap_tokens::DOUBLE / w_s AS rk,
+      |        coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens::DOUBLE / w_s, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumE,
+      |        coalesce(sum(w_s) OVER (ORDER BY cap_tokens::DOUBLE / w_s, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumW
+      |      FROM b),
+      |cap AS (SELECT *,
+      |          min(CASE WHEN cap_tokens * (w_tot - cumW) <= (budget - cumE) * w_s
+      |                   THEN 1 ELSE 0 END)
+      |            OVER (ORDER BY rk, source ROWS UNBOUNDED PRECEDING) = 1 AS capped
+      |        FROM o),
+      |r AS (SELECT sum(CASE WHEN capped THEN cap_tokens ELSE 0 END)::BIGINT AS cape,
+      |             sum(CASE WHEN capped THEN 0 ELSE w_s END)::BIGINT AS w_u FROM cap)
+      |SELECT source, c_s AS n_tokens, w_s, cap_tokens, capped,
+      |  (CASE WHEN capped THEN cap_tokens
+      |        ELSE ((budget - cape) * w_s) // w_u END)::BIGINT AS alloc_tokens,
+      |  ((CASE WHEN capped THEN cap_tokens
+      |         ELSE ((budget - cape) * w_s) // w_u END) * 1000 // c_s)::BIGINT AS epochs_pm
+      |FROM cap, r ORDER BY source""".stripMargin,
     // p6: ties on the 32-bit draw break by doc_id in both engines
     // (heap order (score desc, id asc) ≡ ORDER BY bucket, doc_id)
     "p6_fixed_sample" -> raw"""

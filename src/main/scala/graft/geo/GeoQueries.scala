@@ -353,9 +353,26 @@ object GeoQueries {
     * arithmetic inside each tile's own array.
     */
   private def hornNumerators(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val px = interiorPixels(s, dir, n)
+    def z(dx: Int, dy: Int) = zAt(n)(dx, dy)
+    val dzdx = (z(1, -1) + z(1, 0) * 2 + z(1, 1)) -
+      (z(-1, -1) + z(-1, 0) * 2 + z(-1, 1))
+    val dzdy = (z(-1, 1) + z(0, 1) * 2 + z(1, 1)) -
+      (z(-1, -1) + z(0, -1) * 2 + z(1, -1))
+    px.select(col("tile_id"), col("tile_key"), col("x"), col("y"),
+      dzdx.as("dzdx_num"), dzdy.as("dzdy_num"))
+  }
+
+  /** Decoded raster tiles exploded to their interior pixels (the 3×3
+    * kernel is undefined on the rim — gdaldem likewise emits nodata on
+    * edges), each row carrying the tile's whole elevation array so
+    * neighborhood access is index arithmetic, zero shuffle. Shared by
+    * the g14/g18 Horn kernel and g24's ruggedness kernel.
+    */
+  private def interiorPixels(s: SparkSession, dir: String, n: Int): DataFrame = {
     import org.apache.spark.sql.graft.RasterExprs
     val fixture = Fixtures.ensureRasters(s, dir)
-    val n = 8
     val decoded = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.grft").load(fixture)
       .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
@@ -363,24 +380,47 @@ object GeoQueries {
       .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
         transform(col("r.points"), p =>
           p.getField("elevation").cast("long")).as("e"))
-    // interior pixels only (the 3×3 kernel is undefined on the rim —
-    // gdaldem likewise emits nodata on edges)
     val interior = flatten(transform(sequence(lit(1), lit(n - 2)), yi =>
       transform(sequence(lit(1), lit(n - 2)), xi =>
         struct(xi.as("x"), yi.as("y")))))
-    val px = decoded
+    decoded
       .select(col("tile_key"), col("tile_id"), col("e"),
         explode(interior).as("p"))
       .select(col("tile_key"), col("tile_id"), col("e"),
         col("p.x").as("x"), col("p.y").as("y"))
-    def z(dx: Int, dy: Int): org.apache.spark.sql.Column = // row-major, 1-based element_at
-      element_at(col("e"), (col("y") + dy) * n + col("x") + dx + 1)
-    val dzdx = (z(1, -1) + z(1, 0) * 2 + z(1, 1)) -
-      (z(-1, -1) + z(-1, 0) * 2 + z(-1, 1))
-    val dzdy = (z(-1, 1) + z(0, 1) * 2 + z(1, 1)) -
-      (z(-1, -1) + z(0, -1) * 2 + z(1, -1))
-    px.select(col("tile_id"), col("tile_key"), col("x"), col("y"),
-      dzdx.as("dzdx_num"), dzdy.as("dzdy_num"))
+  }
+
+  /** Neighbor access for [[interiorPixels]] rows: row-major, 1-based
+    * element_at into the tile's own array column. */
+  private def zAt(n: Int)(dx: Int, dy: Int): org.apache.spark.sql.Column =
+    element_at(col("e"), (col("y") + dy) * n + col("x") + dx + 1)
+
+  /** g24: Terrain Ruggedness Index — Riley et al.'s TRI (`gdaldem
+    * TRI`, GRASS `r.tri`): per interior pixel the sum of SQUARED
+    * elevation differences to its 8 neighbors, reported per tile as
+    * pixel count, integer TRI² mass, the roughest pixel, and how many
+    * pixels exceed a ruggedness threshold (the "broken terrain"
+    * fraction a siting/routing analysis consumes). The float TRI is
+    * √tri2 per pixel; keeping the integer numerator end-to-end is the
+    * g14 discipline — nothing non-integer crosses the oracle hash.
+    * Same zero-shuffle shape as g14/g18: the 3×3 neighborhood is index
+    * arithmetic inside each tile's own decoded array, then one
+    * map-side-combinable per-tile aggregate.
+    */
+  def ruggedness(s: SparkSession, dir: String, threshold: Long = 100000000L): DataFrame = {
+    val n = 8
+    val px = interiorPixels(s, dir, n)
+    def z(dx: Int, dy: Int) = zAt(n)(dx, dy)
+    val zc = z(0, 0)
+    val tri2 = (for { dy <- -1 to 1; dx <- -1 to 1; if dx != 0 || dy != 0 }
+      yield (z(dx, dy) - zc) * (z(dx, dy) - zc)).reduce(_ + _)
+    px.select(col("tile_id"), col("tile_key"), tri2.as("tri2"))
+      .groupBy(col("tile_id"), col("tile_key"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("tri2")).as("tri2_sum"),
+        max(col("tri2")).as("tri2_max"),
+        sum(when(col("tri2") > threshold, 1L).otherwise(0L)).as("rugged_px"))
+      .orderBy(col("tile_id"))
   }
 
   /** g18: hillshade — `gdaldem hillshade`'s Horn-kernel illumination

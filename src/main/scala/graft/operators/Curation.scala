@@ -436,4 +436,71 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_words"), col("importance"))
       .orderBy(col("importance").desc, col("doc_id"))
   }
+
+  /** p11: epoch-capped token-budget allocation across sources — the
+    * WATER-FILLING step of a training-data recipe (the Llama/Dolma
+    * "mix sources by weight, but never repeat a source more than E
+    * epochs" rule): given a token budget `budgetNum`× the corpus, a
+    * per-source quality weight, and an epoch cap E, allocate
+    * `min(E·c_s, λ·w_s)` tokens per source with λ chosen so the
+    * allocations sum to the budget — the leftover from capped
+    * sources redistributes to uncapped ones proportionally.
+    *
+    * Exact closed form, no iteration: sources sort by cap-to-weight
+    * ratio `E·c_s/w_s` ascending (the order caps engage as λ rises;
+    * the ratio is the ONE float — an IEEE divide both engines round
+    * identically — and ties break by source). A source is capped iff
+    * every prefix predecessor satisfies the cross-multiplied test
+    * `E·c_j·(W − cumW) ≤ (B − cumE)·w_j` (λ after capping the prefix
+    * still exceeds its ratio); the prefix-AND window makes the test
+    * exact for the boundary row and the monotone order makes it
+    * exact everywhere (CurationSpec cross-checks an iterative
+    * redistribute-until-fixpoint reference on randomized corpora).
+    * Integer arithmetic end-to-end otherwise; uncapped allocation is
+    * `R·w_s div W_u` floor division.
+    *
+    * Scale shape: the corpus scan collapses to one skinny per-source
+    * aggregate (map-side combinable); everything after runs on a
+    * sources-sized frame (tens of rows at any corpus size — the
+    * global windows are over that frame, never the corpus).
+    */
+  def epochMix(docs: DataFrame, epochCap: Long = 3L,
+      budgetNum: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("c_s"))
+      .withColumn("w_s",
+        pmod(expr("cast(substring(source, 4, 10) as bigint)"), lit(5L)) + 1L)
+    val tot = per.agg(sum(col("c_s")).as("c_tot"), sum(col("w_s")).as("w_tot"))
+    val b = per.crossJoin(broadcast(tot))
+      .withColumn("budget", col("c_tot") * budgetNum)
+      .withColumn("cap_tokens", col("c_s") * epochCap)
+      .withColumn("rk", col("cap_tokens").cast("double") / col("w_s"))
+    val wPrev = Window.orderBy(col("rk"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wChain = Window.orderBy(col("rk"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val capped = b
+      .withColumn("cumE", coalesce(sum(col("cap_tokens")).over(wPrev), lit(0L)))
+      .withColumn("cumW", coalesce(sum(col("w_s")).over(wPrev), lit(0L)))
+      .withColumn("raw_ok",
+        col("cap_tokens") * (col("w_tot") - col("cumW")) <=
+          (col("budget") - col("cumE")) * col("w_s"))
+      .withColumn("capped",
+        min(when(col("raw_ok"), 1).otherwise(0)).over(wChain) === 1)
+    val leftover = capped.agg(
+      sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).as("cape"),
+      sum(when(!col("capped"), col("w_s")).otherwise(0L)).as("w_u"))
+    capped.crossJoin(broadcast(leftover))
+      .withColumn("alloc_tokens", when(col("capped"), col("cap_tokens"))
+        .otherwise(expr("((budget - cape) * w_s) div w_u")))
+      .withColumn("epochs_pm", expr("(alloc_tokens * 1000) div c_s"))
+      .select(col("source"), col("c_s").as("n_tokens"), col("w_s"),
+        col("cap_tokens"), col("capped"), col("alloc_tokens"), col("epochs_pm"))
+      .orderBy(col("source"))
+  }
+
+  /** p11 driver query over the documents table. */
+  def epochMixQuery(s: SparkSession, dir: String): DataFrame =
+    epochMix(Tables.documents(s, dir).select(col("source"), col("n_chars")))
 }

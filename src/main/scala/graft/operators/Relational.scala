@@ -1039,4 +1039,65 @@ object Relational {
         col("cohort_size"), col("retained_pm"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** q48: ANALYZE-style table statistics — the stats-collection job
+    * behind every cost-based optimizer (Spark `ANALYZE TABLE ... FOR
+    * COLUMNS`, DuckDB/Postgres auto-stats): per column, exact NDV,
+    * null count, min/max, and an 8-bucket EQUI-DEPTH histogram whose
+    * boundary `hi` for bucket b is the value at rank ⌈n·b/8⌉ of the
+    * sorted non-null multiset — the boundaries a join-selectivity
+    * estimator consumes. Columns normalize to BIGINT first (money as
+    * Det.cents), so every output is integer-exact.
+    *
+    * Scale shape: ONE lineitem scan fans each row into (col_name,
+    * value) pairs, collapses to per-(column, value) counts (map-side
+    * combinable, skinny 24-byte rows), and ranks come from the
+    * p3/g21 sharded two-pass prefix over value order — bounded
+    * `v div shardW` window partitions plus one skinny per-shard
+    * offset frame per column, never a global single-reducer window
+    * over the distinct values. Boundary selection is a literal
+    * 1..8 explode with cross-multiplied rank tests (⌈n·b/8⌉ =
+    * `(n·b + 7) div 8` lands in (cum_prev, cum]) — no percentile
+    * UDF, no interpolation, deterministic under ties.
+    */
+  def q48TableStats(s: SparkSession, dir: String, buckets: Int = 8,
+      shardW: Long = 4096L): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val u = li.select(explode(array(
+        struct(lit("l_orderkey").as("col_name"), col("l_orderkey").as("v")),
+        struct(lit("l_quantity").as("col_name"), col("l_quantity").cast("long").as("v")),
+        struct(lit("l_extendedprice").as("col_name"), cents(col("l_extendedprice")).as("v"))
+      )).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+    val stats = u.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_vals"))
+    val vals = u.filter(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard", expr(s"v div $shardW"))
+    val wLocal = Window.partitionBy(col("col_name"), col("shard")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = vals.withColumn("cum_local", sum(col("cnt")).over(wLocal))
+    val wShard = Window.partitionBy(col("col_name")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vals.groupBy(col("col_name"), col("shard"))
+      .agg(sum(col("cnt")).as("sb"))
+      .withColumn("offset", coalesce(sum(col("sb")).over(wShard), lit(0L)))
+      .select(col("col_name"), col("shard"), col("offset"))
+    val cum = local.join(offsets, Seq("col_name", "shard"))
+      .withColumn("cum", col("offset") + col("cum_local"))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val nd = vals.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("ndv"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    cum.join(broadcast(stats), "col_name")
+      .select(col("col_name"), col("v"), col("cum"), col("cum_prev"), col("n_vals"),
+        col("n_rows"), explode(sequence(lit(1), lit(buckets))).as("bucket"))
+      .filter(expr(s"(n_vals * bucket + ${buckets - 1}) div $buckets") > col("cum_prev") &&
+        expr(s"(n_vals * bucket + ${buckets - 1}) div $buckets") <= col("cum"))
+      .join(broadcast(nd), "col_name")
+      .select(col("col_name"), col("bucket").cast("int").as("bucket"),
+        col("v").as("hi"), col("ndv"),
+        (col("n_rows") - col("n_vals")).as("n_nulls"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("col_name"), col("bucket"))
+  }
 }

@@ -510,4 +510,45 @@ object TextAnalysis {
       .withColumn("stop_ok", col("n_stop") >= 2)
       .withColumn("gopher_pass",
         col("wc_ok") && col("mwl_ok") && col("alpha_ok") && col("sym_ok") && col("stop_ok"))
+
+  /** t16: bigram LM-coverage — the CCNet/fastText-era language-model
+    * coverage proxy beside t13's unigram OOV: a document whose word
+    * BIGRAMS rarely occur anywhere else in the corpus is boilerplate,
+    * gibberish, or template noise even when its individual words are
+    * common (the signal an n-gram LM's perplexity carries, reduced to
+    * exact counts — no floats cross the oracle hash). Per doc: bigram
+    * occurrences, occurrences of "common" bigrams (corpus count ≥
+    * `minCount`), and the integer per-mille coverage.
+    *
+    * Scale shape: per-occurrence bigrams hash to 8 bytes BEFORE the
+    * exchange (xxhash64 — the t14 discipline; the oracle counts the
+    * strings, identical short of an in-corpus 64-bit collision), the
+    * corpus count table is a skinny hash-keyed group-by with map-side
+    * combine, and the join-back is hash-key equi — corpus-linear,
+    * nothing wider than (hash, count) shuffles. Single-word docs keep
+    * a row (0 bigrams, coverage 0) via the left join-back.
+    */
+  def bigramCoverage(s: SparkSession, dir: String, minCount: Long = 5L): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), words(col("text")).as("w"))
+    val big = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+          concat(element_at(col("w"), i + 1), lit(" "),
+            element_at(col("w"), i + 2)))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val counts = big.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val cov = big.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("nc"))
+    docs.select(col("doc_id"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nc"), lit(0L)).as("n_common"))
+      .withColumn("cover_pm",
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(expr("(n_common * 1000) div n_bigrams")))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -344,4 +344,50 @@ class CurationSpec extends SparkSpec {
     val members = clusters.collect().map(r => (r.getLong(1), r.getLong(0))).toSet
     got.foreach { case (cid, (_, keepId, _, _)) => assert(members.contains((cid, keepId))) }
   }
+
+  test("p11 epoch-mix equals the iterative redistribute-until-fixpoint water-filling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 4) {
+      val nSrc = 8 + rnd.nextInt(8)
+      val counts = (0 until nSrc).map(i => (s"src$i", 1000L + rnd.nextInt(100000).toLong))
+      val docs = counts.toDF("source", "n_chars")
+      val got = Curation.epochMix(docs).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+            r.getLong(5), r.getLong(6)))).toMap
+      // reference: a different algorithm — cap violators, redistribute
+      // to the rest, repeat until no new source hits its cap (the
+      // textbook iterative water-filling); comparisons cross-multiplied
+      val E = 3L
+      val cmap = counts.toMap
+      val w = counts.map { case (s, _) => s -> ((s.drop(3).toLong % 5) + 1L) }.toMap
+      val budget = 2L * counts.map(_._2).sum
+      var capped = Set.empty[String]
+      var changed = true
+      while (changed) {
+        val r = budget - capped.toSeq.map(s => E * cmap(s)).sum
+        val wu = counts.collect { case (s, _) if !capped(s) => w(s) }.sum
+        val add = counts.collect {
+          case (s, c) if !capped(s) && wu > 0 && E * c * wu <= r * w(s) => s }
+        changed = add.nonEmpty
+        capped ++= add
+      }
+      val r = budget - capped.toSeq.map(s => E * cmap(s)).sum
+      val wu = counts.collect { case (s, _) if !capped(s) => w(s) }.sum
+      assert(got.keySet == counts.map(_._1).toSet, s"trial $trial")
+      counts.foreach { case (s, c) =>
+        val expAlloc = if (capped(s)) E * c else r * w(s) / wu
+        val (nTok, ws, capTok, isCapped, alloc, pm) = got(s)
+        assert(nTok == c && ws == w(s) && capTok == E * c, s"trial $trial $s stats")
+        assert(isCapped == capped(s), s"trial $trial $s capped flag")
+        assert(alloc == expAlloc, s"trial $trial $s alloc")
+        assert(pm == alloc * 1000 / c, s"trial $trial $s pm")
+      }
+      // invariants: no allocation exceeds its cap, total stays within
+      // budget (floor-division remainders are the only shortfall)
+      assert(got.values.forall { case (_, _, cap, _, al, _) => al <= cap })
+      assert(got.values.map(_._5).sum <= budget)
+    }
+  }
 }

@@ -772,4 +772,20 @@ class GeoSpec extends SparkSpec {
     // leave a small set empty — both queries must agree on which)
     assert(rows.map(_._1).distinct.sorted.toSeq == g6.keys.toSeq.sorted)
   }
+
+  test("g24 ruggedness: JVM brute force over the fixture formula, every raster tile") {
+    val got = GeoQueries.ruggedness(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == (0L until 50L).toSet)
+    def z(t: Long, x: Int, y: Int): Long = math.floorMod(t * 131 + x * 17 + y * 29, 8848L)
+    (0L until 50L).foreach { t =>
+      val tri2s = for { y <- 1 to 6; x <- 1 to 6 } yield
+        (for { dy <- -1 to 1; dx <- -1 to 1; if dx != 0 || dy != 0 } yield {
+          val d = z(t, x + dx, y + dy) - z(t, x, y); d * d
+        }).sum
+      assert(got(t) ==
+        ((36L, tri2s.sum, tri2s.max, tri2s.count(_ > 100000000L).toLong)), s"tile $t")
+    }
+  }
 }

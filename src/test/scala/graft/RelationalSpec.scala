@@ -432,6 +432,30 @@ class RelationalSpec extends SparkSpec {
     assert(fine == got)
   }
 
+  test("q48 table stats: boundaries equal ranks of the fully-sorted multiset") {
+    val got = Relational.q48TableStats(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val li = Tables.lineitem(spark, Sf)
+    val cols: Seq[(String, Array[Long])] = Seq(
+      "l_orderkey" -> li.select(col("l_orderkey")).collect().map(_.getLong(0)),
+      "l_quantity" -> li.select(col("l_quantity").cast("long")).collect().map(_.getLong(0)),
+      "l_extendedprice" -> li.select(graft.functions.Det.cents(col("l_extendedprice")))
+        .collect().map(_.getLong(0)))
+    cols.foreach { case (name, vs) =>
+      val sorted = vs.sorted
+      val n = sorted.length.toLong
+      (1 to 8).foreach { b =>
+        val rank = (n * b + 7) / 8 // ceil(n*b/8), 1-based
+        val (hi, ndv, nulls, mn, mx) = got((name, b))
+        assert(hi == sorted((rank - 1).toInt), s"$name bucket $b boundary")
+        assert(ndv == vs.distinct.length.toLong && nulls == 0L)
+        assert(mn == sorted.head && mx == sorted.last, s"$name min/max")
+      }
+    }
+    assert(got.size == 24)
+  }
+
   test("q37 retention: hand-computed cohort cells, within-week dedup, integer per-mille") {
     val dir = scratchDir("graft_q37")
     val W = 604800L

@@ -263,4 +263,24 @@ class TextFnsSpec extends SparkSpec {
     assert(got(2L) == ((4L, 3L, 750L)))
     assert(got(3L) == ((4L, 4L, 1000L)))
   }
+
+  test("t16 bigramCoverage: hand-computed coverage, single-word doc keeps a zero row") {
+    val dir = scratchDir("graft_t16")
+    // bigram counts corpus-wide: "a b" ×5 (common at minCount=5),
+    // "b a" ×2, "b c" ×1 — only "a b" clears the bar
+    Seq(
+      (0L, "a b a b a b", "en", "s", 1L), // bigrams: a-b, b-a, a-b, b-a, a-b
+      (1L, "a b c", "en", "s", 1L),       // a-b, b-c
+      (2L, "a b", "en", "s", 1L),         // a-b
+      (3L, "x", "en", "s", 1L))           // no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.bigramCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((5L, 3L, 600L)))
+    assert(got(1L) == ((2L, 1L, 500L)))
+    assert(got(2L) == ((1L, 1L, 1000L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    assert(got.size == 4)
+  }
 }
