@@ -147,6 +147,8 @@ object SparkEntry {
       graft.operators.Curation.dsirSelect(s, d)),
     "p11_epoch_mix"           -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.epochMixQuery(s, d)),
+    "p12_soft_dedup"          -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.softDedup(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -1924,6 +1926,31 @@ object SparkEntry {
       |SELECT cluster_size, count(*) AS n_clusters,
       |       (cluster_size * count(*))::BIGINT AS n_docs
       |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+    // p12: d8's closure re-derived, every cluster member weighted
+    // 1000 div k per-mille, per-source mass rollup (floor twice —
+    // identical integer arithmetic both engines)
+    "p12_soft_dedup" -> raw"""
+      |WITH RECURSIVE $ShingleCte,
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |verts AS (SELECT DISTINCT src AS v FROM e),
+      |cc(v, lbl) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, cc.lbl FROM cc JOIN e ON cc.v = e.src),
+      |comp AS (SELECT v, min(lbl) AS cluster_id FROM cc GROUP BY v),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+      |kk AS (SELECT comp.v AS doc_id, sz.cluster_size FROM comp
+      |       JOIN sz USING (cluster_id))
+      |SELECT d.source, count(*) AS n_docs,
+      |  sum(CASE WHEN coalesce(kk.cluster_size, 1) > 1 THEN 1 ELSE 0 END)::BIGINT AS n_clustered,
+      |  sum(d.n_chars)::BIGINT AS raw_chars,
+      |  sum((d.n_chars * (1000 // coalesce(kk.cluster_size, 1))) // 1000)::BIGINT AS eff_chars
+      |FROM documents d LEFT JOIN kk ON d.doc_id = kk.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     // p10: p2's md5-bucket rule decides the split; the exact pair
     // predicate finds cross-split leaks
     "p10_split_check" -> raw"""

@@ -503,4 +503,32 @@ object Curation {
   /** p11 driver query over the documents table. */
   def epochMixQuery(s: SparkSession, dir: String): DataFrame =
     epochMix(Tables.documents(s, dir).select(col("source"), col("n_chars")))
+
+  /** p12: SOFT dedup — down-WEIGHT near-duplicate families instead of
+    * dropping them (the SlimPajama/"soft dedup" alternative to d8's
+    * keep-one: every member of a k-doc cluster keeps `1000 div k`
+    * per-mille sampling weight, so the family contributes ~one doc's
+    * worth of mass while retaining intra-family diversity). Rolled up
+    * per source: docs, clustered docs, raw chars, and the effective
+    * chars after weighting — the table a data recipe reads to see how
+    * much of each feed survives dedup as MASS rather than row count.
+    *
+    * All-integer (`1000 div k`, then `n_chars·w div 1000` per doc —
+    * floor twice, same in both engines). Scale: rides d8's collapsed
+    * contraction CC (its cost profile, nothing added — the join-back
+    * and rollup shuffle skinny (doc_id, k) pairs and a 20-key agg).
+    */
+  def softDedup(s: SparkSession, dir: String): DataFrame = {
+    val cl = graft.operators.Dedup.dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_size"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("k", coalesce(col("cluster_size"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        sum(col("n_chars")).as("raw_chars"),
+        sum(expr("(n_chars * (1000 div k)) div 1000")).as("eff_chars"))
+      .orderBy(col("source"))
+  }
 }

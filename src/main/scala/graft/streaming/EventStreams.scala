@@ -414,6 +414,32 @@ object EventStreams {
         unix_timestamp(col("p.ts")).as("purchase_epoch"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: [[clickPurchaseJoin]]
+    * plus the unmatched side — a click with no purchase in its window
+    * emits (click, null) once the watermark passes the click's join
+    * horizon (click ts + window + watermark delay), which is when the
+    * engine can PROVE no matching purchase can still arrive. This is
+    * the "conversion AND abandonment" form of the attribution join —
+    * the unmatched rows are the negative training examples / funnel
+    * drop-offs a pipeline needs as much as the conversions. Same
+    * bounded state as the inner form: the outer row is emitted at
+    * state eviction time, so no extra buffering.
+    */
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    c.join(p,
+        expr(s"""c.user_id = p.user_id AND
+                 |p.ts >= c.ts AND
+                 |p.ts <= c.ts + INTERVAL $windowMinutes minutes""".stripMargin),
+        "left_outer")
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        unix_timestamp(col("c.ts")).as("click_epoch"),
+        unix_timestamp(col("p.ts")).as("purchase_epoch"))
+  }
+
   /** Streaming twin of g5's incremental ingest: a file-source stream
     * over a directory of parquet drops — each trigger processes only
     * newly-arrived files (Spark's file-source log IS the idempotent

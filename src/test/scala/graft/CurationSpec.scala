@@ -345,6 +345,28 @@ class CurationSpec extends SparkSpec {
     got.foreach { case (cid, (_, keepId, _, _)) => assert(members.contains((cid, keepId))) }
   }
 
+  test("p12 soft-dedup: per-source mass reconciles with d8 clusters in the JVM") {
+    val cl = graft.operators.Dedup.dupClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.Caches.clear()
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> ((ds.length.toLong,
+        ds.count(d => cl.getOrElse(d._1, 1L) > 1L).toLong,
+        ds.map(_._3).sum,
+        ds.map(d => d._3 * (1000L / cl.getOrElse(d._1, 1L)) / 1000L).sum))
+    }
+    val got = Curation.softDedup(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp)
+    assert(got.values.exists(v => v._2 > 0), "fixture corpus must contain clusters")
+    // down-weighting never increases mass
+    got.values.foreach { case (_, _, raw, eff) => assert(eff <= raw) }
+  }
+
   test("p11 epoch-mix equals the iterative redistribute-until-fixpoint water-filling") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)

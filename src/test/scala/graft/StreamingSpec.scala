@@ -427,6 +427,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 101L)))
   }
 
+  test("left-outer interval join emits unmatched clicks once the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.clickPurchaseJoinOuter(
+        clicks.toDF().toDF("event_id", "ts", "user_id"),
+        purchases.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("attr_outer").start()
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L), // no purchase in window
+      (3L, Timestamp.valueOf("2024-01-01 10:00:00"), 8L)) // user never purchases
+    purchases.addData(
+      (101L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L),
+      (102L, Timestamp.valueOf("2024-01-01 11:00:00"), 7L))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past every click's join horizon
+    // (ts + 30 min window + 1 h delay) so unmatched state evicts
+    clicks.addData((90L, Timestamp.valueOf("2024-01-02 10:00:00"), 7L))
+    purchases.addData((190L, Timestamp.valueOf("2024-01-02 10:00:00"), 9L))
+    q.processAllAvailable()
+    clicks.addData((91L, Timestamp.valueOf("2024-01-02 12:00:00"), 7L))
+    purchases.addData((191L, Timestamp.valueOf("2024-01-02 12:00:00"), 9L))
+    q.processAllAvailable()
+    val got = spark.table("attr_outer")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(got.contains((1L, 101L)))       // the conversion
+    assert(got.contains((2L, -1L)))        // in-window purchase absent
+    assert(got.contains((3L, -1L)))        // user never purchased
+    assert(!got.exists(p => p._1 == 1L && p._2 == -1L)) // matched click has no null row
+  }
+
   test("streaming near-dup emits exactly the batch d2 pair set on the same corpus") {
     import graft.streaming.DocEvent
     import graft.operators.Dedup
