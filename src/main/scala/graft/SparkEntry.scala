@@ -184,6 +184,7 @@ object SparkEntry {
     "j1_jsonl_ingest"         -> graft.operators.IngestQueries.jsonlIngest _,
     "j2_csv_ingest"           -> graft.operators.IngestQueries.csvIngest _,
     "j3_schema_evolution"     -> graft.operators.IngestQueries.schemaEvolution _,
+    "j4_orc_ingest"           -> graft.operators.IngestQueries.orcIngest _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -728,6 +729,15 @@ object SparkEntry {
       |       round(avg(elev), 6) AS avg_elev, sum(elev)::BIGINT AS sum_elev
       |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    // j4: no tearing (ORC writes binary-whole); the audit is the
+    // byte-exact round-trip fold over the full slice
+    "j4_orc_ingest" -> raw"""
+      |SELECT count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold
+      |FROM documents WHERE doc_id < 400""".stripMargin,
     "j1_jsonl_ingest" -> raw"""
       |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,
       |       count(*) FILTER (WHERE doc_id % 7 = 3) AS n_quarantine,

@@ -58,6 +58,22 @@ object IngestQueries {
     * shared column's sum — the DuckDB oracle recomputes all four from
     * the documents table and the generating rule.
     */
+  /** j4: ORC ingest audit — the same one-aggregate audit shape as
+    * j1/j2 over Spark's native ORC reader (the second columnar
+    * production format; stripe stats drive predicate pushdown the
+    * way parquet row-group stats do — IngestSpec asserts PushedFilters
+    * and a pruned ReadSchema on this scan). `text_fold` proves the
+    * text column round-tripped byte-exactly through the ORC
+    * writer/reader pair, not just that counts line up.
+    */
+  def orcIngest(s: SparkSession, dir: String): DataFrame =
+    s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"))
+
   def schemaEvolution(s: SparkSession, dir: String): DataFrame =
     s.read.option("mergeSchema", "true")
       .parquet(IngestFixtures.ensureEvolution(s, dir))

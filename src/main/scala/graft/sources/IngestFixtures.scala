@@ -124,4 +124,24 @@ object IngestFixtures {
     }
     out.toString
   }
+
+  /** Ensure the ORC corpus for `dir`: the same doc_id < DocLimit
+    * slice written through Spark's native ORC writer (the second
+    * production columnar format beside parquet — stripe-indexed,
+    * predicate-pushdown-capable). No torn rows: ORC is written
+    * binary-whole or not at all; j4's audit proves the byte-exact
+    * text round-trip instead (the fold the oracle recomputes from
+    * the table).
+    */
+  def ensureOrc(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("orc", dir)
+    val stamp = new java.io.File(out, "_built")
+    if (!stamp.exists) {
+      Tables.documents(s, dir).filter(col("doc_id") < DocLimit)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").orc(s"$out/data")
+      Files.write(stamp.toPath, Array.emptyByteArray)
+    }
+    out.toString
+  }
 }

@@ -143,4 +143,24 @@ class IngestSpec extends SparkSpec {
     assert(audit(0) == ((b0.length.toLong, b0.length.toLong, 0L, b0.map(_._2).sum)))
     assert(audit(1) == ((b1.length.toLong, 0L, b1.map(t => t._1 * 7 % 100).sum, b1.map(_._2).sum)))
   }
+
+  test("j4: ORC round-trips every row byte-exactly; stripe pushdown and column pruning engage") {
+    import org.apache.spark.sql.functions._
+    val path = s"${graft.sources.IngestFixtures.ensureOrc(spark, Sf)}/data"
+    val orc = spark.read.orc(path)
+    // row-identical to the parquet-side slice, text bytes included
+    val got = orc.select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    val want = graft.Tables.documents(spark, Sf).filter(col("doc_id") < 400)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(got == want && got.size == 400)
+    // the ORC scan pushes predicates (stripe/row-group stats) and
+    // prunes columns exactly like the parquet path
+    val plan = orc.filter(col("doc_id") < 10).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"expected ORC predicate pushdown in:\n$plan")
+    assert(!plan.contains("text"), s"expected text pruned from ReadSchema in:\n$plan")
+  }
 }
