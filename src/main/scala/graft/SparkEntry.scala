@@ -73,6 +73,7 @@ object SparkEntry {
     "q46_waiting_orders"      -> Relational.q46WaitingOrders _,
     "q47_asof_tolerance"      -> ((s, d) => Relational.q47AsofTolerance(s, d)),
     "q48_table_stats"         -> ((s, d) => Relational.q48TableStats(s, d)),
+    "q49_group_mode"          -> Relational.q49GroupMode _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -950,6 +951,20 @@ object SparkEntry {
       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
       |ORDER BY u.user_id""".stripMargin,
+    // q49: mode with the smallest-value tie rule — the oracle ranks
+    // (cnt DESC, value ASC), identical to min(struct(-cnt, value))
+    "q49_group_mode" -> raw"""
+      |WITH c AS (SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS cnt
+      |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |           GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+      |        ORDER BY cnt DESC, o_orderpriority) AS rn,
+      |        sum(cnt) OVER (PARTITION BY c_mktsegment)::BIGINT AS n_orders
+      |      FROM c)
+      |SELECT c_mktsegment, o_orderpriority AS modal_priority,
+      |       cnt::BIGINT AS modal_cnt, n_orders,
+      |       (cnt * 1000 // n_orders)::BIGINT AS modal_pm
+      |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
     // q48: equi-depth histogram boundary = value at rank ceil(n*b/8)
     // of the sorted non-null multiset; all-integer (money as cents),
     // deterministic under ties

@@ -1040,6 +1040,33 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** q49: exact per-group MODE — the most-frequent-value aggregate
+    * (SQL:2023 / DuckDB `mode()`, Postgres `mode() WITHIN GROUP`)
+    * with a DETERMINISTIC tie rule (smallest value wins), per
+    * customer market segment over order priorities. Two map-side-
+    * combinable aggregations and an argmax as `min(struct(-cnt,
+    * value))` — p9's struct-argmax discipline: never a
+    * `row_number().over(partitionBy(seg))` window funnel, ≤ one row
+    * per (seg, value) per task crosses each shuffle; group count and
+    * modal share ride along as integers.
+    */
+  def q49GroupMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("c_mktsegment"))
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col("o_orderpriority").as("v"))).as("m"),
+        sum(col("cnt")).as("n_orders"))
+      .select(col("c_mktsegment"), col("m.v").as("modal_priority"),
+        (-col("m.nc")).as("modal_cnt"), col("n_orders"),
+        expr("((- m.nc) * 1000) div n_orders").as("modal_pm"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** q48: ANALYZE-style table statistics — the stats-collection job
     * behind every cost-based optimizer (Spark `ANALYZE TABLE ... FOR
     * COLUMNS`, DuckDB/Postgres auto-stats): per column, exact NDV,

@@ -432,6 +432,22 @@ class RelationalSpec extends SparkSpec {
     assert(fine == got)
   }
 
+  test("q49 group mode: struct-argmax equals a JVM frequency count with the smallest-value tie rule") {
+    val got = Relational.q49GroupMode(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rows = Tables.orders(spark, Sf)
+      .join(Tables.customer(spark, Sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp = rows.groupBy(_._1).map { case (seg, xs) =>
+      val cnts = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (v, c) = cnts.toSeq.sortBy { case (value, n) => (-n, value) }.head
+      seg -> ((v, c, xs.length.toLong, c * 1000 / xs.length))
+    }
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("q48 table stats: boundaries equal ranks of the fully-sorted multiset") {
     val got = Relational.q48TableStats(spark, Sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
