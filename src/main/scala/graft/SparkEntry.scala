@@ -152,6 +152,7 @@ object SparkEntry {
       graft.operators.Curation.softDedup(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
+    "s9_mips_bruteforce"      -> ((s: SparkSession, d: String) => Ann.mipsTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "s4_ann_pq"               -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
@@ -2261,6 +2262,18 @@ object SparkEntry {
       |SELECT doc_id, lang, n_words, round(ttr, 6) AS ttr
       |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dup)
       |ORDER BY doc_id""".stripMargin,
+    // s9: pure dot-product rank (no norms) — the raw score orders,
+    // r6 rounding only at the surface, ties break by vec_id like s1
+    "s9_mips_bruteforce" -> raw"""
+      |WITH $VecCte,
+      |q AS (SELECT vec_id AS q_id, v AS q_v FROM n WHERE vec_id < 20),
+      |c AS (SELECT q_id, vec_id, list_dot_product(q_v, v) AS d
+      |      FROM q JOIN n ON q_id != vec_id),
+      |r AS (SELECT q_id, vec_id, d,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY d DESC, vec_id)::INT AS rank
+      |      FROM c)
+      |SELECT q_id, rank, vec_id AS neighbor_id, round(d, 6) AS dot
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s1_ann_bruteforce" -> raw"""
       |WITH $VecCte,
       |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20),

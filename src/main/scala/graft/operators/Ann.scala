@@ -54,6 +54,35 @@ object Ann {
       k)
   }
 
+  /** s9: exact MIPS — maximum-INNER-PRODUCT top-k for the query
+    * vectors, the ranking a recommender/reranker scores with
+    * (user·item, query·passage): unlike cosine it REWARDS large-norm
+    * vectors, so the result order genuinely differs from s1 whenever
+    * norms vary (AnnSpec proves an order-divergent query exists on
+    * this corpus). Same one-pass shape as s1: query side broadcasts,
+    * corpus streams once, bounded-heap top-k — the dot is the
+    * codegen'd FloatDot kernel, no norms computed at all.
+    *
+    * Scale path: MIPS reduces EXACTLY to cosine ANN by norm
+    * augmentation (Bachrach et al., RecSys 2014) — append
+    * `sqrt(M² − ‖x‖²)` to each corpus vector (M = max norm) and 0 to
+    * queries; augmented cosine is a monotone map of the dot for fixed
+    * query, so every cosine index (s2-s6) serves MIPS unchanged.
+    * AnnSpec asserts the reduction reproduces this exact top-k.
+    */
+  def mipsTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    rankTopK(
+      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VecFns.dot(col("q_emb"), col("embedding")).as("cos_raw")),
+      k).withColumnRenamed("cosine", "dot")
+  }
+
   // --- hyperplane-sketch LSH ---------------------------------------
 
   val Dim = 64

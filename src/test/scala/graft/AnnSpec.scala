@@ -163,6 +163,54 @@ class AnnSpec extends SparkSpec {
     assert(overlapped == full)
   }
 
+  test("s9 MIPS: diverges from cosine where norms vary; norm-augmentation reduction is exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the driver corpus ships UNIT-normalized embeddings (MIPS ≡
+    // cosine there by construction — measured norm spread 4e-8), so
+    // the semantics split is proven on a planted corpus whose norms
+    // vary 1..7x: random unit directions scaled by 1 + id % 7
+    val dir = scratchDir("graft_s9")
+    val rnd = new scala.util.Random(99L)
+    val planted = (0L until 40L).map { id =>
+      val raw = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      val scale = (1L + id % 7L).toDouble
+      (id, raw.map(x => (x / n * scale).toFloat).toSeq)
+    }
+    planted.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val mips = Ann.mipsTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val cos = Ann.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(mips.toSet != cos.toSet, "MIPS must diverge from cosine on varied norms")
+    // Bachrach et al. reduction: append sqrt(M^2 - |x|^2) to corpus
+    // vectors, 0 to queries — augmented COSINE rank (full formula,
+    // double arithmetic) must reproduce the dot rank exactly
+    val e = planted.map { case (id, v) => id -> v.toArray }
+    val byId = e.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    val m2 = e.map { case (_, v) => dot(v, v) }.max
+    (0L until 20L).foreach { qid =>
+      val qv = byId(qid)
+      val qn = math.sqrt(dot(qv, qv))
+      val scored = e.filter(_._1 != qid).map { case (id, v) =>
+        val d = dot(qv, v)
+        val aug = math.sqrt(m2 - dot(v, v)) // augmented component
+        val cosAug = d / (qn * math.sqrt(dot(v, v) + aug * aug))
+        (id, d, cosAug)
+      }
+      val byDot = scored.sortBy { case (id, d, _) => (-d, id) }.take(10).map(_._1).toSeq
+      val byAug = scored.sortBy { case (id, _, c) => (-c, id) }.take(10).map(_._1).toSeq
+      assert(byDot == byAug, s"query $qid: reduction must preserve the exact top-k")
+      // and the Spark-side MIPS answer matches the JVM dot rank
+      val spk = mips.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(spk == byDot, s"query $qid: engine vs JVM")
+    }
+  }
+
   test("s8 graph search with prebuilt edges is identical to the self-building call") {
     import org.apache.spark.sql.functions.col
     val edges = Ann.knnJoin(spark, Sf, k = 8)
