@@ -74,6 +74,7 @@ object SparkEntry {
     "q47_asof_tolerance"      -> ((s, d) => Relational.q47AsofTolerance(s, d)),
     "q48_table_stats"         -> ((s, d) => Relational.q48TableStats(s, d)),
     "q49_group_mode"          -> Relational.q49GroupMode _,
+    "q50_sketch_rollup"       -> Relational.q50SketchRollup _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,

@@ -1040,6 +1040,32 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** q50: SKETCH ROLLUP — mergeable-summary re-aggregation, the
+    * production pattern behind every "daily uniques → monthly
+    * uniques without rescanning" dashboard (Druid/Pinot/BigQuery
+    * sketch columns): per-day HLL sketches of user_id built ONCE
+    * (`hll_sketch_agg`), then month-level distincts come from MERGING the
+    * stored sketches (`hll_union_agg`) — never from re-scanning
+    * events. The merge is the point at 100 TB: daily sketch rows are
+    * KB-sized regardless of corpus size, so the rollup reads sketches,
+    * not data. Approximate → rows-only; RelationalSpec asserts <5%
+    * error vs exact distincts AND the production-critical merge
+    * identity: merged-daily ≡ direct-monthly sketch estimates
+    * (HLL union at equal lgK is lossless, which is WHY stored
+    * sketches compose).
+    */
+  def q50SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        count(lit(1)).as("n_events"))
+    daily.groupBy(expr("day div 30").as("month30"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("month30"))
+  }
+
   /** q49: exact per-group MODE — the most-frequent-value aggregate
     * (SQL:2023 / DuckDB `mode()`, Postgres `mode() WITHIN GROUP`)
     * with a DETERMINISTIC tie rule (smallest value wins), per

@@ -440,6 +440,28 @@ object EventStreams {
         unix_timestamp(col("p.ts")).as("purchase_epoch"))
   }
 
+  /** Idempotent micro-batch writer: each epoch lands in its own
+    * `batch=<id>` directory with OVERWRITE mode. foreachBatch's
+    * contract is at-least-once — after a crash between sink write and
+    * offset commit the same epoch is re-delivered — so a replayed
+    * epoch overwrites its own previous attempt instead of appending
+    * duplicates: exactly-once at the directory level, the standard
+    * production recipe for non-transactional parquet targets.
+    */
+  def idempotentBatchWriter(path: String): (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (batch, id) => batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+
+  /** foreachBatch sink wired to [[idempotentBatchWriter]] — the
+    * deployment shape for sinks Spark has no transactional committer
+    * for (JDBC upserts, object-store renames, parquet-per-epoch).
+    */
+  def idempotentSink(df: org.apache.spark.sql.DataFrame, path: String,
+      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch(idempotentBatchWriter(path))
+      .option("checkpointLocation", ckpt)
+      .start()
+
   /** Streaming twin of g5's incremental ingest: a file-source stream
     * over a directory of parquet drops — each trigger processes only
     * newly-arrived files (Spark's file-source log IS the idempotent

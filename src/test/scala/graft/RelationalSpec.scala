@@ -448,6 +448,33 @@ class RelationalSpec extends SparkSpec {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("q50 sketch rollup: <5% error vs exact; merged-daily equals direct-monthly estimates") {
+    val got = Relational.q50SketchRollup(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // exact monthly distincts + event counts from the same bucketing
+    val exact = Tables.events(spark, Sf)
+      .select(expr("unix_timestamp(ts) div 86400 div 30").as("m"), col("user_id"))
+      .groupBy(col("m"))
+      .agg(countDistinct(col("user_id")).as("du"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (m, (approx, n, _)) =>
+      val (du, n2) = exact(m)
+      assert(n == n2, s"month $m event count")
+      assert(math.abs(approx - du).toDouble / du < 0.05, s"month $m: $approx vs $du")
+    }
+    // the merge identity that makes STORED sketches composable:
+    // union of daily sketches estimates exactly what one direct
+    // monthly sketch estimates (HLL union at equal lgK is lossless)
+    val direct = Tables.events(spark, Sf)
+      .groupBy(expr("unix_timestamp(ts) div 86400 div 30").as("m"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (m, (approx, _, _)) =>
+      assert(approx == direct(m), s"month $m: merged $approx vs direct ${direct(m)}")
+    }
+  }
+
   test("q48 table stats: boundaries equal ranks of the fully-sorted multiset") {
     val got = Relational.q48TableStats(spark, Sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
