@@ -195,6 +195,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q48: no global-order window, no percentile expression — ranks ride the sharded prefix") {
+    val p = formatted(Relational.q48TableStats(spark, Sf))
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, p)
+    // every window carries the column-name partition key (the shard
+    // window adds the shard key on top) — never an empty partitionBy
+    // over the full distinct-value frame
+    assert(winSpecs.forall(_.contains("col_name#")), s"expected col_name-partitioned windows:\n$p")
+    assert(!p.toLowerCase.contains("percentile"), p)
+  }
+
+  test("t16: the bigram exchange carries 8-byte hashes, never bigram strings") {
+    val p = formatted(graft.operators.TextAnalysis.bigramCoverage(spark, Sf))
+    // the count group-by and the join-back key on xxhash64(g); the
+    // string column g must be projected away before any Exchange
+    val exchanges = p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange")).map(_._2)
+    assert(exchanges.nonEmpty, p)
+    assert(p.contains("xxhash64"), p)
+    val lines = p.linesIterator.toVector
+    exchanges.foreach { i =>
+      assert(!lines(i).contains(" g#"), s"bigram string crosses an exchange:\n${lines(i)}")
+    }
+  }
+
   test("q36/g21: sharded prefixes keep every window partition bounded (no empty partitionBy)") {
     for (df <- Seq(Relational.q36Concurrency(spark, Sf),
         graft.geo.GeoQueries.compactionPlan(spark, Sf))) {
