@@ -212,4 +212,38 @@ class PropertySpec extends SparkSpec {
     }
     check("q36-sweep-line", prop, cases = 5)
   }
+
+  test("q48 equi-depth boundaries match a sorted-multiset reference on arbitrary tie-heavy values") {
+    // tie-heavy generators (50 distinct quantities over 300 rows) so
+    // boundary determinism under duplicates is exercised; prices are
+    // exact cents/100 so the cents rounding is unambiguous in the
+    // JVM reference; shardW varies to assert shard-width invariance
+    val row = Gen.zip(Gen.choose(0L, 500L), Gen.choose(1L, 50L), Gen.choose(100L, 100000L))
+    val prop = Prop.forAll(Gen.listOfN(300, row), Gen.oneOf(7L, 64L, 4096L)) {
+      (rows, shardW) =>
+        val dir = scratchDir("graft_q48_prop")
+        rows.map { case (k, q, cents) => (k, q.toDouble, cents / 100.0) }
+          .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        val got = graft.operators.Relational.q48TableStats(spark, dir, shardW = shardW)
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+        val cols = Seq(
+          "l_orderkey" -> rows.map(_._1),
+          "l_quantity" -> rows.map(_._2),
+          "l_extendedprice" -> rows.map(_._3))
+        cols.forall { case (name, vs) =>
+          val sorted = vs.sorted
+          val n = sorted.length.toLong
+          (1 to 8).forall { b =>
+            val rank = (n * b + 7) / 8
+            got.get((name, b)).contains(
+              (sorted((rank - 1).toInt), vs.distinct.length.toLong, 0L,
+                sorted.head, sorted.last))
+          }
+        } && got.size == 24
+    }
+    check("q48-equi-depth", prop, cases = 4)
+  }
 }
