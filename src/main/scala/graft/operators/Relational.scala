@@ -1122,10 +1122,18 @@ object Relational {
         struct(lit("l_extendedprice").as("col_name"), cents(col("l_extendedprice")).as("v"))
       )).as("p"))
       .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
-    val stats = u.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_vals"))
-    val vals = u.filter(col("v").isNotNull)
-      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    // ONE table scan: nulls stay in the per-value count frame as their
+    // own group, and every downstream frame (row/null stats, the
+    // sharded prefix, NDV/min/max) derives from this NDV-sized cached
+    // intermediate — without it each subtree re-scans the table (4
+    // pruned scans observed at plan review; at 100 TB that is 4 reads
+    // of a 3-column projection for one stats job).
+    val counted = graft.Caches.track(
+      u.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt")))
+    val stats = counted.groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_vals"))
+    val vals = counted.filter(col("v").isNotNull)
       .withColumn("shard", expr(s"v div $shardW"))
     val wLocal = Window.partitionBy(col("col_name"), col("shard")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
