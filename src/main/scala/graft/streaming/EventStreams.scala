@@ -160,6 +160,82 @@ object EventStreams {
     SessionOut(userId, st.sessionId, st.nEvents, st.startMs / 1000, st.lastMs / 1000,
       st.valueCents)
 
+  /** Sessionize on TRANSFORMWITHSTATE — Spark 4's arbitrary-state
+    * operator (the fMGWS successor: typed state variables, first-class
+    * timers, state schema evolution): IDENTICAL semantics to
+    * [[sessionize]] — the same greedy fold closes a session when a
+    * same-user event arrives past the gap, and a registered
+    * EVENT-TIME TIMER (handleExpiredTimer, re-armed on every update)
+    * closes the final open session when the watermark passes
+    * last + gap. State per user is one typed ValueState[SessionState]
+    * — bounded as before. StreamingSpec asserts row-for-row parity
+    * with the fMGWS form on the same multi-batch input. Requires the
+    * RocksDB state store provider (the only one transformWithState
+    * supports).
+    */
+  def sessionizeTws(events: Dataset[SessionEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  private[graft] class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, SessionOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur: Option[SessionState] = if (state.exists()) Some(state.get()) else None
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val ms    = e.ts.getTime
+        val cents = math.round(e.value * 100)
+        cur match {
+          case Some(st) if ms - st.lastMs <= SessionGapMs =>
+            cur = Some(st.copy(startMs = math.min(st.startMs, ms),
+              lastMs = math.max(st.lastMs, ms), nEvents = st.nEvents + 1,
+              valueCents = st.valueCents + cents))
+          case Some(st) =>
+            closed += emit(userId, st)
+            cur = Some(SessionState(st.sessionId + 1, ms, ms, 1, cents))
+          case None =>
+            cur = Some(SessionState(1, ms, ms, 1, cents))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        // re-arm: timers are per-(key, timestamp) and additive, so
+        // every stale deadline must be deleted or it still fires
+        val next = math.max(st.lastMs + SessionGapMs, timers.getCurrentWatermarkInMs() + 1)
+        val existing = getHandle.listTimers().toSeq
+        existing.filter(_ != next)
+          .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        if (!existing.contains(next)) getHandle.registerTimer(next)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out = if (state.exists()) Iterator(emit(userId, state.get())) else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
   /** Streaming twin of q14's as-of join: each streamed event is
     * enriched with the most recent order (t ≤ event time) of its
     * user. The per-user sorted order index arrives as INITIAL STATE

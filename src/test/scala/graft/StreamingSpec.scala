@@ -346,6 +346,51 @@ class StreamingSpec extends SparkSpec {
     assert(all.sorted == first)
   }
 
+  test("transformWithState sessionize matches the fMGWS form row-for-row") {
+    import graft.streaming.{EventStreams, SessionEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    // transformWithState supports only the RocksDB provider
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = Seq(
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+        SessionEvent(2L, Timestamp.valueOf("2024-01-01 10:00:00"), 8.0))
+      val batch2 = Seq( // u1's gap closes s1 in-band, opens s2
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 11:30:00"), 4.0))
+      val flush = Seq( // advances the watermark so open sessions time out
+        SessionEvent(3L, Timestamp.valueOf("2024-01-01 20:00:00"), 0.5))
+      def run(f: org.apache.spark.sql.Dataset[SessionEvent] =>
+          org.apache.spark.sql.Dataset[SessionOut], name: String): Seq[SessionOut] = {
+        val mem = MemoryStream[SessionEvent]
+        val q = f(mem.toDS()).writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        mem.addData(batch1: _*); q.processAllAvailable()
+        mem.addData(batch2: _*); q.processAllAvailable()
+        mem.addData(flush: _*); q.processAllAvailable()
+        q.stop()
+        spark.table(name).as[SessionOut].collect().toSeq
+      }
+      val fmgws = run(EventStreams.sessionize(_), "tws_parity_a")
+      val tws = run(EventStreams.sessionizeTws(_), "tws_parity_b")
+      def ms(xs: Seq[SessionOut]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+      assert(ms(tws) == ms(fmgws), s"tws=$tws fmgws=$fmgws")
+      // both the in-band close (u1 s1) and the timer close (u1 s2,
+      // u2 s1) paths produced rows
+      assert(tws.exists(s => s.user_id == 1L && s.session_id == 1L && s.n_events == 2))
+      assert(tws.exists(s => s.user_id == 1L && s.session_id == 2L))
+      assert(tws.exists(s => s.user_id == 2L && s.session_id == 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerConf, v)
+        case None    => spark.conf.unset(providerConf)
+      }
+    }
+  }
+
   test("sessionize restarts from a RocksDB checkpoint with no loss and no duplicates") {
     // The failure mode a long-running deployment actually hits: the
     // query dies mid-stream and restarts from its checkpoint. Open
