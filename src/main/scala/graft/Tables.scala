@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic star schema
   * (/root/testdata/sf*). One parquet file per table; Catalyst handles
@@ -57,6 +57,33 @@ object Tables {
       case _                => raw
     }
   }
-  def documents(s: SparkSession, dir: String): DataFrame = read(s, s"$dir/documents.parquet")
-  def embeddings(s: SparkSession, dir: String): DataFrame = read(s, s"$dir/embeddings.parquet")
+  /** documents/embeddings physical-type contracts — the same
+    * loader-owned normalization discipline as [[events]] (the r6
+    * lesson: a driver testdata regeneration changed a physical type
+    * and broke an operator; the loader, not each query, owns the
+    * mapping). `doc_id`/`n_chars`/`vec_id` normalize to LongType if a
+    * regeneration ships int32; `embedding` normalizes to
+    * array<float> if it ships doubles (the FloatDot/MinHash kernels
+    * and every Encoder-typed spec require floats). All no-ops on the
+    * current testdata.
+    */
+  def documents(s: SparkSession, dir: String): DataFrame = {
+    val raw = read(s, s"$dir/documents.parquet")
+    Seq("doc_id", "n_chars").foldLeft(raw) { (df, c) =>
+      if (df.schema(c).dataType == IntegerType) df.withColumn(c, col(c).cast(LongType))
+      else df
+    }
+  }
+  def embeddings(s: SparkSession, dir: String): DataFrame = {
+    val raw = read(s, s"$dir/embeddings.parquet")
+    val idFixed =
+      if (raw.schema("vec_id").dataType == IntegerType)
+        raw.withColumn("vec_id", col("vec_id").cast(LongType))
+      else raw
+    idFixed.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        idFixed.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => idFixed
+    }
+  }
 }

@@ -144,6 +144,31 @@ class IngestSpec extends SparkSpec {
     assert(audit(1) == ((b1.length.toLong, 0L, b1.map(t => t._1 * 7 % 100).sum, b1.map(_._2).sum)))
   }
 
+  test("loaders normalize regenerated physical types: int32 ids -> long, double embeddings -> float") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = scratchDir("graft_tblnorm")
+    Seq((1, "alpha beta", "en", "s", 10), (2, "gamma delta", "en", "s", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val d = Tables.documents(spark, dir)
+    assert(d.schema("doc_id").dataType == LongType &&
+      d.schema("n_chars").dataType == LongType)
+    assert(d.select(sum(col("n_chars"))).head.getLong(0) == 21L)
+    val e = Tables.embeddings(spark, dir)
+    assert(e.schema("vec_id").dataType == LongType)
+    assert(e.schema("embedding").dataType == ArrayType(FloatType, true) ||
+      e.schema("embedding").dataType == ArrayType(FloatType, false))
+    // the float kernel path works on the normalized column
+    val n = e.select(graft.functions.VecFns.norm(col("embedding")).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(n.forall(x => math.abs(x - 1.0) < 1e-6))
+  }
+
   test("j4: ORC round-trips every row byte-exactly; stripe pushdown and column pruning engage") {
     import org.apache.spark.sql.functions._
     val path = s"${graft.sources.IngestFixtures.ensureOrc(spark, Sf)}/data"
