@@ -75,6 +75,7 @@ object SparkEntry {
     "q48_table_stats"         -> ((s, d) => Relational.q48TableStats(s, d)),
     "q49_group_mode"          -> Relational.q49GroupMode _,
     "q50_sketch_rollup"       -> Relational.q50SketchRollup _,
+    "q51_sketch_overlap"      -> Relational.q51SketchOverlap _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,

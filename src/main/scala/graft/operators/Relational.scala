@@ -1066,6 +1066,33 @@ object Relational {
       .orderBy(col("month30"))
   }
 
+  /** q51: sketch SET ALGEBRA — audience overlap between event types
+    * by HLL inclusion-exclusion (the "how many users do segments A
+    * and B share" dashboard): per-segment sketches built once, every
+    * pair's union estimated by merging the two KB-sized sketches
+    * (`hll_union`), overlap = est(A) + est(B) − est(A∪B). The pair
+    * join runs on the segment-sized sketch frame — segments², never
+    * users², and never a re-scan of events. Approximate → rows-only;
+    * RelationalSpec bounds the overlap error against exact
+    * intersections at 10% of the UNION size (the honest denominator:
+    * inclusion-exclusion error compounds three ±2% estimates, so
+    * relative-to-intersection error is unbounded when the overlap is
+    * tiny — stated, not hidden).
+    */
+  def q51SketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"),
+        expr("hll_sketch_estimate(a.sk)").as("users_a"),
+        expr("hll_sketch_estimate(b.sk)").as("users_b"),
+        expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("users_union"))
+      .withColumn("overlap_est",
+        col("users_a") + col("users_b") - col("users_union"))
+      .orderBy(col("et_a"), col("et_b"))
+  }
+
   /** q49: exact per-group MODE — the most-frequent-value aggregate
     * (SQL:2023 / DuckDB `mode()`, Postgres `mode() WITHIN GROUP`)
     * with a DETERMINISTIC tie rule (smallest value wins), per

@@ -475,6 +475,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q51 sketch overlap: inclusion-exclusion within 10% of the union vs exact intersections") {
+    val got = Relational.q51SketchOverlap(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    val sets = Tables.events(spark, Sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), est) =>
+      val exact = (sets(a) & sets(b)).size.toLong
+      val union = (sets(a) | sets(b)).size.toLong
+      assert(math.abs(est - exact).toDouble / union < 0.10,
+        s"($a,$b): est $est exact $exact union $union")
+    }
+  }
+
   test("q48 table stats: boundaries equal ranks of the fully-sorted multiset") {
     val got = Relational.q48TableStats(spark, Sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
