@@ -187,9 +187,21 @@ object Multimodal {
     */
   def decodeBatched(s: SparkSession, dir: String): Dataset[MediaMeta] = {
     import s.implicits._
-    withPayload(s, dir).as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(BatchSize).flatMap(batch =>
-        batch.map { case (id, bytes) => decode(id, bytes) }))
+    manifestFrame(withPayload(s, dir).as[(Long, Array[Byte])])
+  }
+
+  /** The m1 decode transform over ANY (doc_id, payload) frame —
+    * stateless batched mapPartitions, so the SAME code produces the
+    * manifest from a batch table and from a readStream/MemoryStream
+    * of ARRIVING media (gopherGateFrame's deployment discipline
+    * extended to binary payloads: score assets at ingest, not in a
+    * nightly rescan; StreamingSpec asserts streamed ≡ batch
+    * row-for-row).
+    */
+  def manifestFrame(media: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(batch =>
+      batch.map { case (id, bytes) => decode(id, bytes) }))
   }
 
   /** The `m1_mm_manifest` query: decoded metadata manifest ordered by

@@ -346,6 +346,31 @@ class StreamingSpec extends SparkSpec {
     assert(all.sorted == first)
   }
 
+  test("streaming media manifest: stateless decode at arrival equals the batch m1 manifest") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val payloads = Multimodal.withPayload(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.manifestFrame(mem.toDS()).toDF()
+      .select("doc_id", "n_bytes", "width", "height", "channels", "phash")
+      .writeStream.outputMode("append").format("memory").queryName("mm_stream").start()
+    // two micro-batches: the decode is stateless, so the split point
+    // cannot matter
+    val (b1, b2) = payloads.splitAt(payloads.length / 2)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mm_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5))).toSet
+    val want = Multimodal.manifest(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5))).toSet
+    graft.Caches.clear()
+    assert(want.nonEmpty && got == want)
+  }
+
   test("transformWithState sessionize matches the fMGWS form row-for-row") {
     import graft.streaming.{EventStreams, SessionEvent, SessionOut}
     implicit val sqlCtx = spark.sqlContext
