@@ -1011,14 +1011,20 @@ object SparkEntry {
       |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
     // q45: identical normalized-rank definitions in both engines;
     // unique order key makes them deterministic
+    // q45: integer numerators recovered from the native window
+    // functions (pr·(n−1), cd·n) — a 6dp-rounded double is not
+    // cross-engine stable on decimal ties (r8 sf0.1 sweep finding)
     "q45_rank_dist" -> raw"""
       |WITH c AS (SELECT c_custkey, c_nationkey,
       |             round(c_acctbal*100)::BIGINT AS bal_cents FROM customer)
       |SELECT c_custkey, c_nationkey, bal_cents,
+      |  (count(*) OVER (PARTITION BY c_nationkey))::BIGINT AS n_part,
       |  round(percent_rank() OVER (PARTITION BY c_nationkey
-      |    ORDER BY bal_cents, c_custkey), 6) AS pr,
+      |          ORDER BY bal_cents, c_custkey)
+      |        * (count(*) OVER (PARTITION BY c_nationkey) - 1))::BIGINT AS pr_k,
       |  round(cume_dist() OVER (PARTITION BY c_nationkey
-      |    ORDER BY bal_cents, c_custkey), 6) AS cd
+      |          ORDER BY bal_cents, c_custkey)
+      |        * count(*) OVER (PARTITION BY c_nationkey))::BIGINT AS cd_k
       |FROM c ORDER BY c_custkey""".stripMargin,
     // q44: the same three-valued NOT IN in DuckDB — unguarded must be 0
     "q44_not_in_null" -> raw"""

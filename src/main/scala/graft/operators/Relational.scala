@@ -728,16 +728,26 @@ object Relational {
     * ranking pair q9/q31's rank/ntile don't cover (percentile
     * position is scale-free, so downstream thresholds survive group
     * size changes). Order key (acctbal cents, custkey) is unique ⇒
-    * both functions are engine-deterministic; doubles are exact
-    * ratios of small integers, r6-rounded for the compare.
+    * both functions are engine-deterministic. The output recovers
+    * the EXACT integer numerators — `pr·(n−1)` and `cd·n` are
+    * integers up to 1 ulp, so `round(...)` makes them exact longs —
+    * because a 6dp-rounded double is NOT cross-engine stable: at
+    * sf0.1 three cume_dist values landed on decimal ties where
+    * Spark's round (BigDecimal HALF_UP on the double's shortest
+    * decimal repr) and DuckDB's disagree in the 6th digit (caught by
+    * the r8 sf0.1 oracle sweep; sf0.01 never hit a tie). The native
+    * window functions stay in the plan — only the surface is integer.
     */
   def q45RankDist(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("bal_cents"), col("c_custkey"))
+    val wAll = Window.partitionBy(col("c_nationkey"))
     Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"))
-      .withColumn("pr", r6(percent_rank().over(w)))
-      .withColumn("cd", r6(cume_dist().over(w)))
+      .withColumn("n_part", count(lit(1)).over(wAll))
+      .withColumn("pr_k",
+        round(percent_rank().over(w) * (col("n_part") - 1)).cast("long"))
+      .withColumn("cd_k", round(cume_dist().over(w) * col("n_part")).cast("long"))
       .orderBy(col("c_custkey"))
   }
 

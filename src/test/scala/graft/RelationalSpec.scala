@@ -261,16 +261,17 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("q45 percent_rank/cume_dist: bounds and monotonicity within each nation") {
+  test("q45 percent_rank/cume_dist: exact integer numerators equal the 0-based position") {
     val rows = Relational.q45RankDist(spark, Sf).collect()
-      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0), r.getDouble(3), r.getDouble(4)))
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
     rows.groupBy(_._1).values.foreach { ns =>
       val ordered = ns.sortBy(t => (t._2, t._3))
-      assert(ordered.head._4 == 0.0)        // first percent_rank = 0
-      assert(ordered.last._5 == 1.0)        // last cume_dist = 1
-      ordered.sliding(2).foreach {
-        case Array(a, b) => assert(a._4 <= b._4 && a._5 <= b._5)
-        case _ =>
+      val n = ordered.length.toLong
+      assert(ordered.forall(_._4 == n)) // n_part
+      ordered.zipWithIndex.foreach { case (t, i) =>
+        assert(t._5 == i.toLong, "pr*(n-1) = rank-1 under a unique order key")
+        assert(t._6 == i.toLong + 1, "cd*n = row_number under a unique order key")
       }
     }
     assert(rows.nonEmpty)
