@@ -44,6 +44,7 @@ object SparkEntry {
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
       GeoQueries.ruggedness(s, d)),
+    "g25_polygon_filter"      -> GeoQueries.polygonFilter _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -384,6 +385,26 @@ object SparkEntry {
     // (all operands non-negative, so % agrees across engines);
     // dzdx/dzdy/tan2 are INTEGER Horn numerators — no float trig in
     // the hash (libm atan is not bit-identical across engines)
+    // g25: the identical 6-term integer crossing-number expression,
+    // generated from the same polygon constant (no division, no
+    // floats — inequality direction folded into each edge's winding)
+    "g25_polygon_filter" -> (raw"""
+      |WITH $TilesCte,
+      |f AS (SELECT ((""" + {
+      val pts = GeoQueries.FrancePoly
+      pts.indices.map { i =>
+        val (y1, x1) = pts(i); val (y2, x2) = pts((i + 1) % pts.size)
+        val cross = s"(${x2 - x1}) * (lat0 - ($y1)) - (lon0 - ($x1)) * (${y2 - y1})"
+        val hit = if (y2 > y1) s"$cross > 0" else s"$cross < 0"
+        s"(CASE WHEN (($y1 > lat0) != ($y2 > lat0)) AND ($hit) THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+    } + raw""") % 2 = 1) AS in_poly,
+      |        (lat0 BETWEEN 42 AND 51 AND lon0 BETWEEN -5 AND 8) AS in_bbox
+      |      FROM keyed)
+      |SELECT sum(CASE WHEN in_poly THEN 1 ELSE 0 END)::BIGINT AS n_polygon,
+      |  sum(CASE WHEN in_bbox THEN 1 ELSE 0 END)::BIGINT AS n_bbox,
+      |  sum(CASE WHEN in_bbox AND NOT in_poly THEN 1 ELSE 0 END)::BIGINT AS n_bbox_only,
+      |  count(*) AS n_tiles FROM f""").stripMargin,
     // g24: TRI — 8 squared neighbor differences per interior pixel,
     // re-derived from the raster fixture formula; all integer, sums
     // cast ::BIGINT (DuckDB sum is HUGEINT)

@@ -395,6 +395,48 @@ object GeoQueries {
   private def zAt(n: Int)(dx: Int, dy: Int): org.apache.spark.sql.Column =
     element_at(col("e"), (col("y") + dy) * n + col("x") + dx + 1)
 
+  /** g25's polygon: an integer-vertex hexagon approximating France —
+    * the first region predicate beyond the reference's axis-aligned
+    * bboxes (main.rs:56-88). Closed ring, counter-listed clockwise.
+    */
+  private[graft] val FrancePoly: Seq[(Int, Int)] = // (lat, lon)
+    Seq((51, 2), (49, 8), (44, 8), (42, 3), (44, -2), (49, -5))
+
+  /** g25: POLYGON region filter — point-in-polygon by the crossing-
+    * number (even-odd) rule, in PURE INTEGER arithmetic: for each
+    * polygon edge straddling the tile's latitude, the "ray crosses
+    * left of the edge" test `px < x1 + (x2−x1)(py−y1)/(y2−y1)` is
+    * cross-multiplied by `(y2−y1)` (inequality direction folded into
+    * the edge's winding), so no division and no floats exist anywhere
+    * — both engines evaluate the identical 6-term integer expression.
+    * The audit row reports polygon membership vs the polygon's
+    * bounding box: `n_bbox_only` is exactly the overcount a
+    * bbox-only engine (the reference's region sets) ships to its
+    * users. Stateless per-row predicate — pushdown-friendly, zero
+    * shuffle before the 1-row aggregate; at 100 TB this is a scan
+    * with a fused filter, the cheapest shape there is.
+    */
+  def polygonFilter(s: SparkSession, dir: String): DataFrame = {
+    val py = col("lat0"); val px = col("lon0")
+    val crossings = FrancePoly.indices.map { i =>
+      val (y1, x1) = FrancePoly(i)
+      val (y2, x2) = FrancePoly((i + 1) % FrancePoly.size)
+      val straddles = (lit(y1) > py) =!= (lit(y2) > py)
+      val cross = lit(x2 - x1) * (py - lit(y1)) - (px - lit(x1)) * lit(y2 - y1)
+      val hit = if (y2 > y1) cross > 0 else cross < 0
+      when(straddles && hit, 1).otherwise(0)
+    }.reduce(_ + _)
+    tiles(s, dir)
+      .select(
+        (pmod(crossings, lit(2)) === 1).as("in_poly"),
+        (col("lat0").between(42, 51) && col("lon0").between(-5, 8)).as("in_bbox"))
+      .agg(
+        sum(when(col("in_poly"), 1L).otherwise(0L)).as("n_polygon"),
+        sum(when(col("in_bbox"), 1L).otherwise(0L)).as("n_bbox"),
+        sum(when(col("in_bbox") && !col("in_poly"), 1L).otherwise(0L)).as("n_bbox_only"),
+        count(lit(1)).as("n_tiles"))
+  }
+
   /** g24: Terrain Ruggedness Index — Riley et al.'s TRI (`gdaldem
     * TRI`, GRASS `r.tri`): per interior pixel the sum of SQUARED
     * elevation differences to its 8 neighbors, reported per tile as

@@ -773,6 +773,44 @@ class GeoSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.sorted.toSeq == g6.keys.toSeq.sorted)
   }
 
+  test("g25 polygon filter: integer crossing-number matches a double-arithmetic reference") {
+    val row = GeoQueries.polygonFilter(spark, Sf).head
+    val (nPoly, nBbox, nOnly, nTiles) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // independent reference: the textbook formulation with a DOUBLE
+    // intersection (division), not the engine's cross-multiplied form
+    def inside(py: Int, px: Int): Boolean = {
+      val pts = GeoQueries.FrancePoly
+      var c = 0
+      pts.indices.foreach { i =>
+        val (y1, x1) = pts(i); val (y2, x2) = pts((i + 1) % pts.size)
+        if ((y1 > py) != (y2 > py)) {
+          val xint = x1 + (x2 - x1).toDouble * (py - y1) / (y2 - y1)
+          if (px < xint) c += 1
+        }
+      }
+      c % 2 == 1
+    }
+    assert(inside(48, 2), "Paris must be inside")   // sanity of the reference
+    assert(!inside(40, -3), "Madrid must be outside")
+    assert(!inside(48, 9), "east of the hexagon must be outside")
+    val ts = Geo.tiles(spark, Sf).select("lat0", "lon0").collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).intValue))
+    val expPoly = ts.count { case (la, lo) => inside(la, lo) }.toLong
+    val expBbox = ts.count { case (la, lo) =>
+      la >= 42 && la <= 51 && lo >= -5 && lo <= 8 }.toLong
+    val expOnly = ts.count { case (la, lo) =>
+      la >= 42 && la <= 51 && lo >= -5 && lo <= 8 && !inside(la, lo) }.toLong
+    assert((nPoly, nBbox, nOnly, nTiles) == ((expPoly, expBbox, expOnly, ts.length.toLong)))
+    assert(nPoly + nOnly == nBbox) // poly ⊆ bbox by construction
+    // the polygon is strictly tighter than its bbox on the full
+    // integer grid (the sparse sf0.001 tile universe may miss the
+    // corner cells — the fixture's coverage, not the predicate)
+    val bboxOnlyFull = (for { la <- 42 to 51; lo <- -5 to 8 } yield (la, lo))
+      .count { case (la, lo) => !inside(la, lo) }
+    assert(bboxOnlyFull > 0)
+  }
+
   test("g24 ruggedness: JVM brute force over the fixture formula, every raster tile") {
     val got = GeoQueries.ruggedness(spark, Sf).collect()
       .map(r => r.getLong(0) ->
