@@ -77,6 +77,7 @@ object SparkEntry {
     "q49_group_mode"          -> Relational.q49GroupMode _,
     "q50_sketch_rollup"       -> Relational.q50SketchRollup _,
     "q51_sketch_overlap"      -> Relational.q51SketchOverlap _,
+    "q52_twap"                -> Relational.q52Twap _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -1035,6 +1036,22 @@ object SparkEntry {
     // q45: integer numerators recovered from the native window
     // functions (pr·(n−1), cd·n) — a 6dp-rounded double is not
     // cross-engine stable on decimal ties (r8 sf0.1 sweep finding)
+    // q52: held-interval weights — lead over (t, event_id) per user,
+    // last event holds nothing; integer cents·seconds numerators
+    "q52_twap" -> raw"""
+      |WITH e AS (SELECT user_id, event_id, event_type,
+      |             floor(epoch(ts))::BIGINT AS t,
+      |             round(value*100)::BIGINT AS cents
+      |           FROM events),
+      |h AS (SELECT *, lead(t) OVER (PARTITION BY user_id
+      |        ORDER BY t, event_id) AS t_next FROM e)
+      |SELECT event_type, count(*) AS n_held,
+      |  sum(cents * (t_next - t))::BIGINT AS twap_num,
+      |  sum(t_next - t)::BIGINT AS twap_den,
+      |  (CASE WHEN sum(t_next - t) = 0 THEN 0
+      |        ELSE sum(cents * (t_next - t)) // sum(t_next - t) END)::BIGINT AS twap_cents
+      |FROM h WHERE t_next IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q45_rank_dist" -> raw"""
       |WITH c AS (SELECT c_custkey, c_nationkey,
       |             round(c_acctbal*100)::BIGINT AS bal_cents FROM customer)

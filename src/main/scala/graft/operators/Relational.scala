@@ -1076,6 +1076,36 @@ object Relational {
       .orderBy(col("month30"))
   }
 
+  /** q52: TIME-WEIGHTED average — the irregular-sampling aggregate
+    * (TWAP in finance, time-weighted gauges in metrics systems): a
+    * plain AVG over-weights bursts, so each observation is weighted
+    * by how long it HELD — the seconds until the same user's next
+    * event. Per event type: Σ cents·Δt and Σ Δt ride as exact
+    * integers (the sumCents discipline extended to time weights; the
+    * surfaced ratio is a per-mille integer division). Last event per
+    * user has no successor → contributes no held interval (standard
+    * left-closed convention, stated). One bounded per-user window
+    * (lead over the user partition) + a skinny per-type aggregate —
+    * no global window, corpus-linear.
+    */
+  def q52Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("t"), cents(col("value")).as("cents"))
+      .withColumn("t_next", lead(col("t"), 1).over(w))
+      .filter(col("t_next").isNotNull)
+      .withColumn("dt", col("t_next") - col("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("cents") * col("dt")).as("twap_num"),
+        sum(col("dt")).as("twap_den"))
+      .withColumn("twap_cents",
+        when(col("twap_den") === 0, 0L)
+          .otherwise(expr("twap_num div twap_den")))
+      .orderBy(col("event_type"))
+  }
+
   /** q51: sketch SET ALGEBRA — audience overlap between event types
     * by HLL inclusion-exclusion (the "how many users do segments A
     * and B share" dashboard): per-segment sketches built once, every

@@ -261,6 +261,26 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q52 TWAP: hand-computed held intervals, same-second ties hold zero, last event holds nothing") {
+    val dir = scratchDir("graft_q52")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq(
+      (1L, ts(0), 1L, "A", 1.0, "{}"),   // holds 10 s at 100 cents
+      (2L, ts(10), 1L, "B", 2.0, "{}"),  // holds 20 s at 200 cents
+      (3L, ts(30), 1L, "A", 3.0, "{}"),  // last for u1 — holds nothing
+      (10L, ts(5), 2L, "A", 5.0, "{}"),  // same-second tie: dt 0
+      (11L, ts(5), 2L, "A", 1.0, "{}"),  // holds 3 s at 100 cents
+      (12L, ts(8), 2L, "B", 9.99, "{}")) // last for u2
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q52Twap(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((3L, 1300L, 13L, 100L)))
+    assert(got("B") == ((1L, 4000L, 20L, 200L)))
+    assert(got.size == 2)
+  }
+
   test("q45 percent_rank/cume_dist: exact integer numerators equal the 0-based position") {
     val rows = Relational.q45RankDist(spark, Sf).collect()
       .map(r => (r.getInt(1), r.getLong(2), r.getLong(0),
