@@ -127,6 +127,7 @@ object SparkEntry {
     "d13_triangles"           -> Dedup.graphTriangles _,
     "d16_cluster_histogram"   -> Dedup.clusterSizeHistogram _,
     "d17_source_dup_rates"    -> Dedup.sourceDupRates _,
+    "d18_sim_histogram"       -> Dedup.similarityHistogram _,
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
     "d4_ngram_jaccard"        -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -1972,6 +1973,18 @@ object SparkEntry {
       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin,
     // d17: d1's exact key, counted corpus-wide, rolled up per source
+    // d18: same quadratic pair CTE as d2's oracle, binned with the
+    // identical IEEE floor(j*20) on the identical 6dp-rounded doubles
+    "d18_sim_histogram" -> raw"""
+      |WITH $ShingleCte,
+      |p AS (SELECT round(len(list_intersect(a.s, b.s))::DOUBLE
+      |              / len(list_distinct(a.s || b.s)), 6) AS j
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+      |              / len(list_distinct(a.s || b.s)), 6) >= 0.8)
+      |SELECT floor(j * 20)::INT AS bin, count(*) AS n_pairs,
+      |       floor(j * 20) / 20.0 AS bin_lo
+      |FROM p GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     "d17_source_dup_rates" -> raw"""
       |WITH k AS (SELECT doc_id, source, md5($Nrm) AS k FROM documents),
       |c AS (SELECT k, count(*) AS kn FROM k GROUP BY 1)

@@ -584,6 +584,28 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** d18: SIMILARITY histogram of the verified near-dup pairs — the
+    * threshold-calibration diagnostic a dedup deployment reads before
+    * committing to a cutoff (how much pair mass sits just above the
+    * threshold vs at exact-duplicate 1.0; a mass spike AT the
+    * threshold means the cutoff is slicing a dense similarity region
+    * and should move). Pairs are d2's exact-verified set at the
+    * lossless banding threshold 0.8, bucketed into 0.05-wide bins by
+    * `floor(jaccard·20)` — the jaccard values are already
+    * cross-engine hash-exact (d2's r6 discipline), and both engines
+    * evaluate the identical IEEE floor(x·20) on those identical
+    * doubles, so bin edges are deterministic even where x·20 sits on
+    * a representation boundary. Adds one skinny groupBy to the d2
+    * pipeline — nothing to its scale profile.
+    */
+  def similarityHistogram(s: SparkSession, dir: String): DataFrame =
+    minhashLsh(s, dir, threshold = 0.8)
+      .select(floor(col("jaccard") * 20).cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("bin_lo", col("bin") / 20.0)
+      .orderBy(col("bin"))
+
   /** d16: duplicate-family SIZE DISTRIBUTION — the one-table summary
     * a dedup run reports (what fraction of duplicated mass sits in
     * pairs vs large syndication families; the histogram's tail

@@ -31,6 +31,21 @@ class DedupSpec extends SparkSpec {
     assert(grp.getLong(1) == 0L && grp.getLong(2) == 2L) // canonical=min id, size 2
   }
 
+  test("d18 similarity histogram reconciles with the collected d2 pair set") {
+    val Sf = "/root/testdata/sf0.001"
+    val pairs = Dedup.minhashLsh(spark, Sf).collect().map(_.getDouble(2))
+    graft.Caches.clear()
+    val exp = pairs.groupBy(j => math.floor(j * 20).toInt)
+      .view.mapValues(_.length.toLong).toMap
+    val got = Dedup.similarityHistogram(spark, Sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    graft.Caches.clear()
+    assert(got.view.mapValues(_._1).toMap == exp)
+    got.foreach { case (b, (_, lo)) => assert(lo == b / 20.0) }
+    assert(got.nonEmpty && got.keys.forall(b => b >= 16 && b <= 20),
+      "every verified pair sits at or above the 0.8 threshold bin")
+  }
+
   test("minhash LSH finds planted near+exact dup pairs and nothing else") {
     val got = Dedup.minhashLsh(spark, plantedDir, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
