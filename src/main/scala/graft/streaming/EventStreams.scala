@@ -516,6 +516,19 @@ object EventStreams {
         unix_timestamp(col("p.ts")).as("purchase_epoch"))
   }
 
+  /** STREAM-STATIC enrichment join: every micro-batch of events joins
+    * against a static dimension snapshot under an explicit broadcast —
+    * the most common production streaming shape (fact stream ×
+    * dimension table). No watermark and no state: the static side is
+    * planned once, broadcast to executors, and each trigger's rows
+    * hash-probe it locally — no shuffle of the stream, no state store.
+    * At 100 TB/day stream volume the dimension rides the driver once
+    * per (re)plan, which is why dimensions must stay broadcast-sized
+    * — the same discipline as the batch dim joins (q3/q5).
+    */
+  def enrichStream(events: DataFrame, dims: DataFrame): DataFrame =
+    events.join(broadcast(dims), Seq("user_id"), "left")
+
   /** Idempotent micro-batch writer: each epoch lands in its own
     * `batch=<id>` directory with OVERWRITE mode. foreachBatch's
     * contract is at-least-once — after a crash between sink write and

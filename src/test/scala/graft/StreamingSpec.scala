@@ -324,6 +324,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment: broadcast dim join, unmatched keys null-pad, no state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dims = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = EventStreams.enrichStream(
+      mem.toDF().toDF("event_id", "user_id"), dims)
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    mem.addData((10L, 1L), (11L, 3L)) // 3 has no dim row
+    q.processAllAvailable()
+    mem.addData((12L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out")
+      .select(col("event_id"), col("tier")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1))).toSet
+    assert(got == Set((10L, "gold"), (11L, "-"), (12L, "basic")))
+    // the static side rides a broadcast join; nothing stateful exists
+    val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("StateStore"), plan)
+  }
+
   test("foreachBatch idempotent sink: an epoch replay overwrites, never duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
