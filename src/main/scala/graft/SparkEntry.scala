@@ -78,6 +78,7 @@ object SparkEntry {
     "q50_sketch_rollup"       -> Relational.q50SketchRollup _,
     "q51_sketch_overlap"      -> Relational.q51SketchOverlap _,
     "q52_twap"                -> Relational.q52Twap _,
+    "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
     "q16_approx_distinct"     -> Relational.q16ApproxDistinct _,
@@ -1037,6 +1038,22 @@ object SparkEntry {
     // q45: integer numerators recovered from the native window
     // functions (pr·(n−1), cd·n) — a 6dp-rounded double is not
     // cross-engine stable on decimal ties (r8 sf0.1 sweep finding)
+    // q53: consecutive (from,to) type pairs per user, per-from
+    // integer per-mille row probabilities
+    "q53_transitions" -> raw"""
+      |WITH e AS (SELECT user_id, event_id, event_type,
+      |             floor(epoch(ts))::BIGINT AS t FROM events),
+      |h AS (SELECT event_type AS from_type,
+      |        lead(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY t, event_id) AS to_type
+      |      FROM e),
+      |m AS (SELECT from_type, to_type, count(*) AS n_trans FROM h
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, sum(n_trans)::BIGINT AS n_from FROM m GROUP BY 1)
+      |SELECT m.from_type, m.to_type, m.n_trans, f.n_from,
+      |       ((m.n_trans * 1000) // f.n_from)::BIGINT AS trans_pm
+      |FROM m JOIN f USING (from_type)
+      |ORDER BY m.from_type, m.to_type""".stripMargin,
     // q52: held-interval weights — lead over (t, event_id) per user,
     // last event holds nothing; integer cents·seconds numerators
     "q52_twap" -> raw"""

@@ -1076,6 +1076,36 @@ object Relational {
       .orderBy(col("month30"))
   }
 
+  /** q53: event-flow TRANSITION matrix — consecutive (from → to)
+    * event-type pairs per user, the Markov-chain / Sankey-diagram
+    * aggregate behind "where do users go next" product analytics
+    * (q34's funnel counts a FIXED stage chain; this surfaces the
+    * empirical transition structure). Same bounded per-user lead
+    * window as q52 (deterministic (t, event_id) order), then a
+    * skinny (from, to) count with the per-from integer per-mille
+    * transition rate — the row-probability of the Markov matrix.
+    * Corpus-linear, ≤ |event types|² output rows at any scale.
+    */
+  def q53Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    // cached: the types²-sized matrix feeds both the totals and the
+    // join-back — uncached, each consumer re-runs the events scan
+    val steps = graft.Caches.track(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("t"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans")))
+    val fromTotals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("n_from"))
+    steps.join(broadcast(fromTotals), "from_type")
+      .withColumn("trans_pm", expr("(n_trans * 1000) div n_from"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("n_from"), col("trans_pm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** q52: TIME-WEIGHTED average — the irregular-sampling aggregate
     * (TWAP in finance, time-weighted gauges in metrics systems): a
     * plain AVG over-weights bursts, so each observation is weighted

@@ -261,6 +261,31 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q53 transitions reconcile with a JVM fold over per-user ordered event sequences") {
+    val got = Relational.q53Transitions(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.Caches.clear()
+    val evs = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._4, e._2)).map(_._3).sliding(2).collect {
+        case Array(a, b) => (a, b) }.toSeq
+    }
+    val exp = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTot = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == exp.keySet && got.nonEmpty)
+    got.foreach { case (k, (n, nf, pm)) =>
+      assert(n == exp(k) && nf == fromTot(k._1) && pm == n * 1000 / nf, s"$k")
+    }
+    // every from-row's transitions sum to its total
+    got.keys.map(_._1).toSet.foreach { ft: String =>
+      assert(got.collect { case ((f, _), (n, _, _)) if f == ft => n }.sum == fromTot(ft))
+    }
+  }
+
   test("q52 TWAP: hand-computed held intervals, same-second ties hold zero, last event holds nothing") {
     val dir = scratchDir("graft_q52")
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
