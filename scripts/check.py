@@ -38,11 +38,13 @@ for name in sorted(os.listdir(outdir)):
         try:
             if gv.dtype != ev.dtype:
                 # The driver hashes value REPRESENTATIONS: int64 2 vs
-                # float64 2.0 hash differently even though == holds.
+                # float64 2.0 hash differently even though == holds, and
+                # an int32-vs-int64 width skew hashes differently too.
                 # DuckDB HUGEINT (uncast sum-derived ints) lands in
-                # pandas as float64/object — flag that as a mismatch.
+                # pandas as float64/object. Flag ANY dtype mismatch,
+                # except object-vs-object shapes pandas can't distinguish.
                 gk, ek = gv.dtype.kind, ev.dtype.kind
-                if ('f' in (gk, ek)) and (gk != ek):
+                if not (gk == 'O' and ek == 'O'):
                     bad.append((c, f"dtype skew (driver hash would differ): got {gv.dtype} exp {ev.dtype}")); continue
                 gv = gv.astype(object); ev = ev.astype(object)
             neq = ~(gv.eq(ev) | (gv.isna() & ev.isna()))

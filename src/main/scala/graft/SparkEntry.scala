@@ -269,7 +269,7 @@ object SparkEntry {
     // sums + min/max, r6 mean
     "g17_overviews" -> raw"""
       |WITH $TilesCte,
-      |cells AS (SELECT tile_id, tile_key, l.level AS level, (1 << l.level) AS f,
+      |cells AS (SELECT tile_id, tile_key, l.level::BIGINT AS level, (1 << l.level) AS f,
       |    ox.ox AS ox, oy.oy AS oy
       |  FROM keyed, (SELECT unnest([1, 2]) AS level) l,
       |       generate_series(0, 3) ox(ox), generate_series(0, 3) oy(oy)

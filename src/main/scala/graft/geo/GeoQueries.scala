@@ -834,8 +834,8 @@ object GeoQueries {
     val cells = array((for {
       l <- Seq(1, 2); f = 1 << l; m = n / f
       oy <- 0 until m; ox <- 0 until m
-    } yield struct(lit(l).as("level"), lit(f).as("f"),
-      lit(ox).as("ox"), lit(oy).as("oy"))): _*)
+    } yield struct(lit(l.toLong).as("level"), lit(f).as("f"),
+      lit(ox.toLong).as("ox"), lit(oy.toLong).as("oy"))): _*)
     val acc0 = struct(lit(0L).as("sum"), lit(Long.MaxValue).as("mn"),
       lit(Long.MinValue).as("mx"))
     decoded
@@ -846,8 +846,8 @@ object GeoQueries {
         aggregate(sequence(lit(0), col("c.f") * col("c.f") - 1), acc0,
           (acc, k) => {
             val px = element_at(col("e"),
-              (col("c.oy") * col("c.f") + k.divide(col("c.f")).cast("int")) * n +
-                col("c.ox") * col("c.f") + pmod(k, col("c.f")) + 1)
+              ((col("c.oy") * col("c.f") + k.divide(col("c.f")).cast("int")) * n +
+                col("c.ox") * col("c.f") + pmod(k, col("c.f")) + 1).cast("int"))
             struct((acc("sum") + px).as("sum"),
               least(acc("mn"), px).as("mn"), greatest(acc("mx"), px).as("mx"))
           }).as("b"))

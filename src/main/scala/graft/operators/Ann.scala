@@ -330,7 +330,15 @@ object Ann {
   def knnGraphDelta(s: SparkSession, dir: String, indexPath: String,
       deltaFilter: Column, k: Int = -1, nprobe: Int = -1): DataFrame = {
     import s.implicits._
-    val params = s.read.parquet(s"$indexPath/params").head()
+    val params =
+      try s.read.parquet(s"$indexPath/params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"knnGraphDelta: index at $indexPath has no persisted params " +
+              "(it predates build-parameter persistence) — rebuild it with " +
+              "knnGraphIndexBuild before folding deltas", e)
+      }
     val (ik, inprobe) = (params.getInt(0), params.getInt(1))
     require(k == -1 || k == ik,
       s"knnGraphDelta k=$k conflicts with the persisted index (k=$ik)")

@@ -467,10 +467,17 @@ object Curation {
   def epochMix(docs: DataFrame, epochCap: Long = 3L,
       budgetNum: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Weight parse is UNBOUNDED substring (oracle parity for arbitrarily
+    // long suffixes) and fails LOUDLY on a source name not of the form
+    // 'srcN' — a silent NULL here would null w_tot and every allocation
+    // downstream while the DuckDB oracle's ::BIGINT cast errors.
+    val parsedW = expr("cast(substring(source, 4) as bigint)")
     val per = docs
       .groupBy(col("source")).agg(sum(col("n_chars")).as("c_s"))
       .withColumn("w_s",
-        pmod(expr("cast(substring(source, 4, 10) as bigint)"), lit(5L)) + 1L)
+        when(parsedW.isNotNull, pmod(parsedW, lit(5L)) + 1L)
+          .otherwise(raise_error(concat(
+            lit("epochMix: source name not of form 'srcN': "), col("source")))))
     val tot = per.agg(sum(col("c_s")).as("c_tot"), sum(col("w_s")).as("w_tot"))
     val b = per.crossJoin(broadcast(tot))
       .withColumn("budget", col("c_tot") * budgetNum)

@@ -1159,7 +1159,10 @@ object Relational {
         expr("hll_sketch_estimate(b.sk)").as("users_b"),
         expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("users_union"))
       .withColumn("overlap_est",
-        col("users_a") + col("users_b") - col("users_union"))
+        // Inclusion-exclusion on three ±2% estimates can go negative on
+        // tiny true overlaps; a negative shared-user count is
+        // semantically impossible, so clamp at the surface.
+        greatest(lit(0L), col("users_a") + col("users_b") - col("users_union")))
       .orderBy(col("et_a"), col("et_b"))
   }
 

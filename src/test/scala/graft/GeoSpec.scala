@@ -715,7 +715,7 @@ class GeoSpec extends SparkSpec {
     def elev(t: Long, x: Int, y: Int): Long = Math.floorMod(t * 131 + x * 17 + y * 29, 8848)
     rows.foreach { r =>
       val (t, level, ox, oy) =
-        (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4))
+        (r.getLong(0), r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4).toInt)
       val f = 1 << level
       val block = for (ky <- 0 until f; kx <- 0 until f)
         yield elev(t, ox * f + kx, oy * f + ky)
@@ -726,10 +726,10 @@ class GeoSpec extends SparkSpec {
     }
     // a level-2 block sum equals the sum of its four level-1 children
     // (the pyramid consistency gdaladdo relies on)
-    val l1 = rows.filter(_.getInt(2) == 1)
-      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)) -> r.getLong(6)).toMap
-    rows.filter(_.getInt(2) == 2).foreach { r =>
-      val (t, ox, oy) = (r.getLong(0), r.getInt(3), r.getInt(4))
+    val l1 = rows.filter(_.getLong(2) == 1L)
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)) -> r.getLong(6)).toMap
+    rows.filter(_.getLong(2) == 2L).foreach { r =>
+      val (t, ox, oy) = (r.getLong(0), r.getLong(3), r.getLong(4))
       val children = for (dy <- 0 to 1; dx <- 0 to 1)
         yield l1((t, ox * 2 + dx, oy * 2 + dy))
       assert(r.getLong(6) == children.sum)
