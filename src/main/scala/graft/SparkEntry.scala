@@ -1954,8 +1954,7 @@ object SparkEntry {
       |f AS (SELECT doc_id, s, len(s)::BIGINT AS sz FROM sh)
       |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
       |  a.sz AS sz_contained, b.sz AS sz_container,
-      |  len(list_intersect(a.s, b.s))::BIGINT AS inter_sz,
-      |  round(len(list_intersect(a.s, b.s))::DOUBLE / a.sz, 6) AS containment
+      |  len(list_intersect(a.s, b.s))::BIGINT AS inter_sz
       |FROM f a JOIN f b ON a.doc_id <> b.doc_id
       |WHERE a.sz >= 5 AND len(list_intersect(a.s, b.s)) * 10 >= a.sz * 9
       |ORDER BY contained_id, container_id""".stripMargin,
@@ -1985,22 +1984,21 @@ object SparkEntry {
     "d2_minhash_lsh" -> raw"""
       |WITH $ShingleCte
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) AS jaccard
+      |  len(list_intersect(a.s, b.s))::BIGINT AS inter_sz,
+      |  len(list_distinct(a.s || b.s))::BIGINT AS union_sz
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8
+      |WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s))
       |ORDER BY id_a, id_b""".stripMargin,
     // d17: d1's exact key, counted corpus-wide, rolled up per source
     // d18: same quadratic pair CTE as d2's oracle, binned with the
     // identical IEEE floor(j*20) on the identical 6dp-rounded doubles
     "d18_sim_histogram" -> raw"""
       |WITH $ShingleCte,
-      |p AS (SELECT round(len(list_intersect(a.s, b.s))::DOUBLE
-      |              / len(list_distinct(a.s || b.s)), 6) AS j
+      |p AS (SELECT (20 * len(list_intersect(a.s, b.s)))
+      |              // len(list_distinct(a.s || b.s)) AS bin
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-      |              / len(list_distinct(a.s || b.s)), 6) >= 0.8)
-      |SELECT floor(j * 20)::INT AS bin, count(*) AS n_pairs,
-      |       floor(j * 20) / 20.0 AS bin_lo
+      |      WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s)))
+      |SELECT bin::INT AS bin, count(*) AS n_pairs, bin / 20.0 AS bin_lo
       |FROM p GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     "d17_source_dup_rates" -> raw"""
       |WITH k AS (SELECT doc_id, source, md5($Nrm) AS k FROM documents),
@@ -2015,7 +2013,7 @@ object SparkEntry {
       |WITH RECURSIVE $ShingleCte,
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+      |      WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s))),
       |e AS (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION ALL SELECT id_b, id_a FROM p),
       |verts AS (SELECT DISTINCT src AS v FROM e),
@@ -2035,7 +2033,7 @@ object SparkEntry {
       |WITH RECURSIVE $ShingleCte,
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+      |      WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s))),
       |e AS (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION ALL SELECT id_b, id_a FROM p),
       |verts AS (SELECT DISTINCT src AS v FROM e),
@@ -2063,14 +2061,13 @@ object SparkEntry {
       |    for i in range(1, 9)], (a, b) -> a*16 + b) % 100) < 10 AS is_eval
       |  FROM documents),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |        round(len(list_intersect(a.s, b.s))::DOUBLE
-      |              / len(list_distinct(a.s || b.s)), 6) AS jaccard
+      |        len(list_intersect(a.s, b.s))::BIGINT AS inter_sz,
+      |        len(list_distinct(a.s || b.s))::BIGINT AS union_sz
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-      |                  / len(list_distinct(a.s || b.s)), 6) >= 0.8)
+      |      WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s)))
       |SELECT CASE WHEN fa.is_eval THEN p.id_a ELSE p.id_b END AS eval_doc,
       |       CASE WHEN fa.is_eval THEN p.id_b ELSE p.id_a END AS train_dup,
-      |       p.jaccard
+      |       p.inter_sz, p.union_sz
       |FROM p JOIN fl fa ON fa.doc_id = p.id_a
       |       JOIN fl fb ON fb.doc_id = p.id_b
       |WHERE fa.is_eval <> fb.is_eval
@@ -2080,7 +2077,7 @@ object SparkEntry {
       |WITH $ShingleCte,
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8)
+      |      WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s)))
       |SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
       |FROM p e1 JOIN p e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
       |JOIN p e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
@@ -2089,7 +2086,7 @@ object SparkEntry {
       |WITH RECURSIVE $ShingleCte,
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+      |      WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s))),
       |e AS (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION ALL SELECT id_b, id_a FROM p),
       |verts AS (SELECT DISTINCT src AS v FROM e),
@@ -2107,7 +2104,7 @@ object SparkEntry {
       |WITH RECURSIVE $ShingleCte,
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+      |      WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s))),
       |e AS (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION ALL SELECT id_b, id_a FROM p),
       |verts AS (SELECT DISTINCT src AS v FROM e),
@@ -2128,16 +2125,17 @@ object SparkEntry {
     "d4_ngram_jaccard" -> raw"""
       |WITH $GramCte
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  round(len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)), 6) AS jaccard
+      |  len(list_intersect(a.g, b.g))::BIGINT AS inter_sz,
+      |  len(list_distinct(a.g || b.g))::BIGINT AS union_sz
       |FROM gr a JOIN gr b ON a.doc_id < b.doc_id
-      |WHERE round(len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)), 6) >= 0.7
+      |WHERE 10 * len(list_intersect(a.g, b.g)) >= 7 * len(list_distinct(a.g || b.g))
       |ORDER BY id_a, id_b""".stripMargin,
     "d5_embed_neardup" -> raw"""
       |WITH $VecCte
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |  floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6 + 0.5)::BIGINT AS cosine_e6
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin,
     "d6_repeated_spans" -> raw"""
       |WITH d AS (SELECT doc_id, $Nrm AS nrm FROM documents),
@@ -2334,7 +2332,7 @@ object SparkEntry {
       |  END AS s
       |  FROM w),
       |dup AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |        WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) >= 0.8)
+      |        WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s)))
       |SELECT doc_id, lang, n_words, round(ttr, 6) AS ttr
       |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dup)
       |ORDER BY doc_id""".stripMargin,

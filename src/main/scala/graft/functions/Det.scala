@@ -19,6 +19,25 @@ object Det {
   /** Exact money sum in cents (bigint). */
   def sumCents(c: Column): Column = sum(cents(c))
 
-  /** 6-decimal rounding for derived doubles (ratios, cosines, avgs). */
+  /** 6-decimal rounding for derived doubles (ratios, cosines, avgs).
+    *
+    * SURFACE-DEPRECATED for hash-compared output (kept for internal
+    * use and non-oracle surfaces): `round(x, 6)` renders the double's
+    * shortest decimal repr and rounds it BigDecimal-HALF_UP — engines
+    * disagree on exact decimal midpoints (the q45 sf0.1 finding: 3
+    * ties in ~134k rows). Use [[e6]] instead.
+    */
   def r6(c: Column): Column = round(c, 6)
+
+  /** Micro-units surface for derived doubles: `floor(x·1e6 + 0.5)` as
+    * BIGINT — the replacement for [[r6]] on every hash-compared
+    * column. Three IEEE-correctly-rounded ops (multiply, add, floor)
+    * on a bit-identical input tree are deterministic in ANY engine;
+    * no decimal representation exists anywhere, so the decimal-
+    * midpoint tie class that broke q45 at sf0.1 cannot occur. (For
+    * negatives this is round-half-toward-+∞ — a definition, applied
+    * identically on both sides.) Oracle twin:
+    * `floor(x * 1e6 + 0.5)::BIGINT`.
+    */
+  def e6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
 }

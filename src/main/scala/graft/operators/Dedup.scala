@@ -122,6 +122,20 @@ object Dedup {
     * the classic first-stage PPJoin cut. Free either way: it rides
     * the existing join.
     */
+  /** Thresholds are TENTHS by contract (0.7, 0.8, 0.9); expressed as
+    * an exact rational n/10 every comparison below is an integer
+    * cross-multiplication — no float threshold ever meets a float
+    * ratio, so no rounding-tie class exists anywhere in the pair
+    * pipeline (the q45 integer-numerator discipline applied to
+    * selection, not just surfaces).
+    */
+  private def tauRational(threshold: Double): (Int, Int) = {
+    val num = math.round(threshold * 10).toInt
+    require(math.abs(threshold * 10 - num) < 1e-9,
+      s"jaccard threshold must be a multiple of 0.1, got $threshold")
+    (num, 10)
+  }
+
   private def lshVerifiedPairs(hashedDocs: DataFrame, bands: Int, rows: Int,
       threshold: Double, oph: Boolean = false): DataFrame =
     graft.Caches.ordered(
@@ -142,7 +156,7 @@ object Dedup {
     val within = dupMembers.as("x").join(dupMembers.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        lit(1.0).as("jaccard"))
+        col("x.fsz").as("inter_sz"), col("x.fsz").as("union_sz"))
     val cross = repPairs
       .join(dupMembers.select(col("rep").as("id_a"), col("doc_id").as("da")),
         Seq("id_a"), "left_outer")
@@ -153,7 +167,7 @@ object Dedup {
           coalesce(col("db"), col("id_b"))).as("id_a"),
         greatest(coalesce(col("da"), col("id_a")),
           coalesce(col("db"), col("id_b"))).as("id_b"),
-        col("jaccard"))
+        col("inter_sz"), col("union_sz"))
     within.unionAll(cross)
   }
 
@@ -219,9 +233,9 @@ object Dedup {
           xxhash64(lit(0x517cc1b727220a95L), sfh).as("fk2"),
           size(sfh).as("fsz"))
         .select(col("doc_id"), min(col("doc_id")).over(famW).as("rep"),
-          count(lit(1)).over(famW).as("fam"))
+          count(lit(1)).over(famW).as("fam"), col("fsz").cast("long").as("fsz"))
         .where(col("fam") > 1)
-        .select(col("doc_id"), col("rep")))
+        .select(col("doc_id"), col("rep"), col("fsz")))
     // drop non-representative duplicate members before banding. NOT
     // cached: its three consumers (banding, both verify sides) each
     // re-derive it with one broadcast-anti pass over the hashedAll
@@ -262,11 +276,16 @@ object Dedup {
     // both self-join sides read the SAME banded rows: cache them so
     // the featurize→band kernel runs once, not once per side.
     val banded = graft.Caches.track(bandedBase)
+    // size-compat prune in INTEGERS: J ≥ tn/td ⇒ min·td ≥ max·tn —
+    // exact (a `lit(threshold) * greatest` double product can land a
+    // fraction of an ulp either side of the true rational at some
+    // sizes; cross-multiplication can't)
+    val (tn, td) = tauRational(threshold)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.sz"), col("y.sz")).cast("double") >=
-            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+          least(col("x.sz"), col("y.sz")) * td >=
+            greatest(col("x.sz"), col("y.sz")) * tn)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     (verifyJaccardRaw(cands, hashed, threshold), dupMembers)
@@ -346,11 +365,12 @@ object Dedup {
       .select(col("doc_id"), col("sz"), explode(col("bands")).as("bkey"))
     val deltaBands = bandRows(delta)
     val allBands = bandRows(idx).unionAll(deltaBands)
+    val (tn, td) = tauRational(threshold)
     val cands = deltaBands.as("x").join(allBands.as("y"),
         col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id") &&
-          least(col("x.sz"), col("y.sz")).cast("double") >=
-            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+          least(col("x.sz"), col("y.sz")) * td >=
+            greatest(col("x.sz"), col("y.sz")) * tn)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
       .distinct()
@@ -444,14 +464,21 @@ object Dedup {
       .filter(org.apache.spark.sql.graft.ArrayExprs.bloom_bound_ge(
         col("bma"), col("bmb"), col("sza"), col("szb"), threshold))
       .select(col("id_a"), col("id_b"))
-    // stage 2 — exact merge verify on the survivors only
+    // stage 2 — exact merge verify on the survivors only. The kernel
+    // returns integer overlap COUNTS (null below the exact rational
+    // threshold): membership is {J ≥ tn/td} precisely, and the
+    // surfaced (inter_sz, union_sz) longs are hash-exact in any
+    // engine — no 6dp-rounded ratio exists anywhere (the q45 class).
+    val (tn, td) = tauRational(threshold)
     val fa = hashed.select(col("doc_id").as("id_a"), sortedFh.as("fa"))
     val fb = hashed.select(col("doc_id").as("id_b"), sortedFh.as("fb"))
     survivors.join(fa, "id_a").join(fb, "id_b")
       .select(col("id_a"), col("id_b"),
-        r6(org.apache.spark.sql.graft.ArrayExprs
-          .jaccard_sorted_ge(col("fa"), col("fb"), threshold)).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        org.apache.spark.sql.graft.ArrayExprs
+          .jaccard_counts_ge(col("fa"), col("fb"), tn, td).as("jc"))
+      .filter(col("jc").isNotNull)
+      .select(col("id_a"), col("id_b"),
+        col("jc.inter").as("inter_sz"), col("jc.un").as("union_sz"))
   }
 
   // --- PPJoin-style prefix filtering (alternative candidate scheme) --
@@ -474,14 +501,17 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
       .select(col("doc_id"), transform(col("sg"), x => x("g").cast("long")).as("sorted_grams"))
-    val prefix = sorted.select(col("doc_id"), size(col("sorted_grams")).as("sz"),
+    // prefix length uses integer ceil: ⌈g·tn/td⌉ = (g·tn + td − 1) div td
+    val (tn, td) = tauRational(threshold)
+    val prefix = sorted
+      .select(col("doc_id"), size(col("sorted_grams")).as("sz"), col("sorted_grams"))
+      .select(col("doc_id"), col("sz"),
         explode(slice(col("sorted_grams"), lit(1),
-          (size(col("sorted_grams")) - ceil(lit(threshold) * size(col("sorted_grams"))) + 1)
-            .cast("int"))).as("g"))
+          (col("sz") - expr(s"(sz * $tn + ${td - 1}) div $td") + 1).cast("int"))).as("g"))
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.sz"), col("y.sz")).cast("double") >=
-            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+          least(col("x.sz"), col("y.sz")) * td >=
+            greatest(col("x.sz"), col("y.sz")) * tn)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     verifyJaccard(cands, feats, threshold)
@@ -527,7 +557,6 @@ object Dedup {
       minGrams: Int = 5): DataFrame = {
     // t = thresholdTenths/10 as an exact rational, so every threshold
     // comparison below is an integer cross-multiplication
-    val threshold = thresholdTenths / 10.0
     val hashed = graft.Caches.track(docs
       .select(col("doc_id"),
         ArrayExprs.word_shingle_hashes(normalize(col("text")), 3).as("fh"))
@@ -542,7 +571,8 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
       .select(col("doc_id"), col("sz"),
         explode(slice(transform(col("sg"), x => x("g").cast("long")), lit(1),
-          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))).as("g"))
+          (col("sz") - expr(s"(sz * $thresholdTenths + 9) div 10") + 1)
+            .cast("int"))).as("g"))
     val cands = prefix.as("x").join(exploded.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id") &&
           col("y.sz") * 10 >= col("x.sz") * thresholdTenths)
@@ -555,11 +585,12 @@ object Dedup {
     graft.Caches.ordered(
       cands.join(fa, "contained_id").join(fb, "container_id")
         .withColumn("inter_sz", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+        // no ratio column: (inter_sz, sz_contained) IS the containment
+        // as an exact rational — a 6dp-rounded double here would be
+        // the one engine-divergent value in an all-integer output
         .filter(col("inter_sz") * 10 >= col("sz_contained") * thresholdTenths)
         .select(col("contained_id"), col("container_id"), col("sz_contained"),
-          col("sz_container"), col("inter_sz"),
-          graft.functions.Det.r6(col("inter_sz").cast("double") / col("sz_contained"))
-            .as("containment")),
+          col("sz_container"), col("inter_sz")),
       col("contained_id"), col("container_id"))
   }
 
@@ -591,16 +622,15 @@ object Dedup {
     * threshold means the cutoff is slicing a dense similarity region
     * and should move). Pairs are d2's exact-verified set at the
     * lossless banding threshold 0.8, bucketed into 0.05-wide bins by
-    * `floor(jaccard·20)` — the jaccard values are already
-    * cross-engine hash-exact (d2's r6 discipline), and both engines
-    * evaluate the identical IEEE floor(x·20) on those identical
-    * doubles, so bin edges are deterministic even where x·20 sits on
-    * a representation boundary. Adds one skinny groupBy to the d2
-    * pipeline — nothing to its scale profile.
+    * `floor(20·J)` computed in INTEGERS from d2's exact (inter, union)
+    * counts: `(20·inter) div union` — floor of an exact rational, no
+    * double ever exists, so bin edges cannot sit on a representation
+    * boundary at any SF. Adds one skinny groupBy to the d2 pipeline —
+    * nothing to its scale profile.
     */
   def similarityHistogram(s: SparkSession, dir: String): DataFrame =
     minhashLsh(s, dir, threshold = 0.8)
-      .select(floor(col("jaccard") * 20).cast("int").as("bin"))
+      .select(expr("(inter_sz * 20) div union_sz").cast("int").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("bin_lo", col("bin") / 20.0)
@@ -961,10 +991,18 @@ object Dedup {
         // same-block pairs meet with bi == bj: keep one orientation;
         // cross-block pairs meet exactly once in either orientation
         .filter(col("bi") < col("bj") || col("ia") < col("ib"))
+        // selection on the RAW double (both engines evaluate the
+        // identical IEEE tree → identical bits → identical membership);
+        // the surfaced value is e6 micro-units (floor(x·1e6+0.5) — pure
+        // IEEE, no decimal midpoint tie class). A 6dp-rounded double
+        // compared to a float threshold was the q45 hazard in both
+        // positions at once.
         .select(least(col("ia"), col("ib")).as("id_a"),
           greatest(col("ia"), col("ib")).as("id_b"),
-          r6(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cosine"))
-        .filter(col("cosine") >= threshold),
+          cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("cos_raw"))
+        .filter(col("cos_raw") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Det.e6(col("cos_raw")).as("cosine_e6")),
       col("id_a"), col("id_b"))
   }
 
@@ -1073,9 +1111,11 @@ object Dedup {
       assigned.as("x").join(assigned.as("y"),
           col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-          r6(cosinePre(col("x.embedding"), col("y.embedding"),
-            col("x.nrm"), col("y.nrm"))).as("cosine"))
-        .filter(col("cosine") >= threshold)
+          cosinePre(col("x.embedding"), col("y.embedding"),
+            col("x.nrm"), col("y.nrm")).as("cos_raw"))
+        .filter(col("cos_raw") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Det.e6(col("cos_raw")).as("cosine_e6"))
         .distinct(), // a pair may meet in up to `passign` shared clusters
       col("id_a"), col("id_b"))
   }

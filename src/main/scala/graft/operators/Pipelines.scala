@@ -65,7 +65,7 @@ object Pipelines {
         (pmod(conv(substring(md5(concat(lit("splt"), col("doc_id").cast("string"))), 1, 8),
           16, 10).cast("long"), lit(100)) < evalPct).as("is_eval"))
     val pairs = Dedup.minhashLsh(s, dir)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("inter_sz"), col("union_sz"))
     pairs
       .join(flags.select(col("doc_id").as("id_a"), col("is_eval").as("ea")), "id_a")
       .join(flags.select(col("doc_id").as("id_b"), col("is_eval").as("eb")), "id_b")
@@ -73,7 +73,7 @@ object Pipelines {
       .select(
         when(col("ea"), col("id_a")).otherwise(col("id_b")).as("eval_doc"),
         when(col("ea"), col("id_b")).otherwise(col("id_a")).as("train_dup"),
-        col("jaccard"))
+        col("inter_sz"), col("union_sz"))
       .orderBy(col("eval_doc"), col("train_dup"))
   }
 

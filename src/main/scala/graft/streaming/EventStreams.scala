@@ -55,7 +55,7 @@ case class BandRow(bkey: Long, doc_id: Long, ts: Timestamp, fh: Seq[Long])
 case class BandBucket(ids: Seq[Long], ms: Seq[Long], fhs: Seq[Seq[Long]])
 
 /** An emitted near-dup pair; `ts` is the later doc's event time. */
-case class PairOut(id_a: Long, id_b: Long, jaccard: Double, ts: Timestamp)
+case class PairOut(id_a: Long, id_b: Long, inter_sz: Long, union_sz: Long, ts: Timestamp)
 
 /** Structured Streaming operators over the events stream. Each
   * transform takes a DataFrame so the same logic runs on a batch
@@ -415,8 +415,6 @@ object EventStreams {
   private[graft] def nearDupFn(threshold: Double, ttlMs: Long)(
       bkey: Long, rows: Iterator[BandRow],
       state: GroupState[BandBucket]): Iterator[PairOut] = {
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     if (state.hasTimedOut) {
       // age out members the watermark has passed; drop empty buckets
       val wm = state.getCurrentWatermarkMs()
@@ -448,13 +446,15 @@ object EventStreams {
           var i = 0
           while (i < ids.length) {
             val other = fhs(i)
-            val inter = other.count(set.contains)
-            // threshold the ROUNDED value — batch verifyJaccard emits
-            // on round(j, 6) >= t, and the parity contract is exact
-            val j = r6(inter.toDouble / (set.size + other.size - inter))
-            if (j >= threshold) out += PairOut(
+            val inter = other.count(set.contains).toLong
+            val union = set.size + other.size - inter
+            // EXACT rational threshold (tenths), matching batch
+            // verifyJaccard's integer cross-multiplication — the
+            // parity contract is set-identical with no rounding step
+            val tn = math.round(threshold * 10)
+            if (inter * 10 >= union * tn) out += PairOut(
               math.min(r.doc_id, ids(i)), math.max(r.doc_id, ids(i)),
-              j, new Timestamp(math.max(rMs, mss(i))))
+              inter, union, new Timestamp(math.max(rMs, mss(i))))
             i += 1
           }
           ids += r.doc_id; mss += rMs; fhs += r.fh

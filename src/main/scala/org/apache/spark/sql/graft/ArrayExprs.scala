@@ -47,6 +47,13 @@ object ArrayExprs {
     ExpressionUtils.column(SortedJaccardGe(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), tau))
 
+  /** Exact-rational-threshold overlap counts `struct(inter, un)`, null
+    * below `tauNum/tauDen` (see [[SortedJaccardCounts]]).
+    */
+  def jaccard_counts_ge(a: Column, b: Column, tauNum: Int, tauDen: Int): Column =
+    ExpressionUtils.column(SortedJaccardCounts(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), tauNum, tauDen))
+
   /** The `nprobe` nearest centroid ids for a float vector (see
     * [[NearestClusters]]).
     */

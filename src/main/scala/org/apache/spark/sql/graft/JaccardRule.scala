@@ -101,6 +101,60 @@ case class SortedJaccardGe(left: Expression, right: Expression, tau: Double)
     copy(left = l, right = r)
 }
 
+/** Merge-based set-overlap COUNTS over two SORTED-distinct
+  * `array<long>` inputs with an EXACT integer threshold abort — the
+  * integer-form successor to [[SortedJaccardGe]] for hash-compared
+  * surfaces. Returns `struct<inter: long, un: long>` when
+  * `inter·tauDen ≥ un·tauNum` (i.e. J ≥ tauNum/tauDen exactly as a
+  * rational — no float threshold, no 6dp rounding, hence no decimal
+  * midpoint ties ever), and NULL otherwise (below threshold, aborted
+  * early, or both-empty). The early abort is the same best-possible-
+  * Jaccard bound as SortedJaccardGe but cross-multiplied in integers:
+  * reject as soon as `maxInter·tauDen < tauNum·minUnion` — exact, so
+  * no epsilon margin is needed and output membership is EXACTLY
+  * {pairs with J ≥ tauNum/tauDen}. Callers MUST pass sorted-distinct
+  * inputs (same contract as SortedJaccardGe).
+  */
+case class SortedJaccardCounts(left: Expression, right: Expression,
+    tauNum: Int, tauDen: Int)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("inter", LongType, nullable = false),
+    StructField("un", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val la = xs.numElements()
+    val lb = ys.numElements()
+    if (la == 0 && lb == 0) return null
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < la && j < lb) {
+      val maxInter = inter + math.min(la - i, lb - j)
+      if (maxInter * tauDen < tauNum * (la + lb - maxInter)) return null
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val un = la + lb - inter
+    if (inter * tauDen >= tauNum * un)
+      org.apache.spark.sql.catalyst.InternalRow(inter, un)
+    else null
+  }
+
+  override def prettyName: String = "jaccard_counts_ge"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccardCounts =
+    copy(left = l, right = r)
+}
+
 /** Optimizer rule: rewrite the composed HOF form
   * `cast(size(array_intersect(a,b)) as double) /
   *  cast(size(array_union(a,b)) as double)`

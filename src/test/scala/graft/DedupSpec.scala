@@ -33,9 +33,10 @@ class DedupSpec extends SparkSpec {
 
   test("d18 similarity histogram reconciles with the collected d2 pair set") {
     val Sf = "/root/testdata/sf0.001"
-    val pairs = Dedup.minhashLsh(spark, Sf).collect().map(_.getDouble(2))
+    val pairs = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
     graft.Caches.clear()
-    val exp = pairs.groupBy(j => math.floor(j * 20).toInt)
+    val exp = pairs.groupBy { case (i, u) => (i * 20 / u).toInt }
       .view.mapValues(_.length.toLong).toMap
     val got = Dedup.similarityHistogram(spark, Sf).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
@@ -155,9 +156,13 @@ class DedupSpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Dedup.ngramJaccard(spark, dir, threshold = 0.7)
-      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
-    val fam = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b, 1.0)
-    assert(got == (fam.toSet + ((4L, 5L, 1.0))), got.toString)
+      .select("id_a", "id_b", "inter_sz", "union_sz")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // every expected pair is an exact duplicate: inter == union
+    assert(got.map(p => (p._1, p._2)) ==
+      ((for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)).toSet + ((4L, 5L))),
+      got.toString)
+    got.foreach { case (a, b, i, u) => assert(i == u && i > 0, s"($a,$b)") }
   }
 
   test("constructing and explaining a d2/d4 frame runs no Spark job") {
@@ -236,8 +241,9 @@ class DedupSpec extends SparkSpec {
     val docs = spark.createDataFrame(Seq(
       (1L, quote), (2L, article), (3L, unrelated))).toDF("doc_id", "text")
     val got = Dedup.containmentOf(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
-    assert(got.toSeq == Seq((1L, 2L, 1.0))) // quote⊂article, nothing else
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(2)))
+    assert(got.toSeq.map(g => (g._1, g._2)) == Seq((1L, 2L))) // quote⊂article only
+    got.foreach { case (_, _, i, sa) => assert(i == sa) } // containment exactly 1
     // and the pair is genuinely invisible to the symmetric threshold
     val qs = quote.split(" ").sliding(3).map(_.mkString(" ")).toSet
     val as = article.split(" ").sliding(3).map(_.mkString(" ")).toSet
@@ -353,7 +359,7 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.embedNearDup(spark, Sf, threshold = 0.4).collect()
     got.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.4)
+      assert(r.getLong(2) >= 400000L) // cosine_e6 micro-units
     }
   }
 
@@ -365,9 +371,10 @@ class DedupSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val naive = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        r6(cosinePre(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
-          .as("cosine"))
-      .filter(col("cosine") >= 0.4)
+        cosinePre(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm"))
+          .as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("id_a"), col("id_b"), e6(col("cos_raw")).as("cosine_e6"))
       .collect().map(_.toSeq).toSet
     for (blocks <- Seq(0, 1, 3, 8)) { // 0 = auto-sized
       val blocked = Dedup.embedNearDup(spark, Sf, threshold = 0.4, blocks = blocks)
@@ -383,9 +390,9 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     graft.Caches.clear()
     val exact = Dedup.embedNearDup(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val sem = Dedup.semDedup(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
     // precision 1.0: every cluster-bounded pair is a true exact pair,
     // with the identical cosine (same kernel, same rounding)
     sem.foreach { case (k, c) =>

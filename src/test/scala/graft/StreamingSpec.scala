@@ -591,11 +591,12 @@ class StreamingSpec extends SparkSpec {
     mem.addData(docs.toIndexedSeq)
     q.processAllAvailable()
     // at-least-once per shared band → distinct, then exact set-compare
-    val got = spark.table("neardup_out").select("id_a", "id_b", "jaccard").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = spark.table("neardup_out")
+      .select("id_a", "id_b", "inter_sz", "union_sz").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     q.stop()
     val want = Dedup.minhashLsh(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     graft.Caches.clear()
     assert(want.nonEmpty && got == want)
   }
@@ -620,10 +621,12 @@ class StreamingSpec extends SparkSpec {
     // control: a twin arriving WITHIN the horizon pairs immediately
     mem.addData(DocEvent(4L, Timestamp.valueOf("2024-01-01 11:02:00"), text))
     q.processAllAvailable()
-    val pairs = spark.table("neardup_ttl_out").select("id_a", "id_b", "jaccard")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairs = spark.table("neardup_ttl_out")
+      .select("id_a", "id_b", "inter_sz", "union_sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     q.stop()
-    assert(pairs == Set((3L, 4L, 1.0)))
+    assert(pairs.map(p => (p._1, p._2)) == Set((3L, 4L)))
+    pairs.foreach(p => assert(p._3 == p._4 && p._3 > 0)) // exact twin: J = 1
   }
 
   test("streaming funnel matches batch q34 stages on a randomized in-order corpus") {
