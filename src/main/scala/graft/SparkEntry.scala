@@ -1765,7 +1765,8 @@ object SparkEntry {
       |        row_number() OVER (PARTITION BY q_id
       |          ORDER BY cos_raw DESC, vec_id ASC) AS rnk
       |      FROM c)
-      |SELECT q_id, rnk::INT AS rank, vec_id AS neighbor_id, round(cos_raw, 6) AS cosine
+      |SELECT q_id, rnk::INT AS rank, vec_id AS neighbor_id,
+      |  floor(cos_raw * 1e6 + 0.5)::BIGINT AS cosine_e6
       |FROM r WHERE rnk <= 10 ORDER BY q_id, rank""".stripMargin,
     // m7: m4's signature CTE at stride 1, joined to the NEXT frame of
     // the same video — hamming > 40 bits flipped = scene cut
@@ -2337,7 +2338,7 @@ object SparkEntry {
       |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dup)
       |ORDER BY doc_id""".stripMargin,
     // s9: pure dot-product rank (no norms) — the raw score orders,
-    // r6 rounding only at the surface, ties break by vec_id like s1
+    // e6 micro-units at the surface, ties break by vec_id like s1
     "s9_mips_bruteforce" -> raw"""
       |WITH $VecCte,
       |q AS (SELECT vec_id AS q_id, v AS q_v FROM n WHERE vec_id < 20),
@@ -2346,7 +2347,8 @@ object SparkEntry {
       |r AS (SELECT q_id, vec_id, d,
       |        row_number() OVER (PARTITION BY q_id ORDER BY d DESC, vec_id)::INT AS rank
       |      FROM c)
-      |SELECT q_id, rank, vec_id AS neighbor_id, round(d, 6) AS dot
+      |SELECT q_id, rank, vec_id AS neighbor_id,
+      |  floor(d * 1e6 + 0.5)::BIGINT AS dot_e6
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s1_ann_bruteforce" -> raw"""
       |WITH $VecCte,
@@ -2356,6 +2358,7 @@ object SparkEntry {
       |r AS (SELECT q_id, vec_id, cos_raw,
       |        row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id)::INT AS rank
       |      FROM c)
-      |SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 6) AS cosine
+      |SELECT q_id, rank, vec_id AS neighbor_id,
+      |  floor(cos_raw * 1e6 + 0.5)::BIGINT AS cosine_e6
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
 }

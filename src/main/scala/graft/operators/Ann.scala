@@ -34,7 +34,8 @@ object Ann {
         .top_k(col("cos_raw"), col("vec_id"), k).as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), r6(col("col.score")).as("cosine"))
+        col("col.id").as("neighbor_id"),
+          graft.functions.Det.e6(col("col.score")).as("cosine_e6"))
       .orderBy(col("q_id"), col("rank"))
 
   /** Exact top-k cosine neighbors for the query vectors
@@ -80,7 +81,7 @@ object Ann {
       broadcast(q).join(e, col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
           graft.functions.VecFns.dot(col("q_emb"), col("embedding")).as("cos_raw")),
-      k).withColumnRenamed("cosine", "dot")
+      k).withColumnRenamed("cosine_e6", "dot_e6")
   }
 
   // --- hyperplane-sketch LSH ---------------------------------------

@@ -12,7 +12,7 @@ class AnnSpec extends SparkSpec {
       val byRank = rs.sortBy(_.getInt(1))
       assert(byRank.map(_.getInt(1)).toSeq == (1 to Ann.K))
       // cosine non-increasing with rank
-      val cs = byRank.map(_.getDouble(3))
+      val cs = byRank.map(_.getLong(3))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
       // no self-neighbor
       assert(!rs.exists(r => r.getLong(2) == r.getLong(0)))
@@ -62,10 +62,10 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"filtered recall $recall")
     // where IVF returns a pair, its score must equal the exact score
     // (same cosine kernel on the same vectors)
-    val exactScore = exact.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exactScore = exact.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
     ivf.foreach { r =>
       exactScore.get((r.getLong(0), r.getLong(2)))
-        .foreach(s => assert(s == r.getDouble(3)))
+        .foreach(s => assert(s == r.getLong(3)))
     }
   }
 
@@ -87,7 +87,7 @@ class AnnSpec extends SparkSpec {
     }
     val exactSet = exact.map(t => (t._1, t._2)).toSet
     val got = Ann.knnJoin(spark, Sf, k = k).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     // every vector present with ≤ k ranked neighbors, no self-edges
     val byQ = got.groupBy(_._1)
     assert(byQ.size == vecs.length, s"graph covers ${byQ.size} of ${vecs.length} vectors")
@@ -97,11 +97,11 @@ class AnnSpec extends SparkSpec {
     // nprobe=4 of nlist=16; same concentration argument as ivfTopK
     assert(recall >= 0.4, s"recall $recall")
     // emitted scores are EXACT cosines: agree with the in-JVM value
-    // to double-rounding of the r6() 6dp output rounding
+    // to the half-unit of the e6 micro-units surface
     val exactScore = exact.map(t => (t._1, t._2) -> t._3).toMap
     got.foreach { case (q, v, s) =>
       exactScore.get((q, v)).foreach { es =>
-        assert(math.abs(es - s) < 5e-7, s"($q,$v): $es vs $s")
+        assert(math.abs(es - s / 1e6) <= 5.01e-7, s"($q,$v): $es vs $s")
       }
     }
   }
@@ -110,7 +110,7 @@ class AnnSpec extends SparkSpec {
     val exact = Ann.bruteForceTopK(spark, Sf)
     val exactSet = exact.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val got = Ann.graphSearchTopK(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     val gotSet = got.map(t => (t._1, t._2)).toSet
     val recall = (exactSet & gotSet).size.toDouble / exactSet.size
     info(f"graph-search recall@${Ann.K} = $recall%.3f")
@@ -120,7 +120,7 @@ class AnnSpec extends SparkSpec {
     // where the search returns a pair the brute search also ranked,
     // the scores must be identical (same exact-cosine kernel)
     val exactScore = exact.collect()
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
     got.foreach { case (qid, v, s) =>
       exactScore.get((qid, v)).foreach(es => assert(es == s, s"($qid,$v)"))
     }
@@ -133,14 +133,14 @@ class AnnSpec extends SparkSpec {
     val idx = scratchDir("graft_knng")
     Ann.buildKnnGraphIndex(spark, Sf, idx, baseFilter = col("vec_id") < 400)
     val folded = Ann.knnGraphDelta(spark, Sf, idx, col("vec_id") >= 400).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     val cents: Array[Array[Float]] = spark.read.parquet(s"$idx/centroids")
       .orderBy("bucket").select("centroid").as[Seq[Float]].collect().map(_.toArray)
     val e = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding"),
         graft.functions.VecFns.norm(col("embedding")).as("nrm"))
     val full = Ann.knnEdgesWithCents(e, cents, 5, 4).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(folded == full)
     // every corpus vector is present in the folded graph
     val n = Tables.embeddings(spark, Sf).count()
@@ -159,7 +159,7 @@ class AnnSpec extends SparkSpec {
     // a deltaFilter overlapping the base corpus is de-overlapped by
     // the anti-join: same folded graph, no duplicated vec_ids
     val overlapped = Ann.knnGraphDelta(spark, Sf, idx, col("vec_id") >= 300).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(overlapped == full)
   }
 
@@ -216,9 +216,9 @@ class AnnSpec extends SparkSpec {
     val edges = Ann.knnJoin(spark, Sf, k = 8)
       .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
     val self = Ann.graphSearchTopK(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     val pre = Ann.graphSearchTopK(spark, Sf, prebuiltEdges = Some(edges)).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(pre == self)
   }
 
@@ -265,10 +265,10 @@ class AnnSpec extends SparkSpec {
     val idx = scratchDir("graft_pq")
     Ann.buildPqIndex(spark, Sf, idx)
     val exactRows = Ann.bruteForceTopK(spark, Sf)
-      .select("q_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .select("q_id", "neighbor_id", "cosine_e6").as[(Long, Long, Long)].collect()
     val exact = exactRows.map(r => (r._1, r._2)).toSet
     val pq = Ann.pqTopKIndexed(spark, Sf, idx)
-      .select("q_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .select("q_id", "neighbor_id", "cosine_e6").as[(Long, Long, Long)].collect()
     val recall = (exact & pq.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
     info(f"PQ recall@${Ann.K} vs brute = $recall%.3f")
     assert(recall >= 0.5, s"recall $recall")
@@ -290,9 +290,9 @@ class AnnSpec extends SparkSpec {
     val idx = scratchDir("graft_ivfpq")
     Ann.buildIvfPqIndex(spark, Sf, idx)
     val exactRows = Ann.bruteForceTopK(spark, Sf)
-      .select("q_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .select("q_id", "neighbor_id", "cosine_e6").as[(Long, Long, Long)].collect()
     val res = Ann.ivfPqTopKIndexed(spark, Sf, idx)
-      .select("q_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .select("q_id", "neighbor_id", "cosine_e6").as[(Long, Long, Long)].collect()
     val exact = exactRows.map(r => (r._1, r._2)).toSet
     val recall = (exact & res.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
     info(f"IVF-PQ recall@${Ann.K} vs brute = $recall%.3f")

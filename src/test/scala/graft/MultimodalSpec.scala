@@ -227,11 +227,11 @@ class MultimodalSpec extends SparkSpec {
         .zipWithIndex.map { case ((_, v, s), i) => (q, i + 1) -> ((v, s)) }
     }.toMap
     val got = Multimodal.visualSearch(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(got.keySet == exp.keySet)
     got.foreach { case (k, (v, s)) =>
       assert(v == exp(k)._1, s"$k: $v vs ${exp(k)._1}")
-      assert(math.abs(s - exp(k)._2) < 5e-7, s"$k")
+      assert(math.abs(s / 1e6 - exp(k)._2) <= 5.01e-7, s"$k")
     }
   }
 
