@@ -284,7 +284,7 @@ object SparkEntry {
       |  min(v)::BIGINT AS block_min, max(v)::BIGINT AS block_max
       |  FROM px GROUP BY tile_id, tile_key, level, ox, oy)
       |SELECT tile_id, tile_key, level, ox, oy, n_px, block_sum, block_min,
-      |  block_max, round(block_sum::DOUBLE / n_px, 6) AS avg_elev
+      |  block_max, floor(block_sum::DOUBLE / n_px * 1e6 + 0.5)::BIGINT AS avg_elev_e6
       |FROM agg ORDER BY tile_id, level, oy, ox""".stripMargin,
     // g16: Morton interleave re-derived term-by-term with shifts; the
     // span/n_cells columns ARE the layout proof (≤7 and 1 on every row)
@@ -332,7 +332,7 @@ object SparkEntry {
     "g4_elevation_stats" -> raw"""
       |WITH $GridCte
       |SELECT tile_key, count(*) AS n_pixels, min(elevation) AS min_elev,
-      |       max(elevation) AS max_elev, round(avg(elevation), 6) AS avg_elev
+      |       max(elevation) AS max_elev, floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6
       |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin,
     "g5_ingest_manifest" -> raw"""
       |WITH $TilesCte,
@@ -356,21 +356,21 @@ object SparkEntry {
       |    WHERE lat0 BETWEEN 23 AND 80 AND lon0 BETWEEN -25 AND 49
       |  UNION ALL
       |  SELECT 'world', elevation FROM grid)
-      |SELECT set_name, count(*) AS n_pixels, round(avg(elevation), 6) AS avg_elev,
+      |SELECT set_name, count(*) AS n_pixels, floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6,
       |       max(elevation) AS max_elev
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "g7_raster_ingest" -> raw"""
       |WITH $GridCte
       |SELECT tile_id, tile_key, lat0, lon0, TRUE AS key_matches_header,
       |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
-      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
       |FROM grid WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     "g9_raster_tiff" -> raw"""
       |WITH $GridCte
       |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
       |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
-      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
       |FROM grid WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     "g10_raster_tiff_deflate" -> raw"""
@@ -381,7 +381,7 @@ object SparkEntry {
       |  FROM keyed, generate_series(0,23) ys(y), generate_series(0,23) xs(x))
       |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
       |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
-      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
       |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     // g14: neighbors re-derived from the congruential pixel formula
@@ -507,7 +507,7 @@ object SparkEntry {
       |  SELECT *, (0.5 * p + 0.5 * sg + sqrt(0.5)) /
       |            sqrt(1.0 + p * p + sg * sg) AS cang FROM f)
       |SELECT tile_id, tile_key, x, y, dzdx_num, dzdy_num,
-      |  round(cang, 6) AS cang_r6,
+      |  floor(cang * 1e6 + 0.5)::BIGINT AS cang_e6,
       |  (CASE WHEN cang <= 0 THEN 1 ELSE floor(cang * 254 + 1.5) END)::BIGINT AS shade
       |FROM c ORDER BY tile_id, y, x""").stripMargin,
     // g19: succ = g15's argmax (row_number mirror), then a recursive
@@ -736,7 +736,7 @@ object SparkEntry {
       |  FROM keyed, generate_series(0,23) ys(y), generate_series(0,23) xs(x))
       |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
       |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
-      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
       |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     // g13: the oracle re-derives the NoData mask from the same
@@ -754,7 +754,7 @@ object SparkEntry {
       |       count(*) AS n_pixels,
       |       count(*) FILTER (WHERE elev IS NULL) AS n_nodata,
       |       min(elev) AS min_elev, max(elev) AS max_elev,
-      |       round(avg(elev), 6) AS avg_elev, sum(elev)::BIGINT AS sum_elev
+      |       floor(avg(elev) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elev)::BIGINT AS sum_elev
       |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     // j4: no tearing (ORC writes binary-whole); the audit is the
@@ -799,7 +799,7 @@ object SparkEntry {
       |WITH $GridCte
       |SELECT tile_key, min(tile_id) AS first_tile_id, count(*) AS n_pixels,
       |       min(elevation) AS min_elev, max(elevation) AS max_elev,
-      |       round(avg(elevation), 6) AS avg_elev, sum(elevation)::BIGINT AS sum_elev
+      |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
       |FROM grid
       |WHERE tile_id < 500 AND lat0 BETWEEN 23 AND 80 AND lon0 BETWEEN -25 AND 49
       |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -818,7 +818,7 @@ object SparkEntry {
       |  sum(round(l_extendedprice*100)::BIGINT)::BIGINT AS sum_base_cents,
       |  sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS sum_disc_cents,
       |  sum(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100)::BIGINT)::BIGINT AS sum_charge_cents,
-      |  round(sum(l_quantity)/count(*), 6) AS avg_qty,
+      |  floor(sum(l_quantity)/count(*) * 1e6 + 0.5)::BIGINT AS avg_qty_e6,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -1394,10 +1394,10 @@ object SparkEntry {
     "t2_quality" -> raw"""
       |WITH d AS (SELECT doc_id, $Nrm AS nrm, string_split($Nrm, ' ') AS w FROM documents)
       |SELECT doc_id, length(nrm)::INT AS n_chars_norm, len(w)::INT AS n_words,
-      |  round((length(nrm) - (len(w) - 1))::DOUBLE / len(w), 6) AS avg_word_len,
-      |  round(len([x for x in w if list_contains(['the','a','and','of','to','in'], x)])::DOUBLE
-      |        / len(w), 6) AS stopword_ratio,
-      |  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS type_token_ratio
+      |  floor((length(nrm) - (len(w) - 1))::DOUBLE / len(w) * 1e6 + 0.5)::BIGINT AS avg_word_len_e6,
+      |  floor(len([x for x in w if list_contains(['the','a','and','of','to','in'], x)])::DOUBLE
+      |        / len(w) * 1e6 + 0.5)::BIGINT AS stopword_ratio_e6,
+      |  floor(len(list_distinct(w))::DOUBLE / len(w) * 1e6 + 0.5)::BIGINT AS type_token_ratio_e6
       |FROM d ORDER BY doc_id""".stripMargin,
     "t3_langid" -> raw"""
       |WITH d AS (SELECT doc_id, lang, string_split($Nrm, ' ') AS w FROM documents),
@@ -1453,12 +1453,13 @@ object SparkEntry {
       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
       |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
       |s AS (SELECT tf.doc_id, tf.w,
-      |        round(tf.tf::DOUBLE * (n.n - df.df + 0.5) / (df.df::DOUBLE + 0.5), 6) AS score
+      |        tf.tf::DOUBLE * (n.n - df.df + 0.5) / (df.df::DOUBLE + 0.5) AS score
       |      FROM tf JOIN df USING (w) CROSS JOIN n),
       |r AS (SELECT doc_id, w, score,
       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
       |      FROM s)
-      |SELECT doc_id, rnk::INT AS rank, w AS term, score
+      |SELECT doc_id, rnk::INT AS rank, w AS term,
+      |  floor(score * 1e6 + 0.5)::BIGINT AS score_e6
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "t5_top_terms" -> raw"""
       |WITH d AS (SELECT doc_id, lang, unnest(list_distinct(string_split($Nrm, ' '))) AS w
@@ -1551,7 +1552,7 @@ object SparkEntry {
       |       count(DISTINCT h) AS n_urls,
       |       count(DISTINCT lang) AS n_langs,
       |       sum(len(string_split(text, ' ')))::BIGINT AS tok_sum,
-      |       round(avg(n_chars), 6) AS avg_chars
+      |       floor(avg(n_chars) * 1e6 + 0.5)::BIGINT AS avg_chars_e6
       |FROM d GROUP BY 1 ORDER BY host""".stripMargin,
     "t9_rep_signals" -> raw"""
       |WITH d AS (SELECT doc_id, $Nrm AS nrm, string_split($Nrm, ' ') AS w FROM documents),
@@ -1572,9 +1573,9 @@ object SparkEntry {
       |  coalesce(t2.num, 0) AS top2_num,
       |  coalesce(t3.num, 0) AS top3_num,
       |  coalesce(d5.num, 0) AS dup5_num,
-      |  CASE WHEN b.n_chars > 0 THEN round(coalesce(t2.num, 0)::DOUBLE / b.n_chars, 6) ELSE 0.0 END AS top2_cfrac,
-      |  CASE WHEN b.n_chars > 0 THEN round(coalesce(t3.num, 0)::DOUBLE / b.n_chars, 6) ELSE 0.0 END AS top3_cfrac,
-      |  CASE WHEN b.n_chars > 0 THEN round(coalesce(d5.num, 0)::DOUBLE / b.n_chars, 6) ELSE 0.0 END AS dup5_cfrac
+      |  CASE WHEN b.n_chars > 0 THEN floor(coalesce(t2.num, 0)::DOUBLE / b.n_chars * 1e6 + 0.5)::BIGINT ELSE 0 END AS top2_cfrac_e6,
+      |  CASE WHEN b.n_chars > 0 THEN floor(coalesce(t3.num, 0)::DOUBLE / b.n_chars * 1e6 + 0.5)::BIGINT ELSE 0 END AS top3_cfrac_e6,
+      |  CASE WHEN b.n_chars > 0 THEN floor(coalesce(d5.num, 0)::DOUBLE / b.n_chars * 1e6 + 0.5)::BIGINT ELSE 0 END AS dup5_cfrac_e6
       |FROM base b
       |LEFT JOIN top t2 ON b.doc_id = t2.doc_id AND t2.n = 2 AND t2.rn = 1
       |LEFT JOIN top t3 ON b.doc_id = t3.doc_id AND t3.n = 3 AND t3.rn = 1
@@ -1598,7 +1599,7 @@ object SparkEntry {
       |  coalesce(a.score, 0)::BIGINT AS score,
       |  coalesce(a.score, 0) > 0 AS keep,
       |  CASE WHEN coalesce(a.n_feats, 0) > 0
-      |       THEN round(a.score::DOUBLE / a.n_feats, 6) ELSE 0.0 END AS score_per_feat
+      |       THEN floor(a.score::DOUBLE / a.n_feats * 1e6 + 0.5)::BIGINT ELSE 0 END AS score_per_feat_e6
       |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // t15: t3's argmax re-derived, aggregated to the confusion matrix
     "t15_lang_confusion" -> raw"""
@@ -1629,8 +1630,8 @@ object SparkEntry {
       |f AS (SELECT g, min(doc_id) AS first_doc FROM u GROUP BY g)
       |SELECT u.doc_id, count(*) AS n_shingles,
       |  sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-      |  round(sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)::DOUBLE
-      |        / count(*), 6) AS novelty
+      |  floor(sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*) * 1e6 + 0.5)::BIGINT AS novelty_e6
       |FROM u JOIN f USING (g) GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin,
     // t16: bigram coverage against the corpus-common bigram table
     // (count >= 5); the engine counts xxhash64 of the bigram, the
@@ -2334,7 +2335,7 @@ object SparkEntry {
       |  FROM w),
       |dup AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |        WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s)))
-      |SELECT doc_id, lang, n_words, round(ttr, 6) AS ttr
+      |SELECT doc_id, lang, n_words, floor(ttr * 1e6 + 0.5)::BIGINT AS ttr_e6
       |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dup)
       |ORDER BY doc_id""".stripMargin,
     // s9: pure dot-product rank (no norms) — the raw score orders,

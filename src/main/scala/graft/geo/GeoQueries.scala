@@ -54,7 +54,7 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_pixels"),
         min(col("elevation")).as("min_elev"),
         max(col("elevation")).as("max_elev"),
-        r6(avg(col("elevation"))).as("avg_elev"))
+        e6(avg(col("elevation"))).as("avg_elev_e6"))
       .orderBy(col("tile_key"))
 
   /** g5: idempotent-ingest manifest (main.rs:135-161): remote objects
@@ -110,7 +110,7 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_pixels"),
         min(col("p.elevation")).as("min_elev"),
         max(col("p.elevation")).as("max_elev"),
-        r6(avg(col("p.elevation"))).as("avg_elev"),
+        e6(avg(col("p.elevation"))).as("avg_elev_e6"),
         sum(col("p.elevation")).as("sum_elev"))
       .orderBy(col("tile_id"))
   }
@@ -139,14 +139,14 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_pixels"),
         min(col("p.elevation")).as("min_elev"),
         max(col("p.elevation")).as("max_elev"),
-        r6(avg(col("p.elevation"))).as("avg_elev"),
+        e6(avg(col("p.elevation"))).as("avg_elev_e6"),
         sum(col("p.elevation")).as("sum_elev"))
     tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
       .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
       .join(decoded, Seq("tile_key"))
       .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
         col("dims_ok"), col("n_pixels"), col("min_elev"), col("max_elev"),
-        col("avg_elev"), col("sum_elev"))
+        col("avg_elev_e6"), col("sum_elev"))
       .orderBy(col("tile_id"))
   }
 
@@ -174,14 +174,14 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_pixels"),
         min(col("p.elevation")).as("min_elev"),
         max(col("p.elevation")).as("max_elev"),
-        r6(avg(col("p.elevation"))).as("avg_elev"),
+        e6(avg(col("p.elevation"))).as("avg_elev_e6"),
         sum(col("p.elevation")).as("sum_elev"))
     tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
       .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
       .join(decoded, Seq("tile_key"))
       .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
         col("dims_ok"), col("n_pixels"), col("min_elev"), col("max_elev"),
-        col("avg_elev"), col("sum_elev"))
+        col("avg_elev_e6"), col("sum_elev"))
       .orderBy(col("tile_id"))
   }
 
@@ -206,14 +206,14 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_pixels"),
         min(col("p.elevation")).as("min_elev"),
         max(col("p.elevation")).as("max_elev"),
-        r6(avg(col("p.elevation"))).as("avg_elev"),
+        e6(avg(col("p.elevation"))).as("avg_elev_e6"),
         sum(col("p.elevation")).as("sum_elev"))
     tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
       .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
       .join(decoded, Seq("tile_key"))
       .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
         col("dims_ok"), col("n_pixels"), col("min_elev"), col("max_elev"),
-        col("avg_elev"), col("sum_elev"))
+        col("avg_elev_e6"), col("sum_elev"))
       .orderBy(col("tile_id"))
   }
 
@@ -244,14 +244,14 @@ object GeoQueries {
         sum(when(col("elev").isNull, 1L).otherwise(0L)).as("n_nodata"),
         min(col("elev")).as("min_elev"),
         max(col("elev")).as("max_elev"),
-        r6(avg(col("elev"))).as("avg_elev"),
+        e6(avg(col("elev"))).as("avg_elev_e6"),
         sum(col("elev")).as("sum_elev"))
     tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
       .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
       .join(decoded, Seq("tile_key"))
       .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
         col("dims_ok"), col("nodata"), col("n_pixels"), col("n_nodata"),
-        col("min_elev"), col("max_elev"), col("avg_elev"), col("sum_elev"))
+        col("min_elev"), col("max_elev"), col("avg_elev_e6"), col("sum_elev"))
       .orderBy(col("tile_id"))
   }
 
@@ -277,7 +277,7 @@ object GeoQueries {
         count(lit(1)).as("n_pixels"),
         min(col("elevation")).as("min_elev"),
         max(col("elevation")).as("max_elev"),
-        r6(avg(col("elevation"))).as("avg_elev"),
+        e6(avg(col("elevation"))).as("avg_elev_e6"),
         sum(col("elevation")).as("sum_elev"))
       .orderBy(col("tile_key"))
   }
@@ -490,7 +490,7 @@ object GeoQueries {
     val cang = (lit(0.5) * p + lit(0.5) * sg + sqrt(lit(0.5))) /
       sqrt(lit(1.0) + p * p + sg * sg)
     hornNumerators(s, dir)
-      .withColumn("cang_r6", graft.functions.Det.r6(cang))
+      .withColumn("cang_e6", graft.functions.Det.e6(cang))
       .withColumn("shade",
         when(cang <= 0, 1L).otherwise(floor(cang * lit(254) + lit(1.5))))
       .orderBy(col("tile_id"), col("y"), col("x"))
@@ -740,7 +740,7 @@ object GeoQueries {
           lit("world")), x => x.isNotNull)).as("set_name"))
       .groupBy(col("set_name"))
       .agg(count(lit(1)).as("n_pixels"),
-        r6(avg(col("elevation"))).as("avg_elev"),
+        e6(avg(col("elevation"))).as("avg_elev_e6"),
         max(col("elevation")).as("max_elev"))
       .orderBy(col("set_name"))
   }
@@ -854,7 +854,7 @@ object GeoQueries {
       .select(col("tile_id"), col("tile_key"), col("level"), col("ox"), col("oy"),
         col("n_px"), col("b.sum").as("block_sum"),
         col("b.mn").as("block_min"), col("b.mx").as("block_max"),
-        r6(col("b.sum").cast("double") / col("n_px")).as("avg_elev"))
+        e6(col("b.sum").cast("double") / col("n_px")).as("avg_elev_e6"))
       .orderBy(col("tile_id"), col("level"), col("oy"), col("ox"))
   }
 

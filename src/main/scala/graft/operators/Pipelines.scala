@@ -39,7 +39,7 @@ object Pipelines {
       .select(col("id_b").as("doc_id")).distinct()
     base.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_words"),
-        round(col("ttr"), 6).as("ttr"))
+        graft.functions.Det.e6(col("ttr")).as("ttr_e6"))
       .orderBy(col("doc_id"))
   }
 

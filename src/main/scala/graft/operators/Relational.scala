@@ -32,7 +32,7 @@ object Relational {
         sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_cents"),
         sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
           .as("sum_charge_cents"),
-        r6(sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        e6(sum(col("l_quantity")) / count(lit(1))).as("avg_qty_e6"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 

@@ -32,9 +32,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         length(nrm).as("n_chars_norm"),
         size(w).as("n_words"),
-        r6((length(nrm) - (size(w) - 1)).cast("double") / size(w)).as("avg_word_len"),
-        r6(stopwordRatio(w)).as("stopword_ratio"),
-        r6(typeTokenRatio(w)).as("type_token_ratio"))
+        e6((length(nrm) - (size(w) - 1)).cast("double") / size(w)).as("avg_word_len_e6"),
+        e6(stopwordRatio(w)).as("stopword_ratio_e6"),
+        e6(typeTokenRatio(w)).as("type_token_ratio_e6"))
       .orderBy(col("doc_id"))
   }
 
@@ -109,14 +109,14 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, "w").crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
-        r6(col("tf").cast("double") * (col("n") - col("df") + lit(0.5)) /
+        (col("tf").cast("double") * (col("n") - col("df") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))).as("score"))
       .groupBy(col("doc_id"))
       .agg(org.apache.spark.sql.graft.TopKLabeled
         .top_k_labeled(col("score"), col("w"), k).as("tk"))
       .select(col("doc_id"), posexplode(col("tk")))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.label").as("term"), col("col.score").as("score"))
+        col("col.label").as("term"), e6(col("col.score")).as("score_e6"))
       .orderBy(col("doc_id"), col("rank"))
   }
 
@@ -320,14 +320,14 @@ object TextAnalysis {
         gramRepNums(col("w"), 5).as("g5"))
     def frac(num: Column) =
       when(col("n_chars") > 0,
-        r6(num.cast("double") / col("n_chars"))).otherwise(lit(0.0))
+        e6(num.cast("double") / col("n_chars"))).otherwise(lit(0L))
     base.select(col("doc_id"), col("n_words"), col("n_chars"),
       col("g2.top_num").as("top2_num"),
       col("g3.top_num").as("top3_num"),
       col("g5.dup_num").as("dup5_num"),
-      frac(col("g2.top_num")).as("top2_cfrac"),
-      frac(col("g3.top_num")).as("top3_cfrac"),
-      frac(col("g5.dup_num")).as("dup5_cfrac"))
+      frac(col("g2.top_num")).as("top2_cfrac_e6"),
+      frac(col("g3.top_num")).as("top3_cfrac_e6"),
+      frac(col("g5.dup_num")).as("dup5_cfrac_e6"))
       .orderBy(col("doc_id"))
   }
 
@@ -358,7 +358,7 @@ object TextAnalysis {
         count_distinct(col("canonical_url")).as("n_urls"),
         count_distinct(col("lang")).as("n_langs"),
         sum(col("toks")).as("tok_sum"),
-        round(avg(col("n_chars")), 6).as("avg_chars"))
+        e6(avg(col("n_chars"))).as("avg_chars_e6"))
       .orderBy(col("host"))
 
   /** Engine-portable hashed-feature weight for the t11 linear scorer:
@@ -405,9 +405,9 @@ object TextAnalysis {
         aggregate(col("g"), lit(0L), (acc, x) => acc + featWeight(x, buckets))
           .as("score"))
       .withColumn("keep", col("score") > 0)
-      .withColumn("score_per_feat",
-        when(col("n_feats") > 0, r6(col("score").cast("double") / col("n_feats")))
-          .otherwise(lit(0.0)))
+      .withColumn("score_per_feat_e6",
+        when(col("n_feats") > 0, e6(col("score").cast("double") / col("n_feats")))
+          .otherwise(lit(0L)))
       .orderBy(col("doc_id"))
   }
 
@@ -475,8 +475,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .withColumn("novelty",
-        r6(col("n_novel").cast("double") / col("n_shingles")))
+      .withColumn("novelty_e6",
+        e6(col("n_novel").cast("double") / col("n_shingles")))
       .orderBy(col("doc_id"))
   }
 

@@ -314,8 +314,9 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = graft.operators.Pipelines.splitCheck(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got == Set((1L, 0L, 1.0), (2L, 0L, 1.0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.map(g => (g._1, g._2)) == Set((1L, 0L), (2L, 0L)))
+    got.foreach(g => assert(g._3 == g._4 && g._3 > 0)) // exact clique: J = 1
   }
 
   test("p9: struct-max keeper equals the window argmax; keeper is a cluster member") {

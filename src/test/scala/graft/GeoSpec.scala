@@ -210,10 +210,10 @@ class GeoSpec extends SparkSpec {
     val got = GeoQueries.rasterIngestTiff(spark, Sf)
     assert(got.filter(!col("dims_ok")).count() == 0)
     val a = got.select("tile_id", "tile_key", "lat0", "lon0",
-      "n_pixels", "min_elev", "max_elev", "avg_elev", "sum_elev")
+      "n_pixels", "min_elev", "max_elev", "avg_elev_e6", "sum_elev")
       .collect().map(_.toSeq).toSet
     val b = GeoQueries.rasterIngest(spark, Sf).select("tile_id", "tile_key", "lat0", "lon0",
-      "n_pixels", "min_elev", "max_elev", "avg_elev", "sum_elev")
+      "n_pixels", "min_elev", "max_elev", "avg_elev_e6", "sum_elev")
       .collect().map(_.toSeq).toSet
     assert(a.nonEmpty && a == b)
   }
@@ -499,7 +499,7 @@ class GeoSpec extends SparkSpec {
 
   test("g18: hillshade reproduces the JVM IEEE tree bit-for-bit; shade stays in 1..255") {
     val got = GeoQueries.hillshade(spark, Sf)
-      .select("tile_id", "x", "y", "dzdx_num", "dzdy_num", "cang_r6", "shade")
+      .select("tile_id", "x", "y", "dzdx_num", "dzdy_num", "cang_e6", "shade")
       .collect()
     assert(got.nonEmpty && got.length % 36 == 0)
     def z(t: Long, x: Int, y: Int): Long = (t * 131 + x * 17 + y * 29) % 8848
@@ -516,8 +516,8 @@ class GeoSpec extends SparkSpec {
       val s = edy / 240.0
       val cang = (0.5 * p + 0.5 * s + math.sqrt(0.5)) /
         math.sqrt(1.0 + p * p + s * s)
-      val r6 = BigDecimal(cang).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(r.getDouble(5) == r6, s"($t,$x,$y): ${r.getDouble(5)} vs $r6")
+      val e6 = math.floor(cang * 1e6 + 0.5).toLong
+      assert(r.getLong(5) == e6, s"($t,$x,$y): ${r.getLong(5)} vs $e6")
       val shade = if (cang <= 0) 1L else math.floor(cang * 254 + 1.5).toLong
       assert(r.getLong(6) == shade && shade >= 1 && shade <= 255, s"($t,$x,$y)")
     }

@@ -71,12 +71,13 @@ class TextFnsSpec extends SparkSpec {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "w")
       .select(col("doc_id"), col("w"),
-        r6(col("tf").cast("double") * (lit(n) - col("df") + lit(0.5)) /
+        (col("tf").cast("double") * (lit(n) - col("df") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))).as("score"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
     val exp = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        e6(col("score")).as("score_e6"))
       .orderBy(col("doc_id"), col("rank")).collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == exp)
   }
@@ -142,11 +143,11 @@ class TextFnsSpec extends SparkSpec {
     val got = graft.operators.TextAnalysis.repSignals(spark, dir)
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
-    assert(got(0L) == ((5, 5L, 4L, 3L, 0L, 0.8, 0.6, 0.0)))
-    assert(got(1L) == ((6, 6L, 10L, 12L, 10L, 1.666667, 2.0, 1.666667)))
-    assert(got(2L) == ((2, 10L, 10L, 0L, 0L, 1.0, 0.0, 0.0)))
-    assert(got(3L) == ((1, 4L, 0L, 0L, 0L, 0.0, 0.0, 0.0)))
+          r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(got(0L) == ((5, 5L, 4L, 3L, 0L, 800000L, 600000L, 0L)))
+    assert(got(1L) == ((6, 6L, 10L, 12L, 10L, 1666667L, 2000000L, 1666667L)))
+    assert(got(2L) == ((2, 10L, 10L, 0L, 0L, 1000000L, 0L, 0L)))
+    assert(got(3L) == ((1, 4L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
   test("t11 qualityModel: score is the md5-fold linear model over bigrams") {
@@ -164,14 +165,13 @@ class TextFnsSpec extends SparkSpec {
       (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 4096L) % 401L - 200L
     }
     val exp0 = Seq("the data", "data query", "query runs").map(weight).sum
-    val expMean = BigDecimal(exp0.toDouble / 3)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expMean = math.floor(exp0.toDouble / 3 * 1e6 + 0.5).toLong
     val got = graft.operators.TextAnalysis.qualityModel(spark, dir).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
     assert(got(0L) == ((3L, exp0, exp0 > 0, expMean)))
-    assert(got(1L) == ((0L, 0L, false, 0.0))) // single word: no features
-    assert(got(2L) == ((0L, 0L, false, 0.0))) // empty text: no features
+    assert(got(1L) == ((0L, 0L, false, 0L))) // single word: no features
+    assert(got(2L) == ((0L, 0L, false, 0L))) // empty text: no features
   }
 
   test("t12 gopherGate: each rule fails on its hand-built doc, planted symbols count") {
@@ -238,11 +238,11 @@ class TextFnsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = graft.operators.TextAnalysis.ngramNovelty(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(got(0L) == ((4L, 4L, 1.0)))
-    assert(got(1L) == ((4L, 0L, 0.0)))
-    assert(got(2L) == ((6L, 2L, 0.333333)))
-    assert(got(3L) == ((4L, 4L, 1.0)))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((4L, 4L, 1000000L)))
+    assert(got(1L) == ((4L, 0L, 0L)))
+    assert(got(2L) == ((6L, 2L, 333333L)))
+    assert(got(3L) == ((4L, 4L, 1000000L)))
   }
 
   test("t13 oovRate: hand-computed OOV against the exact heavy-hitter vocab") {
