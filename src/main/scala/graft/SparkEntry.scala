@@ -164,7 +164,7 @@ object SparkEntry {
     "s4_ann_pq"               -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     "s6_ann_filtered"         -> ((s: SparkSession, d: String) => Ann.filteredIvfTopK(s, d)),
     "s7_knn_join"             -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
-    "s8_ann_graph"            -> ((s: SparkSession, d: String) => Ann.graphSearchTopK(s, d)),
+    "s8_ann_graph"            -> ((s: SparkSession, d: String) => Ann.graphSearchTopKAuto(s, d)),
     // approximate by construction (coarse-quantizer pruning + PQ codes)
     // → no SQL oracle; recall + exact-re-rank score identity in AnnSpec
     "s5_ann_ivfpq"            -> ((s: SparkSession, d: String) => Ann.ivfPqTopK(s, d)),

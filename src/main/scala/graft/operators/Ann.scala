@@ -437,6 +437,37 @@ object Ann {
     rankTopK(scoredAll, k)
   }
 
+  /** s8 DRIVER surface: beam search over the PERSISTED kNN-graph
+    * index — the s5 `ivfPqTopK` build-once freshness-gate pattern
+    * applied to the graph (r8 VERDICT #3: the driver query previously
+    * rebuilt the whole s7 graph in-query, so the bench row timed the
+    * BUILD, not the search). First call per corpus builds the index
+    * (degree 8, matching the in-query default) at a deterministic
+    * path; stale indexes (corpus count drift) rebuild; every later
+    * call — including every bench iteration after the first — reads
+    * the edge list from parquet and pays only the
+    * queries·beam·degree·hops search joins, which is exactly the
+    * deployment shape (HNSW-style indexes are built offline).
+    */
+  def graphSearchTopKAuto(s: SparkSession, dir: String, k: Int = K): DataFrame = synchronized {
+    val indexPath = new java.io.File(
+      new java.io.File(sys.props("user.dir"), "target/fixtures"),
+      "graft_knng_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (knnGraphIndexReadyFor.get(dir) == null) {
+      val fresh = new java.io.File(s"$indexPath/edges/_SUCCESS").exists() &&
+        s.read.parquet(s"$indexPath/corpus").count() ==
+          Tables.embeddings(s, dir).select("vec_id").count()
+      if (!fresh) buildKnnGraphIndex(s, dir, indexPath, k = 8, nprobe = 4)
+      knnGraphIndexReadyFor.put(dir, indexPath)
+    }
+    graphSearchTopK(s, dir, k, prebuiltEdges = Some(
+      s.read.parquet(s"$indexPath/edges")
+        .select(col("q_id").as("src"), col("neighbor_id").as("dst"))))
+  }
+
+  private val knnGraphIndexReadyFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The nprobe best centroid ids for a vector, as an array column —
     * the codegen'd NearestClusters kernel (bit-identical scores and
     * tie order to the r5 sort-of-(negscore, id)-structs formulation;

@@ -222,6 +222,20 @@ class AnnSpec extends SparkSpec {
     assert(pre == self)
   }
 
+  test("s8 driver surface searches the persisted index and matches the in-query build") {
+    // the auto wrapper builds the degree-8 graph index once (same
+    // kernels, same deterministic centroids) and then searches it —
+    // results must be row-identical to the self-building call, and a
+    // second invocation must reuse the index (freshness gate holds)
+    val self = Ann.graphSearchTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val auto1 = Ann.graphSearchTopKAuto(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val auto2 = Ann.graphSearchTopKAuto(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(auto1 == self && auto2 == self)
+  }
+
   test("IVF ANN recall vs brute-force baseline") {
     val exact = Ann.bruteForceTopK(spark, Sf)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
