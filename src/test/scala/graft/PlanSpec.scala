@@ -329,4 +329,70 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("RoundRobinPartitioning"), p)
     }
   }
+
+  // --- suite-wide plan hygiene gate (r8 VERDICT #6) ------------------
+
+  /** Hygiene findings for one frame: cartesian product, broadcast
+    * nested-loop join, nondeterministic expressions anywhere in the
+    * analyzed plan. Shared by the suite sweep and the gate-fires test.
+    */
+  private def planFindings(df: DataFrame): Seq[String] = {
+    val phys = df.queryExecution.executedPlan.toString
+    val cart = if (phys.contains("CartesianProduct")) Seq("CartesianProduct") else Nil
+    val bnlj = if (phys.contains("BroadcastNestedLoopJoin"))
+      Seq("BroadcastNestedLoopJoin") else Nil
+    var nondet = List.empty[String]
+    df.queryExecution.analyzed.foreach { pl =>
+      pl.expressions.foreach(_.foreach { e =>
+        if (!e.deterministic) nondet ::= e.prettyName })
+    }
+    cart ++ bnlj ++ nondet.distinct.map("nondeterministic:" + _)
+  }
+
+  test("suite-wide hygiene: every driver query plans shuffle-safe and deterministic") {
+    // BNLJ is allowed ONLY for declared tiny-broadcast shapes: a
+    // ≤20-row query/entry frame broadcast against the corpus under an
+    // inequality condition (the s1 pattern — the broadcast side is
+    // constant-sized at any corpus scale, so the NLJ is O(corpus·20)).
+    // CartesianProduct is never allowed; nondeterministic expressions
+    // are never allowed (re-execution under task retry must reproduce
+    // identical output everywhere).
+    val bnljAllowed: Map[String, String] = Map(
+      "s1_ann_bruteforce"  -> "broadcast 20-query frame x corpus, =!= condition",
+      "s2_ann_lsh"         -> "broadcast 20-query frame x corpus sketch prefilter",
+      "s4_ann_pq"          -> "broadcast 20-query frame x codes scan",
+      "s8_ann_graph"       -> "broadcast 20-query frame x entries/frontier hops",
+      "s9_mips_bruteforce" -> "broadcast 20-query frame x corpus, =!= condition",
+      "m9_visual_search"   -> "broadcast 20-query signature frame x corpus",
+      "t6_tfidf"           -> "crossJoin(broadcast(1-row corpus count))",
+      "q19_setops"         -> "crossJoin(broadcast(1-row universe stats))",
+      "q26_dq_audit"       -> "crossJoin(broadcast(1-row audit totals))",
+      "q51_sketch_overlap" -> "segment-sized sketch frame self-join on <",
+      "p4_pps_sample"      -> "crossJoin(broadcast(1-row corpus total))",
+      "p5_temperature_mix" -> "crossJoin(broadcast(sources-sized totals))",
+      "p11_epoch_mix"      -> "crossJoin(broadcast(1-row budget totals))")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val fs = planFindings(fn(spark, Sf))
+          .filterNot(f => f == "BroadcastNestedLoopJoin" && bnljAllowed.contains(name))
+        if (fs.nonEmpty) failures += s"$name: ${fs.mkString(", ")}"
+      } catch {
+        case e: Exception => failures += s"$name: construction failed: ${e.getMessage}"
+      } finally graft.Caches.clear()
+    }
+    assert(failures.isEmpty, "plan hygiene violations:\n" + failures.mkString("\n"))
+  }
+
+  test("the hygiene gate actually fires on a broken plan") {
+    import org.apache.spark.sql.functions._
+    // both sides must exceed the broadcast threshold or Spark plans a
+    // (benign) broadcast NLJ instead of a true cartesian
+    val a = spark.range(5000000L).toDF("x")
+    val b = spark.range(5000000L).toDF("y")
+    val cart = a.crossJoin(b) // deliberate cartesian
+    assert(planFindings(cart).contains("CartesianProduct"))
+    val nd = a.withColumn("r", rand(7))
+    assert(planFindings(nd).exists(_.startsWith("nondeterministic:")))
+  }
 }
