@@ -950,6 +950,9 @@ object Dedup {
     * scale); compute spreads evenly over blocks²/2 tasks. No task —
     * and no driver — ever holds the corpus.
     */
+  /** Conf key gating [[embedNearDup]]'s quadratic compute (rows). */
+  val EmbedNearDupMaxRowsKey = "spark.graft.embedNearDup.maxRows"
+
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
       blocks: Int = 0): DataFrame = {
     import s.implicits._
@@ -967,10 +970,22 @@ object Dedup {
     // past the 8k budget instead — the honest price of an exact
     // all-pairs answer, and the signal to switch to d9/semDedup, this
     // operator's documented sublinear scale path.
+    // Accidental-scale-out gate (r8 VERDICT #7, the RangeJoin
+    // maxBuildBytes discipline): nothing else in this operator stops a
+    // 100x-scale caller from launching an O(n²) job. The declared
+    // sublinear path for large corpora is d9 (semDedup); crossing the
+    // cap requires an explicit opt-in via the conf key.
+    val n = Tables.embeddings(s, dir).count()
+    val maxRows = s.conf.get(EmbedNearDupMaxRowsKey, "10000000").toLong
+    require(n <= maxRows,
+      s"embedNearDup is the EXACT all-pairs operator (O(n²) compute, " +
+        s"declared quadratic): corpus has $n vectors, over " +
+        s"$EmbedNearDupMaxRowsKey=$maxRows. Use Dedup.semDedup (d9) — " +
+        "the sublinear SemDeDup path with measured recall — or raise " +
+        "the cap explicitly to accept the quadratic cost.")
     val nBlocks =
       if (blocks > 0) blocks
       else {
-        val n = Tables.embeddings(s, dir).count()
         val forCores = math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt
         val forMemory = math.ceil(n / 8192.0).toInt
         math.min(math.max(math.max(forCores, forMemory), 1), 1024)

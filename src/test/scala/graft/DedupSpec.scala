@@ -363,6 +363,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d5 scale gate: the quadratic path refuses oversized corpora and names d9") {
+    // lower the cap below the fixture corpus size; the require must
+    // fire at construction and point the caller at the sublinear path
+    spark.conf.set(graft.operators.Dedup.EmbedNearDupMaxRowsKey, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.embedNearDup(spark, Sf)
+      }
+      assert(e.getMessage.contains("semDedup") && e.getMessage.contains("d9"),
+        e.getMessage)
+    } finally spark.conf.unset(graft.operators.Dedup.EmbedNearDupMaxRowsKey)
+  }
+
   test("block-pair distributed d5 equals the naive all-pairs join, any block count") {
     import org.apache.spark.sql.functions._
     import graft.functions.VecFns._
