@@ -45,6 +45,7 @@ object SparkEntry {
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
       GeoQueries.ruggedness(s, d)),
     "g25_polygon_filter"      -> GeoQueries.polygonFilter _,
+    "g26_geotags"             -> GeoQueries.geotags _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -391,6 +392,28 @@ object SparkEntry {
     // g25: the identical 6-term integer crossing-number expression,
     // generated from the same polygon constant (no division, no
     // floats — inequality direction folded into each edge's winding)
+    // g26: fixture geotags re-derived from the tile_id population
+    // rules (mismatch %7==3 wins over absent %11==5); transform
+    // coefficients by the identical IEEE floor(x*1e6+0.5) tree over
+    // exactly-representable doubles
+    "g26_geotags" -> raw"""
+      |WITH $TilesCte
+      |SELECT tile_id, tile_key,
+      |  (tile_id % 7 = 3 OR tile_id % 11 <> 5) AS has_geotags,
+      |  CASE WHEN tile_id % 7 = 3 THEN FALSE
+      |       WHEN tile_id % 11 = 5 THEN NULL
+      |       ELSE TRUE END AS tag_matches_key,
+      |  CASE WHEN tile_id % 7 = 3
+      |         THEN floor((lon0 + 0.25) * 1e6 + 0.5)::BIGINT
+      |       WHEN tile_id % 11 = 5 THEN NULL
+      |       ELSE floor(lon0 * 1e6 + 0.5)::BIGINT END AS gt0_e6,
+      |  CASE WHEN tile_id % 7 <> 3 AND tile_id % 11 = 5 THEN NULL
+      |       ELSE 125000::BIGINT END AS gt1_e6,
+      |  CASE WHEN tile_id % 7 <> 3 AND tile_id % 11 = 5 THEN NULL
+      |       ELSE floor(lat0 * 1e6 + 0.5)::BIGINT END AS gt3_e6,
+      |  CASE WHEN tile_id % 7 <> 3 AND tile_id % 11 = 5 THEN NULL
+      |       ELSE (-125000)::BIGINT END AS gt5_e6
+      |FROM keyed WHERE tile_id < 50 ORDER BY tile_id""".stripMargin,
     "g25_polygon_filter" -> (raw"""
       |WITH $TilesCte,
       |f AS (SELECT ((""" + {

@@ -175,23 +175,34 @@ object Fixtures {
     * no tile identity — exactly like real AW3D30 tiles, identity comes
     * from the FILENAME.
     */
+  /** Baseline striped int32 TIFF for one tile. With `geo` set, the
+    * file also carries the two GEOREFERENCING tags a real GeoTIFF
+    * ships and GDAL's `geo_transform()` reads (main.rs:172-177):
+    * ModelPixelScaleTag 33550 (DOUBLE×3: sx, sy, 0) and
+    * ModelTiepointTag 33922 (DOUBLE×6: raster (0,0,0) → model
+    * (originLon, originLat, 0)). Both are 8-byte-element arrays, so
+    * they are ALWAYS offset-stored per the fits-in-4 rule.
+    */
   private[graft] def tiffBytes(tileId: Int, n: Int = GridN,
-      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN,
+      geo: Option[(Double, Double)] = None): Array[Byte] = {
     val rowsPerStrip = 3
     val numStrips = (n + rowsPerStrip - 1) / rowsPerStrip
-    val entries = 10
+    val entries = 10 + (if (geo.isDefined) 2 else 0)
     val ifdOff = 8
     val ifdSize = 2 + entries * 12 + 4
     val offArr = ifdOff + ifdSize          // strip-offsets array
     val cntArr = offArr + 4 * numStrips    // strip-byte-counts array
-    val data = cntArr + 4 * numStrips      // first strip payload
+    val psArr = cntArr + 4 * numStrips     // ModelPixelScale doubles (if geo)
+    val tpArr = psArr + (if (geo.isDefined) 24 else 0) // ModelTiepoint doubles
+    val data = tpArr + (if (geo.isDefined) 48 else 0)  // first strip payload
     val buf = ByteBuffer.allocate(data + 4 * n * n).order(order)
     val bom = if (order == ByteOrder.LITTLE_ENDIAN) 'I' else 'M'
     buf.put(bom.toByte).put(bom.toByte).putShort(42).putInt(ifdOff)
     def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
       buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
       if (typ == 3) buf.putShort(value.toShort).putShort(0) // SHORT: inline, padded
-      else buf.putInt(value)                                // LONG
+      else buf.putInt(value)                                // LONG or offset
     }
     buf.putShort(entries.toShort)
     entry(256, 4, 1, n)            // ImageWidth
@@ -208,6 +219,10 @@ object Fixtures {
     entry(278, 4, 1, rowsPerStrip) // RowsPerStrip
     entry(279, 4, numStrips, if (numStrips == 1) 4 * n * n else cntArr) // StripByteCounts
     entry(339, 3, 1, 2)            // SampleFormat: signed int
+    if (geo.isDefined) {
+      entry(33550, 12, 3, psArr)   // ModelPixelScaleTag (DOUBLE x3)
+      entry(33922, 12, 6, tpArr)   // ModelTiepointTag (DOUBLE x6)
+    }
     buf.putInt(0)                  // no next IFD
     var off = data
     for (s <- 0 until numStrips) {
@@ -217,6 +232,11 @@ object Fixtures {
     for (s <- 0 until numStrips) {
       val rows = math.min(rowsPerStrip, n - s * rowsPerStrip)
       buf.putInt(4 * rows * n)
+    }
+    geo.foreach { case (originLon, originLat) =>
+      buf.putDouble(1.0 / n).putDouble(1.0 / n).putDouble(0.0)
+      buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+        .putDouble(originLon).putDouble(originLat).putDouble(0.0)
     }
     var y = 0
     while (y < n) {
@@ -239,6 +259,33 @@ object Fixtures {
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         Files.write(Paths.get(tmp.toString, s"$key.tif"), tiffBytes(id))
+      }
+    }
+  }
+
+  /** GEOREFERENCED TIFF fixtures for g26: every tile with
+    * `tile_id < RasterLimit`, three deterministic populations —
+    * (a) tags AGREEING with the filename-derived north-up transform
+    * of THIS engine's tile model (origin = (lon0, lat0), row 0 at
+    * lat0, pixel 1/GridN° — Geo.gridExpand's grid formula);
+    * (b) `tile_id % 7 == 3`: tags present but the origin longitude
+    * shifted +0.25° (2 px) — a third-party file whose embedded
+    * georeferencing disagrees with its AW3D30-style name, the case
+    * the audit column exists for;
+    * (c) `tile_id % 11 == 5` (and not in b): NO geotags at all — a
+    * bare TIFF, has_geotags=false downstream. All three re-derivable
+    * in SQL from tile_id arithmetic (the §3 discipline).
+    */
+  def ensureGeoTiffs(s: SparkSession, dir: String): String = synchronized {
+    val out = fixtureRoot("geotiffs", dir)
+    val tiles = tileRows(s, dir, RasterLimit)
+    ensureAtomic(out, tiles.length) { tmp =>
+      tiles.foreach { case (id, lat0, lon0, key) =>
+        val geo =
+          if (id % 7 == 3) Some((lon0 + 0.25, lat0.toDouble))
+          else if (id % 11 == 5) None
+          else Some((lon0.toDouble, lat0.toDouble))
+        Files.write(Paths.get(tmp.toString, s"$key.tif"), tiffBytes(id, geo = geo))
       }
     }
   }

@@ -902,4 +902,56 @@ object GeoQueries {
         max(col("tile_id")).as("max_tile"))
       .orderBy(col("bin_id"))
   }
+
+  /** g26: REAL georeferencing from the FILE, not the filename — the
+    * last reference behavior previously approximated: the reference
+    * reads its geotransform from the opened dataset
+    * (main.rs:172-177, GDAL `geo_transform()`), whereas every raster
+    * query until now derived it from the AW3D30 tile NAME. TiffDecode
+    * now parses ModelPixelScaleTag 33550 + ModelTiepointTag 33922
+    * (the tags GDAL builds that transform from) and this query derives
+    * the north-up affine from the TAGS —
+    * gt0 = tp_x − tp_i·sx, gt1 = sx, gt3 = tp_y + tp_j·sy, gt5 = −sy
+    * — then CROSS-CHECKS it against the filename-derived identity
+    * (`tag_matches_key`): a third-party GeoTIFF whose embedded
+    * georeferencing disagrees with its name is FLAGGED, not silently
+    * trusted (and not silently overridden). Files carrying no geotags
+    * surface has_geotags=false with null transform columns. Transform
+    * coefficients surface as e6 micro-degrees; equality checks compare
+    * the raw doubles (file bytes vs the exact integer-derived
+    * expectation — both sides exactly representable).
+    *
+    * Scale shape: stateless per-file decode (the g9 discipline — the
+    * tag parse rides the same binaryFile scan), one broadcast-sized
+    * tile-universe join for the filename side, no shuffle beyond the
+    * final order.
+    */
+  def geotags(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureGeoTiffs(s, dir)
+    val decoded = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.tiff_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.px_scale").as("ps"), col("r.tiepoint").as("tp"))
+    val sx  = element_at(col("ps"), 1)
+    val sy  = element_at(col("ps"), 2)
+    val gt0 = element_at(col("tp"), 4) - element_at(col("tp"), 1) * sx
+    val gt3 = element_at(col("tp"), 5) + element_at(col("tp"), 2) * sy
+    val kLon   = col("lon0").cast("double")
+    val kLat   = col("lat0").cast("double")
+    val kScale = lit(1.0 / Fixtures.GridN)
+    tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
+      .join(decoded, Seq("tile_key"))
+      .withColumn("has_geotags", col("ps").isNotNull && col("tp").isNotNull)
+      .withColumn("tag_matches_key",
+        when(col("has_geotags"),
+          gt0 === kLon && gt3 === kLat && sx === kScale && sy === kScale))
+      .select(col("tile_id"), col("tile_key"), col("has_geotags"),
+        col("tag_matches_key"),
+        e6(gt0).as("gt0_e6"), e6(sx).as("gt1_e6"),
+        e6(gt3).as("gt3_e6"), e6(-sy).as("gt5_e6"))
+      .orderBy(col("tile_id"))
+  }
 }

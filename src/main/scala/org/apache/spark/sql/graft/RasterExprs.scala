@@ -306,13 +306,24 @@ case class TiffDecode(child: Expression)
     // stays a primitive int array; callers map elevation = nodata to
     // SQL null with one `when` (the GDAL mask-band semantic), so
     // files without the tag pay nothing.
-    StructField("nodata", IntegerType, nullable = true)))
+    StructField("nodata", IntegerType, nullable = true),
+    // GEOREFERENCING tags — what GDAL's geo_transform() is built from
+    // (main.rs:172-177) and the last reference behavior previously
+    // approximated from the FILENAME: ModelPixelScaleTag 33550
+    // (DOUBLE x3: sx, sy, sz) and the first ModelTiepointTag 33922
+    // tuple (DOUBLE x6: raster i,j,k -> model x,y,z). Null when the
+    // file carries no georeferencing (a bare TIFF) or the tag shape
+    // is malformed; appended after nodata so positional consumers
+    // keep their offsets.
+    StructField("px_scale", ArrayType(DoubleType, containsNull = false), nullable = true),
+    StructField("tiepoint", ArrayType(DoubleType, containsNull = false), nullable = true)))
 
   override def nullable: Boolean = true
 
   private final val TypeAscii = 2
   private final val TypeShort = 3
   private final val TypeLong = 4
+  private final val TypeDouble = 12
 
   override def nullSafeEval(in: Any): Any = {
     val bytes = in.asInstanceOf[Array[Byte]]
@@ -380,6 +391,27 @@ case class TiffDecode(child: Expression)
       Some(new String(bytes, base, count, java.nio.charset.StandardCharsets.US_ASCII)
         .takeWhile(_ != '\u0000').trim)
     }
+
+    /** All values of a DOUBLE tag (8-byte elements — by the
+      * fits-in-4 rule these are always offset-stored).
+      */
+    def doubles(tag: Int): Option[Array[Double]] = entryPos.get(tag).flatMap { p =>
+      if ((buf.getShort(p + 2) & 0xFFFF) != TypeDouble) return None
+      val count = buf.getInt(p + 4)
+      if (count <= 0 || count > 1024) return None
+      val off = buf.getInt(p + 8)
+      if (off < 0 || off.toLong + 8L * count > bytes.length) return None
+      Some(Array.tabulate(count)(j => buf.getDouble(off + 8 * j)))
+    }
+
+    // ModelPixelScale must be the spec's 3-vector; ModelTiepoint is
+    // 6k doubles — the FIRST tuple is the one GDAL's north-up
+    // geo_transform derives from, and the only one a north-up raster
+    // needs (additional tiepoints imply a non-affine model this
+    // subset doesn't represent — take the first, as GDAL does).
+    val pxScale: Option[Array[Double]] = doubles(33550).filter(_.length == 3)
+    val tiePoint: Option[Array[Double]] =
+      doubles(33922).filter(a => a.length >= 6 && a.length % 6 == 0).map(_.take(6))
 
     // GDAL_NODATA (42113): integral decimal forms only — the DSM
     // sentinel is an integer band value ("-9999", GDAL may print
@@ -535,7 +567,10 @@ case class TiffDecode(child: Expression)
         }
         t += 1
       }
-      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points), noData.map(Int.box).orNull))
+      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points),
+        noData.map(Int.box).orNull,
+        pxScale.map(new GenericArrayData(_)).orNull,
+        tiePoint.map(new GenericArrayData(_)).orNull))
     } else {
       val rowsPerStrip = scalar(278).getOrElse(height.toLong)
       if (rowsPerStrip <= 0) return null
@@ -567,7 +602,10 @@ case class TiffDecode(child: Expression)
         s += 1
       }
       if (row != height) return null // strips did not cover the image
-      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points), noData.map(Int.box).orNull))
+      new GenericInternalRow(Array[Any](width, height, new GenericArrayData(points),
+        noData.map(Int.box).orNull,
+        pxScale.map(new GenericArrayData(_)).orNull,
+        tiePoint.map(new GenericArrayData(_)).orNull))
     }
   }
 

@@ -404,6 +404,78 @@ class GeoSpec extends SparkSpec {
     assert(prow.isNullAt(3))
   }
 
+  test("g26: geotags parse from file bytes; audit flags mismatches; tag fuzz never throws") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    // direct decode: the struct carries exactly the written doubles
+    val tagged = graft.geo.Fixtures.tiffBytes(7, geo = Some((12.0, -3.0)))
+    val row = expr.eval(InternalRow(tagged)).asInstanceOf[InternalRow]
+    assert(row != null && !row.isNullAt(4) && !row.isNullAt(5))
+    assert(row.getArray(4).toDoubleArray().toSeq ==
+      Seq(1.0 / graft.geo.Fixtures.GridN, 1.0 / graft.geo.Fixtures.GridN, 0.0))
+    assert(row.getArray(5).toDoubleArray().toSeq ==
+      Seq(0.0, 0.0, 0.0, 12.0, -3.0, 0.0))
+    // a bare TIFF decodes with null geo fields (and big-endian works)
+    val bare = expr.eval(InternalRow(graft.geo.Fixtures.tiffBytes(7)))
+      .asInstanceOf[InternalRow]
+    assert(bare != null && bare.isNullAt(4) && bare.isNullAt(5))
+    val be = expr.eval(InternalRow(graft.geo.Fixtures.tiffBytes(7,
+      order = java.nio.ByteOrder.BIG_ENDIAN, geo = Some((12.0, -3.0)))))
+      .asInstanceOf[InternalRow]
+    assert(be != null && be.getArray(5).toDoubleArray()(3) == 12.0)
+
+    // query level: populations land exactly per the fixture rules
+    val got = GeoQueries.geotags(spark, Sf).collect()
+    assert(got.length == graft.geo.Fixtures.RasterLimit)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val expectHas = id % 7 == 3 || id % 11 != 5
+      assert(r.getBoolean(2) == expectHas, s"has_geotags tile $id")
+      if (!expectHas) {
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(7), s"tile $id")
+      } else {
+        assert(r.getBoolean(3) == (id % 7 != 3), s"tag_matches_key tile $id")
+        assert(r.getLong(5) == 125000L && r.getLong(7) == -125000L, s"scale tile $id")
+      }
+    }
+    assert(got.exists(r => !r.isNullAt(3) && !r.getBoolean(3)),
+      "the mismatch population must be non-empty")
+    assert(got.exists(r => !r.getBoolean(2)),
+      "the tag-less population must be non-empty")
+
+    // tag-region fuzz: flips across the whole file AND targeted
+    // mutations of the two geotag IFD entries / double arrays never
+    // throw — null field, null row, or a decode only
+    val rnd = new scala.util.Random(23)
+    val mutants =
+      (0 until tagged.length by 5).map(tagged.take(_)) ++
+      (1 to 400).map { _ =>
+        val m = tagged.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        m
+      }
+    mutants.foreach { m =>
+      val out = expr.eval(InternalRow(m))
+      assert(out == null || out.isInstanceOf[InternalRow])
+    }
+    // a malformed ModelPixelScale COUNT (2, not 3) nulls the geo
+    // field without poisoning the raster decode
+    val badCount = tagged.clone()
+    // find the 33550 entry: tags are little-endian shorts in the IFD
+    val ifd = java.nio.ByteBuffer.wrap(badCount)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nEntries = ifd.getShort(8) & 0xFFFF
+    val entryOff = (0 until nEntries).map(8 + 2 + _ * 12)
+      .find(p => (ifd.getShort(p) & 0xFFFF) == 33550).get
+    ifd.putInt(entryOff + 4, 2)
+    val bc = expr.eval(InternalRow(badCount)).asInstanceOf[InternalRow]
+    assert(bc != null && bc.isNullAt(4) && !bc.isNullAt(5))
+    assert(bc.getArray(2).numElements() ==
+      graft.geo.Fixtures.GridN * graft.geo.Fixtures.GridN)
+  }
+
   test("g8: FS listing manifest flags missing and torn downloads only") {
     val got = GeoQueries.listingManifest(spark, Sf)
       .select("tile_id").as[Long].collect().toSet
