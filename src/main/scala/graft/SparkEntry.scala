@@ -1020,26 +1020,33 @@ object SparkEntry {
     // deterministic under ties
     "q48_table_stats" -> raw"""
       |WITH u AS (
-      |  SELECT 'l_orderkey' AS col_name, l_orderkey::BIGINT AS v FROM lineitem
+      |  SELECT 'l_orderkey' AS col_name, l_orderkey::BIGINT AS vn, NULL::VARCHAR AS vs FROM lineitem
       |  UNION ALL
-      |  SELECT 'l_quantity', l_quantity::BIGINT FROM lineitem
+      |  SELECT 'l_quantity', l_quantity::BIGINT, NULL::VARCHAR FROM lineitem
       |  UNION ALL
-      |  SELECT 'l_extendedprice', round(l_extendedprice*100)::BIGINT FROM lineitem),
-      |st AS (SELECT col_name, count(*) AS n_rows, count(v) AS n_vals
+      |  SELECT 'l_extendedprice', round(l_extendedprice*100)::BIGINT, NULL::VARCHAR FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_shipdate', (l_shipdate::DATE - DATE '1970-01-01')::BIGINT, NULL::VARCHAR FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', NULL::BIGINT, l_returnflag FROM lineitem),
+      |st AS (SELECT col_name, count(*) AS n_rows,
+      |         sum(CASE WHEN vn IS NOT NULL OR vs IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_vals
       |       FROM u GROUP BY 1),
-      |vals AS (SELECT col_name, v, count(*) AS cnt FROM u
-      |         WHERE v IS NOT NULL GROUP BY 1, 2),
-      |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY col_name ORDER BY v
+      |vals AS (SELECT col_name, vn, vs, count(*) AS cnt FROM u
+      |         WHERE vn IS NOT NULL OR vs IS NOT NULL GROUP BY 1, 2, 3),
+      |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY col_name ORDER BY vn, vs
       |          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM vals),
-      |nd AS (SELECT col_name, count(*)::BIGINT AS ndv, min(v) AS min_v,
-      |              max(v) AS max_v FROM vals GROUP BY 1),
-      |x AS (SELECT c.col_name, b.b AS bucket, c.v, c.cum,
+      |nd AS (SELECT col_name, count(*)::BIGINT AS ndv,
+      |              min(vn) AS min_num, max(vn) AS max_num,
+      |              min(vs) AS min_str, max(vs) AS max_str FROM vals GROUP BY 1),
+      |x AS (SELECT c.col_name, b.b AS bucket, c.vn, c.vs, c.cum,
       |             c.cum - c.cnt AS cum_prev, s.n_vals, s.n_rows
       |      FROM cum c JOIN st s USING (col_name), generate_series(1,8) b(b)
       |      WHERE (s.n_vals * b.b + 7) // 8 > c.cum - c.cnt
       |        AND (s.n_vals * b.b + 7) // 8 <= c.cum)
-      |SELECT x.col_name, x.bucket::INT AS bucket, x.v AS hi, nd.ndv,
-      |       (x.n_rows - x.n_vals)::BIGINT AS n_nulls, nd.min_v, nd.max_v
+      |SELECT x.col_name, x.bucket::INT AS bucket, x.vn AS hi_num, x.vs AS hi_str,
+      |       nd.ndv, (x.n_rows - x.n_vals)::BIGINT AS n_nulls,
+      |       nd.min_num, nd.max_num, nd.min_str, nd.max_str
       |FROM x JOIN nd USING (col_name) ORDER BY x.col_name, x.bucket""".stripMargin,
     // q46: sole-blame lateness — EXISTS other supplier, NOT EXISTS
     // other LATE supplier, over the collapsed (order, supplier) flags

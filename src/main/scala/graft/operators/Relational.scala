@@ -1216,12 +1216,25 @@ object Relational {
   def q48TableStats(s: SparkSession, dir: String, buckets: Int = 8,
       shardW: Long = 4096L): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // every ANALYZE column rides ONE exploded frame with a typed value
+    // pair: numerics (and dates, as epoch days) in vn, strings in vs —
+    // exactly one of the two is non-null per column, so ordering by
+    // (vn, vs) is the column's natural order and the whole boundary
+    // machinery below is type-agnostic (r8 VERDICT #8: ANALYZE parity
+    // for non-numeric columns; equi-depth over the sorted string
+    // multiset = the dictionary-rank histogram).
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
     val u = li.select(explode(array(
-        struct(lit("l_orderkey").as("col_name"), col("l_orderkey").as("v")),
-        struct(lit("l_quantity").as("col_name"), col("l_quantity").cast("long").as("v")),
-        struct(lit("l_extendedprice").as("col_name"), cents(col("l_extendedprice")).as("v"))
+        struct(lit("l_orderkey").as("col_name"), col("l_orderkey").as("vn"), nullS.as("vs")),
+        struct(lit("l_quantity").as("col_name"), col("l_quantity").cast("long").as("vn"), nullS.as("vs")),
+        struct(lit("l_extendedprice").as("col_name"), cents(col("l_extendedprice")).as("vn"), nullS.as("vs")),
+        struct(lit("l_shipdate").as("col_name"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01")).cast("long").as("vn"),
+          nullS.as("vs")),
+        struct(lit("l_returnflag").as("col_name"), nullL.as("vn"), col("l_returnflag").as("vs"))
       )).as("p"))
-      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .select(col("p.col_name").as("col_name"), col("p.vn").as("vn"), col("p.vs").as("vs"))
     // ONE table scan: nulls stay in the per-value count frame as their
     // own group, and every downstream frame (row/null stats, the
     // sharded prefix, NDV/min/max) derives from this NDV-sized cached
@@ -1229,13 +1242,21 @@ object Relational {
     // pruned scans observed at plan review; at 100 TB that is 4 reads
     // of a 3-column projection for one stats job).
     val counted = graft.Caches.track(
-      u.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt")))
+      u.groupBy(col("col_name"), col("vn"), col("vs")).agg(count(lit(1)).as("cnt")))
+    val present = col("vn").isNotNull || col("vs").isNotNull
     val stats = counted.groupBy(col("col_name"))
       .agg(sum(col("cnt")).as("n_rows"),
-        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_vals"))
-    val vals = counted.filter(col("v").isNotNull)
-      .withColumn("shard", expr(s"v div $shardW"))
-    val wLocal = Window.partitionBy(col("col_name"), col("shard")).orderBy(col("v"))
+        sum(when(present, col("cnt")).otherwise(0L)).as("n_vals"))
+    // shard key, monotone in the column's value order: numeric shards
+    // by value range (shardW-wide), strings by leading code point —
+    // both bound per-shard window size without a global single-reducer
+    // sort (strings: ≤ charset-size shards of the dictionary, each a
+    // local window; the shard offsets frame is shards-sized)
+    val vals = counted.filter(present)
+      .withColumn("shard",
+        coalesce(expr(s"vn div $shardW"), ascii(substring(col("vs"), 1, 1)).cast("long")))
+    val wLocal = Window.partitionBy(col("col_name"), col("shard"))
+      .orderBy(col("vn"), col("vs"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = vals.withColumn("cum_local", sum(col("cnt")).over(wLocal))
     val wShard = Window.partitionBy(col("col_name")).orderBy(col("shard"))
@@ -1248,17 +1269,18 @@ object Relational {
       .withColumn("cum", col("offset") + col("cum_local"))
       .withColumn("cum_prev", col("cum") - col("cnt"))
     val nd = vals.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("ndv"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .agg(count(lit(1)).as("ndv"), min(col("vn")).as("min_num"), max(col("vn")).as("max_num"),
+        min(col("vs")).as("min_str"), max(col("vs")).as("max_str"))
     cum.join(broadcast(stats), "col_name")
-      .select(col("col_name"), col("v"), col("cum"), col("cum_prev"), col("n_vals"),
-        col("n_rows"), explode(sequence(lit(1), lit(buckets))).as("bucket"))
+      .select(col("col_name"), col("vn"), col("vs"), col("cum"), col("cum_prev"),
+        col("n_vals"), col("n_rows"), explode(sequence(lit(1), lit(buckets))).as("bucket"))
       .filter(expr(s"(n_vals * bucket + ${buckets - 1}) div $buckets") > col("cum_prev") &&
         expr(s"(n_vals * bucket + ${buckets - 1}) div $buckets") <= col("cum"))
       .join(broadcast(nd), "col_name")
       .select(col("col_name"), col("bucket").cast("int").as("bucket"),
-        col("v").as("hi"), col("ndv"),
+        col("vn").as("hi_num"), col("vs").as("hi_str"), col("ndv"),
         (col("n_rows") - col("n_vals")).as("n_nulls"),
-        col("min_v"), col("max_v"))
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"), col("bucket"))
   }
 }

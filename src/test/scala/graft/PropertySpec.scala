@@ -218,31 +218,43 @@ class PropertySpec extends SparkSpec {
     // boundary determinism under duplicates is exercised; prices are
     // exact cents/100 so the cents rounding is unambiguous in the
     // JVM reference; shardW varies to assert shard-width invariance
-    val row = Gen.zip(Gen.choose(0L, 500L), Gen.choose(1L, 50L), Gen.choose(100L, 100000L))
+    val row = Gen.zip(Gen.choose(0L, 500L), Gen.choose(1L, 50L), Gen.choose(100L, 100000L),
+      Gen.choose(0L, 20000L), Gen.oneOf("A", "N", "R", "", "zz"))
     val prop = Prop.forAll(Gen.listOfN(300, row), Gen.oneOf(7L, 64L, 4096L)) {
       (rows, shardW) =>
         val dir = scratchDir("graft_q48_prop")
-        rows.map { case (k, q, cents) => (k, q.toDouble, cents / 100.0) }
-          .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+        rows.map { case (k, q, cents, day, fl) =>
+          (k, q.toDouble, cents / 100.0,
+            new java.sql.Timestamp(day * 86400000L), fl) }
+          .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-        val got = graft.operators.Relational.q48TableStats(spark, dir, shardW = shardW)
+        val out = graft.operators.Relational.q48TableStats(spark, dir, shardW = shardW)
           .collect()
-          .map(r => (r.getString(0), r.getInt(1)) ->
-            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+        val got = out.map(r => (r.getString(0), r.getInt(1)) -> r).toMap
         val cols = Seq(
           "l_orderkey" -> rows.map(_._1),
           "l_quantity" -> rows.map(_._2),
-          "l_extendedprice" -> rows.map(_._3))
-        cols.forall { case (name, vs) =>
+          "l_extendedprice" -> rows.map(_._3),
+          "l_shipdate" -> rows.map(_._4))
+        val numOk = cols.forall { case (name, vs) =>
           val sorted = vs.sorted
           val n = sorted.length.toLong
           (1 to 8).forall { b =>
             val rank = (n * b + 7) / 8
-            got.get((name, b)).contains(
-              (sorted((rank - 1).toInt), vs.distinct.length.toLong, 0L,
-                sorted.head, sorted.last))
+            val r = got((name, b))
+            r.getLong(2) == sorted((rank - 1).toInt) &&
+              r.getLong(4) == vs.distinct.length.toLong && r.getLong(5) == 0L &&
+              r.getLong(6) == sorted.head && r.getLong(7) == sorted.last
           }
-        } && got.size == 24
+        }
+        val fs = rows.map(_._5).sorted
+        val strOk = (1 to 8).forall { b =>
+          val rank = (fs.length.toLong * b + 7) / 8
+          val r = got(("l_returnflag", b))
+          r.isNullAt(2) && r.getString(3) == fs((rank - 1).toInt) &&
+            r.getString(8) == fs.head && r.getString(9) == fs.last
+        }
+        numOk && strOk && got.size == 40
     }
     check("q48-equi-depth", prop, cases = 4)
   }

@@ -538,27 +538,43 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q48 table stats: boundaries equal ranks of the fully-sorted multiset") {
-    val got = Relational.q48TableStats(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getInt(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val rows = Relational.q48TableStats(spark, Sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getInt(1)) -> r).toMap
     val li = Tables.lineitem(spark, Sf)
     val cols: Seq[(String, Array[Long])] = Seq(
       "l_orderkey" -> li.select(col("l_orderkey")).collect().map(_.getLong(0)),
       "l_quantity" -> li.select(col("l_quantity").cast("long")).collect().map(_.getLong(0)),
       "l_extendedprice" -> li.select(graft.functions.Det.cents(col("l_extendedprice")))
-        .collect().map(_.getLong(0)))
+        .collect().map(_.getLong(0)),
+      "l_shipdate" -> li.select(datediff(col("l_shipdate").cast("date"),
+        lit("1970-01-01")).cast("long")).collect().map(_.getLong(0)))
     cols.foreach { case (name, vs) =>
       val sorted = vs.sorted
       val n = sorted.length.toLong
       (1 to 8).foreach { b =>
         val rank = (n * b + 7) / 8 // ceil(n*b/8), 1-based
-        val (hi, ndv, nulls, mn, mx) = got((name, b))
-        assert(hi == sorted((rank - 1).toInt), s"$name bucket $b boundary")
-        assert(ndv == vs.distinct.length.toLong && nulls == 0L)
-        assert(mn == sorted.head && mx == sorted.last, s"$name min/max")
+        val r = got((name, b))
+        assert(r.getLong(2) == sorted((rank - 1).toInt), s"$name bucket $b boundary")
+        assert(r.isNullAt(3), s"$name hi_str must be null")
+        assert(r.getLong(4) == vs.distinct.length.toLong && r.getLong(5) == 0L)
+        assert(r.getLong(6) == sorted.head && r.getLong(7) == sorted.last, s"$name min/max")
+        assert(r.isNullAt(8) && r.isNullAt(9), s"$name str min/max must be null")
       }
     }
-    assert(got.size == 24)
+    // the STRING column: equi-depth over the sorted string multiset
+    // (the dictionary-rank histogram), numeric stat columns null
+    val flags = li.select(col("l_returnflag")).collect().map(_.getString(0))
+    val fsorted = flags.sorted
+    val fn = fsorted.length.toLong
+    (1 to 8).foreach { b =>
+      val rank = (fn * b + 7) / 8
+      val r = got(("l_returnflag", b))
+      assert(r.isNullAt(2) && r.isNullAt(6) && r.isNullAt(7), "numeric stats must be null")
+      assert(r.getString(3) == fsorted((rank - 1).toInt), s"l_returnflag bucket $b")
+      assert(r.getLong(4) == flags.distinct.length.toLong && r.getLong(5) == 0L)
+      assert(r.getString(8) == fsorted.head && r.getString(9) == fsorted.last)
+    }
+    assert(got.size == 40)
   }
 
   test("q37 retention: hand-computed cohort cells, within-week dedup, integer per-mille") {
