@@ -29,16 +29,19 @@ object Curation {
     */
   def repeatedSpans(s: SparkSession, dir: String, width: Int = 50): DataFrame = {
     import org.apache.spark.sql.graft.ArrayExprs
-    // pass 1 — hash-only: per-doc DISTINCT xxhash64 of every
-    // width-char window via the in-place GramHashes kernel (no window
-    // strings exist at all); a hash seen in ≥2 docs is "hot"
+    // pass 1 — hash-only: POSITIONAL xxhash64 of every width-char
+    // window via the in-place GramHashesPos kernel (no window strings
+    // exist at all; hs(i) addresses the window AT offset i, which is
+    // what lets pass 2 filter offsets instead of strings); per-doc
+    // distinct bounds a doc's contribution to any span at one, and a
+    // hash seen in ≥2 docs is "hot"
     val h = graft.Caches.track(
       Tables.documents(s, dir)
         .select(col("doc_id"), normalize(col("text")).as("nrm"))
         .filter(length(col("nrm")) >= width)
         .select(col("doc_id"), col("nrm"),
-          ArrayExprs.char_gram_hashes(col("nrm"), width).as("hs")))
-    val hot = h.select(explode(col("hs")).as("g"))
+          ArrayExprs.char_gram_hashes_pos(col("nrm"), width).as("hs")))
+    val hot = h.select(explode(array_distinct(col("hs"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col("g"))
     // pass 2 — string verify, but ONLY for HOT WINDOWS (r7; previously
@@ -56,15 +59,21 @@ object Curation {
     // positives — the candidates→verify discipline is unchanged, the
     // candidate set is just windows-that-can-win instead of
     // docs-that-might-contain-one.
-    val hotPerDoc = h.select(col("doc_id"), explode(col("hs")).as("g"))
+    val hotPerDoc = h.select(col("doc_id"), explode(array_distinct(col("hs"))).as("g"))
       .join(hot, "g")
       .groupBy(col("doc_id")).agg(collect_set(col("g")).as("hotg"))
+    // (offset, hash) discipline (r8 VERDICT #9): filter window
+    // OFFSETS by hot-hash membership on the positional hash array —
+    // long compares, zero string allocation — and substr ONLY the
+    // surviving offsets. The previous form materialized EVERY window
+    // string (≈ width × doc bytes of garbage per doc) before
+    // filtering; gc was 13.2 s of a 4.8 s sf0.1 wall.
     h.join(hotPerDoc, "doc_id")
       .select(col("doc_id"), explode(array_distinct(
-        filter(
-          transform(sequence(lit(1), length(col("nrm")) - (width - 1)),
-            i => col("nrm").substr(i, lit(width))),
-          sp => array_contains(col("hotg"), xxhash64(sp))))).as("span"))
+        transform(
+          filter(sequence(lit(1), size(col("hs"))),
+            i => array_contains(col("hotg"), element_at(col("hs"), i))),
+          i => col("nrm").substr(i, lit(width))))).as("span"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))

@@ -66,6 +66,15 @@ object ArrayExprs {
   def char_gram_hashes(nrm: Column, n: Int): Column =
     ExpressionUtils.column(GramHashes(ExpressionUtils.expression(nrm), n, byWord = false))
 
+  /** POSITIONAL xxhash64 values of the character n-grams: element i
+    * (1-based) is exactly `xxhash64(substr(nrm, i, n))`, one per
+    * window position, duplicates kept (see [[GramHashesPos]]). The
+    * offset-addressable twin of [[char_gram_hashes]]: callers filter
+    * window POSITIONS by hash before building any window string.
+    */
+  def char_gram_hashes_pos(nrm: Column, n: Int): Column =
+    ExpressionUtils.column(GramHashesPos(ExpressionUtils.expression(nrm), n))
+
   /** Distinct xxhash64 values of the word k-shingles of a normalized
     * (single-spaced) string, hashed in place.
     */
@@ -779,4 +788,53 @@ case class BloomBoundGe(ba: Expression, bb: Expression,
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): BloomBoundGe =
     copy(ba = f, bb = s, sza = t, szb = q)
+}
+
+/** Positional char-n-gram hashes: out(c) = XXH64 of the window
+  * starting at code point c (0-based array, so SQL element_at(hs, i)
+  * == xxhash64(substr(s, i, n))), duplicates KEPT — the d6 span
+  * pipeline filters window OFFSETS by hot-hash membership and builds
+  * strings only for surviving offsets, instead of materializing every
+  * window string first (measured allocation-bound: gc 13.2 s of a
+  * 4.8 s sf0.1 wall). Same in-place byte hashing, seed, and short-
+  * input degradation (chars < n -> one whole-string hash) as
+  * [[GramHashes]]; `array_distinct` of this array is element-wise
+  * identical to GramHashes' first-occurrence set (asserted in
+  * ExprSpec).
+  */
+case class GramHashesPos(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val Seed = 42L
+
+  override def nullSafeEval(in: Any): Any = {
+    val s    = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off  = s.getBaseOffset
+    val nb   = s.numBytes()
+    def hashRange(from: Int, until: Int): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, Seed)
+    val cps = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < nb) {
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      cps += i
+    }
+    val chars = cps.length - 1
+    if (chars < n) return new GenericArrayData(Array(hashRange(0, nb)))
+    val out = new Array[Long](chars - n + 1)
+    var c = 0
+    while (c + n <= chars) { out(c) = hashRange(cps(c), cps(c + n)); c += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "char_gram_hashes_pos"
+  override protected def withNewChildInternal(c: Expression): GramHashesPos =
+    copy(child = c)
 }

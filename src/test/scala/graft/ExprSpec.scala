@@ -104,6 +104,26 @@ class ExprSpec extends SparkSpec {
     df.as[(Seq[Long], Seq[Long])].collect().foreach { case (a, b) => assert(a == b) }
   }
 
+  test("GramHashesPos: element i equals xxhash64(substr(i, n)); distinct equals GramHashes") {
+    val texts = Seq("abcdefg", "ab", "the quick brown fox jumps over it", "aaaaaa",
+      "x" * 60, "padding plus \u00fcnicode ch\u00e4rs in the middle here")
+    val n = 5
+    val df = texts.toDF("text").select(
+      ArrayExprs.char_gram_hashes_pos(col("text"), n).as("pos"),
+      ArrayExprs.char_gram_hashes(col("text"), n).as("set"),
+      transform(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+        i => xxhash64(col("text").substr(i, lit(n)))).as("hof"),
+      length(col("text")).as("len"))
+    df.collect().foreach { r =>
+      val pos = r.getSeq[Long](0)
+      val set = r.getSeq[Long](1)
+      val hof = r.getSeq[Long](2)
+      if (r.getInt(3) >= n) assert(pos == hof, "positional identity")
+      assert(pos.distinct == set, "distinct(pos) == GramHashes first-occurrence set")
+      if (r.getInt(3) >= n) assert(pos.length == r.getInt(3) - n + 1)
+    }
+  }
+
   test("JaccardSets matches the composed intersect/union form, and the rule fires") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(100)((Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(30).toLong),
