@@ -124,22 +124,41 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(Tables.NanosConf._1, Tables.NanosConf._2)
-      // wide schemas (m-family structs) otherwise spam truncation
-      // WARNings into the artifact log on every plan print
-      .config("spark.sql.debug.maxToStringFields", "2000")
-      .getOrCreate()
-    // ERROR, not WARN: bench stderr is part of the audited artifact;
-    // per-query WARN noise (codegen fallbacks, AQE notices) buries
-    // the gate/failure lines a reader actually needs
-    spark.sparkContext.setLogLevel("ERROR")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(Tables.NanosConf._1, Tables.NanosConf._2)
+        // wide schemas (m-family structs) otherwise spam truncation
+        // WARNings into the artifact log on every plan print
+        .config("spark.sql.debug.maxToStringFields", "2000")
+        .getOrCreate()
+      // ERROR, not WARN: bench stderr is part of the audited artifact;
+      // per-query WARN noise (codegen fallbacks, AQE notices) buries
+      // the gate/failure lines a reader actually needs
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    var spark = newSession()
+    /** Fresh-landscape reset (r6 VERDICT 4c / r8 #4): tear the WHOLE
+      * session down — memory store, block manager, broadcast state,
+      * shuffle dirs — and start a new one in the same (JIT-warm) JVM.
+      * Caches.clear() + System.gc() between runs provably do not
+      * reach the state a long suite accumulates (g6 at sf10 measured
+      * 68-84 s in-suite vs 4.6-10.7 s isolated across r6-r8); a
+      * stopped-and-rebuilt SparkContext does.
+      */
+    def restartSession(): Unit = {
+      Caches.clear()
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = newSession()
+    }
     // contention gate: wait (bounded) for a quiet box; stamp the
     // artifact if it never quiets down rather than committing numbers
     // that only reproduce under the same background load.
@@ -316,9 +335,19 @@ object Bench {
       * median self-declares through the spread flags. Deterministic
       * (no RNG): artifacts stay reproducible.
       */
+    val scaleTotals = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    /** `isolated`: after the in-suite passes, run each query ONCE
+      * more in a fresh-landscape session (restartSession — new
+      * SparkContext, same warm JVM) and record it as `"isolated"`
+      * beside the in-suite numbers, so the artifact of record carries
+      * BOTH the suite-ordering-inherited cost and the true standalone
+      * cost (r8 VERDICT #4: g6's 4.6 s isolated number previously
+      * existed only in subset runs no full artifact contained).
+      */
     def scaleSection(label: String, envKey: String, default: String,
         replicas: Int, decades: Double, runsN: Int, queries: Seq[String],
-        interleave: Boolean = false): String = {
+        interleave: Boolean = false, isolated: Boolean = false): String = {
       val wanted = queries
         .filter(SparkEntry.queries.contains)
         .filter(name => only.forall(_.contains(name)))
@@ -359,6 +388,19 @@ object Bench {
           }
         }
         sample()
+        val isoByName = scala.collection.mutable.LinkedHashMap[String, Double]()
+        if (isolated) {
+          wanted.foreach { name =>
+            restartSession()
+            // untimed warm read so the fresh session's parquet/codegen
+            // setup doesn't land inside the isolated measurement
+            try spark.read.parquet(s"$d/documents.parquet").count()
+            catch { case _: Exception => () }
+            sample() // quiet-probe each isolated point so it is datable
+            isoByName(name) = time(name, SparkEntry.queries(name), d, 1,
+              gcFirst = true).headOption.getOrElse(Double.NaN)
+          }
+        }
         val entries = wanted.map { name =>
           val ts = byName(name)
           val t = median(ts)
@@ -366,11 +408,14 @@ object Bench {
           val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
                     else math.log10(t / base) / decades // ~1.0 = linear
           if (polluted(ts)) spreadFlags += s"$label:$name"
+          val iso = isoByName.get(name)
+            .map(v => ",\"isolated\":" + jnum(v)).getOrElse("")
           "\"" + name + "\":{\"sec\":" + jnum(t) +
             ",\"min\":" + jnum(if (ts.isEmpty) Double.NaN else ts.min) +
-            ",\"exponent\":" + jnum(exp) +
+            ",\"exponent\":" + jnum(exp) + iso +
             ",\"runs_raw\":" + jarr(ts) + "}"
         }
+        scaleTotals(label) = wanted.map(n => median(byName(n))).filterNot(_.isNaN).sum
         s""","$label":{"dir":"$d","runs":$runsN,"interleaved":$interleave,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
       }.getOrElse("")
     }
@@ -385,7 +430,7 @@ object Bench {
       "/root/repo/.data/sf1", tools.GenScale.Replicas, 1.0, scaleRuns, ScaleQueries)
     val sf10 = scaleSection("sf10", "SPARK_GRAFT_BENCH_SCALE10_DIR",
       "/root/repo/.data/sf10", 100, 2.0, scale10Runs, Scale10Queries,
-      interleave = true)
+      interleave = true, isolated = true)
 
     // serialized AFTER the scale runs so their failures are recorded
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -415,6 +460,17 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $artifact: ${e.getMessage}") }
+    // COMPACT summary as the FINAL stdout line (r8 VERDICT #5): the
+    // round driver captures only the last ~2000 chars of stdout, and
+    // the full JSON's 143-query maps overflow that (BENCH_r08 landed
+    // `parsed: null`). Totals + per-scale totals + flags fit with
+    // room; the full artifact lives one line up and in $artifact.
+    val medQ = median(results.map(r => median(r._2)).filterNot(_.isNaN))
+    val scaleQs = scaleTotals.map { case (l, v) =>
+      "\"" + l + "_total\":" + jnum(v) }.mkString(",")
+    val compactQueries = ("\"" + sfDir.split('/').last + "_total\":" + jnum(total)) +
+      (if (scaleQs.nonEmpty) "," + scaleQs else "")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{$compactQueries},"n_queries":${results.size},"median_query_sec":${jnum(medQ)},"spread_flags":$sfl,"failed":$fs,"contended":$contended,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEnd)},"sf":"$sfDir","artifact":"$artifact"}""")
     spark.stop()
   }
 }
