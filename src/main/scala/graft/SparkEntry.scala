@@ -46,6 +46,7 @@ object SparkEntry {
       GeoQueries.ruggedness(s, d)),
     "g25_polygon_filter"      -> GeoQueries.polygonFilter _,
     "g26_geotags"             -> GeoQueries.geotags _,
+    "g27_raster_packbits"     -> GeoQueries.rasterIngestTiffPackbits _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -392,6 +393,20 @@ object SparkEntry {
     // g25: the identical 6-term integer crossing-number expression,
     // generated from the same polygon constant (no division, no
     // floats — inequality direction folded into each edge's winding)
+    // g27: identical grid CTE to g10 — the PackBits/Float32 layouts
+    // carry the same integer pixel formula (float bands hold
+    // integer-valued floats, exact in IEEE)
+    "g27_raster_packbits" -> raw"""
+      |WITH $TilesCte,
+      |grid2 AS (
+      |  SELECT tile_id, tile_key, lat0, lon0,
+      |         ((tile_id*131 + xs.x*17 + ys.y*29)%8848)::INT AS elevation
+      |  FROM keyed, generate_series(0,23) ys(y), generate_series(0,23) xs(x))
+      |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
+      |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
+      |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
+      |FROM grid2 WHERE tile_id < 50
+      |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     // g26: fixture geotags re-derived from the tile_id population
     // rules (mismatch %7==3 wins over absent %11==5); transform
     // coefficients by the identical IEEE floor(x*1e6+0.5) tree over

@@ -185,6 +185,43 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g27: raster ingestion from PackBits-compressed and FLOAT32-band
+    * TIFFs — the two remaining common-in-the-wild layouts after
+    * g9/g10/g12/g13 (r8 VERDICT missing #3): PackBits (compression
+    * 32773, the byte-RLE every baseline TIFF reader must speak) and
+    * IEEE Float32 sample bands (SampleFormat 3 — elevation products
+    * that are not integer-quantized; the reference's
+    * `read_band_as::<i32>` widening, main.rs:172-191, is what
+    * TiffDecode's int32 band mirrors). The fixture cycles five
+    * layouts through ONE scan: PackBits striped int32 / striped
+    * int16 / tiled big-endian int32, Float32 uncompressed, Float32
+    * PackBits. Same plan shape as g10: per-file decode + explode,
+    * one grouped agg, broadcast tile-universe join.
+    */
+  def rasterIngestTiffPackbits(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureTiffsPackbits(s, dir)
+    val decoded = s.read.format("binaryFile").option("pathGlobFilter", "*.tif").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.tiff_decode(col("content")).as("r"))
+      .select(col("tile_key"),
+        (col("r.width") === Fixtures.GridN2 && col("r.height") === Fixtures.GridN2).as("dims_ok"),
+        explode(col("r.points")).as("p"))
+      .groupBy(col("tile_key"), col("dims_ok"))
+      .agg(count(lit(1)).as("n_pixels"),
+        min(col("p.elevation")).as("min_elev"),
+        max(col("p.elevation")).as("max_elev"),
+        e6(avg(col("p.elevation"))).as("avg_elev_e6"),
+        sum(col("p.elevation")).as("sum_elev"))
+    tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
+      .join(decoded, Seq("tile_key"))
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        col("dims_ok"), col("n_pixels"), col("min_elev"), col("max_elev"),
+        col("avg_elev_e6"), col("sum_elev"))
+      .orderBy(col("tile_id"))
+  }
+
   /** g12: raster ingestion from Int16 TIFFs — the sample format real
     * AW3D30 DSM GeoTIFFs actually carry (the reference's
     * `read_band_as::<i32>`, main.rs:172-191, widens Int16 bands to

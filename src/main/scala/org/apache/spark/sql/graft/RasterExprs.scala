@@ -431,20 +431,30 @@ case class TiffDecode(child: Expression)
     // tile (13M px) with headroom while bounding the allocation BEFORE
     // any array is sized from attacker-controlled dims.
     if (width.toLong * height > (1L << 24)) return null
-    // subset gate: single-band signed 16/32-bit samples; compression
-    // none (1), LZW (5 — the other codec GDAL commonly writes), or
-    // DEFLATE (8)
+    // subset gate: single-band signed 16/32-bit (or IEEE float32)
+    // samples; compression none (1), LZW (5), DEFLATE (8), or
+    // PackBits (32773 — the byte-RLE every baseline reader must speak)
     val compression = scalar(259).getOrElse(1L)
-    if (compression != 1L && compression != 5L && compression != 8L) return null
+    if (compression != 1L && compression != 5L && compression != 8L &&
+      compression != 32773L) return null
     val bits = scalar(258).getOrElse(return null)
     if (bits != 16L && bits != 32L) return null
     // bytes per stored sample; Int16 (the real AW3D30 DSM sample
     // format) sign-extends into the int32 elevation band on read
     val bps = (bits / 8).toInt
     if (scalar(277).getOrElse(1L) != 1L) return null
-    if (scalar(339).getOrElse(1L) != 2L) return null
+    // SampleFormat 2 = signed int; 3 = IEEE float (32-bit only here —
+    // the band still reads as int32, truncating toward zero exactly
+    // as a read_band_as::<i32> widening read does)
+    val sampleFormat = scalar(339).getOrElse(1L)
+    val isFloat = sampleFormat == 3L
+    if (sampleFormat != 2L && !(isFloat && bits == 32L)) return null
     val predictor = scalar(317).getOrElse(1L)
     if (predictor != 1L && predictor != 2L) return null
+    // the integer horizontal-differencing predictor is undefined over
+    // float sample bytes (GDAL uses predictor 3 for floats — outside
+    // this subset)
+    if (isFloat && predictor != 1L) return null
 
     // exactly one layout: classic strips (273/279) or tiles (322-325)
     val isTiled = entryPos.contains(324) || entryPos.contains(322)
@@ -461,6 +471,35 @@ case class TiffDecode(child: Expression)
         java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
       } else if (compression == 5L) {
         TiffLzw.decode(bytes, off.toInt, len.toInt, expectedLen)
+      } else if (compression == 32773L) {
+        // PackBits: header byte h >= 0 -> copy h+1 literal bytes;
+        // -127 <= h <= -1 -> repeat next byte 1-h times; -128 -> noop.
+        // Must land on EXACTLY expectedLen without reading past the
+        // segment (truncated/overlong streams null out, like DEFLATE)
+        val out = new Array[Byte](expectedLen)
+        var ip = off.toInt
+        val end = (off + len).toInt
+        var op = 0
+        while (ip < end && op < expectedLen) {
+          val h = bytes(ip); ip += 1
+          if (h >= 0) {
+            val c = h + 1
+            if (ip + c > end || op + c > expectedLen) return null
+            System.arraycopy(bytes, ip, out, op, c)
+            ip += c; op += c
+          } else if (h != -128) {
+            val c = 1 - h
+            if (ip >= end || op + c > expectedLen) return null
+            java.util.Arrays.fill(out, op, op + c, bytes(ip))
+            ip += 1; op += c
+          }
+        }
+        if (op != expectedLen) return null
+        // surplus ENCODED bytes beyond the decoded size (ignoring
+        // trailing noops) mean a malformed stream
+        while (ip < end && bytes(ip) == -128) ip += 1
+        if (ip != end) return null
+        out
       } else {
         val inf = new java.util.zip.Inflater()
         try {
@@ -506,9 +545,15 @@ case class TiffDecode(child: Expression)
       }
     }
 
-    /** Sample `idx` of a decoded segment, widened to int32. */
+    /** Sample `idx` of a decoded segment, widened to int32. Float
+      * bands convert per IEEE-to-int truncation (NaN -> 0, the JVM
+      * rule — deterministic; fixture bands carry integer-valued
+      * floats, so the conversion is exact there).
+      */
     def sample(db: java.nio.ByteBuffer, idx: Int): Int =
-      if (bps == 4) db.getInt(4 * idx) else db.getShort(2 * idx).toInt
+      if (isFloat) java.lang.Float.intBitsToFloat(db.getInt(4 * idx)).toInt
+      else if (bps == 4) db.getInt(4 * idx)
+      else db.getShort(2 * idx).toInt
 
     /** Allocate the pixel array ONLY once the container's segment
       * byte counts can back the claimed dims: uncompressed must match
@@ -526,8 +571,11 @@ case class TiffDecode(child: Expression)
       claimed <= bytes.length &&
         (if (compression == 1L) claimed == decodedTotal
          // LZW: ≤ 8c/9 codes from c bytes, each emitting ≤ 4096 bytes
-         // ⇒ ratio < 3641; DEFLATE: zlib max ~1032x. Gated with slack.
+         // ⇒ ratio < 3641; DEFLATE: zlib max ~1032x; PackBits: a
+         // 2-byte repeat packet emits ≤ 128 bytes ⇒ ratio ≤ 64.
+         // Gated with slack.
          else if (compression == 5L) decodedTotal <= claimed * 3700L
+         else if (compression == 32773L) decodedTotal <= claimed * 70L
          else decodedTotal <= claimed * 1100L)
     }
 

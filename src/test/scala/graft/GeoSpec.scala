@@ -404,6 +404,86 @@ class GeoSpec extends SparkSpec {
     assert(prow.isNullAt(3))
   }
 
+  test("g27: PackBits + Float32 layouts decode exactly; packbits fuzz never throws") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    val n = graft.geo.Fixtures.GridN2
+    def pix(id: Int, x: Int, y: Int): Int = ((id.toLong * 131 + x * 17 + y * 29) % 8848).toInt
+    // all five fixture layouts round-trip pixel-exactly
+    val layouts: Seq[(String, Array[Byte])] = Seq(
+      "pb-i32" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, packbits = true),
+      "pb-i16" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, packbits = true, bits = 16),
+      "pb-tiled-be" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, packbits = true, tiled = true,
+        order = java.nio.ByteOrder.BIG_ENDIAN),
+      "f32-raw" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, floatSamples = true),
+      "f32-pb" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, packbits = true, floatSamples = true))
+    layouts.foreach { case (label, bytes) =>
+      val row = expr.eval(InternalRow(bytes)).asInstanceOf[InternalRow]
+      assert(row != null, label)
+      assert(row.getInt(0) == n && row.getInt(1) == n, label)
+      val pts = row.getArray(2)
+      assert(pts.numElements() == n * n, label)
+      (0 until pts.numElements()).foreach { i =>
+        val p = pts.getStruct(i, 3)
+        assert(p.getInt(2) == pix(9, p.getInt(0), p.getInt(1)),
+          s"$label (${p.getInt(0)},${p.getInt(1)})")
+      }
+    }
+    // packbits codec identity on adversarial byte patterns (long runs,
+    // alternations, 128-boundary literals)
+    val rnd = new scala.util.Random(31)
+    (0 until 20).foreach { k =>
+      val data = k match {
+        case 0 => Array.fill[Byte](400)(7)
+        case 1 => Array.tabulate[Byte](400)(i => (i % 2).toByte)
+        case 2 => Array.tabulate[Byte](300)(i => (i % 129).toByte)
+        case _ => Array.fill[Byte](rnd.nextInt(500) + 1)(rnd.nextInt(4).toByte)
+      }
+      val enc = graft.geo.Fixtures.packbitsEncode(data)
+      // decode via a 1-strip fixture shape is overkill; exercise the
+      // kernel through a real file instead below. Here: encoder sanity
+      assert(enc.nonEmpty && enc.length <= data.length + (data.length + 127) / 128)
+    }
+    // fuzz: truncations + byte flips of a PackBits container never
+    // throw (extends the g10/g13 fuzz to the new codec)
+    val base = layouts.head._2
+    val mutants =
+      (0 until base.length by 7).map(base.take(_)) ++
+      (1 to 300).map { _ =>
+        val m = base.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        m
+      }
+    mutants.foreach { m =>
+      val out = expr.eval(InternalRow(m))
+      assert(out == null || out.isInstanceOf[InternalRow])
+    }
+    // float truncation semantics: a non-integer float truncates toward
+    // zero (the read_band_as::<i32> widening rule this subset mirrors)
+    val fbytes = graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+      compress = false, floatSamples = true)
+    // patch pixel (0,0)'s float to 123.9f: first strip data starts
+    // right after the IFD + external arrays — find it via the decoded
+    // identity instead of offsets arithmetic: flip and re-check
+    val row0 = expr.eval(InternalRow(fbytes)).asInstanceOf[InternalRow]
+    assert(row0 != null) // guard: the layout decodes before we reason about it
+    val needle = java.lang.Float.floatToIntBits(pix(9, 0, 0).toFloat)
+    val bb = java.nio.ByteBuffer.wrap(fbytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val at = (0 until fbytes.length - 3).find(i => bb.getInt(i) == needle).get
+    bb.putInt(at, java.lang.Float.floatToIntBits(123.9f))
+    val row1 = expr.eval(InternalRow(fbytes)).asInstanceOf[InternalRow]
+    val p00 = (0 until row1.getArray(2).numElements()).map(row1.getArray(2).getStruct(_, 3))
+      .find(p => p.getInt(0) == 0 && p.getInt(1) == 0).get
+    assert(p00.getInt(2) == 123, "float band must truncate toward zero")
+  }
+
   test("g26: geotags parse from file bytes; audit flags mismatches; tag fuzz never throws") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
