@@ -160,6 +160,7 @@ object SparkEntry {
       graft.operators.Curation.softDedup(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
+    "s10_range_search"        -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
     "s9_mips_bruteforce"      -> ((s: SparkSession, d: String) => Ann.mipsTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -2396,6 +2397,14 @@ object SparkEntry {
       |SELECT q_id, rank, vec_id AS neighbor_id,
       |  floor(d * 1e6 + 0.5)::BIGINT AS dot_e6
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "s10_range_search" -> raw"""
+      |WITH $VecCte,
+      |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20)
+      |SELECT q_id, vec_id AS neighbor_id,
+      |  floor(list_dot_product(q_v, v) / (q_nrm * nrm) * 1e6 + 0.5)::BIGINT AS cosine_e6
+      |FROM q JOIN n ON q_id != vec_id
+      |WHERE list_dot_product(q_v, v) / (q_nrm * nrm) >= 0.4
+      |ORDER BY q_id, neighbor_id""".stripMargin,
     "s1_ann_bruteforce" -> raw"""
       |WITH $VecCte,
       |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20),

@@ -55,6 +55,36 @@ object Ann {
       k)
   }
 
+  /** s10: exact RANGE search (radius query) — ALL corpus vectors with
+    * cosine ≥ τ of each query vector, the other half of the standard
+    * vector-search API beside top-k (FAISS `range_search`, the
+    * dedup/recall-audit primitive: "everything this similar", not
+    * "the k most similar" — top-k under-returns in dense
+    * neighborhoods and over-returns in sparse ones). Same one-pass
+    * broadcast-query shape as s1; selection on the RAW IEEE cosine
+    * (identical trees both engines), e6 micro-units at the surface —
+    * no heap, no window: the filter IS the operator, so the plan is
+    * one scan + one stateless predicate per (query, vector) pair.
+    * Scale: queries broadcast (constant-sized), corpus streams once;
+    * output ∝ true neighbors. The sublinear path at corpus scale is
+    * the same sketch/IVF candidate generation as s2/s3 with this
+    * filter as the verify stage.
+    */
+  def rangeSearch(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw"))
+      .filter(col("cos_raw") >= tau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.Det.e6(col("cos_raw")).as("cosine_e6"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
   /** s9: exact MIPS — maximum-INNER-PRODUCT top-k for the query
     * vectors, the ranking a recommender/reranker scores with
     * (user·item, query·passage): unlike cosine it REWARDS large-norm

@@ -211,6 +211,33 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("s10 range search: exactly the pairs at or above tau; consistent with s1 top-k") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => (id, e.toArray) }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = (for {
+      (q, qe) <- vecs.filter(_._1 < 20)
+      (v, ve) <- vecs if v != q
+      c = cos(qe, ve) if c >= 0.4
+    } yield (q, v) -> math.floor(c * 1e6 + 0.5).toLong).toMap
+    val got = Ann.rangeSearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp, s"got=${got.size} exp=${exp.size}")
+    assert(got.nonEmpty)
+    // every s1 top-k hit scoring >= tau must appear with the same score
+    Ann.bruteForceTopK(spark, Sf).collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      if (r.getLong(3) >= 400000L)
+        assert(got.get(k).contains(r.getLong(3)), s"$k")
+    }
+  }
+
   test("s8 graph search with prebuilt edges is identical to the self-building call") {
     import org.apache.spark.sql.functions.col
     val edges = Ann.knnJoin(spark, Sf, k = 8)
