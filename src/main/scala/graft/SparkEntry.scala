@@ -119,6 +119,8 @@ object SparkEntry {
       TextAnalysis.oovRate(s, d)),
     "t14_ngram_novelty"       -> TextAnalysis.ngramNovelty _,
     "t15_lang_confusion"      -> TextAnalysis.langConfusion _,
+    "t17_lm_fluency"          -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lmFluency(s, d)),
     "t16_bigram_coverage"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramCoverage(s, d)),
     // dedup
@@ -1683,6 +1685,24 @@ object SparkEntry {
     // (count >= 5); the engine counts xxhash64 of the bigram, the
     // oracle counts the strings — identical short of a 64-bit
     // collision (t14's argument)
+    // t17: conditional probabilities as exact rationals; min is
+    // order-free; weak test cross-multiplied — no log, no float
+    "t17_lm_fluency" -> raw"""
+      |WITH d AS (SELECT doc_id, string_split($Nrm, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |      FROM d),
+      |b2 AS (SELECT doc_id, g, string_split(g, ' ')[1] AS u FROM b),
+      |cbg AS (SELECT g, count(*) AS cnt_bg FROM b2 GROUP BY g),
+      |cug AS (SELECT u, count(*) AS cnt_ug FROM b2 GROUP BY u),
+      |j AS (SELECT doc_id, count(*) AS nb,
+      |        min((cnt_bg * 1000000) // cnt_ug)::BIGINT AS mp,
+      |        sum(CASE WHEN cnt_bg * 100 < cnt_ug THEN 1 ELSE 0 END)::BIGINT AS nw
+      |      FROM b2 JOIN cbg USING (g) JOIN cug USING (u) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(j.nb, 0)::BIGINT AS n_bigrams,
+      |  coalesce(j.mp, 1000000)::BIGINT AS min_ppm,
+      |  coalesce(j.nw, 0)::BIGINT AS n_weak
+      |FROM d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "t16_bigram_coverage" -> raw"""
       |WITH d AS (SELECT doc_id, string_split($Nrm, ' ') AS w FROM documents),
       |b AS (SELECT doc_id,

@@ -528,6 +528,53 @@ object TextAnalysis {
     * nothing wider than (hash, count) shuffles. Single-word docs keep
     * a row (0 bigrams, coverage 0) via the left join-back.
     */
+  /** t17: WEAKEST-LINK bigram fluency — the LM-filter proxy (CCNet
+    * scores documents with a KenLM perplexity; Wenzek et al. 2020
+    * §4.3) re-expressed so it is integer-EXACT: a log-prob sum is
+    * engine-divergent (libm log, float accumulation order), but the
+    * corpus-conditional probability of each bigram is a RATIONAL —
+    * p(w2|w1) = count(w1 w2) / count(w1 as a prefix) — and a
+    * document's weakest transition (its MIN conditional probability,
+    * in integer ppm by `(cnt_bg·1e6) div cnt_ug`) is an order-free
+    * aggregate of exact integers. Surfaces per doc: bigram count,
+    * the weakest-transition ppm, and how many transitions fall under
+    * 1/100 (`cnt_bg·100 < cnt_ug`, cross-multiplied — no float
+    * threshold). Low min_ppm = a transition the corpus has almost
+    * never seen after that prefix — gibberish, boilerplate splices,
+    * wrong-language spans; the doc-level gate a fluency filter reads.
+    * Bigram-less docs (< 2 words) surface the vacuous 1e6.
+    *
+    * Scale shape (t16's discipline): transitions shuffle as 8-byte
+    * xxhash64 keys (bigram strings never cross an exchange), two
+    * map-side-combinable count aggs, join-backs on the same hashes,
+    * one per-doc agg. Oracle counts the STRINGS — identical short of
+    * a 64-bit collision (t14's argument).
+    */
+  def lmFluency(s: SparkSession, dir: String, weakDen: Long = 100L): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), words(col("text")).as("w"))
+    val big = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2), i =>
+          struct(element_at(col("w"), i + 1).as("u"),
+            concat(element_at(col("w"), i + 1), lit(" "),
+              element_at(col("w"), i + 2)).as("g")))).as("p"))
+      .select(col("doc_id"), xxhash64(col("p.u")).as("hu"), xxhash64(col("p.g")).as("hg"))
+    val bgc = big.groupBy(col("hg")).agg(count(lit(1)).as("cnt_bg"))
+    val ugc = big.groupBy(col("hu")).agg(count(lit(1)).as("cnt_ug"))
+    val scored = big.join(bgc, "hg").join(ugc, "hu")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"),
+        min(expr("(cnt_bg * 1000000) div cnt_ug")).as("mp"),
+        sum(when(col("cnt_bg") * weakDen < col("cnt_ug"), 1L).otherwise(0L)).as("nw"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mp"), lit(1000000L)).as("min_ppm"),
+        coalesce(col("nw"), lit(0L)).as("n_weak"))
+      .orderBy(col("doc_id"))
+  }
+
   def bigramCoverage(s: SparkSession, dir: String, minCount: Long = 5L): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), words(col("text")).as("w"))
     val big = docs.filter(size(col("w")) >= 2)

@@ -227,6 +227,41 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("t17 lmFluency: hand-computed weakest transitions and weak counts") {
+    val dir = scratchDir("graft_t17")
+    // corpus transitions: "a b" x3, "b a" x2, "a c" x1, "c d" x1
+    //   prefix counts: a->4 (3x "a b" + 1x "a c"), b->2, c->1
+    // doc 0 "a b a b a b": bigrams {a b, b a} -> p(b|a)=3/4 (750000),
+    //   p(a|b)=2/2 (1000000); min 750000; none under 1/100
+    // doc 1 "a c d": p(c|a)=1/4 (250000), p(d|c)=1/1; min 250000
+    // doc 2 "b a": p(a|b)=1000000
+    // doc 3 "solo": no bigrams -> vacuous 1000000
+    Seq(
+      (0L, "a b a b a b", "en", "s", 1L),
+      (1L, "a c d", "en", "s", 1L),
+      (2L, "b a", "en", "s", 1L),
+      (3L, "solo", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.lmFluency(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((5L, 750000L, 0L)), got(0L).toString)
+    assert(got(1L) == ((2L, 250000L, 0L)), got(1L).toString)
+    assert(got(2L) == ((1L, 1000000L, 0L)))
+    assert(got(3L) == ((0L, 1000000L, 0L)))
+    // a weak transition: plant 200 copies of "x y" and one "x z" —
+    // p(z|x) = 1/201 < 1/100 so the doc carrying "x z" counts 1 weak
+    val dir2 = scratchDir("graft_t17b")
+    val many = (0 until 200).map(i => (i.toLong + 10, "x y", "en", "s", 1L))
+    (many :+ ((1L, "x z", "en", "s", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = graft.operators.TextAnalysis.lmFluency(spark, dir2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got2(1L) == ((1L, 1000000L / 201L, 1L)), got2(1L).toString)
+    assert(got2(10L) == ((1L, 200L * 1000000L / 201L, 0L)))
+  }
+
   test("t14 novelty: first doc owns its shingles, exact copies have zero novelty") {
     val dir = scratchDir("graft_t14")
     val base = "alpha beta gamma delta epsilon zeta"
