@@ -47,6 +47,7 @@ object SparkEntry {
     "g25_polygon_filter"      -> GeoQueries.polygonFilter _,
     "g26_geotags"             -> GeoQueries.geotags _,
     "g27_raster_packbits"     -> GeoQueries.rasterIngestTiffPackbits _,
+    "g28_contours"            -> GeoQueries.contourCensus _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -396,6 +397,31 @@ object SparkEntry {
     // g25: the identical 6-term integer crossing-number expression,
     // generated from the same polygon constant (no division, no
     // floats — inequality direction folded into each edge's winding)
+    // g28: crossings re-derived by neighbor self-joins over the
+    // formula grid; every comparison integer
+    "g28_contours" -> raw"""
+      |WITH $TilesCte,
+      |g AS (SELECT tile_id, tile_key, xs.x AS x, ys.y AS y,
+      |        ((tile_id*131 + xs.x*17 + ys.y*29)%8848)::BIGINT AS e
+      |      FROM keyed, generate_series(0,7) ys(y), generate_series(0,7) xs(x)
+      |      WHERE tile_id < 50),
+      |lv AS (SELECT unnest([1000,2000,3000,4000,5000,6000,7000,8000])::BIGINT AS level),
+      |h AS (SELECT a.tile_id, l.level, count(*)::BIGINT AS ch
+      |      FROM g a JOIN g b ON a.tile_id = b.tile_id AND b.x = a.x + 1 AND b.y = a.y, lv l
+      |      WHERE (a.e < l.level) <> (b.e < l.level) GROUP BY 1, 2),
+      |v AS (SELECT a.tile_id, l.level, count(*)::BIGINT AS cv
+      |      FROM g a JOIN g b ON a.tile_id = b.tile_id AND b.x = a.x AND b.y = a.y + 1, lv l
+      |      WHERE (a.e < l.level) <> (b.e < l.level) GROUP BY 1, 2),
+      |bl AS (SELECT tile_id, level, count(*)::BIGINT AS nb
+      |       FROM g, lv WHERE e < level GROUP BY 1, 2),
+      |base AS (SELECT DISTINCT tile_id, tile_key FROM g),
+      |x AS (SELECT base.tile_id, base.tile_key, lv.level FROM base, lv)
+      |SELECT x.tile_id, x.tile_key, x.level,
+      |  (coalesce(h.ch, 0) + coalesce(v.cv, 0))::BIGINT AS n_cross,
+      |  coalesce(bl.nb, 0)::BIGINT AS n_below
+      |FROM x LEFT JOIN h USING (tile_id, level) LEFT JOIN v USING (tile_id, level)
+      |       LEFT JOIN bl USING (tile_id, level)
+      |ORDER BY x.tile_id, x.level""".stripMargin,
     // g27: identical grid CTE to g10 — the PackBits/Float32 layouts
     // carry the same integer pixel formula (float bands hold
     // integer-valued floats, exact in IEEE)

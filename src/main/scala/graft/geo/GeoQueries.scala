@@ -940,6 +940,58 @@ object GeoQueries {
       .orderBy(col("bin_id"))
   }
 
+  /** g28: CONTOUR-CROSSING census — the `gdal_contour` product
+    * re-expressed as the statistic a raster pipeline actually rolls
+    * up (total contour-segment count per level = the marching-squares
+    * segment budget, the "how much coastline at each elevation"
+    * table): per tile and per level c ∈ {1000..8000 step 1000}, the
+    * number of 4-neighbor grid edges whose endpoints straddle c
+    * ((e₁<c) ≠ (e₂<c) — each such edge is crossed by exactly one
+    * c-contour segment), plus the cells below c (the hypsometric
+    * complement g23 reads cumulatively). Pure integer comparisons —
+    * no interpolation, nothing float anywhere.
+    *
+    * Scale shape: g17's discipline — the whole census computes INSIDE
+    * each tile's file split from the decoded GRFT array (one
+    * struct-accumulator fold per level, 8·n² integer compares), so a
+    * production 3600×3600 tile is one task with zero shuffle before
+    * the per-(tile, level) rollup rows (50·8 here; tiles·8 at scale).
+    */
+  def contourCensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val n = Fixtures.GridN
+    val decoded = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+    val levels = array((1 to 8).map(l => lit(l * 1000L)): _*)
+    val acc0 = struct(lit(0L).as("cr"), lit(0L).as("bl"))
+    decoded
+      .select(col("tile_id"), col("tile_key"),
+        explode(transform(levels, c => struct(c.as("level"),
+          aggregate(sequence(lit(0), lit(n * n - 1)), acc0, (acc, i) => {
+            val x = pmod(i, lit(n))
+            val y = i.divide(lit(n)).cast("int")
+            val e0 = element_at(col("e"), i + 1)
+            // clamped reads: the when-guards decide validity, the
+            // clamp keeps the index in range for the unused branch
+            val eR = element_at(col("e"), least(i + 2, lit(n * n)))
+            val eD = element_at(col("e"), least(i + lit(n) + 1, lit(n * n)))
+            struct(
+              (acc("cr") +
+                when(x < n - 1 && ((e0 < c) =!= (eR < c)), 1L).otherwise(0L) +
+                when(y < n - 1 && ((e0 < c) =!= (eD < c)), 1L).otherwise(0L)).as("cr"),
+              (acc("bl") + when(e0 < c, 1L).otherwise(0L)).as("bl"))
+          }).as("s")))).as("lc"))
+      .select(col("tile_id"), col("tile_key"), col("lc.level").as("level"),
+        col("lc.s.cr").as("n_cross"), col("lc.s.bl").as("n_below"))
+      .orderBy(col("tile_id"), col("level"))
+  }
+
   /** g26: REAL georeferencing from the FILE, not the filename — the
     * last reference behavior previously approximated: the reference
     * reads its geotransform from the opened dataset

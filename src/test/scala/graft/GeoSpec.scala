@@ -484,6 +484,32 @@ class GeoSpec extends SparkSpec {
     assert(p00.getInt(2) == 123, "float band must truncate toward zero")
   }
 
+  test("g28: contour crossings re-derive from an independent JVM sweep") {
+    val n = graft.geo.Fixtures.GridN
+    def elev(t: Long, x: Int, y: Int): Long = Math.floorMod(t * 131 + x * 17 + y * 29, 8848)
+    val got = GeoQueries.contourCensus(spark, Sf).collect()
+    assert(got.length == graft.geo.Fixtures.RasterLimit * 8)
+    got.foreach { r =>
+      val (t, level) = (r.getLong(0), r.getLong(2))
+      var cross = 0L; var below = 0L
+      for (y <- 0 until n; x <- 0 until n) {
+        val e0 = elev(t, x, y)
+        if (e0 < level) below += 1
+        if (x < n - 1 && (e0 < level) != (elev(t, x + 1, y) < level)) cross += 1
+        if (y < n - 1 && (e0 < level) != (elev(t, x, y + 1) < level)) cross += 1
+      }
+      assert(r.getLong(3) == cross, s"tile $t level $level cross")
+      assert(r.getLong(4) == below, s"tile $t level $level below")
+    }
+    // both census columns genuinely vary across levels
+    assert(got.map(_.getLong(3)).distinct.length > 3)
+    // the census computes inside the decode split: no Exchange before
+    // the final sort (g17's zero-shuffle discipline)
+    val plan = GeoQueries.contourCensus(spark, Sf).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the final-order exchange:\n$plan")
+  }
+
   test("g26: geotags parse from file bytes; audit flags mismatches; tag fuzz never throws") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
