@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 240 MB default code cache cannot hold 148 queries' worth of
+  // whole-stage-codegen classes: once full, UseCodeCacheFlushing
+  // silently churns flush/recompile and late-suite codegen-heavy
+  // queries run ~10x slow — a JVM-lifetime artifact that survives
+  // SparkContext restarts (r9 finding: g6 at sf10 measured 45 s in a
+  // fresh SESSION late in the full bench vs 5 s in a fresh JVM, gc
+  // and Spark state ruled out by the isolated-run machinery).
+  "-XX:ReservedCodeCacheSize=1g",
 )

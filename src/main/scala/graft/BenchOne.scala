@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query fresh-PROCESS benchmark child: `BenchOne <dir> <query>`
+  * builds a session, pays an untimed warm read + one untimed warm run
+  * of the query (JIT/codegen warmup — the subset-run protocol every
+  * prior round's "isolated" numbers used), then times one run and
+  * prints `BENCHONE <query> <sec>`.
+  *
+  * Why a separate PROCESS: r9 measured g6 at sf10 taking ~46 s late in
+  * the full bench even in a freshly rebuilt SparkSession with a 1 GiB
+  * code cache, vs ~5 s in a fresh JVM on the same data — after
+  * hundreds of distinct whole-stage-codegen classes have trained the
+  * JIT's call-site profiles, core iterator loops compile megamorphic
+  * and stay that way for the JVM's lifetime. No in-process reset
+  * exists; the honest standalone cost requires a new JVM.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val name = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosConf._1, Tables.NanosConf._2)
+      .config("spark.sql.debug.maxToStringFields", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    try spark.read.parquet(s"$dir/documents.parquet").count()
+    catch { case _: Exception => () }
+    // one untimed warm run: JIT + codegen + page cache
+    try { fn(spark, dir).count() } catch { case _: Exception => () }
+    Caches.clear()
+    System.gc()
+    val t0 = System.nanoTime()
+    fn(spark, dir).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    Caches.clear()
+    // marker line the parent greps from child stdout
+    println(s"BENCHONE $name $sec")
+    spark.stop()
+  }
+}

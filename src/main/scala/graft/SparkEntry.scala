@@ -81,6 +81,7 @@ object SparkEntry {
     "q50_sketch_rollup"       -> Relational.q50SketchRollup _,
     "q51_sketch_overlap"      -> Relational.q51SketchOverlap _,
     "q52_twap"                -> Relational.q52Twap _,
+    "q54_changepoint"         -> Relational.q54Changepoint _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -164,6 +165,7 @@ object SparkEntry {
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s10_range_search"        -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
+    "s11_knn_classify"        -> ((s: SparkSession, d: String) => Ann.knnClassify(s, d)),
     "s9_mips_bruteforce"      -> ((s: SparkSession, d: String) => Ann.mipsTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -1114,6 +1116,27 @@ object SparkEntry {
     // cross-engine stable on decimal ties (r8 sf0.1 sweep finding)
     // q53: consecutive (from,to) type pairs per user, per-from
     // integer per-mille row probabilities
+    // q54: cumulative-deviation argmax in pure integers; tie to the
+    // earliest hour
+    "q54_changepoint" -> raw"""
+      |WITH h AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS hr,
+      |             count(*)::BIGINT AS c
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, hr, c,
+      |        sum(c) OVER (PARTITION BY event_type ORDER BY hr
+      |          ROWS UNBOUNDED PRECEDING)::BIGINT AS si,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY hr)::BIGINT AS i
+      |      FROM h),
+      |t AS (SELECT event_type, sum(c)::BIGINT AS s_tot, count(*)::BIGINT AS h_tot
+      |      FROM h GROUP BY 1),
+      |d AS (SELECT w.event_type, w.hr, w.si, w.i, t.s_tot, t.h_tot,
+      |        abs(w.si * t.h_tot - w.i * t.s_tot)::BIGINT AS dev,
+      |        row_number() OVER (PARTITION BY w.event_type
+      |          ORDER BY abs(w.si * t.h_tot - w.i * t.s_tot) DESC, w.hr) AS rk
+      |      FROM w JOIN t USING (event_type))
+      |SELECT event_type, hr AS cp_hour, dev AS dev_num, si AS n_before,
+      |  i AS h_before, s_tot AS n_total, h_tot AS h_total
+      |FROM d WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "q53_transitions" -> raw"""
       |WITH e AS (SELECT user_id, event_id, event_type,
       |             floor(epoch(ts))::BIGINT AS t FROM events),
@@ -2443,6 +2466,26 @@ object SparkEntry {
       |SELECT q_id, rank, vec_id AS neighbor_id,
       |  floor(d * 1e6 + 0.5)::BIGINT AS dot_e6
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // s11: s1's exact-neighbor CTE + majority vote with the q49
+    // smallest-label tie rule
+    "s11_knn_classify" -> raw"""
+      |WITH $VecCte,
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20),
+      |c AS (SELECT q_id, vec_id, list_dot_product(q_v, v) / (q_nrm * nrm) AS cos_raw
+      |      FROM q JOIN n ON q_id != vec_id),
+      |r AS (SELECT q_id, vec_id,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rnk
+      |      FROM c),
+      |v AS (SELECT r.q_id, lab.label, count(*) AS votes
+      |      FROM r JOIN lab ON r.vec_id = lab.vec_id WHERE rnk <= 10 GROUP BY 1, 2),
+      |p AS (SELECT q_id, label AS pred_label, votes,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS pr
+      |      FROM v)
+      |SELECT p.q_id, p.pred_label, p.votes::BIGINT AS n_votes,
+      |  lab.label AS true_label, p.pred_label = lab.label AS correct
+      |FROM p JOIN lab ON p.q_id = lab.vec_id WHERE p.pr = 1
+      |ORDER BY p.q_id""".stripMargin,
     "s10_range_search" -> raw"""
       |WITH $VecCte,
       |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20)

@@ -55,6 +55,31 @@ object Ann {
       k)
   }
 
+  /** s11: kNN CLASSIFICATION over the exact top-k — the evaluation
+    * step every embedding pipeline runs (label a query by majority
+    * vote of its k nearest neighbors; the standard embedding-quality
+    * probe beside recall): s1's exact neighbors joined to their
+    * labels, votes counted per (query, label), argmax as
+    * `min(struct(-votes, label))` — q49's deterministic
+    * smallest-label tie rule, map-side combinable, no window funnel —
+    * plus the query's own label and a correctness flag. All integer/
+    * string exact. Scale: rides whatever neighbor source feeds it
+    * (exact here; any s2-s6 index at corpus scale), labels attach by
+    * a broadcast-sized join on 20 queries × k rows.
+    */
+  def knnClassify(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val votes = bruteForceTopK(s, dir, k)
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("votes"))
+      .groupBy(col("q_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("l"))).as("b"))
+      .select(col("q_id"), col("b.l").as("pred_label"), (-col("b.nv")).as("n_votes"))
+    votes.join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .withColumn("correct", col("pred_label") === col("true_label"))
+      .orderBy(col("q_id"))
+  }
+
   /** s10: exact RANGE search (radius query) — ALL corpus vectors with
     * cosine ≥ τ of each query vector, the other half of the standard
     * vector-search API beside top-k (FAISS `range_search`, the

@@ -1086,6 +1086,46 @@ object Relational {
     * transition rate — the row-probability of the Markov matrix.
     * Corpus-linear, ≤ |event types|² output rows at any scale.
     */
+  /** q54: CHANGEPOINT detection on event rates — the "did the metric
+    * shift, and when" product/ops question (CUSUM / Kolmogorov-style
+    * maximum cumulative deviation, Page 1954): per event type, over
+    * its HOURLY count series, the hour maximizing
+    * |S_i·H − i·S| — the integer cross-multiplied form of
+    * |S_i/S − i/H| (max deviation of observed cumulative mass from
+    * the uniform-rate line), so detection is EXACT with no float
+    * anywhere; ties break to the earliest hour (max(struct(dev,
+    * −hr)) — p9's argmax discipline, map-side combinable, no
+    * row_number funnel over the corpus).
+    *
+    * Scale shape: the corpus scan collapses to (type, hour) counts
+    * first — the window runs on the CALENDAR-bounded hourly frame
+    * (≤ 8760 rows/type/year at any corpus size), so partitioning by
+    * type is a bounded-frame window, not a corpus funnel; totals are
+    * a types-sized broadcast.
+    */
+  def q54Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.Caches.track(Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val pre = hourly
+      .withColumn("si", sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("i", row_number().over(w).cast("long"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("s_tot"), count(lit(1)).as("h_tot"))
+    pre.join(broadcast(tot), "event_type")
+      .withColumn("dev", abs(col("si") * col("h_tot") - col("i") * col("s_tot")))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("dev").as("d"), (-col("hr")).as("nhr"),
+        col("si").as("si"), col("i").as("i"),
+        col("s_tot").as("s"), col("h_tot").as("h"))).as("b"))
+      .select(col("event_type"), (-col("b.nhr")).as("cp_hour"),
+        col("b.d").as("dev_num"), col("b.si").as("n_before"),
+        col("b.i").as("h_before"), col("b.s").as("n_total"),
+        col("b.h").as("h_total"))
+      .orderBy(col("event_type"))
+  }
+
   def q53Transitions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     // cached: the types²-sized matrix feeds both the totals and the
