@@ -73,6 +73,47 @@ object Bench {
   private val Scale10Queries = Seq("d4_ngram_jaccard", "d6_repeated_spans",
     "d8_dup_clusters", "d9_semdedup", "g6_region_elevation_join", "s3_ann_ivf")
 
+  /** Fresh-JVM single-query measurement: spawn [[BenchOne]] as a
+    * CHILD PROCESS (same classpath, same JDK-17 add-opens as
+    * build.sbt's forked run) and parse its `BENCHONE <q> <sec>`
+    * marker line. A child process — not an in-JVM restartSession —
+    * because megamorphic JIT call-site profiles survive any in-JVM
+    * reset (r9: g6 at sf10 ~46 s in a fresh SESSION late in the full
+    * bench vs ~5 s in a fresh JVM on the same data); the honest
+    * standalone cost requires a new JVM. NaN on any spawn/parse
+    * failure — an isolated number must never abort the suite.
+    */
+  private def benchOneProc(dir: String, name: String): Double = {
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+    val cmd = Seq(javaBin) ++ opens ++ Seq(xmx, "-cp",
+      sys.props("java.class.path"), "graft.BenchOne", dir, name)
+    try {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      out.linesIterator.collectFirst {
+        case l if l.startsWith(s"BENCHONE $name ") => l.split(' ').last.toDouble
+      }.getOrElse {
+        System.err.println(s"[bench] BenchOne $name: no marker line; tail: ${out.takeRight(300)}")
+        Double.NaN
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BenchOne $name spawn failed: ${e.getMessage}")
+      Double.NaN
+    }
+  }
+
   private def loadAvg(): Double = {
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
@@ -143,22 +184,10 @@ object Bench {
       s.sparkContext.setLogLevel("ERROR")
       s
     }
-    var spark = newSession()
-    /** Fresh-landscape reset (r6 VERDICT 4c / r8 #4): tear the WHOLE
-      * session down — memory store, block manager, broadcast state,
-      * shuffle dirs — and start a new one in the same (JIT-warm) JVM.
-      * Caches.clear() + System.gc() between runs provably do not
-      * reach the state a long suite accumulates (g6 at sf10 measured
-      * 68-84 s in-suite vs 4.6-10.7 s isolated across r6-r8); a
-      * stopped-and-rebuilt SparkContext does.
-      */
-    def restartSession(): Unit = {
-      Caches.clear()
-      spark.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      spark = newSession()
-    }
+    // (r9 ADVICE: the in-JVM restartSession reset that used to live
+    // here is gone — isolated numbers now come from BenchOne child
+    // JVMs, the only reset that also clears JIT call-site profiles.)
+    val spark = newSession()
     // contention gate: wait (bounded) for a quiet box; stamp the
     // artifact if it never quiets down rather than committing numbers
     // that only reproduce under the same background load.
@@ -337,13 +366,16 @@ object Bench {
       */
     val scaleTotals = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    /** `isolated`: after the in-suite passes, run each query ONCE
-      * more in a fresh-landscape session (restartSession — new
-      * SparkContext, same warm JVM) and record it as `"isolated"`
-      * beside the in-suite numbers, so the artifact of record carries
-      * BOTH the suite-ordering-inherited cost and the true standalone
-      * cost (r8 VERDICT #4: g6's 4.6 s isolated number previously
-      * existed only in subset runs no full artifact contained).
+    /** `isolated`: after the in-suite passes, measure each query ONCE
+      * more in a FRESH JVM (benchOneProc → BenchOne child process) and
+      * record it as `"isolated"` beside the in-suite numbers, so the
+      * artifact of record carries BOTH the suite-ordering-inherited
+      * cost and the true standalone cost (r8 VERDICT #4: g6's 4.6 s
+      * isolated number previously existed only in subset runs no full
+      * artifact contained). r9 ADVICE: the first cut used an in-JVM
+      * restartSession, which resets Spark state but NOT megamorphic
+      * JIT profiles — that number overstated nothing about Spark and
+      * everything about the JVM, so the child process replaced it.
       */
     def scaleSection(label: String, envKey: String, default: String,
         replicas: Int, decades: Double, runsN: Int, queries: Seq[String],
@@ -391,14 +423,8 @@ object Bench {
         val isoByName = scala.collection.mutable.LinkedHashMap[String, Double]()
         if (isolated) {
           wanted.foreach { name =>
-            restartSession()
-            // untimed warm read so the fresh session's parquet/codegen
-            // setup doesn't land inside the isolated measurement
-            try spark.read.parquet(s"$d/documents.parquet").count()
-            catch { case _: Exception => () }
             sample() // quiet-probe each isolated point so it is datable
-            isoByName(name) = time(name, SparkEntry.queries(name), d, 1,
-              gcFirst = true).headOption.getOrElse(Double.NaN)
+            isoByName(name) = benchOneProc(d, name)
           }
         }
         val entries = wanted.map { name =>

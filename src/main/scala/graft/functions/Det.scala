@@ -38,6 +38,13 @@ object Det {
     * negatives this is round-half-toward-+∞ — a definition, applied
     * identically on both sides.) Oracle twin:
     * `floor(x * 1e6 + 0.5)::BIGINT`.
+    *
+    * NaN CONTRACT: Spark (non-ANSI) maps NaN → floor(NaN)=NaN →
+    * cast-to-long 0, SILENTLY; the DuckDB twin ERRORS on NaN instead.
+    * Every call site must therefore guard NaN-capable inputs (0/0
+    * ratios, zero-norm cosines) with `when()` BEFORE e6 — all current
+    * sites do. Never feed e6 an unguarded ratio: a NaN row would
+    * surface as 0 here and blow up the oracle there.
     */
   def e6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
 }

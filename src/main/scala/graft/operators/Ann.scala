@@ -509,9 +509,15 @@ object Ann {
       new java.io.File(sys.props("user.dir"), "target/fixtures"),
       "graft_knng_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     if (knnGraphIndexReadyFor.get(dir) == null) {
+      // ANY failure reading the persisted corpus (deleted dir,
+      // partial copy, torn manifest) means the index is NOT fresh —
+      // fall through to the rebuild path that exists precisely for
+      // stale/broken indexes instead of surfacing an AnalysisException
       val fresh = new java.io.File(s"$indexPath/edges/_SUCCESS").exists() &&
-        s.read.parquet(s"$indexPath/corpus").count() ==
-          Tables.embeddings(s, dir).select("vec_id").count()
+        (try {
+          s.read.parquet(s"$indexPath/corpus").count() ==
+            Tables.embeddings(s, dir).select("vec_id").count()
+        } catch { case scala.util.control.NonFatal(_) => false })
       if (!fresh) buildKnnGraphIndex(s, dir, indexPath, k = 8, nprobe = 4)
       knnGraphIndexReadyFor.put(dir, indexPath)
     }

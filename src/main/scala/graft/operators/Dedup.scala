@@ -129,7 +129,7 @@ object Dedup {
     * pipeline (the q45 integer-numerator discipline applied to
     * selection, not just surfaces).
     */
-  private def tauRational(threshold: Double): (Int, Int) = {
+  private[graft] def tauRational(threshold: Double): (Int, Int) = {
     val num = math.round(threshold * 10).toInt
     require(math.abs(threshold * 10 - num) < 1e-9,
       s"jaccard threshold must be a multiple of 0.1, got $threshold")

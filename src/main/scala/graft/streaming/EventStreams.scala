@@ -391,6 +391,11 @@ object EventStreams {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.graft.ArrayExprs
     import graft.operators.Dedup
+    // validate the TENTHS contract exactly once, with the SAME check
+    // the batch path runs (Dedup.tauRational) — a non-tenth threshold
+    // (e.g. 0.75) throws here instead of silently rounding to 0.8,
+    // which would break the documented batch/streaming parity
+    val (tauNum, _) = Dedup.tauRational(threshold)
     val nBands = 32; val nRows = 4
     docs.toDF()
       .withWatermark("ts", s"$ttlMinutes minutes")
@@ -409,10 +414,10 @@ object EventStreams {
       .select(col("bkey"), col("doc_id"), col("ts"), col("fh")).as[BandRow]
       .groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        nearDupFn(threshold, ttlMinutes * 60000L))
+        nearDupFn(tauNum, ttlMinutes * 60000L))
   }
 
-  private[graft] def nearDupFn(threshold: Double, ttlMs: Long)(
+  private[graft] def nearDupFn(tauNum: Int, ttlMs: Long)(
       bkey: Long, rows: Iterator[BandRow],
       state: GroupState[BandBucket]): Iterator[PairOut] = {
     if (state.hasTimedOut) {
@@ -448,11 +453,11 @@ object EventStreams {
             val other = fhs(i)
             val inter = other.count(set.contains).toLong
             val union = set.size + other.size - inter
-            // EXACT rational threshold (tenths), matching batch
+            // EXACT rational threshold (tenths, validated by
+            // tauRational at operator construction), matching batch
             // verifyJaccard's integer cross-multiplication — the
             // parity contract is set-identical with no rounding step
-            val tn = math.round(threshold * 10)
-            if (inter * 10 >= union * tn) out += PairOut(
+            if (inter * 10 >= union * tauNum) out += PairOut(
               math.min(r.doc_id, ids(i)), math.max(r.doc_id, ids(i)),
               inter, union, new Timestamp(math.max(rMs, mss(i))))
             i += 1
