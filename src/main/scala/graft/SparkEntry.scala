@@ -82,6 +82,7 @@ object SparkEntry {
     "q51_sketch_overlap"      -> Relational.q51SketchOverlap _,
     "q52_twap"                -> Relational.q52Twap _,
     "q54_changepoint"         -> Relational.q54Changepoint _,
+    "q55_skyline"             -> Relational.q55Skyline _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1137,6 +1138,19 @@ object SparkEntry {
       |SELECT event_type, hr AS cp_hour, dev AS dev_num, si AS n_before,
       |  i AS h_before, s_tot AS n_total, h_tot AS h_total
       |FROM d WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // q55: the oracle states dominance DIRECTLY (NOT EXISTS a
+    // dominating row) — a deliberately different algorithm from the
+    // engine's prefix-maxima form, so the compare proves the
+    // reduction, not just the arithmetic. Quadratic in DuckDB: fine
+    // at sf0.01 gate scale (part = 2k rows).
+    "q55_skyline" -> raw"""
+      |WITH p AS (SELECT p_partkey, p_size,
+      |             round(p_retailprice*100)::BIGINT AS price_c FROM part)
+      |SELECT p_partkey, price_c, p_size FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p o
+      |  WHERE o.price_c <= a.price_c AND o.p_size >= a.p_size
+      |    AND (o.price_c < a.price_c OR o.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin,
     "q53_transitions" -> raw"""
       |WITH e AS (SELECT user_id, event_id, event_type,
       |             floor(epoch(ts))::BIGINT AS t FROM events),

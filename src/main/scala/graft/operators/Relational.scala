@@ -1323,4 +1323,49 @@ object Relational {
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"), col("bucket"))
   }
+
+  /** q55: SKYLINE (Pareto frontier) over part — every part no other
+    * part dominates on (price ↓, size ↑): the multi-objective
+    * shortlist query (Börzsönyi et al., ICDE 2001). A part survives
+    * iff no other part is ≤ on price AND ≥ on size with at least one
+    * strict; exact-cents prices keep every comparison integer.
+    *
+    * Spark-first shape — NO quadratic self-join: dominance in 2D
+    * reduces to prefix maxima over the PRICE-AGGREGATED table. A row
+    * survives iff (a) its size equals the max size at its own price
+    * (no same-price row is strictly taller) and (b) every strictly
+    * cheaper price's max size is below it. (b) is a running max over
+    * prices ascending — computed with the p3/q48 sharded two-pass
+    * prefix discipline ($100 price shards: shard-local window + a
+    * skinny per-shard exclusive prefix), so no window partition ever
+    * holds more than one shard's distinct prices and nothing funnels
+    * through one reducer at any corpus size. The fact table re-joins
+    * the per-price frontier by price (equi-join, broadcastable: the
+    * frontier is bounded by the price domain, not the corpus).
+    */
+  def q55Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.Caches.track(Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"), cents(col("p_retailprice")).as("price_c")))
+    val byPrice = p.groupBy(col("price_c")).agg(max(col("p_size")).as("max_sz"))
+      .withColumn("shard", expr("price_c div 10000"))
+    // pass 1: shard-local EXCLUSIVE running max over ascending price
+    val wLoc = Window.partitionBy(col("shard")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val loc = byPrice.withColumn("loc_prev", max(col("max_sz")).over(wLoc))
+    // pass 2: per-shard maxima (skinny: one row per $100 of price
+    // domain) → exclusive prefix = max size among ALL cheaper shards
+    val wSh = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val shPrev = byPrice.groupBy(col("shard")).agg(max(col("max_sz")).as("sh_max"))
+      .withColumn("sh_prev", max(col("sh_max")).over(wSh))
+      .select(col("shard"), col("sh_prev"))
+    val frontier = loc.join(broadcast(shPrev), Seq("shard"))
+      .withColumn("strict_prev",
+        coalesce(greatest(col("loc_prev"), col("sh_prev")),
+          col("loc_prev"), col("sh_prev"), lit(Int.MinValue)))
+      .select(col("price_c"), col("max_sz"), col("strict_prev"))
+    p.join(frontier, Seq("price_c"))
+      .filter(col("p_size") === col("max_sz") && col("p_size") > col("strict_prev"))
+      .select(col("p_partkey"), col("price_c"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
 }

@@ -607,4 +607,25 @@ class RelationalSpec extends SparkSpec {
     assert(got((1L, 2L)) == ((1L, 2L, 500L)))
     assert(got.size == 5)
   }
+
+  test("q55 skyline equals the brute-force dominance filter") {
+    val got = Relational.q55Skyline(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    graft.Caches.clear()
+    val rows = Tables.part(spark, Sf).select(col("p_partkey"), col("p_size"),
+      expr("cast(round(p_retailprice*100) as bigint)").as("pc")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exp = rows.filter { case (_, sz, pc) =>
+      !rows.exists { case (_, osz, opc) =>
+        opc <= pc && osz >= sz && (opc < pc || osz > sz) }
+    }.map { case (k, sz, pc) => (k, pc, sz) }.sortBy(_._1).toSeq
+    assert(got == exp && got.nonEmpty)
+    // every non-skyline part is dominated by some skyline part —
+    // the frontier is a sufficient shortlist, not just undominated
+    val sky = exp.map { case (_, pc, sz) => (pc, sz) }
+    rows.filterNot(r => exp.exists(_._1 == r._1)).take(50).foreach {
+      case (_, sz, pc) => assert(sky.exists { case (spc, ssz) =>
+        spc <= pc && ssz >= sz && (spc < pc || ssz > sz) })
+    }
+  }
 }
