@@ -83,6 +83,7 @@ object SparkEntry {
     "q52_twap"                -> Relational.q52Twap _,
     "q54_changepoint"         -> Relational.q54Changepoint _,
     "q55_skyline"             -> Relational.q55Skyline _,
+    "q56_weighted_median"     -> Relational.q56WeightedMedian _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1151,6 +1152,19 @@ object SparkEntry {
       |  WHERE o.price_c <= a.price_c AND o.p_size >= a.p_size
       |    AND (o.price_c < a.price_c OR o.p_size > a.p_size))
       |ORDER BY p_partkey""".stripMargin,
+    // q56: same lower-weighted-median definition stated over a plain
+    // per-group window prefix — one crossing row per group
+    "q56_weighted_median" -> raw"""
+      |WITH li AS (SELECT l_returnflag AS grp,
+      |              round(l_extendedprice*100)::BIGINT AS v,
+      |              l_quantity::BIGINT AS w FROM lineitem),
+      |a AS (SELECT grp, v, sum(w)::BIGINT AS w FROM li GROUP BY 1, 2),
+      |c AS (SELECT grp, v, w,
+      |        sum(w) OVER (PARTITION BY grp ORDER BY v)::BIGINT AS cum,
+      |        sum(w) OVER (PARTITION BY grp)::BIGINT AS tot FROM a)
+      |SELECT grp, v AS median_cents, cum AS w_at, tot AS w_total
+      |FROM c WHERE 2*cum >= tot AND 2*(cum - w) < tot
+      |ORDER BY grp""".stripMargin,
     "q53_transitions" -> raw"""
       |WITH e AS (SELECT user_id, event_id, event_type,
       |             floor(epoch(ts))::BIGINT AS t FROM events),

@@ -1368,4 +1368,43 @@ object Relational {
       .select(col("p_partkey"), col("price_c"), col("p_size"))
       .orderBy(col("p_partkey"))
   }
+
+  /** q56: EXACT weighted median per group — the robust central
+    * tendency the approximate-percentile ops (q17/q25) explicitly
+    * give up on: the smallest price v whose cumulative quantity
+    * weight reaches half the group total (lower weighted median,
+    * stated by integer cross-multiplication `2·cum ≥ tot` — no halves
+    * and no float anywhere; `2·cum_prev < tot` picks exactly the
+    * first crossing).
+    *
+    * Scale shape — exact medians WITHOUT a per-group global sort: the
+    * corpus collapses to (group, value) weight pairs first (bounded by
+    * the value domain, not the corpus), the cumulative weight over
+    * ascending values is the q55/p3 sharded two-pass prefix sum
+    * ($100-of-value shards), and group totals ride as a groups-sized
+    * broadcast. One row emerges per group by a filter, not a sort.
+    */
+  def q56WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Caches.track(Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"),
+        cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w")))
+    val agg = li.groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
+      .withColumn("shard", expr("v div 10000"))
+    val wLoc = Window.partitionBy(col("grp"), col("shard")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val loc = agg.withColumn("cum_loc", sum(col("w")).over(wLoc))
+    val wSh = Window.partitionBy(col("grp")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = agg.groupBy(col("grp"), col("shard")).agg(sum(col("w")).as("sw"))
+      .withColumn("off", coalesce(sum(col("sw")).over(wSh), lit(0L)))
+      .select(col("grp"), col("shard"), col("off"))
+    val tot = li.groupBy(col("grp")).agg(sum(col("w")).as("tot"))
+    loc.join(off, Seq("grp", "shard")).join(broadcast(tot), Seq("grp"))
+      .withColumn("cum", col("off") + col("cum_loc"))
+      .filter(col("cum") * 2 >= col("tot") && (col("cum") - col("w")) * 2 < col("tot"))
+      .select(col("grp"), col("v").as("median_cents"),
+        col("cum").as("w_at"), col("tot").as("w_total"))
+      .orderBy(col("grp"))
+  }
 }

@@ -628,4 +628,26 @@ class RelationalSpec extends SparkSpec {
         spc <= pc && ssz >= sz && (spc < pc || ssz > sz) })
     }
   }
+
+  test("q56 weighted median equals the sorted-fold definition per group") {
+    val got = Relational.q56WeightedMedian(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.clear()
+    val rows = Tables.lineitem(spark, Sf).select(col("l_returnflag"),
+      expr("cast(round(l_extendedprice*100) as bigint)").as("v"),
+      expr("cast(l_quantity as bigint)").as("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = rows.groupBy(_._1).map { case (g, rs) =>
+      val tot = rs.map(_._3).sum
+      var cum = 0L
+      // fold values ascending, first value whose cumulative weight
+      // crosses half the total (2*cum >= tot) is the lower median
+      val sorted = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val (mv, at) = sorted.iterator.map { case (v, w) =>
+        cum += w; (v, cum) }.find { case (_, c) => 2 * c >= tot }.get
+      g -> ((mv, at, tot))
+    }
+    assert(got == exp && got.nonEmpty)
+  }
 }
