@@ -84,6 +84,7 @@ object SparkEntry {
     "q54_changepoint"         -> Relational.q54Changepoint _,
     "q55_skyline"             -> Relational.q55Skyline _,
     "q56_weighted_median"     -> Relational.q56WeightedMedian _,
+    "q57_interval_union"      -> Relational.q57IntervalUnion _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1165,6 +1166,28 @@ object SparkEntry {
       |SELECT grp, v AS median_cents, cum AS w_at, tot AS w_total
       |FROM c WHERE 2*cum >= tot AND 2*(cum - w) < tot
       |ORDER BY grp""".stripMargin,
+    // q57: identical sweep stated in SQL windows; tied (st,en) rows
+    // are interchangeable so tie order cannot move the result
+    "q57_interval_union" -> raw"""
+      |WITH iv AS (SELECT l_suppkey AS k,
+      |    date_diff('day', DATE '1992-01-01', l_shipdate)::BIGINT AS st,
+      |    (date_diff('day', DATE '1992-01-01', l_shipdate)
+      |       + l_quantity)::BIGINT AS en
+      |  FROM lineitem),
+      |m AS (SELECT k, st, en,
+      |    max(en) OVER (PARTITION BY k ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp FROM iv),
+      |mk AS (SELECT k, st, en,
+      |    CASE WHEN mp IS NULL OR st > mp THEN 1 ELSE 0 END AS ni FROM m),
+      |il AS (SELECT k, st, en,
+      |    sum(ni) OVER (PARTITION BY k ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM mk),
+      |g AS (SELECT k, island, min(st) AS ist, max(en) AS ien,
+      |        count(*)::BIGINT AS n FROM il GROUP BY 1, 2)
+      |SELECT k AS l_suppkey, sum(n)::BIGINT AS n_intervals,
+      |  count(*)::BIGINT AS n_islands,
+      |  sum(ien - ist)::BIGINT AS covered_days
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q53_transitions" -> raw"""
       |WITH e AS (SELECT user_id, event_id, event_type,
       |             floor(epoch(ts))::BIGINT AS t FROM events),

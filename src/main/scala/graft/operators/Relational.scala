@@ -1407,4 +1407,43 @@ object Relational {
         col("cum").as("w_at"), col("tot").as("w_total"))
       .orderBy(col("grp"))
   }
+
+  /** q57: INTERVAL UNION length per supplier — how many distinct days
+    * each supplier had freight in transit (overlaps counted once):
+    * the classic gaps-and-islands sweep (SLA coverage /
+    * machine-uptime / on-call hours). The synthetic lineitem carries
+    * no receipt date, so transit duration is PLANTED by arithmetic
+    * identically in both engines (§3 discipline): l_quantity days
+    * from ship. Intervals are half-open integer day ranges
+    * [st, st + qty); a new island starts
+    * where the start clears the running max end of every earlier
+    * interval (touching ranges merge), islands then aggregate to
+    * min-start/max-end and their lengths SUM to the union length —
+    * additive because islands are disjoint by construction.
+    *
+    * Scale shape: both windows ride ONE hash partitioning + sort on
+    * supplier (the q13 per-key discipline — partitions are per-key
+    * interval lists, never a corpus funnel), and the island fold is a
+    * prefix sum of 0/1 flags, integer-exact. Tied (st, en) rows are
+    * interchangeable, so any tie order yields the same islands.
+    */
+  def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"),
+      datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("st"),
+      (datediff(col("l_shipdate"), lit("1992-01-01")) +
+        col("l_quantity")).cast("long").as("en"))
+    val w = Window.partitionBy(col("k")).orderBy(col("st"), col("en"))
+    val marked = iv
+      .withColumn("mp", max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("mp").isNull || col("st") > col("mp"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = marked.groupBy(col("k"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"), count(lit(1)).as("n"))
+    islands.groupBy(col("k"))
+      .agg(sum(col("n")).as("n_intervals"), count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_days"))
+      .select(col("k").as("l_suppkey"), col("n_intervals"),
+        col("n_islands"), col("covered_days"))
+      .orderBy(col("l_suppkey"))
+  }
 }

@@ -650,4 +650,26 @@ class RelationalSpec extends SparkSpec {
     }
     assert(got == exp && got.nonEmpty)
   }
+
+  test("q57 interval union matches a literal day-set fold per supplier") {
+    val got = Relational.q57IntervalUnion(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.clear()
+    val ivs = Tables.lineitem(spark, Sf).select(col("l_suppkey"),
+      expr("cast(datediff(l_shipdate, '1992-01-01') as bigint)").as("st"),
+      expr("cast(l_quantity as bigint)").as("qty")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(1) + r.getLong(2)))
+    val exp = ivs.groupBy(_._1).map { case (k, rs) =>
+      // covered days literally as a set of day indices — the oracle
+      // of oracles; island count from a sorted merge fold
+      val days = rs.flatMap { case (_, st, en) => st until en }.toSet
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(identity)
+      val islands = sorted.drop(1).foldLeft((1, sorted.head._2)) {
+        case ((n, maxEn), (st, en)) =>
+          (if (st > maxEn) n + 1 else n, math.max(maxEn, en))
+      }._1
+      k -> ((rs.size.toLong, islands.toLong, days.size.toLong))
+    }
+    assert(got == exp && got.nonEmpty)
+  }
 }
