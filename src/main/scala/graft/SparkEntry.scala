@@ -126,6 +126,8 @@ object SparkEntry {
     "t15_lang_confusion"      -> TextAnalysis.langConfusion _,
     "t17_lm_fluency"          -> ((s: SparkSession, d: String) =>
       TextAnalysis.lmFluency(s, d)),
+    "t18_readability"         -> ((s: SparkSession, d: String) =>
+      TextAnalysis.readability(s, d)),
     "t16_bigram_coverage"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramCoverage(s, d)),
     // dedup
@@ -1785,6 +1787,23 @@ object SparkEntry {
     // (count >= 5); the engine counts xxhash64 of the bigram, the
     // oracle counts the strings — identical short of a 64-bit
     // collision (t14's argument)
+    // t18: non-overlapping regex-run counts + integer-div composites —
+    // Java and RE2 agree on these character-class-run patterns
+    "t18_readability" -> raw"""
+      |WITH c AS (SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[.!?]+'))::BIGINT AS n_sentences,
+      |    len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS n_words,
+      |    len(regexp_extract_all(lower(text), '[a-z]{7,}'))::BIGINT AS n_long_words,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_vowel_groups
+      |  FROM documents)
+      |SELECT doc_id, n_sentences, n_words, n_long_words, n_vowel_groups,
+      |  (CASE WHEN n_sentences = 0 THEN 0
+      |        ELSE (n_words * 100) // n_sentences END)::BIGINT AS wps_x100,
+      |  (CASE WHEN n_words = 0 THEN 0
+      |        ELSE (n_long_words * 1000) // n_words END)::BIGINT AS longword_pm,
+      |  (CASE WHEN n_words = 0 THEN 0
+      |        ELSE (n_vowel_groups * 1000) // n_words END)::BIGINT AS syllable_pm
+      |FROM c ORDER BY doc_id""".stripMargin,
     // t17: conditional probabilities as exact rationals; min is
     // order-free; weak test cross-multiplied — no log, no float
     "t17_lm_fluency" -> raw"""

@@ -598,4 +598,35 @@ object TextAnalysis {
           .otherwise(expr("(n_common * 1000) div n_bigrams")))
       .orderBy(col("doc_id"))
   }
+
+  /** t18: READABILITY signals per document — the grade-level /
+    * complexity axis every quality-filter stack carries beside t2's
+    * lexical stats and t12's Gopher gates (Flesch 1948 / LIX, Björnsson
+    * 1968). All counts are non-overlapping regex-run counts on
+    * lowercased text — sentences as [.!?]+ runs, words as ASCII-letter
+    * runs, long words as 7+-letter runs, syllables proxied by vowel
+    * groups (the standard dictionary-free estimator) — and the two
+    * composite indexes surface as INTEGER ratios (LIX split into its
+    * words-per-sentence ×100 and long-word per-mille terms; vowel
+    * groups per word per-mille as the Flesch syllable term), so no
+    * float exists anywhere: integer-exact in any engine. Zero-sentence
+    * and zero-word docs surface 0, stated.
+    *
+    * Scale: stateless per-row projection — whole-stage codegen'd,
+    * shuffle-free but for the final presentation sort.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("cast(size(regexp_extract_all(lower(text), '[.!?]+', 0)) as bigint)").as("n_sentences"),
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z]+', 0)) as bigint)").as("n_words"),
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z]{7,}', 0)) as bigint)").as("n_long_words"),
+        expr("cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) as bigint)").as("n_vowel_groups"))
+      .withColumn("wps_x100", when(col("n_sentences") === 0, 0L)
+        .otherwise(expr("(n_words * 100) div n_sentences")))
+      .withColumn("longword_pm", when(col("n_words") === 0, 0L)
+        .otherwise(expr("(n_long_words * 1000) div n_words")))
+      .withColumn("syllable_pm", when(col("n_words") === 0, 0L)
+        .otherwise(expr("(n_vowel_groups * 1000) div n_words")))
+      .orderBy(col("doc_id"))
 }

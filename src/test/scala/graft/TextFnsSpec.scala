@@ -262,6 +262,28 @@ class TextFnsSpec extends SparkSpec {
     assert(got2(10L) == ((1L, 200L * 1000000L / 201L, 0L)))
   }
 
+  test("t18 readability: hand-computed counts and integer composites") {
+    val dir = scratchDir("graft_t18")
+    // doc 0: "Nice dog. Bad weather?!" — sentences=2 ([.] and [?!]),
+    //   words = nice,dog,bad,weather (4), long (7+) = weather (1),
+    //   vowel groups: i,e / o / a / ea,e = 6
+    // doc 1: no terminator, one word, no vowels → guards fire
+    // doc 2: empty text → all zeros
+    Seq(
+      (0L, "Nice dog. Bad weather?!", "en", "s", 1L),
+      (1L, "brrr", "en", "s", 1L),
+      (2L, "", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.readability(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got(0L) == ((2L, 4L, 1L, 6L, 200L, 250L, 1500L)), got(0L).toString)
+    assert(got(1L) == ((0L, 1L, 0L, 0L, 0L, 0L, 0L)), got(1L).toString)
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("t14 novelty: first doc owns its shingles, exact copies have zero novelty") {
     val dir = scratchDir("graft_t14")
     val base = "alpha beta gamma delta epsilon zeta"
