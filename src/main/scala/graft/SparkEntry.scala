@@ -48,6 +48,7 @@ object SparkEntry {
     "g26_geotags"             -> GeoQueries.geotags _,
     "g27_raster_packbits"     -> GeoQueries.rasterIngestTiffPackbits _,
     "g28_contours"            -> GeoQueries.contourCensus _,
+    "g29_path_profile"        -> GeoQueries.pathProfile _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -406,6 +407,34 @@ object SparkEntry {
     // floats — inequality direction folded into each edge's winding)
     // g28: crossings re-derived by neighbor self-joins over the
     // formula grid; every comparison integer
+    // g29: same integer DDA; non-negative operands make // ≡ div
+    "g29_path_profile" -> raw"""
+      |WITH $TilesCte,
+      |uni AS (SELECT lat0, lon0, min(tile_id) AS tile_id
+      |        FROM keyed GROUP BY 1, 2),
+      |ep AS (SELECT
+      |    min(CASE WHEN tile_id = 1 THEN (lon0+180)*8 END)::BIGINT AS ax,
+      |    min(CASE WHEN tile_id = 1 THEN (90-lat0)*8 END)::BIGINT AS ay,
+      |    min(CASE WHEN tile_id = 2 THEN (lon0+180)*8 END)::BIGINT AS bx,
+      |    min(CASE WHEN tile_id = 2 THEN (90-lat0)*8 END)::BIGINT AS by
+      |  FROM keyed WHERE tile_id IN (1, 2)),
+      |p0 AS (SELECT ax, ay, bx-ax AS dx, by-ay AS dy,
+      |         greatest(abs(bx-ax), abs(by-ay), 1) AS n FROM ep),
+      |st AS (SELECT ax, ay, dx, dy, n,
+      |         unnest(generate_series(0, n)) AS step FROM p0),
+      |path AS (SELECT step,
+      |    ax + (CASE WHEN dx < 0 THEN -1 ELSE 1 END)*((step*abs(dx))//n) AS gx,
+      |    ay + (CASE WHEN dy < 0 THEN -1 ELSE 1 END)*((step*abs(dy))//n) AS gy
+      |  FROM st),
+      |cells AS (SELECT step, gx, gy, gx//8 - 180 AS lon0,
+      |    90 - gy//8 AS lat0, gx%8 AS x, gy%8 AS y FROM path)
+      |SELECT c.step, c.gx, c.gy, k.tile_key,
+      |  CASE WHEN u.tile_id IS NULL THEN NULL
+      |       ELSE ((u.tile_id*131 + c.x*17 + c.y*29)%8848) END::INT AS elevation
+      |FROM cells c
+      |LEFT JOIN uni u ON c.lat0 = u.lat0 AND c.lon0 = u.lon0
+      |LEFT JOIN keyed k ON u.tile_id = k.tile_id
+      |ORDER BY c.step""".stripMargin,
     "g28_contours" -> raw"""
       |WITH $TilesCte,
       |g AS (SELECT tile_id, tile_key, xs.x AS x, ys.y AS y,

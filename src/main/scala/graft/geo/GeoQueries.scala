@@ -1043,4 +1043,54 @@ object GeoQueries {
         e6(gt3).as("gt3_e6"), e6(-sy).as("gt5_e6"))
       .orderBy(col("tile_id"))
   }
+
+  /** g29: ELEVATION PROFILE along a line — `gdallocationinfo` in a
+    * loop / the terrain cross-section behind route planners and
+    * line-of-sight tools: rasterize the segment between two anchor
+    * tiles' origins into global pixel steps (integer DDA — at every
+    * step the axis offsets are `(step·|d|) div n` with non-negative
+    * operands, so truncation ≡ floor and Spark `div` ≡ DuckDB `//`),
+    * map each step back to (tile, x, y), and look the elevations up.
+    *
+    * Scale shape: the tile COORDINATE universe is bounded by the
+    * 181×361 integer grid regardless of corpus size, so the dedup'd
+    * lookup side (min tile_id per coordinate — the multi-upload
+    * winner rule) is ALWAYS broadcastable; the path is generated from
+    * one row and never shuffles. Off-universe steps surface null
+    * elevation (honest nodata), never drop.
+    */
+  def pathProfile(s: SparkSession, dir: String): DataFrame = {
+    val t = tiles(s, dir)
+    val uni = t.groupBy(col("lat0"), col("lon0"))
+      .agg(min(struct(col("tile_id"), col("tile_key"))).as("b"))
+      .select(col("lat0"), col("lon0"),
+        col("b.tile_id").as("tile_id"), col("b.tile_key").as("tile_key"))
+    // endpoints: anchor tiles 1 and 2, at their (0,0) pixel, in a
+    // shifted non-negative global pixel frame (GX = (lon0+180)·8,
+    // GY = (90−lat0)·8) so every later division sees non-negatives
+    val ep = t.filter(col("tile_id").isin(1, 2)).agg(
+      min(when(col("tile_id") === 1, ((col("lon0") + 180) * 8).cast("long"))).as("ax"),
+      min(when(col("tile_id") === 1, ((lit(90) - col("lat0")) * 8).cast("long"))).as("ay"),
+      min(when(col("tile_id") === 2, ((col("lon0") + 180) * 8).cast("long"))).as("bx"),
+      min(when(col("tile_id") === 2, ((lit(90) - col("lat0")) * 8).cast("long"))).as("by"))
+    val path = ep
+      .select(col("ax"), col("ay"), (col("bx") - col("ax")).as("dx"),
+        (col("by") - col("ay")).as("dy"))
+      .withColumn("n", greatest(abs(col("dx")), abs(col("dy")), lit(1L)))
+      .select(col("*"), explode(sequence(lit(0L), col("n"))).as("step"))
+      .withColumn("gx", col("ax") +
+        when(col("dx") < 0, -1L).otherwise(1L) * expr("(step * abs(dx)) div n"))
+      .withColumn("gy", col("ay") +
+        when(col("dy") < 0, -1L).otherwise(1L) * expr("(step * abs(dy)) div n"))
+      .select(col("step"), col("gx"), col("gy"),
+        (expr("gx div 8") - 180).as("lon0"),
+        (lit(90) - expr("gy div 8")).as("lat0"),
+        (col("gx") % 8).as("x"), (col("gy") % 8).as("y"))
+    path.join(broadcast(uni), Seq("lat0", "lon0"), "left")
+      .select(col("step"), col("gx"), col("gy"), col("tile_key"),
+        when(col("tile_id").isNotNull,
+          pmod(col("tile_id") * lit(131) + col("x") * lit(17) + col("y") * lit(29),
+            lit(8848)).cast("int")).as("elevation"))
+      .orderBy(col("step"))
+  }
 }

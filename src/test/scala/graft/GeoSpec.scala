@@ -1004,4 +1004,34 @@ class GeoSpec extends SparkSpec {
         ((36L, tri2s.sum, tri2s.max, tri2s.count(_ > 100000000L).toLong)), s"tile $t")
     }
   }
+
+  test("g29 path profile: JVM DDA identity, endpoints, nodata honesty") {
+    val got = GeoQueries.pathProfile(spark, Sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getInt(4)))
+    }
+    val tl = Geo.tiles(spark, Sf)
+      .select(col("tile_id"), col("lat0"), col("lon0"), col("tile_key")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val uni = tl.groupBy(t => (t._2, t._3)).map { case (c, ts) =>
+      val w = ts.minBy(_._1); c -> ((w._1, w._4))
+    }
+    def gp(id: Long) = tl.find(_._1 == id).map(t => ((t._3 + 180) * 8, (90 - t._2) * 8)).get
+    val (ax, ay) = gp(1); val (bx, by) = gp(2)
+    val (dx, dy) = (bx - ax, by - ay)
+    val n = math.max(math.max(math.abs(dx), math.abs(dy)), 1L)
+    assert(got.length == n + 1)
+    val exp = (0L to n).map { i =>
+      val gx = ax + math.signum(dx) * (i * math.abs(dx) / n)
+      val gy = ay + math.signum(dy) * (i * math.abs(dy) / n)
+      val cell = uni.get((90 - gy / 8, gx / 8 - 180))
+      (i, gx, gy, cell.map(_._2),
+        cell.map { case (tid, _) =>
+          (((tid * 131 + (gx % 8) * 17 + (gy % 8) * 29) % 8848) + 8848) % 8848 }
+          .map(_.toInt))
+    }
+    assert(got.toSeq == exp)
+    assert((got.head._2, got.head._3) == ((ax, ay)))
+    assert((got.last._2, got.last._3) == ((bx, by)))
+  }
 }
