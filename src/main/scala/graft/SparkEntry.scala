@@ -140,6 +140,7 @@ object SparkEntry {
     "d13_triangles"           -> Dedup.graphTriangles _,
     "d16_cluster_histogram"   -> Dedup.clusterSizeHistogram _,
     "d17_source_dup_rates"    -> Dedup.sourceDupRates _,
+    "d14_source_overlap"      -> Dedup.sourceOverlapMatrix _,
     "d18_sim_histogram"       -> Dedup.similarityHistogram _,
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
@@ -2205,6 +2206,26 @@ object SparkEntry {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s))
       |ORDER BY id_a, id_b""".stripMargin,
+    // d14: d2's quadratic pair oracle + source attachment; pairs and
+    // distinct-docs per canonically-ordered source pair
+    "d14_source_overlap" -> raw"""
+      |WITH $ShingleCte,
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |       WHERE 10 * len(list_intersect(a.s, b.s))
+      |          >= 8 * len(list_distinct(a.s || b.s))),
+      |m AS (SELECT least(da.source, db.source) AS source_lo,
+      |        greatest(da.source, db.source) AS source_hi, id_a, id_b
+      |      FROM pr JOIN documents da ON pr.id_a = da.doc_id
+      |              JOIN documents db ON pr.id_b = db.doc_id),
+      |np AS (SELECT source_lo, source_hi, count(*)::BIGINT AS n_pairs
+      |       FROM m GROUP BY 1, 2),
+      |nd AS (SELECT source_lo, source_hi, count(DISTINCT d)::BIGINT AS n_docs
+      |       FROM (SELECT source_lo, source_hi, unnest([id_a, id_b]) AS d
+      |             FROM m) GROUP BY 1, 2)
+      |SELECT np.source_lo, np.source_hi, np.n_pairs, nd.n_docs
+      |FROM np JOIN nd USING (source_lo, source_hi)
+      |ORDER BY 1, 2""".stripMargin,
     // d17: d1's exact key, counted corpus-wide, rolled up per source
     // d18: same quadratic pair CTE as d2's oracle, binned with the
     // identical IEEE floor(j*20) on the identical 6dp-rounded doubles

@@ -1189,4 +1189,38 @@ object Dedup {
         kept.as("kept_text"))
       .orderBy(col("doc_id"))
   }
+
+  /** d14: cross-source duplication MATRIX — which source PAIRS share
+    * near-duplicate content (the provenance question behind "is B
+    * scraping A" / "how much of crawl-2 is crawl-1", the cross-dump
+    * overlap tables in the CCNet/RefinedWeb writeups): d2's verified
+    * near-dup pairs, each attributed to its canonically-ordered
+    * (least, greatest) source pair, counted as pairs AND as distinct
+    * docs drawn into the relation (a star of k dups counts k pairs
+    * but k+1 docs — both views ship because ratios of either are
+    * quoted).
+    *
+    * Scale shape: rides d2's pair discipline wholesale (banded LSH,
+    * never docs²); the two source attachments are equi-joins of the
+    * (much smaller) pair list against the doc→source projection; the
+    * matrix itself is ≤ sources² rows at any corpus size.
+    */
+  def sourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val m = graft.Caches.track(minhashLsh(s, dir)
+      .select(col("id_a"), col("id_b"))
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        col("id_a"), col("id_b")))
+    val np = m.groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = m.select(col("source_lo"), col("source_hi"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    np.join(nd, Seq("source_lo", "source_hi"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
 }

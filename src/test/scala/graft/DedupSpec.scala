@@ -433,4 +433,24 @@ class DedupSpec extends SparkSpec {
     // dim 64); the cap pins it at capBytes/(4*dim)
     assert(Dedup.coarseK(10000000000L, 256, 64) == (64L << 20) / (4 * 64))
   }
+
+  test("d14 source overlap matrix reconciles with d2 pairs + a JVM rollup") {
+    val Sf = "/root/testdata/sf0.001"
+    val got = Dedup.sourceOverlapMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.clear()
+    val pairs = Dedup.minhashLsh(spark, Sf).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.clear()
+    val src = Tables.documents(spark, Sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tagged = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), a, b)
+    }
+    val exp = tagged.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.size.toLong, v.flatMap(t => Seq(t._2, t._3)).distinct.size.toLong))
+    }
+    assert(got == exp && got.nonEmpty)
+  }
 }
