@@ -169,6 +169,8 @@ object SparkEntry {
       graft.operators.Curation.epochMixQuery(s, d)),
     "p12_soft_dedup"          -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.softDedup(s, d)),
+    "p13_curriculum"          -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.curriculumPhases(s, d)),
     // similarity search
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s10_range_search"        -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
@@ -2266,6 +2268,21 @@ object SparkEntry {
     // p12: d8's closure re-derived, every cluster member weighted
     // 1000 div k per-mille, per-source mass rollup (floor twice —
     // identical integer arithmetic both engines)
+    // p13: phase of a length-run = (docs-before · K) div N — runs
+    // never split, so no per-doc rank exists on either side
+    "p13_curriculum" -> raw"""
+      |WITH t AS (SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_tok
+      |  FROM documents),
+      |a AS (SELECT n_tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+      |c AS (SELECT n_tok, cnt,
+      |        (sum(cnt) OVER (ORDER BY n_tok) - cnt)::BIGINT AS cum_before,
+      |        sum(cnt) OVER ()::BIGINT AS n FROM a)
+      |SELECT ((cum_before * 5) // n)::BIGINT AS phase,
+      |  sum(cnt)::BIGINT AS n_docs,
+      |  sum(n_tok * cnt)::BIGINT AS n_tokens,
+      |  min(n_tok)::BIGINT AS tok_min, max(n_tok)::BIGINT AS tok_max
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "p12_soft_dedup" -> raw"""
       |WITH RECURSIVE $ShingleCte,
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -547,4 +547,49 @@ object Curation {
         sum(expr("(n_chars * (1000 div k)) div 1000")).as("eff_chars"))
       .orderBy(col("source"))
   }
+
+  /** p13: CURRICULUM phase manifest — the easy→hard schedule
+    * (Bengio et al. 2009; short→long is the canonical text
+    * curriculum): docs rank by token count ascending and split into K
+    * phases of ~equal doc counts, and the manifest reports each
+    * phase's doc count, token budget and length bounds — what a
+    * training loop consumes to pace its data loader.
+    *
+    * EXACT phase rule with no per-doc global rank: the corpus
+    * collapses to per-length counts, the cumulative count over
+    * ascending lengths is the q55/q56 sharded two-pass prefix sum,
+    * and a length-run's phase is `(cum_before·K) div N` — every doc
+    * of one length lands in ONE phase (a run never splits; stated),
+    * so phase assignment is a broadcast join back on length, not a
+    * corpus sort. Integer-exact end to end.
+    */
+  def curriculumPhases(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+    val byLen = toks.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard", expr("n_tok div 256"))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("n_tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val loc = byLen.withColumn("cum_loc", sum(col("cnt")).over(wLoc))
+    val wSh = org.apache.spark.sql.expressions.Window.orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // per-shard totals (skinny) carry BOTH the exclusive prefix and
+    // the corpus total — no separate count() pass over the corpus
+    val off = byLen.groupBy(col("shard")).agg(sum(col("cnt")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(wSh), lit(0L)))
+      .withColumn("n_total", sum(col("sc")).over(wAll))
+      .select(col("shard"), col("off"), col("n_total"))
+    val phased = loc.join(broadcast(off), Seq("shard"))
+      .withColumn("cum_before", col("off") + col("cum_loc") - col("cnt"))
+      .select(col("n_tok"), expr(s"(cum_before * $k) div n_total").as("phase"))
+    toks.join(broadcast(phased), Seq("n_tok"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("tok_min"), max(col("n_tok")).as("tok_max"))
+      .orderBy(col("phase"))
+  }
 }

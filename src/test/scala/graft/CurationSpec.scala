@@ -413,4 +413,28 @@ class CurationSpec extends SparkSpec {
       assert(got.values.map(_._5).sum <= budget)
     }
   }
+
+  test("p13 curriculum phases match a JVM fold and partition the corpus") {
+    val k = 5
+    val got = Curation.curriculumPhases(spark, Sf, k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val lens = Tables.documents(spark, Sf)
+      .select(tokenCount(col("text")).cast("long")).collect().map(_.getLong(0))
+    val n = lens.length.toLong
+    // JVM fold: per-length counts ascending, phase = (cum_before*k) div n
+    var cum = 0L
+    val phased = lens.groupBy(identity).toSeq.sortBy(_._1).map { case (len, v) =>
+      val p = cum * k / n; cum += v.size; (p, len, v.size.toLong)
+    }
+    val exp = phased.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, rs) =>
+      p -> ((rs.map(_._3).sum, rs.map(r => r._2 * r._3).sum,
+        rs.map(_._2).min, rs.map(_._2).max))
+    }
+    assert(got.toSeq == exp)
+    // phases partition the corpus and are ordered by length bounds
+    assert(got.map(_._2._1).sum == n)
+    got.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a._4 < b._3) // tok_max of phase p < tok_min of phase p+1
+    case _ => () }
+  }
 }
