@@ -201,6 +201,8 @@ object SparkEntry {
       graft.operators.Audio.manifest(s, d)),
     "m8_vad_segments"         -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.vadSegments(s, d)),
+    "m11_clipping_audit"      -> ((s: SparkSession, d: String) =>
+      graft.operators.Audio.clippingAudit(s, d)),
     "m5_audio_neardup"        -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.audioNearDup(s, d)),
     "m6_image_neardup"        -> ((s: SparkSession, d: String) =>
@@ -1671,6 +1673,21 @@ object SparkEntry {
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
       |ORDER BY id_a, id_b""".stripMargin,
+    // m11: the m3 fixture formula, folded to |sample| stats — all
+    // divisions non-negative so // ≡ the JVM's truncating /
+    "m11_clipping_audit" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 1200 + 400)::INT AS n FROM documents),
+      |p AS (SELECT doc_id, n,
+      |  [abs((doc_id * 131 + i * 17) % 65536 - 32768) for i in range(0, n)] AS ab
+      |  FROM d),
+      |h AS (SELECT doc_id, n, list_max(ab)::INT AS peak,
+      |        len(list_filter(ab, x -> x >= 32700))::BIGINT AS n_clipped,
+      |        list_sum(ab)::BIGINT AS sum_abs FROM p)
+      |SELECT doc_id, n AS n_samples, peak, n_clipped, sum_abs,
+      |  (sum_abs * 1000 // n)::BIGINT AS mean_abs_x1000,
+      |  ((32768 - peak) * 1000 // 32768)::BIGINT AS headroom_pm,
+      |  (n_clipped * 1000 // n)::BIGINT AS clip_pm
+      |FROM h ORDER BY doc_id""".stripMargin,
     "m3_audio_manifest" -> raw"""
       |WITH d AS (SELECT doc_id, (doc_id % 1200 + 400)::INT AS n FROM documents),
       |p AS (SELECT doc_id, n,

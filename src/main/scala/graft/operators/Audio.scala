@@ -401,4 +401,42 @@ object Audio {
       }))
       .toDF("doc_id", "embedding")
   }
+
+  /** m11: CLIPPING / LOUDNESS audit per clip — the mastering-QA pass
+    * every audio-ingest pipeline runs before feature extraction
+    * (ffmpeg `astats`/EBU R128 reduced to what is integer-exact
+    * without a filterbank): REAL WAV decode → peak |sample|, samples
+    * at-or-above the clip threshold, integer loudness Σ|sample|, and
+    * three per-mille integer ratios (mean level, headroom below
+    * full-scale, clipped fraction). Everything is computed INSIDE the
+    * clip's own split (the m7/m8/g14 discipline — ZERO shuffle,
+    * codec-bound linear); all divisions see non-negative operands so
+    * truncation ≡ floor in any engine. PCM-through-WAV is lossless ⇒
+    * the oracle recomputes every column from the fixture formula.
+    */
+  def clippingAudit(s: SparkSession, dir: String,
+      clipThreshold: Int = 32700): DataFrame = {
+    import s.implicits._
+    graft.Caches.ordered(
+      withPayload(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+          val sm = decodeAudio(bytes)._2
+          var peak = 0; var nc = 0L; var sa = 0L; var i = 0
+          while (i < sm.length) {
+            val a = math.abs(sm(i).toInt) // abs(−32768)=32768 fits Int
+            if (a > peak) peak = a
+            if (a >= clipThreshold) nc += 1
+            sa += a; i += 1
+          }
+          val n = sm.length.toLong
+          ClipAudit(id, sm.length, peak, nc, sa,
+            sa * 1000L / n, (32768L - peak) * 1000L / 32768L, nc * 1000L / n)
+        }))
+        .toDF(),
+      col("doc_id"))
+  }
 }
+
+case class ClipAudit(doc_id: Long, n_samples: Int, peak: Int,
+    n_clipped: Long, sum_abs: Long, mean_abs_x1000: Long,
+    headroom_pm: Long, clip_pm: Long)

@@ -150,4 +150,27 @@ class AudioSpec extends SparkSpec {
       assert(inOrder.head._2 == 0)
     }
   }
+
+  test("m11 clipping audit matches an independent formula recompute") {
+    val Sf = "/root/testdata/sf0.001"
+    val got = graft.operators.Audio.clippingAudit(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    graft.Caches.clear()
+    val ids = Tables.documents(spark, Sf).select("doc_id").collect().map(_.getLong(0))
+    val exp = ids.map { id =>
+      val n = graft.operators.Audio.sampleCount(id)
+      val ab = (0 until n).map(i =>
+        math.abs(graft.operators.Audio.sample(id, i).toInt))
+      val peak = ab.max; val nc = ab.count(_ >= 32700).toLong
+      val sa = ab.map(_.toLong).sum
+      id -> ((n, peak, nc, sa, sa * 1000 / n,
+        (32768L - peak) * 1000 / 32768L, nc * 1000 / n))
+    }.toMap
+    assert(got == exp && got.nonEmpty)
+    // the audit is not vacuous on this corpus: clipping fires
+    // somewhere and headroom varies across clips
+    assert(got.values.exists(_._3 > 0))
+    assert(got.values.map(_._6).toSet.size > 1)
+  }
 }
