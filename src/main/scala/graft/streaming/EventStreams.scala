@@ -565,4 +565,74 @@ object EventStreams {
   def fileIngest(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** STREAMING heavy hitters (streaming twin of t8): frequent terms
+    * over an unbounded document stream with BOUNDED state — the exact
+    * groupBy-every-term t8 runs nightly becomes a per-shard
+    * Misra-Gries summary maintained in flatMapGroupsWithState state
+    * and snapshotted every trigger (Update mode).
+    *
+    * Sharding IS the scale story: terms hash into `nShards` state
+    * keys, each shard's MG buffer sees every occurrence of ITS terms
+    * (a term never splits across shards), so the classic bound holds
+    * per shard — true_count − counter ≤ n_shard/(width+1), and no
+    * term above that bound can be absent. State is nShards × width
+    * counters TOTAL regardless of stream length or vocabulary; the
+    * shuffle per trigger is one hash exchange of (shard, term) rows
+    * (Spark rejects an aggregation upstream of fMGWS, so the
+    * per-batch pre-reduce runs INSIDE the fold: each trigger's rows
+    * collapse to distinct-term counts before any MG add — the state
+    * update cost is the batch's distinct terms, only the exchange
+    * pays per-token). The SAME decrement kernel as the batch
+    * mg_sketch aggregate
+    * (MisraGriesBuffer) folds the per-batch counts into state, so
+    * batch and streaming candidates obey identical guarantees.
+    */
+  def heavyHittersStream(docs: Dataset[DocEvent], width: Int = 16,
+      nShards: Int = 4): Dataset[HHSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .select(explode(graft.functions.TextFns.words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(pmod(xxhash64(col("term")), lit(nShards)).cast("int").as("shard"),
+        col("term"), lit(1L).as("w"))
+      .as[(Int, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        hhFold(width))
+  }
+
+  private[graft] def hhFold(width: Int)(
+      shard: Int, rows: Iterator[(Int, String, Long)],
+      state: GroupState[MGState]): Iterator[HHSnapshot] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val buf = new org.apache.spark.sql.graft.MisraGriesBuffer(width)
+    state.getOption.foreach { st =>
+      // replay the persisted counters as weighted adds; restore the
+      // true processed total (decrement-dropped weight included)
+      st.terms.indices.foreach(i =>
+        buf.add(UTF8String.fromString(st.terms(i)), st.cnts(i)))
+      buf.n = st.n
+    }
+    // per-batch pre-reduce (exact distinct-term counts), then a
+    // deterministic term-sorted fold so snapshots don't depend on
+    // arrival order within the trigger
+    val batchCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    rows.foreach { case (_, t, w) =>
+      batchCounts(t) = batchCounts.getOrElse(t, 0L) + w }
+    batchCounts.toSeq.sortBy(_._1).foreach { case (t, w) =>
+      buf.add(UTF8String.fromString(t), w) }
+    import scala.jdk.CollectionConverters._
+    val entries = buf.counts.entrySet().asScala.toSeq
+      .map(e => (e.getKey.toString, e.getValue))
+      .sortBy { case (t, c) => (-c, t) }
+    state.update(MGState(buf.n, entries.map(_._1), entries.map(_._2)))
+    Iterator.single(HHSnapshot(shard, buf.n, entries.map(_._1), entries.map(_._2)))
+  }
 }
+
+/** Persisted MG summary of one shard: processed weight + counters. */
+case class MGState(n: Long, terms: Seq[String], cnts: Seq[Long])
+
+/** Per-trigger snapshot of one shard's candidates (cnt desc, term). */
+case class HHSnapshot(shard: Int, n: Long, terms: Seq[String], cnts: Seq[Long])

@@ -680,4 +680,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ingest_out").count() == 3) // incremental, no re-read
     q.stop()
   }
+
+  test("streaming heavy hitters: MG guarantees hold across micro-batches") {
+    import graft.streaming.DocEvent
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val width = 8; val nShards = 4
+    // planted stream: "hot" floods every batch; filler terms rotate so
+    // the vocabulary far exceeds nShards*width counters of state
+    def doc(id: Long, t: String) = DocEvent(id, t0, t)
+    val batches = (0 until 3).map { b =>
+      (0 until 40).map(i => doc(b * 100 + i,
+        s"hot hot hot filler${b}_${i} rare${(b * 40 + i) % 90}"))
+    }
+    val mem = MemoryStream[DocEvent]
+    val q = EventStreams.heavyHittersStream(mem.toDS(), width, nShards).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("hh_out").start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    // last snapshot per shard = the final summaries
+    val snaps = spark.table("hh_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[String](2), r.getSeq[Long](3)))
+    q.stop()
+    val fin = snaps.groupBy(_._1).map { case (sh, v) => sh -> v.last }
+    // true per-shard counts from the same corpus
+    val words = batches.flatten.flatMap(_.text.split(" ")).filter(_.nonEmpty)
+    def shardOf(t: String): Int = {
+      val df = Seq(t).toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(nShards)).cast("int")).collect()
+      df.head.getInt(0)
+    }
+    val hotShard = shardOf("hot")
+    val (_, n, terms, cnts) = fin(hotShard)
+    val trueHot = words.count(_ == "hot").toLong
+    // no false negative: hot exceeds n/(width+1) in its shard, must
+    // be present with counter within the MG undercount bound
+    assert(trueHot > n / (width + 1))
+    val idx = terms.indexOf("hot")
+    assert(idx >= 0)
+    assert(cnts(idx) <= trueHot && trueHot - cnts(idx) <= n / (width + 1))
+    // bounded state: every shard's summary holds at most width entries
+    fin.values.foreach { case (_, _, ts, _) => assert(ts.size <= width) }
+    // totals reconcile: shard n's sum to the corpus token count
+    assert(fin.values.map(_._2).sum == words.size.toLong)
+  }
 }
