@@ -49,6 +49,7 @@ object SparkEntry {
     "g27_raster_packbits"     -> GeoQueries.rasterIngestTiffPackbits _,
     "g28_contours"            -> GeoQueries.contourCensus _,
     "g29_path_profile"        -> GeoQueries.pathProfile _,
+    "g30_line_of_sight"       -> GeoQueries.lineOfSight _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -412,6 +413,44 @@ object SparkEntry {
     // floats — inequality direction folded into each edge's winding)
     // g28: crossings re-derived by neighbor self-joins over the
     // formula grid; every comparison integer
+    // g30: g29's CTE chain + one-division slopes; each slope is a
+    // single IEEE divide of exact ints — bit-identical in any engine
+    "g30_line_of_sight" -> raw"""
+      |WITH $TilesCte,
+      |uni AS (SELECT lat0, lon0, min(tile_id) AS tile_id
+      |        FROM keyed GROUP BY 1, 2),
+      |ep AS (SELECT
+      |    min(CASE WHEN tile_id = 1 THEN (lon0+180)*8 END)::BIGINT AS ax,
+      |    min(CASE WHEN tile_id = 1 THEN (90-lat0)*8 END)::BIGINT AS ay,
+      |    min(CASE WHEN tile_id = 2 THEN (lon0+180)*8 END)::BIGINT AS bx,
+      |    min(CASE WHEN tile_id = 2 THEN (90-lat0)*8 END)::BIGINT AS by
+      |  FROM keyed WHERE tile_id IN (1, 2)),
+      |p0 AS (SELECT ax, ay, bx-ax AS dx, by-ay AS dy,
+      |         greatest(abs(bx-ax), abs(by-ay), 1) AS n FROM ep),
+      |st AS (SELECT ax, ay, dx, dy, n,
+      |         unnest(generate_series(0, n)) AS step FROM p0),
+      |path AS (SELECT step,
+      |    ax + (CASE WHEN dx < 0 THEN -1 ELSE 1 END)*((step*abs(dx))//n) AS gx,
+      |    ay + (CASE WHEN dy < 0 THEN -1 ELSE 1 END)*((step*abs(dy))//n) AS gy
+      |  FROM st),
+      |cells AS (SELECT step, gx, gy, gx//8 - 180 AS lon0,
+      |    90 - gy//8 AS lat0, gx%8 AS x, gy%8 AS y FROM path),
+      |sel AS (SELECT c.step, c.gx, c.gy,
+      |    CASE WHEN u.tile_id IS NULL THEN NULL
+      |         ELSE ((u.tile_id*131 + c.x*17 + c.y*29)%8848) END::INT AS elevation
+      |  FROM cells c LEFT JOIN uni u ON c.lat0 = u.lat0 AND c.lon0 = u.lon0),
+      |s0 AS (SELECT *, first_value(elevation) OVER (ORDER BY step) AS e0 FROM sel),
+      |sl AS (SELECT *, CASE WHEN step > 0 AND elevation IS NOT NULL
+      |         THEN (elevation - e0)::DOUBLE / step END AS slope FROM s0),
+      |pm AS (SELECT *, max(slope) OVER (ORDER BY step
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |       FROM sl)
+      |SELECT step, gx, gy, elevation,
+      |  floor(slope*1e6 + 0.5)::BIGINT AS slope_e6,
+      |  (CASE WHEN step = 0 THEN elevation IS NOT NULL
+      |        ELSE elevation IS NOT NULL
+      |         AND (prev_max IS NULL OR slope > prev_max) END) AS visible
+      |FROM pm ORDER BY step""".stripMargin,
     // g29: same integer DDA; non-negative operands make // ≡ div
     "g29_path_profile" -> raw"""
       |WITH $TilesCte,

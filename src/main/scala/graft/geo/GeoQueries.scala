@@ -1059,7 +1059,17 @@ object GeoQueries {
     * one row and never shuffles. Off-universe steps surface null
     * elevation (honest nodata), never drop.
     */
-  def pathProfile(s: SparkSession, dir: String): DataFrame = {
+  def pathProfile(s: SparkSession, dir: String): DataFrame =
+    profileCells(s, dir)
+      .select(col("step"), col("gx"), col("gy"), col("tile_key"), col("elevation"))
+      .orderBy(col("step"))
+
+  /** Shared path-rasterization + elevation lookup for g29/g30: the
+    * DDA cells joined to the coordinate-dedup'd tile universe (see
+    * [[pathProfile]] for the integer-division and broadcast-bound
+    * arguments).
+    */
+  private def profileCells(s: SparkSession, dir: String): DataFrame = {
     val t = tiles(s, dir)
     val uni = t.groupBy(col("lat0"), col("lon0"))
       .agg(min(struct(col("tile_id"), col("tile_key"))).as("b"))
@@ -1091,6 +1101,42 @@ object GeoQueries {
         when(col("tile_id").isNotNull,
           pmod(col("tile_id") * lit(131) + col("x") * lit(17) + col("y") * lit(29),
             lit(8848)).cast("int")).as("elevation"))
+  }
+
+  /** g30: LINE OF SIGHT along the g29 profile — the viewshed
+    * primitive (GRASS `r.los` / geodesic visibility behind antenna
+    * placement and fire-watch planning): from the observer at step 0,
+    * a sample is VISIBLE iff its elevation angle strictly exceeds
+    * every earlier sample's (the running-max-of-slopes sweep).
+    *
+    * Cross-engine exactness without integer gymnastics: each slope is
+    * ONE IEEE division of exact small integers ((elev−elev₀)/step,
+    * both < 2^53), so both engines produce the identical
+    * correctly-rounded double, identical running maxima, identical
+    * strict comparisons — determinism from one-op arithmetic, not
+    * rounding (the q45/e6 discipline's other branch). Nodata samples
+    * are stated invisible and non-blocking (max ignores nulls).
+    * Scale: one window over the path frame, bounded by the pixel span
+    * of the segment (≤ thousands) at ANY corpus size — a
+    * single-partition window over a generated frame, not a corpus
+    * funnel.
+    */
+  def lineOfSight(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("step"))
+    val c = profileCells(s, dir)
+      .select(col("step"), col("gx"), col("gy"), col("elevation"))
+      .withColumn("e0", first(col("elevation")).over(w))
+      .withColumn("slope", when(col("step") > 0 && col("elevation").isNotNull,
+        (col("elevation") - col("e0")).cast("double") / col("step")))
+      .withColumn("prev_max",
+        max(col("slope")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    c.select(col("step"), col("gx"), col("gy"), col("elevation"),
+        e6(col("slope")).as("slope_e6"),
+        when(col("step") === 0, col("elevation").isNotNull)
+          .otherwise(col("elevation").isNotNull &&
+            (col("prev_max").isNull || col("slope") > col("prev_max")))
+          .as("visible"))
       .orderBy(col("step"))
   }
 }

@@ -1034,4 +1034,31 @@ class GeoSpec extends SparkSpec {
     assert((got.head._2, got.head._3) == ((ax, ay)))
     assert((got.last._2, got.last._3) == ((bx, by)))
   }
+
+  test("g30 line of sight equals the JVM running-max-of-slopes sweep") {
+    val prof = GeoQueries.pathProfile(spark, Sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    graft.Caches.clear()
+    val got = GeoQueries.lineOfSight(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(5)))
+    val e0 = prof.head._2.get
+    var prevMax = Double.NegativeInfinity
+    var anyPrev = false
+    val exp = prof.map { case (step, ev) =>
+      if (step == 0L) (step, ev.isDefined)
+      else ev match {
+        case None => (step, false)
+        case Some(e) =>
+          val sl = (e - e0).toDouble / step
+          val vis = !anyPrev || sl > prevMax
+          if (sl > prevMax) prevMax = sl
+          anyPrev = true
+          (step, vis)
+      }
+    }
+    assert(got.toSeq == exp.toSeq)
+    assert(got.head._2) // observer sees itself
+    // the sweep is non-trivial on this corpus: both classes occur
+    assert(got.exists(_._2) && got.exists(!_._2))
+  }
 }

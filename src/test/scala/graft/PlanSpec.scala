@@ -364,6 +364,7 @@ class PlanSpec extends SparkSpec {
       "s8_ann_graph"       -> "broadcast 20-query frame x entries/frontier hops",
       "s9_mips_bruteforce" -> "broadcast 20-query frame x corpus, =!= condition",
       "s10_range_search"   -> "broadcast 20-query frame x corpus, =!= condition",
+      "s11_knn_classify"   -> "rides s1's broadcast 20-query frame x corpus",
       "m9_visual_search"   -> "broadcast 20-query signature frame x corpus",
       "t6_tfidf"           -> "crossJoin(broadcast(1-row corpus count))",
       "q19_setops"         -> "crossJoin(broadcast(1-row universe stats))",
