@@ -213,6 +213,7 @@ object SparkEntry {
     "j2_csv_ingest"           -> graft.operators.IngestQueries.csvIngest _,
     "j3_schema_evolution"     -> graft.operators.IngestQueries.schemaEvolution _,
     "j4_orc_ingest"           -> graft.operators.IngestQueries.orcIngest _,
+    "j5_xml_ingest"           -> graft.operators.IngestQueries.xmlIngest _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -912,6 +913,16 @@ object SparkEntry {
       |       sum(n_chars)::BIGINT AS sum_n_chars,
       |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
       |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold
+      |FROM documents WHERE doc_id < 400""".stripMargin,
+    // j5: identical audit + torn-rule as j1 (type-mismatched doc_id)
+    "j5_xml_ingest" -> raw"""
+      |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,
+      |       count(*) FILTER (WHERE doc_id % 7 = 3) AS n_quarantine,
+      |       (sum(doc_id) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_doc_id,
+      |       (sum(n_chars) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_n_chars,
+      |       (sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                         for i in range(1, 9)], (a, b) -> a*16 + b))
+      |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold
       |FROM documents WHERE doc_id < 400""".stripMargin,
     "j1_jsonl_ingest" -> raw"""
       |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,

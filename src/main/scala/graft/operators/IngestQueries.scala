@@ -66,6 +66,16 @@ object IngestQueries {
     * text column round-tripped byte-exactly through the ORC
     * writer/reader pair, not just that counts line up.
     */
+  /** j5: XML ingest audit — the j1/j2 one-aggregate audit over Spark
+    * 4's BUILT-IN row-tagged XML source (the third text container web
+    * corpora arrive in — sitemap/feed/wiki-dump shapes): torn rows
+    * carry a type-mismatched doc_id and land in `_corrupt_record`
+    * (the torn shape that stays row-isolated; see ensureXml for why
+    * truncation would not). Same oracle partition rule as j1.
+    */
+  def xmlIngest(s: SparkSession, dir: String): DataFrame =
+    audit(TextSources.readXml(s, s"${IngestFixtures.ensureXml(s, dir)}/corpus.xml"))
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

@@ -133,6 +133,38 @@ object IngestFixtures {
     * text round-trip instead (the fold the oracle recomputes from
     * the table).
     */
+  /** XML text-node escape (& first, then angle brackets). */
+  private def xesc(x: String): String =
+    x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Ensure the row-tagged XML corpus for `dir`: `<doc>` elements
+    * under one `<corpus>` root; torn doc_ids carry a non-numeric
+    * doc_id (type mismatch → PERMISSIVE corrupt column) — the CSV
+    * torn shape, because a TRUNCATED element would swallow every
+    * following row into one corrupt record (rowTag scanning has no
+    * line boundary to resynchronize on).
+    */
+  def ensureXml(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("xml", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 1) { tmp =>
+      val sb = new StringBuilder
+      sb.append("<corpus>\n")
+      rows.foreach { case (id, text, lang, src, nc) =>
+        val idTxt = if (id % TornMod == TornRem) s"x$id" else id.toString
+        sb.append("  <doc><doc_id>").append(idTxt)
+          .append("</doc_id><text>").append(xesc(text))
+          .append("</text><lang>").append(xesc(lang))
+          .append("</lang><source>").append(xesc(src))
+          .append("</source><n_chars>").append(nc)
+          .append("</n_chars></doc>\n")
+      }
+      sb.append("</corpus>\n")
+      Files.write(Paths.get(tmp.toString, "corpus.xml"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   def ensureOrc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("orc", dir)
     val stamp = new java.io.File(out, "_built")

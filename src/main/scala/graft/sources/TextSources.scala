@@ -58,6 +58,24 @@ object TextSources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Read row-tagged XML with an explicit schema (Spark 4's built-in
+    * XML source — the spark-xml package merged into core): each
+    * `<doc>` element is one row; type-mismatched rows land in
+    * `_corrupt_record` under PERMISSIVE mode like the CSV path. The
+    * same 100-TB discipline applies — explicit schema (XSD-free
+    * inference would be a second scan), quarantine not failure; XML's
+    * one structural concession is that rowTag scanning is not
+    * line-splittable, so parallelism comes from FILE COUNT (shard the
+    * corpus into many files, as web-crawl XML dumps already are).
+    */
+  def readXml(s: SparkSession, path: String, schema: StructType = DocSchema): DataFrame =
+    s.read
+      .option("rowTag", "doc")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt(schema))
+      .xml(path)
+
   /** Read CSV with an explicit schema, header, and RFC-4180 quoting;
     * malformed lines land in `_corrupt_record`. `multiLine` is on so
     * quoted newlines inside `text` parse correctly — the cost is that

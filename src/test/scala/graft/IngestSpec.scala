@@ -188,4 +188,26 @@ class IngestSpec extends SparkSpec {
       s"expected ORC predicate pushdown in:\n$plan")
     assert(!plan.contains("text"), s"expected text pruned from ReadSchema in:\n$plan")
   }
+
+  test("j5: XML rowTag scan quarantines torn rows and round-trips clean text exactly") {
+    import org.apache.spark.sql.functions._
+    val path = s"${graft.sources.IngestFixtures.ensureXml(spark, Sf)}/corpus.xml"
+    // the file source forbids corrupt-only projections off the raw
+    // scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize first,
+    // exactly the caching recipe the error prescribes
+    val xml = graft.sources.TextSources.readXml(spark, path).cache()
+    val (clean, bad) = graft.sources.TextSources.quarantine(xml)
+    // every torn id quarantined, nothing else; escaped &/< round-trip
+    val want = graft.Tables.documents(spark, Sf).filter(col("doc_id") < 400)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val keep = want.filter(_._1 % 7 != 3).toSet
+    val got = clean.select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(got == keep)
+    assert(bad.count() == want.count(_._1 % 7 == 3))
+    // the corrupt column carries the raw element for forensics
+    assert(bad.select("raw_line").collect().forall(!_.isNullAt(0)))
+    xml.unpersist()
+  }
 }
