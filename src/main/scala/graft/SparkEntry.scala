@@ -142,6 +142,7 @@ object SparkEntry {
     "d16_cluster_histogram"   -> Dedup.clusterSizeHistogram _,
     "d17_source_dup_rates"    -> Dedup.sourceDupRates _,
     "d14_source_overlap"      -> Dedup.sourceOverlapMatrix _,
+    "d15_cluster_purity"      -> Dedup.clusterPurity _,
     "d18_sim_histogram"       -> Dedup.similarityHistogram _,
     "d3_simhash"              -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d8_dup_clusters"         -> Dedup.dupClusters _,
@@ -2403,6 +2404,38 @@ object SparkEntry {
       |FROM p e1 JOIN p e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
       |JOIN p e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
       |ORDER BY a, b, c""".stripMargin,
+    // d15: d8's recursive-CC oracle + metadata attachment; majority
+    // lang by (count desc, lang) row_number — same tie rule as the
+    // engine's min(struct(−cnt, lang))
+    "d15_cluster_purity" -> raw"""
+      |WITH RECURSIVE $ShingleCte,
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE 10 * len(list_intersect(a.s, b.s)) >= 8 * len(list_distinct(a.s || b.s))),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |verts AS (SELECT DISTINCT src AS v FROM e),
+      |cc(v, lbl) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, cc.lbl FROM cc JOIN e ON cc.v = e.src),
+      |comp AS (SELECT v, min(lbl) AS cluster_id FROM cc GROUP BY v),
+      |m AS (SELECT comp.v AS doc_id, comp.cluster_id, d.lang, d.source
+      |      FROM comp JOIN documents d ON comp.v = d.doc_id),
+      |bl AS (SELECT cluster_id, lang, count(*)::BIGINT AS c FROM m GROUP BY 1, 2),
+      |r AS (SELECT cluster_id, lang AS top_lang, c AS top_lang_docs,
+      |        row_number() OVER (PARTITION BY cluster_id
+      |          ORDER BY c DESC, lang) AS rn FROM bl),
+      |agg AS (SELECT cluster_id, count(*)::BIGINT AS n_langs,
+      |          sum(c)::BIGINT AS n_docs FROM bl GROUP BY 1),
+      |srcs AS (SELECT cluster_id, count(DISTINCT source)::BIGINT AS n_sources
+      |         FROM m GROUP BY 1)
+      |SELECT a.cluster_id, a.n_docs, a.n_langs, r.top_lang, r.top_lang_docs,
+      |  srcs.n_sources, ((r.top_lang_docs * 1000) // a.n_docs)::BIGINT AS purity_pm
+      |FROM agg a
+      |JOIN r ON a.cluster_id = r.cluster_id AND r.rn = 1
+      |JOIN srcs ON a.cluster_id = srcs.cluster_id
+      |ORDER BY a.cluster_id""".stripMargin,
     "d8_dup_clusters" -> raw"""
       |WITH RECURSIVE $ShingleCte,
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -1223,4 +1223,36 @@ object Dedup {
     np.join(nd, Seq("source_lo", "source_hi"))
       .orderBy(col("source_lo"), col("source_hi"))
   }
+
+  /** d15: dup-cluster PURITY — per d8 cluster, how homogeneous its
+    * members are on language and source (the QA table behind "are
+    * these clusters real duplicates or LSH accidents": a genuine dup
+    * family is one language; a cluster mixing languages flags either
+    * translation pairs or a banding collision worth auditing).
+    * Majority language via the q49 argmax discipline
+    * (min(struct(−cnt, lang)) — map-side combinable, smallest-label
+    * tie rule, no row_number funnel); purity as an integer per-mille.
+    *
+    * Scale shape: everything downstream of d8 runs on cluster-sized
+    * frames — a (cluster, lang) count, a (cluster) rollup, a distinct
+    * source count riding the same hash partitioning; lang/source
+    * attach by one equi-join of the cluster membership (clusters,
+    * not corpus) against the doc-metadata projection.
+    */
+  def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val cl = dupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val meta = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+    val j = graft.Caches.track(cl.join(meta, Seq("doc_id")))
+    val byLang = j.groupBy(col("cluster_id"), col("lang")).agg(count(lit(1)).as("c"))
+    val top = byLang.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("c")).as("n_docs"),
+        min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("b"))
+      .select(col("cluster_id"), col("n_docs"), col("n_langs"),
+        col("b.l").as("top_lang"), (-col("b.nc")).as("top_lang_docs"))
+    val bySrc = j.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    top.join(bySrc, Seq("cluster_id"))
+      .withColumn("purity_pm", expr("(top_lang_docs * 1000) div n_docs"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -453,4 +453,30 @@ class DedupSpec extends SparkSpec {
     }
     assert(got == exp && got.nonEmpty)
   }
+
+  test("d15 cluster purity reconciles with d8 clusters + a JVM rollup") {
+    val Sf = "/root/testdata/sf0.001"
+    val got = Dedup.clusterPurity(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    graft.Caches.clear()
+    val cl = Dedup.dupClusters(spark, Sf).select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.clear()
+    val meta = Tables.documents(spark, Sf).select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val exp = cl.groupBy(_._2).map { case (cid, ms) =>
+      val langs = ms.map(m => meta(m._1)._1)
+      val byLang = langs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val (topL, topC) = byLang.minBy { case (l, c) => (-c, l) }
+      cid -> ((ms.size.toLong, byLang.size.toLong, topL, topC,
+        ms.map(m => meta(m._1)._2).distinct.size.toLong,
+        topC * 1000 / ms.size))
+    }
+    assert(got == exp && got.nonEmpty)
+    // purity is a real measurement here: the corpus has dup clusters
+    // and every cluster's majority share is consistent
+    got.values.foreach { case (n, _, _, tc, _, pm) =>
+      assert(tc <= n && pm == tc * 1000 / n) }
+  }
 }
