@@ -177,6 +177,7 @@ object SparkEntry {
     "s1_ann_bruteforce"       -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "s10_range_search"        -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
     "s11_knn_classify"        -> ((s: SparkSession, d: String) => Ann.knnClassify(s, d)),
+    "s12_pair_rescore"        -> ((s: SparkSession, d: String) => Ann.pairRescore(s, d)),
     "s9_mips_bruteforce"      -> ((s: SparkSession, d: String) => Ann.mipsTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -2705,6 +2706,25 @@ object SparkEntry {
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // s11: s1's exact-neighbor CTE + majority vote with the q49
     // smallest-label tie rule
+    // s12: d2's pair CTE × the s1 cosine twin — lexical ppm and
+    // embedding e6 side by side per candidate pair
+    "s12_pair_rescore" -> raw"""
+      |WITH $ShingleCte,
+      |$VecCte,
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.s, b.s))::BIGINT AS inter,
+      |         len(list_distinct(a.s || b.s))::BIGINT AS uni
+      |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |       WHERE 10 * len(list_intersect(a.s, b.s))
+      |          >= 8 * len(list_distinct(a.s || b.s)))
+      |SELECT pr.id_a, pr.id_b,
+      |  ((inter * 1000000) // uni)::BIGINT AS jaccard_ppm,
+      |  floor(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) * 1e6 + 0.5)::BIGINT
+      |    AS cosine_e6
+      |FROM pr
+      |JOIN n na ON pr.id_a = na.vec_id
+      |JOIN n nb ON pr.id_b = nb.vec_id
+      |ORDER BY 1, 2""".stripMargin,
     "s11_knn_classify" -> raw"""
       |WITH $VecCte,
       |lab AS (SELECT vec_id, label FROM embeddings),

@@ -80,6 +80,38 @@ object Ann {
       .orderBy(col("q_id"))
   }
 
+  /** s12: candidate-pair RE-SCORING — the dedup × embedding
+    * composition every two-stage near-dup pipeline runs (cheap
+    * lexical candidates → semantic re-rank, the SemDeDup/retrieval
+    * reranker shape): d2's verified near-dup pairs carry BOTH their
+    * lexical score (exact integer Jaccard ppm) and their embedding
+    * cosine (e6) side by side — the disagreement table that catches
+    * template pairs (high lexical, low semantic) and paraphrases
+    * scored by a too-low band threshold.
+    *
+    * Scale shape: the pair list (d2's output, corpus-governed but ≪
+    * corpus²) joins the embedding projection twice by equi-join —
+    * embeddings shuffle once per side on vec_id; cosine is the same
+    * one-division-per-pair kernel as s1, no pair ever recomputes
+    * shingles.
+    */
+  def pairRescore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.minhashLsh(s, dir)
+      .select(col("id_a"), col("id_b"), col("inter_sz"), col("union_sz"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    pairs
+      .join(e.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("(inter_sz * 1000000) div union_sz").as("jaccard_ppm"),
+        e6(cosinePre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
+          .as("cosine_e6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** s10: exact RANGE search (radius query) — ALL corpus vectors with
     * cosine ≥ τ of each query vector, the other half of the standard
     * vector-search API beside top-k (FAISS `range_search`, the

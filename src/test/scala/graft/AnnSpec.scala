@@ -382,4 +382,31 @@ class AnnSpec extends SparkSpec {
     assert(cents.length == 8)
     assert(cents.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
   }
+
+  test("s12 pair rescore: one row per d2 pair, JVM cosine identity") {
+    val Sf = "/root/testdata/sf0.001"
+    val got = Ann.pairRescore(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.clear()
+    val pairs = graft.operators.Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.Caches.clear()
+    val emb = Tables.embeddings(spark, Sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = pairs.map { case (a, b, in, un) =>
+      (a, b) -> ((in * 1000000L / un,
+        math.floor(cos(emb(a), emb(b)) * 1e6 + 0.5).toLong))
+    }.toMap
+    assert(got == exp && got.nonEmpty)
+  }
 }
