@@ -87,6 +87,7 @@ object SparkEntry {
     "q55_skyline"             -> Relational.q55Skyline _,
     "q56_weighted_median"     -> Relational.q56WeightedMedian _,
     "q57_interval_union"      -> Relational.q57IntervalUnion _,
+    "q58_growth_accounting"   -> Relational.q58GrowthAccounting _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1254,6 +1255,34 @@ object SparkEntry {
       |SELECT grp, v AS median_cents, cum AS w_at, tot AS w_total
       |FROM c WHERE 2*cum >= tot AND 2*(cum - w) < tot
       |ORDER BY grp""".stripMargin,
+    // q58: same lag/lead ledger; churn clamped to the observed
+    // horizon; full outer keeps churn-only months
+    "q58_growth_accounting" -> raw"""
+      |WITH am AS (SELECT DISTINCT user_id,
+      |              (year(ts)*12 + month(ts))::BIGINT AS mo FROM events),
+      |w AS (SELECT user_id, mo,
+      |        lag(mo) OVER (PARTITION BY user_id ORDER BY mo) AS pmo,
+      |        lead(mo) OVER (PARTITION BY user_id ORDER BY mo) AS nmo FROM am),
+      |mx AS (SELECT max(mo) AS mxmo FROM am),
+      |st AS (SELECT mo,
+      |    count(*) FILTER (WHERE pmo IS NULL)::BIGINT AS n_new,
+      |    count(*) FILTER (WHERE pmo = mo - 1)::BIGINT AS n_retained,
+      |    count(*) FILTER (WHERE pmo IS NOT NULL AND pmo < mo - 1)::BIGINT
+      |      AS n_resurrected,
+      |    count(*)::BIGINT AS n_active
+      |  FROM w GROUP BY mo),
+      |ch AS (SELECT w.mo + 1 AS mo, count(*)::BIGINT AS n_churned
+      |       FROM w, mx
+      |       WHERE (nmo IS NULL OR nmo > mo + 1) AND mo + 1 <= mx.mxmo
+      |       GROUP BY 1)
+      |SELECT coalesce(st.mo, ch.mo) AS mo,
+      |  coalesce(n_new, 0)::BIGINT AS n_new,
+      |  coalesce(n_retained, 0)::BIGINT AS n_retained,
+      |  coalesce(n_resurrected, 0)::BIGINT AS n_resurrected,
+      |  coalesce(n_churned, 0)::BIGINT AS n_churned,
+      |  coalesce(n_active, 0)::BIGINT AS n_active
+      |FROM st FULL OUTER JOIN ch ON st.mo = ch.mo
+      |ORDER BY 1""".stripMargin,
     // q57: identical sweep stated in SQL windows; tied (st,en) rows
     // are interchangeable so tie order cannot move the result
     "q57_interval_union" -> raw"""

@@ -1408,6 +1408,53 @@ object Relational {
       .orderBy(col("grp"))
   }
 
+  /** q58: GROWTH ACCOUNTING — the new/retained/resurrected/churned
+    * monthly user ledger (the Social-Capital growth-accounting
+    * identity: actives(t) = new + retained + resurrected;
+    * churned(t) counts users active in t−1 who went dark): per-user
+    * lag/lead over DISTINCT active months classifies each
+    * (user, month) exactly — new (no prior month), retained (active
+    * t−1), resurrected (gap > 1); churn attributes to the month AFTER
+    * last activity, clamped to the observed horizon so the ledger
+    * never invents post-corpus months. All integer month indexes
+    * (year·12+month), no dates compared as floats anywhere.
+    *
+    * Scale shape: the corpus collapses to distinct (user, month)
+    * rows first (months-per-user bounded by the calendar); both
+    * windows ride one per-user partition; the horizon is a 1-row
+    * broadcast (the q19 crossJoin shape, PlanSpec-registered); the
+    * final ledger is months-sized.
+    */
+  def q58GrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val am = graft.Caches.track(Tables.events(s, dir)
+      .select(col("user_id"), (year(col("ts")) * 12 + month(col("ts")))
+        .cast("long").as("mo"))
+      .distinct())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("mo"))
+    val lagged = am.withColumn("pmo", lag(col("mo"), 1).over(w))
+      .withColumn("nmo", lead(col("mo"), 1).over(w))
+    val mx = am.agg(max(col("mo")).as("mxmo"))
+    val st = lagged.groupBy(col("mo")).agg(
+      count(when(col("pmo").isNull, 1)).as("n_new"),
+      count(when(col("pmo") === col("mo") - 1, 1)).as("n_retained"),
+      count(when(col("pmo").isNotNull && col("pmo") < col("mo") - 1, 1))
+        .as("n_resurrected"),
+      count(lit(1)).as("n_active"))
+    val ch = lagged.crossJoin(broadcast(mx))
+      .filter((col("nmo").isNull || col("nmo") > col("mo") + 1) &&
+        col("mo") + 1 <= col("mxmo"))
+      .groupBy((col("mo") + 1).as("mo"))
+      .agg(count(lit(1)).as("n_churned"))
+    st.join(ch, Seq("mo"), "full_outer")
+      .select(col("mo"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"))
+      .orderBy(col("mo"))
+  }
+
   /** q57: INTERVAL UNION length per supplier — how many distinct days
     * each supplier had freight in transit (overlaps counted once):
     * the classic gaps-and-islands sweep (SLA coverage /

@@ -369,6 +369,7 @@ class PlanSpec extends SparkSpec {
       "t6_tfidf"           -> "crossJoin(broadcast(1-row corpus count))",
       "q19_setops"         -> "crossJoin(broadcast(1-row universe stats))",
       "q26_dq_audit"       -> "crossJoin(broadcast(1-row audit totals))",
+      "q58_growth_accounting" -> "crossJoin(broadcast(1-row max-month horizon))",
       "q51_sketch_overlap" -> "segment-sized sketch frame self-join on <",
       "p4_pps_sample"      -> "crossJoin(broadcast(1-row corpus total))",
       "p5_temperature_mix" -> "crossJoin(broadcast(sources-sized totals))",

@@ -672,4 +672,42 @@ class RelationalSpec extends SparkSpec {
     }
     assert(got == exp && got.nonEmpty)
   }
+
+  test("q58 growth accounting: JVM ledger identity and conservation laws") {
+    val got = Relational.q58GrowthAccounting(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+    graft.Caches.clear()
+    val am = Tables.events(spark, Sf)
+      .select(col("user_id"), expr("cast(year(ts)*12 + month(ts) as bigint)").as("mo"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mx = am.map(_._2).max
+    val byU = am.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val classed = byU.values.flatMap { mos =>
+      mos.zipWithIndex.map { case (m, i) =>
+        val p = if (i == 0) None else Some(mos(i - 1))
+        (m, p)
+      }
+    }.toSeq
+    val churn = byU.values.flatMap { mos =>
+      mos.zipWithIndex.collect { case (m, i)
+        if (i == mos.length - 1 || mos(i + 1) > m + 1) && m + 1 <= mx => m + 1 }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = (classed.map(_._1) ++ churn.keys).distinct.sorted.map { m =>
+      val rows = classed.filter(_._1 == m)
+      m -> ((rows.count(_._2.isEmpty).toLong,
+        rows.count(_._2.contains(m - 1)).toLong,
+        rows.count(c => c._2.exists(_ < m - 1)).toLong,
+        churn.getOrElse(m, 0L), rows.size.toLong))
+    }
+    assert(got.toSeq == exp)
+    // identities: actives decompose; (t−1)-actives = retained(t)+churned(t)
+    got.foreach { case (_, (nw, rt, rs, _, act)) => assert(nw + rt + rs == act) }
+    got.sliding(2).foreach {
+      case Array((pm, (_, _, _, _, pAct)), (m, (_, rt, _, chn, _))) if m == pm + 1 =>
+        assert(rt + chn == pAct)
+      case _ => ()
+    }
+    assert(got.nonEmpty)
+  }
 }
