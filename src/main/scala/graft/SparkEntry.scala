@@ -50,6 +50,7 @@ object SparkEntry {
     "g28_contours"            -> GeoQueries.contourCensus _,
     "g29_path_profile"        -> GeoQueries.pathProfile _,
     "g30_line_of_sight"       -> GeoQueries.lineOfSight _,
+    "g31_flow_length"         -> GeoQueries.flowLength _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -739,6 +740,61 @@ object SparkEntry {
       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // g22: g19's succ CTE, then a recursive walk from every cell to
     // its terminal (no-successor) cell — the basin label
+    // g31: g22's recursive walk with a hop counter; the terminal
+    // row's depth IS the flow-path length
+    "g31_flow_length" -> (raw"""
+      |WITH RECURSIVE $TilesCte,
+      |px AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(1,6) ys(y), generate_series(1,6) xs(x)
+      |  WHERE tile_id < 50),
+      |zz AS (
+      |  SELECT *,
+      |    (tile_id*131 + (x  )*17 + (y  )*29) % 8848 AS z0,
+      |    (tile_id*131 + (x+1)*17 + (y-1)*29) % 8848 AS ze_n,
+      |    (tile_id*131 + (x+1)*17 + (y  )*29) % 8848 AS ze,
+      |    (tile_id*131 + (x+1)*17 + (y+1)*29) % 8848 AS ze_s,
+      |    (tile_id*131 + (x-1)*17 + (y-1)*29) % 8848 AS zw_n,
+      |    (tile_id*131 + (x-1)*17 + (y  )*29) % 8848 AS zw,
+      |    (tile_id*131 + (x-1)*17 + (y+1)*29) % 8848 AS zw_s,
+      |    (tile_id*131 + (x  )*17 + (y-1)*29) % 8848 AS zn,
+      |    (tile_id*131 + (x  )*17 + (y+1)*29) % 8848 AS zs
+      |  FROM px),
+      |cand AS (
+      |  SELECT tile_id, x, y, unnest([
+      |    struct_pack(dx :=  1, dy :=  0, pr := 1, drop := z0 - ze,   diag := false),
+      |    struct_pack(dx :=  1, dy :=  1, pr := 2, drop := z0 - ze_s, diag := true),
+      |    struct_pack(dx :=  0, dy :=  1, pr := 3, drop := z0 - zs,   diag := false),
+      |    struct_pack(dx := -1, dy :=  1, pr := 4, drop := z0 - zw_s, diag := true),
+      |    struct_pack(dx := -1, dy :=  0, pr := 5, drop := z0 - zw,   diag := false),
+      |    struct_pack(dx := -1, dy := -1, pr := 6, drop := z0 - zw_n, diag := true),
+      |    struct_pack(dx :=  0, dy := -1, pr := 7, drop := z0 - zn,   diag := false),
+      |    struct_pack(dx :=  1, dy := -1, pr := 8, drop := z0 - ze_n, diag := true)
+      |  ]) AS f FROM zz),
+      |ranked AS (
+      |  SELECT tile_id, x, y, x + f.dx AS tx, y + f.dy AS ty,
+      |         row_number() OVER (PARTITION BY tile_id, x, y
+      |           ORDER BY f.drop*f.drop*(CASE WHEN f.diag THEN 1 ELSE 2 END) DESC,
+      |                    f.pr ASC) AS rn
+      |  FROM cand WHERE f.drop > 0),
+      |succ AS (SELECT tile_id, x, y, tx, ty FROM ranked WHERE rn = 1),
+      |allpx AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(0,7) ys(y), generate_series(0,7) xs(x)
+      |  WHERE tile_id < 50),
+      |w AS (
+      |  SELECT tile_id, x AS sx, y AS sy, x AS cx, y AS cy, 0 AS d FROM allpx
+      |  UNION ALL
+      |  SELECT w.tile_id, w.sx, w.sy, s.tx, s.ty, w.d + 1
+      |  FROM w JOIN succ s ON s.tile_id = w.tile_id AND s.x = w.cx AND s.y = w.cy),
+      |term AS (
+      |  SELECT * FROM w
+      |  WHERE NOT EXISTS (SELECT 1 FROM succ s
+      |                    WHERE s.tile_id = w.tile_id AND s.x = w.cx AND s.y = w.cy))
+      |SELECT p.tile_id, p.tile_key, p.x, p.y, t.d::BIGINT AS flow_len
+      |FROM allpx p JOIN term t
+      |  ON t.tile_id = p.tile_id AND t.sx = p.x AND t.sy = p.y
+      |ORDER BY p.tile_id, p.y, p.x""").stripMargin,
     "g22_watersheds" -> (raw"""
       |WITH RECURSIVE $TilesCte,
       |px AS (

@@ -1044,6 +1044,35 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g31: D8 FLOW-PATH LENGTH per cell — the drainage-distance layer
+    * beside g22's basin labels (TauDEM flow-path length / GRASS
+    * `r.flow`): hops along the steepest-descent path to its terminal,
+    * from the [[org.apache.spark.sql.graft.FlowLength]] expression's
+    * single ascending-elevation sweep (successors are strictly lower,
+    * so lengths resolve in one pass — no iteration, no convergence
+    * rounds), inside the tile's own file split: ZERO shuffle, the
+    * g19/g22 distribution story. Oracle walks every path via the g22
+    * recursive CTE with a hop counter.
+    */
+  def flowLength(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val n = 8
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        posexplode(RasterExprs.flow_length(
+          transform(col("r.points"), p => p.getField("elevation").cast("long")),
+          lit(n))))
+      .select(col("tile_id"), col("tile_key"),
+        pmod(col("pos"), lit(n)).as("x"),
+        (col("pos") / lit(n)).cast("int").as("y"),
+        col("col").as("flow_len"))
+      .orderBy(col("tile_id"), col("y"), col("x"))
+  }
+
   /** g29: ELEVATION PROFILE along a line — `gdallocationinfo` in a
     * loop / the terrain cross-section behind route planners and
     * line-of-sight tools: rasterize the segment between two anchor

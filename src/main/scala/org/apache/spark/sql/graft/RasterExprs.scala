@@ -25,6 +25,11 @@ object RasterExprs {
   def watershed(elev: Column, n: Column): Column =
     ExpressionUtils.column(Watershed(
       ExpressionUtils.expression(elev), ExpressionUtils.expression(n)))
+
+  /** D8 flow-path lengths over a row-major tile array (see [[FlowLength]]). */
+  def flow_length(elev: Column, n: Column): Column =
+    ExpressionUtils.column(FlowLength(
+      ExpressionUtils.expression(elev), ExpressionUtils.expression(n)))
 }
 
 /** D8 flow accumulation (O'Callaghan & Mark 1984) over one tile's
@@ -195,6 +200,77 @@ case class Watershed(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Watershed = copy(left = l, right = r)
+}
+
+/** D8 FLOW-PATH LENGTH per cell — hops along the steepest-descent
+  * path to its terminal (TauDEM `D8FlowPathExtremeUp` / GRASS
+  * `r.flow`'s length output, the drainage-distance layer beside
+  * [[Watershed]]'s labels): succ() is the IDENTICAL argmax as
+  * [[FlowAccum]]/[[Watershed]] (drop²·2-for-straight score, ESRI ring
+  * priority on ties, rim cells terminal), then one ascending-elevation
+  * sweep resolves `len(u) = len(succ(u)) + 1` — successors are
+  * strictly lower so each resolves before its upstream cells, zero
+  * iteration. Same per-tile zero-shuffle distribution story as g19.
+  */
+case class FlowLength(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), IntegerType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private val Ring: Array[(Int, Int, Boolean)] = Array(
+    (1, 0, false), (1, 1, true), (0, 1, false), (-1, 1, true),
+    (-1, 0, false), (-1, -1, true), (0, -1, false), (1, -1, true))
+
+  override def nullSafeEval(elevAny: Any, nAny: Any): Any = {
+    val arr = elevAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    if (n < 3 || arr.numElements() != n * n) return null
+    val z = arr.toLongArray()
+    val total = n * n
+    val succ = new Array[Int](total)
+    java.util.Arrays.fill(succ, -1)
+    var y = 1
+    while (y < n - 1) {
+      var x = 1
+      while (x < n - 1) {
+        val i = y * n + x
+        val z0 = z(i)
+        var bestScore = 0L
+        var bestIdx = -1
+        var k = 0
+        while (k < 8) {
+          val (dx, dy, diag) = Ring(k)
+          val j = (y + dy) * n + (x + dx)
+          val drop = z0 - z(j)
+          if (drop > 0) {
+            val score = drop * drop * (if (diag) 1L else 2L)
+            if (score > bestScore) { bestScore = score; bestIdx = j }
+          }
+          k += 1
+        }
+        succ(i) = bestIdx
+        x += 1
+      }
+      y += 1
+    }
+    val order = Array.range(0, total).sortBy(i => z(i))
+    val len = new Array[Long](total)
+    var oi = 0
+    while (oi < total) {
+      val u = order(oi)
+      len(u) = if (succ(u) < 0) 0L else len(succ(u)) + 1L
+      oi += 1
+    }
+    new GenericArrayData(len)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FlowLength = copy(left = l, right = r)
 }
 
 /** Byte-level decoder for the deterministic GRFT raster format — the

@@ -1061,4 +1061,43 @@ class GeoSpec extends SparkSpec {
     // the sweep is non-trivial on this corpus: both classes occur
     assert(got.exists(_._2) && got.exists(!_._2))
   }
+
+  test("g31 flow length equals a JVM pointer walk over the D8 argmax") {
+    val got = GeoQueries.flowLength(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)) -> r.getLong(4)).toMap
+    val n = 8
+    def z(t: Long, x: Int, y: Int): Long =
+      java.lang.Math.floorMod(t * 131 + x * 17 + y * 29, 8848L)
+    val ring = Seq((1, 0, false), (1, 1, true), (0, 1, false), (-1, 1, true),
+      (-1, 0, false), (-1, -1, true), (0, -1, false), (1, -1, true))
+    val tids = got.keys.map(_._1).toSeq.distinct
+    tids.foreach { t =>
+      def succ(x: Int, y: Int): Option[(Int, Int)] =
+        if (x == 0 || y == 0 || x == n - 1 || y == n - 1) None
+        else {
+          val cands = ring.flatMap { case (dx, dy, diag) =>
+            val drop = z(t, x, y) - z(t, x + dx, y + dy)
+            if (drop > 0) Some(((x + dx, y + dy), drop * drop * (if (diag) 1L else 2L)))
+            else None
+          }
+          // strict argmax in ring-priority order, as the kernel does
+          if (cands.isEmpty) None
+          else Some(cands.maxBy(_._2)._1) match {
+            case s => // maxBy keeps FIRST max → ring priority
+              s.map(_ => cands.foldLeft(Option.empty[((Int, Int), Long)]) {
+                case (acc, c) if acc.forall(a => c._2 > a._2) => Some(c)
+                case (acc, _) => acc
+              }.get._1)
+          }
+        }
+      for (y <- 0 until n; x <- 0 until n) {
+        var cur = (x, y); var d = 0L
+        var next = succ(cur._1, cur._2)
+        while (next.isDefined) { cur = next.get; d += 1; next = succ(cur._1, cur._2) }
+        assert(got((t, x, y)) == d, s"tile $t cell ($x,$y)")
+      }
+    }
+    // non-vacuous: some cell actually drains more than one hop
+    assert(got.values.max >= 2)
+  }
 }
