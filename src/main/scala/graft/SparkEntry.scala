@@ -89,6 +89,7 @@ object SparkEntry {
     "q56_weighted_median"     -> Relational.q56WeightedMedian _,
     "q57_interval_union"      -> Relational.q57IntervalUnion _,
     "q58_growth_accounting"   -> Relational.q58GrowthAccounting _,
+    "q59_period_balance"      -> Relational.q59PeriodBalance _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -132,6 +133,8 @@ object SparkEntry {
       TextAnalysis.lmFluency(s, d)),
     "t18_readability"         -> ((s: SparkSession, d: String) =>
       TextAnalysis.readability(s, d)),
+    "t19_script_mix"          -> ((s: SparkSession, d: String) =>
+      TextAnalysis.scriptMix(s, d)),
     "t16_bigram_coverage"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramCoverage(s, d)),
     // dedup
@@ -1311,6 +1314,17 @@ object SparkEntry {
       |SELECT grp, v AS median_cents, cum AS w_at, tot AS w_total
       |FROM c WHERE 2*cum >= tot AND 2*(cum - w) < tot
       |ORDER BY grp""".stripMargin,
+    // q59: last-in-month by (t DESC, event_id DESC) row_number — the
+    // twin of the engine's max(struct(t, event_id, cents))
+    "q59_period_balance" -> raw"""
+      |WITH e AS (SELECT user_id, (year(ts)*12 + month(ts))::BIGINT AS mo,
+      |             floor(epoch(ts))::BIGINT AS t, event_id,
+      |             round(value*100)::BIGINT AS cents FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, mo
+      |        ORDER BY t DESC, event_id DESC) AS rn FROM e)
+      |SELECT mo, count(*)::BIGINT AS n_users,
+      |  sum(cents)::BIGINT AS sum_end_cents
+      |FROM r WHERE rn = 1 GROUP BY mo ORDER BY mo""".stripMargin,
     // q58: same lag/lead ledger; churn clamped to the observed
     // horizon; full outer keeps churn-only months
     "q58_growth_accounting" -> raw"""
@@ -1973,6 +1987,22 @@ object SparkEntry {
     // (count >= 5); the engine counts xxhash64 of the bigram, the
     // oracle counts the strings — identical short of a 64-bit
     // collision (t14's argument)
+    // t19: counts over pure-ASCII residues after complement-stripping;
+    // other = total − the three stripped classes
+    "t19_script_mix" -> raw"""
+      |WITH c AS (SELECT doc_id, length(text)::BIGINT AS n_chars_total,
+      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_letter,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+      |    length(regexp_replace(text, '[^ \t\n\r]', '', 'g'))::BIGINT AS n_space
+      |  FROM documents)
+      |SELECT doc_id, n_chars_total, n_letter, n_digit, n_space,
+      |  (n_chars_total - n_letter - n_digit - n_space)::BIGINT AS n_other,
+      |  (CASE WHEN n_chars_total = 0 THEN 0
+      |        ELSE (n_letter * 1000) // n_chars_total END)::BIGINT AS letter_pm,
+      |  (CASE WHEN n_chars_total = 0 THEN 0
+      |        ELSE ((n_chars_total - n_letter - n_digit - n_space) * 1000)
+      |             // n_chars_total END)::BIGINT AS other_pm
+      |FROM c ORDER BY doc_id""".stripMargin,
     // t18: non-overlapping regex-run counts + integer-div composites —
     // Java and RE2 agree on these character-class-run patterns
     "t18_readability" -> raw"""

@@ -1455,6 +1455,33 @@ object Relational {
       .orderBy(col("mo"))
   }
 
+  /** q59: SEMI-ADDITIVE period-end balances — the measure class
+    * (account balances, inventory levels, gauge metrics) that sums
+    * across USERS but not across TIME: a month's figure is each
+    * active user's LAST observed value that month (argmax by
+    * (t, event_id) via one max(struct) — map-side combinable, no
+    * row_number funnel; event_id unique ⇒ the carried cents never
+    * participate in the comparison), summed per month in exact cents.
+    *
+    * Scale shape: one groupBy on (user, month) with partial
+    * aggregation — the corpus never sorts; the month rollup is
+    * months-sized. The carry-forward variant (inactive users keep
+    * their last balance) is q28's gap-fill composed on top; this
+    * surfaces the in-month truth.
+    */
+  def q59PeriodBalance(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("mo"),
+        expr("unix_timestamp(ts)").as("t"), col("event_id"),
+        cents(col("value")).as("cents"))
+      .groupBy(col("user_id"), col("mo"))
+      .agg(max(struct(col("t"), col("event_id"), col("cents"))).as("b"))
+      .groupBy(col("mo"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("b.cents")).as("sum_end_cents"))
+      .orderBy(col("mo"))
+
   /** q57: INTERVAL UNION length per supplier — how many distinct days
     * each supplier had freight in transit (overlaps counted once):
     * the classic gaps-and-islands sweep (SLA coverage /

@@ -629,4 +629,27 @@ object TextAnalysis {
       .withColumn("syllable_pm", when(col("n_words") === 0, 0L)
         .otherwise(expr("(n_vowel_groups * 1000) div n_words")))
       .orderBy(col("doc_id"))
+
+  /** t19: SCRIPT-MIX census per document — the character-class
+    * composition gate (the "mostly-punctuation / digit-soup / wrong
+    * script" filters in CCNet-family stacks, and the cheap precursor
+    * to t3's language ID): letters, digits and whitespace counted by
+    * stripping their complements (counts over pure-ASCII residues —
+    * cross-engine safe regardless of the corpus's unicode content),
+    * everything else derived by subtraction from the total; ratios as
+    * integer per-mille. Stateless codegen'd projection, shuffle-free.
+    */
+  def scriptMix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_total"),
+        expr("cast(length(regexp_replace(text, '[^a-zA-Z]', '')) as bigint)").as("n_letter"),
+        expr("cast(length(regexp_replace(text, '[^0-9]', '')) as bigint)").as("n_digit"),
+        expr("cast(length(regexp_replace(text, '[^ \\t\\n\\r]', '')) as bigint)").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars_total") - col("n_letter") - col("n_digit") - col("n_space"))
+      .withColumn("letter_pm", when(col("n_chars_total") === 0, 0L)
+        .otherwise(expr("(n_letter * 1000) div n_chars_total")))
+      .withColumn("other_pm", when(col("n_chars_total") === 0, 0L)
+        .otherwise(expr("(n_other * 1000) div n_chars_total")))
+      .orderBy(col("doc_id"))
 }

@@ -710,4 +710,21 @@ class RelationalSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("q59 period-end balances match a JVM last-per-(user,month) fold") {
+    val got = Relational.q59PeriodBalance(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.Caches.clear()
+    val evs = Tables.events(spark, Sf)
+      .select(col("user_id"), expr("cast(year(ts)*12 + month(ts) as bigint)").as("mo"),
+        expr("unix_timestamp(ts)").as("t"), col("event_id"),
+        expr("cast(round(value*100) as bigint)").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val exp = evs.groupBy(e => (e._1, e._2)).toSeq.map { case ((_, mo), es) =>
+      mo -> es.maxBy(e => (e._3, e._4))._5
+    }.groupBy(_._1).map { case (mo, vs) =>
+      mo -> ((vs.size.toLong, vs.map(_._2).sum))
+    }
+    assert(got == exp && got.nonEmpty)
+  }
 }

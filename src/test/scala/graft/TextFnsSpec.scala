@@ -284,6 +284,28 @@ class TextFnsSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("t19 script mix: hand-computed census, classes partition the text") {
+    val dir = scratchDir("graft_t19")
+    // doc 0: "Ab1 c!?" → total 7, letters 3, digits 1, spaces 1, other 2
+    // doc 1: unicode content counts as OTHER by subtraction
+    // doc 2: empty → all zeros, guards fire
+    Seq(
+      (0L, "Ab1 c!?", "en", "s", 1L),
+      (1L, "héllo ñ", "es", "s", 1L),
+      (2L, "", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.scriptMix(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got(0L) == ((7L, 3L, 1L, 1L, 2L, 3000L / 7, 2000L / 7)), got(0L).toString)
+    // "héllo ñ": 7 chars, ascii letters h,l,l,o = 4, space 1, é/ñ other 2
+    assert(got(1L) == ((7L, 4L, 0L, 1L, 2L, 4000L / 7, 2000L / 7)), got(1L).toString)
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // the four classes partition every doc exactly
+    got.values.foreach { case (t, l, d, sp, o, _, _) => assert(l + d + sp + o == t) }
+  }
+
   test("t14 novelty: first doc owns its shingles, exact copies have zero novelty") {
     val dir = scratchDir("graft_t14")
     val base = "alpha beta gamma delta epsilon zeta"
