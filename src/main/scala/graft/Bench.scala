@@ -62,7 +62,13 @@ object Bench {
     // adaptive nlist pins list size, see Ann.knnJoin), m7/m8
     // (codec-bound). q36/q37 stay sf0.1-only: the proxy carries no
     // events table.
-    "p9_cluster_select", "s7_knn_join", "m7_scene_cuts", "m8_vad_segments")
+    "p9_cluster_select", "s7_knn_join", "m7_scene_cuts", "m8_vad_segments",
+    // r10 additions: the new document/part-based operators with real
+    // cost (d14/d15/s12 ride d2/d8 pair machinery, p13 two-pass
+    // prefix, q55 frontier reduction, m11 codec-bound); q56-q59 stay
+    // sf0.1-only — the proxy carries no lineitem/events tables.
+    "d14_source_overlap", "d15_cluster_purity", "s12_pair_rescore",
+    "p13_curriculum", "q55_skyline", "m11_clipping_audit")
 
   /** The 100x decade keeps the original six cost drivers: d5 is the
     * documented-quadratic exactness oracle (capped at sf1 by design;
