@@ -55,7 +55,9 @@ object SparkEntry {
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
     "q3_join"                 -> Relational.q3Join _,
+    "q4_priority_late"        -> Relational.q4PriorityLate _,
     "q5_multijoin"            -> Relational.q5Multijoin _,
+    "q35_fk_reconcile"        -> Relational.q35FkReconcile _,
     "q6_filter"               -> Relational.q6Filter _,
     "q7_semi"                 -> Relational.q7Semi _,
     "q8_anti"                 -> Relational.q8Anti _,
@@ -1060,6 +1062,32 @@ object SparkEntry {
       |    AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
       |  GROUP BY 1, 2)
       |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    // q4: EXISTS with the planted 60-day lateness rule
+    "q4_priority_late" -> raw"""
+      |SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= DATE '1995-07-01'
+      |  AND o_orderdate < DATE '1995-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q35: per-line cents rounded BEFORE summing; headers without
+    // lines reconcile against 0
+    "q35_fk_reconcile" -> raw"""
+      |WITH lc AS (SELECT l_orderkey AS o_orderkey,
+      |    sum(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100)::BIGINT)::BIGINT
+      |      AS lines_cents
+      |  FROM lineitem GROUP BY 1),
+      |d AS (SELECT o.o_orderstatus,
+      |    round(o.o_totalprice*100)::BIGINT
+      |      - coalesce(lc.lines_cents, 0) AS diff
+      |  FROM orders o LEFT JOIN lc USING (o_orderkey))
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  count(*) FILTER (WHERE diff = 0) AS n_matched,
+      |  count(*) FILTER (WHERE diff != 0) AS n_mismatched,
+      |  sum(abs(diff))::BIGINT AS sum_absdiff_cents
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q5_multijoin" -> raw"""
       |SELECT n_name, sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS revenue_cents
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -1455,6 +1455,59 @@ object Relational {
       .orderBy(col("mo"))
   }
 
+  /** q4: ORDER-PRIORITY checking — the TPC-H Q4 shape (how many
+    * orders per priority shipped LATE in a quarter), the classic
+    * EXISTS semi-join with a cross-table predicate. The synthetic
+    * lineitem has no commit/receipt dates, so lateness is PLANTED
+    * identically in both engines (§3): a line shipping more than 60
+    * days after its order date. The semi-join keeps the equi-key on
+    * orderkey (hash-partitionable at any scale) with the date test as
+    * a residual condition — never a nested loop; one row per order at
+    * most regardless of how many lines are late (EXISTS semantics).
+    */
+  def q4PriorityLate(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-07-01") &&
+        col("o_orderdate") < lit("1995-10-01"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > date_add(col("o_orderdate"), 60), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q35: ORDER↔LINEITEM reconciliation — the FK/rollup integrity
+    * audit every warehouse runs (does the header total equal the sum
+    * of its lines?): per order, the exact-cents difference between
+    * o_totalprice and Σ line revenue (price·(1−disc)·(1+tax), each
+    * line rounded to cents BEFORE summing — the stated convention, so
+    * no float accumulation exists), rolled up per order status as
+    * matched/mismatched counts and total absolute drift. Headers
+    * without lines reconcile against 0 (left join, stated).
+    *
+    * Scale shape: one partial-agg groupBy on orderkey over lineitem,
+    * one equi-join to headers, a statuses-sized rollup.
+    */
+  def q35FkReconcile(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("line_cents"))
+      .groupBy(col("o_orderkey")).agg(sum(col("line_cents")).as("lines_cents"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_cents"))
+      .join(lines, Seq("o_orderkey"), "left")
+      .withColumn("diff", col("o_cents") - coalesce(col("lines_cents"), lit(0L)))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("diff") === 0, 1)).as("n_matched"),
+        count(when(col("diff") =!= 0, 1)).as("n_mismatched"),
+        sum(abs(col("diff"))).as("sum_absdiff_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** q59: SEMI-ADDITIVE period-end balances — the measure class
     * (account balances, inventory levels, gauge metrics) that sums
     * across USERS but not across TIME: a month's figure is each

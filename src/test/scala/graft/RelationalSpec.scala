@@ -711,6 +711,42 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q4 priority-late: EXISTS semantics — one vote per order, JVM identity") {
+    val got = Relational.q4PriorityLate(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.Caches.clear()
+    val os = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate") >= lit("1995-07-01") && col("o_orderdate") < lit("1995-10-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("cast(datediff(o_orderdate, '1992-01-01') as int)").as("od")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), expr("cast(datediff(l_shipdate, '1992-01-01') as int)").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val exp = os.filter { case (k, _, od) =>
+      li.getOrElse(k, Seq.empty[Int]).exists(_ > od + 60) }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got == exp)
+    // sf0.001's quarter can be empty — prove the lateness rule itself
+    // fires on this corpus so the identity above is not vacuous
+    val odAll = Tables.orders(spark, Sf)
+      .select(col("o_orderkey"), expr("cast(datediff(o_orderdate, '1992-01-01') as int)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(li.exists { case (k, sds) =>
+      odAll.get(k).exists(od => sds.exists(_ > od + 60)) })
+  }
+
+  test("q35 reconcile: counts partition orders; drift is non-negative") {
+    val got = Relational.q35FkReconcile(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    got.foreach { case (_, (n, m, mm, drift)) =>
+      assert(m + mm == n && drift >= 0 && (mm > 0 || drift == 0))
+    }
+    val totalOrders = Tables.orders(spark, Sf).count()
+    assert(got.map(_._2._1).sum == totalOrders)
+  }
+
   test("q59 period-end balances match a JVM last-per-(user,month) fold") {
     val got = Relational.q59PeriodBalance(spark, Sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
