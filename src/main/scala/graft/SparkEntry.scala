@@ -213,6 +213,8 @@ object SparkEntry {
       graft.operators.Audio.vadSegments(s, d)),
     "m11_clipping_audit"      -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.clippingAudit(s, d)),
+    "m12_decode_audit"        -> ((s: SparkSession, d: String) =>
+      Multimodal.decodeAudit(s, d)),
     "m5_audio_neardup"        -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.audioNearDup(s, d)),
     "m6_image_neardup"        -> ((s: SparkSession, d: String) =>
@@ -1852,6 +1854,15 @@ object SparkEntry {
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
       |ORDER BY id_a, id_b""".stripMargin,
+    // m12: health is a pure function of the planted beheading rule —
+    // the census recomputes from documents alone
+    "m12_decode_audit" -> raw"""
+      |SELECT m AS modality, count(*) AS n_total,
+      |  count(*) FILTER (WHERE doc_id % 13 != 5) AS n_ok,
+      |  count(*) FILTER (WHERE doc_id % 13 = 5) AS n_corrupt,
+      |  (sum(doc_id) FILTER (WHERE doc_id % 13 = 5))::BIGINT AS sum_corrupt_ids
+      |FROM documents, unnest(['image', 'audio', 'video']) AS t(m)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     // m11: the m3 fixture formula, folded to |sample| stats — all
     // divisions non-negative so // ≡ the JVM's truncating /
     "m11_clipping_audit" -> raw"""

@@ -694,4 +694,49 @@ object Multimodal {
       }))
       .toDF("doc_id", "embedding")
   }
+
+  /** m12: DECODE-HEALTH audit across all three modalities — the
+    * corrupt-asset census every media-ingest pipeline reports before
+    * anything downstream trusts the payload column (the driver-query
+    * form of the tryDecode/tryDemux fuzz discipline): per modality,
+    * how many containers decode and how many quarantine. The corpus's
+    * fixtures are all valid, so corruption is PLANTED by doc_id
+    * arithmetic (§3): every 13th-mod-5 payload is beheaded to its
+    * first 10 bytes with the magic byte flipped — no decoder can open
+    * a wrong-magic 10-byte container, so health is a deterministic
+    * function of the rule and the oracle recomputes the census from
+    * it. The decode itself is REAL (total tryX wrappers over ImageIO
+    * / javax.sound on the real mangled bytes — they must quarantine,
+    * never throw), inside each partition: zero shuffle before the
+    * 3-row rollup.
+    */
+  def decodeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id")).as[Long]
+    val rows = ids.mapPartitions(_.flatMap { id =>
+      val corrupt = id % 13 == 5
+      def mangle(b: Array[Byte]): Array[Byte] =
+        if (!corrupt) b
+        else {
+          val t = java.util.Arrays.copyOf(b, math.min(10, b.length))
+          t(0) = (t(0) ^ 0xFF).toByte
+          t
+        }
+      val img = try decodeImage(mangle(pngPayload(id)) ) != null
+                catch { case scala.util.control.NonFatal(_) => false }
+      val aud = graft.operators.Audio.tryDecode(
+        mangle(graft.operators.Audio.wavPayload(id))).isDefined
+      val vid = tryDemux(mangle(gifPayload(id))).exists(_.nonEmpty)
+      Iterator(("image", id, img), ("audio", id, aud), ("video", id, vid))
+    })
+    rows.toDF("modality", "doc_id", "ok")
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("ok"), 1)).as("n_ok"),
+        count(when(!col("ok"), 1)).as("n_corrupt"),
+        sum(when(!col("ok"), col("doc_id"))).as("sum_corrupt_ids"))
+      .orderBy(col("modality"))
+  }
 }

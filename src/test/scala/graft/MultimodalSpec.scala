@@ -253,4 +253,27 @@ class MultimodalSpec extends SparkSpec {
     // the threshold separates: corpus has cuts AND continuous transitions
     assert(got.values.exists(_._2) && got.values.exists(!_._2))
   }
+
+  test("m12 decode audit: census follows the beheading rule; decoders never throw") {
+    val Sf = "/root/testdata/sf0.001"
+    val got = graft.operators.Multimodal.decodeAudit(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ids = Tables.documents(spark, Sf).select("doc_id").collect().map(_.getLong(0))
+    val bad = ids.filter(_ % 13 == 5)
+    val expRow = ((ids.length.toLong, (ids.length - bad.length).toLong,
+      bad.length.toLong, bad.sum))
+    assert(got.keySet == Set("image", "audio", "video"))
+    got.values.foreach(v => assert(v == expRow))
+    assert(bad.nonEmpty) // the rule fires on this corpus
+    // the health verdicts are REAL decoder outcomes, not the rule
+    // restated: a valid container decodes, its beheaded twin does not
+    val p = graft.operators.Multimodal.pngPayload(7L)
+    assert(graft.operators.Multimodal.decodeImage(p) != null)
+    val behead = java.util.Arrays.copyOf(p, 10)
+    behead(0) = (behead(0) ^ 0xFF).toByte
+    intercept[Exception](graft.operators.Multimodal.decodeImage(behead))
+    assert(graft.operators.Audio.tryDecode(
+      java.util.Arrays.copyOf(graft.operators.Audio.wavPayload(7L), 10)).isEmpty)
+  }
 }
