@@ -92,6 +92,8 @@ object SparkEntry {
     "q57_interval_union"      -> Relational.q57IntervalUnion _,
     "q58_growth_accounting"   -> Relational.q58GrowthAccounting _,
     "q59_period_balance"      -> Relational.q59PeriodBalance _,
+    "q60_mad"                 -> Relational.q60Mad _,
+    "q61_benford"             -> Relational.q61Benford _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -137,6 +139,8 @@ object SparkEntry {
       TextAnalysis.readability(s, d)),
     "t19_script_mix"          -> ((s: SparkSession, d: String) =>
       TextAnalysis.scriptMix(s, d)),
+    "t20_vocab_census"        -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabCensus(s, d)),
     "t16_bigram_coverage"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramCoverage(s, d)),
     // dedup
@@ -185,6 +189,7 @@ object SparkEntry {
     "s10_range_search"        -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
     "s11_knn_classify"        -> ((s: SparkSession, d: String) => Ann.knnClassify(s, d)),
     "s12_pair_rescore"        -> ((s: SparkSession, d: String) => Ann.pairRescore(s, d)),
+    "s13_hybrid_rrf"          -> ((s: SparkSession, d: String) => Ann.hybridRrf(s, d)),
     "s9_mips_bruteforce"      -> ((s: SparkSession, d: String) => Ann.mipsTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -1346,6 +1351,39 @@ object SparkEntry {
       |ORDER BY grp""".stripMargin,
     // q59: last-in-month by (t DESC, event_id DESC) row_number — the
     // twin of the engine's max(struct(t, event_id, cents))
+    // q60: both medians are LOWER weighted medians (first crossing),
+    // stated as the same window-crossing predicate twice
+    "q60_mad" -> raw"""
+      |WITH li AS (SELECT l_returnflag AS grp,
+      |              round(l_extendedprice*100)::BIGINT AS v FROM lineitem),
+      |a AS (SELECT grp, v, count(*)::BIGINT AS w FROM li GROUP BY 1, 2),
+      |c AS (SELECT grp, v, w,
+      |        sum(w) OVER (PARTITION BY grp ORDER BY v)::BIGINT AS cum,
+      |        sum(w) OVER (PARTITION BY grp)::BIGINT AS tot FROM a),
+      |m AS (SELECT grp, v AS med, tot FROM c
+      |      WHERE 2*cum >= tot AND 2*(cum - w) < tot),
+      |d AS (SELECT a.grp, abs(a.v - m.med) AS dv, sum(a.w)::BIGINT AS w
+      |      FROM a JOIN m USING (grp) GROUP BY 1, 2),
+      |dc AS (SELECT grp, dv, w,
+      |         sum(w) OVER (PARTITION BY grp ORDER BY dv)::BIGINT AS cum,
+      |         sum(w) OVER (PARTITION BY grp)::BIGINT AS tot FROM d)
+      |SELECT dc.grp, m.med AS median_cents, dc.dv AS mad_cents,
+      |  dc.tot AS n_rows
+      |FROM dc JOIN m ON dc.grp = m.grp
+      |WHERE 2*dc.cum >= dc.tot AND 2*(dc.cum - dc.w) < dc.tot
+      |ORDER BY dc.grp""".stripMargin,
+    // q61: expected ppm is the published Benford constant table,
+    // written literally on both sides — no runtime log anywhere
+    "q61_benford" -> raw"""
+      |WITH li AS (SELECT substr(round(l_extendedprice*100)::BIGINT::VARCHAR, 1, 1)::BIGINT
+      |              AS digit FROM lineitem),
+      |t AS (SELECT count(*)::BIGINT AS total FROM li),
+      |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9])::BIGINT AS digit,
+      |             unnest([301030,176091,124939,96910,79181,66947,57992,51153,45757])::BIGINT AS exp_ppm),
+      |o AS (SELECT digit, count(*)::BIGINT AS n FROM li GROUP BY 1)
+      |SELECT o.digit, o.n, (o.n * 1000000) // t.total AS obs_ppm,
+      |  e.exp_ppm, (o.n * 1000000) // t.total - e.exp_ppm AS dev_ppm
+      |FROM o, t, e WHERE e.digit = o.digit ORDER BY o.digit""".stripMargin,
     "q59_period_balance" -> raw"""
       |WITH e AS (SELECT user_id, (year(ts)*12 + month(ts))::BIGINT AS mo,
       |             floor(epoch(ts))::BIGINT AS t, event_id,
@@ -2028,6 +2066,25 @@ object SparkEntry {
     // collision (t14's argument)
     // t19: counts over pure-ASCII residues after complement-stripping;
     // other = total − the three stripped classes
+    // t20: Simpson ratio ships as (num, den) ints; ppm via 128-bit
+    // integer division on both sides (HUGEINT / DECIMAL(38,0))
+    "t20_vocab_census" -> raw"""
+      |WITH d AS (SELECT lang, source, unnest(string_split($Nrm, ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT lang, source, tok, count(*)::BIGINT AS n FROM d GROUP BY 1, 2, 3),
+      |a AS (SELECT lang, source, sum(n)::BIGINT AS n_tokens,
+      |        count(*)::BIGINT AS n_types,
+      |        sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+      |        max(n)::BIGINT AS top_token_n,
+      |        sum(n*(n-1))::BIGINT AS simpson_num
+      |      FROM c GROUP BY 1, 2)
+      |SELECT lang, source, n_tokens, n_types, n_hapax, top_token_n, simpson_num,
+      |  (n_tokens*(n_tokens-1))::BIGINT AS simpson_den,
+      |  ((n_types::HUGEINT * 1000000) // n_tokens)::BIGINT AS ttr_ppm,
+      |  CASE WHEN n_tokens*(n_tokens-1) = 0 THEN 0::BIGINT
+      |       ELSE ((simpson_num::HUGEINT * 1000000) // (n_tokens*(n_tokens-1)))::BIGINT
+      |  END AS simpson_ppm
+      |FROM a ORDER BY lang, source""".stripMargin,
     "t19_script_mix" -> raw"""
       |WITH c AS (SELECT doc_id, length(text)::BIGINT AS n_chars_total,
       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_letter,
@@ -2905,6 +2962,39 @@ object SparkEntry {
       |FROM q JOIN n ON q_id != vec_id
       |WHERE list_dot_product(q_v, v) / (q_nrm * nrm) >= 0.4
       |ORDER BY q_id, neighbor_id""".stripMargin,
+    // s13: both lists restated as row_number over the same total
+    // orders (score DESC, id ASC); fusion all-integer so no float
+    // is ever hash-compared
+    "s13_hybrid_rrf" -> raw"""
+      |WITH $VecCte,
+      |qv AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20),
+      |cv AS (SELECT q_id, vec_id, list_dot_product(q_v, v) / (q_nrm * nrm) AS cos_raw
+      |       FROM qv JOIN n ON q_id != vec_id),
+      |vr AS (SELECT q_id, vec_id AS doc_id,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id)::BIGINT AS vec_rank
+      |       FROM cv QUALIFY vec_rank <= 20),
+      |dt AS (SELECT doc_id, list_distinct(string_split($Nrm, ' ')) AS tset FROM documents),
+      |qt AS (SELECT doc_id AS q_id, tset AS q_tset FROM dt WHERE doc_id < 20),
+      |lp AS (SELECT q_id, doc_id,
+      |         len(list_intersect(q_tset, tset))::BIGINT AS inter,
+      |         (len(q_tset) + len(tset) - len(list_intersect(q_tset, tset)))::BIGINT AS uni
+      |       FROM qt JOIN dt ON q_id != doc_id),
+      |lr AS (SELECT q_id, doc_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY (inter * 1000000) // uni DESC, doc_id)::BIGINT AS lex_rank
+      |       FROM lp QUALIFY lex_rank <= 20),
+      |f AS (SELECT coalesce(lr.q_id, vr.q_id) AS q_id,
+      |        coalesce(lr.doc_id, vr.doc_id) AS doc_id, lr.lex_rank, vr.vec_rank
+      |      FROM lr FULL OUTER JOIN vr
+      |        ON lr.q_id = vr.q_id AND lr.doc_id = vr.doc_id),
+      |sc AS (SELECT q_id, doc_id, lex_rank, vec_rank,
+      |         (coalesce(1000000 // (60 + lex_rank), 0) +
+      |          coalesce(1000000 // (60 + vec_rank), 0))::BIGINT AS rrf_ppm
+      |       FROM f)
+      |SELECT q_id,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY rrf_ppm DESC, doc_id)::BIGINT AS rank,
+      |  doc_id, rrf_ppm, lex_rank, vec_rank
+      |FROM sc QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s1_ann_bruteforce" -> raw"""
       |WITH $VecCte,
       |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 20),

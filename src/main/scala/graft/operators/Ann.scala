@@ -55,6 +55,64 @@ object Ann {
       k)
   }
 
+  /** s13: HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the
+    * standard lexical × vector two-tower composition (BM25-family
+    * keyword list fused with an embedding list by RRF, the default
+    * hybrid mode in every production search stack): a lexical
+    * token-set-Jaccard top-20 per query doc and the s1 exact-cosine
+    * top-20 per matching query vector, full-outer merged per
+    * (query, doc) and scored fused = Σ floor(1e6/(60+rank)) over the
+    * lists containing the doc (RRF k=60, Cormack et al.). Every
+    * compared column is an integer — Jaccard rides the d4 integer-ppm
+    * discipline and ranks come from total orders (score desc, id
+    * asc), so the fusion is oracle-exact end to end; the doc_id ↔
+    * vec_id alignment is the s12 corpus convention.
+    *
+    * Scale shape: both lists are bounded-heap per-query top-k
+    * aggregates (TopKCosine — never a corpus-wide window); the query
+    * side broadcasts (20 rows); the fusion frame is queries × ≤40
+    * rows, so the final window is per-query-bounded. At corpus scale
+    * the lexical candidate pass swaps to an inverted-index equi-join
+    * (the d2 band discipline) without touching the fusion.
+    */
+  def hybridRrf(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(split(graft.functions.TextFns.normalize(col("text")), " "))
+          .as("tset"))
+    val q = toks.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("q_id"), col("tset").as("q_tset"))
+    val pairs = broadcast(q).join(toks, col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        size(array_intersect(col("q_tset"), col("tset"))).cast("long").as("inter"),
+        (size(col("q_tset")) + size(col("tset"))).cast("long").as("su"))
+      .select(col("q_id"), col("doc_id"), col("inter"),
+        (col("su") - col("inter")).as("uni"))
+      .withColumn("jppm", expr("(inter * CAST(1000000 AS BIGINT)) div uni"))
+    val lex = pairs.groupBy(col("q_id"))
+      .agg(org.apache.spark.sql.graft.TopKCosine
+        .top_k(col("jppm").cast("double"), col("doc_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("lex_rank"),
+        col("col.id").as("doc_id"))
+    val vec = bruteForceTopK(s, dir, k)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("CAST(1000000 AS BIGINT) div (60 + lex_rank)"), lit(0L)) +
+        coalesce(expr("CAST(1000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_ppm"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** s11: kNN CLASSIFICATION over the exact top-k — the evaluation
     * step every embedding pipeline runs (label a query by majority
     * vote of its k nearest neighbors; the standard embedding-quality

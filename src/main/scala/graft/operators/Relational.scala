@@ -1554,6 +1554,95 @@ object Relational {
     * prefix sum of 0/1 flags, integer-exact. Tied (st, en) rows are
     * interchangeable, so any tie order yields the same islands.
     */
+  /** Lower weighted median per group over pre-aggregated
+    * (grp, v, w) rows with distinct (grp, v) — the q56 sharded
+    * two-pass crossing, factored so q60 can run it twice (values,
+    * then absolute deviations). Returns one (grp, med, tot) row per
+    * group: the smallest v whose cumulative weight crosses tot/2.
+    *
+    * Scale shape: cumulative weight is NEVER a per-group global
+    * window — local prefix within a (grp, shard) value range plus a
+    * groups×shards offset frame, so no single task sorts a whole
+    * group's value list.
+    */
+  private def lowerWeightedMedian(agg: DataFrame): DataFrame = {
+    val a = agg.withColumn("shard", expr("v div 10000"))
+    val wLoc = Window.partitionBy(col("grp"), col("shard")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val loc = a.withColumn("cum_loc", sum(col("w")).over(wLoc))
+    val wSh = Window.partitionBy(col("grp")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = a.groupBy(col("grp"), col("shard")).agg(sum(col("w")).as("sw"))
+      .withColumn("off", coalesce(sum(col("sw")).over(wSh), lit(0L)))
+      .select(col("grp"), col("shard"), col("off"))
+    val tot = agg.groupBy(col("grp")).agg(sum(col("w")).as("tot"))
+    loc.join(off, Seq("grp", "shard")).join(broadcast(tot), Seq("grp"))
+      .withColumn("cum", col("off") + col("cum_loc"))
+      .filter(col("cum") * 2 >= col("tot") && (col("cum") - col("w")) * 2 < col("tot"))
+      .select(col("grp"), col("v").as("med"), col("tot"))
+  }
+
+  /** q60: MEDIAN ABSOLUTE DEVIATION — the robust spread statistic
+    * (MAD = median of |x − median(x)|), exact per group in integer
+    * cents: two chained lower-weighted-median crossings over
+    * count-weighted DISTINCT values. Pass 1 finds each group's
+    * median; pass 2 re-keys the same distinct-value frame by
+    * |v − med| and crosses again. No floats anywhere — both medians
+    * are lower-median (first crossing) by definition, stated
+    * identically in the oracle's window form.
+    *
+    * Scale shape: the corpus collapses to distinct (grp, value)
+    * counts first (map-side combinable); each crossing is the q56
+    * sharded prefix (local windows + a groups×shards offset frame,
+    * never a per-group global sort); medians re-attach by broadcast
+    * (one row per group).
+    */
+  def q60Mad(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Caches.track(Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("v")))
+    val agg = graft.Caches.track(
+      li.groupBy(col("grp"), col("v")).agg(count(lit(1)).cast("long").as("w")))
+    val med = lowerWeightedMedian(agg)
+    val dev = agg.join(broadcast(med.select(col("grp"), col("med"))), Seq("grp"))
+      .groupBy(col("grp"), abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("w")).as("w"))
+    lowerWeightedMedian(dev)
+      .withColumnRenamed("med", "mad_cents")
+      .join(broadcast(med.select(col("grp"), col("med").as("median_cents"))), Seq("grp"))
+      .select(col("grp"), col("median_cents"), col("mad_cents"),
+        col("tot").as("n_rows"))
+      .orderBy(col("grp"))
+  }
+
+  /** q61: BENFORD FIRST-DIGIT AUDIT — the classic data-quality /
+    * fraud screen: census of the first significant digit of every
+    * price against Benford's published expectation. Observed share
+    * is exact integer division (n·1e6 div total); the expected-ppm
+    * column is the published 9-row constant table (floor(log10(1+1/d)
+    * ·1e6+0.5)) written LITERALLY in both engines — a fixed spec
+    * constant, so no runtime log/float can diverge.
+    *
+    * Scale shape: one scan, map-side-combined 9-group aggregate, a
+    * 1-row total broadcast. Nothing here grows with the corpus.
+    */
+  def q61Benford(s: SparkSession, dir: String): DataFrame = {
+    // floor(log10(1 + 1/d) * 1e6 + 0.5) for d = 1..9 — published constants
+    val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val expCol = element_at(array(exp.map(lit): _*), col("digit").cast("int"))
+    val li = Tables.lineitem(s, dir)
+      .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val tot = li.agg(count(lit(1)).as("total"))
+    li.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(n * CAST(1000000 AS BIGINT)) div total").as("obs_ppm"),
+        expCol.as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
   def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {
     val iv = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"),
       datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("st"),

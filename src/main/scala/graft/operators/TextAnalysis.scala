@@ -652,4 +652,49 @@ object TextAnalysis {
       .withColumn("other_pm", when(col("n_chars_total") === 0, 0L)
         .otherwise(expr("(n_other * 1000) div n_chars_total")))
       .orderBy(col("doc_id"))
+
+  /** t20: VOCABULARY CENSUS per (lang, source) slice — the
+    * corpus-level diversity/concentration report a mixing decision
+    * reads before weighting a source (t2 measures diversity per
+    * DOCUMENT; this measures it per CORPUS SLICE, where Zipf
+    * concentration and template vocab actually show): total tokens,
+    * distinct types, hapax count (types seen once — the productive-
+    * vocabulary signal), top-token share, and the Simpson repeat-
+    * probability Σnₜ(nₜ−1)/(N(N−1)) — the chance two random tokens
+    * from the slice are the same type. Everything integer-exact: the
+    * Simpson ratio ships as its (num, den) pair PLUS a ppm computed
+    * by integer division (the q45 lesson — no float ratio is ever
+    * hash-compared).
+    *
+    * Scale shape: explode → (slice, token) counts is map-side
+    * combinable and the only corpus-sized shuffle (skinny 8-byte-ish
+    * keys); the second level aggregates types per slice (output ∝
+    * vocabulary, not corpus); top-token by max(struct) — no window
+    * funnel. Overflow honesty: num ≤ N² means ppm·num needs 128-bit
+    * above ~3·10⁹ tokens per slice; the ppm columns go through
+    * DECIMAL(38,0) so the arithmetic is exact at any slice size.
+    */
+  def vocabCensus(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        explode(split(normalize(col("text")), " ")).as("tok"))
+    val counts = toks.groupBy(col("lang"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("n")).as("top_token_n"),
+        sum(col("n") * (col("n") - 1)).as("simpson_num"))
+      .withColumn("simpson_den", col("n_tokens") * (col("n_tokens") - 1))
+      .withColumn("ttr_ppm",
+        expr("cast((cast(n_types as decimal(38,0)) * 1000000) div n_tokens as bigint)"))
+      .withColumn("simpson_ppm", when(col("simpson_den") === 0, 0L)
+        .otherwise(expr(
+          "cast((cast(simpson_num as decimal(38,0)) * 1000000) div simpson_den as bigint)")))
+      .select(col("lang"), col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("top_token_n"), col("simpson_num"),
+        col("simpson_den"), col("ttr_ppm"), col("simpson_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

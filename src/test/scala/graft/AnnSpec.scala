@@ -409,4 +409,39 @@ class AnnSpec extends SparkSpec {
     }.toMap
     assert(got == exp && got.nonEmpty)
   }
+
+  test("s13 hybrid RRF: fusion formula, per-query ordering, list agreement") {
+    val got = Ann.hybridRrf(spark, Sf).collect()
+    graft.Caches.clear()
+    val byQ = got.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 10))
+    got.foreach { r =>
+      def contrib(c: Any): Long = c match {
+        case null => 0L
+        case x: Long => 1000000L / (60L + x)
+      }
+      assert(r.getAs[Long]("rrf_ppm") ==
+        contrib(r.get(r.fieldIndex("lex_rank"))) + contrib(r.get(r.fieldIndex("vec_rank"))))
+      // a fused row must come from at least one list
+      assert(!(r.isNullAt(r.fieldIndex("lex_rank")) && r.isNullAt(r.fieldIndex("vec_rank"))))
+    }
+    // fused score non-increasing within each query, ties broken by doc_id
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Long]("rrf_ppm"), b.getAs[Long]("rrf_ppm"))
+        assert(sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ => ()
+      }
+    }
+    // the vector list IS s1's exact top-20
+    val vecExp = Ann.bruteForceTopK(spark, Sf, 20).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank").toLong).toMap
+    graft.Caches.clear()
+    got.filter(!_.isNullAt(5)).foreach { r =>
+      assert(vecExp((r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))) ==
+        r.getAs[Long]("vec_rank"))
+    }
+  }
 }

@@ -373,7 +373,9 @@ class PlanSpec extends SparkSpec {
       "q51_sketch_overlap" -> "segment-sized sketch frame self-join on <",
       "p4_pps_sample"      -> "crossJoin(broadcast(1-row corpus total))",
       "p5_temperature_mix" -> "crossJoin(broadcast(sources-sized totals))",
-      "p11_epoch_mix"      -> "crossJoin(broadcast(1-row budget totals))")
+      "p11_epoch_mix"      -> "crossJoin(broadcast(1-row budget totals))",
+      "q61_benford"        -> "crossJoin(broadcast(1-row corpus total))",
+      "s13_hybrid_rrf"     -> "broadcast 20-query frames x corpus, =!= condition (lex + s1 vec lists)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

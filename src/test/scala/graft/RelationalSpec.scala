@@ -763,4 +763,34 @@ class RelationalSpec extends SparkSpec {
     }
     assert(got == exp && got.nonEmpty)
   }
+
+  test("q60 MAD matches a JVM two-median fold (lower-median semantics)") {
+    val got = Relational.q60Mad(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.clear()
+    val vs = Tables.lineitem(spark, Sf)
+      .select(col("l_returnflag"), expr("cast(round(l_extendedprice*100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = { val s = xs.sorted; s((s.size - 1) / 2) }
+    val exp = vs.groupBy(_._1).map { case (g, rows) =>
+      val v = rows.map(_._2).toSeq
+      val med = lowerMedian(v)
+      g -> ((med, lowerMedian(v.map(x => math.abs(x - med))), v.size.toLong))
+    }
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("q61 Benford: digits partition the corpus, shares are exact integer division") {
+    val got = Relational.q61Benford(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.lineitem(spark, Sf).count()
+    assert(got.map(_._2).sum == total)
+    assert(got.forall(t => t._1 >= 1 && t._1 <= 9))
+    got.foreach { case (_, n, obs, exp, dev) =>
+      assert(obs == n * 1000000L / total && dev == obs - exp)
+    }
+    // the published constant table, spot-checked
+    val byDigit = got.map(t => t._1 -> t._4).toMap
+    assert(byDigit(1L) == 301030L && byDigit(9L) == 45757L)
+  }
 }

@@ -362,4 +362,27 @@ class TextFnsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 0L)))
     assert(got.size == 4)
   }
+
+  test("t20 vocab census: hand-computed slice diversity, integer-exact") {
+    val dir = scratchDir("graft_t20")
+    // slice (en, s): docs "a a b" + "a c" -> token counts a:3, b:1, c:1
+    //   N=5, V=3, hapax=2 (b, c), top=3 (a),
+    //   simpson_num = 3*2 = 6, den = 5*4 = 20,
+    //   ttr_ppm = 3e6 div 5 = 600000, simpson_ppm = 6e6 div 20 = 300000
+    // slice (fr, s): one single-token doc -> den = 0, guard fires
+    Seq(
+      (0L, "a a b", "en", "s", 1L),
+      (1L, "a c", "en", "s", 1L),
+      (2L, "x", "fr", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.vocabCensus(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))).toMap
+    assert(got(("en", "s")) == ((5L, 3L, 2L, 3L, 6L, 20L, 600000L, 300000L)),
+      got(("en", "s")).toString)
+    assert(got(("fr", "s")) == ((1L, 1L, 1L, 1L, 0L, 0L, 1000000L, 0L)))
+    assert(got.size == 2)
+  }
 }
