@@ -51,6 +51,8 @@ object SparkEntry {
     "g29_path_profile"        -> GeoQueries.pathProfile _,
     "g30_line_of_sight"       -> GeoQueries.lineOfSight _,
     "g31_flow_length"         -> GeoQueries.flowLength _,
+    "g32_tpi"                 -> ((s: SparkSession, d: String) =>
+      GeoQueries.tpi(s, d)),
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -94,6 +96,8 @@ object SparkEntry {
     "q59_period_balance"      -> Relational.q59PeriodBalance _,
     "q60_mad"                 -> Relational.q60Mad _,
     "q61_benford"             -> Relational.q61Benford _,
+    "q62_basket"              -> Relational.q62Basket _,
+    "q63_global_customers"    -> Relational.q63GlobalCustomers _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -141,6 +145,8 @@ object SparkEntry {
       TextAnalysis.scriptMix(s, d)),
     "t20_vocab_census"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabCensus(s, d)),
+    "t21_burstiness"          -> ((s: SparkSession, d: String) =>
+      TextAnalysis.termBurstiness(s, d)),
     "t16_bigram_coverage"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramCoverage(s, d)),
     // dedup
@@ -218,6 +224,8 @@ object SparkEntry {
       graft.operators.Audio.vadSegments(s, d)),
     "m11_clipping_audit"      -> ((s: SparkSession, d: String) =>
       graft.operators.Audio.clippingAudit(s, d)),
+    "m13_pixel_stats"         -> ((s: SparkSession, d: String) =>
+      Multimodal.pixelStats(s, d)),
     "m12_decode_audit"        -> ((s: SparkSession, d: String) =>
       Multimodal.decodeAudit(s, d)),
     "m5_audio_neardup"        -> ((s: SparkSession, d: String) =>
@@ -603,6 +611,36 @@ object SparkEntry {
       |       sum(tri2)::BIGINT AS tri2_sum,
       |       max(tri2)::BIGINT AS tri2_max,
       |       sum(CASE WHEN tri2 > 100000000 THEN 1 ELSE 0 END)::BIGINT AS rugged_px
+      |FROM t GROUP BY 1, 2 ORDER BY tile_id""").stripMargin,
+    // g32: same fixture-formula pixel frame as g24 with the STATED
+    // planted ±500 micro-relief stripes; threshold cross-multiplied
+    // (|num| vs 8·125) so the /8 never happens
+    "g32_tpi" -> (raw"""
+      |WITH $TilesCte,
+      |px AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(1,6) ys(y), generate_series(1,6) xs(x)
+      |  WHERE tile_id < 50),
+      |nb AS (
+      |  SELECT tile_id, tile_key, x, y, dxs.dx::INT AS dx, dys.dy::INT AS dy
+      |  FROM px, generate_series(-1,1) dxs(dx), generate_series(-1,1) dys(dy)),
+      |zz AS (
+      |  SELECT tile_id, tile_key, x, y, dx, dy,
+      |    (tile_id*131 + (x+dx)*17 + (y+dy)*29) % 8848
+      |    + CASE ((x+dx) + 3*(y+dy) + tile_id) % 5
+      |        WHEN 0 THEN 500 WHEN 2 THEN -500 ELSE 0 END AS z
+      |  FROM nb),
+      |t AS (
+      |  SELECT tile_id, tile_key, x, y,
+      |    sum(CASE WHEN dx = 0 AND dy = 0 THEN 8*z ELSE -z END)::BIGINT AS num
+      |  FROM zz GROUP BY 1, 2, 3, 4)
+      |SELECT tile_id, tile_key, count(*) AS n_px,
+      |       sum(num)::BIGINT AS tpi_sum,
+      |       max(num)::BIGINT AS tpi_max,
+      |       min(num)::BIGINT AS tpi_min,
+      |       sum(CASE WHEN num >  1000 THEN 1 ELSE 0 END)::BIGINT AS n_ridge,
+      |       sum(CASE WHEN num < -1000 THEN 1 ELSE 0 END)::BIGINT AS n_valley,
+      |       sum(CASE WHEN num BETWEEN -1000 AND 1000 THEN 1 ELSE 0 END)::BIGINT AS n_flat
       |FROM t GROUP BY 1, 2 ORDER BY tile_id""").stripMargin,
     "g14_slope_aspect" -> (raw"""
       |WITH $TilesCte,
@@ -1384,6 +1422,41 @@ object SparkEntry {
       |SELECT o.digit, o.n, (o.n * 1000000) // t.total AS obs_ppm,
       |  e.exp_ppm, (o.n * 1000000) // t.total - e.exp_ppm AS dev_ppm
       |FROM o, t, e WHERE e.digit = o.digit ORDER BY o.digit""".stripMargin,
+    // q62: pair/single/total counts all from the SAME distinct
+    // (order, brand) frame; lift via HUGEINT so the 128-bit product
+    // is exact (the engine side uses DECIMAL(38,0))
+    "q62_basket" -> raw"""
+      |WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |s AS (SELECT brand, count(*)::BIGINT AS n FROM ob GROUP BY 1),
+      |t AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM ob),
+      |p AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*)::BIGINT AS n_ab
+      |      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_ab, sa.n AS n_a, sb.n AS n_b, t.n_orders,
+      |  (n_ab * 1000000) // t.n_orders AS support_ppm,
+      |  (n_ab * 1000000) // sa.n AS conf_ppm,
+      |  ((n_ab::HUGEINT * t.n_orders * 1000000) // (sa.n::HUGEINT * sb.n))::BIGINT AS lift_ppm
+      |FROM p JOIN s sa ON sa.brand = p.brand_a
+      |       JOIN s sb ON sb.brand = p.brand_b, t
+      |ORDER BY brand_a, brand_b""".stripMargin,
+    // q63: the global average never materializes — bal·n_pos > sum_pos
+    // on both sides; dormancy is NOT EXISTS over recent orders
+    "q63_global_customers" -> raw"""
+      |WITH c AS (SELECT c_custkey, c_nationkey,
+      |             round(c_acctbal*100)::BIGINT AS bal FROM customer),
+      |g AS (SELECT sum(bal)::BIGINT AS sum_pos, count(*)::BIGINT AS n_pos
+      |      FROM c WHERE bal > 0),
+      |k AS (SELECT c.c_custkey, c.c_nationkey, c.bal,
+      |        CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |                          WHERE o.o_custkey = c.c_custkey
+      |                            AND o.o_orderdate >= DATE '1998-01-01'
+      |                            AND o.o_orderkey % 2 != 0)
+      |             THEN 0 ELSE 1 END AS dormant
+      |      FROM c, g WHERE c.bal * g.n_pos > g.sum_pos)
+      |SELECT n_name AS nation, count(*)::BIGINT AS n_above,
+      |  sum(dormant)::BIGINT AS n_dormant, sum(bal)::BIGINT AS bal_cents_sum
+      |FROM k JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q59_period_balance" -> raw"""
       |WITH e AS (SELECT user_id, (year(ts)*12 + month(ts))::BIGINT AS mo,
       |             floor(epoch(ts))::BIGINT AS t, event_id,
@@ -2085,6 +2158,19 @@ object SparkEntry {
       |       ELSE ((simpson_num::HUGEINT * 1000000) // (n_tokens*(n_tokens-1)))::BIGINT
       |  END AS simpson_ppm
       |FROM a ORDER BY lang, source""".stripMargin,
+    // t21: top-50 by (cf DESC, term ASC) — the TopKLabeled tie rule
+    // stated as row_number; both ratios exact integer division
+    "t21_burstiness" -> raw"""
+      |WITH d AS (SELECT doc_id, unnest(string_split($Nrm, ' ')) AS w FROM documents),
+      |dt AS (SELECT doc_id, w, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
+      |t AS (SELECT w, sum(n)::BIGINT AS cf, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+      |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      |r AS (SELECT w, cf, df,
+      |        row_number() OVER (ORDER BY cf DESC, w)::BIGINT AS rank FROM t)
+      |SELECT rank, w AS term, cf, df,
+      |  (cf * 1000000) // df AS burst_ppm,
+      |  (df * 1000000) // nd.n_docs AS coverage_ppm
+      |FROM r, nd WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "t19_script_mix" -> raw"""
       |WITH c AS (SELECT doc_id, length(text)::BIGINT AS n_chars_total,
       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_letter,
@@ -2189,6 +2275,26 @@ object SparkEntry {
       |    AND (n_alpha * 10 >= n_words * 8) AND (n_symbol * 10 <= n_words)
       |    AND (n_stop >= 2) AS gopher_pass
       |FROM n ORDER BY doc_id""".stripMargin,
+    // m13: per-pixel BT.601 integer luma recomputed from the fixture
+    // formula (PNG is lossless RGB, the m1 argument); bins by // 64
+    "m13_pixel_stats" -> raw"""
+      |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id, w, h,
+      |  [(299*((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256)
+      |   + 587*((doc_id * 17 + (i % w) * 3 + (i // w) * 5) % 256)
+      |   + 114*((doc_id * 7 + (i % w) * 11 + (i // w) * 3) % 256)) // 1000
+      |   for i in range(0, w * h)] AS lums
+      |  FROM d)
+      |SELECT doc_id, (w * h)::BIGINT AS n_px,
+      |  list_sum(lums)::BIGINT AS lum_sum,
+      |  list_min(lums)::BIGINT AS lum_min,
+      |  list_max(lums)::BIGINT AS lum_max,
+      |  len(list_filter(lums, x -> x < 64))::BIGINT AS b_dark,
+      |  len(list_filter(lums, x -> x >= 64 AND x < 128))::BIGINT AS b_shadow,
+      |  len(list_filter(lums, x -> x >= 128 AND x < 192))::BIGINT AS b_light,
+      |  len(list_filter(lums, x -> x >= 192))::BIGINT AS b_bright
+      |FROM p ORDER BY doc_id""".stripMargin,
     "m1_mm_manifest" -> raw"""
       |WITH d AS (SELECT doc_id, (doc_id % 24 + 8)::INT AS w, (doc_id % 17 + 8)::INT AS h
       |  FROM documents),

@@ -1643,6 +1643,91 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** q62: MARKET-BASKET co-occurrence — the association-rule
+    * support/confidence/lift table (Agrawal & Srikant, VLDB 1994)
+    * over order baskets: which BRAND pairs ship together in one order
+    * more or less often than independence predicts. Baskets are the
+    * DISTINCT brands per order; pairs canonically ordered (a < b);
+    * every surfaced ratio is exact integer division — lift
+    * P(ab)/(P(a)·P(b)) ships as (n_ab·N·1e6) div (n_a·n_b) through
+    * DECIMAL(38,0), so the 128-bit product is exact in both engines
+    * (the t20 discipline).
+    *
+    * Scale shape: the corpus collapses to distinct (order, brand)
+    * first (map-side combinable; per-order fan-out bounded by the
+    * BRAND DOMAIN, not line count), so the pair self-join is an
+    * equi-join on orderkey with bounded per-key multiplicity — never
+    * lines². Singles and the basket total are brands-sized /
+    * 1-row frames that broadcast onto the ≤ brands² pair table.
+    */
+  def q62Basket(s: SparkSession, dir: String): DataFrame = {
+    val ob = graft.Caches.track(
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct())
+    val singles = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+    val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
+    ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(singles.select(col("brand").as("brand_a"), col("n").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(singles.select(col("brand").as("brand_b"), col("n").as("n_b"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_orders"),
+        expr("(n_ab * CAST(1000000 AS BIGINT)) div n_orders").as("support_ppm"),
+        expr("(n_ab * CAST(1000000 AS BIGINT)) div n_a").as("conf_ppm"),
+        expr("""cast((cast(n_ab as decimal(38,0)) * n_orders * 1000000)
+                div (cast(n_a as decimal(38,0)) * n_b) as bigint)""").as("lift_ppm"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** q63: GLOBAL-CUSTOMER dormancy report (TPC-H Q22 shape — the
+    * correlated-global-scalar + anti-join classic): customers whose
+    * balance beats the positive-balance GLOBAL average, per nation,
+    * with the subset that placed no RECENT CONFIRMED order — recency
+    * evidence is orders from 1998-01-01 with an ODD orderkey, the §3
+    * planting discipline: every customer in this corpus has SOME
+    * order (Q22's bare no-orders test is vacuous at every sf), and
+    * at sf0.001 even a bare date cutoff is, so half the late orders
+    * are voided by deterministic key arithmetic (q44's device).
+    * The average never materializes as a float: `bal·n_pos > sum_pos`
+    * is the q45 integer cross-multiplication, exact at any scale.
+    *
+    * Scale shape: the global scalar is a 1-row broadcast
+    * (crossJoin, PlanSpec-registered); the recency test is a
+    * left join against the DISTINCT recent-customer keys (equi-key,
+    * hash-partitionable — the anti-join decorrelated to a flag so
+    * one pass yields both counts); nation attaches by broadcast;
+    * output is nations-sized.
+    */
+  def q63GlobalCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+      cents(col("c_acctbal")).as("bal"))
+    val glob = c.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderkey") % 2 =!= 0)
+      .select(col("o_custkey").as("rk")).distinct()
+    c.crossJoin(broadcast(glob))
+      .filter(col("bal") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("rk"), "left_outer")
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_above"),
+        sum(when(col("rk").isNull, 1L).otherwise(0L)).as("n_dormant"),
+        sum(col("bal")).as("bal_cents_sum"))
+      .orderBy(col("nation"))
+  }
+
   def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {
     val iv = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"),
       datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("st"),

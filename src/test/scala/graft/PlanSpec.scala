@@ -375,6 +375,8 @@ class PlanSpec extends SparkSpec {
       "p5_temperature_mix" -> "crossJoin(broadcast(sources-sized totals))",
       "p11_epoch_mix"      -> "crossJoin(broadcast(1-row budget totals))",
       "q61_benford"        -> "crossJoin(broadcast(1-row corpus total))",
+      "q62_basket"         -> "crossJoin(broadcast(1-row basket total))",
+      "q63_global_customers" -> "crossJoin(broadcast(1-row global-average scalar))",
       "s13_hybrid_rrf"     -> "broadcast 20-query frames x corpus, =!= condition (lex + s1 vec lists)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -780,6 +780,50 @@ class RelationalSpec extends SparkSpec {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("q62 basket pairs match a JVM basket fold (support/conf/lift integer forms)") {
+    val got = Relational.q62Basket(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    graft.Caches.clear()
+    val ob = Tables.lineitem(spark, Sf)
+      .join(Tables.part(spark, Sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = ob.map(_._1).distinct.length.toLong
+    val singles = ob.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val exp = ob.groupBy(_._1).values.flatMap { rows =>
+      val bs = rows.map(_._2).sorted
+      for { i <- bs.indices; j <- (i + 1) until bs.length } yield (bs(i), bs(j))
+    }.groupBy(identity).map { case ((a, b), xs) =>
+      val (nAb, nA, nB) = (xs.size.toLong, singles(a), singles(b))
+      (a, b) -> ((nAb, nA, nB, nOrders, nAb * 1000000L / nOrders, nAb * 1000000L / nA,
+        (BigInt(nAb) * nOrders * 1000000 / (BigInt(nA) * nB)).toLong))
+    }
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("q63 global customers: cross-multiplied threshold and dormancy flag") {
+    val got = Relational.q63GlobalCustomers(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cust = Tables.customer(spark, Sf)
+      .join(Tables.nation(spark, Sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"),
+        expr("cast(round(c_acctbal*100) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val recent = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate") >= lit("1998-01-01") && col("o_orderkey") % 2 =!= 0)
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (sumPos, nPos) = (pos.sum, pos.length.toLong)
+    val above = cust.filter(c => c._3 * nPos > sumPos)
+    val exp = above.groupBy(_._2).map { case (n, xs) =>
+      n -> ((xs.length.toLong, xs.count(c => !recent(c._1)).toLong, xs.map(_._3).sum))
+    }
+    assert(got == exp && got.nonEmpty)
+    // the planted dormancy predicate is non-vacuous
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("q61 Benford: digits partition the corpus, shares are exact integer division") {
     val got = Relational.q61Benford(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
