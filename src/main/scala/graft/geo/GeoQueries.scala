@@ -502,6 +502,57 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g32: TOPOGRAPHIC POSITION INDEX per tile (`gdaldem TPI` — the
+    * ridge/valley classifier beside g24's ruggedness: Weiss 2001,
+    * the landform-classification standard): TPI = z − mean(8
+    * neighbors), surfaced as the INTEGER numerator `8·z − Σneighbors`
+    * (the g14 discipline — the /8 never happens, so no float exists
+    * anywhere), classified ridge / valley / flat against a
+    * cross-multiplied threshold (|num| vs 8·T). Census per tile:
+    * pixel counts per class, numerator sum and extremes.
+    *
+    * Micro-relief is PLANTED (§3 discipline, stated): the fixture
+    * surface is linear in (x, y) with no mod wrap in the interior
+    * range, and any symmetric mean-centered kernel is identically
+    * zero on a linear ramp — correct TPI semantics, but it would
+    * leave every class vacuous at every sf. Ridge and pit stripes
+    * (±500) are therefore superimposed by integer arithmetic on
+    * `(x + 3y + tile_id) % 5` (residue 0 / 2): each nonzero residue
+    * appears exactly twice among the 8 neighbor offsets, so the
+    * planted numerator is exactly +5000 on ridges, −5000 in pits,
+    * 0 elsewhere — all three classes non-vacuous in EVERY tile, and
+    * the oracle recomputes the identical surface from the formula.
+    *
+    * Scale shape: identical to g24 — every pixel's neighborhood is
+    * element_at into the tile's own decoded array, inside the tile's
+    * file split; ZERO shuffle before the tiles-sized rollup. At
+    * production tile size (3600²) this is the embarrassingly
+    * parallel per-tile kernel a 1000-executor raster sweep wants.
+    */
+  def tpi(s: SparkSession, dir: String, threshold: Long = 125L): DataFrame = {
+    val n = 8
+    val px = interiorPixels(s, dir, n)
+    def bump(xc: org.apache.spark.sql.Column, yc: org.apache.spark.sql.Column) = {
+      val r = (xc + yc * 3 + col("tile_id")) % 5
+      when(r === 0, 500L).when(r === 2, -500L).otherwise(0L)
+    }
+    def z(dx: Int, dy: Int) =
+      zAt(n)(dx, dy) + bump(col("x") + dx, col("y") + dy)
+    val num = (for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield if (dx == 0 && dy == 0) z(0, 0) * 8 else -z(dx, dy)).reduce(_ + _)
+    px.select(col("tile_id"), col("tile_key"), num.as("tpi_num"))
+      .groupBy(col("tile_id"), col("tile_key"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("tpi_num")).as("tpi_sum"),
+        max(col("tpi_num")).as("tpi_max"),
+        min(col("tpi_num")).as("tpi_min"),
+        sum(when(col("tpi_num") > threshold * 8, 1L).otherwise(0L)).as("n_ridge"),
+        sum(when(col("tpi_num") < -threshold * 8, 1L).otherwise(0L)).as("n_valley"),
+        sum(when(col("tpi_num") <= threshold * 8 &&
+          col("tpi_num") >= -threshold * 8, 1L).otherwise(0L)).as("n_flat"))
+      .orderBy(col("tile_id"))
+  }
+
   /** g18: hillshade — `gdaldem hillshade`'s Horn-kernel illumination
     * (azimuth 315°, altitude 45°, the universal defaults), riding
     * g14's integer numerators. cos(incidence) has the closed trig-free

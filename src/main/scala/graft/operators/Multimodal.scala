@@ -695,6 +695,53 @@ object Multimodal {
       .toDF("doc_id", "embedding")
   }
 
+  /** m13: PIXEL-LEVEL LUMINANCE census per image — the exposure/
+    * contrast QA report before any visual model trusts the asset
+    * (ffmpeg `signalstats` / the brightness gates in web-scale image
+    * curation, LAION-style): REAL PNG decode → per-pixel ITU-R BT.601
+    * luma in PURE INTEGER form `(299·R + 587·G + 114·B) div 1000`
+    * (the published coefficients ×1000 — no float ever exists), then
+    * per image: pixel count, luma sum / min / max and a 4-bin
+    * histogram (64-wide bins — the dark/shadow/light/bright split).
+    * PNG is lossless RGB, so the oracle recomputes every column from
+    * the fixture formula pixel-by-pixel (the m1 discipline).
+    *
+    * Scale shape: everything computes inside the payload's own file
+    * split (m7/m8 discipline — codec-bound, ZERO shuffle before the
+    * final order); per-image state is 8 longs however large the
+    * image. At 100 TB this is the embarrassingly parallel decode
+    * sweep a 1000-executor cluster wants.
+    */
+  def pixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+        val img = decodeImage(bytes)
+        var (sum, mn, mx) = (0L, 255L, 0L)
+        val bins = new Array[Long](4)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            sum += lum
+            if (lum < mn) mn = lum
+            if (lum > mx) mx = lum
+            bins((lum >> 6).toInt) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth.toLong * img.getHeight, sum, mn, mx,
+          bins(0), bins(1), bins(2), bins(3))
+      }))
+      .toDF("doc_id", "n_px", "lum_sum", "lum_min", "lum_max",
+        "b_dark", "b_shadow", "b_light", "b_bright")
+      .orderBy("doc_id")
+  }
+
   /** m12: DECODE-HEALTH audit across all three modalities — the
     * corrupt-asset census every media-ingest pipeline reports before
     * anything downstream trusts the payload column (the driver-query

@@ -674,6 +674,43 @@ object TextAnalysis {
     * above ~3·10⁹ tokens per slice; the ppm columns go through
     * DECIMAL(38,0) so the arithmetic is exact at any slice size.
     */
+  /** t21: TERM BURSTINESS for the corpus's top terms — Church &
+    * Gale's repeat-rate diagnostic (CSL 1995; a bursty term repeats
+    * within the documents that contain it, a dispersed term spreads
+    * across many): for the top-50 terms by collection frequency,
+    * cf (total occurrences), df (containing docs), burstiness
+    * cf/df as exact integer ppm, and doc coverage df/n_docs likewise.
+    * High burstiness at low coverage flags template/boilerplate
+    * vocabulary that t5's plain df ranking misses — the signal a
+    * mixing decision reads beside t20's slice census.
+    *
+    * Scale shape: per-(doc, term) counts first (map-side combinable,
+    * the one corpus-sized shuffle, skinny keys); term-level cf/df is
+    * a vocabulary-sized agg; the top-50 selection is the bounded-heap
+    * TopKLabeled aggregate (never a corpus-wide window), whose 50
+    * winners broadcast back onto the term table for df; n_docs is a
+    * 1-row broadcast.
+    */
+  def termBurstiness(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val terms = graft.Caches.track(
+      dt.groupBy(col("w")).agg(sum(col("n")).as("cf"), count(lit(1)).as("df")))
+    val top = terms.groupBy()
+      .agg(org.apache.spark.sql.graft.TopKLabeled
+        .top_k_labeled(col("cf").cast("double"), col("w"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("col.label").as("w"))
+    terms.join(broadcast(top), Seq("w"))
+      .crossJoin(broadcast(nd))
+      .select(col("rank"), col("w").as("term"), col("cf"), col("df"),
+        expr("(cf * CAST(1000000 AS BIGINT)) div df").as("burst_ppm"),
+        expr("(df * CAST(1000000 AS BIGINT)) div n_docs").as("coverage_ppm"))
+      .orderBy(col("rank"))
+  }
+
   def vocabCensus(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("lang"), col("source"),

@@ -1005,6 +1005,29 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g32 TPI: JVM brute force over the fixture formula; classes partition and are non-vacuous") {
+    val got = GeoQueries.tpi(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(got.keySet == (0L until 50L).toSet)
+    def z(t: Long, x: Int, y: Int): Long = {
+      val bump = math.floorMod(x + 3 * y + t, 5L) match {
+        case 0 => 500L; case 2 => -500L; case _ => 0L
+      }
+      math.floorMod(t * 131 + x * 17 + y * 29, 8848L) + bump
+    }
+    (0L until 50L).foreach { t =>
+      val nums = for { y <- 1 to 6; x <- 1 to 6 } yield
+        8 * z(t, x, y) - (for { dy <- -1 to 1; dx <- -1 to 1; if dx != 0 || dy != 0 }
+          yield z(t, x + dx, y + dy)).sum
+      val (r, v) = (nums.count(_ > 1000L).toLong, nums.count(_ < -1000L).toLong)
+      // the planted stripes make all three classes non-vacuous per tile,
+      // and the planted numerator is exactly ±5000/0
+      assert(r > 0 && v > 0 && r + v < 36 && nums.forall(n => n.abs == 5000L || n == 0L))
+      assert(got(t) == ((36L, nums.sum, nums.max, nums.min, r, v, 36L - r - v)), s"tile $t")
+    }
+  }
+
   test("g29 path profile: JVM DDA identity, endpoints, nodata honesty") {
     val got = GeoQueries.pathProfile(spark, Sf).collect().map { r =>
       (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -254,6 +254,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.exists(_._2) && got.values.exists(!_._2))
   }
 
+  test("m13 pixel stats: formula recompute vs the real decode path; bins partition") {
+    val Sf = "/root/testdata/sf0.001"
+    val got = Multimodal.pixelStats(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (nPx, sum, mn, mx, b0, b1, b2, b3)) =>
+      val (w, h) = Multimodal.imageDims(id)
+      val lums = for { y <- 0 until h; x <- 0 until w } yield {
+        val rgb = Multimodal.pixel(id, x, y)
+        (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)) / 1000L
+      }
+      assert(nPx == w.toLong * h && b0 + b1 + b2 + b3 == nPx)
+      assert((sum, mn, mx) == ((lums.sum, lums.min, lums.max)), s"doc $id")
+      assert((b0, b1, b2, b3) == ((lums.count(_ < 64).toLong, lums.count(l => l >= 64 && l < 128).toLong,
+        lums.count(l => l >= 128 && l < 192).toLong, lums.count(_ >= 192).toLong)), s"doc $id")
+    }
+    // the census separates: all four bins populated somewhere in the corpus
+    assert(got.values.map(_._5).sum > 0 && got.values.map(_._6).sum > 0 &&
+      got.values.map(_._7).sum > 0 && got.values.map(_._8).sum > 0)
+  }
+
   test("m12 decode audit: census follows the beheading rule; decoders never throw") {
     val Sf = "/root/testdata/sf0.001"
     val got = graft.operators.Multimodal.decodeAudit(spark, Sf).collect()

@@ -363,6 +363,28 @@ class TextFnsSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("t21 burstiness: JVM fold identity incl. the (cf desc, term asc) tie rule") {
+    val got = graft.operators.TextAnalysis.termBurstiness(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    graft.Caches.clear()
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), graft.functions.TextFns.words(col("text")))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val nDocs = docs.length.toLong
+    val byTerm = docs.flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) =>
+        (w, xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+      }.toSeq
+    val exp = byTerm.sortBy(t => (-t._2, t._1)).take(50).zipWithIndex.map {
+      case ((w, cf, df), i) =>
+        (i + 1L, w, cf, df, cf * 1000000L / df, df * 1000000L / nDocs)
+    }
+    assert(got.toSeq == exp && got.nonEmpty)
+    // burstiness is the point: at least one top term repeats in-doc
+    assert(got.exists(t => t._5 > 1000000L))
+  }
+
   test("t20 vocab census: hand-computed slice diversity, integer-exact") {
     val dir = scratchDir("graft_t20")
     // slice (en, s): docs "a a b" + "a c" -> token counts a:3, b:1, c:1
