@@ -68,7 +68,13 @@ object Bench {
     // prefix, q55 frontier reduction, m11 codec-bound); q56-q59 stay
     // sf0.1-only — the proxy carries no lineitem/events tables.
     "d14_source_overlap", "d15_cluster_purity", "s12_pair_rescore",
-    "p13_curriculum", "q55_skyline", "m11_clipping_audit")
+    "p13_curriculum", "q55_skyline", "m11_clipping_audit",
+    // r10 fourth-session additions (document/embedding-based — the
+    // lineitem/orders-based q60-q64 stay sf0.1-only, same proxy
+    // reason): t20/t21 explode the whole token stream, s13 fuses two
+    // corpus-sized candidate passes, m13 is a full-pixel decode sweep
+    "t20_vocab_census", "t21_burstiness", "s13_hybrid_rrf",
+    "m13_pixel_stats")
 
   /** The 100x decade keeps the original six cost drivers: d5 is the
     * documented-quadratic exactness oracle (capped at sf1 by design;

@@ -98,6 +98,7 @@ object SparkEntry {
     "q61_benford"             -> Relational.q61Benford _,
     "q62_basket"              -> Relational.q62Basket _,
     "q63_global_customers"    -> Relational.q63GlobalCustomers _,
+    "q64_rfm"                 -> Relational.q64Rfm _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1439,6 +1440,29 @@ object SparkEntry {
       |FROM p JOIN s sa ON sa.brand = p.brand_a
       |       JOIN s sb ON sb.brand = p.brand_b, t
       |ORDER BY brand_a, brand_b""".stripMargin,
+    // q64: bucket = (exclusive-prefix-count · 5) div N over per-VALUE
+    // counts — the engine's valueQuantile stated as a window; a value
+    // run lands in one bucket in both forms by construction
+    "q64_rfm" -> raw"""
+      |WITH base AS (SELECT o_custkey AS ck,
+      |    datediff('day', max(o_orderdate), DATE '1998-08-02')::BIGINT AS rec,
+      |    count(*)::BIGINT AS freq,
+      |    sum(round(o_totalprice*100)::BIGINT)::BIGINT AS mon
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS nt FROM base),
+      |rv AS (SELECT rec AS v, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+      |rq AS (SELECT v, (((sum(cnt) OVER (ORDER BY v) - cnt) * 5) // n.nt)::BIGINT AS q FROM rv, n),
+      |fv AS (SELECT freq AS v, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+      |fq AS (SELECT v, (((sum(cnt) OVER (ORDER BY v) - cnt) * 5) // n.nt)::BIGINT AS q FROM fv, n),
+      |mv AS (SELECT mon AS v, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+      |mq AS (SELECT v, (((sum(cnt) OVER (ORDER BY v) - cnt) * 5) // n.nt)::BIGINT AS q FROM mv, n)
+      |SELECT rq.q AS r_q, fq.q AS f_q, mq.q AS m_q,
+      |  count(*)::BIGINT AS n_cust, sum(base.mon)::BIGINT AS mon_cents_sum,
+      |  sum(base.freq)::BIGINT AS n_orders
+      |FROM base JOIN rq ON base.rec = rq.v
+      |          JOIN fq ON base.freq = fq.v
+      |          JOIN mq ON base.mon = mq.v
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // q63: the global average never materializes — bal·n_pos > sum_pos
     // on both sides; dormancy is NOT EXISTS over recent orders
     "q63_global_customers" -> raw"""

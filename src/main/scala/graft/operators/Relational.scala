@@ -1728,6 +1728,69 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  /** Exact value-quantile assignment without a global rank — the
+    * p13 discipline factored for q64: collapse to per-VALUE counts,
+    * sharded two-pass exclusive prefix, bucket = (cum_before·k) div N
+    * assigned to the VALUE (equal values never split buckets —
+    * stated). Returns (v, q); the per-shard frame carries prefix AND
+    * total so no separate count pass runs.
+    */
+  private def valueQuantile(vals: DataFrame, k: Int): DataFrame = {
+    val byV = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard", expr("v div 4096"))
+    val wLoc = Window.partitionBy(col("shard")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSh = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val off = byV.groupBy(col("shard")).agg(sum(col("cnt")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(wSh), lit(0L)))
+      .withColumn("n_total", sum(col("sc")).over(wAll))
+      .select(col("shard"), col("off"), col("n_total"))
+    byV.withColumn("cum_loc", sum(col("cnt")).over(wLoc))
+      .join(broadcast(off), Seq("shard"))
+      .withColumn("cum_before", col("off") + col("cum_loc") - col("cnt"))
+      .select(col("v"), expr(s"(cum_before * $k) div n_total").as("q"))
+  }
+
+  /** q64: RFM SEGMENTATION — the classic marketing/lifecycle census
+    * (recency / frequency / monetary quintiles; Hughes 1994): per
+    * customer, days since last order, order count and exact-cents
+    * spend, each quintiled 0–4, rolled up to the ≤125-cell segment
+    * grid. EXACT with NO per-customer global rank: each metric runs
+    * the p13 value-collapsed sharded prefix (`valueQuantile`), so a
+    * value run lands in ONE bucket by definition and the oracle's
+    * window form provably matches. All integers end to end.
+    *
+    * Scale shape: one orders scan → per-customer agg (map-side
+    * combinable, customer-keyed); recency/frequency quantile maps are
+    * value-DOMAIN-sized (days / order counts — broadcast); the
+    * monetary map is distinct-values-sized (≈ customers — stated:
+    * that join stays a hash equi-join, NOT a broadcast); final
+    * rollup is 125 cells.
+    */
+  def q64Rfm(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.track(Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(datediff(lit("1998-08-02"), max(col("o_orderdate"))).cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sumCents(col("o_totalprice")).as("mon")))
+    val rq = valueQuantile(base.select(col("rec").as("v")), 5)
+      .select(col("v").as("rec"), col("q").as("r_q"))
+    val fq = valueQuantile(base.select(col("freq").as("v")), 5)
+      .select(col("v").as("freq"), col("q").as("f_q"))
+    val mq = valueQuantile(base.select(col("mon").as("v")), 5)
+      .select(col("v").as("mon"), col("q").as("m_q"))
+    base.join(broadcast(rq), Seq("rec"))
+      .join(broadcast(fq), Seq("freq"))
+      .join(mq, Seq("mon"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("mon")).as("mon_cents_sum"),
+        sum(col("freq")).as("n_orders"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {
     val iv = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"),
       datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("st"),

@@ -521,6 +521,28 @@ object EventStreams {
         unix_timestamp(col("p.ts")).as("purchase_epoch"))
   }
 
+  /** LEFT-SEMI stream-stream interval join — the third join type
+    * beside the inner and left-outer attribution forms: WHICH clicks
+    * converted, one row per click however many purchases land in its
+    * window (the semi join IS the dedup — no downstream distinct, no
+    * purchase columns leak). Same watermark-bounded state as the
+    * inner form; a click emits as soon as its first match arrives
+    * and its state retires at the same horizon.
+    */
+  def clickPurchaseJoinSemi(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    c.join(p,
+        expr(s"""c.user_id = p.user_id AND
+                 |p.ts >= c.ts AND
+                 |p.ts <= c.ts + INTERVAL $windowMinutes minutes""".stripMargin),
+        "left_semi")
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        unix_timestamp(col("c.ts")).as("click_epoch"))
+  }
+
   /** STREAM-STATIC enrichment join: every micro-batch of events joins
     * against a static dimension snapshot under an explicit broadcast —
     * the most common production streaming shape (fact stream ×

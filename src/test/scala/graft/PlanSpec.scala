@@ -376,6 +376,7 @@ class PlanSpec extends SparkSpec {
       "p11_epoch_mix"      -> "crossJoin(broadcast(1-row budget totals))",
       "q61_benford"        -> "crossJoin(broadcast(1-row corpus total))",
       "q62_basket"         -> "crossJoin(broadcast(1-row basket total))",
+      "t21_burstiness"     -> "crossJoin(broadcast(1-row n_docs total))",
       "q63_global_customers" -> "crossJoin(broadcast(1-row global-average scalar))",
       "s13_hybrid_rrf"     -> "broadcast 20-query frames x corpus, =!= condition (lex + s1 vec lists)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

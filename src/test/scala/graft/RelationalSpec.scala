@@ -824,6 +824,33 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0)
   }
 
+  test("q64 RFM: JVM quantile fold identity; runs never split buckets") {
+    val got = Relational.q64Rfm(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    graft.Caches.clear()
+    val base = Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(lit("1998-08-02"), max(col("o_orderdate"))).cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        expr("sum(cast(round(o_totalprice*100) as bigint))").as("mon"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = base.length.toLong
+    def quant(vs: Seq[Long]): Map[Long, Long] = {
+      val counts = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      counts.map { case (v, c) => val q = cum * 5 / n; cum += c; v -> q }.toMap
+    }
+    val (rq, fq, mq) = (quant(base.map(_._1).toSeq), quant(base.map(_._2).toSeq),
+      quant(base.map(_._3).toSeq))
+    val exp = base.groupBy(b => (rq(b._1), fq(b._2), mq(b._3))).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).sum))
+    }
+    assert(got == exp && got.nonEmpty)
+    assert(got.keys.forall(k => Seq(k._1, k._2, k._3).forall(q => q >= 0 && q <= 4)))
+    assert(got.values.map(_._1).sum == n)
+  }
+
   test("q61 Benford: digits partition the corpus, shares are exact integer division") {
     val got = Relational.q61Benford(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

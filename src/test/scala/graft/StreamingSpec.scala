@@ -544,6 +544,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 101L)))
   }
 
+  test("left-semi interval join emits each converting click exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.clickPurchaseJoinSemi(
+        clicks.toDF().toDF("event_id", "ts", "user_id"),
+        purchases.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("attr_semi").start()
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L), // two purchases in window
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L), // none
+      (3L, Timestamp.valueOf("2024-01-01 10:00:00"), 8L)) // user never purchases
+    purchases.addData(
+      (101L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L),
+      (102L, Timestamp.valueOf("2024-01-01 10:20:00"), 7L),
+      (103L, Timestamp.valueOf("2024-01-01 10:10:00"), 9L))
+    q.processAllAvailable()
+    val got = spark.table("attr_semi").select("click_id").as[Long].collect().toSeq
+    q.stop()
+    // click 1 once (semi dedups its two matches), clicks 2/3 never
+    assert(got == Seq(1L))
+  }
+
   test("left-outer interval join emits unmatched clicks once the watermark proves no match") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
