@@ -53,6 +53,7 @@ object SparkEntry {
     "g31_flow_length"         -> GeoQueries.flowLength _,
     "g32_tpi"                 -> ((s: SparkSession, d: String) =>
       GeoQueries.tpi(s, d)),
+    "g33_basin_stats"         -> GeoQueries.basinStats _,
     // relational core
     "q1_agg"                  -> Relational.q1Agg _,
     "q2_topk"                 -> Relational.q2Topk _,
@@ -99,6 +100,7 @@ object SparkEntry {
     "q62_basket"              -> Relational.q62Basket _,
     "q63_global_customers"    -> Relational.q63GlobalCustomers _,
     "q64_rfm"                 -> Relational.q64Rfm _,
+    "q65_interarrival"        -> Relational.q65Interarrival _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -846,6 +848,68 @@ object SparkEntry {
       |FROM allpx p JOIN term t
       |  ON t.tile_id = p.tile_id AND t.sx = p.x AND t.sy = p.y
       |ORDER BY p.tile_id, p.y, p.x""").stripMargin,
+    // g33: g22's recursive walk verbatim, rolled up per basin with
+    // elevations recomputed from the fixture formula; outlet_z is a
+    // function of the (cx, cy) group keys
+    "g33_basin_stats" -> (raw"""
+      |WITH RECURSIVE $TilesCte,
+      |px AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(1,6) ys(y), generate_series(1,6) xs(x)
+      |  WHERE tile_id < 50),
+      |zz AS (
+      |  SELECT *,
+      |    (tile_id*131 + (x  )*17 + (y  )*29) % 8848 AS z0,
+      |    (tile_id*131 + (x+1)*17 + (y-1)*29) % 8848 AS ze_n,
+      |    (tile_id*131 + (x+1)*17 + (y  )*29) % 8848 AS ze,
+      |    (tile_id*131 + (x+1)*17 + (y+1)*29) % 8848 AS ze_s,
+      |    (tile_id*131 + (x-1)*17 + (y-1)*29) % 8848 AS zw_n,
+      |    (tile_id*131 + (x-1)*17 + (y  )*29) % 8848 AS zw,
+      |    (tile_id*131 + (x-1)*17 + (y+1)*29) % 8848 AS zw_s,
+      |    (tile_id*131 + (x  )*17 + (y-1)*29) % 8848 AS zn,
+      |    (tile_id*131 + (x  )*17 + (y+1)*29) % 8848 AS zs
+      |  FROM px),
+      |cand AS (
+      |  SELECT tile_id, x, y, unnest([
+      |    struct_pack(dx :=  1, dy :=  0, pr := 1, drop := z0 - ze,   diag := false),
+      |    struct_pack(dx :=  1, dy :=  1, pr := 2, drop := z0 - ze_s, diag := true),
+      |    struct_pack(dx :=  0, dy :=  1, pr := 3, drop := z0 - zs,   diag := false),
+      |    struct_pack(dx := -1, dy :=  1, pr := 4, drop := z0 - zw_s, diag := true),
+      |    struct_pack(dx := -1, dy :=  0, pr := 5, drop := z0 - zw,   diag := false),
+      |    struct_pack(dx := -1, dy := -1, pr := 6, drop := z0 - zw_n, diag := true),
+      |    struct_pack(dx :=  0, dy := -1, pr := 7, drop := z0 - zn,   diag := false),
+      |    struct_pack(dx :=  1, dy := -1, pr := 8, drop := z0 - ze_n, diag := true)
+      |  ]) AS f FROM zz),
+      |ranked AS (
+      |  SELECT tile_id, x, y, x + f.dx AS tx, y + f.dy AS ty,
+      |         row_number() OVER (PARTITION BY tile_id, x, y
+      |           ORDER BY f.drop*f.drop*(CASE WHEN f.diag THEN 1 ELSE 2 END) DESC,
+      |                    f.pr ASC) AS rn
+      |  FROM cand WHERE f.drop > 0),
+      |succ AS (SELECT tile_id, x, y, tx, ty FROM ranked WHERE rn = 1),
+      |allpx AS (
+      |  SELECT tile_id, tile_key, xs.x::INT AS x, ys.y::INT AS y
+      |  FROM keyed, generate_series(0,7) ys(y), generate_series(0,7) xs(x)
+      |  WHERE tile_id < 50),
+      |w AS (
+      |  SELECT tile_id, x AS sx, y AS sy, x AS cx, y AS cy FROM allpx
+      |  UNION ALL
+      |  SELECT w.tile_id, w.sx, w.sy, s.tx, s.ty
+      |  FROM w JOIN succ s ON s.tile_id = w.tile_id AND s.x = w.cx AND s.y = w.cy),
+      |term AS (
+      |  SELECT * FROM w
+      |  WHERE NOT EXISTS (SELECT 1 FROM succ s
+      |                    WHERE s.tile_id = w.tile_id AND s.x = w.cx AND s.y = w.cy))
+      |SELECT p.tile_id, p.tile_key, (t.cy * 8 + t.cx)::BIGINT AS basin_pos,
+      |       count(*)::BIGINT AS n_px,
+      |       sum((p.tile_id*131 + p.x*17 + p.y*29) % 8848)::BIGINT AS z_sum,
+      |       min((p.tile_id*131 + p.x*17 + p.y*29) % 8848)::BIGINT AS z_min,
+      |       max((p.tile_id*131 + p.x*17 + p.y*29) % 8848)::BIGINT AS z_max,
+      |       ((p.tile_id*131 + t.cx*17 + t.cy*29) % 8848)::BIGINT AS outlet_z
+      |FROM allpx p JOIN term t
+      |  ON t.tile_id = p.tile_id AND t.sx = p.x AND t.sy = p.y
+      |GROUP BY p.tile_id, p.tile_key, t.cx, t.cy
+      |ORDER BY p.tile_id, basin_pos""").stripMargin,
     "g22_watersheds" -> (raw"""
       |WITH RECURSIVE $TilesCte,
       |px AS (
@@ -1463,6 +1527,16 @@ object SparkEntry {
       |          JOIN fq ON base.freq = fq.v
       |          JOIN mq ON base.mon = mq.v
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q65: gaps are differences of the per-customer sorted date
+    // multiset — tie order cannot move the bucketed rollup
+    "q65_interarrival" -> raw"""
+      |WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+      |    datediff('day', DATE '1992-01-01', o_orderdate)::BIGINT AS d FROM orders),
+      |g AS (SELECT d - lag(d) OVER (PARTITION BY ck ORDER BY d, ok) AS gap FROM o)
+      |SELECT (gap // 30)::BIGINT AS bucket, count(*)::BIGINT AS n_gaps,
+      |  min(gap)::BIGINT AS gap_min, max(gap)::BIGINT AS gap_max,
+      |  sum(gap)::BIGINT AS gap_sum
+      |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     // q63: the global average never materializes — bal·n_pos > sum_pos
     // on both sides; dormancy is NOT EXISTS over recent orders
     "q63_global_customers" -> raw"""

@@ -654,6 +654,43 @@ object GeoQueries {
       .orderBy(col("tile_id"), col("y"), col("x"))
   }
 
+  /** g33: PER-BASIN terrain statistics — the hydrology report
+    * composed on g22's watershed labels (TauDEM's basin-statistics
+    * pass / GRASS `r.stats` over `r.watershed` output): per (tile,
+    * basin), pixel count, elevation sum/min/max and the OUTLET
+    * (terminal) elevation. D8 descent strictly decreases elevation,
+    * so the outlet is provably the basin minimum — the spec asserts
+    * `z_min == outlet_z` as the operator's conservation law, beside
+    * reconciliation against g22's own labels.
+    *
+    * Scale shape: labels and elevations come from the SAME decoded
+    * array inside the tile's file split (the watershed expression is
+    * the g22 kernel, elevations by element_at) — ZERO shuffle before
+    * the basins-sized rollup. At any corpus size the exchange carries
+    * one row per basin, not per pixel.
+    */
+  def basinStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val n = 8
+    val e = transform(col("r.points"), p => p.getField("elevation").cast("long"))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        e.as("e"), posexplode(RasterExprs.watershed(e, lit(n))))
+      .select(col("tile_id"), col("tile_key"),
+        col("col").cast("long").as("basin_pos"),
+        element_at(col("e"), col("pos") + 1).as("z"),
+        element_at(col("e"), (col("col") + 1).cast("int")).as("oz"))
+      .groupBy(col("tile_id"), col("tile_key"), col("basin_pos"))
+      .agg(count(lit(1)).as("n_px"), sum(col("z")).as("z_sum"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        max(col("oz")).as("outlet_z"))
+      .orderBy(col("tile_id"), col("basin_pos"))
+  }
+
   /** g15: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
     * TauDEM's first hydrology pass): each interior pixel drains to
     * the neighbor with the steepest positive descent drop/dist,

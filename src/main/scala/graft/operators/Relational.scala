@@ -1598,8 +1598,8 @@ object Relational {
     * (one row per group).
     */
   def q60Mad(s: SparkSession, dir: String): DataFrame = {
-    val li = graft.Caches.track(Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("v")))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("v"))
     val agg = graft.Caches.track(
       li.groupBy(col("grp"), col("v")).agg(count(lit(1)).cast("long").as("w")))
     val med = lowerWeightedMedian(agg)
@@ -1789,6 +1789,33 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), sum(col("mon")).as("mon_cents_sum"),
         sum(col("freq")).as("n_orders"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** q65: INTER-ARRIVAL census — the purchase-cadence distribution
+    * behind churn/LTV models (renewal analysis: the gap histogram is
+    * the empirical inter-purchase distribution): per customer,
+    * day gaps between consecutive orders via one lag over the
+    * (date, orderkey) total order, rolled up into 30-day buckets
+    * with exact integer count/min/max/sum per bucket. The gap
+    * MULTISET is tie-invariant (gaps are differences of the sorted
+    * date multiset — same-day orders contribute 0 regardless of tie
+    * order), so the bucketed rollup is deterministic by construction.
+    *
+    * Scale shape: a 3-column projection before the one per-customer
+    * window (q13 discipline — hash partition + sort, no corpus
+    * funnel); output is buckets-sized. All integers.
+    */
+  def q65Interarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("ck")).orderBy(col("d"), col("ok"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("d"))
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(expr("gap div 30").as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("gap_min"),
+        max(col("gap")).as("gap_max"), sum(col("gap")).as("gap_sum"))
+      .orderBy(col("bucket"))
   }
 
   def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {

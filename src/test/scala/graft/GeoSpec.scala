@@ -1028,6 +1028,25 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g33 basin stats reconcile with g22 labels; the outlet is the basin minimum") {
+    val got = GeoQueries.basinStats(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val ws = GeoQueries.watersheds(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4)))
+    def z(t: Long, x: Int, y: Int): Long = math.floorMod(t * 131 + x * 17 + y * 29, 8848L)
+    val exp = ws.groupBy(r => (r._1, r._4)).map { case ((t, bp), rows) =>
+      val zs = rows.map(r => z(t, r._2, r._3))
+      (t, bp) -> ((rows.length.toLong, zs.sum, zs.min, zs.max,
+        z(t, (bp % 8).toInt, (bp / 8).toInt)))
+    }
+    assert(got == exp && got.nonEmpty)
+    // D8 descent strictly decreases elevation => outlet == basin minimum
+    got.values.foreach { case (_, _, zmin, _, oz) => assert(oz == zmin) }
+    // pixel totals reconcile: 64 per tile
+    assert(got.groupBy(_._1._1).forall(_._2.values.map(_._1).sum == 64L))
+  }
+
   test("g29 path profile: JVM DDA identity, endpoints, nodata honesty") {
     val got = GeoQueries.pathProfile(spark, Sf).collect().map { r =>
       (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -851,6 +851,25 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == n)
   }
 
+  test("q65 interarrival: JVM sorted-diff fold; gap count reconciles with orders") {
+    val got = Relational.q65Interarrival(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val o = Tables.orders(spark, Sf)
+      .select(col("o_custkey"), datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gaps = o.groupBy(_._1).values.flatMap { rows =>
+      val ds = rows.map(_._2).sorted
+      ds.zip(ds.tail).map { case (a, b) => b - a }
+    }.toSeq
+    val exp = gaps.groupBy(_ / 30).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.min, xs.max, xs.sum))
+    }
+    assert(got == exp && got.nonEmpty)
+    // every order past each customer's first contributes exactly one gap
+    val nCust = o.map(_._1).distinct.length
+    assert(got.values.map(_._1).sum == o.length - nCust)
+  }
+
   test("q61 Benford: digits partition the corpus, shares are exact integer division") {
     val got = Relational.q61Benford(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
