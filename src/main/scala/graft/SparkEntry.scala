@@ -101,6 +101,7 @@ object SparkEntry {
     "q63_global_customers"    -> Relational.q63GlobalCustomers _,
     "q64_rfm"                 -> Relational.q64Rfm _,
     "q65_interarrival"        -> Relational.q65Interarrival _,
+    "q66_bilateral_volume"    -> Relational.q66BilateralVolume _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1526,6 +1527,21 @@ object SparkEntry {
       |FROM base JOIN rq ON base.rec = rq.v
       |          JOIN fq ON base.freq = fq.v
       |          JOIN mq ON base.mon = mq.v
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q66: per-line cents rounding stated on both sides; only
+    // cross-nation pairs survive
+    "q66_bilateral_volume" -> raw"""
+      |SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |  year(l_shipdate)::BIGINT AS ship_year,
+      |  sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS revenue_cents,
+      |  count(*)::BIGINT AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |WHERE ns.n_name != nc.n_name
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // q65: gaps are differences of the per-customer sorted date
     // multiset — tie order cannot move the bucketed rollup

@@ -870,6 +870,30 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == o.length - nCust)
   }
 
+  test("q66 bilateral volume: JVM join fold; same-nation pairs excluded") {
+    val got = Relational.q66BilateralVolume(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val nations = Tables.nation(spark, Sf).collect()
+      .map(r => r.getAs[Long]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val cust = Tables.customer(spark, Sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> nations(r.getAs[Long]("c_nationkey"))).toMap
+    val supp = Tables.supplier(spark, Sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> nations(r.getAs[Long]("s_nationkey"))).toMap
+    val ordCust = Tables.orders(spark, Sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val exp = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long"),
+        expr("cast(round(l_extendedprice*(1-l_discount)*100) as bigint)"))
+      .collect().map { r =>
+        ((supp(r.getLong(1)), cust(ordCust(r.getLong(0))), r.getLong(2)), r.getLong(3))
+      }.filter(t => t._1._1 != t._1._2)
+      .groupBy(_._1).map { case (k, xs) => k -> ((xs.map(_._2).sum, xs.length.toLong)) }
+    assert(got == exp && got.nonEmpty)
+    assert(got.keys.forall(k => k._1 != k._2))
+  }
+
   test("q61 Benford: digits partition the corpus, shares are exact integer division") {
     val got = Relational.q61Benford(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
