@@ -102,6 +102,8 @@ object SparkEntry {
     "q64_rfm"                 -> Relational.q64Rfm _,
     "q65_interarrival"        -> Relational.q65Interarrival _,
     "q66_bilateral_volume"    -> Relational.q66BilateralVolume _,
+    "q67_returned_topk"       -> ((s: SparkSession, d: String) =>
+      Relational.q67ReturnedTopK(s, d)),
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -200,6 +202,7 @@ object SparkEntry {
     "s11_knn_classify"        -> ((s: SparkSession, d: String) => Ann.knnClassify(s, d)),
     "s12_pair_rescore"        -> ((s: SparkSession, d: String) => Ann.pairRescore(s, d)),
     "s13_hybrid_rrf"          -> ((s: SparkSession, d: String) => Ann.hybridRrf(s, d)),
+    "s14_cos_calibration"     -> ((s: SparkSession, d: String) => Ann.cosCalibration(s, d)),
     "s9_mips_bruteforce"      -> ((s: SparkSession, d: String) => Ann.mipsTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -1528,6 +1531,21 @@ object SparkEntry {
       |          JOIN fq ON base.freq = fq.v
       |          JOIN mq ON base.mon = mq.v
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q67: the bounded-heap tie rule (lost_cents DESC, ck ASC) stated
+    // as row_number; cents sums are exact doubles below 2^53 so the
+    // heap's double score cannot reorder ties
+    "q67_returned_topk" -> raw"""
+      |WITH l AS (SELECT o_custkey AS ck,
+      |    sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS lost_cents,
+      |    count(*)::BIGINT AS n_lines
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R' GROUP BY 1),
+      |r AS (SELECT ck, lost_cents, n_lines,
+      |        row_number() OVER (ORDER BY lost_cents DESC, ck)::BIGINT AS rank FROM l)
+      |SELECT rank, ck AS custkey, c_name, n_name AS nation, lost_cents, n_lines
+      |FROM r JOIN customer ON ck = c_custkey
+      |       JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // q66: per-line cents rounding stated on both sides; only
     // cross-nation pairs survive
     "q66_bilateral_volume" -> raw"""
@@ -3139,6 +3157,19 @@ object SparkEntry {
     // smallest-label tie rule
     // s12: d2's pair CTE × the s1 cosine twin — lexical ppm and
     // embedding e6 side by side per candidate pair
+    // s14: the p2 md5-bucket panel rule on vec_id, s1's one-division
+    // cosine, e6 twin floor(x*1e6+0.5); bins by integer division
+    "s14_cos_calibration" -> raw"""
+      |WITH $VecCte,
+      |p AS (SELECT vec_id, v, nrm FROM n
+      |      WHERE list_reduce([strpos('0123456789abcdef',
+      |              substr(md5('cal' || vec_id::VARCHAR), i, 1)) - 1
+      |              for i in range(1, 9)], (a, b) -> a*16 + b) % 8 = 0),
+      |c AS (SELECT floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6 + 0.5)::BIGINT AS cos_e6
+      |      FROM p a JOIN p b ON a.vec_id < b.vec_id)
+      |SELECT ((cos_e6 + 1000000) // 100000)::BIGINT AS bin, count(*)::BIGINT AS n_pairs,
+      |  min(cos_e6)::BIGINT AS cos_min_e6, max(cos_e6)::BIGINT AS cos_max_e6
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "s12_pair_rescore" -> raw"""
       |WITH $ShingleCte,
       |$VecCte,

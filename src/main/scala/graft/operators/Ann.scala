@@ -113,6 +113,42 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s14: COSINE CALIBRATION histogram — the embedding-space density
+    * profile every ANN deployment reads before picking a similarity
+    * threshold or an index's probe budget (FAISS's recommended
+    * train-time sanity check: what does "similar" mean in THIS
+    * space?): exact-cosine histogram over a DETERMINISTIC vector
+    * panel (the p2 md5-bucket rule on vec_id — engine-portable, no
+    * RNG), all panel pairs scored with the s1 kernel, e6 micro-units
+    * at the surface, 21 bins of 0.1 width over [−1, 1].
+    *
+    * Scale shape: the panel is the SAMPLE — pairs are panel², never
+    * corpus² (the modulus dials panel size; at corpus scale set it
+    * ∝ n/target so the panel stays a few thousand rows and the pair
+    * frame a few million — bounded by construction, stated). The
+    * panel broadcasts; the self-join is the d5-class declared
+    * bounded block (PlanSpec-allowlisted).
+    */
+  def cosCalibration(s: SparkSession, dir: String, modulus: Int = 8): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("cal"), col("vec_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(modulus))
+    val panel = graft.Caches.track(Tables.embeddings(s, dir)
+      .filter(bucket === 0)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
+    val a = panel.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = panel.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    broadcast(a).join(b, col("id_a") < col("id_b"))
+      .select(e6(cosinePre(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
+        .as("cos_e6"))
+      .groupBy(expr("(cos_e6 + CAST(1000000 AS BIGINT)) div 100000").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("cos_e6")).as("cos_min_e6"),
+        max(col("cos_e6")).as("cos_max_e6"))
+      .orderBy(col("bin"))
+  }
+
   /** s11: kNN CLASSIFICATION over the exact top-k — the evaluation
     * step every embedding pipeline runs (label a query by majority
     * vote of its k nearest neighbors; the standard embedding-quality

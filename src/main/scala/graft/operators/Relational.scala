@@ -1861,6 +1861,40 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
   }
 
+  /** q67: RETURNED-ITEM customer ranking (TPC-H Q10 shape — the
+    * lost-revenue report): top-20 customers by exact-cents revenue on
+    * returned lines ('R'), with name and nation attached to the
+    * winners only. The ranking is the q2/q9 bounded-heap discipline:
+    * a TopKCosine aggregate (score desc, custkey asc — the oracle's
+    * row_number order) instead of a corpus-wide window, so nothing
+    * ever sorts the full customer list; dims join the 20-row winner
+    * frame by broadcast.
+    *
+    * Scale shape: the returnflag filter pushes to the scan; one
+    * customer-keyed partial agg; the heap is 20 entries per partition
+    * then merged; name/nation attach AFTER selection (20 rows ×
+    * broadcast dims).
+    */
+  def q67ReturnedTopK(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val lost = graft.Caches.track(Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("lost_cents"), count(lit(1)).as("n_lines")))
+    val top = lost.groupBy()
+      .agg(org.apache.spark.sql.graft.TopKCosine
+        .top_k(col("lost_cents").cast("double"), col("ck"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("col.id").as("ck"))
+    lost.join(broadcast(top), Seq("ck"))
+      .join(Tables.customer(s, dir), col("ck") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("rank"), col("ck").as("custkey"), col("c_name"),
+        col("n_name").as("nation"), col("lost_cents"), col("n_lines"))
+      .orderBy(col("rank"))
+  }
+
   def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {
     val iv = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"),
       datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("st"),

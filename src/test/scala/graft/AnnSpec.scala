@@ -410,6 +410,38 @@ class AnnSpec extends SparkSpec {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("s14 cosine calibration: JVM recompute of the panel histogram") {
+    val got = Ann.cosCalibration(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.clear()
+    val vecs = Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cal$id".getBytes("UTF-8")).take(4)
+      val v = h.foldLeft(0L)((a, b) => a * 256 + (b & 0xFF))
+      v % 8
+    }
+    val panel = vecs.filter(v => bucket(v._1) == 0)
+    assert(panel.length > 1, "panel must be non-trivial")
+    def cosE6(a: Array[Float], b: Array[Float]): Long = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    val cos = for { i <- panel.indices; j <- (i + 1) until panel.length } yield {
+      val (x, y) = (panel(i), panel(j))
+      if (x._1 < y._1) cosE6(x._2, y._2) else cosE6(y._2, x._2)
+    }
+    val exp = cos.groupBy(c => (c + 1000000L) / 100000L).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.min, xs.max))
+    }
+    assert(got == exp && got.nonEmpty)
+    assert(got.values.map(_._1).sum == panel.length.toLong * (panel.length - 1) / 2)
+  }
+
   test("s13 hybrid RRF: fusion formula, per-query ordering, list agreement") {
     val got = Ann.hybridRrf(spark, Sf).collect()
     graft.Caches.clear()

@@ -378,7 +378,8 @@ class PlanSpec extends SparkSpec {
       "q62_basket"         -> "crossJoin(broadcast(1-row basket total))",
       "t21_burstiness"     -> "crossJoin(broadcast(1-row n_docs total))",
       "q63_global_customers" -> "crossJoin(broadcast(1-row global-average scalar))",
-      "s13_hybrid_rrf"     -> "broadcast 20-query frames x corpus, =!= condition (lex + s1 vec lists)")
+      "s13_hybrid_rrf"     -> "broadcast 20-query frames x corpus, =!= condition (lex + s1 vec lists)",
+      "s14_cos_calibration" -> "declared bounded panel x panel block (md5-bucket sample, < condition)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

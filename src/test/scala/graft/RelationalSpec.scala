@@ -894,6 +894,29 @@ class RelationalSpec extends SparkSpec {
     assert(got.keys.forall(k => k._1 != k._2))
   }
 
+  test("q67 returned top-k: JVM fold identity incl. the (cents desc, custkey asc) tie rule") {
+    val got = Relational.q67ReturnedTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    graft.Caches.clear()
+    val nations = Tables.nation(spark, Sf).collect()
+      .map(r => r.getAs[Long]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val cust = Tables.customer(spark, Sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        ((r.getAs[String]("c_name"), nations(r.getAs[Long]("c_nationkey"))))).toMap
+    val ordCust = Tables.orders(spark, Sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    val exp = Tables.lineitem(spark, Sf).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice*(1-l_discount)*100) as bigint)"))
+      .collect().map(r => (ordCust(r.getLong(0)), r.getLong(1)))
+      .groupBy(_._1).map { case (ck, xs) => (ck, xs.map(_._2).sum, xs.length.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(20).zipWithIndex
+      .map { case ((ck, cents, n), i) =>
+        (i + 1L, ck, cust(ck)._1, cust(ck)._2, cents, n) }
+    assert(got.toSeq == exp && got.length == 20)
+  }
+
   test("q61 Benford: digits partition the corpus, shares are exact integer division") {
     val got = Relational.q61Benford(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
