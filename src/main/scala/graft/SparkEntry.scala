@@ -104,6 +104,7 @@ object SparkEntry {
     "q66_bilateral_volume"    -> Relational.q66BilateralVolume _,
     "q67_returned_topk"       -> ((s: SparkSession, d: String) =>
       Relational.q67ReturnedTopK(s, d)),
+    "q68_abc_classes"         -> Relational.q68AbcClasses _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1531,6 +1532,23 @@ object SparkEntry {
       |          JOIN fq ON base.freq = fq.v
       |          JOIN mq ON base.mon = mq.v
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q68: cumulative line over value-collapsed revenue DESC; class
+    // boundaries cross-multiplied; share via HUGEINT
+    "q68_abc_classes" -> raw"""
+      |WITH pr AS (SELECT l_partkey,
+      |    sum(round(l_extendedprice*(1-l_discount)*100)::BIGINT)::BIGINT AS rev
+      |  FROM lineitem GROUP BY 1),
+      |v AS (SELECT rev, count(*)::BIGINT AS cnt,
+      |        (rev * count(*))::BIGINT AS vsum FROM pr GROUP BY 1),
+      |c AS (SELECT rev,
+      |        sum(vsum) OVER (ORDER BY rev DESC)::BIGINT AS cum,
+      |        sum(vsum) OVER ()::BIGINT AS tot FROM v),
+      |k AS (SELECT rev, tot,
+      |        CASE WHEN cum*5 <= tot*4 THEN 'A'
+      |             WHEN cum*20 <= tot*19 THEN 'B' ELSE 'C' END AS abc FROM c)
+      |SELECT abc, count(*)::BIGINT AS n_parts, sum(pr.rev)::BIGINT AS rev_cents,
+      |  ((sum(pr.rev)::HUGEINT * 1000000) // max(tot))::BIGINT AS share_ppm
+      |FROM pr JOIN k USING (rev) GROUP BY 1 ORDER BY 1""".stripMargin,
     // q67: the bounded-heap tie rule (lost_cents DESC, ck ASC) stated
     // as row_number; cents sums are exact doubles below 2^53 so the
     // heap's double score cannot reorder ties

@@ -1895,6 +1895,59 @@ object Relational {
       .orderBy(col("rank"))
   }
 
+  /** q68: ABC / PARETO revenue classification — the inventory-policy
+    * census (Pareto's 80/15/5 rule; Dickie 1951): parts classed A
+    * (the head supplying the first 80% of revenue), B (to 95%), C
+    * (tail) by the CUMULATIVE revenue line in descending revenue
+    * order, boundaries stated by integer cross-multiplication
+    * (5·cum ≤ 4·tot; 20·cum ≤ 19·tot — no percentage float ever
+    * exists) and a revenue-VALUE run lands in one class by
+    * construction (ties are interchangeable — stated, the q64/p13
+    * tie rule). Output is the 3-row class rollup with exact share
+    * ppm through DECIMAL(38,0).
+    *
+    * Scale shape: per-part revenue is one map-side-combinable agg;
+    * the cumulative line runs on the value-COLLAPSED frame via the
+    * sharded two-pass prefix (descending order = ascending shard of
+    * the negated value, truncating div is monotone so the banding is
+    * valid); the class map ≈ distinct revenues (≈ parts — stated:
+    * hash equi-join, not broadcast); the rollup is 3 rows.
+    */
+  def q68AbcClasses(s: SparkSession, dir: String): DataFrame = {
+    val pr = graft.Caches.track(Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")))
+    val byV = graft.Caches.track(pr.groupBy(col("rev")).agg(count(lit(1)).as("cnt"))
+      .withColumn("vsum", col("rev") * col("cnt"))
+      .withColumn("shard", expr("(-rev) div 1000000")))
+    val wLoc = Window.partitionBy(col("shard")).orderBy(col("rev").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSh = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val off = byV.groupBy(col("shard")).agg(sum(col("vsum")).as("sv"))
+      .withColumn("off", coalesce(sum(col("sv")).over(wSh), lit(0L)))
+      .withColumn("tot", sum(col("sv")).over(wAll))
+      .select(col("shard"), col("off"), col("tot"))
+    val classed = byV.withColumn("cum_loc", sum(col("vsum")).over(wLoc))
+      .join(broadcast(off), Seq("shard"))
+      .withColumn("cum", col("off") + col("cum_loc"))
+      .select(col("rev"),
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C").as("abc"),
+        col("tot"))
+    pr.join(classed, Seq("rev"))
+      .groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"),
+        max(col("tot")).as("tot"))
+      .select(col("abc"), col("n_parts"), col("rev_cents"),
+        expr("""cast((cast(rev_cents as decimal(38,0)) * 1000000)
+                div tot as bigint)""").as("share_ppm"))
+      .orderBy(col("abc"))
+  }
+
   def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {
     val iv = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"),
       datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("st"),

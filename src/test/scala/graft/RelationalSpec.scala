@@ -917,6 +917,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == exp && got.length == 20)
   }
 
+  test("q68 ABC classes: JVM cumulative fold; classes partition all parts") {
+    val got = Relational.q68AbcClasses(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.Caches.clear()
+    val pr = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_partkey"))
+      .agg(expr("sum(cast(round(l_extendedprice*(1-l_discount)*100) as bigint))").as("rev"))
+      .collect().map(_.getLong(1))
+    val tot = pr.sum
+    // class per distinct revenue VALUE on the descending cumulative line
+    val byV = pr.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(-_._1)
+    var cum = 0L
+    val classOf = byV.map { case (v, c) =>
+      cum += v * c
+      v -> (if (cum * 5 <= tot * 4) "A" else if (cum * 20 <= tot * 19) "B" else "C")
+    }.toMap
+    val exp = pr.groupBy(classOf).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.sum, (BigInt(xs.sum) * 1000000 / tot).toLong))
+    }
+    assert(got == exp && got.nonEmpty)
+    assert(got.values.map(_._1).sum == pr.length.toLong)
+    // all three classes exist (this corpus is near-uniform, not Zipf —
+    // A is therefore a LARGE fraction of parts; the boundaries still cut)
+    assert(got.keySet == Set("A", "B", "C"))
+  }
+
   test("q61 Benford: digits partition the corpus, shares are exact integer division") {
     val got = Relational.q61Benford(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
