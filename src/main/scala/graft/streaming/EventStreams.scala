@@ -77,6 +77,45 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Streaming twin of q61: per-window BENFORD first-digit drift
+    * monitor — the data-quality alarm run against a live payment/
+    * price stream (a window whose digit mix departs the Benford
+    * expectation flags an upstream bug or fraud burst the moment the
+    * watermark closes the window). Streaming forbids a second
+    * aggregation, so the window total never needs one: the NINE digit
+    * counts pivot into ONE row per window (conditional sums — a
+    * single watermark-bounded agg), and every ppm column is a
+    * stateless projection over that row; the expected-ppm table is
+    * the same published constant array q61 ships. Emission is
+    * append-mode at watermark close; state is one 10-long row per
+    * open window.
+    */
+  def benfordStream(values: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val digit = substring(col("cents").cast("string"), 1, 1).cast("int")
+    val counts = (1 to 9).map(d =>
+      sum(when(digit === d, 1L).otherwise(0L)).as(s"n$d"))
+    val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val expCol = element_at(array(exp.map(lit): _*), col("digit").cast("int"))
+    values
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$windowMinutes minutes").as("w"))
+      .agg(counts.head, counts.tail: _*)
+      // the window total is the ROW-LOCAL sum of the nine pivoted
+      // counts — no second aggregation, no window function (both are
+      // illegal downstream of a streaming agg)
+      .withColumn("total", (1 to 9).map(d => col(s"n$d")).reduce(_ + _))
+      .select(unix_timestamp(col("w.start")).as("win_epoch"), col("total"),
+        posexplode(array((1 to 9).map(d => col(s"n$d")): _*)))
+      .select(col("win_epoch"), col("total"),
+        (col("pos") + 1).cast("long").as("digit"), col("col").as("n"))
+      .filter(col("n") > 0)
+      .select(col("win_epoch"), col("digit"), col("n"),
+        expr("(n * CAST(1000000 AS BIGINT)) div total").as("obs_ppm"),
+        expCol.as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
   /** Streaming twin of q38: a RETRACTABLE aggregate maintained from a
     * CDC change stream — Flink's retract semantics re-expressed as a
     * plain signed fold, legal because count/sum form an abelian group

@@ -544,6 +544,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 101L)))
   }
 
+  test("streaming Benford monitor: per-window digit census, ppm math, watermark emission") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.benfordStream(mem.toDF().toDF("ts", "cents"))
+      .writeStream.outputMode("append").format("memory").queryName("benford_out").start()
+    // window 1: digits 1,1,2; window 2: digit 9
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 123L),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 150L),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), 20000L),
+      (Timestamp.valueOf("2024-01-01 10:15:00"), 900L))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both windows
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 555L))
+    q.processAllAvailable()
+    val got = spark.table("benford_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    q.stop()
+    val w1 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val w2 = Timestamp.valueOf("2024-01-01 10:10:00").getTime / 1000
+    // zero-count digits are filtered; censuses and ppm are exact integers
+    assert(got.keySet == Set((w1, 1L), (w1, 2L), (w2, 9L)))
+    assert(got((w1, 1L)) == ((2L, 666666L, 301030L, 365636L)))
+    assert(got((w1, 2L)) == ((1L, 333333L, 176091L, 157242L)))
+    assert(got((w2, 9L)) == ((1L, 1000000L, 45757L, 954243L)))
+  }
+
   test("left-semi interval join emits each converting click exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
