@@ -70,7 +70,7 @@ object Bench {
     "d14_source_overlap", "d15_cluster_purity", "s12_pair_rescore",
     "p13_curriculum", "q55_skyline", "m11_clipping_audit",
     // r10 fourth-session additions (document/embedding-based — the
-    // lineitem/orders-based q60-q64 stay sf0.1-only, same proxy
+    // lineitem/orders-based q60-q68 stay sf0.1-only, same proxy
     // reason): t20/t21 explode the whole token stream, s13 fuses two
     // corpus-sized candidate passes, m13 is a full-pixel decode sweep
     "t20_vocab_census", "t21_burstiness", "s13_hybrid_rrf",

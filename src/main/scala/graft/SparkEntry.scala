@@ -2304,8 +2304,9 @@ object SparkEntry {
       |SELECT lang, source, n_tokens, n_types, n_hapax, top_token_n, simpson_num,
       |  (n_tokens*(n_tokens-1))::BIGINT AS simpson_den,
       |  ((n_types::HUGEINT * 1000000) // n_tokens)::BIGINT AS ttr_ppm,
-      |  CASE WHEN n_tokens*(n_tokens-1) = 0 THEN 0::BIGINT
-      |       ELSE ((simpson_num::HUGEINT * 1000000) // (n_tokens*(n_tokens-1)))::BIGINT
+      |  CASE WHEN n_tokens <= 1 THEN 0::BIGINT
+      |       ELSE ((simpson_num::HUGEINT * 1000000)
+      |             // (n_tokens::HUGEINT * (n_tokens-1)))::BIGINT
       |  END AS simpson_ppm
       |FROM a ORDER BY lang, source""".stripMargin,
     // t21: top-50 by (cf DESC, term ASC) — the TopKLabeled tie rule

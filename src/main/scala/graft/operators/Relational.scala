@@ -1734,33 +1734,50 @@ object Relational {
       .orderBy(col("nation"))
   }
 
-  /** Exact value-quantile assignment without a global rank — the
-    * p13 discipline factored for q64: collapse to per-VALUE counts,
-    * sharded two-pass exclusive prefix, bucket = (cum_before·k) div N
-    * assigned to the VALUE (equal values never split buckets —
-    * stated). Returns (v, q); the per-shard frame carries prefix AND
-    * total so no separate count pass runs.
+  /** Sharded two-pass INCLUSIVE prefix over an ungrouped
+    * value-collapsed (v, w) frame — the ONE implementation behind
+    * valueQuantile (q64) and q68's cumulative revenue line: local
+    * windows per value-shard plus a shards-sized offset frame that
+    * carries prefix AND grand total, so no task ever sorts the whole
+    * value list and no separate count pass runs. Descending order
+    * rides the ascending shard of the NEGATED value — truncating div
+    * is monotone for any sign, so the banding stays valid. The
+    * sharded input is cached: it feeds the local-prefix window and
+    * the offset frame (the q60 multi-consumer lesson). Returns
+    * (v, w, cum, tot).
     */
-  private def valueQuantile(vals: DataFrame, k: Int): DataFrame = {
-    // cached for the same reason as lowerWeightedMedian's sharded
-    // frame: it feeds the prefix window and the offset frame
-    val byV = graft.Caches.track(vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("shard", expr("v div 4096")))
-    val wLoc = Window.partitionBy(col("shard")).orderBy(col("v"))
+  private def shardedPrefix(vw: DataFrame, shardWidth: Long,
+      desc: Boolean): DataFrame = {
+    val a = graft.Caches.track(vw.withColumn("shard",
+      if (desc) expr(s"(-v) div $shardWidth") else expr(s"v div $shardWidth")))
+    val wLoc = Window.partitionBy(col("shard"))
+      .orderBy(if (desc) col("v").desc else col("v").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wSh = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val off = byV.groupBy(col("shard")).agg(sum(col("cnt")).as("sc"))
-      .withColumn("off", coalesce(sum(col("sc")).over(wSh), lit(0L)))
-      .withColumn("n_total", sum(col("sc")).over(wAll))
-      .select(col("shard"), col("off"), col("n_total"))
-    byV.withColumn("cum_loc", sum(col("cnt")).over(wLoc))
+    val off = a.groupBy(col("shard")).agg(sum(col("w")).as("sw"))
+      .withColumn("off", coalesce(sum(col("sw")).over(wSh), lit(0L)))
+      .withColumn("tot", sum(col("sw")).over(wAll))
+      .select(col("shard"), col("off"), col("tot"))
+    a.withColumn("cum_loc", sum(col("w")).over(wLoc))
       .join(broadcast(off), Seq("shard"))
-      .withColumn("cum_before", col("off") + col("cum_loc") - col("cnt"))
-      .select(col("v"), expr(s"(cum_before * $k) div n_total").as("q"))
+      .select(col("v"), col("w"), (col("off") + col("cum_loc")).as("cum"),
+        col("tot"))
   }
+
+  /** Exact value-quantile assignment without a global rank — the
+    * p13 discipline factored for q64: collapse to per-VALUE counts,
+    * sharded two-pass exclusive prefix (cum − w over the inclusive
+    * [[shardedPrefix]] line), bucket = (cum_before·k) div N assigned
+    * to the VALUE (equal values never split buckets — stated).
+    * Returns (v, q).
+    */
+  private def valueQuantile(vals: DataFrame, k: Int): DataFrame =
+    shardedPrefix(vals.groupBy(col("v")).agg(count(lit(1)).as("w")),
+      shardWidth = 4096L, desc = false)
+      .select(col("v"), expr(s"((cum - w) * $k) div tot").as("q"))
 
   /** q64: RFM SEGMENTATION — the classic marketing/lifecycle census
     * (recency / frequency / monetary quintiles; Hughes 1994): per
@@ -1887,7 +1904,10 @@ object Relational {
         .top_k(col("lost_cents").cast("double"), col("ck"), k).as("tk"))
       .select(posexplode(col("tk")))
       .select((col("pos") + 1).cast("long").as("rank"), col("col.id").as("ck"))
-    lost.join(broadcast(top), Seq("ck"))
+    // the k-row winner frame is the broadcast side of the customer
+    // attach — the customer table itself must never exchange for a
+    // 20-row lookup
+    broadcast(lost.join(broadcast(top), Seq("ck")))
       .join(Tables.customer(s, dir), col("ck") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .select(col("rank"), col("ck").as("custkey"), col("c_name"),
@@ -1917,23 +1937,11 @@ object Relational {
     val pr = graft.Caches.track(Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")))
-    val byV = graft.Caches.track(pr.groupBy(col("rev")).agg(count(lit(1)).as("cnt"))
-      .withColumn("vsum", col("rev") * col("cnt"))
-      .withColumn("shard", expr("(-rev) div 1000000")))
-    val wLoc = Window.partitionBy(col("shard")).orderBy(col("rev").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wSh = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val off = byV.groupBy(col("shard")).agg(sum(col("vsum")).as("sv"))
-      .withColumn("off", coalesce(sum(col("sv")).over(wSh), lit(0L)))
-      .withColumn("tot", sum(col("sv")).over(wAll))
-      .select(col("shard"), col("off"), col("tot"))
-    val classed = byV.withColumn("cum_loc", sum(col("vsum")).over(wLoc))
-      .join(broadcast(off), Seq("shard"))
-      .withColumn("cum", col("off") + col("cum_loc"))
-      .select(col("rev"),
+    val classed = shardedPrefix(
+      pr.groupBy(col("rev")).agg(count(lit(1)).as("cnt"))
+        .select(col("rev").as("v"), (col("rev") * col("cnt")).as("w")),
+      shardWidth = 1000000L, desc = true)
+      .select(col("v").as("rev"),
         when(col("cum") * 5 <= col("tot") * 4, "A")
           .when(col("cum") * 20 <= col("tot") * 19, "B")
           .otherwise("C").as("abc"),

@@ -670,9 +670,15 @@ object TextAnalysis {
     * combinable and the only corpus-sized shuffle (skinny 8-byte-ish
     * keys); the second level aggregates types per slice (output ∝
     * vocabulary, not corpus); top-token by max(struct) — no window
-    * funnel. Overflow honesty: num ≤ N² means ppm·num needs 128-bit
-    * above ~3·10⁹ tokens per slice; the ppm columns go through
-    * DECIMAL(38,0) so the arithmetic is exact at any slice size.
+    * funnel. Overflow honesty: the PPM columns are exact at any
+    * slice size — every multiply happens in DECIMAL(38,0), and the
+    * simpson denominator is rebuilt as decimal N·(N−1) inside the
+    * division rather than read from the long column. The RAW
+    * (simpson_num, simpson_den) pair is a long surface and is exact
+    * only below ~3·10⁹ tokens per slice (N² crosses 2⁶³); past that
+    * the pair wraps while the ppm stays correct — a reader needing
+    * the exact rational at that scale should recompute the pair in
+    * decimal.
     */
   /** t21: TERM BURSTINESS for the corpus's top terms — Church &
     * Gale's repeat-rate diagnostic (CSL 1995; a bursty term repeats
@@ -726,9 +732,13 @@ object TextAnalysis {
       .withColumn("simpson_den", col("n_tokens") * (col("n_tokens") - 1))
       .withColumn("ttr_ppm",
         expr("cast((cast(n_types as decimal(38,0)) * 1000000) div n_tokens as bigint)"))
-      .withColumn("simpson_ppm", when(col("simpson_den") === 0, 0L)
+      // the ppm denominator rebuilds N(N-1) in DECIMAL — the long
+      // simpson_den column wraps above ~3e9 tokens/slice, the ppm
+      // must not (see the overflow-honesty note above)
+      .withColumn("simpson_ppm", when(col("n_tokens") <= 1, 0L)
         .otherwise(expr(
-          "cast((cast(simpson_num as decimal(38,0)) * 1000000) div simpson_den as bigint)")))
+          """cast((cast(simpson_num as decimal(38,0)) * 1000000)
+             div (cast(n_tokens as decimal(38,0)) * (n_tokens - 1)) as bigint)""")))
       .select(col("lang"), col("source"), col("n_tokens"), col("n_types"),
         col("n_hapax"), col("top_token_n"), col("simpson_num"),
         col("simpson_den"), col("ttr_ppm"), col("simpson_ppm"))

@@ -86,14 +86,21 @@ object EventStreams {
     * counts pivot into ONE row per window (conditional sums — a
     * single watermark-bounded agg), and every ppm column is a
     * stateless projection over that row; the expected-ppm table is
-    * the same published constant array q61 ships. Emission is
-    * append-mode at watermark close; state is one 10-long row per
-    * open window.
+    * the same published constant array q61 ships. Benford is only
+    * defined on POSITIVE amounts — zero and negative values (refunds,
+    * voids) are excluded from the census but NEVER silently: they
+    * surface as a DIGIT-0 row (null ppm columns), so a refund burst
+    * is itself visible even in a window with no valid amounts at
+    * all. Emission is append-mode at watermark close; state is one
+    * 11-long row per open window.
     */
   def benfordStream(values: DataFrame, windowMinutes: Int = 10): DataFrame = {
-    val digit = substring(col("cents").cast("string"), 1, 1).cast("int")
+    // try_cast: a negative amount's first char is '-', which an ANSI
+    // cast rejects loudly — here it must classify as excluded instead
+    val digit = expr("try_cast(substring(cast(cents as string), 1, 1) as int)")
     val counts = (1 to 9).map(d =>
-      sum(when(digit === d, 1L).otherwise(0L)).as(s"n$d"))
+      sum(when(digit === d, 1L).otherwise(0L)).as(s"n$d")) :+
+      sum(when(digit.between(1, 9), 0L).otherwise(1L)).as("n_excluded")
     val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
       57992L, 51153L, 45757L)
     val expCol = element_at(array(exp.map(lit): _*), col("digit").cast("int"))
@@ -106,13 +113,17 @@ object EventStreams {
       // illegal downstream of a streaming agg)
       .withColumn("total", (1 to 9).map(d => col(s"n$d")).reduce(_ + _))
       .select(unix_timestamp(col("w.start")).as("win_epoch"), col("total"),
-        posexplode(array((1 to 9).map(d => col(s"n$d")): _*)))
+        posexplode(array(col("n_excluded") +:
+          (1 to 9).map(d => col(s"n$d")): _*)))
       .select(col("win_epoch"), col("total"),
-        (col("pos") + 1).cast("long").as("digit"), col("col").as("n"))
+        col("pos").cast("long").as("digit"), col("col").as("n"))
       .filter(col("n") > 0)
       .select(col("win_epoch"), col("digit"), col("n"),
-        expr("(n * CAST(1000000 AS BIGINT)) div total").as("obs_ppm"),
-        expCol.as("exp_ppm"))
+        when(col("digit") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n * CAST(1000000 AS BIGINT)) div total"))
+          .as("obs_ppm"),
+        when(col("digit") === 0, lit(null).cast("long")).otherwise(expCol)
+          .as("exp_ppm"))
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
 

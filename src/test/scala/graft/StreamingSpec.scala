@@ -549,27 +549,39 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Timestamp, Long)]
     val q = EventStreams.benfordStream(mem.toDF().toDF("ts", "cents"))
       .writeStream.outputMode("append").format("memory").queryName("benford_out").start()
-    // window 1: digits 1,1,2; window 2: digit 9
+    // window 1: digits 1,1,2 plus a refund and a zero (excluded);
+    // window 2: digit 9; window 3: refunds ONLY
     mem.addData(
       (Timestamp.valueOf("2024-01-01 10:00:00"), 123L),
       (Timestamp.valueOf("2024-01-01 10:01:00"), 150L),
       (Timestamp.valueOf("2024-01-01 10:02:00"), 20000L),
-      (Timestamp.valueOf("2024-01-01 10:15:00"), 900L))
+      (Timestamp.valueOf("2024-01-01 10:03:00"), -12345L),
+      (Timestamp.valueOf("2024-01-01 10:04:00"), 0L),
+      (Timestamp.valueOf("2024-01-01 10:15:00"), 900L),
+      (Timestamp.valueOf("2024-01-01 10:25:00"), -7L))
     q.processAllAvailable()
-    // advance the watermark far enough to close both windows
+    // advance the watermark far enough to close all three windows
     mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 555L))
     q.processAllAvailable()
     val got = spark.table("benford_out").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))))
       .toMap
     q.stop()
     val w1 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
     val w2 = Timestamp.valueOf("2024-01-01 10:10:00").getTime / 1000
-    // zero-count digits are filtered; censuses and ppm are exact integers
-    assert(got.keySet == Set((w1, 1L), (w1, 2L), (w2, 9L)))
-    assert(got((w1, 1L)) == ((2L, 666666L, 301030L, 365636L)))
-    assert(got((w1, 2L)) == ((1L, 333333L, 176091L, 157242L)))
-    assert(got((w2, 9L)) == ((1L, 1000000L, 45757L, 954243L)))
+    val w3 = Timestamp.valueOf("2024-01-01 10:20:00").getTime / 1000
+    // zero-count digits are filtered; censuses and ppm are exact
+    // integers; exclusions surface as digit-0 rows — a refund-only
+    // window still emits
+    assert(got.keySet == Set((w1, 0L), (w1, 1L), (w1, 2L), (w2, 9L), (w3, 0L)))
+    assert(got((w1, 0L)) == ((2L, None, None, None)))
+    assert(got((w1, 1L)) == ((2L, Some(666666L), Some(301030L), Some(365636L))))
+    assert(got((w1, 2L)) == ((1L, Some(333333L), Some(176091L), Some(157242L))))
+    assert(got((w2, 9L)) == ((1L, Some(1000000L), Some(45757L), Some(954243L))))
+    assert(got((w3, 0L)) == ((1L, None, None, None)))
   }
 
   test("left-semi interval join emits each converting click exactly once") {
