@@ -1746,7 +1746,7 @@ object Relational {
     * the offset frame (the q60 multi-consumer lesson). Returns
     * (v, w, cum, tot).
     */
-  private def shardedPrefix(vw: DataFrame, shardWidth: Long,
+  private[graft] def shardedPrefix(vw: DataFrame, shardWidth: Long,
       desc: Boolean): DataFrame = {
     val a = graft.Caches.track(vw.withColumn("shard",
       if (desc) expr(s"(-v) div $shardWidth") else expr(s"v div $shardWidth")))

@@ -943,6 +943,27 @@ class RelationalSpec extends SparkSpec {
     assert(got.keySet == Set("A", "B", "C"))
   }
 
+  test("shardedPrefix: shard-width invariance (1/7/10^9), both directions, JVM fold identity") {
+    import spark.implicits._
+    // negative values included: the negated-shard banding must stay
+    // monotone for any sign
+    val rows = Seq((-5000L, 3L), (-1L, 2L), (0L, 7L), (1L, 1L), (4095L, 4L),
+      (4096L, 5L), (9999L, 6L), (1000000L, 8L))
+    val vw = rows.toDF("v", "w")
+    def jvm(desc: Boolean): Map[Long, (Long, Long)] = {
+      val sorted = if (desc) rows.sortBy(-_._1) else rows.sortBy(_._1)
+      val tot = rows.map(_._2).sum
+      var cum = 0L
+      sorted.map { case (v, w) => cum += w; v -> ((cum, tot)) }.toMap
+    }
+    for (desc <- Seq(false, true); width <- Seq(1L, 7L, 1000000000L)) {
+      val got = Relational.shardedPrefix(vw, width, desc).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      graft.Caches.clear()
+      assert(got == jvm(desc), s"desc=$desc width=$width")
+    }
+  }
+
   test("q61 Benford: digits partition the corpus, shares are exact integer division") {
     val got = Relational.q61Benford(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
