@@ -340,7 +340,7 @@ object Bench {
           if (java.nio.file.Files.exists(marker)) {
             val expected = Seq("documents", "embeddings", "part").map { t =>
               s"$t=${spark.read.parquet(s"$sfDir/$t.parquet").count() * replicas}"
-            } :+ tools.GenScale.CipherTag
+            } :+ bench.GenScale.CipherTag
             val recorded = new String(
               java.nio.file.Files.readAllBytes(marker), "UTF-8").linesIterator.toSeq
             if (recorded != expected) {
@@ -349,7 +349,7 @@ object Bench {
             }
           }
           if (!java.nio.file.Files.exists(marker))
-            tools.GenScale.build(spark, sfDir, d, replicas)
+            bench.GenScale.build(spark, sfDir, d, replicas)
         } catch { case e: Exception =>
           System.err.println(s"[bench] scale-dir build failed: ${e.getMessage}") }
         // gate on the build's completion marker, not one table: a
@@ -465,7 +465,7 @@ object Bench {
     // warmup AND arm the spread flag, at ~6 min extra wall
     val scale10Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE10_RUNS", "2").toInt
     val sf1 = scaleSection("sf1", "SPARK_GRAFT_BENCH_SCALE_DIR",
-      "/root/repo/.data/sf1", tools.GenScale.Replicas, 1.0, scaleRuns, ScaleQueries)
+      "/root/repo/.data/sf1", bench.GenScale.Replicas, 1.0, scaleRuns, ScaleQueries)
     val sf10 = scaleSection("sf10", "SPARK_GRAFT_BENCH_SCALE10_DIR",
       "/root/repo/.data/sf10", 100, 2.0, scale10Runs, Scale10Queries,
       interleave = true, isolated = true)

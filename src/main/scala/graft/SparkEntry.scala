@@ -1544,8 +1544,8 @@ object SparkEntry {
       |        sum(vsum) OVER (ORDER BY rev DESC)::BIGINT AS cum,
       |        sum(vsum) OVER ()::BIGINT AS tot FROM v),
       |k AS (SELECT rev, tot,
-      |        CASE WHEN cum*5 <= tot*4 THEN 'A'
-      |             WHEN cum*20 <= tot*19 THEN 'B' ELSE 'C' END AS abc FROM c)
+      |        CASE WHEN cum::HUGEINT*5 <= tot::HUGEINT*4 THEN 'A'
+      |             WHEN cum::HUGEINT*20 <= tot::HUGEINT*19 THEN 'B' ELSE 'C' END AS abc FROM c)
       |SELECT abc, count(*)::BIGINT AS n_parts, sum(pr.rev)::BIGINT AS rev_cents,
       |  ((sum(pr.rev)::HUGEINT * 1000000) // max(tot))::BIGINT AS share_ppm
       |FROM pr JOIN k USING (rev) GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2299,13 +2299,14 @@ object SparkEntry {
       |        count(*)::BIGINT AS n_types,
       |        sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
       |        max(n)::BIGINT AS top_token_n,
-      |        sum(n*(n-1))::BIGINT AS simpson_num
+      |        sum(n::HUGEINT*(n-1)) AS simpson_hug
       |      FROM c GROUP BY 1, 2)
-      |SELECT lang, source, n_tokens, n_types, n_hapax, top_token_n, simpson_num,
-      |  (n_tokens*(n_tokens-1))::BIGINT AS simpson_den,
+      |SELECT lang, source, n_tokens, n_types, n_hapax, top_token_n,
+      |  simpson_hug::BIGINT AS simpson_num,
+      |  (n_tokens::HUGEINT*(n_tokens-1))::BIGINT AS simpson_den,
       |  ((n_types::HUGEINT * 1000000) // n_tokens)::BIGINT AS ttr_ppm,
       |  CASE WHEN n_tokens <= 1 THEN 0::BIGINT
-      |       ELSE ((simpson_num::HUGEINT * 1000000)
+      |       ELSE ((simpson_hug * 1000000)
       |             // (n_tokens::HUGEINT * (n_tokens-1)))::BIGINT
       |  END AS simpson_ppm
       |FROM a ORDER BY lang, source""".stripMargin,
@@ -2319,8 +2320,8 @@ object SparkEntry {
       |r AS (SELECT w, cf, df,
       |        row_number() OVER (ORDER BY cf DESC, w)::BIGINT AS rank FROM t)
       |SELECT rank, w AS term, cf, df,
-      |  (cf * 1000000) // df AS burst_ppm,
-      |  (df * 1000000) // nd.n_docs AS coverage_ppm
+      |  ((cf::HUGEINT * 1000000) // df)::BIGINT AS burst_ppm,
+      |  ((df::HUGEINT * 1000000) // nd.n_docs)::BIGINT AS coverage_ppm
       |FROM r, nd WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "t19_script_mix" -> raw"""
       |WITH c AS (SELECT doc_id, length(text)::BIGINT AS n_chars_total,

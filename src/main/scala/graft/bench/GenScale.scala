@@ -1,4 +1,4 @@
-package graft.tools
+package graft.bench
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

@@ -1887,18 +1887,27 @@ object Relational {
     * ever sorts the full customer list; dims join the 20-row winner
     * frame by broadcast.
     *
-    * Scale shape: the returnflag filter pushes to the scan; one
-    * customer-keyed partial agg; the heap is 20 entries per partition
+    * Scale shape: the returnflag filter pushes to the scan; lineitem
+    * PRE-AGGREGATES to order grain BEFORE the orders join (per-line
+    * cents rounding precedes both sums, so the regrouped sum is
+    * exact), shuffling one row per returned ORDER into the join
+    * instead of one per returned line — at 100 TB that is the
+    * difference between order-count and line-count shuffle volume;
+    * then one customer-keyed agg; the heap is 20 entries per partition
     * then merged; name/nation attach AFTER selection (20 rows ×
     * broadcast dims).
     */
   def q67ReturnedTopK(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val lost = graft.Caches.track(Tables.lineitem(s, dir)
+    val perOrder = Tables.lineitem(s, dir)
       .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("o_lost_cents"), count(lit(1)).as("o_n_lines"))
+    val lost = graft.Caches.track(perOrder
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("ck"))
-      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .as("lost_cents"), count(lit(1)).as("n_lines")))
+      .agg(sum(col("o_lost_cents")).as("lost_cents"),
+        sum(col("o_n_lines")).as("n_lines")))
     val top = lost.groupBy()
       .agg(org.apache.spark.sql.graft.TopKCosine
         .top_k(col("lost_cents").cast("double"), col("ck"), k).as("tk"))
@@ -1941,9 +1950,12 @@ object Relational {
       pr.groupBy(col("rev")).agg(count(lit(1)).as("cnt"))
         .select(col("rev").as("v"), (col("rev") * col("cnt")).as("w")),
       shardWidth = 1000000L, desc = true)
+      // boundary cross-multiplication in DECIMAL(38,0): tot is total
+      // corpus revenue in cents, so tot*20 has only ~2.5x headroom to
+      // 2^63 at the 100 TB design point — same discipline as share_ppm
       .select(col("v").as("rev"),
-        when(col("cum") * 5 <= col("tot") * 4, "A")
-          .when(col("cum") * 20 <= col("tot") * 19, "B")
+        when(expr("cast(cum as decimal(38,0)) * 5 <= cast(tot as decimal(38,0)) * 4"), "A")
+          .when(expr("cast(cum as decimal(38,0)) * 20 <= cast(tot as decimal(38,0)) * 19"), "B")
           .otherwise("C").as("abc"),
         col("tot"))
     pr.join(classed, Seq("rev"))

@@ -671,14 +671,16 @@ object TextAnalysis {
     * keys); the second level aggregates types per slice (output ∝
     * vocabulary, not corpus); top-token by max(struct) — no window
     * funnel. Overflow honesty: the PPM columns are exact at any
-    * slice size — every multiply happens in DECIMAL(38,0), and the
-    * simpson denominator is rebuilt as decimal N·(N−1) inside the
-    * division rather than read from the long column. The RAW
-    * (simpson_num, simpson_den) pair is a long surface and is exact
-    * only below ~3·10⁹ tokens per slice (N² crosses 2⁶³); past that
-    * the pair wraps while the ppm stays correct — a reader needing
-    * the exact rational at that scale should recompute the pair in
-    * decimal.
+    * slice size — the Simpson numerator is SUMMED in DECIMAL(38,0)
+    * (each nₜ(nₜ−1) product is a decimal multiply, never a long one)
+    * and the denominator rebuilds N·(N−1) in decimal inside the
+    * division. The RAW (simpson_num, simpson_den) long pair is a
+    * convenience surface derived by casting the decimals down: below
+    * ~3·10⁹ tokens per slice it is the exact rational; past that the
+    * cast goes NULL on the Spark side (non-ANSI decimal→long) while
+    * DuckDB errors on the same cast — a stated divergence (the Det.e6
+    * contract class), never a silent wrap, and the ppm column stays
+    * correct either way.
     */
   /** t21: TERM BURSTINESS for the corpus's top terms — Church &
     * Gale's repeat-rate diagnostic (CSL 1995; a bursty term repeats
@@ -711,9 +713,13 @@ object TextAnalysis {
       .select((col("pos") + 1).cast("long").as("rank"), col("col.label").as("w"))
     terms.join(broadcast(top), Seq("w"))
       .crossJoin(broadcast(nd))
+      // ppm through DECIMAL(38,0): a stop-word-class cf can exceed
+      // 2^63/1e6 ≈ 9.2e12 at 1e13-token corpora — the t20 discipline
       .select(col("rank"), col("w").as("term"), col("cf"), col("df"),
-        expr("(cf * CAST(1000000 AS BIGINT)) div df").as("burst_ppm"),
-        expr("(df * CAST(1000000 AS BIGINT)) div n_docs").as("coverage_ppm"))
+        expr("cast((cast(cf as decimal(38,0)) * 1000000) div df as bigint)")
+          .as("burst_ppm"),
+        expr("cast((cast(df as decimal(38,0)) * 1000000) div n_docs as bigint)")
+          .as("coverage_ppm"))
       .orderBy(col("rank"))
   }
 
@@ -728,16 +734,19 @@ object TextAnalysis {
         count(lit(1)).as("n_types"),
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
         max(col("n")).as("top_token_n"),
-        sum(col("n") * (col("n") - 1)).as("simpson_num"))
-      .withColumn("simpson_den", col("n_tokens") * (col("n_tokens") - 1))
+        // every n(n−1) product AND the sum live in DECIMAL(38,0) —
+        // the long surface below derives from this, never vice versa
+        sum(col("n").cast("decimal(38,0)") * (col("n") - 1)).as("simpson_dec"))
+      .withColumn("simpson_num", col("simpson_dec").cast("long"))
+      .withColumn("simpson_den",
+        (col("n_tokens").cast("decimal(38,0)") * (col("n_tokens") - 1)).cast("long"))
       .withColumn("ttr_ppm",
         expr("cast((cast(n_types as decimal(38,0)) * 1000000) div n_tokens as bigint)"))
-      // the ppm denominator rebuilds N(N-1) in DECIMAL — the long
-      // simpson_den column wraps above ~3e9 tokens/slice, the ppm
-      // must not (see the overflow-honesty note above)
+      // numerator and denominator both decimal — exact at any slice
+      // size (see the overflow-honesty note above)
       .withColumn("simpson_ppm", when(col("n_tokens") <= 1, 0L)
         .otherwise(expr(
-          """cast((cast(simpson_num as decimal(38,0)) * 1000000)
+          """cast((simpson_dec * 1000000)
              div (cast(n_tokens as decimal(38,0)) * (n_tokens - 1)) as bigint)""")))
       .select(col("lang"), col("source"), col("n_tokens"), col("n_types"),
         col("n_hapax"), col("top_token_n"), col("simpson_num"),

@@ -13,7 +13,12 @@ class ParquetSinkSpec extends SparkSpec {
 
   test("bloom sink: filter present only for the enabled column; no false negatives") {
     val dir = scratchDir("graft_bloom")
-    val keys = Tables.orders(spark, Sf).select(col("o_orderkey"), col("o_custkey"))
+    // coalesce(1): ONE file/row group, so the present-key probe below
+    // interrogates the row group that actually holds each key — with
+    // multiple groups a false positive elsewhere could mask a genuine
+    // false negative in the containing group
+    val keys = Tables.orders(spark, Sf)
+      .select(col("o_orderkey"), col("o_custkey")).coalesce(1)
     graft.sources.ParquetSink.writeWithBloom(keys, dir, Seq("o_orderkey"), ndv = 10000L)
 
     val present = keys.select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
@@ -51,14 +56,20 @@ class ParquetSinkSpec extends SparkSpec {
     }
     assert(sawOrderkeyFilter)
 
-    // no false negatives GLOBALLY: a present key must hit in at least
-    // one row group of the file that holds it — probe via union of all
-    // filters (single-partition write keeps this simple)
+    // no false negatives: with the coalesce(1) write there is exactly
+    // one file (asserted) so every present key's containing row group
+    // is probed — a hit here is the containing group, not a masking
+    // false positive from a sibling
+    assert(files.length == 1, s"coalesce(1) write produced ${files.length} files")
     val hitSomewhere = scala.collection.mutable.Set.empty[Long]
     files.foreach { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.getPath), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      // one row group at this write size — the containment argument
+      // above needs it (a multi-group file would re-open the masking
+      // window within the file)
+      assert(reader.getFooter.getBlocks.size == 1)
       try reader.getFooter.getBlocks.asScala.foreach { rg =>
         val bf = reader.getBloomFilterDataReader(rg)
           .readBloomFilter(rg.getColumns.asScala

@@ -88,6 +88,23 @@ class PlanSpec extends SparkSpec {
     assert(!d6.contains("CartesianProduct") && !d6.contains("BroadcastNestedLoopJoin"), d6)
   }
 
+  test("q67: lineitem pre-aggregates to order grain before the orders join") {
+    // the cached lost frame hides the shape inside an InMemoryRelation,
+    // whose physical plan the optimizedPlan string inlines: the
+    // order-grain HashAggregate(keys=[l_orderkey…]) must sit BELOW
+    // (print after) the orders join that consumes it — the shuffle
+    // into that join then carries one row per returned ORDER, not one
+    // per returned line
+    val s = Relational.q67ReturnedTopK(spark, Sf).queryExecution.optimizedPlan.toString
+    val iJoin = s.indexOf("Join [l_orderkey")
+    val iJoinB = s.indexOf("BroadcastHashJoin [l_orderkey")
+    val join = if (iJoin >= 0) iJoin else iJoinB
+    val iAgg = s.indexOf("HashAggregate(keys=[l_orderkey")
+    assert(iAgg >= 0, s"no order-grain aggregate in:\n$s")
+    assert(join >= 0 && iAgg > join, s"aggregate not below the orders join:\n$s")
+    graft.Caches.clear()
+  }
+
   test("q29: unpivot lowers to an in-place Expand, no extra shuffle or join") {
     val p = formatted(Relational.q29Unpivot(spark, Sf))
     assert(p.contains("Expand"))

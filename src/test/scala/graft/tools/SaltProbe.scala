@@ -27,7 +27,7 @@ object SaltProbe {
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GenScale.buildSkewedEvents(spark, srcDir, outDir, replicas)
+    graft.bench.GenScale.buildSkewedEvents(spark, srcDir, outDir, replicas)
     val events = spark.read.parquet(s"$outDir/events.parquet")
     val users = spark.read.parquet(s"$outDir/users.parquet")
 

@@ -7,7 +7,7 @@ import graft.Tables
 import graft.operators.Joins
 
 /** Dev measurement main for skewed-join mitigation (not part of the
-  * API): on the skewed events variant (GenScale.buildSkewedEvents —
+  * API): on the skewed events variant (graft.bench.GenScale.buildSkewedEvents —
   * one hot user owns 20% of the fact table), joins events ⋈ users and
   * measures three strategies under forced shuffle-join conditions
   * (auto-broadcast OFF, the 100-TB regime where the dim doesn't fit
@@ -48,11 +48,11 @@ object TrySkew {
       .config(Tables.NanosConf._1, Tables.NanosConf._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GenScale.buildSkewedEvents(spark, srcDir, outDir, replicas)
+    graft.bench.GenScale.buildSkewedEvents(spark, srcDir, outDir, replicas)
 
     val events = spark.read.parquet(s"$outDir/events.parquet")
     val users = spark.read.parquet(s"$outDir/users.parquet")
-    val nHot = events.filter(col("user_id") === GenScale.HotUser).count()
+    val nHot = events.filter(col("user_id") === graft.bench.GenScale.HotUser).count()
     val nAll = events.count()
     println(f"[skew] events=$nAll hot=$nHot (${100.0 * nHot / nAll}%.1f%%), users=${users.count()}")
 
