@@ -378,20 +378,26 @@ object Bench {
       */
     val scaleTotals = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    /** `isolated`: after the in-suite passes, measure each query ONCE
-      * more in a FRESH JVM (benchOneProc → BenchOne child process) and
-      * record it as `"isolated"` beside the in-suite numbers, so the
-      * artifact of record carries BOTH the suite-ordering-inherited
-      * cost and the true standalone cost (r8 VERDICT #4: g6's 4.6 s
-      * isolated number previously existed only in subset runs no full
-      * artifact contained). r9 ADVICE: the first cut used an in-JVM
-      * restartSession, which resets Spark state but NOT megamorphic
-      * JIT profiles — that number overstated nothing about Spark and
-      * everything about the JVM, so the child process replaced it.
+    /** `freshPrimary` (r10 VERDICT #1): the section's PRIMARY numbers
+      * (`sec`/`min`/`runs_raw`/`exponent`) come from runsN FRESH-JVM
+      * child processes per query (benchOneProc → BenchOne: untimed
+      * warm run, then one timed run, in a JVM that has executed
+      * nothing else) — one JVM running 185 queries back-to-back
+      * megamorphizes the codegen call sites, so in-suite sf10 numbers
+      * measure JIT pollution, not the queries (r10: g6 72.6 s
+      * in-suite vs 9.6 s fresh; a real regression would be equally
+      * invisible). The in-suite interleaved passes are KEPT as the
+      * secondary `in_suite`/`in_suite_min`/`in_suite_raw` columns —
+      * they still witness suite-ordering/memory-pressure effects —
+      * and pollution flags arm on both arrays (`label:q` fresh,
+      * `label-insuite:q` in-suite). r9 ADVICE history: the first
+      * "isolated" cut used an in-JVM restartSession, which resets
+      * Spark state but NOT megamorphic JIT profiles; the child
+      * process replaced it, and this round it became the primary.
       */
     def scaleSection(label: String, envKey: String, default: String,
         replicas: Int, decades: Double, runsN: Int, queries: Seq[String],
-        interleave: Boolean = false, isolated: Boolean = false): String = {
+        interleave: Boolean = false, freshPrimary: Boolean = false): String = {
       val wanted = queries
         .filter(SparkEntry.queries.contains)
         .filter(name => only.forall(_.contains(name)))
@@ -432,28 +438,43 @@ object Bench {
           }
         }
         sample()
-        val isoByName = scala.collection.mutable.LinkedHashMap[String, Double]()
-        if (isolated) {
-          wanted.foreach { name =>
-            sample() // quiet-probe each isolated point so it is datable
-            isoByName(name) = benchOneProc(d, name)
+        val freshByName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+        if (freshPrimary) {
+          // runsN independent fresh-JVM points per query, interleaved
+          // across queries (pass-major) so no query's fresh runs sit
+          // in one thermal/page-cache neighborhood; probe before each
+          // pass dates any contention
+          wanted.foreach(freshByName(_) = Vector.empty)
+          for (_ <- 0 until runsN) {
+            sample()
+            wanted.foreach { name =>
+              val v = benchOneProc(d, name)
+              if (!v.isNaN) freshByName(name) ++= Vector(v)
+            }
           }
         }
         val entries = wanted.map { name =>
-          val ts = byName(name)
-          val t = median(ts)
+          val suite = byName(name)
+          val primary = if (freshPrimary) freshByName(name) else suite
+          val t = median(primary)
           val base = median(results.collectFirst { case (`name`, r) => r }.getOrElse(Nil))
           val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
                     else math.log10(t / base) / decades // ~1.0 = linear
-          if (polluted(ts)) spreadFlags += s"$label:$name"
-          val iso = isoByName.get(name)
-            .map(v => ",\"isolated\":" + jnum(v)).getOrElse("")
+          if (polluted(primary)) spreadFlags += s"$label:$name"
+          if (freshPrimary && polluted(suite)) spreadFlags += s"$label-insuite:$name"
+          val secondary = if (freshPrimary)
+            ",\"in_suite\":" + jnum(median(suite)) +
+            ",\"in_suite_min\":" + jnum(if (suite.isEmpty) Double.NaN else suite.min) +
+            ",\"in_suite_raw\":" + jarr(suite)
+          else ""
           "\"" + name + "\":{\"sec\":" + jnum(t) +
-            ",\"min\":" + jnum(if (ts.isEmpty) Double.NaN else ts.min) +
-            ",\"exponent\":" + jnum(exp) + iso +
-            ",\"runs_raw\":" + jarr(ts) + "}"
+            ",\"min\":" + jnum(if (primary.isEmpty) Double.NaN else primary.min) +
+            ",\"exponent\":" + jnum(exp) + secondary +
+            ",\"runs_raw\":" + jarr(primary) + "}"
         }
-        scaleTotals(label) = wanted.map(n => median(byName(n))).filterNot(_.isNaN).sum
+        scaleTotals(label) = wanted.map { n =>
+          median(if (freshPrimary) freshByName(n) else byName(n))
+        }.filterNot(_.isNaN).sum
         s""","$label":{"dir":"$d","runs":$runsN,"interleaved":$interleave,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
       }.getOrElse("")
     }
@@ -468,7 +489,7 @@ object Bench {
       "/root/repo/.data/sf1", bench.GenScale.Replicas, 1.0, scaleRuns, ScaleQueries)
     val sf10 = scaleSection("sf10", "SPARK_GRAFT_BENCH_SCALE10_DIR",
       "/root/repo/.data/sf10", 100, 2.0, scale10Runs, Scale10Queries,
-      interleave = true, isolated = true)
+      interleave = true, freshPrimary = true)
 
     // serialized AFTER the scale runs so their failures are recorded
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
