@@ -206,7 +206,7 @@ object SparkEntry {
     "s14_cos_calibration"     -> ((s: SparkSession, d: String) => Ann.cosCalibration(s, d)),
     "s9_mips_bruteforce"      -> ((s: SparkSession, d: String) => Ann.mipsTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
-    "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
+    "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopKAuto(s, d)),
     "s4_ann_pq"               -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     "s6_ann_filtered"         -> ((s: SparkSession, d: String) => Ann.filteredIvfTopK(s, d)),
     "s7_knn_join"             -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),

@@ -1102,6 +1102,38 @@ object Ann {
     */
   private val pqIndexReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val ivfIndexReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** s3 DRIVER surface: search the PERSISTED IVF index — the same
+    * build-once freshness-gate pattern as [[pqTopK]]/[[ivfPqTopK]]/
+    * [[graphSearchTopKAuto]] (r10 VERDICT: the s3 driver entry
+    * previously ran [[ivfTopK]], which trains the coarse quantizer
+    * IN-QUERY — three Lloyd's passes plus a full assignment on every
+    * execution; at 100 TB you build once and search many, so the
+    * benched cost was the build, not the search). First call per
+    * corpus builds [[buildIvfIndex]] at a deterministic scratch path;
+    * staleness (corpus count drift, torn/unreadable index) rebuilds;
+    * every later call loads the tiny centroid matrix and scans only
+    * the probed bucket PARTITIONS (pruning plan-asserted in AnnSpec).
+    */
+  def ivfTopKAuto(s: SparkSession, dir: String, k: Int = K): DataFrame = synchronized {
+    val indexPath = new java.io.File(
+      new java.io.File(sys.props("user.dir"), "target/fixtures"),
+      "graft_ivf_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (ivfIndexReady.get(dir) == null) {
+      // any failure reading the persisted corpus means NOT fresh —
+      // rebuild rather than surface an AnalysisException (s8's rule)
+      val fresh = new java.io.File(s"$indexPath/corpus/_SUCCESS").exists() &&
+        (try {
+          s.read.parquet(s"$indexPath/corpus").count() ==
+            Tables.embeddings(s, dir).select("vec_id").count()
+        } catch { case scala.util.control.NonFatal(_) => false })
+      if (!fresh) buildIvfIndex(s, dir, indexPath)
+      ivfIndexReady.put(dir, indexPath)
+    }
+    ivfTopKIndexed(s, dir, indexPath, k)
+  }
+
   /** Self-contained PQ ANN (s4 driver query): builds the index into a
     * per-sf scratch path once, then queries it. Build-once gate: the
     * codes write's _SUCCESS (Spark stamps it last, so a torn build

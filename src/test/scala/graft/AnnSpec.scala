@@ -353,6 +353,17 @@ class AnnSpec extends SparkSpec {
     assert(codeScans.nonEmpty && codeScans.forall(!_.contains("embedding")), plan)
   }
 
+  test("s3 driver surface searches the persisted IVF index and matches the in-query build") {
+    val ref = Ann.ivfTopK(spark, Sf).collect().map(_.toSeq).toSeq
+    val got = Ann.ivfTopKAuto(spark, Sf)
+    assert(got.collect().map(_.toSeq).toSeq == ref && ref.nonEmpty)
+    // the searched corpus scan prunes to the probed bucket partitions
+    val scan = got.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    // second call hits the build-once gate (no rebuild) and agrees
+    assert(Ann.ivfTopKAuto(spark, Sf).collect().map(_.toSeq).toSeq == ref)
+  }
+
   test("s5 wrapper: self-contained ivfPqTopK equals a fresh indexed query") {
     val idx = scratchDir("graft_ivfpq_ref")
     Ann.buildIvfPqIndex(spark, Sf, idx)
