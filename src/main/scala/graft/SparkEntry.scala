@@ -40,6 +40,8 @@ object SparkEntry {
     "g20_halo_slope"          -> GeoQueries.haloSlope _,
     "g21_compaction_plan"     -> ((s: SparkSession, d: String) =>
       GeoQueries.compactionPlan(s, d)),
+    "g34_compaction_apply"    -> ((s: SparkSession, d: String) =>
+      GeoQueries.compactionApply(s, d)),
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
@@ -983,6 +985,30 @@ object SparkEntry {
       |       sum(CASE WHEN size_bytes < 4000000 THEN 1 ELSE 0 END)::BIGINT AS n_small,
       |       min(tile_id) AS min_tile, max(tile_id) AS max_tile
       |FROM c GROUP BY 1 ORDER BY 1""").stripMargin,
+    // g34: the plan side over the sink's tile universe (tile_id < 500)
+    // joined to a generating-formula recomputation of the rows the
+    // compacted bytes must hold — a rewrite that loses or duplicates
+    // rows diverges n_rows/sum_elev here
+    "g34_compaction_apply" -> (raw"""
+      |WITH $TilesCte,
+      |c AS (SELECT tile_id, size_bytes,
+      |        sum(size_bytes) OVER (ORDER BY tile_id ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM keyed WHERE tile_id < 500),
+      |b AS (SELECT tile_id, size_bytes,
+      |        ((cum - size_bytes) // 67108864)::BIGINT AS bin_id FROM c),
+      |f AS (SELECT bin_id, count(*)::BIGINT AS n_files_before,
+      |        sum(size_bytes)::BIGINT AS bin_bytes,
+      |        min(tile_id) AS min_tile, max(tile_id) AS max_tile
+      |      FROM b GROUP BY 1),
+      |g AS (SELECT k.tile_id,
+      |        ((k.tile_id*131 + xs.x*17 + ys.y*29)%8848)::BIGINT AS elevation
+      |      FROM keyed k, generate_series(0,7) ys(y), generate_series(0,7) xs(x)
+      |      WHERE k.tile_id < 500),
+      |r AS (SELECT bin_id, count(*)::BIGINT AS n_rows,
+      |        sum(elevation)::BIGINT AS sum_elev
+      |      FROM g JOIN b USING (tile_id) GROUP BY 1)
+      |SELECT bin_id, n_files_before, bin_bytes, n_rows, sum_elev, min_tile, max_tile
+      |FROM f JOIN r USING (bin_id) ORDER BY bin_id""").stripMargin,
     "g20_halo_slope" -> (raw"""
       |WITH t AS (SELECT la.lat0 AS lat0, lo.lon0 AS lon0
       |  FROM generate_series(10,17) la(lat0), generate_series(20,27) lo(lon0)),

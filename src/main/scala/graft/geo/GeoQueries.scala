@@ -1028,6 +1028,86 @@ object GeoQueries {
       .orderBy(col("bin_id"))
   }
 
+  /** g34: COMPACTION EXECUTOR — g21's plan, executed (Delta OPTIMIZE's
+    * rewrite phase; the reference's file-per-tile layout, main.rs:
+    * 272-296, is exactly the small-files accumulation that forces it).
+    * Over the tiled sink (one parquet file per tile partition — the
+    * worst-case small-files layout), the planner assigns each tile to
+    * a ~`target`-byte bin on the deterministic cumulative-size line
+    * (g21's sharded two-pass prefix, restricted to the sink's tiles),
+    * and the executor REWRITES each bin's files into exactly one
+    * output file: read → broadcast-join the tile→bin map (manifest-
+    * sized) → hash-repartition by bin_id (all of a bin's rows land in
+    * one task) → partitionBy(bin_id) write, so each bin directory
+    * holds one file (byte-level asserted in GeoSinkSpec, with an
+    * exceptAll multiset-identity check both ways).
+    *
+    * The RETURNED manifest is the audit a lakehouse OPTIMIZE emits,
+    * with the row-preservation proof built into the oracle compare:
+    * per bin, the plan side (n_files_before, bin_bytes, tile range)
+    * joins the per-bin row count and elevation sum RE-READ FROM THE
+    * COMPACTED BYTES — a lost or duplicated row during the rewrite
+    * diverges n_rows/sum_elev from the DuckDB oracle's
+    * generating-formula recomputation and fails the hash gate.
+    *
+    * Scale shape: the manifest is distributed (sharded prefix, no
+    * global window); the rewrite is one shuffle of the data keyed by
+    * bin (the unavoidable move — compaction IS a rewrite), with
+    * map-side pruning to the planned bins only; nothing collects.
+    * At 100 TB the same job runs per partition-range slice, bins
+    * capped at `target`, and the atomic swap is the table-format
+    * commit (Delta/Iceberg log) this layout eventually forces.
+    */
+  def compactionApply(s: SparkSession, dir: String, target: Long = 67108864L,
+      shardWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fixture = Fixtures.ensureTiledSink(s, dir)
+    // plan: g21's binning, restricted to the sink's tile universe so
+    // the cumulative line matches the files actually rewritten
+    val files = tiles(s, dir).filter(col("tile_id") < Fixtures.TiledLimit)
+      .select(col("tile_id"), col("size_bytes"),
+        expr(s"tile_id div $shardWidth").as("shard"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("tile_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = files.withColumn("cum_local", sum(col("size_bytes")).over(wLocal))
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = files.groupBy(col("shard")).agg(sum(col("size_bytes")).as("sb"))
+      .withColumn("offset", coalesce(sum(col("sb")).over(wShard), lit(0L)))
+      .select(col("shard"), col("offset"))
+    val binned = graft.Caches.track(local.join(offsets, Seq("shard"))
+      .withColumn("bin_id", expr(s"(offset + cum_local - size_bytes) div $target"))
+      .select(col("tile_id"), col("size_bytes"), col("bin_id")))
+    // execute: rewrite each bin's files into one output file
+    val outPath = compactedPath(dir)
+    s.read.parquet(fixture)
+      .join(broadcast(binned.select(col("tile_id"), col("bin_id"))), Seq("tile_id"))
+      .repartition(col("bin_id"))
+      .write.mode("overwrite").option("compression", "snappy")
+      .partitionBy("bin_id").parquet(outPath)
+    // audit: plan side vs the compacted bytes, joined per bin
+    val before = binned.groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_files_before"),
+        sum(col("size_bytes")).as("bin_bytes"),
+        min(col("tile_id")).as("min_tile"),
+        max(col("tile_id")).as("max_tile"))
+    val after = s.read.parquet(outPath).groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("elevation").cast("long")).as("sum_elev"))
+    before.join(after, Seq("bin_id"))
+      .select(col("bin_id").cast("long").as("bin_id"), col("n_files_before"),
+        col("bin_bytes"), col("n_rows"), col("sum_elev"),
+        col("min_tile"), col("max_tile"))
+      .orderBy(col("bin_id"))
+  }
+
+  /** The compacted dir [[compactionApply]] writes for `dir` — shared
+    * with GeoSinkSpec's byte-level assertions.
+    */
+  private[graft] def compactedPath(dir: String): String = new java.io.File(
+    new java.io.File(sys.props("user.dir"), "target/fixtures"),
+    "graft_compacted_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
   /** g28: CONTOUR-CROSSING census — the `gdal_contour` product
     * re-expressed as the statistic a raster pipeline actually rolls
     * up (total contour-segment count per level = the marching-squares

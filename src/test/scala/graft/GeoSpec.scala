@@ -90,6 +90,40 @@ class GeoSpec extends SparkSpec {
     assert(one.count() == 64)
   }
 
+  test("g34: compaction rewrites each bin into ONE file; row multiset preserved both ways") {
+    val manifest = graft.geo.GeoQueries.compactionApply(spark, Sf).collect()
+    assert(manifest.nonEmpty)
+    val fixture = graft.geo.Fixtures.ensureTiledSink(spark, Sf)
+    val outPath = graft.geo.GeoQueries.compactedPath(Sf)
+    def parquets(d: java.io.File): Seq[java.io.File] =
+      if (!d.isDirectory) Nil
+      else d.listFiles().toSeq.flatMap(f =>
+        if (f.isDirectory) parquets(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    // byte level: each bin directory holds exactly one parquet file
+    val binDirs = new java.io.File(outPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bin_id="))
+    assert(binDirs.length == manifest.length, s"${binDirs.length} bin dirs vs ${manifest.length} manifest rows")
+    binDirs.foreach { d =>
+      val fs = parquets(d)
+      assert(fs.length == 1, s"${d.getName}: ${fs.length} files")
+    }
+    // compaction compacted: strictly fewer files than the per-tile sink
+    val beforeFiles = parquets(new java.io.File(fixture)).length
+    assert(binDirs.length < beforeFiles,
+      s"after ${binDirs.length} !< before $beforeFiles")
+    assert(beforeFiles.toLong == manifest.map(_.getAs[Long]("n_files_before")).sum)
+    // multiset identity both ways on full rows
+    val src = spark.read.parquet(fixture)
+      .select(col("tile_id"), col("lon"), col("lat"), col("elevation"),
+        col("tile_key").cast("string"))
+    val cmp = spark.read.parquet(outPath)
+      .select(col("tile_id"), col("lon"), col("lat"), col("elevation"),
+        col("tile_key").cast("string"))
+    assert(src.exceptAll(cmp).isEmpty && cmp.exceptAll(src).isEmpty)
+    graft.Caches.clear()
+  }
+
   test("Cli.run writes a tiled parquet dataset filtered to the set") {
     val out = scratchDir("graft_cli")
     val n = Cli.run(spark, Sf, out, "europe")
