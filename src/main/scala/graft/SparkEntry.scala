@@ -42,6 +42,7 @@ object SparkEntry {
       GeoQueries.compactionPlan(s, d)),
     "g34_compaction_apply"    -> ((s: SparkSession, d: String) =>
       GeoQueries.compactionApply(s, d)),
+    "g35_raster_tiff_zstdbig" -> GeoQueries.rasterIngestTiffZstdBig _,
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
@@ -427,6 +428,19 @@ object SparkEntry {
       |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
       |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
       |FROM grid WHERE tile_id < 50
+      |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    // g35: same formula recomputation as g10 — the five ZSTD/BigTIFF
+    // layouts must decode to the identical pixel census
+    "g35_raster_tiff_zstdbig" -> raw"""
+      |WITH $TilesCte,
+      |grid2 AS (
+      |  SELECT tile_id, tile_key, lat0, lon0,
+      |         ((tile_id*131 + xs.x*17 + ys.y*29)%8848)::INT AS elevation
+      |  FROM keyed, generate_series(0,23) ys(y), generate_series(0,23) xs(x))
+      |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
+      |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
+      |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
+      |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     "g10_raster_tiff_deflate" -> raw"""
       |WITH $TilesCte,

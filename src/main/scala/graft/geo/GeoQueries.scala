@@ -185,6 +185,42 @@ object GeoQueries {
       .orderBy(col("tile_id"))
   }
 
+  /** g35: raster ingestion from ZSTD-compressed and BIGTIFF rasters —
+    * the first formats a user pointing the engine at arbitrary modern
+    * GeoTIFFs hits beyond g9/g10/g12/g13/g27's coverage (r10 VERDICT
+    * missing #2): ZSTD (compression 50000, GDAL's increasingly-default
+    * codec; decoded via the zstd-jni Spark already ships) and BigTIFF
+    * containers (magic 43, 64-bit offsets, 20-byte IFD entries, LONG8
+    * layout arrays — what GDAL switches to past 4 GB). The fixture
+    * cycles five layouts through ONE scan (classic ZSTD striped/
+    * striped-Int16-predictor2/tiled-BE, BigTIFF uncompressed, BigTIFF
+    * ZSTD predictor 2); same plan shape as g10: per-file decode +
+    * explode, one grouped agg, broadcast tile-universe join.
+    */
+  def rasterIngestTiffZstdBig(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val fixture = Fixtures.ensureTiffsZstdBig(s, dir)
+    val decoded = s.read.format("binaryFile").option("pathGlobFilter", "*.tif").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.tiff_decode(col("content")).as("r"))
+      .select(col("tile_key"),
+        (col("r.width") === Fixtures.GridN2 && col("r.height") === Fixtures.GridN2).as("dims_ok"),
+        explode(col("r.points")).as("p"))
+      .groupBy(col("tile_key"), col("dims_ok"))
+      .agg(count(lit(1)).as("n_pixels"),
+        min(col("p.elevation")).as("min_elev"),
+        max(col("p.elevation")).as("max_elev"),
+        e6(avg(col("p.elevation"))).as("avg_elev_e6"),
+        sum(col("p.elevation")).as("sum_elev"))
+    tiles(s, dir).filter(col("tile_id") < Fixtures.RasterLimit)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"))
+      .join(decoded, Seq("tile_key"))
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        col("dims_ok"), col("n_pixels"), col("min_elev"), col("max_elev"),
+        col("avg_elev_e6"), col("sum_elev"))
+      .orderBy(col("tile_id"))
+  }
+
   /** g27: raster ingestion from PackBits-compressed and FLOAT32-band
     * TIFFs — the two remaining common-in-the-wild layouts after
     * g9/g10/g12/g13 (r8 VERDICT missing #3): PackBits (compression

@@ -339,8 +339,11 @@ case class RasterDecode(child: Expression)
   * 16- or 32-bit integer sample per pixel (real AW3D30 DSM tiles
   * ship Int16 — the reference widens to i32 at read time, as does
   * this decoder's int32 elevation band), STRIPED or TILED (tags
-  * 322-325), uncompressed or DEFLATE (Compression=8, zlib via
-  * `java.util.zip.Inflater`), with optional horizontal-differencing
+  * 322-325), uncompressed, DEFLATE (Compression=8, zlib via
+  * `java.util.zip.Inflater`), LZW, PackBits, or ZSTD (50000, via the
+  * zstd-jni Spark ships), in CLASSIC or BIGTIFF (magic 43, 64-bit
+  * offsets, 20-byte IFD entries, LONG8 values) containers, with
+  * optional horizontal-differencing
   * predictor (tag 317 = 2) — the layout real AW3D30 GeoTIFFs actually
   * ship (GDAL writes them DEFLATE-compressed). A REAL TIFF parser,
   * not a fixture-shaped one: it honors either byte order ("II"/"MM"),
@@ -400,6 +403,7 @@ case class TiffDecode(child: Expression)
   private final val TypeShort = 3
   private final val TypeLong = 4
   private final val TypeDouble = 12
+  private final val TypeLong8 = 16 // BigTIFF 64-bit unsigned
 
   override def nullSafeEval(in: Any): Any = {
     val bytes = in.asInstanceOf[Array[Byte]]
@@ -409,43 +413,78 @@ case class TiffDecode(child: Expression)
       else if (bytes(0) == 'M' && bytes(1) == 'M') java.nio.ByteOrder.BIG_ENDIAN
       else return null
     val buf = java.nio.ByteBuffer.wrap(bytes).order(order)
-    if (buf.getShort(2) != 42) return null
-    val ifd = buf.getInt(4)
-    if (ifd < 8 || ifd + 2 > bytes.length) return null
-    val n = buf.getShort(ifd) & 0xFFFF
-    if (ifd + 2 + n * 12 > bytes.length) return null
+    // classic (magic 42, 4-byte offsets) or BigTIFF (magic 43, 8-byte
+    // offsets — what GDAL switches to past 4 GB; mosaic-scale rasters
+    // exceed classic TIFF's 32-bit addressing). Payloads here are
+    // bounded by the pixel cap below, so every validated 64-bit
+    // offset must also fit an int.
+    val magic = buf.getShort(2)
+    val isBig = magic == 43
+    if (magic != 42 && !isBig) return null
+    // format parameters: entry count, entries base, entry stride,
+    // inline-value capacity, value-field offset within an entry
+    val (nEntries, entriesBase, entryStride, inlineMax, valueField) =
+      if (isBig) {
+        if (bytes.length < 24) return null
+        // bytesize-of-offsets must be 8, the reserved word 0
+        if (buf.getShort(4) != 8 || buf.getShort(6) != 0) return null
+        val ifd0 = buf.getLong(8)
+        if (ifd0 < 16 || ifd0 + 8 > bytes.length) return null
+        val cnt = buf.getLong(ifd0.toInt)
+        if (cnt <= 0 || cnt > 65536) return null
+        if (ifd0 + 8 + cnt * 20 > bytes.length) return null
+        (cnt.toInt, ifd0.toInt + 8, 20, 8L, 12)
+      } else {
+        val ifd0 = buf.getInt(4)
+        if (ifd0 < 8 || ifd0 + 2 > bytes.length) return null
+        val cnt = buf.getShort(ifd0) & 0xFFFF
+        if (ifd0 + 2 + cnt * 12 > bytes.length) return null
+        (cnt, ifd0 + 2, 12, 4L, 8)
+      }
 
-    // tag -> position of its 12-byte IFD entry
+    // tag -> position of its IFD entry
     var entryPos = Map.empty[Int, Int]
     var i = 0
-    while (i < n) {
-      val p = ifd + 2 + i * 12
+    while (i < nEntries) {
+      val p = entriesBase + i * entryStride
       entryPos += ((buf.getShort(p) & 0xFFFF) -> p)
       i += 1
     }
 
-    /** All values of a SHORT/LONG tag, resolving inline vs offset
-      * storage by the spec's fits-in-4-bytes rule.
+    /** An entry's element count (4-byte classic, 8-byte BigTIFF). */
+    def entryCount(p: Int): Long =
+      if (isBig) buf.getLong(p + 4) else buf.getInt(p + 4) & 0xFFFFFFFFL
+
+    /** An entry's offset field at the format's width. */
+    def entryOffset(p: Int): Long =
+      if (isBig) buf.getLong(p + valueField)
+      else buf.getInt(p + valueField) & 0xFFFFFFFFL
+
+    /** All values of a SHORT/LONG (/BigTIFF LONG8) tag, resolving
+      * inline vs offset storage by the spec's fits-in-inlineMax rule
+      * (4 bytes classic, 8 BigTIFF).
       */
     def values(tag: Int): Option[Array[Long]] = entryPos.get(tag).flatMap { p =>
       val typ = buf.getShort(p + 2) & 0xFFFF
-      val count = buf.getInt(p + 4)
+      val count = entryCount(p)
       val elemSize = typ match {
         case TypeShort => 2
         case TypeLong => 4
+        case TypeLong8 if isBig => 8
         case _ => return None
       }
       if (count < 0 || count > 65536) return None
       val base =
-        if (elemSize.toLong * count <= 4) p + 8
+        if (elemSize.toLong * count <= inlineMax) p + valueField
         else {
-          val off = buf.getInt(p + 8)
-          if (off < 0 || off + elemSize.toLong * count > bytes.length) return None
-          off
+          val off = entryOffset(p)
+          if (off < 0 || off + elemSize * count > bytes.length) return None
+          off.toInt
         }
-      Some(Array.tabulate(count) { j =>
+      Some(Array.tabulate(count.toInt) { j =>
         if (elemSize == 2) (buf.getShort(base + 2 * j) & 0xFFFF).toLong
-        else buf.getInt(base + 4 * j) & 0xFFFFFFFFL
+        else if (elemSize == 4) buf.getInt(base + 4 * j) & 0xFFFFFFFFL
+        else buf.getLong(base + 8 * j)
       })
     }
     def scalar(tag: Int): Option[Long] = values(tag).collect { case a if a.length == 1 => a(0) }
@@ -455,29 +494,35 @@ case class TiffDecode(child: Expression)
       */
     def ascii(tag: Int): Option[String] = entryPos.get(tag).flatMap { p =>
       if ((buf.getShort(p + 2) & 0xFFFF) != TypeAscii) return None
-      val count = buf.getInt(p + 4)
+      val count = entryCount(p)
       if (count <= 0 || count > 256) return None
       val base =
-        if (count <= 4) p + 8
+        if (count <= inlineMax) p + valueField
         else {
-          val off = buf.getInt(p + 8)
-          if (off < 0 || off.toLong + count > bytes.length) return None
-          off
+          val off = entryOffset(p)
+          if (off < 0 || off + count > bytes.length) return None
+          off.toInt
         }
-      Some(new String(bytes, base, count, java.nio.charset.StandardCharsets.US_ASCII)
+      Some(new String(bytes, base, count.toInt, java.nio.charset.StandardCharsets.US_ASCII)
         .takeWhile(_ != '\u0000').trim)
     }
 
-    /** All values of a DOUBLE tag (8-byte elements — by the
-      * fits-in-4 rule these are always offset-stored).
+    /** All values of a DOUBLE tag (8-byte elements — offset-stored in
+      * classic TIFF by the fits-in-4 rule; a SINGLE double is inline
+      * in BigTIFF's 8-byte value field).
       */
     def doubles(tag: Int): Option[Array[Double]] = entryPos.get(tag).flatMap { p =>
       if ((buf.getShort(p + 2) & 0xFFFF) != TypeDouble) return None
-      val count = buf.getInt(p + 4)
+      val count = entryCount(p)
       if (count <= 0 || count > 1024) return None
-      val off = buf.getInt(p + 8)
-      if (off < 0 || off.toLong + 8L * count > bytes.length) return None
-      Some(Array.tabulate(count)(j => buf.getDouble(off + 8 * j)))
+      val base =
+        if (8L * count <= inlineMax) p + valueField
+        else {
+          val off = entryOffset(p)
+          if (off < 0 || off + 8L * count > bytes.length) return None
+          off.toInt
+        }
+      Some(Array.tabulate(count.toInt)(j => buf.getDouble(base + 8 * j)))
     }
 
     // ModelPixelScale must be the spec's 3-vector; ModelTiepoint is
@@ -508,11 +553,13 @@ case class TiffDecode(child: Expression)
     // any array is sized from attacker-controlled dims.
     if (width.toLong * height > (1L << 24)) return null
     // subset gate: single-band signed 16/32-bit (or IEEE float32)
-    // samples; compression none (1), LZW (5), DEFLATE (8), or
-    // PackBits (32773 — the byte-RLE every baseline reader must speak)
+    // samples; compression none (1), LZW (5), DEFLATE (8), PackBits
+    // (32773 — the byte-RLE every baseline reader must speak), or
+    // ZSTD (50000 — GDAL's registered code, the default modern
+    // writers increasingly emit)
     val compression = scalar(259).getOrElse(1L)
     if (compression != 1L && compression != 5L && compression != 8L &&
-      compression != 32773L) return null
+      compression != 32773L && compression != 50000L) return null
     val bits = scalar(258).getOrElse(return null)
     if (bits != 16L && bits != 32L) return null
     // bytes per stored sample; Int16 (the real AW3D30 DSM sample
@@ -576,6 +623,18 @@ case class TiffDecode(child: Expression)
         while (ip < end && bytes(ip) == -128) ip += 1
         if (ip != end) return null
         out
+      } else if (compression == 50000L) {
+        // ZSTD via the zstd-jni Spark already ships for shuffle
+        // compression: single-shot decompress into the layout-implied
+        // buffer; must produce EXACTLY expectedLen (same discipline
+        // as DEFLATE), errors/overruns null out, never throw
+        try {
+          val out = new Array[Byte](expectedLen)
+          val rc = com.github.luben.zstd.Zstd.decompressByteArray(
+            out, 0, expectedLen, bytes, off.toInt, len.toInt)
+          if (com.github.luben.zstd.Zstd.isError(rc) || rc != expectedLen) null
+          else out
+        } catch { case scala.util.control.NonFatal(_) => null }
       } else {
         val inf = new java.util.zip.Inflater()
         try {
@@ -652,6 +711,10 @@ case class TiffDecode(child: Expression)
          // Gated with slack.
          else if (compression == 5L) decodedTotal <= claimed * 3700L
          else if (compression == 32773L) decodedTotal <= claimed * 70L
+         // ZSTD's RLE block emits up to 128 KB from a ~4-byte block
+         // (~32768x); gated with slack — the pixel cap above already
+         // bounds any single allocation at 64 MB
+         else if (compression == 50000L) decodedTotal <= claimed * 40000L
          else decodedTotal <= claimed * 1100L)
     }
 

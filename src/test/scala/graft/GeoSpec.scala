@@ -518,6 +518,65 @@ class GeoSpec extends SparkSpec {
     assert(p00.getInt(2) == 123, "float band must truncate toward zero")
   }
 
+  test("g35: ZSTD + BigTIFF layouts decode exactly; fuzz never throws") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    val n = graft.geo.Fixtures.GridN2
+    def pix(id: Int, x: Int, y: Int): Int = ((id.toLong * 131 + x * 17 + y * 29) % 8848).toInt
+    // all five fixture layouts round-trip pixel-exactly
+    val layouts: Seq[(String, Array[Byte])] = Seq(
+      "zstd-i32" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, zstd = true),
+      "zstd-i16-pred2" -> graft.geo.Fixtures.tiffBytesDeflate(9,
+        compress = false, zstd = true, bits = 16),
+      "zstd-tiled-be" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, zstd = true, tiled = true,
+        order = java.nio.ByteOrder.BIG_ENDIAN),
+      "bigtiff-raw" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, bigTiff = true),
+      "bigtiff-zstd-pred2" -> graft.geo.Fixtures.tiffBytesDeflate(9,
+        compress = false, zstd = true, bigTiff = true))
+    layouts.foreach { case (label, bytes) =>
+      val row = expr.eval(InternalRow(bytes)).asInstanceOf[InternalRow]
+      assert(row != null, label)
+      assert(row.getInt(0) == n && row.getInt(1) == n, label)
+      val pts = row.getArray(2)
+      assert(pts.numElements() == n * n, label)
+      (0 until pts.numElements()).foreach { i =>
+        val p = pts.getStruct(i, 3)
+        assert(p.getInt(2) == pix(9, p.getInt(0), p.getInt(1)),
+          s"$label (${p.getInt(0)},${p.getInt(1)})")
+      }
+    }
+    // the BigTIFF container genuinely carries the 43 magic and LONG8
+    // layout arrays — the writer isn't quietly emitting classic TIFF
+    val big = layouts.find(_._1 == "bigtiff-raw").get._2
+    val bb = java.nio.ByteBuffer.wrap(big).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getShort(2) == 43 && bb.getShort(4) == 8 && bb.getShort(6) == 0)
+    // fuzz: truncations + byte flips of both a zstd and a BigTIFF
+    // container never throw (extends the g10/g13/g27 fuzz families)
+    val rnd = new scala.util.Random(47)
+    Seq(layouts.head._2, big, layouts.last._2).foreach { base =>
+      val mutants =
+        (0 until base.length by 7).map(base.take(_)) ++
+        (1 to 300).map { _ =>
+          val m = base.clone()
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          m
+        }
+      mutants.foreach { m =>
+        val out = expr.eval(InternalRow(m))
+        assert(out == null || out.isInstanceOf[InternalRow])
+      }
+    }
+    // a zstd bomb-shaped claim fails the backed() gate instead of
+    // allocating: truncate the segment bytes but leave dims in place
+    val bombish = layouts.head._2.take(200)
+    assert(expr.eval(InternalRow(bombish)) == null)
+  }
+
   test("g28: contour crossings re-derive from an independent JVM sweep") {
     val n = graft.geo.Fixtures.GridN
     def elev(t: Long, x: Int, y: Int): Long = Math.floorMod(t * 131 + x * 17 + y * 29, 8848)
