@@ -108,6 +108,8 @@ object SparkEntry {
     "q67_returned_topk"       -> ((s: SparkSession, d: String) =>
       Relational.q67ReturnedTopK(s, d)),
     "q68_abc_classes"         -> Relational.q68AbcClasses _,
+    "q69_skew_join"           -> ((s: SparkSession, d: String) =>
+      Relational.q69SkewJoin(s, d)),
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1572,6 +1574,18 @@ object SparkEntry {
       |          JOIN fq ON base.freq = fq.v
       |          JOIN mq ON base.mon = mq.v
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q69: the ORACLE is the plain equi-join — the salted execution
+    // must be row-identical to it, which is the whole point
+    "q69_skew_join" -> raw"""
+      |WITH f AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+      |                       ELSE l_suppkey END AS sk,
+      |    round(l_extendedprice*(1-l_discount)*100)::BIGINT AS cents
+      |  FROM lineitem),
+      |d AS (SELECT s_suppkey AS sk, s_nationkey AS nk FROM supplier
+      |      UNION ALL SELECT 0, -1)
+      |SELECT nk::BIGINT AS nation_key, sum(cents)::BIGINT AS revenue_cents,
+      |  count(*)::BIGINT AS n_lines
+      |FROM f JOIN d USING (sk) GROUP BY 1 ORDER BY 1""".stripMargin,
     // q68: cumulative line over value-collapsed revenue DESC; class
     // boundaries cross-multiplied; share via HUGEINT
     "q68_abc_classes" -> raw"""

@@ -1968,6 +1968,60 @@ object Relational {
       .orderBy(col("abc"))
   }
 
+  /** q69: SKEW-SAFE fact-dim join — the #1 production incident shape
+    * at 100 TB made a first-class, oracle-checked operator (r10
+    * VERDICT #6: the suite measured skew in probes but never exercised
+    * a skewed join end-to-end). The fact side is DELIBERATELY skewed
+    * the way real facts are: rows whose supplier is unresolved
+    * collapse to the sentinel key 0 (the null-like default-key
+    * pattern), putting ~75% of the corpus on ONE join key — the
+    * single-reducer straggler AQE's skew split cannot always save
+    * (it needs the skew to materialize as oversized shuffle blocks
+    * AFTER partial aggregation; a hot KEY inside a well-sized
+    * partition sails through). The join runs through
+    * [[Joins.saltedJoin]]: a DETERMINISTIC per-row salt spreads the
+    * hot key over 16 reducers, the dim replicates per salt, and the
+    * result is row-identical to the plain equi-join — which is
+    * exactly what the DuckDB oracle states (plain join), so the hash
+    * gate proves the salting is semantics-free. PlanSpec asserts the
+    * skew path actually fired: with auto-broadcast off, the join
+    * keys carry `_salt` beside the natural key, and JoinsSpec
+    * demonstrates the AQE alternative (OptimizeSkewedJoin marks the
+    * plain join under lowered thresholds) against the same frame.
+    *
+    * Scale shape: salt ∝ hot-key row share × reducer target; the dim
+    * exchange moves only pre-replication rows (TrySkew's straggler
+    * fix); the rollup output is nations+1 rows.
+    */
+  def q69SkewJoin(s: SparkSession, dir: String, salt: Int = 16): DataFrame = {
+    val fact = skewedFact(s, dir)
+    val dim = skewedDim(s, dir)
+    Joins.saltedJoin(fact, dim, "sk", salt,
+      saltCols = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("nk"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+      .select(col("nk").as("nation_key"), col("revenue_cents"), col("n_lines"))
+      .orderBy(col("nation_key"))
+  }
+
+  /** q69's deliberately skewed fact: ~75% of lines collapse to the
+    * sentinel supplier key 0 (shared with JoinsSpec's AQE twin).
+    */
+  private[graft] def skewedFact(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      when(pmod(col("l_orderkey"), lit(4)) =!= 0, 0L)
+        .otherwise(col("l_suppkey")).as("sk"),
+      cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+
+  /** q69's dim: supplier→nation plus the sentinel row (0, -1). */
+  private[graft] def skewedDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"))
+      .unionByName(Seq((0L, -1L)).toDF("sk", "nk"))
+  }
+
   def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {
     val iv = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"),
       datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("st"),

@@ -17,6 +17,43 @@ class JoinsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("q69: AQE skew split marks the PLAIN join under lowered thresholds; results match the salted form") {
+    // the AQE alternative to q69's salted path: same skewed frame,
+    // plain shuffle join, skew thresholds lowered to fixture scale —
+    // OptimizeSkewedJoin must mark the join (skew=true) and the
+    // result must equal the salted execution (both equal the oracle)
+    // thresholds scaled to the fixture corpus; the fact repartitions
+    // to 16 map tasks first — AQE splits a skewed REDUCE partition at
+    // map-output-block granularity, so a single-file fixture scan
+    // (one mapper) is structurally unsplittable however skewed the
+    // key is. At 100 TB the mapper count is never the binding side.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1k",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).getOrElse(null) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = graft.operators.Relational.skewedFact(spark, Sf)
+      val dim = graft.operators.Relational.skewedDim(spark, Sf)
+      val plain = fact.repartition(16, col("l_orderkey")).join(dim, "sk")
+        .groupBy(col("nk")).agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+      plain.collect() // materialize so AQE finalizes the plan
+      val executed = plain.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true"),
+        s"AQE skew split did not fire:\n$executed")
+      val salted = graft.operators.Relational.q69SkewJoin(spark, Sf)
+        .select(col("nation_key").as("nk"), col("revenue_cents"), col("n_lines"))
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    } finally prev.foreach { case (k, v) =>
+      if (v == null) spark.conf.unset(k) else spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity")
     val o  = Tables.orders(spark, Sf).select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))

@@ -105,6 +105,23 @@ class PlanSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("q69: the salted skew path fires — join keys carry _salt, fact never broadcasts") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = formatted(Relational.q69SkewJoin(spark, Sf))
+      // the equi-join must key on (sk, _salt) — the hot key's rows
+      // spread over salt reducers instead of one (formatted mode puts
+      // join keys in the details section's "keys" lines)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      val keyLine = p.linesIterator.find(l =>
+        l.contains("keys") && l.contains("_salt")).getOrElse("")
+      assert(keyLine.contains("sk#") && keyLine.contains("_salt"),
+        s"no (sk, _salt) join keys in:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q29: unpivot lowers to an in-place Expand, no extra shuffle or join") {
     val p = formatted(Relational.q29Unpivot(spark, Sf))
     assert(p.contains("Expand"))
