@@ -593,6 +593,35 @@ object EventStreams {
         unix_timestamp(col("c.ts")).as("click_epoch"))
   }
 
+  /** FULL-OUTER stream-stream interval join — the fourth member of
+    * the join family (inner / left-outer / left-semi above): both
+    * unmatched sides surface. Unmatched CLICKS are the abandonment
+    * rows the left-outer form already emits; unmatched PURCHASES are
+    * the inventory-side attribution gap — conversions with no
+    * preceding click (direct traffic, lost click events, bot
+    * purchases), which a revenue-reconciliation pipeline needs to
+    * account for every sale. Each side's null-padded row emits once
+    * the watermark passes ITS join horizon (clicks: ts + window +
+    * delay; purchases: ts + delay — a purchase's candidate clicks
+    * precede it by at most the window, so its horizon closes with the
+    * click watermark); state stays bounded exactly as in the inner
+    * form, outer rows emitting at eviction.
+    */
+  def clickPurchaseJoinFull(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    c.join(p,
+        expr(s"""c.user_id = p.user_id AND
+                 |p.ts >= c.ts AND
+                 |p.ts <= c.ts + INTERVAL $windowMinutes minutes""".stripMargin),
+        "full_outer")
+      .select(coalesce(col("c.user_id"), col("p.user_id")).as("user_id"),
+        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        unix_timestamp(col("c.ts")).as("click_epoch"),
+        unix_timestamp(col("p.ts")).as("purchase_epoch"))
+  }
+
   /** STREAM-STATIC enrichment join: every micro-batch of events joins
     * against a static dimension snapshot under an explicit broadcast —
     * the most common production streaming shape (fact stream ×

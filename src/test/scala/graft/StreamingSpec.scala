@@ -641,6 +641,45 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 1L && p._2 == -1L)) // matched click has no null row
   }
 
+  test("full-outer interval join surfaces unmatched rows from BOTH sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.clickPurchaseJoinFull(
+        clicks.toDF().toDF("event_id", "ts", "user_id"),
+        purchases.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("attr_full").start()
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L), // converts (101)
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L), // no purchase in window
+      (3L, Timestamp.valueOf("2024-01-01 10:00:00"), 8L)) // user never purchases
+    purchases.addData(
+      (101L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L), // the conversion
+      (103L, Timestamp.valueOf("2024-01-01 10:10:00"), 9L), // user never clicked
+      (104L, Timestamp.valueOf("2024-01-01 09:00:00"), 7L)) // precedes every click
+    q.processAllAvailable()
+    // advance BOTH watermarks far past every row's join horizon so
+    // unmatched state on both sides evicts and null-pads
+    clicks.addData((90L, Timestamp.valueOf("2024-01-02 10:00:00"), 17L))
+    purchases.addData((190L, Timestamp.valueOf("2024-01-02 10:00:00"), 19L))
+    q.processAllAvailable()
+    clicks.addData((91L, Timestamp.valueOf("2024-01-02 12:00:00"), 17L))
+    purchases.addData((191L, Timestamp.valueOf("2024-01-02 12:00:00"), 19L))
+    q.processAllAvailable()
+    val got = spark.table("attr_full")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(got.contains((1L, 101L)))  // the conversion, matched once
+    assert(got.contains((2L, -1L)))   // unmatched click: in-window purchase absent
+    assert(got.contains((3L, -1L)))   // unmatched click: user never purchased
+    assert(got.contains((-1L, 103L))) // unmatched purchase: user never clicked
+    assert(got.contains((-1L, 104L))) // unmatched purchase: precedes every click
+    // matched rows never ALSO emit null-padded
+    assert(!got.contains((1L, -1L)) && !got.contains((-1L, 101L)))
+  }
+
   test("streaming near-dup emits exactly the batch d2 pair set on the same corpus") {
     import graft.streaming.DocEvent
     import graft.operators.Dedup
