@@ -44,40 +44,53 @@ object Curation {
     val hot = h.select(explode(array_distinct(col("hs"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col("g"))
-    // pass 2 — string verify, but ONLY for HOT WINDOWS (r7; previously
-    // all windows of any doc containing ≥1 hot hash — on a corpus
-    // where most docs share some boilerplate that candidate set is
-    // nearly the whole corpus and the span-string shuffle + group-by
-    // dominates the query: at the 100× proxy, ~4 GB shuffled and
-    // ~19 GB spilled). Each doc re-attaches its hot-hash set (8-byte
-    // longs, shuffle stays skinny) and keeps only windows whose
-    // in-place xxhash64 is a member — sound because a span in ≥2 docs
-    // necessarily has a hot hash, so the filter can never drop a true
-    // repeat; `xxhash64(span)` and the GramHashes kernel hash the same
-    // bytes with the same seed (identity asserted in ExprSpec). The
-    // exact string group-by still removes hash-collision false
-    // positives — the candidates→verify discipline is unchanged, the
-    // candidate set is just windows-that-can-win instead of
-    // docs-that-might-contain-one.
+    // pass 2 — verify on a 128-BIT HASH PAIR, strings materialized
+    // ONCE PER GROUP (r10 VERDICT #2; the previous form substr'd and
+    // shuffled EVERY surviving occurrence's 50-char string into the
+    // exact group-by — on the pathologically repetitive 100× proxy,
+    // 44M string allocations + a multi-GB string shuffle dominated
+    // the query). Each doc re-attaches its hot-hash set (8-byte
+    // longs, shuffle stays skinny) and keeps only window OFFSETS
+    // whose in-place xxhash64 is a member — sound because a span in
+    // ≥2 docs necessarily has a hot hash, so the filter can never
+    // drop a true repeat. Surviving offsets emit (h1, h2, doc, off)
+    // — h2 is the SECOND independent positional hash (seed 1337), so
+    // grouping on (h1, h2) is span identity up to a 128-bit
+    // collision, P ≈ windows²/2^129 — the same bound the d2 family
+    // keys and featureHashes64 verify representation already accept.
+    // Both groupBys are map-side combinable (a doc's occurrences sit
+    // in one task), so the shuffle carries ~per-doc-distinct 24-byte
+    // rows, never strings; each group's span string is built by ONE
+    // substr from its representative (min (doc, off)) occurrence.
     val hotPerDoc = h.select(col("doc_id"), explode(array_distinct(col("hs"))).as("g"))
       .join(hot, "g")
       .groupBy(col("doc_id")).agg(collect_set(col("g")).as("hotg"))
-    // (offset, hash) discipline (r8 VERDICT #9): filter window
-    // OFFSETS by hot-hash membership on the positional hash array —
-    // long compares, zero string allocation — and substr ONLY the
-    // surviving offsets. The previous form materialized EVERY window
-    // string (≈ width × doc bytes of garbage per doc) before
-    // filtering; gc was 13.2 s of a 4.8 s sf0.1 wall.
-    h.join(hotPerDoc, "doc_id")
-      .select(col("doc_id"), explode(array_distinct(
+    val h2 = ArrayExprs.char_gram_hashes_pos_seeded(col("nrm"), width, 1337L)
+    val occ = h.join(hotPerDoc, "doc_id")
+      .select(col("doc_id"), explode(
         transform(
           filter(sequence(lit(1), size(col("hs"))),
             i => array_contains(col("hotg"), element_at(col("hs"), i))),
-          i => col("nrm").substr(i, lit(width))))).as("span"))
-      .groupBy(col("span"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"))
-      .filter(col("n_docs") >= 2) // removes xxhash64-collision candidates
+          i => struct(element_at(col("hs"), i).as("h1"),
+            element_at(h2, i).as("h2"), i.as("off")))).as("w"))
+      .select(col("doc_id"), col("w.h1").as("h1"), col("w.h2").as("h2"),
+        col("w.off").as("off"))
+    // per-doc distinct (bounds a doc's contribution to any span at
+    // one, as array_distinct did for strings), keeping the first
+    // offset as the doc's occurrence
+    val perDoc = occ.groupBy(col("doc_id"), col("h1"), col("h2"))
+      .agg(min(col("off")).as("off"))
+    val groups = perDoc.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        min(struct(col("doc_id"), col("off"))).as("rep"))
+      .filter(col("n_docs") >= 2) // removes single-seed-collision candidates
+    // one substr per GROUP: the representative is min (doc, off), so
+    // rep.doc_id == min_doc and the attach is a skinny equi-join
+    groups.join(h.select(col("doc_id").as("rep_doc"), col("nrm")),
+        col("rep.doc_id") === col("rep_doc"))
+      .select(col("nrm").substr(col("rep.off"), lit(width)).as("span"),
+        col("n_docs"), col("min_doc"), col("max_doc"))
       .orderBy(col("span"))
   }
 

@@ -75,6 +75,13 @@ object ArrayExprs {
   def char_gram_hashes_pos(nrm: Column, n: Int): Column =
     ExpressionUtils.column(GramHashesPos(ExpressionUtils.expression(nrm), n))
 
+  /** [[char_gram_hashes_pos]] under an explicit seed — the second
+    * member of d6's 128-bit span-identity pair (two independent
+    * 64-bit hashes of the same window).
+    */
+  def char_gram_hashes_pos_seeded(nrm: Column, n: Int, seed: Long): Column =
+    ExpressionUtils.column(GramHashesPos(ExpressionUtils.expression(nrm), n, seed))
+
   /** Distinct xxhash64 values of the word k-shingles of a normalized
     * (single-spaced) string, hashed in place.
     */
@@ -802,14 +809,12 @@ case class BloomBoundGe(ba: Expression, bb: Expression,
   * identical to GramHashes' first-occurrence set (asserted in
   * ExprSpec).
   */
-case class GramHashesPos(child: Expression, n: Int)
+case class GramHashesPos(child: Expression, n: Int, Seed: Long = 42L)
     extends UnaryExpression with ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  private val Seed = 42L
 
   override def nullSafeEval(in: Any): Any = {
     val s    = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]

@@ -124,6 +124,26 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("GramHashesPos seeded: independent of the default-seed stream, positionally aligned") {
+    val texts = Seq("abcdefg", "the quick brown fox jumps over it", "aaaaaa", "x" * 60)
+    val n = 5
+    val df = texts.toDF("text").select(
+      ArrayExprs.char_gram_hashes_pos(col("text"), n).as("h1"),
+      ArrayExprs.char_gram_hashes_pos_seeded(col("text"), n, 1337L).as("h2"),
+      ArrayExprs.char_gram_hashes_pos_seeded(col("text"), n, 42L).as("h42"))
+    df.collect().foreach { r =>
+      val h1 = r.getSeq[Long](0); val h2 = r.getSeq[Long](1); val h42 = r.getSeq[Long](2)
+      assert(h1.length == h2.length, "same window universe")
+      assert(h1 == h42, "seed 42 IS the default stream")
+      // seeds give genuinely independent streams (equal windows keep
+      // equal hashes per stream — d6's pair-identity relies on both)
+      assert(h1 != h2, "distinct seeds must differ")
+      h1.indices.foreach { i => h1.indices.foreach { j =>
+        if (h1(i) == h1(j)) assert(h2(i) == h2(j), "pair consistency")
+      }}
+    }
+  }
+
   test("JaccardSets matches the composed intersect/union form, and the rule fires") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(100)((Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(30).toLong),
