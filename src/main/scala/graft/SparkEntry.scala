@@ -43,6 +43,7 @@ object SparkEntry {
     "g34_compaction_apply"    -> ((s: SparkSession, d: String) =>
       GeoQueries.compactionApply(s, d)),
     "g35_raster_tiff_zstdbig" -> GeoQueries.rasterIngestTiffZstdBig _,
+    "g36_snapshot_commit"     -> GeoQueries.snapshotCommit _,
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
@@ -431,6 +432,19 @@ object SparkEntry {
       |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
       |FROM grid WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    // g36: each version's census recomputed from the generating
+    // formulas — v0 append (<200), v1 append (<400), v2 replace (even)
+    "g36_snapshot_commit" -> raw"""
+      |WITH $GridCte,
+      |v AS (SELECT 0::BIGINT AS version, tile_id, elevation FROM grid WHERE tile_id < 200
+      |      UNION ALL
+      |      SELECT 1::BIGINT, tile_id, elevation FROM grid WHERE tile_id < 400
+      |      UNION ALL
+      |      SELECT 2::BIGINT, tile_id, elevation FROM grid
+      |      WHERE tile_id < 400 AND tile_id % 2 = 0)
+      |SELECT version, count(*)::BIGINT AS n_rows, sum(elevation)::BIGINT AS sum_elev,
+      |  min(tile_id) AS min_tile, max(tile_id) AS max_tile
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // g35: same formula recomputation as g10 — the five ZSTD/BigTIFF
     // layouts must decode to the identical pixel census
     "g35_raster_tiff_zstdbig" -> raw"""

@@ -1137,6 +1137,52 @@ object GeoQueries {
       .orderBy(col("bin_id"))
   }
 
+  /** g36: TRANSACTIONAL SNAPSHOT COMMIT — the atomic-view half of the
+    * maintenance story (g21 plans, g34 rewrites; this is the commit
+    * that lets readers survive the rewrite — see
+    * [[graft.sources.SnapshotTable]]'s protocol scaladoc). The query
+    * drives the full protocol deterministically and reports what each
+    * version CONTAINS, read back through the versioned manifests:
+    * v0 APPEND (tiles < 200 expanded), v1 APPEND (tiles 200..399),
+    * v2 REPLACE (read v1 through the table, keep even tiles — the
+    * read-modify-write a compaction or delete performs). All three
+    * versions are then read AFTER every commit has landed, so the
+    * v0/v1 rows prove time travel: the REPLACE did not disturb
+    * pinned history. The DuckDB oracle recomputes each version's
+    * census from the generating formulas — a torn manifest, lost
+    * commit, or non-isolated read diverges the hash.
+    */
+  def snapshotCommit(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val table = new java.io.File(
+      new java.io.File(sys.props("user.dir"), "target/fixtures"),
+      "graft_snap_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    // deterministic rebuild per execution: the protocol itself is the
+    // operator under test, so every run pays the full commit sequence
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(new java.io.File(table))
+    val base = tiles(s, dir)
+    def grid(lo: Int, hi: Int) =
+      gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
+        .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
+    SnapshotTable.commit(s, table, grid(0, 200))
+    SnapshotTable.commit(s, table, grid(200, 400))
+    SnapshotTable.commit(s, table,
+      SnapshotTable.read(s, table).filter(pmod(col("tile_id"), lit(2)) === 0),
+      replace = true)
+    (0L to 2L).map { v =>
+      SnapshotTable.readVersion(s, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("elevation").cast("long")).as("sum_elev"),
+          min(col("tile_id")).as("min_tile"), max(col("tile_id")).as("max_tile"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_elev"),
+          col("min_tile"), col("max_tile"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   /** The compacted dir [[compactionApply]] writes for `dir` — shared
     * with GeoSinkSpec's byte-level assertions.
     */

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal TRANSACTIONAL table commit — the atomic-view piece the
+  * reference's file-per-tile layout eventually forces (main.rs:272-296
+  * writes a file per tile; once g21/g34-style maintenance REWRITES
+  * files while readers run, plain directory listings tear: a reader
+  * can see half the old files and half the new). This is the core of
+  * what Delta's `_delta_log` / Iceberg's metadata tree provide,
+  * re-expressed in its minimal correct form:
+  *
+  *  - DATA files are immutable and WRITE-ONLY: every commit writes new
+  *    files under `data/<uuid>/` — nothing is ever modified in place.
+  *  - A VERSION is a manifest file `_graft_log/<n>.manifest` listing
+  *    exactly the data files visible at that version (absolute paths,
+  *    one per line). Manifests are immutable once published.
+  *  - PUBLICATION is atomic: the manifest is written to a temp name
+  *    and renamed into place. The rename is the commit point — a
+  *    reader either resolves version n (and reads exactly its files)
+  *    or does not see it at all; it can never observe a half-written
+  *    file list. The publish primitive is link(2) — atomic AND
+  *    create-exclusive; on an object store the same seam is a
+  *    conditional PUT (If-None-Match), which is why the commit path
+  *    is isolated here.
+  *  - CONCURRENT writers race on the exclusive publish: link(2)
+  *    fails with EEXIST if the target exists, so exactly ONE writer
+  *    wins version n; the loser re-reads the latest version and
+  *    retries on n+1 (optimistic concurrency — Delta's protocol).
+  *  - READERS get SNAPSHOT ISOLATION for free: a reader that resolved
+  *    version n keeps a stable list of immutable files however many
+  *    commits land afterwards; `readVersion` is time travel.
+  *
+  * A REPLACE commit (compaction — g34's shape) lists only the new
+  * compacted files; an APPEND commit lists the previous version's
+  * files plus the new ones. Old data files stay until a vacuum (not
+  * modeled — deletion is the one operation that must wait out reader
+  * leases).
+  *
+  * Scale: the manifest is file-count-sized (10^6-10^8 entries at
+  * 100 TB — at that point the manifest itself becomes a parquet table
+  * and the listing distributed, the same §6 discipline as g8; the
+  * COMMIT PROTOCOL — immutable files + atomic pointer swap + version
+  * race — is unchanged, which is why it is what this module states).
+  */
+object SnapshotTable {
+  import java.nio.file.{Files, Path, Paths}
+  import scala.jdk.CollectionConverters._
+
+  private def logDir(table: String): Path = Paths.get(table, "_graft_log")
+
+  /** Latest committed version, or -1 for an empty table. */
+  def latestVersion(table: String): Long = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) return -1L
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".manifest") => n.dropRight(9).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The immutable file list of `version`. */
+  def manifest(table: String, version: Long): Seq[String] = {
+    val m = logDir(table).resolve(s"$version.manifest")
+    require(Files.exists(m), s"no version $version at $table")
+    new String(Files.readAllBytes(m), "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Snapshot-isolated read of a PINNED version (time travel). */
+  def readVersion(s: SparkSession, table: String, version: Long): DataFrame =
+    s.read.parquet(manifest(table, version): _*)
+
+  /** Snapshot-isolated read of the latest version at call time. */
+  def read(s: SparkSession, table: String): DataFrame = {
+    val v = latestVersion(table)
+    require(v >= 0, s"empty table $table")
+    readVersion(s, table, v)
+  }
+
+  /** One optimistic commit: write `df`'s files into a fresh immutable
+    * data directory, then publish a manifest for version latest+1 via
+    * atomic rename; on losing the version race, re-read the latest
+    * and retry. `replace = true` publishes ONLY the new files (the
+    * compaction/OPTIMIZE shape); `replace = false` appends them to
+    * the previous version's list. Returns the committed version.
+    */
+  def commit(s: SparkSession, table: String, df: DataFrame,
+      replace: Boolean = false, maxRetries: Int = 20): Long = {
+    val dataDir = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val newFiles = Files.list(dataDir).iterator().asScala
+      .map(_.toAbsolutePath.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    Files.createDirectories(logDir(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val prev = latestVersion(table)
+      val next = prev + 1
+      val files =
+        if (replace || prev < 0) newFiles
+        else manifest(table, prev) ++ newFiles
+      val tmp = logDir(table).resolve(s".${next}.manifest.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, (files.mkString("\n") + "\n").getBytes("UTF-8"))
+      try {
+        // the commit point: link(2) is the POSIX create-EXCLUSIVE
+        // publish — atomic, and fails with EEXIST if another writer
+        // already published this version (rename(2)/ATOMIC_MOVE would
+        // silently REPLACE the winner — the classic lost-commit bug);
+        // the loser retries against n+1
+        Files.createLink(logDir(table).resolve(s"$next.manifest"), tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the version race $maxRetries times at $table")
+  }
+}
