@@ -49,12 +49,20 @@ object SnapshotTable {
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
 
+  /** List a directory, CLOSING the stream (Files.list holds a
+    * directory handle — unclosed it leaks an fd per call in a
+    * long-lived driver).
+    */
+  private def ls(d: Path): Seq[Path] = {
+    val st = Files.list(d)
+    try st.iterator().asScala.toList finally st.close()
+  }
+
   /** Latest committed version, or -1 for an empty table. */
   def latestVersion(table: String): Long = {
     val d = logDir(table)
     if (!Files.isDirectory(d)) return -1L
-    Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    ls(d).map(_.getFileName.toString)
       .collect { case n if n.endsWith(".manifest") => n.dropRight(9).toLong }
       .foldLeft(-1L)(math.max)
   }
@@ -88,9 +96,8 @@ object SnapshotTable {
       replace: Boolean = false, maxRetries: Int = 20): Long = {
     val dataDir = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val newFiles = Files.list(dataDir).iterator().asScala
-      .map(_.toAbsolutePath.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
+    val newFiles = ls(dataDir).map(_.toAbsolutePath.toString)
+      .filter(_.endsWith(".parquet")).sorted
     Files.createDirectories(logDir(table))
     var attempt = 0
     while (attempt < maxRetries) {
