@@ -125,4 +125,72 @@ object SnapshotTable {
     throw new IllegalStateException(
       s"lost the version race $maxRetries times at $table")
   }
+
+  /** Idempotent commit for EXACTLY-ONCE streaming sinks (Delta's
+    * txn-appId pattern): `txnId` (e.g. "query-7/epoch-12") publishes
+    * an exclusive marker `_graft_log/txn/<txnId>` BEFORE the version
+    * race; a replay of the same epoch (foreachBatch's at-least-once
+    * contract — crash between sink write and offset commit) finds the
+    * marker and returns the already-committed version WITHOUT writing.
+    * The marker is created exclusively (link(2), like the manifest),
+    * and written AFTER the commit succeeds with the version number as
+    * content — a crash between data write and marker publish replays
+    * as a fresh commit whose orphaned first data dir is unreferenced
+    * by any manifest (vacuum reclaims it), never double-counted.
+    */
+  def commitOnce(s: SparkSession, table: String, df: DataFrame,
+      txnId: String): Long = {
+    require(!txnId.contains('/') && txnId.nonEmpty, s"flat txnId required: $txnId")
+    val txnDir = logDir(table).resolve("txn")
+    val marker = txnDir.resolve(txnId)
+    if (Files.exists(marker))
+      return new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+    val v = commit(s, table, df)
+    Files.createDirectories(txnDir)
+    val tmp = txnDir.resolve(s".$txnId.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, s"$v\n".getBytes("UTF-8"))
+    try Files.createLink(marker, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+    new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+  }
+
+  /** VACUUM: delete data files referenced by NO retained manifest.
+    * Retention is by version count (`retainLast` manifests keep their
+    * files AND their time-travel readability; older manifests are
+    * removed too, so a reader can no longer resolve a version whose
+    * files are gone — failing loudly at manifest resolution, never
+    * silently reading a torn file list). The caller owns the lease
+    * discipline: vacuum only past every active reader's pinned
+    * version, exactly as Delta's retention window does.
+    */
+  def vacuum(table: String, retainLast: Int = 2): Long = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(table)
+    if (latest < 0) return 0L
+    val keepFrom = math.max(0L, latest - retainLast + 1)
+    val live: Set[String] = (keepFrom to latest)
+      .flatMap(v => manifest(table, v)).toSet
+    var removed = 0L
+    // drop unreferenced data files, then fully-dead data dirs (their
+    // _SUCCESS/crc markers with them), then the expired manifests;
+    // txn markers stay — idempotence must survive vacuum
+    val dataRoot = Paths.get(table, "data")
+    if (Files.isDirectory(dataRoot)) ls(dataRoot).foreach { d =>
+      if (Files.isDirectory(d)) {
+        val (pq, aux) = ls(d).partition(_.toString.endsWith(".parquet"))
+        val (dead, alive) = pq.partition(f => !live.contains(f.toAbsolutePath.toString))
+        dead.foreach(Files.deleteIfExists(_))
+        removed += dead.size
+        if (alive.isEmpty) {
+          aux.foreach(Files.deleteIfExists(_))
+          if (ls(d).isEmpty) Files.deleteIfExists(d)
+        }
+      }
+    }
+    (0L until keepFrom).foreach { v =>
+      Files.deleteIfExists(logDir(table).resolve(s"$v.manifest"))
+    }
+    removed
+  }
 }

@@ -71,6 +71,66 @@ class SnapshotTableSpec extends SparkSpec {
       .intersect(pinnedFiles.toSet).isEmpty)
   }
 
+  test("vacuum reclaims only unreferenced files; retained versions stay readable, expired fail loudly") {
+    val table = scratchDir("graft_snap_vac")
+    SnapshotTable.commit(spark, table, (1L to 50L).toDF("x"))              // v0
+    SnapshotTable.commit(spark, table, (51L to 100L).toDF("x"))           // v1 (append)
+    SnapshotTable.commit(spark, table,
+      SnapshotTable.read(spark, table).filter(col("x") <= 60), replace = true) // v2
+    val v0Files = SnapshotTable.manifest(table, 0)
+    val removed = SnapshotTable.vacuum(table, retainLast = 2)
+    // retainLast=2 keeps {v1, v2}; v1's manifest is the append chain
+    // and still references every v0 file, so nothing is reclaimable —
+    // only files referenced by NO retained manifest may die
+    assert(removed == 0)
+    assert(SnapshotTable.readVersion(spark, table, 1).count() == 100)
+    SnapshotTable.vacuum(table, retainLast = 1) // only v2 survives
+    // v2's replaced view reads fully
+    assert(SnapshotTable.read(spark, table).as[Long].collect().sorted.toSeq ==
+      (1L to 60L))
+    // v0's files are physically gone and its manifest unresolvable
+    assert(v0Files.forall(f => !new java.io.File(f).exists()))
+    intercept[IllegalArgumentException](SnapshotTable.manifest(table, 0))
+  }
+
+  test("commitOnce: an epoch replay returns the same version and never double-counts") {
+    val table = scratchDir("graft_snap_once")
+    val v1 = SnapshotTable.commitOnce(spark, table, (1L to 10L).toDF("x"), "epoch-0")
+    val v2 = SnapshotTable.commitOnce(spark, table, (11L to 20L).toDF("x"), "epoch-1")
+    // replay epoch-1 (foreachBatch's at-least-once contract) — same
+    // version back, no new rows
+    val v2b = SnapshotTable.commitOnce(spark, table, (11L to 20L).toDF("x"), "epoch-1")
+    assert(v1 == 0 && v2 == 1 && v2b == v2)
+    assert(SnapshotTable.read(spark, table).count() == 20)
+    // idempotence survives vacuum (markers are not reclaimed)
+    SnapshotTable.vacuum(table, retainLast = 1)
+    assert(SnapshotTable.commitOnce(spark, table, (11L to 20L).toDF("x"), "epoch-1") == v2)
+    assert(SnapshotTable.read(spark, table).count() == 20)
+  }
+
+  test("streaming foreachBatch lands exactly-once in the snapshot table across a replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val table = scratchDir("graft_snap_stream")
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("x").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        SnapshotTable.commitOnce(spark, table, batch, s"epoch-$epoch"); ()
+      }
+      .start()
+    in.addData(1L to 10L: _*); q.processAllAvailable()
+    in.addData(11L to 20L: _*); q.processAllAvailable()
+    q.stop()
+    val epochs = SnapshotTable.latestVersion(table)
+    // replay the LAST epoch by hand — the crash-between-sink-and-
+    // offset-commit case — content unchanged
+    SnapshotTable.commitOnce(spark, table,
+      (11L to 20L).toDF("x"), s"epoch-$epochs")
+    assert(SnapshotTable.read(spark, table).as[Long].collect().sorted.toSeq ==
+      (1L to 20L))
+  }
+
   test("append manifests extend; data files are never rewritten in place") {
     val table = scratchDir("graft_snap_append")
     SnapshotTable.commit(spark, table, (1L to 10L).toDF("x"))
