@@ -111,6 +111,8 @@ object SparkEntry {
     "q68_abc_classes"         -> Relational.q68AbcClasses _,
     "q69_skew_join"           -> ((s: SparkSession, d: String) =>
       Relational.q69SkewJoin(s, d)),
+    "q70_attribution"         -> ((s: SparkSession, d: String) =>
+      Relational.q70Attribution(s, d)),
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -160,6 +162,8 @@ object SparkEntry {
       TextAnalysis.vocabCensus(s, d)),
     "t21_burstiness"          -> ((s: SparkSession, d: String) =>
       TextAnalysis.termBurstiness(s, d)),
+    "t22_effective_size"      -> ((s: SparkSession, d: String) =>
+      TextAnalysis.effectiveSize(s, d)),
     "t16_bigram_coverage"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramCoverage(s, d)),
     // dedup
@@ -1588,6 +1592,24 @@ object SparkEntry {
       |          JOIN fq ON base.freq = fq.v
       |          JOIN mq ON base.mon = mq.v
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q70: linear multi-touch split; remainder to the most recent
+    // click (c_ep DESC, click_id DESC) — per-purchase cents conserve
+    "q70_attribution" -> raw"""
+      |WITH c AS (SELECT event_id AS click_id, user_id, floor(epoch(ts))::BIGINT AS c_ep
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, floor(epoch(ts))::BIGINT AS p_ep,
+      |        round(value*100)::BIGINT AS p_cents
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT click_id, purchase_id, c_ep, p_cents
+      |      FROM p JOIN c USING (user_id)
+      |      WHERE c_ep <= p_ep AND p_ep - c_ep <= 86400),
+      |r AS (SELECT *, count(*) OVER (PARTITION BY purchase_id)::BIGINT AS k,
+      |        row_number() OVER (PARTITION BY purchase_id
+      |          ORDER BY c_ep DESC, click_id DESC)::BIGINT AS rnk FROM j)
+      |SELECT click_id, count(*)::BIGINT AS n_purchases,
+      |  sum(p_cents // k + CASE WHEN rnk = 1 THEN p_cents % k ELSE 0 END)::BIGINT
+      |    AS attr_cents
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q69: the ORACLE is the plain equi-join — the salted execution
     // must be row-identical to it, which is the whole point
     "q69_skew_join" -> raw"""
@@ -2378,6 +2400,21 @@ object SparkEntry {
       |             // (n_tokens::HUGEINT * (n_tokens-1)))::BIGINT
       |  END AS simpson_ppm
       |FROM a ORDER BY lang, source""".stripMargin,
+    // t22: token-grain soft-dedup effective size; families by
+    // md5(normalized text) exactly as d1; ppm via DECIMAL/HUGEINT
+    "t22_effective_size" -> raw"""
+      |WITH d AS (SELECT doc_id, source, md5($Nrm) AS content_hash,
+      |        len(string_split($Nrm, ' '))::BIGINT AS n_toks
+      |      FROM documents),
+      |f AS (SELECT content_hash, count(*)::BIGINT AS f FROM d GROUP BY 1),
+      |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+      |        sum(n_toks)::BIGINT AS raw_tokens,
+      |        sum((n_toks * 1000) // f.f)::BIGINT AS eff_tokens_pm
+      |      FROM d JOIN f USING (content_hash) GROUP BY 1)
+      |SELECT source, n_docs, raw_tokens, eff_tokens_pm,
+      |  (((raw_tokens::HUGEINT * 1000 - eff_tokens_pm) * 1000000)
+      |    // (raw_tokens::HUGEINT * 1000))::BIGINT AS savings_ppm
+      |FROM a ORDER BY source""".stripMargin,
     // t21: top-50 by (cf DESC, term ASC) — the TopKLabeled tie rule
     // stated as row_number; both ratios exact integer division
     "t21_burstiness" -> raw"""

@@ -2022,6 +2022,49 @@ object Relational {
       .unionByName(Seq((0L, -1L)).toDF("sk", "nk"))
   }
 
+  /** q70: MULTI-TOUCH (linear) attribution — the revenue-assignment
+    * report beside q47's last-touch form: each purchase's exact cents
+    * split EQUALLY across every click of the same user within the
+    * lookback horizon, the integer remainder assigned to the MOST
+    * RECENT click (ties by highest click_id) so per-purchase cents
+    * CONSERVE exactly — Σ attributed = purchase cents, no float
+    * weights, spec-asserted as a law and implied by the oracle hash.
+    * Output: per converting click, its purchase count and attributed
+    * exact cents.
+    *
+    * Scale shape: the pair join is user-keyed (equi on user_id, the
+    * horizon predicate filters in the join) — pairs bounded by
+    * per-user activity × horizon, never corpus²; the split runs in a
+    * window PARTITIONED BY purchase (bounded by clicks-in-horizon,
+    * never a global window); the rollup is click-keyed with map-side
+    * partials.
+    */
+  def q70Attribution(s: SparkSession, dir: String, horizonSec: Long = 86400L): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("c_ep"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("p_ep"), cents(col("value")).as("p_cents"))
+    val pairs = purch.join(clicks, Seq("user_id"))
+      .filter(col("c_ep") <= col("p_ep") &&
+        col("p_ep") - col("c_ep") <= horizonSec)
+    val w = Window.partitionBy(col("purchase_id"))
+    val ranked = pairs
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("c_ep").desc, col("click_id").desc)))
+    ranked
+      .select(col("click_id"),
+        (expr("p_cents div k") +
+          when(col("rnk") === 1, pmod(col("p_cents"), col("k"))).otherwise(0L))
+          .as("attr_cents"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("attr_cents")).as("attr_cents"))
+      .orderBy(col("click_id"))
+  }
+
   def q57IntervalUnion(s: SparkSession, dir: String): DataFrame = {
     val iv = Tables.lineitem(s, dir).select(col("l_suppkey").as("k"),
       datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("st"),

@@ -723,6 +723,42 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** t22: EFFECTIVE DATASET SIZE per source — the number a mixing
+    * decision actually reads: raw token mass next to the token mass
+    * that SURVIVES exact-dup down-weighting (each doc weighted
+    * 1000/f per-mille where f is its exact-duplicate family size —
+    * d1's md5-of-normalized-text family, p12's soft-dedup rule
+    * applied at TOKEN grain instead of doc grain). A source whose
+    * crawl is 40% boilerplate re-posts contributes far fewer
+    * effective tokens than its raw count suggests; savings_ppm makes
+    * the gap explicit, through DECIMAL(38,0) (the t20/t21 overflow
+    * discipline — raw_pm is tokens×1000 and crosses 2⁶³ at ~10¹⁶
+    * raw tokens only in the ppm numerator, which is decimal).
+    *
+    * Scale shape: ONE corpus-sized shuffle keyed by the 128-bit
+    * content hash (md5 — skinny, the d1 working representation) to
+    * size families; family sizes re-attach by the same key (AQE
+    * broadcasts while small); the rollup is sources-sized with
+    * map-side partials. No strings cross an exchange except the
+    * 32-char hash.
+    */
+  def effectiveSize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(normalize(col("text"))).as("content_hash"),
+        size(words(col("text"))).cast("long").as("n_toks"))
+    val fam = d.groupBy(col("content_hash")).agg(count(lit(1)).as("f"))
+    d.join(fam, Seq("content_hash"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("raw_tokens"),
+        sum(expr("(n_toks * 1000) div f")).as("eff_tokens_pm"))
+      .withColumn("savings_ppm", expr(
+        """cast(((cast(raw_tokens as decimal(38,0)) * 1000 - eff_tokens_pm)
+           * 1000000) div (cast(raw_tokens as decimal(38,0)) * 1000) as bigint)"""))
+      .orderBy(col("source"))
+  }
+
   def vocabCensus(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("lang"), col("source"),

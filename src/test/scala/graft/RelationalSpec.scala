@@ -977,4 +977,43 @@ class RelationalSpec extends SparkSpec {
     val byDigit = got.map(t => t._1 -> t._4).toMap
     assert(byDigit(1L) == 301030L && byDigit(9L) == 45757L)
   }
+
+  test("q70 attribution: per-purchase cents conserve exactly; JVM fold identity") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q70Attribution(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"),
+        expr("cast(round(value*100) as bigint)").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    // JVM reference: linear split, remainder to the most recent click
+    val attr = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var attributedTotal = 0L
+    var convertingPurchaseCents = 0L
+    purchases.foreach { case (_, u, _, pep, cents) =>
+      val in = clicks.filter(c => c._2 == u && c._4 <= pep && pep - c._4 <= 86400L)
+      if (in.nonEmpty) {
+        convertingPurchaseCents += cents
+        val k = in.length
+        val recent = in.maxBy(c => (c._4, c._1))._1
+        var sumThis = 0L
+        in.foreach { c =>
+          val share = cents / k + (if (c._1 == recent) cents % k else 0L)
+          sumThis += share
+          val (n0, a0) = attr.getOrElse(c._1, (0L, 0L))
+          attr(c._1) = (n0 + 1, a0 + share)
+        }
+        assert(sumThis == cents, s"conservation broke for purchase cents=$cents k=$k")
+        attributedTotal += sumThis
+      }
+    }
+    val exp = attr.toSeq.sortBy(_._1).map { case (id, (n, a)) => (id, n, a) }
+    assert(got.toSeq == exp && got.nonEmpty)
+    // the global law: every converting purchase's cents land exactly once
+    assert(got.map(_._3).sum == attributedTotal &&
+      attributedTotal == convertingPurchaseCents)
+  }
 }

@@ -407,4 +407,30 @@ class TextFnsSpec extends SparkSpec {
     assert(got(("fr", "s")) == ((1L, 1L, 1L, 1L, 0L, 0L, 1000000L, 0L)))
     assert(got.size == 2)
   }
+
+  test("t22 effective size: JVM identity; singleton-family sources save nothing") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextAnalysis.effectiveSize(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select(col("source"), md5(normalize(col("text"))).as("h"),
+        size(words(col("text"))).cast("long").as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val fam = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val exp = docs.groupBy(_._1).map { case (src, xs) =>
+      val raw = xs.map(_._3).sum
+      val eff = xs.map(d => d._3 * 1000L / fam(d._2)).sum
+      val sav = ((BigInt(raw) * 1000 - eff) * 1000000 / (BigInt(raw) * 1000)).toLong
+      src -> ((xs.length.toLong, raw, eff, sav))
+    }
+    assert(got == exp && got.nonEmpty)
+    // effective mass never exceeds raw; equality exactly when every
+    // family the source touches is a singleton
+    got.foreach { case (src, (_, raw, effPm, sav)) =>
+      assert(effPm <= raw * 1000)
+      val allSingleton = docs.filter(_._1 == src).forall(d => fam(d._2) == 1L)
+      assert((effPm == raw * 1000) == allSingleton, src)
+      assert((sav == 0L) == allSingleton, src)
+    }
+  }
 }
