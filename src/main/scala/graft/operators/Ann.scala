@@ -687,6 +687,26 @@ object Ann {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/corpus")
   }
 
+  /** Incremental IVF index maintenance — [[knnGraphDelta]]'s sibling
+    * for the s3 path: fold a DELTA batch of vectors into a persisted
+    * IVF index under the index's FIXED centroids (no retraining —
+    * the build-once contract; quantizer drift is a rebuild decision,
+    * not an append). The delta assigns against the stored centroid
+    * matrix and APPENDS into the bucket-partitioned corpus — cost ∝
+    * delta size, zero touch of resident rows, and the bucketed layout
+    * (partition pruning at query time) is preserved. Batch-split
+    * invariance and structural identity asserted in AnnSpec.
+    */
+  def ivfIndexDelta(s: SparkSession, indexPath: String, delta: DataFrame): Unit = {
+    import s.implicits._
+    val cents: Array[Array[Float]] = s.read.parquet(s"$indexPath/centroids")
+      .orderBy("bucket").select("centroid").as[Seq[Float]].collect().map(_.toArray)
+    delta
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .withColumn("bucket", assignCluster(col("embedding"), cents))
+      .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/corpus")
+  }
+
   /** Query a persisted IVF index: loads the (tiny) centroid matrix,
     * computes each query's nprobe best buckets, and scans ONLY those
     * bucket partitions (static isin filter → partition pruning; the

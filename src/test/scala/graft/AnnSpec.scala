@@ -353,6 +353,52 @@ class AnnSpec extends SparkSpec {
     assert(codeScans.nonEmpty && codeScans.forall(!_.contains("embedding")), plan)
   }
 
+  test("incremental IVF delta: batch-split invariant, structurally complete, search-quality preserved") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, Sf)
+    val n = e.count()
+    val half = n / 2
+    val q3 = half + (n - half) / 2
+    def buildWithDeltas(dir: String, deltas: Seq[(Long, Long)]): String = {
+      val idx = scratchDir(dir)
+      // base trains centroids on the first half only — deltas assign
+      // under those FIXED centroids, never retrain
+      Ann.buildIvfIndex(spark, new java.io.File(Sf).getPath, idx)
+      // rewrite the corpus to the half the base is declared over
+      spark.read.parquet(s"$idx/corpus").filter(col("vec_id") < half)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$idx/corpus_tmp")
+      // swap (test-local; production would commit via SnapshotTable)
+      val fs = new java.io.File(s"$idx/corpus")
+      def rmr(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rmr); f.delete(); () }
+      rmr(fs)
+      new java.io.File(s"$idx/corpus_tmp").renameTo(fs)
+      deltas.foreach { case (lo, hi) =>
+        Ann.ivfIndexDelta(spark, idx,
+          e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select(col("vec_id"), col("embedding")))
+      }
+      idx
+    }
+    val one = buildWithDeltas("graft_ivfd1", Seq((half, n)))
+    val two = buildWithDeltas("graft_ivfd2", Seq((half, q3), (q3, n)))
+    // structural identity: same (vec_id, bucket) multiset either way,
+    // and the folded corpus is complete
+    val a = spark.read.parquet(s"$one/corpus").select("vec_id", "bucket")
+    val b = spark.read.parquet(s"$two/corpus").select("vec_id", "bucket")
+    assert(a.count() == n && b.count() == n)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // search identity across the split, quality floor vs brute held
+    val r1 = Ann.ivfTopKIndexed(spark, Sf, one).collect().map(_.toSeq).toSeq
+    val r2 = Ann.ivfTopKIndexed(spark, Sf, two).collect().map(_.toSeq).toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+    val exact = Ann.bruteForceTopK(spark, Sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // output shape: (q_id, rank:int, neighbor_id, cosine_e6)
+    val got = r1.map(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long])).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("s3 driver surface searches the persisted IVF index and matches the in-query build") {
     val ref = Ann.ivfTopK(spark, Sf).collect().map(_.toSeq).toSeq
     val got = Ann.ivfTopKAuto(spark, Sf)
