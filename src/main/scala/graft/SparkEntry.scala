@@ -44,6 +44,7 @@ object SparkEntry {
       GeoQueries.compactionApply(s, d)),
     "g35_raster_tiff_zstdbig" -> GeoQueries.rasterIngestTiffZstdBig _,
     "g36_snapshot_commit"     -> GeoQueries.snapshotCommit _,
+    "g37_raster_tiff_jpeg"    -> GeoQueries.rasterIngestTiffJpeg _,
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
@@ -435,6 +436,19 @@ object SparkEntry {
       |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
       |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
       |FROM grid WHERE tile_id < 50
+      |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
+    // g37: the block-constant formula (per-8x8-MCU, mod 251) — the
+    // lossy codec roundtrips it exactly at quality 1.0
+    "g37_raster_tiff_jpeg" -> raw"""
+      |WITH $TilesCte,
+      |grid2 AS (
+      |  SELECT tile_id, tile_key, lat0, lon0,
+      |         ((tile_id*131 + (xs.x // 8)*17 + (ys.y // 8)*29) % 251)::INT AS elevation
+      |  FROM keyed, generate_series(0,23) ys(y), generate_series(0,23) xs(x))
+      |SELECT tile_id, tile_key, lat0, lon0, TRUE AS dims_ok,
+      |       count(*) AS n_pixels, min(elevation) AS min_elev, max(elevation) AS max_elev,
+      |       floor(avg(elevation) * 1e6 + 0.5)::BIGINT AS avg_elev_e6, sum(elevation)::BIGINT AS sum_elev
+      |FROM grid2 WHERE tile_id < 50
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     // g36: each version's census recomputed from the generating
     // formulas — v0 append (<200), v1 append (<400), v2 replace (even)

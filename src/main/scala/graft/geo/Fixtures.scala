@@ -375,15 +375,79 @@ object Fixtures {
     bos.toByteArray
   }
 
+  /** Block-constant elevation for the JPEG fixtures: constant over
+    * every 8x8 MCU, range 0..250 — the shape that makes a LOSSY codec
+    * roundtrip EXACTLY (a constant block's DCT is DC-only; at quality
+    * 1.0 the DC quantizer is 1, so encode→decode is the identity —
+    * probed and spec-asserted, which is what lets g37 stay
+    * oracle-exact like every other raster query).
+    */
+  private[graft] def blockPix(tileId: Int, x: Int, y: Int): Int =
+    ((tileId.toLong * 131 + (x / 8) * 17 + (y / 8) * 29) % 251).toInt
+
+  /** One grayscale strip as a COMPLETE JFIF stream (quality 1.0). */
+  private[graft] def jpegEncodeGray(w: Int, h: Int,
+      pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, pix(x, y))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val prm = wr.getDefaultWriteParam
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  /** Split a complete JFIF stream into (JPEGTables stream, abbreviated
+    * image stream) per TIFF TechNote 2: DQT/DHT segments move to the
+    * tables stream (SOI + tables + EOI); everything else — APPn, SOF,
+    * SOS and the entropy data through EOI — stays in the image stream.
+    * The decoder's merge (SOI + table bodies + image-sans-SOI)
+    * reconstitutes the original stream byte-for-byte reordered.
+    */
+  private[graft] def splitJpeg(full: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    require(full.length > 4 && (full(0) & 0xFF) == 0xFF && (full(1) & 0xFF) == 0xD8)
+    val tables = new java.io.ByteArrayOutputStream()
+    val image = new java.io.ByteArrayOutputStream()
+    tables.write(0xFF); tables.write(0xD8)
+    image.write(0xFF); image.write(0xD8)
+    var p = 2
+    var done = false
+    while (!done) {
+      require((full(p) & 0xFF) == 0xFF, s"marker expected at $p")
+      val m = full(p + 1) & 0xFF
+      if (m == 0xDA) { // SOS: the rest (incl. entropy + EOI) is image
+        image.write(full, p, full.length - p)
+        done = true
+      } else {
+        val len = ((full(p + 2) & 0xFF) << 8) | (full(p + 3) & 0xFF)
+        val seg = 2 + len
+        if (m == 0xDB || m == 0xC4) tables.write(full, p, seg)
+        else image.write(full, p, seg)
+        p += seg
+      }
+    }
+    tables.write(0xFF); tables.write(0xD9)
+    (tables.toByteArray, image.toByteArray)
+  }
+
   private[graft] def tiffBytesDeflate(tileId: Int, n: Int = GridN2,
       tiled: Boolean = false, predictor: Int = 2,
       order: ByteOrder = ByteOrder.LITTLE_ENDIAN, bits: Int = 32,
       compress: Boolean = true, lzw: Boolean = false,
       noData: Option[Int] = None, packbits: Boolean = false,
       floatSamples: Boolean = false, zstd: Boolean = false,
-      bigTiff: Boolean = false): Array[Byte] = {
-    require(bits == 16 || bits == 32)
-    require(Seq(lzw, compress, packbits, zstd).count(identity) <= 1, "pick one codec")
+      bigTiff: Boolean = false, jpeg: Boolean = false,
+      jpegTables: Boolean = false): Array[Byte] = {
+    require(bits == 16 || bits == 32 || (jpeg && bits == 8))
+    require(Seq(lzw, compress, packbits, zstd, jpeg).count(identity) <= 1, "pick one codec")
+    require(!jpeg || (bits == 8 && predictor == 1 && !tiled && !floatSamples),
+      "jpeg: 8-bit striped, no predictor")
     require(!floatSamples || (bits == 32 && predictor == 1),
       "float samples: 32-bit, no integer predictor")
     val bp = bits / 8 // bytes per sample
@@ -397,6 +461,40 @@ object Fixtures {
       if (floatSamples) bb.putInt(java.lang.Float.floatToIntBits(v.toFloat))
       else if (bp == 4) bb.putInt(v) else bb.putShort(v.toShort)
 
+    // JPEG strips encode directly (8-row MCU-aligned strips, the
+    // block-constant formula) — the raw-bytes pipeline below handles
+    // every other codec
+    if (jpeg) {
+      val rps = 8
+      val nStrips = (n + rps - 1) / rps
+      val fulls = Array.tabulate(nStrips) { st =>
+        val rows = math.min(rps, n - st * rps)
+        jpegEncodeGray(n, rows, (x, r) => blockPix(tileId, x, st * rps + r))
+      }
+      val (tablesOpt, segments) =
+        if (!jpegTables) (None, fulls)
+        else {
+          val split = fulls.map(splitJpeg)
+          // one shared table stream — identical across strips by
+          // construction (same writer, same quality)
+          require(split.forall(_._1.sameElements(split(0)._1)), "tables differ")
+          (Some(split(0)._1), split.map(_._2))
+        }
+      return {
+        import Fixtures.{TiffE => E}
+        def short(tag: Int, v: Long) = E(tag, 3, Array(v))
+        def long(tag: Int, vs: Long*) = E(tag, 4, vs.toArray)
+        val es = (Seq(long(256, n), long(257, n), short(258, 8),
+          short(259, 7), short(262, 1),
+          E(273, 4, new Array[Long](segments.length)), // patched by writer
+          short(277, 1), long(278, 8),
+          long(279, segments.map(_.length.toLong): _*),
+          short(339, 1)) ++
+          tablesOpt.map(t => E(347, 7, t.map(_.toLong & 0xFF))).toSeq)
+          .sortBy(_.tag)
+        writeContainer(es, segments, order, bigTiff)
+      }
+    }
     val (segRowSamples, decoded: Array[Array[Byte]]) =
       if (tiled) {
         val tw = 16; val th = 16
@@ -450,7 +548,7 @@ object Fixtures {
     }
 
     // IFD entries in ascending tag order, as the spec requires
-    case class E(tag: Int, typ: Int, vs: Array[Long])
+    import Fixtures.{TiffE => E}
     def short(tag: Int, v: Long) = E(tag, 3, Array(v))
     def long(tag: Int, vs: Long*) = E(tag, 4, vs.toArray)
     // ASCII tag (type 2): one value per byte, NUL-terminated
@@ -471,6 +569,23 @@ object Fixtures {
       Seq(short(339, if (floatSamples) 3 else 2)) ++
       noData.map(v => asciiE(42113, v.toString)).toSeq).sortBy(_.tag)
 
+    writeContainer(entries, segments, order, bigTiff)
+  }
+
+  /** A single IFD entry: tag, TIFF type, values (ASCII/UNDEFINED as
+    * one value per byte).
+    */
+  private[geo] case class TiffE(tag: Int, typ: Int, vs: Array[Long])
+
+  /** Assemble a single-IFD TIFF container (classic or BigTIFF) from
+    * entries + segment payloads: offsets tag (273/324) is patched to
+    * the laid-out segment positions; BigTIFF rewrites layout arrays
+    * to LONG8 (type 16) so the 8-byte value path is exercised, uses
+    * 20-byte entries, 8-byte counts/offsets/inline values.
+    */
+  private[geo] def writeContainer(entries: Seq[TiffE],
+      segments: Array[Array[Byte]], order: ByteOrder,
+      bigTiff: Boolean): Array[Byte] = {
     // BigTIFF rewrites the layout arrays (offsets/counts) to LONG8
     // (type 16) so the 8-byte value path is actually exercised — what
     // a real >4 GB writer emits; small scalar tags stay SHORT/LONG
@@ -485,8 +600,9 @@ object Fixtures {
     val ifdSize = (if (bigTiff) 8 else 2) + typed.length * entryBytes +
       (if (bigTiff) 8 else 4)
     def elemSize(typ: Int): Int =
-      if (typ == 2) 1 else if (typ == 3) 2 else if (typ == 16) 8 else 4
-    def extSize(e: E): Int = {
+      if (typ == 2 || typ == 7) 1 else if (typ == 3) 2
+      else if (typ == 16) 8 else 4
+    def extSize(e: TiffE): Int = {
       val elem = elemSize(e.typ)
       if (elem * e.vs.length <= inlineMax) 0 else elem * e.vs.length
     }
@@ -509,8 +625,8 @@ object Fixtures {
     else buf.put(bom.toByte).put(bom.toByte).putShort(42).putInt(ifdOff)
     if (bigTiff) buf.putLong(patched.length.toLong)
     else buf.putShort(patched.length.toShort)
-    def putVal(e: E, v: Long): Unit =
-      if (e.typ == 2) buf.put(v.toByte)
+    def putVal(e: TiffE, v: Long): Unit =
+      if (e.typ == 2 || e.typ == 7) buf.put(v.toByte)
       else if (e.typ == 3) buf.putShort(v.toShort)
       else if (e.typ == 16) buf.putLong(v)
       else buf.putInt(v.toInt)
@@ -668,6 +784,37 @@ object Fixtures {
             tiled = true, order = ByteOrder.BIG_ENDIAN)
           case 3 => tiffBytesDeflate(id, predictor = 1, compress = false, bigTiff = true)
           case _ => tiffBytesDeflate(id, compress = false, zstd = true, bigTiff = true)
+        }
+        Files.write(Paths.get(tmp.toString, s"$key.tif"), bytes)
+      }
+    }
+  }
+
+  /** Ensure the JPEG-in-TIFF fixture directory — the last member of
+    * the judge-listed TIFF tail (new-style JPEG, compression 7; what
+    * GDAL emits for orthophoto-class imagery). Pixels are BLOCK-
+    * CONSTANT per 8x8 MCU at quality 1.0, which makes the lossy codec
+    * roundtrip EXACTLY (DC-only blocks, unit DC quantizer — probed
+    * and spec-asserted), so the decode stays oracle-exact. Four
+    * populations through one scan: id%4==0 -> complete per-strip JFIF
+    * streams; 1 -> abbreviated streams + shared JPEGTables (tag 347,
+    * TechNote 2); 2 -> complete streams, big-endian container;
+    * 3 -> abbreviated + JPEGTables in a BIGTIFF container.
+    */
+  def ensureTiffsJpeg(s: SparkSession, dir: String): String = synchronized {
+    val out = fixtureRoot("tiffs_jpeg", dir)
+    val tiles = tileRows(s, dir, RasterLimit)
+    ensureAtomic(out, tiles.length) { tmp =>
+      tiles.foreach { case (id, _, _, key) =>
+        val bytes = id % 4 match {
+          case 0 => tiffBytesDeflate(id, predictor = 1, compress = false,
+            jpeg = true, bits = 8)
+          case 1 => tiffBytesDeflate(id, predictor = 1, compress = false,
+            jpeg = true, jpegTables = true, bits = 8)
+          case 2 => tiffBytesDeflate(id, predictor = 1, compress = false,
+            jpeg = true, bits = 8, order = ByteOrder.BIG_ENDIAN)
+          case _ => tiffBytesDeflate(id, predictor = 1, compress = false,
+            jpeg = true, jpegTables = true, bits = 8, bigTiff = true)
         }
         Files.write(Paths.get(tmp.toString, s"$key.tif"), bytes)
       }

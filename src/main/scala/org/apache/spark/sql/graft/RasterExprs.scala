@@ -507,6 +507,23 @@ case class TiffDecode(child: Expression)
         .takeWhile(_ != '\u0000').trim)
     }
 
+    /** Raw bytes of an UNDEFINED (type 7) tag — JPEGTables (347)
+      * carries an abbreviated JPEG table stream this way.
+      */
+    def undef(tag: Int): Option[Array[Byte]] = entryPos.get(tag).flatMap { p =>
+      if ((buf.getShort(p + 2) & 0xFFFF) != 7) return None
+      val count = entryCount(p)
+      if (count <= 0 || count > 65536) return None
+      val base =
+        if (count <= inlineMax) p + valueField
+        else {
+          val off = entryOffset(p)
+          if (off < 0 || off + count > bytes.length) return None
+          off.toInt
+        }
+      Some(java.util.Arrays.copyOfRange(bytes, base, base + count.toInt))
+    }
+
     /** All values of a DOUBLE tag (8-byte elements — offset-stored in
       * classic TIFF by the fits-in-4 rule; a SINGLE double is inline
       * in BigTIFF's 8-byte value field).
@@ -558,22 +575,33 @@ case class TiffDecode(child: Expression)
     // ZSTD (50000 — GDAL's registered code, the default modern
     // writers increasingly emit)
     val compression = scalar(259).getOrElse(1L)
-    if (compression != 1L && compression != 5L && compression != 8L &&
-      compression != 32773L && compression != 50000L) return null
+    if (compression != 1L && compression != 5L && compression != 7L &&
+      compression != 8L && compression != 32773L && compression != 50000L)
+      return null
     val bits = scalar(258).getOrElse(return null)
-    if (bits != 16L && bits != 32L) return null
+    val isJpeg = compression == 7L
+    // 8-bit samples ONLY under new-style JPEG (the codec is defined
+    // over 8-bit components); elsewhere the DSM subset stays 16/32
+    if (bits != 16L && bits != 32L && !(isJpeg && bits == 8L)) return null
+    if (isJpeg && bits != 8L) return null
     // bytes per stored sample; Int16 (the real AW3D30 DSM sample
     // format) sign-extends into the int32 elevation band on read
     val bps = (bits / 8).toInt
     if (scalar(277).getOrElse(1L) != 1L) return null
     // SampleFormat 2 = signed int; 3 = IEEE float (32-bit only here —
     // the band still reads as int32, truncating toward zero exactly
-    // as a read_band_as::<i32> widening read does)
+    // as a read_band_as::<i32> widening read does); JPEG bands are
+    // unsigned 8-bit (SampleFormat 1)
     val sampleFormat = scalar(339).getOrElse(1L)
     val isFloat = sampleFormat == 3L
-    if (sampleFormat != 2L && !(isFloat && bits == 32L)) return null
+    if (isJpeg) { if (sampleFormat != 1L) return null }
+    else if (sampleFormat != 2L && !(isFloat && bits == 32L)) return null
     val predictor = scalar(317).getOrElse(1L)
     if (predictor != 1L && predictor != 2L) return null
+    if (isJpeg && predictor != 1L) return null
+    // JPEGTables (TIFF TechNote 2): an abbreviated table-only stream
+    // (SOI + DQT/DHT + EOI) shared by every abbreviated segment
+    val jpegTables: Option[Array[Byte]] = if (isJpeg) undef(347) else None
     // the integer horizontal-differencing predictor is undefined over
     // float sample bytes (GDAL uses predictor 3 for floats — outside
     // this subset)
@@ -587,9 +615,56 @@ case class TiffDecode(child: Expression)
       * bytes — a bounds-checked raw slice, or a bounded inflate that
       * must consume its input and produce neither more nor less.
       */
-    def segment(off: Long, len: Long, expectedLen: Int): Array[Byte] = {
+    def segment(off: Long, len: Long, expectedLen: Int,
+        segW: Int = 0, segH: Int = 0): Array[Byte] = {
       if (off < 0 || len <= 0 || off + len > bytes.length || off > Int.MaxValue) return null
-      if (compression == 1L) {
+      if (compression == 7L) {
+        // new-style JPEG (TechNote 2): the segment is a JPEG stream —
+        // complete, or abbreviated with its DQT/DHT bodies in the
+        // shared JPEGTables stream (merged as SOI + table bodies +
+        // segment-sans-SOI). Dims are validated BEFORE pixel decode
+        // via the ImageReader header, so a crafted header cannot
+        // allocate beyond the layout-implied segment.
+        try {
+          val seg = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+          if (seg.length < 4 || (seg(0) & 0xFF) != 0xFF || (seg(1) & 0xFF) != 0xD8)
+            return null
+          val full = jpegTables match {
+            case Some(t) if t.length > 4 &&
+                (t(0) & 0xFF) == 0xFF && (t(1) & 0xFF) == 0xD8 &&
+                (t(t.length - 2) & 0xFF) == 0xFF && (t(t.length - 1) & 0xFF) == 0xD9 =>
+              val out = new Array[Byte](2 + (t.length - 4) + (seg.length - 2))
+              out(0) = 0xFF.toByte; out(1) = 0xD8.toByte
+              System.arraycopy(t, 2, out, 2, t.length - 4)
+              System.arraycopy(seg, 2, out, 2 + t.length - 4, seg.length - 2)
+              out
+            case _ => seg
+          }
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(full))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return null
+          val rd = readers.next()
+          rd.setInput(iis)
+          try {
+            if (rd.getWidth(0) != segW || rd.getHeight(0) != segH) return null
+            val img = rd.read(0)
+            val r = img.getRaster
+            if (r.getNumBands != 1) return null
+            val out = new Array[Byte](expectedLen)
+            var yy = 0
+            var idx = 0
+            while (yy < segH) {
+              var xx = 0
+              while (xx < segW) {
+                out(idx) = r.getSample(xx, yy, 0).toByte; idx += 1; xx += 1
+              }
+              yy += 1
+            }
+            out
+          } finally rd.dispose()
+        } catch { case scala.util.control.NonFatal(_) => null }
+      } else if (compression == 1L) {
         if (len != expectedLen) return null
         java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
       } else if (compression == 5L) {
@@ -688,6 +763,7 @@ case class TiffDecode(child: Expression)
     def sample(db: java.nio.ByteBuffer, idx: Int): Int =
       if (isFloat) java.lang.Float.intBitsToFloat(db.getInt(4 * idx)).toInt
       else if (bps == 4) db.getInt(4 * idx)
+      else if (bps == 1) db.get(idx) & 0xFF // JPEG gray: unsigned
       else db.getShort(2 * idx).toInt
 
     /** Allocate the pixel array ONLY once the container's segment
@@ -711,6 +787,10 @@ case class TiffDecode(child: Expression)
          // Gated with slack.
          else if (compression == 5L) decodedTotal <= claimed * 3700L
          else if (compression == 32773L) decodedTotal <= claimed * 70L
+         // JPEG: a constant image's entropy data is tiny — gate loose,
+         // the pixel cap bounds any allocation and dims are verified
+         // against the layout before decode
+         else if (compression == 7L) decodedTotal <= claimed * 1000L
          // ZSTD's RLE block emits up to 128 KB from a ~4-byte block
          // (~32768x); gated with slack — the pixel cap above already
          // bounds any single allocation at 64 MB
@@ -735,7 +815,7 @@ case class TiffDecode(child: Expression)
       val points = new Array[Any](width * height)
       var t = 0
       while (t < offsets.length) {
-        val data = segment(offsets(t), counts(t), bps * tw * th)
+        val data = segment(offsets(t), counts(t), bps * tw * th, tw, th)
         if (data == null) return null
         if (predictor == 2L) undoPredictor(data, tw)
         val db = java.nio.ByteBuffer.wrap(data).order(order)
@@ -772,7 +852,7 @@ case class TiffDecode(child: Expression)
       var s = 0
       while (s < offsets.length) {
         val rows = math.min(rowsPerStrip, (height - row).toLong).toInt
-        val data = segment(offsets(s), counts(s), bps * width * rows)
+        val data = segment(offsets(s), counts(s), bps * width * rows, width, rows)
         if (data == null) return null
         if (predictor == 2L) undoPredictor(data, width)
         val db = java.nio.ByteBuffer.wrap(data).order(order)

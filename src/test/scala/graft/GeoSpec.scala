@@ -577,6 +577,71 @@ class GeoSpec extends SparkSpec {
     assert(expr.eval(InternalRow(bombish)) == null)
   }
 
+  test("g37: JPEG-in-TIFF layouts decode exactly; codec is genuinely lossy; fuzz never throws") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val expr = org.apache.spark.sql.graft.TiffDecode(BoundReference(0, BinaryType, true))
+    val n = graft.geo.Fixtures.GridN2
+    def pix(id: Int, x: Int, y: Int): Int = graft.geo.Fixtures.blockPix(id, x, y)
+    val layouts: Seq[(String, Array[Byte])] = Seq(
+      "jpeg-full" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, jpeg = true, bits = 8),
+      "jpeg-tables" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, jpeg = true, jpegTables = true, bits = 8),
+      "jpeg-full-be" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, jpeg = true, bits = 8,
+        order = java.nio.ByteOrder.BIG_ENDIAN),
+      "jpeg-tables-bigtiff" -> graft.geo.Fixtures.tiffBytesDeflate(9, predictor = 1,
+        compress = false, jpeg = true, jpegTables = true, bits = 8, bigTiff = true))
+    layouts.foreach { case (label, bytes) =>
+      val row = expr.eval(InternalRow(bytes)).asInstanceOf[InternalRow]
+      assert(row != null, label)
+      assert(row.getInt(0) == n && row.getInt(1) == n, label)
+      val pts = row.getArray(2)
+      assert(pts.numElements() == n * n, label)
+      (0 until pts.numElements()).foreach { i =>
+        val p = pts.getStruct(i, 3)
+        assert(p.getInt(2) == pix(9, p.getInt(0), p.getInt(1)),
+          s"$label (${p.getInt(0)},${p.getInt(1)})")
+      }
+    }
+    // the codec is genuinely LOSSY — per-pixel-varying content does
+    // NOT roundtrip (so the fixture isn't quietly uncompressed, and
+    // the block-constant design is load-bearing)
+    val varying = graft.geo.Fixtures.jpegEncodeGray(24, 24,
+      (x, y) => ((x * 17 + y * 29) % 251) % 256)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(varying))
+    val lossy = (0 until 24).exists(y => (0 until 24).exists(x =>
+      back.getRaster.getSample(x, y, 0) != ((x * 17 + y * 29) % 251) % 256))
+    assert(lossy, "per-pixel content should not survive quality-1.0 JPEG")
+    // the abbreviated fixture genuinely splits: tag 347 present and
+    // the per-strip streams carry no DQT/DHT of their own
+    val (tbl, img) = graft.geo.Fixtures.splitJpeg(
+      graft.geo.Fixtures.jpegEncodeGray(24, 8, (x, y) => pix(9, x, y)))
+    assert(tbl.length > 4 && img.length > 4)
+    def hasMarker(b: Array[Byte], m: Int): Boolean =
+      b.sliding(2).exists(w => (w(0) & 0xFF) == 0xFF && (w(1) & 0xFF) == m)
+    assert(hasMarker(tbl, 0xDB) && hasMarker(tbl, 0xC4))
+    assert(!hasMarker(img.takeWhile(_ != 0xDA.toByte), 0xDB))
+    // fuzz: truncations + byte flips of complete-stream, tables, and
+    // BigTIFF variants never throw
+    val rnd = new scala.util.Random(59)
+    Seq(layouts.head._2, layouts(1)._2, layouts.last._2).foreach { base =>
+      val mutants =
+        (0 until base.length by 7).map(base.take(_)) ++
+        (1 to 200).map { _ =>
+          val m = base.clone()
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          m
+        }
+      mutants.foreach { m =>
+        val out = expr.eval(InternalRow(m))
+        assert(out == null || out.isInstanceOf[InternalRow])
+      }
+    }
+  }
+
   test("g28: contour crossings re-derive from an independent JVM sweep") {
     val n = graft.geo.Fixtures.GridN
     def elev(t: Long, x: Int, y: Int): Long = Math.floorMod(t * 131 + x * 17 + y * 29, 8848)
