@@ -114,6 +114,9 @@ object SparkEntry {
       Relational.q69SkewJoin(s, d)),
     "q70_attribution"         -> ((s: SparkSession, d: String) =>
       Relational.q70Attribution(s, d)),
+    "q71_variant"             -> Relational.q71Variant _,
+    "q72_pagerank"            -> ((s: SparkSession, d: String) =>
+      Relational.q72Pagerank(s, d)),
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -165,6 +168,8 @@ object SparkEntry {
       TextAnalysis.termBurstiness(s, d)),
     "t22_effective_size"      -> ((s: SparkSession, d: String) =>
       TextAnalysis.effectiveSize(s, d)),
+    "t23_zipf"                -> ((s: SparkSession, d: String) =>
+      TextAnalysis.zipfCensus(s, d)),
     "t16_bigram_coverage"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramCoverage(s, d)),
     // dedup
@@ -1624,6 +1629,52 @@ object SparkEntry {
       |  sum(p_cents // k + CASE WHEN rnk = 1 THEN p_cents % k ELSE 0 END)::BIGINT
       |    AS attr_cents
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q71: the oracle states the aggregate from k directly — the
+    // Spark side must reproduce it THROUGH the variant encoding
+    // (parse_json → variant_get paths); n_bad_cast states the
+    // try_variant_get null-on-cast contract as a constant 0
+    "q71_variant" -> raw"""
+      |WITH e AS (SELECT event_type,
+      |             json_extract_string(props, '$$.k')::BIGINT AS k FROM events)
+      |SELECT event_type, count(*) AS n,
+      |       sum(k)::BIGINT AS sum_val,
+      |       sum(CASE WHEN k % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_arr,
+      |       sum(CASE WHEN k % 3 = 1 THEN k + 1 ELSE NULL END)::BIGINT AS sum_arr1,
+      |       sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_tag,
+      |       0::BIGINT AS n_bad_cast
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q72: 3 unrolled damped iterations in e12 integer units; // is
+    // floor-div ≡ Spark's truncating div on the non-negative operands
+    "q72_pagerank" -> raw"""
+      |WITH e AS (SELECT DISTINCT (doc_id % 97) % 37 AS src,
+      |             CASE WHEN (doc_id*31 + 7) % 37 = (doc_id % 97) % 37
+      |                  THEN ((doc_id*31 + 7) % 37 + 1) % 37
+      |                  ELSE (doc_id*31 + 7) % 37 END AS dst
+      |           FROM documents),
+      |h AS (SELECT DISTINCT hid FROM (SELECT src AS hid FROM e
+      |                                UNION SELECT dst FROM e)),
+      |n AS (SELECT count(*)::BIGINT AS nh FROM h),
+      |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT hid, 1000000000000 // nh AS r FROM h CROSS JOIN n),
+      |c1 AS (SELECT e.dst AS hid, sum((85*r0.r) // (100*od.outdeg)) AS cin
+      |       FROM e JOIN od USING (src) JOIN r0 ON r0.hid = e.src GROUP BY 1),
+      |r1 AS (SELECT h.hid, (15*1000000000000) // (100*nh) + coalesce(cin, 0) AS r
+      |       FROM h CROSS JOIN n LEFT JOIN c1 ON c1.hid = h.hid),
+      |c2 AS (SELECT e.dst AS hid, sum((85*r1.r) // (100*od.outdeg)) AS cin
+      |       FROM e JOIN od USING (src) JOIN r1 ON r1.hid = e.src GROUP BY 1),
+      |r2 AS (SELECT h.hid, (15*1000000000000) // (100*nh) + coalesce(cin, 0) AS r
+      |       FROM h CROSS JOIN n LEFT JOIN c2 ON c2.hid = h.hid),
+      |c3 AS (SELECT e.dst AS hid, sum((85*r2.r) // (100*od.outdeg)) AS cin
+      |       FROM e JOIN od USING (src) JOIN r2 ON r2.hid = e.src GROUP BY 1),
+      |r3 AS (SELECT h.hid, (15*1000000000000) // (100*nh) + coalesce(cin, 0) AS r
+      |       FROM h CROSS JOIN n LEFT JOIN c3 ON c3.hid = h.hid),
+      |ind AS (SELECT dst AS hid, count(*)::BIGINT AS in_deg FROM e GROUP BY 1)
+      |SELECT r3.hid::BIGINT AS hid, r3.r::BIGINT AS rank_e12,
+      |       coalesce(od.outdeg, 0)::BIGINT AS out_deg,
+      |       coalesce(ind.in_deg, 0)::BIGINT AS in_deg
+      |FROM r3 LEFT JOIN od ON od.src = r3.hid
+      |        LEFT JOIN ind ON ind.hid = r3.hid
+      |ORDER BY rank_e12 DESC, hid""".stripMargin,
     // q69: the ORACLE is the plain equi-join — the salted execution
     // must be row-identical to it, which is the whole point
     "q69_skew_join" -> raw"""
@@ -2416,6 +2467,18 @@ object SparkEntry {
       |FROM a ORDER BY lang, source""".stripMargin,
     // t22: token-grain soft-dedup effective size; families by
     // md5(normalized text) exactly as d1; ppm via DECIMAL/HUGEINT
+    // t23: top-100 by (cf DESC, term ASC) — the TopKLabeled tie rule;
+    // zipf_ppm through HUGEINT ≡ the Spark side's DECIMAL(38,0)
+    "t23_zipf" -> raw"""
+      |WITH w AS (SELECT unnest(string_split($Nrm, ' ')) AS w FROM documents),
+      |f AS (SELECT w, count(*)::BIGINT AS cf FROM w GROUP BY 1),
+      |r AS (SELECT w, cf, row_number() OVER (ORDER BY cf DESC, w)::BIGINT AS rank
+      |      FROM f),
+      |t AS (SELECT rank, w AS term, cf FROM r WHERE rank <= 100),
+      |one AS (SELECT cf AS cf1 FROM t WHERE rank = 1)
+      |SELECT rank, term, cf, (rank * cf)::BIGINT AS zipf_prod,
+      |       ((rank::HUGEINT * cf * 1000000) // cf1)::BIGINT AS zipf_ppm
+      |FROM t CROSS JOIN one ORDER BY rank""".stripMargin,
     "t22_effective_size" -> raw"""
       |WITH d AS (SELECT doc_id, source, md5($Nrm) AS content_hash,
       |        len(string_split($Nrm, ' '))::BIGINT AS n_toks

@@ -2084,4 +2084,109 @@ object Relational {
         col("n_islands"), col("covered_days"))
       .orderBy(col("l_suppkey"))
   }
+
+  /** q71: SEMI-STRUCTURED columns through Spark 4's VARIANT type —
+    * the schemaless-column answer at 100 TB: `parse_json` decodes a
+    * heterogeneous JSON document ONCE into the binary VariantType
+    * encoding, and every later `variant_get` is a path walk over
+    * that encoding (vs `get_json_object`, which re-parses the string
+    * per extraction — q15's shape; with five extractions that is 5×
+    * the parse CPU on every row of a 100 TB scan). Exercised here:
+    * nested-object path ($.a.b), array index ($.arr[1]), a typed
+    * string path, and `try_variant_get`'s null-on-cast-failure
+    * contract (a string tag read as long — counts 0, never throws).
+    *
+    * The heterogeneous shapes are PLANTED from the extracted k (§3
+    * discipline: the shipped `props` is flat '{"k":N}'), three
+    * document schemas keyed by k mod 3, so the DuckDB oracle states
+    * the same aggregate from k directly — the hash compare proves
+    * parse → nested access → array index → typed null end to end.
+    * One scan, one skinny event_type-keyed groupBy, map-side
+    * combinable.
+    */
+  def q71Variant(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val j = when(pmod(k, lit(3)) === 0,
+        concat(lit("{\"a\":{\"b\":"), k, lit("},\"tag\":\"x"), pmod(k, lit(5)), lit("\"}")))
+      .when(pmod(k, lit(3)) === 1,
+        concat(lit("{\"k\":"), k, lit(",\"arr\":["), k, lit(","), k + 1, lit("]}")))
+      .otherwise(concat(lit("{\"k\":"), k, lit("}")))
+    Tables.events(s, dir)
+      .select(col("event_type"), parse_json(j).as("v"))
+      .select(col("event_type"),
+        coalesce(variant_get(col("v"), "$.a.b", "long"),
+          variant_get(col("v"), "$.k", "long")).as("val"),
+        variant_get(col("v"), "$.arr[1]", "long").as("arr1"),
+        variant_get(col("v"), "$.tag", "string").as("tag"),
+        try_variant_get(col("v"), "$.tag", "long").as("tag_as_long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("val")).as("sum_val"),
+        count(col("arr1")).as("n_arr"),
+        sum(col("arr1")).as("sum_arr1"),
+        count(col("tag")).as("n_tag"),
+        count(col("tag_as_long")).as("n_bad_cast"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q72: PAGERANK over the host link graph — the link-centrality
+    * source-quality signal web curation pipelines weight by (Common
+    * Crawl publishes exactly this ranking over its host graph). The
+    * damped update runs a FIXED number of unrolled iterations in
+    * pure integer arithmetic: ranks live in e12 units (10^12 mass
+    * split over N hosts), each iteration is
+    * `r'(v) = (15·10^12) div (100·N) + Σ_in (85·r(u)) div (100·out(u))`
+    * — truncating integer division, identical in Spark (`div`) and
+    * DuckDB (`//`) for the non-negative operands here, so three
+    * iterations stay hash-exact with no float anywhere.
+    *
+    * Distribution is the standard edge-shuffle PageRank: ranks and
+    * edges are host-keyed frames, one equi-join + one dst-keyed
+    * groupBy per iteration (3 shuffles total), hosts with no
+    * in-links re-enter via a left join against the host frame. No
+    * driver-side state — N rides a broadcast 1-row frame. The edge
+    * frame is cached once (4 consumers). At 10^8 hosts each
+    * iteration shuffles |E| skinny (long, long) contribution rows —
+    * the shape GraphX/Pregel jobs run at exactly this scale.
+    *
+    * The documents table carries no links, so the edge set is
+    * planted by doc_id arithmetic over d10's host universe (§3):
+    * src = (doc_id%97)%37, dst = (doc_id·31+7)%37 bumped off
+    * self-loops; the oracle re-derives the identical graph.
+    */
+  def q72Pagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val Scale = 1000000000000L
+    val docs = Tables.documents(s, dir)
+    val src = pmod(pmod(col("doc_id"), lit(97)), lit(37))
+    val d0 = pmod(col("doc_id") * 31 + 7, lit(37))
+    val dst = when(d0 === src, pmod(d0 + 1, lit(37))).otherwise(d0)
+    val edges = graft.Caches.track(
+      docs.select(src.as("src"), dst.as("dst")).distinct())
+    val hosts = graft.Caches.track(
+      edges.select(col("src").as("hid"))
+        .union(edges.select(col("dst").as("hid"))).distinct())
+    val n = hosts.agg(count(lit(1)).as("n_hosts"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eo = graft.Caches.track(edges.join(outdeg, "src"))
+    val hostsN = hosts.crossJoin(broadcast(n))
+    var ranks = hostsN.select(col("hid"), expr(s"${Scale}L div n_hosts").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = eo
+        .join(ranks.withColumnRenamed("hid", "src"), "src")
+        .select(col("dst").as("hid"), expr("(85 * r) div (100 * outdeg)").as("c"))
+        .groupBy(col("hid")).agg(sum(col("c")).as("cin"))
+      ranks = hostsN.join(contribs, Seq("hid"), "left")
+        .select(col("hid"),
+          (expr(s"(15 * ${Scale}L) div (100 * n_hosts)") +
+            coalesce(col("cin"), lit(0L))).as("r"))
+    }
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    ranks
+      .join(outdeg.withColumnRenamed("src", "hid"), Seq("hid"), "left")
+      .join(indeg.withColumnRenamed("dst", "hid"), Seq("hid"), "left")
+      .select(col("hid"), col("r").as("rank_e12"),
+        coalesce(col("outdeg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("rank_e12").desc, col("hid"))
+  }
 }

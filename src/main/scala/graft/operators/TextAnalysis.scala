@@ -723,6 +723,42 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** t23: ZIPF RANK-FREQUENCY audit — the corpus-health fingerprint
+    * (a natural-language corpus follows cf(r) ≈ cf(1)/r; template
+    * spam, boilerplate floods and deduplication bugs all bend the
+    * curve, so rank·cf/cf(1) per rank is the one-glance diagnostic
+    * corpus reports publish). Top-k terms by collection frequency
+    * ride the bounded-heap TopKLabeled aggregate — never a
+    * vocabulary-wide window (at 10^10-type vocabularies a global
+    * rank window funnels every (term, cf) pair through one reducer;
+    * the heap shuffles ≤ k candidates per task). The Zipf deviation
+    * `(rank·cf·10^6) div cf(1)` routes through DECIMAL(38,0) (the
+    * t20/t21 overflow discipline — a stop-word cf at 10^13 tokens
+    * crosses 2^63 inside the ppm numerator), surfaced as an exact
+    * BIGINT; `zipf_prod = rank·cf` stays long (≤ k·cf, stated bound
+    * k·2^63/10^2 — fine until a single term holds ~10^17
+    * occurrences). cf(1) re-attaches via a broadcast 1-row frame
+    * (the t21/q61 class).
+    */
+  def zipfCensus(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val top = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      .groupBy()
+      .agg(org.apache.spark.sql.graft.TopKLabeled
+        .top_k_labeled(col("cf").cast("double"), col("w"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.label").as("term"), col("col.score").cast("long").as("cf"))
+    val f1 = top.filter(col("rank") === 1).select(col("cf").as("cf1"))
+    top.crossJoin(broadcast(f1))
+      .select(col("rank"), col("term"), col("cf"),
+        (col("rank") * col("cf")).as("zipf_prod"),
+        expr("cast((cast(rank as decimal(38,0)) * cf * 1000000) div cf1 as bigint)")
+          .as("zipf_ppm"))
+      .orderBy(col("rank"))
+  }
+
   /** t22: EFFECTIVE DATASET SIZE per source — the number a mixing
     * decision actually reads: raw token mass next to the token mass
     * that SURVIVES exact-dup down-weighting (each doc weighted

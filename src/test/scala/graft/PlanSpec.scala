@@ -413,6 +413,8 @@ class PlanSpec extends SparkSpec {
       "t21_burstiness"     -> "crossJoin(broadcast(1-row n_docs total))",
       "q63_global_customers" -> "crossJoin(broadcast(1-row global-average scalar))",
       "s13_hybrid_rrf"     -> "broadcast 20-query frames x corpus, =!= condition (lex + s1 vec lists)",
+      "q72_pagerank"       -> "crossJoin(broadcast(1-row host count))",
+      "t23_zipf"           -> "crossJoin(broadcast(1-row rank-1 cf))",
       "s14_cos_calibration" -> "declared bounded panel x panel block (md5-bucket sample, < condition)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

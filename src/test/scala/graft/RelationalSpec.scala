@@ -1016,4 +1016,61 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._3).sum == attributedTotal &&
       attributedTotal == convertingPurchaseCents)
   }
+
+  test("q71 variant: JVM identity from props; try_variant_get nulls on cast failure") {
+    val got = Relational.q71Variant(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val ks = Tables.events(spark, Sf)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = ks.groupBy(_._1).map { case (t, xs) =>
+      val k = xs.map(_._2)
+      val arr = k.filter(_ % 3 == 1)
+      t -> ((k.length.toLong, k.sum, arr.length.toLong,
+        arr.map(_ + 1).sum, k.count(_ % 3 == 0).toLong, 0L))
+    }
+    assert(got == exp && got.nonEmpty)
+    // the typed-null contract is the last tuple slot: a string tag
+    // read as long through try_variant_get counts ZERO everywhere
+    got.values.foreach(v => assert(v._6 == 0L))
+    // every planted shape class is non-vacuous
+    assert(got.values.map(_._3).sum > 0 && got.values.map(_._5).sum > 0)
+  }
+
+  test("q72 pagerank: JVM integer-iteration identity; mass and degree laws") {
+    val got = Relational.q72Pagerank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.Caches.clear()
+    val ids = Tables.documents(spark, Sf).select(col("doc_id")).collect().map(_.getLong(0))
+    val edges = ids.map { id =>
+      val s = (id % 97) % 37
+      val d0 = (id * 31 + 7) % 37
+      (s, if (d0 == s) (d0 + 1) % 37 else d0)
+    }.distinct
+    val hosts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = hosts.length.toLong
+    val out = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val in = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val Scale = 1000000000000L
+    var r = hosts.map(h => h -> Scale / n).toMap
+    for (_ <- 1 to 3) {
+      val cin = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => 85L * r(s) / (100L * out(s)) }.sum).toMap
+      r = hosts.map(h => h -> ((15L * Scale) / (100L * n) + cin.getOrElse(h, 0L))).toMap
+    }
+    val exp = hosts.map(h => (h, r(h), out.getOrElse(h, 0L), in.getOrElse(h, 0L)))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == exp.toSeq && got.nonEmpty)
+    // damped-mass law: total rank stays within truncation loss of
+    // Scale — each iteration drops < 1 unit per host (base div) and
+    // per edge (contrib div), and the 15% base replenishes at full
+    // Scale, so the shortfall never compounds past Σ per-iter losses
+    val mass = got.map(_._2).sum
+    val maxLoss = 3L * (n + edges.length)
+    assert(mass <= Scale && mass >= Scale - maxLoss)
+    // the planted graph never dangles: every host sends somewhere
+    assert(got.forall(_._3 >= 1L))
+  }
 }

@@ -408,6 +408,24 @@ class TextFnsSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("t23 zipf: JVM fold identity incl. tie rule; rank-1 ppm is exactly 1e6") {
+    val got = graft.operators.TextAnalysis.zipfCensus(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, Sf)
+      .select(graft.functions.TextFns.words(col("text")))
+      .collect().map(_.getSeq[String](0))
+    val cf = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val top = cf.sortBy(t => (-t._2, t._1)).take(100)
+    val cf1 = top.head._2
+    val exp = top.zipWithIndex.map { case ((w, c), i) =>
+      val rank = i + 1L
+      (rank, w, c, rank * c, rank * c * 1000000L / cf1)
+    }
+    assert(got.toSeq == exp.toSeq && got.length == math.min(100, cf.length))
+    // the curve's anchor: rank 1 deviates from itself by exactly 1e6
+    assert(got.head == (1L, top.head._1, cf1, cf1, 1000000L))
+  }
+
   test("t22 effective size: JVM identity; singleton-family sources save nothing") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.TextAnalysis.effectiveSize(spark, Sf).collect()
