@@ -45,6 +45,7 @@ object SparkEntry {
     "g35_raster_tiff_zstdbig" -> GeoQueries.rasterIngestTiffZstdBig _,
     "g36_snapshot_commit"     -> GeoQueries.snapshotCommit _,
     "g37_raster_tiff_jpeg"    -> GeoQueries.rasterIngestTiffJpeg _,
+    "g38_warp_resample"       -> GeoQueries.warpResample _,
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
@@ -444,6 +445,22 @@ object SparkEntry {
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     // g37: the block-constant formula (per-8x8-MCU, mod 251) — the
     // lossy codec roundtrips it exactly at quality 1.0
+    // g38: inverse-map each 5×5 target center to its source pixel;
+    // // ≡ Spark div on the non-negative operands; georeferencing
+    // and elevation re-derived from the generating formulas
+    "g38_warp_resample" -> raw"""
+      |WITH $TilesCte,
+      |t AS (SELECT tile_id, tile_key, lat0, lon0, tys.ty, txs.tx,
+      |        ((2*txs.tx + 1) * 8) // 10 AS src_x,
+      |        ((2*tys.ty + 1) * 8) // 10 AS src_y
+      |      FROM keyed, generate_series(0,4) tys(ty), generate_series(0,4) txs(tx)
+      |      WHERE tile_id < 50)
+      |SELECT tile_id, tile_key, ty::BIGINT AS ty, tx::BIGINT AS tx,
+      |       src_x::BIGINT AS src_x, src_y::BIGINT AS src_y,
+      |       (lon0*1000000 + (2*tx + 1)*100000)::BIGINT AS lon_e6,
+      |       (lat0*1000000 - (2*ty + 1)*100000)::BIGINT AS lat_e6,
+      |       ((tile_id*131 + src_x*17 + src_y*29) % 8848)::BIGINT AS elevation
+      |FROM t ORDER BY tile_id, ty, tx""".stripMargin,
     "g37_raster_tiff_jpeg" -> raw"""
       |WITH $TilesCte,
       |grid2 AS (

@@ -1454,4 +1454,61 @@ object GeoQueries {
           .as("visible"))
       .orderBy(col("step"))
   }
+
+  /** g38: NEAREST-NEIGHBOR WARP/RESAMPLE (`gdalwarp -ts 5 5 -r near`
+    * — the grid-change primitive behind reprojection, zoom rendering
+    * and model-input regridding; g17's overview pyramid is the
+    * power-of-two special case, this is the general rational-ratio
+    * regrid) over the REAL decoded rasters (main.rs:163-191's GDAL
+    * path feeds gdalwarp the same way): each tile regrids 8×8 → 5×5
+    * by INVERSE-mapping every target pixel center back into source
+    * pixel space — `src = floor(((2t+1)·8)/(2·5))`, the exact
+    * integer form `((2t+1)·8) div 10`, truncating div ≡ DuckDB `//`
+    * on the non-negative operands — and pulling that source pixel
+    * from the decoded array (nearest neighbor SELECTS, never
+    * interpolates: every output elevation comes out of the file
+    * bytes). Target georeferencing is exact integer e6
+    * micro-degrees: the center of target cell t sits at
+    * `origin ± (2t+1)/(2·5)` degrees = ±(2t+1)·100000 e6.
+    *
+    * Zero shuffle (g14's distribution story): the 5×5 target
+    * template explodes from a literal array and the source lookup is
+    * element_at index arithmetic into the tile's own decoded array
+    * inside its file split — a 3600²→2400² production warp is one
+    * in-split array pass per tile; only the final presentation sort
+    * exchanges. The oracle re-derives the inverse mapping and the
+    * fixture formula per target cell, so the hash compare proves
+    * decode → inverse-map → pull end to end.
+    */
+  def warpResample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val n = 8; val nt = 5
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val targets = flatten(transform(sequence(lit(0), lit(nt - 1)), ty =>
+      transform(sequence(lit(0), lit(nt - 1)), tx =>
+        struct(tx.as("tx"), ty.as("ty")))))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        col("r.lat0").cast("long").as("lat0"), col("r.lon0").cast("long").as("lon0"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+      .select(col("tile_key"), col("tile_id"), col("lat0"), col("lon0"), col("e"),
+        explode(targets).as("t"))
+      .select(col("tile_id"), col("tile_key"),
+        col("t.ty").cast("long").as("ty"), col("t.tx").cast("long").as("tx"),
+        expr(s"cast(((2 * t.tx + 1) * $n) div ${2 * nt} as bigint)").as("src_x"),
+        expr(s"cast(((2 * t.ty + 1) * $n) div ${2 * nt} as bigint)").as("src_y"),
+        (col("lon0") * lit(1000000L) +
+          (col("t.tx").cast("long") * 2 + 1) * lit(100000L)).as("lon_e6"),
+        (col("lat0") * lit(1000000L) -
+          (col("t.ty").cast("long") * 2 + 1) * lit(100000L)).as("lat_e6"),
+        col("e"))
+      .withColumn("elevation",
+        element_at(col("e"), (col("src_y") * n + col("src_x") + 1).cast("int")))
+      .drop("e")
+      .orderBy(col("tile_id"), col("ty"), col("tx"))
+  }
 }

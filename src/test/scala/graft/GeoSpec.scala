@@ -1300,4 +1300,34 @@ class GeoSpec extends SparkSpec {
     // non-vacuous: some cell actually drains more than one hop
     assert(got.values.max >= 2)
   }
+
+  test("g38 warp: inverse mapping is the JVM center rule; pulls match the formula; georef exact") {
+    val rows = graft.geo.GeoQueries.warpResample(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("tile_id"), r.getAs[Long]("ty"), r.getAs[Long]("tx"),
+        r.getAs[Long]("src_x"), r.getAs[Long]("src_y"),
+        r.getAs[Long]("lon_e6"), r.getAs[Long]("lat_e6"),
+        r.getAs[Long]("elevation")))
+    assert(rows.nonEmpty && rows.length % 25 == 0)
+    val tiles = rows.map(_._1).distinct
+    rows.foreach { case (t, ty, tx, sx, sy, lonE6, latE6, elev) =>
+      // the gdalwarp center rule, floating-point reference:
+      // src = floor((t + 0.5) * n/nt)
+      assert(sx == math.floor((tx + 0.5) * 8.0 / 5.0).toLong)
+      assert(sy == math.floor((ty + 0.5) * 8.0 / 5.0).toLong)
+      assert(sx >= 0 && sx < 8 && sy >= 0 && sy < 8)
+      // every pulled elevation is the fixture formula at the SOURCE cell
+      assert(elev == Math.floorMod(t * 131 + sx * 17 + sy * 29, 8848))
+      // exact e6 georeferencing of the target center
+      val lat0 = Math.floorMod(t * 37, 181) - 90
+      val lon0 = Math.floorMod(t * 73, 361) - 180
+      assert(lonE6 == lon0 * 1000000L + (2 * tx + 1) * 100000L)
+      assert(latE6 == lat0 * 1000000L - (2 * ty + 1) * 100000L)
+    }
+    // per tile: the mapping is monotone non-decreasing and hits
+    // {0,2,4,5,7} — the 5-of-8 nearest-neighbor selection
+    tiles.foreach { t =>
+      val xs = rows.filter(r => r._1 == t && r._2 == 0L).sortBy(_._3).map(_._4)
+      assert(xs.toSeq == Seq(0L, 2L, 4L, 5L, 7L))
+    }
+  }
 }
