@@ -46,6 +46,7 @@ object SparkEntry {
     "g36_snapshot_commit"     -> GeoQueries.snapshotCommit _,
     "g37_raster_tiff_jpeg"    -> GeoQueries.rasterIngestTiffJpeg _,
     "g38_warp_resample"       -> GeoQueries.warpResample _,
+    "g39_snapshot_merge"      -> GeoQueries.snapshotMerge _,
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
@@ -445,6 +446,27 @@ object SparkEntry {
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     // g37: the block-constant formula (per-8x8-MCU, mod 251) — the
     // lossy codec roundtrips it exactly at quality 1.0
+    // g39: both versions' censuses from the generating formulas —
+    // v0 must read UNCHANGED after the merge (snapshot isolation),
+    // v1 = base with [100,150) updated and [400,450) inserted
+    "g39_snapshot_merge" -> raw"""
+      |WITH $GridCte,
+      |v0 AS (SELECT tile_id, elevation::BIGINT AS elev, 0 AS gen
+      |       FROM grid WHERE tile_id < 400),
+      |v1 AS (SELECT tile_id,
+      |         (elevation + CASE WHEN tile_id >= 100 AND tile_id < 150
+      |                           THEN 1000 ELSE 0 END)::BIGINT AS elev,
+      |         CASE WHEN tile_id >= 100 AND tile_id < 150 THEN 1 ELSE 0 END AS gen
+      |       FROM grid WHERE tile_id < 400
+      |       UNION ALL
+      |       SELECT tile_id, elevation::BIGINT, 1 FROM grid
+      |       WHERE tile_id >= 400 AND tile_id < 450)
+      |SELECT 0::BIGINT AS version, count(*) AS n_rows, sum(elev)::BIGINT AS sum_elev,
+      |       sum(gen)::BIGINT AS n_gen1, max(tile_id)::BIGINT AS max_tile FROM v0
+      |UNION ALL
+      |SELECT 1::BIGINT, count(*), sum(elev)::BIGINT, sum(gen)::BIGINT,
+      |       max(tile_id)::BIGINT FROM v1
+      |ORDER BY version""".stripMargin,
     // g38: inverse-map each 5×5 target center to its source pixel;
     // // ≡ Spark div on the non-negative operands; georeferencing
     // and elevation re-derived from the generating formulas

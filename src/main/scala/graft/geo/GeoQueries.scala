@@ -1219,6 +1219,55 @@ object GeoQueries {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** g39: MERGE INTO on the snapshot table — the copy-on-write upsert
+    * completing the maintenance story (g21 plans, g34 rewrites, g36
+    * commits, this UPSERTS): a base census of tiles [0,400) commits
+    * range-partitioned into multiple files, then ONE merge batch
+    * updates tiles [100,150) (elevation +1000, generation 1) and
+    * inserts tiles [400,450). SnapshotTable.merge rewrites only the
+    * files CONTAINING matched keys — every other file carries into
+    * version 1 by reference (SnapshotTableSpec asserts paths and the
+    * rewritten ⊊ total bound; the byte-level pruning contract lives
+    * there, content here). The returned frame reports both versions'
+    * censuses via the manifests, so the generating-formula oracle
+    * proves update/insert/carry row semantics exactly — and that
+    * version 0 still reads UNCHANGED after the merge (snapshot
+    * isolation under upsert).
+    */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val table = new java.io.File(
+      new java.io.File(sys.props("user.dir"), "target/fixtures"),
+      "graft_merge_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(new java.io.File(table))
+    val base = tiles(s, dir)
+    def grid(lo: Int, hi: Int) =
+      gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
+        .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
+    SnapshotTable.commit(s, table,
+      grid(0, 400).withColumn("gen", lit(0L))
+        .repartitionByRange(8, col("tile_id")))
+    val updates = grid(100, 150)
+      .withColumn("elevation", col("elevation") + 1000)
+      .withColumn("gen", lit(1L))
+    val inserts = grid(400, 450).withColumn("gen", lit(1L))
+    SnapshotTable.merge(s, table, updates.unionByName(inserts),
+      Seq("tile_id", "lon", "lat"))
+    (0L to 1L).map { v =>
+      SnapshotTable.readVersion(s, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("elevation").cast("long")).as("sum_elev"),
+          sum(col("gen")).as("n_gen1"),
+          max(col("tile_id")).as("max_tile"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_elev"),
+          col("n_gen1"), col("max_tile"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   /** The compacted dir [[compactionApply]] writes for `dir` — shared
     * with GeoSinkSpec's byte-level assertions.
     */

@@ -155,6 +155,78 @@ object SnapshotTable {
     new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
   }
 
+  /** Audit record of one [[merge]]: which files the new version
+    * carries by reference, which it rewrote, which it added. */
+  final case class MergeStats(version: Long, carried: Seq[String],
+    rewritten: Seq[String], added: Seq[String])
+
+  /** MERGE INTO — the copy-on-write upsert (Delta MERGE / Iceberg
+    * copy-on-write): `source` rows UPDATE table rows sharing their
+    * `keyCols` key and INSERT where no key matches. The file-pruning
+    * contract is the point: only data files that CONTAIN a matched
+    * key are rewritten — every other file carries into the new
+    * manifest BY REFERENCE (path-identical, bytes untouched), so a
+    * 10-row upsert against a 100 TB table rewrites the handful of
+    * files holding those 10 keys, never the table. Matched-file
+    * discovery is one distributed semi-join of the table's keys
+    * (with the hidden `_metadata.file_path` column) against the
+    * distinct source keys; the rewrite joins ONLY the affected
+    * files' rows full-outer with the source (matched → source row,
+    * unmatched-in-file → carried row, unmatched source → insert).
+    * The affected-file list is driver-side manifest-scale metadata —
+    * the same bound every manifest operation here accepts (§6: at
+    * 10^8 files the manifest becomes a parquet table and this list a
+    * frame; the protocol is unchanged).
+    *
+    * Publication races exactly like [[commit]]; a loser recomputes
+    * against the new latest (optimistic read-modify-write — the
+    * orphaned data dir of the losing attempt is unreferenced by any
+    * manifest and vacuum reclaims it).
+    */
+  def merge(s: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], maxRetries: Int = 20): MergeStats = {
+    import org.apache.spark.sql.functions._
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(table)
+      require(base >= 0, s"empty table $table: commit a base before merging")
+      val files = manifest(table, base)
+      val cur = s.read.parquet(files: _*)
+      val dataCols = cur.columns.filterNot(keyCols.contains).toSeq
+      val srcKeys = source.select(keyCols.map(col): _*).distinct()
+      val affected = cur
+        .select(keyCols.map(col) :+ col("_metadata.file_path").as("_file"): _*)
+        .join(srcKeys, keyCols, "left_semi")
+        .select(col("_file")).distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      val (rewrite, carry) = files.partition(affected.contains)
+      val touched =
+        if (rewrite.nonEmpty) s.read.parquet(rewrite: _*) else cur.limit(0)
+      val merged = touched.withColumn("_t", lit(true)).as("t")
+        .join(source.withColumn("_s", lit(true)).as("s"), keyCols, "full_outer")
+        .select(keyCols.map(col) ++ dataCols.map(c =>
+          when(col("s._s").isNotNull, col(s"s.$c"))
+            .otherwise(col(s"t.$c")).as(c)): _*)
+      val dataDir = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
+      merged.write.mode("errorifexists").parquet(dataDir.toString)
+      val added = ls(dataDir).map(_.toAbsolutePath.toString)
+        .filter(_.endsWith(".parquet")).sorted
+      val next = base + 1
+      val tmp = logDir(table).resolve(s".$next.manifest.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, ((carry ++ added).mkString("\n") + "\n").getBytes("UTF-8"))
+      try {
+        Files.createLink(logDir(table).resolve(s"$next.manifest"), tmp)
+        Files.deleteIfExists(tmp)
+        return MergeStats(next, carry, rewrite, added)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the merge race $maxRetries times at $table")
+  }
+
   /** VACUUM: delete data files referenced by NO retained manifest.
     * Retention is by version count (`retainLast` manifests keep their
     * files AND their time-travel readability; older manifests are

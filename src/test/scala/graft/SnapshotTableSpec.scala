@@ -144,4 +144,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, table).as[Long].collect().sorted.toSeq ==
       (1L to 20L))
   }
+
+  test("merge: only files containing matched keys rewrite; carried files are path-identical bytes") {
+    val table = scratchDir("graft_merge_prune")
+    // 100 keys range-partitioned into ~8 files so the update's key
+    // range provably misses most files
+    val base = (0L until 100L).map(k => (k, k * 10L, 0L)).toDF("k", "v", "gen")
+      .repartitionByRange(8, col("k"))
+    SnapshotTable.commit(spark, table, base)
+    val m0 = SnapshotTable.manifest(table, 0)
+    val sizes0 = m0.map(f => f -> new java.io.File(f).length()).toMap
+    // update keys 40..44, insert keys 200..202
+    val source = ((40L to 44L).map(k => (k, k * 10L + 1L, 1L)) ++
+      (200L to 202L).map(k => (k, k, 1L))).toDF("k", "v", "gen")
+    val st = SnapshotTable.merge(spark, table, source, Seq("k"))
+    assert(st.version == 1L)
+    // the pruning contract: strictly fewer files rewrite than exist,
+    // and the carried list is exactly the untouched complement
+    assert(st.rewritten.nonEmpty && st.rewritten.size < m0.size)
+    assert(st.carried.toSet == m0.toSet -- st.rewritten.toSet)
+    // carried files appear in the new manifest BY PATH, bytes unmoved
+    val m1 = SnapshotTable.manifest(table, 1)
+    st.carried.foreach { f =>
+      assert(m1.contains(f) && new java.io.File(f).length() == sizes0(f))
+    }
+    st.rewritten.foreach(f => assert(!m1.contains(f)))
+    // MERGE semantics: updates applied, inserts present, rest carried
+    val got = SnapshotTable.read(spark, table).as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val exp = (0L until 100L).map(k =>
+      if (k >= 40L && k <= 44L) (k, k * 10L + 1L, 1L) else (k, k * 10L, 0L)) ++
+      (200L to 202L).map(k => (k, k, 1L))
+    assert(got == exp)
+    // snapshot isolation: version 0 reads the pre-merge content
+    assert(SnapshotTable.readVersion(spark, table, 0).count() == 100L)
+    assert(SnapshotTable.readVersion(spark, table, 0)
+      .filter(col("gen") === 1L).count() == 0L)
+  }
 }
