@@ -264,6 +264,7 @@ object SparkEntry {
     "j3_schema_evolution"     -> graft.operators.IngestQueries.schemaEvolution _,
     "j4_orc_ingest"           -> graft.operators.IngestQueries.orcIngest _,
     "j5_xml_ingest"           -> graft.operators.IngestQueries.xmlIngest _,
+    "j6_gzip_ingest"          -> graft.operators.IngestQueries.gzipIngest _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1204,6 +1205,19 @@ object SparkEntry {
       |GROUP BY 1, 2, 3, 4 ORDER BY tile_id""".stripMargin,
     // j4: no tearing (ORC writes binary-whole); the audit is the
     // byte-exact round-trip fold over the full slice
+    // j6: identical content contract as j1 (same torn rule) — the gz
+    // codec must be invisible to the audit; n_files pins the 4-shard
+    // layout the fixture writes
+    "j6_gzip_ingest" -> raw"""
+      |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,
+      |       count(*) FILTER (WHERE doc_id % 7 = 3) AS n_quarantine,
+      |       (sum(doc_id) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_doc_id,
+      |       (sum(n_chars) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_n_chars,
+      |       (sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                         for i in range(1, 9)], (a, b) -> a*16 + b))
+      |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
+      |FROM documents WHERE doc_id < 400""".stripMargin,
     "j4_orc_ingest" -> raw"""
       |SELECT count(*) AS n_rows,
       |       sum(doc_id)::BIGINT AS sum_doc_id,

@@ -80,6 +80,36 @@ object IngestFixtures {
     }
   }
 
+  /** Ensure the GZIP-sharded JSONL corpus for `dir`: the same lines
+    * (and torn rule) as [[ensureJsonl]], but compressed and SHARDED —
+    * 4 files `shard-k.jsonl.gz` keyed by doc_id mod 4. The sharding
+    * is the point, not a convenience: gzip is an UNSPLITTABLE codec
+    * (no sync points — one whole-file stream per task however large
+    * the file), so a gz corpus's parallelism IS its file count. This
+    * is how web corpora actually arrive (Common Crawl WET/WARC is
+    * gzip-member-sharded for exactly this reason).
+    */
+  def ensureJsonlGz(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("jsonlgz", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 4) { tmp =>
+      (0 until 4).foreach { shard =>
+        val sb = new StringBuilder
+        rows.filter(_._1 % 4 == shard).foreach { case (id, text, lang, src, nc) =>
+          val line = s"""{"doc_id":$id,"text":"${jesc(text)}","lang":"${jesc(lang)}","source":"${jesc(src)}","n_chars":$nc}"""
+          sb.append(
+            if (id % TornMod == TornRem) line.substring(0, math.max(1, line.length * 2 / 3))
+            else line)
+          sb.append('\n')
+        }
+        val gz = new java.util.zip.GZIPOutputStream(
+          Files.newOutputStream(Paths.get(tmp.toString, s"shard-$shard.jsonl.gz")))
+        try gz.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+        finally gz.close()
+      }
+    }
+  }
+
   /** Ensure the headered CSV corpus for `dir`: quoted string fields;
     * torn doc_ids carry a non-numeric doc_id (type mismatch → the
     * PERMISSIVE corrupt column), never an unclosed quote.

@@ -210,4 +210,17 @@ class IngestSpec extends SparkSpec {
     assert(bad.select("raw_line").collect().forall(!_.isNullAt(0)))
     xml.unpersist()
   }
+
+  test("j6: the gz codec is invisible — gzip-sharded read ≡ plain jsonl read, row for row") {
+    import graft.sources.{IngestFixtures, TextSources}
+    // same parse chain over compressed shards vs the plain file:
+    // identical rows prove the codec layer touched nothing
+    val gz = TextSources.readJsonl(spark, IngestFixtures.ensureJsonlGz(spark, Sf))
+    val plain = TextSources.readJsonl(spark, IngestFixtures.ensureJsonl(spark, Sf))
+    assert(gz.exceptAll(plain).isEmpty && plain.exceptAll(gz).isEmpty)
+    // the audit sees all four shards
+    val row = graft.operators.IngestQueries.gzipIngest(spark, Sf).collect()(0)
+    assert(row.getAs[Long]("n_files") == 4L)
+    assert(row.getAs[Long]("n_quarantine") > 0L)
+  }
 }
