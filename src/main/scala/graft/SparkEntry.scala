@@ -222,6 +222,9 @@ object SparkEntry {
     "s12_pair_rescore"        -> ((s: SparkSession, d: String) => Ann.pairRescore(s, d)),
     "s13_hybrid_rrf"          -> ((s: SparkSession, d: String) => Ann.hybridRrf(s, d)),
     "s14_cos_calibration"     -> ((s: SparkSession, d: String) => Ann.cosCalibration(s, d)),
+    // rows-only by declared design (audits the approximate indexes,
+    // which have no SQL twin); AnnSpec asserts JVM identity + floors
+    "s15_recall_audit"        -> ((s: SparkSession, d: String) => Ann.recallAudit(s, d)),
     "s9_mips_bruteforce"      -> ((s: SparkSession, d: String) => Ann.mipsTopK(s, d)),
     "s2_ann_lsh"              -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "s3_ann_ivf"              -> ((s: SparkSession, d: String) => Ann.ivfTopKAuto(s, d)),

@@ -1286,4 +1286,45 @@ object Ann {
           cosinePre(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos_raw")),
       k)
   }
+
+  /** s15: RECALL AUDIT — index evaluation as a first-class query (the
+    * nightly health check every vector platform runs: recall of each
+    * approximate index against ground truth over a fixed query
+    * panel; FAISS's own benchmark loop, productionized). Per
+    * (method, query): ground-truth size, hits (approximate top-k ∩
+    * exact top-k by neighbor id) and recall_ppm — an exact integer
+    * per-query recall the fleet can alert on. Methods audited are the
+    * three persisted-index search paths (s2 LSH sketch prefilter, s3
+    * IVF probe, s8 graph beam), each searching its build-once index;
+    * the exact list is s1's one-pass broadcast scan, cached once and
+    * shared by all three semi-joins. Queries an index misses
+    * ENTIRELY still surface (right join against the ground-truth
+    * panel, hits 0) — silent-victim-free, the q44 discipline.
+    *
+    * Scale shape: every frame here is panel-sized (20 queries × k
+    * rows); the expensive sides are the index searches themselves,
+    * already measured per-method in the bench. Rows-only by declared
+    * design (the approximate methods have no SQL twin); AnnSpec
+    * asserts the audit ≡ a JVM recomputation from the method frames
+    * and the family's recall floors on the folded numbers.
+    */
+  def recallAudit(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val exact = graft.Caches.track(bruteForceTopK(s, dir, k))
+    val truth = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    def audit(name: String, approx: DataFrame): DataFrame =
+      approx.filter(col("rank") <= k)
+        .join(exact.select(col("q_id"), col("neighbor_id")),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+        .join(truth, Seq("q_id"), "right")
+        .select(lit(name).as("method"), col("q_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_ppm", expr("(n_hits * 1000000) div n_exact"))
+    Seq(
+      audit("lsh", lshTopK(s, dir, k)),
+      audit("ivf", ivfTopKAuto(s, dir, k)),
+      audit("graph", graphSearchTopKAuto(s, dir, k)))
+      .reduce(_ unionByName _)
+      .orderBy(col("method"), col("q_id"))
+  }
 }

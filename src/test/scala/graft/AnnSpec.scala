@@ -533,4 +533,35 @@ class AnnSpec extends SparkSpec {
         r.getAs[Long]("vec_rank"))
     }
   }
+
+  test("s15 recall audit: JVM identity per method; mean recalls meet the family floors") {
+    import graft.operators.Ann
+    val got = Ann.recallAudit(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val exact = Ann.bruteForceTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val truth = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def expFor(name: String, approx: Array[(Long, Long)]) = {
+      val byQ = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.toSeq.sortBy(_._1).map { case (q, ex) =>
+        val hits = byQ.getOrElse(q, Set.empty).count(ex.contains).toLong
+        (name, q, ex.size.toLong, hits, hits * 1000000L / ex.size)
+      }
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val exp = expFor("graph", ids(Ann.graphSearchTopKAuto(spark, Sf))) ++
+      expFor("ivf", ids(Ann.ivfTopKAuto(spark, Sf))) ++
+      expFor("lsh", ids(Ann.lshTopK(spark, Sf)))
+    graft.Caches.clear()
+    assert(got.toSeq == exp)
+    // family floors on the folded panel means (the s2/s3/s8 bounds)
+    val mean = got.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    assert(mean("lsh") >= 550000L, s"lsh mean ${mean("lsh")}")
+    assert(mean("ivf") >= 500000L, s"ivf mean ${mean("ivf")}")
+    assert(mean("graph") >= 400000L, s"graph mean ${mean("graph")}")
+    // no silent victims: every ground-truth query appears per method
+    assert(got.count(_._1 == "ivf") == truth.size)
+  }
 }
