@@ -119,6 +119,8 @@ object SparkEntry {
     "q71_variant"             -> Relational.q71Variant _,
     "q72_pagerank"            -> ((s: SparkSession, d: String) =>
       Relational.q72Pagerank(s, d)),
+    "q73_group_topn"          -> ((s: SparkSession, d: String) =>
+      Relational.q73GroupTopn(s, d)),
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1685,6 +1687,17 @@ object SparkEntry {
       |  sum(p_cents // k + CASE WHEN rnk = 1 THEN p_cents % k ELSE 0 END)::BIGINT
       |    AS attr_cents
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q73: unique (cents DESC, orderkey) order key makes ranks
+    // engine-deterministic; Spark must reproduce them through the
+    // WindowGroupLimit-optimized plan
+    "q73_group_topn" -> raw"""
+      |WITH j AS (SELECT c_mktsegment, o_orderkey,
+      |             round(o_totalprice*100)::BIGINT AS cents
+      |           FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+      |                  ORDER BY cents DESC, o_orderkey) AS rnk FROM j)
+      |SELECT c_mktsegment, o_orderkey, cents, rnk::BIGINT AS rnk
+      |FROM r WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
     // q71: the oracle states the aggregate from k directly — the
     // Spark side must reproduce it THROUGH the variant encoding
     // (parse_json → variant_get paths); n_bad_cast states the

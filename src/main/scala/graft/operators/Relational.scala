@@ -2085,6 +2085,36 @@ object Relational {
       .orderBy(col("l_suppkey"))
   }
 
+  /** q73: TOP-N PER GROUP through the OPTIMIZER's WindowGroupLimit —
+    * the third member of the suite's top-n family and the one that
+    * rides a Spark-4 optimizer rule instead of hand-engineering: q2
+    * aggregates-then-limits, q9/t5 use the bounded-heap aggregate
+    * precisely because a window over a FIXED key set funnels whole
+    * partitions through single reducers — but when the rank filter
+    * sits DIRECTLY above the window, Catalyst's
+    * InferWindowGroupLimit inserts a WindowGroupLimit below BOTH
+    * sides of the exchange: every map task pre-truncates its
+    * partition to the top n per group before shuffling, so the
+    * 5-segment reducer funnel receives ≤ n·tasks rows instead of the
+    * corpus. Same survivable shape as the heap aggregate, obtained
+    * declaratively — PlanSpec asserts the Partial WindowGroupLimit
+    * sits below the exchange, making the optimization a tested
+    * contract rather than a hope. Unique (cents desc, orderkey)
+    * order key ⇒ engine-deterministic ranks.
+    */
+  def q73GroupTopn(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("cents"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
   /** q71: SEMI-STRUCTURED columns through Spark 4's VARIANT type —
     * the schemaless-column answer at 100 TB: `parse_json` decodes a
     * heterogeneous JSON document ONCE into the binary VariantType

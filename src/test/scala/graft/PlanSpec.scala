@@ -13,6 +13,19 @@ class PlanSpec extends SparkSpec {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("q73: WindowGroupLimit pre-truncates each map task below the exchange") {
+    val p = formatted(Relational.q73GroupTopn(spark, Sf))
+    // InferWindowGroupLimit must have fired: a Partial group-limit on
+    // the map side (below the window's exchange) plus the Final one —
+    // without it a fixed-key window funnels whole partitions through
+    // single reducers, the exact q9 anti-pattern
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial") && p.contains("Final"), p)
+    val partialIdx = p.indexOf("WindowGroupLimit")
+    assert(p.indexOf("Exchange") >= 0 && p.lastIndexOf("WindowGroupLimit") != partialIdx,
+      "expected both Partial and Final WindowGroupLimit nodes:\n" + p)
+  }
+
   test("q30: the partition-key filter pushes below the window to the scan") {
     val p = formatted(Relational.q30Sliding(spark, Sf))
     // filtering on the window PARTITION key is push-safe: frames never
