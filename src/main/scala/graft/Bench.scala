@@ -74,7 +74,14 @@ object Bench {
     // reason): t20/t21 explode the whole token stream, s13 fuses two
     // corpus-sized candidate passes, m13 is a full-pixel decode sweep
     "t20_vocab_census", "t21_burstiness", "s13_hybrid_rrf",
-    "m13_pixel_stats")
+    "m13_pixel_stats",
+    // r12 additions (document/embedding-based): q72 shuffles a
+    // corpus-sized distinct into the edge frame, t23 explodes the
+    // whole token stream, s15 runs all three index searches. The
+    // events/orders-based q71/q73 and the fixture-bound g38/g39/j6
+    // stay sf0.1-only (proxy carries neither table, fixtures are
+    // size-capped).
+    "q72_pagerank", "t23_zipf", "s15_recall_audit")
 
   /** The 100x decade keeps the original six cost drivers: d5 is the
     * documented-quadratic exactness oracle (capped at sf1 by design;

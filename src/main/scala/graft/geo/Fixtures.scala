@@ -33,7 +33,7 @@ object Fixtures {
   /** Marker file recording the file count a complete fixture holds. */
   private val CompleteMarker = "_COMPLETE"
 
-  private def deleteRecursively(f: File): Unit = {
+  private[graft] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }

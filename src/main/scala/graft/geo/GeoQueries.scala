@@ -1190,16 +1190,10 @@ object GeoQueries {
     */
   def snapshotCommit(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val table = new java.io.File(
-      new java.io.File(sys.props("user.dir"), "target/fixtures"),
-      "graft_snap_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val table = Fixtures.fixtureRoot("snap", dir).toString
     // deterministic rebuild per execution: the protocol itself is the
     // operator under test, so every run pays the full commit sequence
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(wipe)
-      f.delete(); ()
-    }
-    wipe(new java.io.File(table))
+    Fixtures.deleteRecursively(new java.io.File(table))
     val base = tiles(s, dir)
     def grid(lo: Int, hi: Int) =
       gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
@@ -1236,14 +1230,10 @@ object GeoQueries {
     */
   def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val table = new java.io.File(
-      new java.io.File(sys.props("user.dir"), "target/fixtures"),
-      "graft_merge_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(wipe)
-      f.delete(); ()
-    }
-    wipe(new java.io.File(table))
+    val table = Fixtures.fixtureRoot("merge", dir).toString
+    // deterministic rebuild per execution (the g36 discipline): the
+    // merge protocol itself is the operator under test
+    Fixtures.deleteRecursively(new java.io.File(table))
     val base = tiles(s, dir)
     def grid(lo: Int, hi: Int) =
       gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))

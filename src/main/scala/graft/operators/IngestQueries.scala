@@ -21,14 +21,16 @@ object IngestQueries {
   private def fold32(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  private def audit(df: DataFrame): DataFrame = {
+  private def audit(df: DataFrame,
+      extra: org.apache.spark.sql.Column*): DataFrame = {
     val clean = col("_corrupt_record").isNull
-    df.agg(
+    val aggs = Seq(
       count(when(clean, 1)).as("n_clean"),
       count(when(!clean, 1)).as("n_quarantine"),
       sum(when(clean, col("doc_id"))).as("sum_doc_id"),
       sum(when(clean, col("n_chars"))).as("sum_n_chars"),
-      sum(when(clean, fold32(col("text")))).as("text_fold"))
+      sum(when(clean, fold32(col("text")))).as("text_fold")) ++ extra
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** j1: JSONL ingest audit — text + from_json computed corrupt
@@ -89,26 +91,9 @@ object IngestQueries {
     * over. Same torn-line rule and oracle partition as j1, so the
     * compare proves the compressed bytes round-tripped exactly.
     */
-  def gzipIngest(s: SparkSession, dir: String): DataFrame = {
-    val clean = col("_corrupt_record").isNull
-    s.read.text(IngestFixtures.ensureJsonlGz(s, dir))
-      .select(col("value"), col("_metadata.file_path").as("_file"))
-      .where(length(trim(col("value"))) > 0)
-      .select(from_json(col("value"), TextSources.DocSchema
-          .add(org.apache.spark.sql.types.StructField("_corrupt_record",
-            org.apache.spark.sql.types.StringType)),
-        Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"),
-        col("_file"))
-      .select(col("rec.*"), col("_file"))
-      .agg(
-        count(when(clean, 1)).as("n_clean"),
-        count(when(!clean, 1)).as("n_quarantine"),
-        sum(when(clean, col("doc_id"))).as("sum_doc_id"),
-        sum(when(clean, col("n_chars"))).as("sum_n_chars"),
-        sum(when(clean, fold32(col("text")))).as("text_fold"),
-        countDistinct(col("_file")).as("n_files"))
-  }
+  def gzipIngest(s: SparkSession, dir: String): DataFrame =
+    audit(TextSources.readJsonlWithFile(s, IngestFixtures.ensureJsonlGz(s, dir)),
+      countDistinct(col("_file")).as("n_files"))
 
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")

@@ -741,7 +741,9 @@ object TextAnalysis {
     * (the t21/q61 class).
     */
   def zipfCensus(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    val top = Tables.documents(s, dir)
+    // cached: both the rank-1 probe and the output side consume it —
+    // uncached, the full token explode + vocab groupBy would run twice
+    val top = graft.Caches.track(Tables.documents(s, dir)
       .select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cf"))
       .groupBy()
@@ -749,7 +751,7 @@ object TextAnalysis {
         .top_k_labeled(col("cf").cast("double"), col("w"), k).as("tk"))
       .select(posexplode(col("tk")))
       .select((col("pos") + 1).cast("long").as("rank"),
-        col("col.label").as("term"), col("col.score").cast("long").as("cf"))
+        col("col.label").as("term"), col("col.score").cast("long").as("cf")))
     val f1 = top.filter(col("rank") === 1).select(col("cf").as("cf1"))
     top.crossJoin(broadcast(f1))
       .select(col("rank"), col("term"), col("cf"),

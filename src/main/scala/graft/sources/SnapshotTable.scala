@@ -199,10 +199,17 @@ object SnapshotTable {
         .join(srcKeys, keyCols, "left_semi")
         .select(col("_file")).distinct()
         .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      // LOUD contract: every affected path must resolve back to a
+      // manifest entry — a path-normalization mismatch here would
+      // otherwise silently classify matched files as carried and
+      // duplicate their keys (update becomes insert-beside-stale)
+      require(affected.subsetOf(files.toSet),
+        s"affected files not in manifest (path-form drift): " +
+          (affected -- files.toSet).take(3).mkString(", "))
       val (rewrite, carry) = files.partition(affected.contains)
       val touched =
         if (rewrite.nonEmpty) s.read.parquet(rewrite: _*) else cur.limit(0)
-      val merged = touched.withColumn("_t", lit(true)).as("t")
+      val merged = touched.as("t")
         .join(source.withColumn("_s", lit(true)).as("s"), keyCols, "full_outer")
         .select(keyCols.map(col) ++ dataCols.map(c =>
           when(col("s._s").isNotNull, col(s"s.$c"))

@@ -46,13 +46,28 @@ object TextSources {
     * `from_json` over a text scan). Blank lines are dropped — they
     * are shard padding, not corrupt records.
     */
+  private def parseLine(schema: StructType) =
+    from_json(col("value"), withCorrupt(schema),
+      Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec")
+
   def readJsonl(s: SparkSession, path: String, schema: StructType = DocSchema): DataFrame =
     s.read.text(path)
       .where(length(trim(col("value"))) > 0)
-      .select(from_json(col("value"), withCorrupt(schema),
-        Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+      .select(parseLine(schema))
       .select(col("rec.*"))
+
+  /** [[readJsonl]] carrying the source shard beside each row (the
+    * hidden `_metadata.file_path`, surfaced as `_file`) — the j6
+    * audit pins its shard layout with it.
+    */
+  def readJsonlWithFile(s: SparkSession, path: String,
+      schema: StructType = DocSchema): DataFrame =
+    s.read.text(path)
+      .select(col("value"), col("_metadata.file_path").as("_file"))
+      .where(length(trim(col("value"))) > 0)
+      .select(parseLine(schema), col("_file"))
+      .select(col("rec.*"), col("_file"))
 
   /** Write a DataFrame as JSONL (one JSON object per line). */
   def writeJsonl(df: DataFrame, path: String): Unit =

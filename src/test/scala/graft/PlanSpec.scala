@@ -15,15 +15,23 @@ class PlanSpec extends SparkSpec {
 
   test("q73: WindowGroupLimit pre-truncates each map task below the exchange") {
     val p = formatted(Relational.q73GroupTopn(spark, Sf))
-    // InferWindowGroupLimit must have fired: a Partial group-limit on
-    // the map side (below the window's exchange) plus the Final one —
-    // without it a fixed-key window funnels whole partitions through
-    // single reducers, the exact q9 anti-pattern
-    assert(p.contains("WindowGroupLimit"), p)
+    // InferWindowGroupLimit must have fired with BOTH modes: a
+    // Partial group-limit on the map side (below the window's
+    // exchange) and the Final one above it — without the Partial, a
+    // fixed-key window funnels whole partitions through single
+    // reducers, the exact q9 anti-pattern. Two distinct TREE nodes
+    // (not the node name re-printed in the details section) with an
+    // Exchange between them, plus both mode arguments.
+    val lines = p.split("\n")
+    val isNode = (l: String) => l.matches(".*\\bWindowGroupLimit \\(\\d+\\).*")
+    assert(lines.count(isNode) == 2, s"expected 2 WindowGroupLimit tree nodes:\n$p")
+    val first = lines.indexWhere(isNode)
+    val last = lines.lastIndexWhere(isNode)
+    // tree prints top-down: Final first, then the Exchange, then the
+    // map-side Partial below it
+    assert(lines.slice(first + 1, last).exists(_.contains("Exchange")),
+      s"no Exchange between the two WindowGroupLimit nodes:\n$p")
     assert(p.contains("Partial") && p.contains("Final"), p)
-    val partialIdx = p.indexOf("WindowGroupLimit")
-    assert(p.indexOf("Exchange") >= 0 && p.lastIndexOf("WindowGroupLimit") != partialIdx,
-      "expected both Partial and Final WindowGroupLimit nodes:\n" + p)
   }
 
   test("q30: the partition-key filter pushes below the window to the scan") {
@@ -428,6 +436,7 @@ class PlanSpec extends SparkSpec {
       "s13_hybrid_rrf"     -> "broadcast 20-query frames x corpus, =!= condition (lex + s1 vec lists)",
       "q72_pagerank"       -> "crossJoin(broadcast(1-row host count))",
       "t23_zipf"           -> "crossJoin(broadcast(1-row rank-1 cf))",
+      "s15_recall_audit"   -> "rides s1/s2/s8's broadcast 20-query frames x corpus",
       "s14_cos_calibration" -> "declared bounded panel x panel block (md5-bucket sample, < condition)")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
