@@ -121,6 +121,7 @@ object SparkEntry {
       Relational.q72Pagerank(s, d)),
     "q73_group_topn"          -> ((s: SparkSession, d: String) =>
       Relational.q73GroupTopn(s, d)),
+    "q74_hierarchy"           -> Relational.q74Hierarchy _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -270,6 +271,7 @@ object SparkEntry {
     "j4_orc_ingest"           -> graft.operators.IngestQueries.orcIngest _,
     "j5_xml_ingest"           -> graft.operators.IngestQueries.xmlIngest _,
     "j6_gzip_ingest"          -> graft.operators.IngestQueries.gzipIngest _,
+    "j7_warc_ingest"          -> graft.operators.IngestQueries.warcIngest _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1213,6 +1215,19 @@ object SparkEntry {
     // j6: identical content contract as j1 (same torn rule) — the gz
     // codec must be invisible to the audit; n_files pins the 4-shard
     // layout the fixture writes
+    // j7: j1's audit partition; sum_n_chars states length(text)
+    // directly (the payload IS the text — n_chars never rides a
+    // header), and the torn rule surfaces as the Content-Length lie
+    "j7_warc_ingest" -> raw"""
+      |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,
+      |       count(*) FILTER (WHERE doc_id % 7 = 3) AS n_quarantine,
+      |       (sum(doc_id) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_doc_id,
+      |       (sum(length(text)) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_n_chars,
+      |       (sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                         for i in range(1, 9)], (a, b) -> a*16 + b))
+      |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
+      |FROM documents WHERE doc_id < 400""".stripMargin,
     "j6_gzip_ingest" -> raw"""
       |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,
       |       count(*) FILTER (WHERE doc_id % 7 = 3) AS n_quarantine,
@@ -1714,6 +1729,26 @@ object SparkEntry {
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // q72: 3 unrolled damped iterations in e12 integer units; // is
     // floor-div ≡ Spark's truncating div on the non-negative operands
+    // q74: identical WITH RECURSIVE text modulo div spelling — the
+    // planted parent(k) = k div 10 is strictly decreasing, so both
+    // engines run the same finite recursion; all-integer surfaces
+    "q74_hierarchy" -> raw"""
+      |WITH RECURSIVE
+      |c AS (SELECT c_custkey AS k, round(c_acctbal * 100)::BIGINT AS cents
+      |      FROM customer),
+      |h AS (
+      |  SELECT k, k AS root, 0 AS depth, cents AS path_cents
+      |  FROM c WHERE NOT EXISTS
+      |    (SELECT 1 FROM c p WHERE p.k = c.k // 10 AND p.k <> c.k)
+      |  UNION ALL
+      |  SELECT c.k, h.root, h.depth + 1, h.path_cents + c.cents
+      |  FROM c JOIN h ON c.k // 10 = h.k AND c.k <> h.k
+      |)
+      |SELECT depth::BIGINT AS depth, count(*)::BIGINT AS n_nodes,
+      |  count(DISTINCT root)::BIGINT AS n_roots,
+      |  sum(path_cents)::BIGINT AS sum_path_cents,
+      |  min(k)::BIGINT AS min_key, max(k)::BIGINT AS max_key
+      |FROM h GROUP BY depth ORDER BY depth""".stripMargin,
     "q72_pagerank" -> raw"""
       |WITH e AS (SELECT DISTINCT (doc_id % 97) % 37 AS src,
       |             CASE WHEN (doc_id*31 + 7) % 37 = (doc_id % 97) % 37

@@ -95,6 +95,51 @@ object IngestQueries {
     audit(TextSources.readJsonlWithFile(s, IngestFixtures.ensureJsonlGz(s, dir)),
       countDistinct(col("_file")).as("n_files"))
 
+  /** j7: WARC-record container ingest — the multi-record framing web
+    * archives ship (Common Crawl WET/WARC). The record boundary is
+    * the `WARC/1.0\r\n` magic, handed to the text source as a custom
+    * `lineSep`: the SAME Hadoop delimiter-scan machinery that splits
+    * lines splits records, so a record-delimited container scan
+    * keeps text's parallelism story (unlike j5's rowTag XML, which
+    * has no boundary to resync on, or j6's gzip, which has no sync
+    * points at all). Within a record, the first `\r\n\r\n` separates
+    * the header block from the payload (split with LIMIT 2 — a
+    * payload is never scanned for header syntax), and the trailer is
+    * exactly the 4-char record terminator.
+    *
+    * Production WARC readers trust Content-Length over framing; here
+    * the two are CROSS-CHECKED per record — a mismatch (the
+    * truncated-transfer signature, planted as the torn rule's
+    * one-byte length lie) quarantines the record, so the audit's
+    * clean side proves framing and declared lengths agree over every
+    * surviving byte. Same oracle partition as j1.
+    */
+  def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.option("lineSep", "WARC/1.0\r\n")
+      .text(IngestFixtures.ensureWarc(s, dir))
+      .select(col("value"), col("_metadata.file_path").as("_file"))
+      .where(length(col("value")) > 0) // empty pre-magic chunk per shard
+    val parts = split(col("value"), "\r\n\r\n", 2)
+    val rec = raw
+      .select(element_at(parts, 1).as("hdr"),
+        element_at(parts, 2).as("body"), col("_file"))
+      .select(
+        regexp_extract(col("hdr"), "WARC-Target-URI: \\S*/doc/(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("hdr"), "Content-Length: (\\d+)", 1)
+          .cast("long").as("stated_len"),
+        expr("substring(body, 1, length(body) - 4)").as("payload"),
+        col("_file"))
+    val clean = octet_length(col("payload")) === col("stated_len")
+    rec.agg(
+      count(when(clean, 1)).as("n_clean"),
+      count(when(!clean, 1)).as("n_quarantine"),
+      sum(when(clean, col("doc_id"))).as("sum_doc_id"),
+      sum(when(clean, length(col("payload")))).as("sum_n_chars"),
+      sum(when(clean, fold32(col("payload")))).as("text_fold"),
+      countDistinct(col("_file")).as("n_files"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

@@ -2223,4 +2223,53 @@ object Relational {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .orderBy(col("rank_e12").desc, col("hid"))
   }
+
+  /** q74: HIERARCHY FLATTEN through a RECURSIVE CTE (Spark 4's
+    * `WITH RECURSIVE` → `UnionLoopExec`) — the org-chart / category
+    * -tree / bill-of-materials walk every warehouse eventually runs,
+    * expressed declaratively instead of a hand-rolled driver loop.
+    * The engine executes the recursion as FRONTIER ITERATION: each
+    * step equi-joins the previous level (a `UnionLoopRef` frame)
+    * against the child table, so per-iteration shuffle is
+    * |frontier ⋈ children| — BFS's cost shape, never depth × table.
+    * At 10^8 nodes a level-keyed step shuffles one level, and the
+    * iteration count is the tree DEPTH (here ≤ log10(max key) ≈ 8
+    * at any TPC-H scale — strictly-decreasing parents make
+    * termination a proof, not a hope; Spark's recursion row/depth
+    * guards backstop it).
+    *
+    * The customer table carries no hierarchy, so one is PLANTED by
+    * key arithmetic (§3): parent(k) = k div 10 — a 10-ary forest
+    * whose roots are exactly the keys whose parent key is absent
+    * (anti-join anchor: no reliance on key contiguity). k = 0 is its
+    * own parent (the one fixpoint of k div 10) — the `c.k <> h.k`
+    * guard makes it a root instead of an infinite loop; every other
+    * parent is strictly smaller, so depth is bounded. Each node
+    * carries exact acctbal cents; the walk accumulates PATH SUMS
+    * (root-to-node ancestor cents — the rolled-up-cost column of
+    * every BOM query), and the report is a depth-grain census:
+    * nodes, distinct roots, path-cents mass, key bounds per level.
+    * All-integer surfaces; `div` ≡ DuckDB `//` on the non-negative
+    * keys, so the recursion is hash-exact end to end.
+    */
+  def q74Hierarchy(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v74")
+    s.sql("""
+      WITH RECURSIVE
+      c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer_v74),
+      h AS (
+        SELECT k, k AS root, 0 AS depth, cents AS path_cents
+        FROM c WHERE NOT EXISTS
+          (SELECT 1 FROM c p WHERE p.k = c.k div 10 AND p.k <> c.k)
+        UNION ALL
+        SELECT c.k, h.root, h.depth + 1, h.path_cents + c.cents
+        FROM c JOIN h ON c.k div 10 = h.k AND c.k <> h.k
+      )
+      SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+        count(DISTINCT root) AS n_roots, sum(path_cents) AS sum_path_cents,
+        min(k) AS min_key, max(k) AS max_key
+      FROM h GROUP BY depth ORDER BY depth""")
+  }
 }

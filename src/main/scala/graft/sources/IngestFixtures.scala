@@ -195,6 +195,44 @@ object IngestFixtures {
     }
   }
 
+  /** Ensure the WARC-lite corpus for `dir`: real WARC/1.0 record
+    * framing (`WARC/1.0\r\n` magic, `Name: value\r\n` headers, blank
+    * line, payload, blank line) over the same doc slice — the
+    * multi-record container web archives actually ship (Common Crawl
+    * WET/WARC). 4 shards keyed by doc_id mod 4, the real corpus
+    * layout. The torn shape is a LENGTH-HEADER LIE: torn doc_ids
+    * state Content-Length one byte over the true payload length (the
+    * truncated-transfer signature) — deterministic for any content,
+    * and it makes j7's length cross-check the quarantine gate.
+    *
+    * Fixture contract (stated, and true of this corpus by the §3
+    * derivation): payloads embed neither the record magic nor a CRLF
+    * pair, so delimiter-scan framing and Content-Length agree —
+    * j7's mismatch counter would catch a violation, not mask it.
+    */
+  def ensureWarc(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("warc", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 4) { tmp =>
+      (0 until 4).foreach { shard =>
+        val sb = new StringBuilder
+        rows.filter(_._1 % 4 == shard).foreach { case (id, text, _, src, _) =>
+          val payloadLen = text.getBytes(StandardCharsets.UTF_8).length
+          val stated = if (id % TornMod == TornRem) payloadLen + 1 else payloadLen
+          sb.append("WARC/1.0\r\n")
+            .append("WARC-Type: response\r\n")
+            .append(s"WARC-Target-URI: https://$src/doc/$id\r\n")
+            .append(s"Content-Length: $stated\r\n")
+            .append("\r\n")
+            .append(text)
+            .append("\r\n\r\n")
+        }
+        Files.write(Paths.get(tmp.toString, s"shard-$shard.warc"),
+          sb.toString.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+  }
+
   def ensureOrc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("orc", dir)
     val stamp = new java.io.File(out, "_built")

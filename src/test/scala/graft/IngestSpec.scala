@@ -223,4 +223,42 @@ class IngestSpec extends SparkSpec {
     assert(row.getAs[Long]("n_files") == 4L)
     assert(row.getAs[Long]("n_quarantine") > 0L)
   }
+
+  test("j7: WARC framing round-trips every payload byte-exactly; split-size invariant") {
+    import graft.sources.IngestFixtures
+    import graft.operators.IngestQueries
+    val docs = graft.Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val path = IngestFixtures.ensureWarc(spark, Sf)
+    // re-parse records independently of the operator: every record's
+    // payload must equal the source text VERBATIM (framing loses
+    // nothing), including the torn ones — their lie is the header
+    val body = element_at(split(col("value"), "\r\n\r\n", 2), 2)
+    val parsed = spark.read.option("lineSep", "WARC/1.0\r\n").text(path)
+      .where(length(col("value")) > 0)
+      .select(
+        regexp_extract(col("value"), "WARC-Target-URI: \\S*/doc/(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        body.substr(lit(1), length(body) - 4).as("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(parsed.length == docs.size)
+    parsed.foreach { case (id, p) => assert(p == docs(id), s"payload drift doc $id") }
+    val audit = IngestQueries.warcIngest(spark, Sf).collect()(0)
+    assert(audit.getAs[Long]("n_files") == 4L)
+    assert(audit.getAs[Long]("n_quarantine") ==
+      docs.keys.count(id => id % IngestFixtures.TornMod == IngestFixtures.TornRem))
+    assert(audit.getAs[Long]("n_clean") + audit.getAs[Long]("n_quarantine") ==
+      docs.size.toLong)
+    // the 100 TB claim: the audit must not depend on how the scan is
+    // split — rerun with a split size smaller than single records
+    val conf = "spark.sql.files.maxPartitionBytes"
+    val saved = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "4096")
+      val tiny = IngestQueries.warcIngest(spark, Sf).collect()(0)
+      assert(tiny == audit, s"split-size variance: $tiny vs $audit")
+    } finally spark.conf.set(conf, saved)
+  }
 }

@@ -34,6 +34,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial") && p.contains("Final"), p)
   }
 
+  test("q74: the recursion executes through UnionLoop, not a driver loop") {
+    val p = Relational.q74Hierarchy(spark, Sf).queryExecution.executedPlan.toString
+    // Spark's recursive-CTE engine node: frontier iteration inside
+    // the executor DAG (UnionLoopExec feeding a UnionLoopRef back) —
+    // the recursion never materializes to the driver
+    assert(p.contains("UnionLoop"), p)
+    assert(p.contains("UnionLoopRef"), p)
+  }
+
   test("q30: the partition-key filter pushes below the window to the scan") {
     val p = formatted(Relational.q30Sliding(spark, Sf))
     // filtering on the window PARTITION key is push-safe: frames never

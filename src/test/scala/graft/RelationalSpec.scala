@@ -1073,4 +1073,35 @@ class RelationalSpec extends SparkSpec {
     // the planted graph never dangles: every host sends somewhere
     assert(got.forall(_._3 >= 1L))
   }
+
+  test("q74 hierarchy: JVM forest-walk identity; partition and path laws") {
+    val got = Relational.q74Hierarchy(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val rows = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100))
+    val cents = rows.toMap
+    val keys = cents.keySet
+    // forest walk: parent(k) = k/10, root where the parent key is
+    // absent — or is the node itself (k=0, the self-parent fixpoint:
+    // without this guard the recursion never terminates)
+    def chain(k: Long): List[Long] = // k, parent, ..., root
+      if (k / 10 == k || !keys.contains(k / 10)) List(k) else k :: chain(k / 10)
+    val walked = rows.map { case (k, _) =>
+      val c = chain(k)
+      (k, c.last, c.length - 1L, c.map(cents).sum)
+    }
+    val exp = walked.groupBy(_._3).toSeq.map { case (d, g) =>
+      (d, g.length.toLong, g.map(_._2).distinct.length.toLong,
+        g.map(_._4).sum, g.map(_._1).min, g.map(_._1).max)
+    }.sortBy(_._1)
+    assert(got.toSeq == exp && got.nonEmpty)
+    // partition law: every customer appears at exactly one depth
+    assert(got.map(_._2).sum == rows.length.toLong)
+    // depth-0 path sum is exactly the roots' own cents (nothing
+    // accumulated yet) — the recursion starts from the anchor alone
+    val roots = rows.filter { case (k, _) => k / 10 == k || !keys.contains(k / 10) }
+    assert(got.head._1 == 0L && got.head._4 == roots.map(_._2).sum)
+  }
 }
