@@ -47,6 +47,7 @@ object SparkEntry {
     "g37_raster_tiff_jpeg"    -> GeoQueries.rasterIngestTiffJpeg _,
     "g38_warp_resample"       -> GeoQueries.warpResample _,
     "g39_snapshot_merge"      -> GeoQueries.snapshotMerge _,
+    "g40_snapshot_changes"    -> GeoQueries.snapshotChanges _,
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
@@ -457,6 +458,29 @@ object SparkEntry {
     // g39: both versions' censuses from the generating formulas —
     // v0 must read UNCHANGED after the merge (snapshot isolation),
     // v1 = base with [100,150) updated and [400,450) inserted
+    // g40: the four change groups from the generating formulas —
+    // update images carry [100,150) pre/post, insert [400,450),
+    // delete the v2-replaced [0,50) at their v1 (unmerged) values
+    "g40_snapshot_changes" -> raw"""
+      |WITH $GridCte,
+      |ch AS (
+      |  SELECT 1 AS version, 'update_preimage' AS change_type, tile_id,
+      |         elevation::BIGINT AS elev, 0::BIGINT AS gen
+      |  FROM grid WHERE tile_id >= 100 AND tile_id < 150
+      |  UNION ALL
+      |  SELECT 1, 'update_postimage', tile_id, (elevation + 1000)::BIGINT, 1
+      |  FROM grid WHERE tile_id >= 100 AND tile_id < 150
+      |  UNION ALL
+      |  SELECT 1, 'insert', tile_id, elevation::BIGINT, 1
+      |  FROM grid WHERE tile_id >= 400 AND tile_id < 450
+      |  UNION ALL
+      |  SELECT 2, 'delete', tile_id, elevation::BIGINT, 0
+      |  FROM grid WHERE tile_id < 50)
+      |SELECT version::BIGINT AS version, change_type,
+      |       count(*)::BIGINT AS n_rows, sum(elev)::BIGINT AS sum_elev,
+      |       sum(gen)::BIGINT AS n_gen1, min(tile_id)::BIGINT AS min_tile,
+      |       max(tile_id)::BIGINT AS max_tile
+      |FROM ch GROUP BY 1, 2 ORDER BY version, change_type""".stripMargin,
     "g39_snapshot_merge" -> raw"""
       |WITH $GridCte,
       |v0 AS (SELECT tile_id, elevation::BIGINT AS elev, 0 AS gen

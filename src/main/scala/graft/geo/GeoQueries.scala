@@ -1258,6 +1258,57 @@ object GeoQueries {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** g40: CHANGE DATA FEED over the snapshot table — the READ-side
+    * primitive completing the maintenance story (g21 plans, g34
+    * rewrites, g36 commits, g39 upserts; this answers "what changed
+    * between versions" so downstream pipelines go INCREMENTAL —
+    * Delta's `table_changes`, Iceberg's incremental scan). Scenario:
+    * v0 base commit (tiles [0,400), 8 range files), v1 MERGE (update
+    * [100,150) elevation+1000 gen 1, insert [400,450)), v2 REPLACE
+    * keeping tiles ≥ 50 (the delete). The CDF reads only each
+    * commit's TOGGLED files (v1's carried files never open), cancels
+    * carried rows inside rewritten files by multiset diff, and
+    * classifies the survivors by key presence — the report is the
+    * per-(version, change_type) census a downstream consumer would
+    * bill by. The v2 leg proves LAYOUT INVARIANCE: a replace rewrites
+    * every file, yet the row-level feed shows exactly the 50 deleted
+    * tiles. The DuckDB oracle recomputes all four change groups from
+    * the generating formulas — a mis-cancelled carry, a mis-keyed
+    * image, or a phantom change diverges the hash.
+    */
+  def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val table = Fixtures.fixtureRoot("cdf", dir).toString
+    // deterministic rebuild per execution (the g36 discipline): the
+    // feed protocol itself is the operator under test
+    Fixtures.deleteRecursively(new java.io.File(table))
+    val base = tiles(s, dir)
+    def grid(lo: Int, hi: Int) =
+      gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
+        .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
+    SnapshotTable.commit(s, table,
+      grid(0, 400).withColumn("gen", lit(0L))
+        .repartitionByRange(8, col("tile_id")))
+    val updates = grid(100, 150)
+      .withColumn("elevation", col("elevation") + 1000)
+      .withColumn("gen", lit(1L))
+    val inserts = grid(400, 450).withColumn("gen", lit(1L))
+    SnapshotTable.merge(s, table, updates.unionByName(inserts),
+      Seq("tile_id", "lon", "lat"))
+    SnapshotTable.commit(s, table,
+      SnapshotTable.read(s, table).filter(col("tile_id") >= 50),
+      replace = true)
+    SnapshotTable.changes(s, table, 0L, 2L, Seq("tile_id", "lon", "lat"))
+      .groupBy(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("elevation").cast("long")).as("sum_elev"),
+        sum(col("gen")).as("n_gen1"),
+        min(col("tile_id")).as("min_tile"),
+        max(col("tile_id")).as("max_tile"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
   /** The compacted dir [[compactionApply]] writes for `dir` — shared
     * with GeoSinkSpec's byte-level assertions.
     */

@@ -234,6 +234,73 @@ object SnapshotTable {
       s"lost the merge race $maxRetries times at $table")
   }
 
+  /** CHANGE DATA FEED — row-level changes between two committed
+    * versions (Delta's `table_changes` / Iceberg's incremental read),
+    * derived entirely from MANIFEST DIFFS: per consecutive commit,
+    * only the files the manifest TOGGLED are read (a merge's carried
+    * files — the overwhelming majority of a 100 TB table — are never
+    * opened), and the carried rows INSIDE rewritten files cancel in a
+    * multiset `exceptAll`, so the surviving frame is exactly the
+    * changed rows however the writer laid out its files. Change
+    * classification is by key presence on the opposite side: a key on
+    * both sides is an update (pre + post images), a post-only key an
+    * insert, a pre-only key a delete — Delta's four `_change_type`
+    * values, each row stamped with the `_commit_version` that
+    * produced it.
+    *
+    * This is the READ-side primitive that makes downstream pipelines
+    * incremental: a consumer that processed version `fromV` catches
+    * up to `toV` by processing |changes| rows, never by re-reading
+    * the table. Cost ∝ toggled files per commit — an append diffs
+    * only its new files, a merge its rewritten ones; a full REPLACE
+    * legitimately diffs everything (every file toggles), which is
+    * what a rewrite-the-world commit costs any CDC system.
+    */
+  def changes(s: SparkSession, table: String, fromV: Long, toV: Long,
+      keyCols: Seq[String], cache: Boolean = true): DataFrame = {
+    require(0 <= fromV && fromV < toV && toV <= latestVersion(table),
+      s"bad change range [$fromV, $toV] at $table (latest ${latestVersion(table)})")
+    (fromV until toV).map(v => changeStep(s, table, v, v + 1, keyCols, cache))
+      .reduce(_ unionByName _)
+  }
+
+  /** One commit's changes: manifest diff → toggled files → multiset
+    * row diff → key-classified change rows. `cache = false` keeps the
+    * diff frames as plain scans (an InMemoryRelation hides its files
+    * from `inputFiles`) — the spec's toggled-files-only assertion
+    * needs the uncached plan; execution wants the cache (each side
+    * feeds three consumers). */
+  private def changeStep(s: SparkSession, table: String, a: Long, b: Long,
+      keyCols: Seq[String], cache: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ma = manifest(table, a)
+    val mb = manifest(table, b)
+    val removedF = ma.filterNot(mb.toSet)
+    val addedF = mb.filterNot(ma.toSet)
+    // an empty side still needs the schema — take it from the other
+    // side's toggled files, so the step's scan set NEVER exceeds the
+    // toggled files (spec asserts this on inputFiles); a no-op commit
+    // (nothing toggled) falls back to the manifest read for schema
+    val toggled = addedF ++ removedF
+    def rd(fs: Seq[String]) =
+      if (fs.nonEmpty) s.read.parquet(fs: _*)
+      else if (toggled.nonEmpty) s.read.parquet(toggled: _*).limit(0)
+      else readVersion(s, table, b).limit(0)
+    // cached: each side feeds its key frame plus two classification
+    // joins — uncached, the toggled-file diff would re-run per branch
+    def trk(df: DataFrame) = if (cache) graft.Caches.track(df) else df
+    val post = trk(rd(addedF).exceptAll(rd(removedF)))
+    val pre = trk(rd(removedF).exceptAll(rd(addedF)))
+    val postK = post.select(keyCols.map(col): _*).distinct()
+    val preK = pre.select(keyCols.map(col): _*).distinct()
+    def tag(df: DataFrame, t: String) = df.withColumn("_change_type", lit(t))
+    tag(post.join(preK, keyCols, "left_semi"), "update_postimage")
+      .unionByName(tag(post.join(preK, keyCols, "left_anti"), "insert"))
+      .unionByName(tag(pre.join(postK, keyCols, "left_semi"), "update_preimage"))
+      .unionByName(tag(pre.join(postK, keyCols, "left_anti"), "delete"))
+      .withColumn("_commit_version", lit(b))
+  }
+
   /** VACUUM: delete data files referenced by NO retained manifest.
     * Retention is by version count (`retainLast` manifests keep their
     * files AND their time-travel readability; older manifests are

@@ -181,4 +181,49 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.readVersion(spark, table, 0)
       .filter(col("gen") === 1L).count() == 0L)
   }
+
+  test("changes: toggled-files-only scan, apply law, layout-invariant deletes") {
+    val table = scratchDir("graft_cdf")
+    val base = (0L until 100L).map(k => (k, k * 10L, 0L)).toDF("k", "v", "gen")
+      .repartitionByRange(8, col("k"))
+    SnapshotTable.commit(spark, table, base)
+    val source = ((40L to 44L).map(k => (k, k * 10L + 1L, 1L)) ++
+      (200L to 202L).map(k => (k, k, 1L))).toDF("k", "v", "gen")
+    val st = SnapshotTable.merge(spark, table, source, Seq("k"))
+    SnapshotTable.commit(spark, table,
+      SnapshotTable.read(spark, table).filter(col("k") < 90), replace = true)
+
+    // commit 1 (the merge): the feed's scan set is EXACTLY the
+    // toggled files — the carried files are never opened (asserted on
+    // the uncached plan: InMemoryRelation hides files from inputFiles)
+    val c1 = SnapshotTable.changes(spark, table, 0, 1, Seq("k"), cache = false)
+    val toggled = (st.rewritten ++ st.added).map(new java.io.File(_).getCanonicalPath).toSet
+    val scanned = c1.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).getCanonicalPath).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(toggled),
+      s"CDF scanned beyond toggled files: ${(scanned -- toggled).take(3)}")
+    val rows1 = c1.select("k", "v", "gen", "_change_type").as[(Long, Long, Long, String)]
+      .collect().toSet
+    val expected1 =
+      (40L to 44L).map(k => (k, k * 10L, 0L, "update_preimage")).toSet ++
+      (40L to 44L).map(k => (k, k * 10L + 1L, 1L, "update_postimage")) ++
+      (200L to 202L).map(k => (k, k, 1L, "insert"))
+    assert(rows1 == expected1)
+
+    // APPLY LAW: v0 − preimages − deletes + postimages + inserts ≡ v1
+    // as multisets — the whole point of an incremental consumer
+    def img(t: String) = c1.filter(col("_change_type") === t).select("k", "v", "gen")
+    val applied = SnapshotTable.readVersion(spark, table, 0)
+      .exceptAll(img("update_preimage")).exceptAll(img("delete"))
+      .unionByName(img("update_postimage")).unionByName(img("insert"))
+    val v1 = SnapshotTable.readVersion(spark, table, 1)
+    assert(applied.exceptAll(v1).isEmpty && v1.exceptAll(applied).isEmpty)
+
+    // commit 2 (the REPLACE): every file toggled, yet the row-level
+    // feed shows exactly the dropped keys — layout invariance
+    val rows2 = SnapshotTable.changes(spark, table, 1, 2, Seq("k"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    val expected2 = ((90L to 99L) ++ (200L to 202L)).map(k => (k, "delete")).toSet
+    assert(rows2 == expected2)
+  }
 }
