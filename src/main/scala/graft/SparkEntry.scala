@@ -48,6 +48,7 @@ object SparkEntry {
     "g38_warp_resample"       -> GeoQueries.warpResample _,
     "g39_snapshot_merge"      -> GeoQueries.snapshotMerge _,
     "g40_snapshot_changes"    -> GeoQueries.snapshotChanges _,
+    "g41_incremental_agg"     -> GeoQueries.incrementalAgg _,
     "g22_watersheds"          -> GeoQueries.watersheds _,
     "g23_hypsometry"          -> GeoQueries.hypsometry _,
     "g24_ruggedness"          -> ((s: SparkSession, d: String) =>
@@ -458,6 +459,23 @@ object SparkEntry {
     // g39: both versions' censuses from the generating formulas —
     // v0 must read UNCHANGED after the merge (snapshot isolation),
     // v1 = base with [100,150) updated and [400,450) inserted
+    // g41: the oracle states the FINAL view once and projects it as
+    // both column pairs — maintained ≡ recomputed is the query's
+    // claim, so any drift between them diverges the hash
+    "g41_incremental_agg" -> raw"""
+      |WITH $GridCte,
+      |v2 AS (
+      |  SELECT tile_id,
+      |    (elevation + CASE WHEN tile_id >= 100 AND tile_id < 150
+      |                      THEN 1000 ELSE 0 END)::BIGINT AS elev
+      |  FROM grid WHERE tile_id >= 50 AND tile_id < 400
+      |  UNION ALL
+      |  SELECT tile_id, elevation::BIGINT FROM grid
+      |  WHERE tile_id >= 400 AND tile_id < 450)
+      |SELECT (tile_id // 50)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+      |  sum(elev)::BIGINT AS sum_elev, count(*)::BIGINT AS n_rows_full,
+      |  sum(elev)::BIGINT AS sum_elev_full
+      |FROM v2 GROUP BY 1 ORDER BY bucket""".stripMargin,
     // g40: the four change groups from the generating formulas —
     // update images carry [100,150) pre/post, insert [400,450),
     // delete the v2-replaced [0,50) at their v1 (unmerged) values

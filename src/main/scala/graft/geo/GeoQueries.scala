@@ -1309,6 +1309,68 @@ object GeoQueries {
       .orderBy(col("version"), col("change_type"))
   }
 
+  /** g41: INCREMENTAL VIEW MAINTENANCE riding the g40 change feed —
+    * the CONSUMER side of CDC, and the reason a feed exists at all: a
+    * materialized aggregate (per-bucket census, bucket = tile div 50)
+    * is bootstrapped ONCE from v0 and then maintained to v2 purely
+    * from change rows — each change signs into the group (insert/
+    * post-image +1, delete/pre-image −1; count and sum are
+    * abelian-group aggregates, so signed deltas are EXACT — min/max
+    * are not and would need a recompute-on-retract path, stated), so
+    * the consumer's per-commit cost is |changes|, never |table|: the
+    * 100 TB materialized view refreshes from a 50-tile merge by
+    * processing 50 tiles. The maintained view then FULL-OUTER joins
+    * the from-scratch v2 recompute — the join direction that cannot
+    * hide a divergent bucket (either side's orphan surfaces as a
+    * null, diverging the hash; an inner join would swallow it, the
+    * q44 discipline) — and the oracle states both column pairs equal
+    * from the generating formulas.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val table = Fixtures.fixtureRoot("ivm", dir).toString
+    Fixtures.deleteRecursively(new java.io.File(table))
+    val base = tiles(s, dir)
+    def grid(lo: Int, hi: Int) =
+      gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
+        .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
+    SnapshotTable.commit(s, table,
+      grid(0, 400).withColumn("gen", lit(0L))
+        .repartitionByRange(8, col("tile_id")))
+    val updates = grid(100, 150)
+      .withColumn("elevation", col("elevation") + 1000)
+      .withColumn("gen", lit(1L))
+    val inserts = grid(400, 450).withColumn("gen", lit(1L))
+    SnapshotTable.merge(s, table, updates.unionByName(inserts),
+      Seq("tile_id", "lon", "lat"))
+    SnapshotTable.commit(s, table,
+      SnapshotTable.read(s, table).filter(col("tile_id") >= 50),
+      replace = true)
+    val bucket = (col("tile_id") / 50).cast("long").as("bucket")
+    // bootstrap: the one full scan an IVM system ever pays
+    val boot = SnapshotTable.readVersion(s, table, 0L)
+      .groupBy(bucket)
+      .agg(count(lit(1)).as("dn"), sum(col("elevation").cast("long")).as("delev"))
+    // signed deltas from the feed: + for rows entering the view,
+    // − for rows leaving it
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltas = SnapshotTable.changes(s, table, 0L, 2L, Seq("tile_id", "lon", "lat"))
+      .select(bucket, sgn.as("sgn"), col("elevation").cast("long").as("elev"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("elev")).as("delev"))
+    val maintained = boot.unionByName(deltas)
+      .groupBy(col("bucket"))
+      .agg(sum(col("dn")).as("n_rows"), sum(col("delev")).as("sum_elev"))
+      .filter(col("n_rows") > 0) // a fully-deleted bucket leaves the view
+    val full = SnapshotTable.readVersion(s, table, 2L)
+      .groupBy(bucket)
+      .agg(count(lit(1)).as("n_rows_full"),
+        sum(col("elevation").cast("long")).as("sum_elev_full"))
+    maintained.join(full, Seq("bucket"), "full_outer")
+      .orderBy(col("bucket"))
+  }
+
   /** The compacted dir [[compactionApply]] writes for `dir` — shared
     * with GeoSinkSpec's byte-level assertions.
     */

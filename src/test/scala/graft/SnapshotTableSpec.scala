@@ -225,5 +225,29 @@ class SnapshotTableSpec extends SparkSpec {
       .select("k", "_change_type").as[(Long, String)].collect().toSet
     val expected2 = ((90L to 99L) ++ (200L to 202L)).map(k => (k, "delete")).toSet
     assert(rows2 == expected2)
+
+    // INCREMENTAL MAINTENANCE LAW (g41's kernel): at every step, the
+    // previous version's aggregate plus signed change deltas equals
+    // the next version's aggregate recomputed from scratch — count
+    // and sum are abelian-group aggregates, so the identity is exact
+    def agg(v: Long): Map[Long, (Long, Long)] =
+      SnapshotTable.readVersion(spark, table, v)
+        .groupBy((col("k") / 10).cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    (0L until 2L).foreach { v =>
+      val deltas = SnapshotTable.changes(spark, table, v, v + 1, Seq("k"))
+        .select(col("k"), col("v"), col("_change_type")).as[(Long, Long, String)]
+        .collect()
+      val maintained = scala.collection.mutable.Map(agg(v).toSeq: _*)
+      deltas.foreach { case (k, value, t) =>
+        val s = if (t == "insert" || t == "update_postimage") 1L else -1L
+        val b = k / 10
+        val (n0, sv0) = maintained.getOrElse(b, (0L, 0L))
+        val next = (n0 + s, sv0 + s * value)
+        if (next._1 == 0L) maintained.remove(b) else maintained(b) = next
+      }
+      assert(maintained.toMap == agg(v + 1), s"IVM drift at step $v -> ${v + 1}")
+    }
   }
 }
