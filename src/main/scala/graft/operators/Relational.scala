@@ -2235,8 +2235,13 @@ object Relational {
     * At 10^8 nodes a level-keyed step shuffles one level, and the
     * iteration count is the tree DEPTH (here ≤ log10(max key) ≈ 8
     * at any TPC-H scale — strictly-decreasing parents make
-    * termination a proof, not a hope; Spark's recursion row/depth
-    * guards backstop it).
+    * termination a proof, not a hope; Spark's recursion guards
+    * backstop it: `spark.sql.cteRecursionLevelLimit` (100) covers
+    * any real hierarchy, and a production-scale walk raises
+    * `spark.sql.cteRecursionRowLimit` deliberately — that limit
+    * bounds TOTAL recursion output and a 10^8-node walk legitimately
+    * emits 10^8 rows; the guard exists for runaway recursions, not
+    * proven-finite ones).
     *
     * The customer table carries no hierarchy, so one is PLANTED by
     * key arithmetic (§3): parent(k) = k div 10 — a 10-ary forest
