@@ -1228,11 +1228,20 @@ object GeoQueries {
     * version 0 still reads UNCHANGED after the merge (snapshot
     * isolation under upsert).
     */
-  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+  /** Build the SHARED copy-on-write scenario g39/g40/g41 all drive
+    * (one definition — the g41 maintenance claim depends on its
+    * scenario staying identical to g40's feed): a fresh table at
+    * fixture root `root`, v0 = grid(0,400) gen 0 in 8 range files,
+    * v1 = MERGE (update [100,150) elevation+1000 gen 1, insert
+    * [400,450)), and with `withReplace` a v2 REPLACE keeping
+    * tiles ≥ 50. Deterministic rebuild per call (the g36 discipline:
+    * the protocol is the operator under test). Returns the table
+    * path.
+    */
+  private def cowScenario(s: SparkSession, dir: String, root: String,
+      withReplace: Boolean): String = {
     import graft.sources.SnapshotTable
-    val table = Fixtures.fixtureRoot("merge", dir).toString
-    // deterministic rebuild per execution (the g36 discipline): the
-    // merge protocol itself is the operator under test
+    val table = Fixtures.fixtureRoot(root, dir).toString
     Fixtures.deleteRecursively(new java.io.File(table))
     val base = tiles(s, dir)
     def grid(lo: Int, hi: Int) =
@@ -1247,6 +1256,16 @@ object GeoQueries {
     val inserts = grid(400, 450).withColumn("gen", lit(1L))
     SnapshotTable.merge(s, table, updates.unionByName(inserts),
       Seq("tile_id", "lon", "lat"))
+    if (withReplace)
+      SnapshotTable.commit(s, table,
+        SnapshotTable.read(s, table).filter(col("tile_id") >= 50),
+        replace = true)
+    table
+  }
+
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val table = cowScenario(s, dir, "merge", withReplace = false)
     (0L to 1L).map { v =>
       SnapshotTable.readVersion(s, table, v)
         .agg(count(lit(1)).as("n_rows"),
@@ -1278,26 +1297,7 @@ object GeoQueries {
     */
   def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val table = Fixtures.fixtureRoot("cdf", dir).toString
-    // deterministic rebuild per execution (the g36 discipline): the
-    // feed protocol itself is the operator under test
-    Fixtures.deleteRecursively(new java.io.File(table))
-    val base = tiles(s, dir)
-    def grid(lo: Int, hi: Int) =
-      gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
-        .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
-    SnapshotTable.commit(s, table,
-      grid(0, 400).withColumn("gen", lit(0L))
-        .repartitionByRange(8, col("tile_id")))
-    val updates = grid(100, 150)
-      .withColumn("elevation", col("elevation") + 1000)
-      .withColumn("gen", lit(1L))
-    val inserts = grid(400, 450).withColumn("gen", lit(1L))
-    SnapshotTable.merge(s, table, updates.unionByName(inserts),
-      Seq("tile_id", "lon", "lat"))
-    SnapshotTable.commit(s, table,
-      SnapshotTable.read(s, table).filter(col("tile_id") >= 50),
-      replace = true)
+    val table = cowScenario(s, dir, "cdf", withReplace = true)
     SnapshotTable.changes(s, table, 0L, 2L, Seq("tile_id", "lon", "lat"))
       .groupBy(col("_commit_version").as("version"),
         col("_change_type").as("change_type"))
@@ -1328,24 +1328,7 @@ object GeoQueries {
     */
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
-    val table = Fixtures.fixtureRoot("ivm", dir).toString
-    Fixtures.deleteRecursively(new java.io.File(table))
-    val base = tiles(s, dir)
-    def grid(lo: Int, hi: Int) =
-      gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
-        .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
-    SnapshotTable.commit(s, table,
-      grid(0, 400).withColumn("gen", lit(0L))
-        .repartitionByRange(8, col("tile_id")))
-    val updates = grid(100, 150)
-      .withColumn("elevation", col("elevation") + 1000)
-      .withColumn("gen", lit(1L))
-    val inserts = grid(400, 450).withColumn("gen", lit(1L))
-    SnapshotTable.merge(s, table, updates.unionByName(inserts),
-      Seq("tile_id", "lon", "lat"))
-    SnapshotTable.commit(s, table,
-      SnapshotTable.read(s, table).filter(col("tile_id") >= 50),
-      replace = true)
+    val table = cowScenario(s, dir, "ivm", withReplace = true)
     val bucket = (col("tile_id") / 50).cast("long").as("bucket")
     // bootstrap: the one full scan an IVM system ever pays
     val boot = SnapshotTable.readVersion(s, table, 0L)

@@ -114,23 +114,43 @@ object IngestQueries {
     * clean side proves framing and declared lengths agree over every
     * surviving byte. Same oracle partition as j1.
     */
-  def warcIngest(s: SparkSession, dir: String): DataFrame = {
+  def warcIngest(s: SparkSession, dir: String): DataFrame =
+    warcAudit(s, IngestFixtures.ensureWarc(s, dir))
+
+  /** The j7 parse + audit over any WARC path — split out so the spec
+    * can drive it over handcrafted malformed containers. */
+  private[graft] def warcAudit(s: SparkSession, path: String): DataFrame = {
     val raw = s.read.option("lineSep", "WARC/1.0\r\n")
-      .text(IngestFixtures.ensureWarc(s, dir))
+      .text(path)
       .select(col("value"), col("_metadata.file_path").as("_file"))
       .where(length(col("value")) > 0) // empty pre-magic chunk per shard
     val parts = split(col("value"), "\r\n\r\n", 2)
+    // try_element_at, not element_at: a record torn MID-HEADER has no
+    // header/payload separator, so parts has one element — the plain
+    // accessor would fail the whole audit under ANSI mode (and with
+    // ANSI off the null would skip BOTH counters below); here the
+    // missing body flows to payload = null → quarantined
+    // a torn header yields NO regex match — regexp_extract returns ''
+    // and the plain cast THROWS under ANSI; the empty match must
+    // become a null field (→ quarantine), not a failed audit
+    def hdrLong(pattern: String) = {
+      val m = regexp_extract(col("hdr"), pattern, 1)
+      when(m === "", lit(null)).otherwise(m).cast("long")
+    }
     val rec = raw
       .select(element_at(parts, 1).as("hdr"),
-        element_at(parts, 2).as("body"), col("_file"))
+        try_element_at(parts, lit(2)).as("body"), col("_file"))
       .select(
-        regexp_extract(col("hdr"), "WARC-Target-URI: \\S*/doc/(\\d+)", 1)
-          .cast("long").as("doc_id"),
-        regexp_extract(col("hdr"), "Content-Length: (\\d+)", 1)
-          .cast("long").as("stated_len"),
+        hdrLong("WARC-Target-URI: \\S*/doc/(\\d+)").as("doc_id"),
+        hdrLong("Content-Length: (\\d+)").as("stated_len"),
         expr("substring(body, 1, length(body) - 4)").as("payload"),
         col("_file"))
-    val clean = octet_length(col("payload")) === col("stated_len")
+    // coalesce(false): a null comparison (missing body, unparseable
+    // Content-Length) must land in n_quarantine, never in neither
+    // counter — n_clean + n_quarantine ≡ record count is the audit's
+    // own conservation law
+    val clean = coalesce(
+      octet_length(col("payload")) === col("stated_len"), lit(false))
     rec.agg(
       count(when(clean, 1)).as("n_clean"),
       count(when(!clean, 1)).as("n_quarantine"),

@@ -2258,6 +2258,13 @@ object Relational {
     * keys, so the recursion is hash-exact end to end.
     */
   def q74Hierarchy(s: SparkSession, dir: String): DataFrame = {
+    // the walk emits each customer exactly once, so total recursion
+    // output = |customer| — past the default cteRecursionRowLimit of
+    // 10^6 at sf ≥ ~7. Raised deliberately and permanently for the
+    // session (the guard exists for runaway recursions; this one's
+    // termination is structural — scaladoc above), read at EXECUTION
+    // time so a save/restore around this lazy frame would be a bug.
+    s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     Tables.customer(s, dir).createOrReplaceTempView("customer_v74")
     s.sql("""
       WITH RECURSIVE

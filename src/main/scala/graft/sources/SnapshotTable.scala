@@ -286,11 +286,15 @@ object SnapshotTable {
       if (fs.nonEmpty) s.read.parquet(fs: _*)
       else if (toggled.nonEmpty) s.read.parquet(toggled: _*).limit(0)
       else readVersion(s, table, b).limit(0)
-    // cached: each side feeds its key frame plus two classification
-    // joins — uncached, the toggled-file diff would re-run per branch
+    // cached at BOTH levels: the scans feed both exceptAll directions
+    // (uncached, every toggled file would read twice — at a REPLACE
+    // that is two full-table scans where one suffices), and each diff
+    // output feeds its key frame plus two classification joins
     def trk(df: DataFrame) = if (cache) graft.Caches.track(df) else df
-    val post = trk(rd(addedF).exceptAll(rd(removedF)))
-    val pre = trk(rd(removedF).exceptAll(rd(addedF)))
+    val addDf = trk(rd(addedF))
+    val rmDf = trk(rd(removedF))
+    val post = trk(addDf.exceptAll(rmDf))
+    val pre = trk(rmDf.exceptAll(addDf))
     val postK = post.select(keyCols.map(col): _*).distinct()
     val preK = pre.select(keyCols.map(col): _*).distinct()
     def tag(df: DataFrame, t: String) = df.withColumn("_change_type", lit(t))

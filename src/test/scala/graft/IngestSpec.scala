@@ -260,5 +260,23 @@ class IngestSpec extends SparkSpec {
       val tiny = IngestQueries.warcIngest(spark, Sf).collect()(0)
       assert(tiny == audit, s"split-size variance: $tiny vs $audit")
     } finally spark.conf.set(conf, saved)
+
+    // conservation under REAL damage: a record torn mid-header (no
+    // header/payload separator at all — the shape beyond the planted
+    // length lie) must land in n_quarantine, not crash the audit
+    // under ANSI mode and not vanish from both counters
+    val dmgDir = new java.io.File(scratchDir("warc_damaged"))
+    dmgDir.mkdirs()
+    val good = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a/doc/1\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    val tornHeader = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Targ" // mid-header cut
+    val lengthLie = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a/doc/3\r\nContent-Length: 9\r\n\r\nworld\r\n\r\n"
+    java.nio.file.Files.write(dmgDir.toPath.resolve("d.warc"),
+      (good + lengthLie + tornHeader).getBytes("UTF-8"))
+    val dmg = IngestQueries.warcAudit(spark, dmgDir.toString).collect()(0)
+    assert(dmg.getAs[Long]("n_clean") == 1L, dmg.toString)
+    assert(dmg.getAs[Long]("n_quarantine") == 2L, dmg.toString)
+    assert(dmg.getAs[Long]("sum_doc_id") == 1L) // only the clean record folds
   }
 }

@@ -36,11 +36,20 @@ class PlanSpec extends SparkSpec {
 
   test("q74: the recursion executes through UnionLoop, not a driver loop") {
     val p = Relational.q74Hierarchy(spark, Sf).queryExecution.executedPlan.toString
-    // Spark's recursive-CTE engine node: frontier iteration inside
-    // the executor DAG (UnionLoopExec feeding a UnionLoopRef back) —
-    // the recursion never materializes to the driver
-    assert(p.contains("UnionLoop"), p)
-    assert(p.contains("UnionLoopRef"), p)
+    // Spark's recursive-CTE engine nodes: frontier iteration inside
+    // the executor DAG (a UnionLoop node consuming a UnionLoopRef
+    // back-edge) — the recursion never materializes to the driver.
+    // Counted as TREE NODES, not substrings ("UnionLoopRef" contains
+    // "UnionLoop" — a bare contains() could pass on the ref alone,
+    // the q73 lesson applied here): the node prints as
+    // "UnionLoop <id>, [..." and the ref as "UnionLoopRef <id>, [...".
+    val lines = p.split("\n")
+    val loopIdx = lines.indexWhere(_.matches(""".*\bUnionLoop \d+,.*"""))
+    val refIdx = lines.indexWhere(_.matches(""".*\bUnionLoopRef \d+,.*"""))
+    assert(loopIdx >= 0, s"no UnionLoop tree node:\n$p")
+    assert(refIdx >= 0, s"no UnionLoopRef tree node:\n$p")
+    // the ref is the back-edge INSIDE the loop: it prints below it
+    assert(refIdx > loopIdx, s"UnionLoopRef not under UnionLoop:\n$p")
   }
 
   test("q30: the partition-key filter pushes below the window to the scan") {
