@@ -124,6 +124,7 @@ object SparkEntry {
     "q73_group_topn"          -> ((s: SparkSession, d: String) =>
       Relational.q73GroupTopn(s, d)),
     "q74_hierarchy"           -> Relational.q74Hierarchy _,
+    "q75_dpp"                 -> Relational.q75Dpp _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1771,6 +1772,16 @@ object SparkEntry {
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // q72: 3 unrolled damped iterations in e12 integer units; // is
     // floor-div ≡ Spark's truncating div on the non-negative operands
+    // q75: the oracle recomputes the quarter-1 census straight from
+    // orders — the Spark side must reproduce it THROUGH the pruned
+    // partitioned scan, so a dropped directory diverges the hash
+    "q75_dpp" -> raw"""
+      |WITH o AS (SELECT (year(o_orderdate)*100 + month(o_orderdate)) AS m,
+      |             o_totalprice FROM orders)
+      |SELECT m::BIGINT AS o_month, count(*) AS n_orders,
+      |       sum(round(o_totalprice*100)::BIGINT)::BIGINT AS revenue_cents
+      |FROM o WHERE (m % 100 - 1) // 3 + 1 = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q74: identical WITH RECURSIVE text modulo div spelling — the
     // planted parent(k) = k div 10 is strictly decreasing, so both
     // engines run the same finite recursion; all-integer surfaces

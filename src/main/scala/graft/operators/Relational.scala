@@ -2284,4 +2284,58 @@ object Relational {
         min(k) AS min_key, max(k) AS max_key
       FROM h GROUP BY depth ORDER BY depth""")
   }
+
+  /** Month-partitioned orders fixture for q75 (the ensureEvolution
+    * pattern: real Spark writer, `_built` stamp): one hive directory
+    * per `o_month = year·100 + month` — the star-schema fact layout
+    * whose directories dynamic pruning skips.
+    */
+  private def ensureMonthPartitioned(s: SparkSession, dir: String): String =
+    synchronized {
+      val out = graft.geo.Fixtures.fixtureRoot("ordpart", dir)
+      val stamp = new java.io.File(out, "_built")
+      if (!stamp.exists) {
+        Tables.orders(s, dir)
+          .withColumn("o_month",
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+          .write.mode("overwrite").partitionBy("o_month")
+          .parquet(s"$out/data")
+        java.nio.file.Files.write(stamp.toPath, Array.emptyByteArray)
+      }
+      s"$out/data"
+    }
+
+  /** q75: DYNAMIC PARTITION PRUNING — the join-driven complement of
+    * g11's static IN-list pruning, and THE star-schema optimization
+    * at 100 TB: the fact is laid out one directory per month, the
+    * dimension's selective predicate (first-quarter months) is known
+    * only at RUNTIME through the join, and Catalyst turns the
+    * broadcast build side into a partition filter on the fact scan
+    * (`dynamicpruningexpression` reusing the broadcast exchange) —
+    * the fact reads ~1/4 of its directories and never touches the
+    * rest. Without DPP this plan scans every partition and filters
+    * rows after the join; with it, pruning happens at LISTING time.
+    * PlanSpec asserts both halves: the dynamicpruning partition
+    * filter in the plan AND the numPartitions metric reading a
+    * strict subset. The dimension derives from the orders table (a
+    * months-sized frame with a derived quarter attribute), the fact
+    * from the partitioned fixture — the oracle recomputes the
+    * quarter-1 census straight from orders, so the hash proves the
+    * pruned scan dropped no row.
+    */
+  def q75Dpp(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(ensureMonthPartitioned(s, dir))
+    val dim = Tables.orders(s, dir)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("int").as("o_month"))
+      .distinct()
+      .withColumn("quarter", expr("(o_month % 100 - 1) div 3 + 1"))
+    fact.join(broadcast(dim.filter(col("quarter") === 1)), Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumCents(col("o_totalprice")).as("revenue_cents"))
+      .select(col("o_month").cast("long").as("o_month"),
+        col("n_orders"), col("revenue_cents"))
+      .orderBy(col("o_month"))
+  }
 }

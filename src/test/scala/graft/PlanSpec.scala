@@ -199,6 +199,39 @@ class PlanSpec extends SparkSpec {
       s"read $readPartitions of $total partitions")
   }
 
+  test("q75: join-driven dynamic pruning reads a strict subset of fact partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = Relational.q75Dpp(spark, Sf)
+    // plan half: the fact scan carries a dynamicpruning PARTITION
+    // filter (directory-level, fed by the broadcast build side) —
+    // without it the scan lists every month and filters rows later
+    val p = formatted(df)
+    val pf = p.linesIterator.filter(_.trim.startsWith("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("dynamicpruning") && l.contains("o_month")),
+      s"no dynamic pruning partition filter:\n$p")
+    // metric half: execute and read the fact scan's partition count —
+    // quarter-1 months are ~1/4 of the fixture's directories. AQE off
+    // for THIS execution only: under AQE the scan hides inside query
+    // stages that tree-collect cannot traverse; DPP is an optimizer
+    // feature and fires identically without it
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val (scans, read) = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df2 = Relational.q75Dpp(spark, Sf)
+      df2.collect()
+      val ss = df2.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+      val fact = ss.find(_.metadata.get("Location").exists(_.contains("ordpart")))
+        .getOrElse(fail(s"no partitioned fact scan: ${ss.map(_.metadata.get("Location"))}"))
+      (ss, fact.metrics("numPartitions").value)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val total = spark.read.parquet(
+      graft.geo.Fixtures.fixtureRoot("ordpart", Sf).toString + "/data")
+      .select("o_month").distinct().count()
+    assert(read > 0 && read <= total / 3,
+      s"dynamic pruning read $read of $total partitions")
+  }
+
   test("d11: frequency-pass shuffle is skinny — no line text through the hot-count exchange") {
     val df = Dedup.lineDedup(spark, Sf)
     val p = formatted(df)
