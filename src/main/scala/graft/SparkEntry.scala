@@ -275,6 +275,7 @@ object SparkEntry {
     "j5_xml_ingest"           -> graft.operators.IngestQueries.xmlIngest _,
     "j6_gzip_ingest"          -> graft.operators.IngestQueries.gzipIngest _,
     "j7_warc_ingest"          -> graft.operators.IngestQueries.warcIngest _,
+    "j8_json_array_ingest"    -> graft.operators.IngestQueries.jsonArrayIngest _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1258,6 +1259,18 @@ object SparkEntry {
     // j6: identical content contract as j1 (same torn rule) — the gz
     // codec must be invisible to the audit; n_files pins the 4-shard
     // layout the fixture writes
+    // j8: j1's audit partition; n_files pins the whole-file-array
+    // parallelism story (4 shards = 4 tasks, stated)
+    "j8_json_array_ingest" -> raw"""
+      |SELECT count(*) FILTER (WHERE doc_id % 7 != 3) AS n_clean,
+      |       count(*) FILTER (WHERE doc_id % 7 = 3) AS n_quarantine,
+      |       (sum(doc_id) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_doc_id,
+      |       (sum(n_chars) FILTER (WHERE doc_id % 7 != 3))::BIGINT AS sum_n_chars,
+      |       (sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                         for i in range(1, 9)], (a, b) -> a*16 + b))
+      |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
+      |FROM documents WHERE doc_id < 400""".stripMargin,
     // j7: j1's audit partition; sum_n_chars states length(text)
     // directly (the payload IS the text — n_chars never rides a
     // header), and the torn rule surfaces as the Content-Length lie

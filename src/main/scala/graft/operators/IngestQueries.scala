@@ -160,6 +160,37 @@ object IngestQueries {
       countDistinct(col("_file")).as("n_files"))
   }
 
+  /** j8: MULTILINE JSON-ARRAY ingest audit — the whole-file container
+    * (API dumps, exports: one JSON array per shard) closing the
+    * text-container matrix beside JSONL (line-split), CSV, XML
+    * (rowTag), gzip (codec-bound) and WARC (record-delimited). The
+    * array has no line boundary to resync on, so parallelism IS the
+    * shard count (the j5/j6 reality, stated by pinning n_files) and
+    * the torn shape is the type-mismatch rule — a truncated bracket
+    * would swallow the whole shard, exactly as j5's scaladoc rejects.
+    *
+    * Quarantine keys on the TYPE-NULLED field, not `_corrupt_record`:
+    * in multiLine mode the malformed input UNIT is the file, so Spark
+    * stamps the whole file's text into `_corrupt_record` on EVERY row
+    * of a shard containing one bad record (measured, spec-asserted) —
+    * file-grain blame, record-grain parse. A torn record surfaces as
+    * `doc_id IS NULL` (its fields still parse where typable), which
+    * is the per-record signal; the same rule partitions the oracle.
+    * Same audit sums as j1 over the clean side.
+    */
+  def jsonArrayIngest(s: SparkSession, dir: String): DataFrame = {
+    val clean = col("doc_id").isNotNull
+    TextSources.readJsonArray(s, IngestFixtures.ensureJsonArray(s, dir))
+      .select(col("*"), col("_metadata.file_path").as("_file"))
+      .agg(
+        count(when(clean, 1)).as("n_clean"),
+        count(when(!clean, 1)).as("n_quarantine"),
+        sum(when(clean, col("doc_id"))).as("sum_doc_id"),
+        sum(when(clean, col("n_chars"))).as("sum_n_chars"),
+        sum(when(clean, fold32(col("text")))).as("text_fold"),
+        countDistinct(col("_file")).as("n_files"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

@@ -233,6 +233,37 @@ object IngestFixtures {
     }
   }
 
+  /** Ensure the MULTILINE JSON-ARRAY corpus for `dir`: each shard is
+    * ONE JSON document — an array of doc objects, pretty-printed
+    * across lines — the shape API dumps and exports actually ship
+    * (vs JSONL's object-per-line). 4 shards keyed by doc_id mod 4:
+    * multiLine parsing is whole-file (an array has no line boundary
+    * to resync on), so the corpus's parallelism IS its shard count —
+    * the j5/j6 discipline. Torn rule = the CSV/XML type-mismatch
+    * shape (`t<id>` doc_id → PERMISSIVE corrupt row), never a
+    * truncated array: one torn bracket would swallow the whole shard
+    * into a single corrupt record.
+    */
+  def ensureJsonArray(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("jsonarr", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 4) { tmp =>
+      (0 until 4).foreach { shard =>
+        val sb = new StringBuilder("[\n")
+        val mine = rows.filter(_._1 % 4 == shard)
+        mine.zipWithIndex.foreach { case ((id, text, lang, src, nc), i) =>
+          val idJson = if (id % TornMod == TornRem) s""""t$id"""" else id.toString
+          sb.append(s"""  {"doc_id":$idJson,\n   "text":"${jesc(text)}",\n""")
+            .append(s"""   "lang":"${jesc(lang)}","source":"${jesc(src)}","n_chars":$nc}""")
+          sb.append(if (i < mine.length - 1) ",\n" else "\n")
+        }
+        sb.append("]\n")
+        Files.write(Paths.get(tmp.toString, s"shard-$shard.json"),
+          sb.toString.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+  }
+
   def ensureOrc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("orc", dir)
     val stamp = new java.io.File(out, "_built")

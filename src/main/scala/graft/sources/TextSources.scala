@@ -69,6 +69,21 @@ object TextSources {
       .select(parseLine(schema), col("_file"))
       .select(col("rec.*"), col("_file"))
 
+  /** Whole-file JSON-ARRAY read (`multiLine` — each file is ONE JSON
+    * document, an array of records: the API-dump/export shape) with
+    * the PERMISSIVE corrupt column. Parallelism comes from FILE
+    * COUNT: an array has no line boundary to resync on, so the scan
+    * is not line-splittable (the j5 rowTag reality, stated).
+    */
+  def readJsonArray(s: SparkSession, path: String,
+      schema: StructType = DocSchema): DataFrame =
+    s.read
+      .schema(withCorrupt(schema))
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Write a DataFrame as JSONL (one JSON object per line). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

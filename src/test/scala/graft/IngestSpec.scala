@@ -224,6 +224,37 @@ class IngestSpec extends SparkSpec {
     assert(row.getAs[Long]("n_quarantine") > 0L)
   }
 
+  test("j8: whole-file JSON-array read matches the line-split corpus row for row") {
+    import graft.sources.{IngestFixtures, TextSources}
+    val arr = graft.Caches.track(
+      TextSources.readJsonArray(spark, IngestFixtures.ensureJsonArray(spark, Sf)))
+    val line = TextSources.readJsonl(spark, IngestFixtures.ensureJsonl(spark, Sf))
+    // the clean populations are identical across containers (the torn
+    // SHAPES differ — truncation vs type mismatch — but hit the same
+    // planted ids, so the surviving rows must agree field for field).
+    // Clean keys on doc_id: in multiLine mode _corrupt_record is
+    // FILE-grain (below), so the type-nulled field is the row signal
+    val ac = arr.filter(col("doc_id").isNotNull).drop("_corrupt_record")
+    val lc = line.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    assert(ac.exceptAll(lc).isEmpty && lc.exceptAll(ac).isEmpty)
+    // the measured multiLine contract the operator's scaladoc states:
+    // one bad record stamps the WHOLE shard's text into
+    // _corrupt_record on every row — every shard contains torn ids,
+    // so every row carries it, while doc_id nulls mark exactly the
+    // planted records (cached read: Spark forbids corrupt-only
+    // projections off a raw JSON scan)
+    assert(arr.filter(col("_corrupt_record").isNotNull).count() ==
+      IngestFixtures.DocLimit.toLong)
+    val planted = (0L until IngestFixtures.DocLimit.toLong)
+      .count(id => id % IngestFixtures.TornMod == IngestFixtures.TornRem)
+    assert(arr.filter(col("doc_id").isNull).count() == planted.toLong)
+    val row = graft.operators.IngestQueries.jsonArrayIngest(spark, Sf).collect()(0)
+    assert(row.getAs[Long]("n_files") == 4L)
+    assert(row.getAs[Long]("n_quarantine") == planted.toLong)
+    assert(row.getAs[Long]("n_clean") + row.getAs[Long]("n_quarantine") ==
+      IngestFixtures.DocLimit.toLong)
+  }
+
   test("j7: WARC framing round-trips every payload byte-exactly; split-size invariant") {
     import graft.sources.IngestFixtures
     import graft.operators.IngestQueries
