@@ -2187,6 +2187,15 @@ object Relational {
     * planted by doc_id arithmetic over d10's host universe (§3):
     * src = (doc_id%97)%37, dst = (doc_id·31+7)%37 bumped off
     * self-loops; the oracle re-derives the identical graph.
+    *
+    * ITERATION SCALING: the default 3 iterations unroll into one
+    * lineage — fine at that depth, but a real convergence loop (20+
+    * iterations) re-executes the join tower per action and blows up
+    * optimizer time superlinearly. Past 3 iterations each step
+    * therefore cuts lineage with `localCheckpoint()` (materialized
+    * rank blocks, |hosts| skinny rows — the GraphX/Pregel pattern of
+    * persisting each superstep); the unrolled default stays
+    * hash-exact and plan-identical to r12.
     */
   def q72Pagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
@@ -2204,7 +2213,7 @@ object Relational {
     val eo = graft.Caches.track(edges.join(outdeg, "src"))
     val hostsN = hosts.crossJoin(broadcast(n))
     var ranks = hostsN.select(col("hid"), expr(s"${Scale}L div n_hosts").as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = eo
         .join(ranks.withColumnRenamed("hid", "src"), "src")
         .select(col("dst").as("hid"), expr("(85 * r) div (100 * outdeg)").as("c"))
@@ -2213,6 +2222,9 @@ object Relational {
         .select(col("hid"),
           (expr(s"(15 * ${Scale}L) div (100 * n_hosts)") +
             coalesce(col("cin"), lit(0L))).as("r"))
+      // long walks cut lineage per superstep (scaladoc: iteration
+      // scaling); the 3-iteration default stays one unrolled plan
+      if (iters > 3 && i < iters) ranks = ranks.localCheckpoint()
     }
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
     ranks
@@ -2260,17 +2272,39 @@ object Relational {
   def q74Hierarchy(s: SparkSession, dir: String): DataFrame = {
     // the walk emits each customer exactly once, so total recursion
     // output = |customer| — past the default cteRecursionRowLimit of
-    // 10^6 at sf ≥ ~7. Raised deliberately and permanently for the
-    // session (the guard exists for runaway recursions; this one's
-    // termination is structural — scaladoc above), read at EXECUTION
-    // time so a save/restore around this lazy frame would be a bug.
+    // 10^6 at sf ≥ ~7. The raise is QUERY-SCOPED: the recursion
+    // executes eagerly inside the save/restore below (localCheckpoint
+    // materializes the depth-grain census, ≤ ~10 rows), so the
+    // runaway-recursion guard stays at its default for every other
+    // recursive query in the session. The temp view is per-call
+    // unique and dropped on the way out.
+    val saved = s.conf.getOption("spark.sql.cteRecursionRowLimit")
     s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-    Tables.customer(s, dir).createOrReplaceTempView("customer_v74")
-    s.sql("""
+    val (df, view) = q74Lazy(s, dir)
+    try df.localCheckpoint()
+    finally {
+      saved match {
+        case Some(v) => s.conf.set("spark.sql.cteRecursionRowLimit", v)
+        case None => s.conf.unset("spark.sql.cteRecursionRowLimit")
+      }
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  /** The LAZY recursive frame behind [[q74Hierarchy]], for plan
+    * inspection (PlanSpec's UnionLoop assertion needs the recursion
+    * visible, which the scoped eager wrapper's checkpoint hides).
+    * Leaves the caller to manage `cteRecursionRowLimit` and to drop
+    * the returned per-call temp view — the production entry is
+    * q74Hierarchy. */
+  private[graft] def q74Lazy(s: SparkSession, dir: String): (DataFrame, String) = {
+    val view = s"customer_v74_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.customer(s, dir).createOrReplaceTempView(view)
+    val df = s.sql(s"""
       WITH RECURSIVE
       c AS (SELECT c_custkey AS k,
               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-            FROM customer_v74),
+            FROM $view),
       h AS (
         SELECT k, k AS root, 0 AS depth, cents AS path_cents
         FROM c WHERE NOT EXISTS
@@ -2283,6 +2317,7 @@ object Relational {
         count(DISTINCT root) AS n_roots, sum(path_cents) AS sum_path_cents,
         min(k) AS min_key, max(k) AS max_key
       FROM h GROUP BY depth ORDER BY depth""")
+    (df, view)
   }
 
   /** Month-partitioned orders fixture for q75 (the ensureEvolution

@@ -182,56 +182,98 @@ object SnapshotTable {
     * against the new latest (optimistic read-modify-write — the
     * orphaned data dir of the losing attempt is unreferenced by any
     * manifest and vacuum reclaims it).
+    *
+    * Contracts enforced up front (each would otherwise corrupt rows
+    * SILENTLY, the worst failure class a table protocol has):
+    *  - `source` must carry AT MOST ONE row per key — a duplicated
+    *    source key would fan each matched target row out through the
+    *    full-outer join, duplicating table rows (Delta MERGE raises
+    *    the same error on multi-match).
+    *  - `source` is materialized ONCE (cache + count) before use:
+    *    merge evaluates it in three separate jobs (duplicate-key
+    *    guard, affected-file discovery, rewrite+write), and a
+    *    non-deterministic source (rand(), a re-read mutable path)
+    *    that drifted between them would classify files as carried
+    *    whose keys the rewrite then also inserts — stale-beside-new
+    *    duplicates the path-drift require cannot see.
+    *  - The affected-file set is a DRIVER-side Set bounded by the
+    *    manifest (Delta's planner holds the same list). At 10^6 files
+    *    of ~100 chars this is ~100 MB of driver heap — acceptable; a
+    *    10^8-file table is past the point where the manifest itself
+    *    must become a table (§6) and this collect a frame. The cap is
+    *    `spark.graft.merge.maxAffectedFiles` (default 10^6) so the
+    *    line item fails LOUDLY instead of OOMing the driver.
     */
   def merge(s: SparkSession, table: String, source: DataFrame,
       keyCols: Seq[String], maxRetries: Int = 20): MergeStats = {
     import org.apache.spark.sql.functions._
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val base = latestVersion(table)
-      require(base >= 0, s"empty table $table: commit a base before merging")
-      val files = manifest(table, base)
-      val cur = s.read.parquet(files: _*)
-      val dataCols = cur.columns.filterNot(keyCols.contains).toSeq
-      val srcKeys = source.select(keyCols.map(col): _*).distinct()
-      val affected = cur
-        .select(keyCols.map(col) :+ col("_metadata.file_path").as("_file"): _*)
-        .join(srcKeys, keyCols, "left_semi")
-        .select(col("_file")).distinct()
-        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-      // LOUD contract: every affected path must resolve back to a
-      // manifest entry — a path-normalization mismatch here would
-      // otherwise silently classify matched files as carried and
-      // duplicate their keys (update becomes insert-beside-stale)
-      require(affected.subsetOf(files.toSet),
-        s"affected files not in manifest (path-form drift): " +
-          (affected -- files.toSet).take(3).mkString(", "))
-      val (rewrite, carry) = files.partition(affected.contains)
-      val touched =
-        if (rewrite.nonEmpty) s.read.parquet(rewrite: _*) else cur.limit(0)
-      val merged = touched.as("t")
-        .join(source.withColumn("_s", lit(true)).as("s"), keyCols, "full_outer")
-        .select(keyCols.map(col) ++ dataCols.map(c =>
-          when(col("s._s").isNotNull, col(s"s.$c"))
-            .otherwise(col(s"t.$c")).as(c)): _*)
-      val dataDir = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
-      merged.write.mode("errorifexists").parquet(dataDir.toString)
-      val added = ls(dataDir).map(_.toAbsolutePath.toString)
-        .filter(_.endsWith(".parquet")).sorted
-      val next = base + 1
-      val tmp = logDir(table).resolve(s".$next.manifest.${java.util.UUID.randomUUID()}.tmp")
-      Files.write(tmp, ((carry ++ added).mkString("\n") + "\n").getBytes("UTF-8"))
-      try {
-        Files.createLink(logDir(table).resolve(s"$next.manifest"), tmp)
-        Files.deleteIfExists(tmp)
-        return MergeStats(next, carry, rewrite, added)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp); attempt += 1
+    // pin the source ONCE: all three downstream jobs must see the
+    // same rows (determinism contract above)
+    val src = source.cache()
+    try {
+      val srcCnt = src.count()
+      val keyCnt = src.select(keyCols.map(col): _*).distinct().count()
+      require(keyCnt == srcCnt,
+        s"merge source has duplicate keys (${srcCnt - keyCnt} extra rows " +
+          s"over $keyCnt distinct keys) — one row per key required, as Delta MERGE")
+      val maxAffected = s.conf.getOption("spark.graft.merge.maxAffectedFiles")
+        .map(_.toLong).getOrElse(1000000L)
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val base = latestVersion(table)
+        require(base >= 0, s"empty table $table: commit a base before merging")
+        val files = manifest(table, base)
+        val cur = s.read.parquet(files: _*)
+        val srcKeys = src.select(keyCols.map(col): _*).distinct()
+        val affected = cur
+          .select(keyCols.map(col) :+ col("_metadata.file_path").as("_file"): _*)
+          .join(srcKeys, keyCols, "left_semi")
+          .select(col("_file")).distinct()
+          .limit((maxAffected + 1).min(Int.MaxValue).toInt)
+          .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+        require(affected.size <= maxAffected,
+          s"merge touches > $maxAffected files — past the driver-side " +
+            "manifest bound; raise spark.graft.merge.maxAffectedFiles or " +
+            "promote the manifest to a table (§6)")
+        // LOUD contract: every affected path must resolve back to a
+        // manifest entry — a path-normalization mismatch here would
+        // otherwise silently classify matched files as carried and
+        // duplicate their keys (update becomes insert-beside-stale)
+        require(affected.subsetOf(files.toSet),
+          s"affected files not in manifest (path-form drift): " +
+            (affected -- files.toSet).take(3).mkString(", "))
+        val (rewrite, carry) = files.partition(affected.contains)
+        val touched =
+          if (rewrite.nonEmpty) s.read.parquet(rewrite: _*) else cur.limit(0)
+        // project in the TABLE's column order, not keys-first: a later
+        // manifest diff (changeStep) compares rewritten files against
+        // carried ones positionally, so a merge must never reorder the
+        // physical schema
+        val merged = touched.as("t")
+          .join(src.withColumn("_s", lit(true)).as("s"), keyCols, "full_outer")
+          .select(cur.columns.toSeq.map(c =>
+            if (keyCols.contains(c)) col(c)
+            else when(col("s._s").isNotNull, col(s"s.$c"))
+              .otherwise(col(s"t.$c")).as(c)): _*)
+        val dataDir = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
+        merged.write.mode("errorifexists").parquet(dataDir.toString)
+        val added = ls(dataDir).map(_.toAbsolutePath.toString)
+          .filter(_.endsWith(".parquet")).sorted
+        val next = base + 1
+        val tmp = logDir(table).resolve(s".$next.manifest.${java.util.UUID.randomUUID()}.tmp")
+        Files.write(tmp, ((carry ++ added).mkString("\n") + "\n").getBytes("UTF-8"))
+        try {
+          Files.createLink(logDir(table).resolve(s"$next.manifest"), tmp)
+          Files.deleteIfExists(tmp)
+          return MergeStats(next, carry, rewrite, added)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp); attempt += 1
+        }
       }
-    }
-    throw new IllegalStateException(
-      s"lost the merge race $maxRetries times at $table")
+      throw new IllegalStateException(
+        s"lost the merge race $maxRetries times at $table")
+    } finally src.unpersist()
   }
 
   /** CHANGE DATA FEED — row-level changes between two committed
@@ -292,7 +334,11 @@ object SnapshotTable {
     // output feeds its key frame plus two classification joins
     def trk(df: DataFrame) = if (cache) graft.Caches.track(df) else df
     val addDf = trk(rd(addedF))
-    val rmDf = trk(rd(removedF))
+    // exceptAll compares POSITIONALLY — project the removed side to
+    // the added side's column order BY NAME, so files written by
+    // different producers (or a merge that reordered columns) diff on
+    // the same column, not the same position
+    val rmDf = trk(rd(removedF).select(addDf.columns.toSeq.map(col): _*))
     val post = trk(addDf.exceptAll(rmDf))
     val pre = trk(rmDf.exceptAll(addDf))
     val postK = post.select(keyCols.map(col): _*).distinct()

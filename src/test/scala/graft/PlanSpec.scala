@@ -35,7 +35,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q74: the recursion executes through UnionLoop, not a driver loop") {
-    val p = Relational.q74Hierarchy(spark, Sf).queryExecution.executedPlan.toString
+    // the lazy variant: q74Hierarchy's scoped eager wrapper checkpoints
+    // the census (a LogicalRDD), which would hide the recursion nodes
+    val (df, view) = Relational.q74Lazy(spark, Sf)
+    val p = try df.queryExecution.executedPlan.toString
+      finally spark.catalog.dropTempView(view)
     // Spark's recursive-CTE engine nodes: frontier iteration inside
     // the executor DAG (a UnionLoop node consuming a UnionLoopRef
     // back-edge) — the recursion never materializes to the driver.

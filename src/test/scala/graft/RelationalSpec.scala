@@ -1074,6 +1074,33 @@ class RelationalSpec extends SparkSpec {
     assert(got.forall(_._3 >= 1L))
   }
 
+  test("q72 pagerank: a 20-iteration walk completes through the per-superstep lineage cut") {
+    // iters > 3 switches each superstep to localCheckpoint (the
+    // GraphX persist-per-superstep pattern) — an unrolled 20-join
+    // tower would re-plan superlinearly; this proves the long-walk
+    // path terminates and still conserves damped mass
+    val got = Relational.q72Pagerank(spark, Sf, iters = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.Caches.clear()
+    val n = got.length.toLong
+    val edgeCount = got.map(_._3).sum // Σ out_deg = |E|
+    val Scale = 1000000000000L
+    val mass = got.map(_._2).sum
+    val maxLoss = 20L * (n + edgeCount)
+    assert(n > 0 && mass <= Scale && mass >= Scale - maxLoss)
+  }
+
+  test("q74 hierarchy: the recursion-row-limit raise is query-scoped and the view is dropped") {
+    val before = spark.conf.getOption("spark.sql.cteRecursionRowLimit")
+    val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(Relational.q74Hierarchy(spark, Sf).collect().nonEmpty)
+    // the raise must not leak into the session (the guard protects
+    // every LATER recursive query), nor the per-call temp view
+    assert(spark.conf.getOption("spark.sql.cteRecursionRowLimit") == before)
+    val viewsAfter = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(!(viewsAfter -- viewsBefore).exists(_.startsWith("customer_v74")))
+  }
+
   test("q74 hierarchy: JVM forest-walk identity; partition and path laws") {
     val got = Relational.q74Hierarchy(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

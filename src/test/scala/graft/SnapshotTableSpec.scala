@@ -182,6 +182,42 @@ class SnapshotTableSpec extends SparkSpec {
       .filter(col("gen") === 1L).count() == 0L)
   }
 
+  test("merge: non-leading key keeps the table's column order; the change feed stays exact") {
+    // the r12 ADVICE latent bug: merge used to write rewritten files
+    // keys-FIRST while carried files keep the table order — changeStep's
+    // positional exceptAll then diffed v against k (both long, no
+    // analysis error), silently corrupting the feed. Key 'k' is the
+    // SECOND column here, so this fails on the old projection.
+    val table = scratchDir("graft_merge_colorder")
+    val base = (0L until 100L).map(k => (k * 10L, k, 0L)).toDF("v", "k", "gen")
+      .repartitionByRange(8, col("k"))
+    SnapshotTable.commit(spark, table, base)
+    val source = (40L to 44L).map(k => (k * 10L + 1L, k, 1L)).toDF("v", "k", "gen")
+    val st = SnapshotTable.merge(spark, table, source, Seq("k"))
+    // physical schema order preserved in the rewritten files
+    assert(spark.read.parquet(st.added: _*).columns.toSeq == Seq("v", "k", "gen"))
+    val rows = SnapshotTable.changes(spark, table, 0, 1, Seq("k"), cache = false)
+      .select("k", "v", "gen", "_change_type").as[(Long, Long, Long, String)]
+      .collect().toSet
+    val expected =
+      (40L to 44L).map(k => (k, k * 10L, 0L, "update_preimage")).toSet ++
+      (40L to 44L).map(k => (k, k * 10L + 1L, 1L, "update_postimage"))
+    assert(rows == expected)
+  }
+
+  test("merge: duplicate source keys fail loudly, never fan out rows") {
+    val table = scratchDir("graft_merge_dupkeys")
+    SnapshotTable.commit(spark, table,
+      (0L until 10L).map(k => (k, k * 10L)).toDF("k", "v"))
+    val dup = Seq((5L, 1L), (5L, 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, table, dup, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // the failed merge published nothing
+    assert(SnapshotTable.latestVersion(table) == 0L)
+  }
+
   test("changes: toggled-files-only scan, apply law, layout-invariant deletes") {
     val table = scratchDir("graft_cdf")
     val base = (0L until 100L).map(k => (k, k * 10L, 0L)).toDF("k", "v", "gen")
