@@ -125,6 +125,7 @@ object SparkEntry {
       Relational.q73GroupTopn(s, d)),
     "q74_hierarchy"           -> Relational.q74Hierarchy _,
     "q75_dpp"                 -> Relational.q75Dpp _,
+    "q76_bloom_join"          -> Relational.q76BloomJoin _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1794,6 +1795,17 @@ object SparkEntry {
       |SELECT m::BIGINT AS o_month, count(*) AS n_orders,
       |       sum(round(o_totalprice*100)::BIGINT)::BIGINT AS revenue_cents
       |FROM o WHERE (m % 100 - 1) // 3 + 1 = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q76: the oracle recomputes the dim⋈fact census exactly — the
+    // Spark side must reproduce it THROUGH the bloom-pruned scan, so
+    // the filter dropping a TRUE match diverges the hash (false
+    // positives are killed by the real join on both engines)
+    "q76_bloom_join" -> raw"""
+      |SELECT l.l_returnflag, count(*) AS n_items,
+      |       sum(l.l_quantity)::BIGINT AS sum_qty,
+      |       sum(round(l.l_extendedprice*100)::BIGINT)::BIGINT AS revenue_cents
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderstatus = 'P' AND o.o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q74: identical WITH RECURSIVE text modulo div spelling — the
     // planted parent(k) = k div 10 is strictly decreasing, so both

@@ -2373,4 +2373,74 @@ object Relational {
         col("n_orders"), col("revenue_cents"))
       .orderBy(col("o_month"))
   }
+
+  /** Save/set/restore a conf bundle around an EAGER block — the
+    * query-scoped twin of a SQL hint for knobs that have no hint
+    * form. The block must finish executing inside (localCheckpoint /
+    * collect); a lazy frame escaping the scope would re-read restored
+    * confs at action time. */
+  private[graft] def withConfs[T](s: SparkSession,
+      confs: Seq[(String, String)])(f: => T): T = {
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** q76's conf bundle: Spark 4 enables the runtime bloom filter by
+    * default but gates it behind a 10 GB application-side scan — the
+    * 100 TB posture; at test scale the gate is lowered so the rule
+    * fires on the fixture-sized fact. autoBroadcastJoinThreshold=-1
+    * models the non-broadcastable dimension this operator exists
+    * for (a broadcast-size dim takes q75's DPP path instead). */
+  private[graft] val q76Confs = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** q76: RUNTIME BLOOM-FILTER JOIN PRUNING (Catalyst's
+    * `InjectRuntimeFilter` → `BloomFilterMightContain`) — the
+    * ROW-GRAIN complement of q75's partition-grain dynamic pruning,
+    * and the scan-reduction lever when the star join's dimension is
+    * TOO BIG TO BROADCAST: a selective dim predicate is known only
+    * through the join, the join key (`orderkey`) is NOT a partition
+    * key, so directory pruning cannot help — instead the optimizer
+    * builds a bloom filter over the dim's surviving join keys (a
+    * scalar subquery aggregating `BloomFilterAggregate`) and plants
+    * `bloom_filter_might_contain(key)` as a FILTER on the fact scan.
+    * The fact side then drops non-matching rows BEFORE the shuffle:
+    * at 100 TB a 6%-selective dim predicate means ~94% of fact rows
+    * never leave their map task — the sort-merge exchange shrinks by
+    * the dim's selectivity without any layout prerequisite (q75
+    * needs the fact partitioned by the join attribute; this needs
+    * nothing). False positives pass the bloom and die in the real
+    * join — correctness never depends on the filter, which is why
+    * the oracle recomputes the join exactly. This is also the
+    * READ-side twin of the per-column bloom SINK already proved in
+    * ParquetSinkSpec (write-side blooms prune row groups for point
+    * predicates; runtime blooms prune rows for JOIN predicates).
+    *
+    * PlanSpec asserts both halves: the bloom filter subtree in the
+    * fact scan's plan AND the executed rows-pruned metric (the
+    * bloom's filter output strictly below the scan output).
+    */
+  def q76BloomJoin(s: SparkSession, dir: String): DataFrame =
+    withConfs(s, q76Confs)(q76Frame(s, dir).localCheckpoint())
+
+  /** The lazy frame behind [[q76BloomJoin]] — PlanSpec executes it
+    * inside its own [[withConfs]] scope to read plan + metrics. */
+  private[graft] def q76Frame(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "P" && col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val fact = Tables.lineitem(s, dir)
+    fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sumCents(col("l_extendedprice")).as("revenue_cents"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -236,6 +236,41 @@ class PlanSpec extends SparkSpec {
       s"dynamic pruning read $read of $total partitions")
   }
 
+  test("q76: the runtime bloom filter prunes fact rows below the exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    // the query's own conf scope (bloom rule gate lowered to fixture
+    // scale, dim forced past broadcast — the non-broadcastable-dim
+    // posture this operator exists for); AQE off for the metric walk
+    // only, as in the q75 test
+    Relational.withConfs(spark, Relational.q76Confs :+
+        ("spark.sql.adaptive.enabled" -> "false")) {
+      val df = Relational.q76Frame(spark, Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val p = plan.toString
+      // plan half: InjectRuntimeFilter planted the bloom probe on the
+      // fact side (a scalar-subquery BloomFilterAggregate feeding
+      // might_contain above the lineitem scan)
+      assert(p.contains("might_contain"), s"no runtime bloom filter:\n$p")
+      val filt = plan.collect {
+        case f: FilterExec if f.condition.toString.contains("might_contain") => f
+      }
+      assert(filt.nonEmpty, s"no bloom FilterExec:\n$p")
+      // metric half: rows die at the filter, BEFORE the join exchange —
+      // the dim predicate keeps ~1/15 of orders, so even with bloom
+      // false positives the filter output must be well under the scan
+      val factScan = plan.collect {
+        case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("lineitem")) => s
+      }
+      assert(factScan.nonEmpty, s"no lineitem scan:\n$p")
+      val scanned = factScan.map(_.metrics("numOutputRows").value).max
+      val kept = filt.map(_.metrics("numOutputRows").value).min
+      assert(scanned > 0 && kept < scanned / 2,
+        s"bloom filter pruned nothing: kept $kept of $scanned scanned rows")
+    }
+  }
+
   test("d11: frequency-pass shuffle is skinny — no line text through the hot-count exchange") {
     val df = Dedup.lineDedup(spark, Sf)
     val p = formatted(df)

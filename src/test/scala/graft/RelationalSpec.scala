@@ -1101,6 +1101,30 @@ class RelationalSpec extends SparkSpec {
     assert(!(viewsAfter -- viewsBefore).exists(_.startsWith("customer_v74")))
   }
 
+  test("q76 bloom join: JVM join identity; conf scope restored") {
+    val beforeBcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val got = Relational.q76BloomJoin(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the bloom filter is an OPTIMIZATION — a false positive passes it
+    // and dies in the real join, a dropped true match would corrupt:
+    // recompute the exact join on the JVM
+    val keys = Tables.orders(spark, Sf)
+      .filter(col("o_orderstatus") === "P" && col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val items = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice")).collect()
+      .filter(r => keys.contains(r.getLong(0)))
+    val exp = items.groupBy(_.getString(1)).toSeq.map { case (f, g) =>
+      (f, g.length.toLong, g.map(_.getDouble(2)).sum.toLong,
+        g.map(r => math.round(r.getDouble(3) * 100)).sum)
+    }.sortBy(_._1)
+    assert(got.toSeq == exp && got.nonEmpty)
+    // the conf bundle (broadcast off, bloom gate lowered) must not
+    // leak into the session — later queries rely on broadcast joins
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold") == beforeBcast)
+  }
+
   test("q74 hierarchy: JVM forest-walk identity; partition and path laws") {
     val got = Relational.q74Hierarchy(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
