@@ -277,6 +277,7 @@ object SparkEntry {
     "j6_gzip_ingest"          -> graft.operators.IngestQueries.gzipIngest _,
     "j7_warc_ingest"          -> graft.operators.IngestQueries.warcIngest _,
     "j8_json_array_ingest"    -> graft.operators.IngestQueries.jsonArrayIngest _,
+    "j9_avro_ingest"          -> graft.operators.IngestQueries.avroIngest _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1295,6 +1296,25 @@ object SparkEntry {
       |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold,
       |       4::BIGINT AS n_files
       |FROM documents WHERE doc_id < 400""".stripMargin,
+    // j9: the corrupt-block rule by position — shard 2's block 1 =
+    // within-shard rows [16, 32) at 16 records per forced block; the
+    // oracle recomputes the clean complement, so a reader that loses
+    // any OTHER block's records (or resurrects the corrupt one)
+    // diverges the hash. n_bad_blocks is the planted constant.
+    "j9_avro_ingest" -> raw"""
+      |WITH d AS (SELECT doc_id, text, n_chars,
+      |             row_number() OVER (PARTITION BY doc_id % 4
+      |                                ORDER BY doc_id) - 1 AS ridx
+      |           FROM documents WHERE doc_id < 400),
+      |c AS (SELECT * FROM d
+      |      WHERE NOT (doc_id % 4 = 2 AND ridx BETWEEN 16 AND 31))
+      |SELECT count(*) AS n_clean, 1::BIGINT AS n_bad_blocks,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
+      |FROM c""".stripMargin,
     "j4_orc_ingest" -> raw"""
       |SELECT count(*) AS n_rows,
       |       sum(doc_id)::BIGINT AS sum_doc_id,

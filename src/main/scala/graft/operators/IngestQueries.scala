@@ -191,6 +191,55 @@ object IngestQueries {
         countDistinct(col("_file")).as("n_files"))
   }
 
+  /** j9: AVRO object-container ingest audit — the Kafka/schema-
+    * registry wire format's at-rest container, closing the binary
+    * half of the container matrix (parquet j3, ORC j4, and now the
+    * row-major third). Avro is the matrix's SPLITTABLE binary member:
+    * 16-byte sync markers between blocks mean any byte offset resyncs
+    * to a block boundary — AvroContainer.readSplit implements
+    * Hadoop's split contract plus a recovery arm, and IngestSpec
+    * proves the union over randomized split boundaries reproduces the
+    * whole file (j7's split-size-invariance discipline, now on a
+    * binary container).
+    *
+    * The torn shape is a CORRUPT BLOCK (header varints overwritten —
+    * the bit-rot/truncated-transfer signature binary files actually
+    * suffer): the reader quarantines exactly that block and resyncs,
+    * so the clean side is every OTHER block's records — block-grain
+    * quarantine where gzip loses the rest of the member and multiLine
+    * JSON (j8) blames the whole file. `n_bad_blocks` counts blocks,
+    * not records: a corrupt block's record count is stated only by
+    * its own untrusted header, so block-grain is the honest
+    * accounting unit (stated, and priced into the oracle as the
+    * planted rule's row range). This reader decodes file-grain here
+    * (binaryFile source; one task per shard like j6/j8 — at
+    * production scale the same readSplit loop rides Hadoop splits so
+    * ONE 10 GB shard fans out across tasks); the audit is j1's
+    * one-aggregate fold over the clean records.
+    */
+  def avroIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = IngestFixtures.ensureAvro(s, dir)
+    val clean = col("doc_id").isNotNull
+    s.read.format("binaryFile").load(s"$path/*.avro")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val r = graft.sources.AvroContainer.readSplit(bytes, 0L, bytes.length.toLong)
+        r.docs.map { case (id, text, _, _, nc) =>
+          (p, Option(id), Option(text), Option(nc)) } ++
+          Vector.fill(r.badBlocks)((p, None: Option[Long], None: Option[String], None: Option[Long]))
+      }
+      .toDF("_file", "doc_id", "text", "n_chars")
+      .agg(
+        count(when(clean, 1)).as("n_clean"),
+        count(when(!clean, 1)).as("n_bad_blocks"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(when(clean, fold32(col("text")))).as("text_fold"),
+        countDistinct(col("_file")).as("n_files"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

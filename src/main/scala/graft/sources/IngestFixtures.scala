@@ -264,6 +264,36 @@ object IngestFixtures {
     }
   }
 
+  /** Which shard carries the corrupt block, and which block index —
+    * constants of the j9 rule, shared with the oracle (shard 2's
+    * block 1 = within-shard rows [16, 32) at BlockRecs = 16). */
+  val AvroCorruptShard = 2
+  val AvroCorruptBlock = 1
+
+  /** Ensure the AVRO object-container corpus for `dir`: 4 shards keyed
+    * by doc_id mod 4 (the j6/j7/j8 layout), deflate blocks FORCED at
+    * every [[AvroContainer.BlockRecs]] records so block boundaries —
+    * and therefore the corrupt-block quarantine unit — are pinned by
+    * position, recomputable by the oracle as a within-shard row-number
+    * range. Shard [[AvroCorruptShard]]'s block [[AvroCorruptBlock]]
+    * then gets its header varints overwritten in place: the torn shape
+    * is a malformed BLOCK (the truncated-object-store-transfer /
+    * bit-rot signature binary containers actually suffer), not a torn
+    * text line — Avro's sync markers make the loss block-grain where
+    * gzip would lose the rest of the member.
+    */
+  def ensureAvro(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("avro", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 4) { tmp =>
+      (0 until 4).foreach { shard =>
+        val f = new java.io.File(tmp.toString, s"shard-$shard.avro")
+        AvroContainer.write(f, rows.filter(_._1 % 4 == shard))
+        if (shard == AvroCorruptShard) AvroContainer.corruptBlock(f, AvroCorruptBlock)
+      }
+    }
+  }
+
   def ensureOrc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("orc", dir)
     val stamp = new java.io.File(out, "_built")

@@ -255,6 +255,65 @@ class IngestSpec extends SparkSpec {
       IngestFixtures.DocLimit.toLong)
   }
 
+  test("j9: Avro container — block-grain corrupt quarantine; split-union invariance") {
+    import graft.sources.{AvroContainer, IngestFixtures}
+    import graft.operators.IngestQueries
+    import java.nio.file.{Files, Paths}
+    val path = IngestFixtures.ensureAvro(spark, Sf)
+    val docs = graft.Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    def shardRows(k: Int) = docs.filter(_._1 % 4 == k).toVector
+
+    // a clean shard round-trips every record byte-exactly, zero bad blocks
+    val bytes0 = Files.readAllBytes(Paths.get(path, "shard-0.avro"))
+    val r0 = AvroContainer.readSplit(bytes0, 0L, bytes0.length.toLong)
+    assert(r0.badBlocks == 0 && r0.docs == shardRows(0))
+
+    // the corrupt shard loses EXACTLY the planted block's records
+    // (within-shard rows [16, 32)) and counts ONE bad block — the
+    // sync-marker resync recovered every later block, where gzip
+    // would have lost the rest of the member
+    val bytes2 = Files.readAllBytes(Paths.get(path, s"shard-${IngestFixtures.AvroCorruptShard}.avro"))
+    val r2 = AvroContainer.readSplit(bytes2, 0L, bytes2.length.toLong)
+    val lostLo = IngestFixtures.AvroCorruptBlock * AvroContainer.BlockRecs
+    val exp2 = shardRows(IngestFixtures.AvroCorruptShard).zipWithIndex
+      .filterNot { case (_, i) => i >= lostLo && i < lostLo + AvroContainer.BlockRecs }
+      .map(_._1)
+    assert(r2.badBlocks == 1 && r2.docs == exp2)
+
+    // SPLIT-UNION INVARIANCE (the splittability claim, j7's discipline
+    // on a binary container): for randomized partitions of the byte
+    // range — including boundaries inside blocks, headers and sync
+    // markers — the concatenation over splits reproduces the whole
+    // read, records AND bad-block count, on both a clean and the
+    // corrupt shard
+    val rnd = new scala.util.Random(13)
+    Seq(bytes0 -> r0, bytes2 -> r2).foreach { case (bytes, whole) =>
+      (0 until 6).foreach { _ =>
+        val cuts = Vector.fill(3)(rnd.between(1L, bytes.length.toLong))
+          .distinct.sorted
+        val bounds = 0L +: cuts :+ bytes.length.toLong
+        val parts = bounds.sliding(2).map { w =>
+          AvroContainer.readSplit(bytes, w(0), w(1)) }.toVector
+        assert(parts.flatMap(_.docs) == whole.docs, s"split variance at $cuts")
+        assert(parts.map(_.badBlocks).sum == whole.badBlocks, s"bad-block variance at $cuts")
+      }
+    }
+
+    // the audit query: 4 shards, 1 bad block, clean = all minus the block
+    val audit = IngestQueries.avroIngest(spark, Sf).collect()(0)
+    assert(audit.getAs[Long]("n_files") == 4L)
+    assert(audit.getAs[Long]("n_bad_blocks") == 1L)
+    assert(audit.getAs[Long]("n_clean") ==
+      docs.length.toLong - AvroContainer.BlockRecs)
+    assert(audit.getAs[Long]("sum_doc_id") ==
+      (docs.map(_._1).sum - shardRows(IngestFixtures.AvroCorruptShard)
+        .slice(lostLo, lostLo + AvroContainer.BlockRecs).map(_._1).sum))
+  }
+
   test("j7: WARC framing round-trips every payload byte-exactly; split-size invariant") {
     import graft.sources.IngestFixtures
     import graft.operators.IngestQueries
