@@ -46,6 +46,7 @@ object SparkEntry {
     "g36_snapshot_commit"     -> GeoQueries.snapshotCommit _,
     "g37_raster_tiff_jpeg"    -> GeoQueries.rasterIngestTiffJpeg _,
     "g38_warp_resample"       -> GeoQueries.warpResample _,
+    "g42_warp_average"        -> GeoQueries.warpAverage _,
     "g39_snapshot_merge"      -> GeoQueries.snapshotMerge _,
     "g40_snapshot_changes"    -> GeoQueries.snapshotChanges _,
     "g41_incremental_agg"     -> GeoQueries.incrementalAgg _,
@@ -371,6 +372,29 @@ object SparkEntry {
       |SELECT tile_id, tile_key, level, ox, oy, n_px, block_sum, block_min,
       |  block_max, floor(block_sum::DOUBLE / n_px * 1e6 + 0.5)::BIGINT AS avg_elev_e6
       |FROM agg ORDER BY tile_id, level, oy, ox""".stripMargin,
+    // g42: area-average warp — exact integer overlap weights on the
+    // common 1/5 grid (w = least(5s+5,8t+8) − greatest(5s,8t) per
+    // axis), weight mass 64 per cell; elevations from the fixture
+    // formula per SOURCE pixel, folded with the same weights
+    "g42_warp_average" -> raw"""
+      |WITH $TilesCte,
+      |t AS (SELECT tile_id, tile_key, lat0, lon0, tys.ty, txs.tx
+      |      FROM keyed, generate_series(0,4) tys(ty), generate_series(0,4) txs(tx)
+      |      WHERE tile_id < 50),
+      |w AS (SELECT tile_id, tile_key, lat0, lon0, ty, tx,
+      |        (least(5*sxs.sx+5, 8*tx+8) - greatest(5*sxs.sx, 8*tx)) *
+      |        (least(5*sys.sy+5, 8*ty+8) - greatest(5*sys.sy, 8*ty)) AS wt,
+      |        ((tile_id*131 + sxs.sx*17 + sys.sy*29) % 8848) AS v
+      |      FROM t, generate_series(0,7) sys(sy), generate_series(0,7) sxs(sx)
+      |      WHERE 5*sxs.sx < 8*tx+8 AND 5*sxs.sx+5 > 8*tx
+      |        AND 5*sys.sy < 8*ty+8 AND 5*sys.sy+5 > 8*ty)
+      |SELECT tile_id, tile_key, ty::BIGINT AS ty, tx::BIGINT AS tx,
+      |       (lon0*1000000 + (2*tx + 1)*100000)::BIGINT AS lon_e6,
+      |       (lat0*1000000 - (2*ty + 1)*100000)::BIGINT AS lat_e6,
+      |       sum(wt*v)::BIGINT AS wsum,
+      |       floor(sum(wt*v)::DOUBLE / 64 * 1e6 + 0.5)::BIGINT AS avg_e6
+      |FROM w GROUP BY tile_id, tile_key, ty, tx, lat0, lon0
+      |ORDER BY tile_id, ty, tx""".stripMargin,
     // g16: Morton interleave re-derived term-by-term with shifts; the
     // span/n_cells columns ARE the layout proof (≤7 and 1 on every row)
     "g16_zorder" -> raw"""

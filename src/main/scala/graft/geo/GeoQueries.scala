@@ -1646,4 +1646,67 @@ object GeoQueries {
       .drop("e")
       .orderBy(col("tile_id"), col("ty"), col("tx"))
   }
+
+  /** g42: AREA-AVERAGE WARP/RESAMPLE (`gdalwarp -ts 5 5 -r average` —
+    * the resampling GDAL actually applies to continuous rasters like
+    * DEMs, and gdalwarp's recommended downsampling mode; g38 is the
+    * SELECTING kernel, this is the INTEGRATING one, and g17's
+    * block-mean pyramid is its power-of-two special case). Each
+    * target cell averages every source pixel it OVERLAPS, weighted by
+    * overlap area — at the rational 8→5 ratio a target cell spans
+    * 1.6 source pixels per axis, so edge pixels carry fractional
+    * weight. The weights are EXACT INTEGERS in (1/5)²-pixel units:
+    * per axis, target t covers [8t, 8t+8) and source s covers
+    * [5s, 5s+5) on the common 1/5 grid, so
+    * `w(s,t) = least(5s+5, 8t+8) − greatest(5s, 8t)` and the per-cell
+    * weight mass is exactly n² = 64 — the weighted sum is one integer
+    * (g17's exact-numerator discipline generalized to non-integer
+    * block ratios), float appears only in the e6-rounded surface.
+    *
+    * Zero shuffle, g38's distribution story: the 5×5 target template
+    * explodes from a literal array and the weighted fold is a nested
+    * `aggregate` over the overlapping source index ranges inside the
+    * tile's own decoded array — a 3600²→2400² production warp stays
+    * one in-split array pass per tile. The oracle re-derives weights,
+    * overlap ranges and the fixture formula per source pixel, so the
+    * hash proves decode → overlap map → weighted fold end to end.
+    */
+  def warpAverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val n = 8; val nt = 5
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val targets = flatten(transform(sequence(lit(0), lit(nt - 1)), ty =>
+      transform(sequence(lit(0), lit(nt - 1)), tx =>
+        struct(tx.as("tx"), ty.as("ty")))))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        col("r.lat0").cast("long").as("lat0"), col("r.lon0").cast("long").as("lon0"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+      .select(col("tile_key"), col("tile_id"), col("lat0"), col("lon0"), col("e"),
+        explode(targets).as("t"))
+      .select(col("tile_id"), col("tile_key"),
+        col("t.ty").cast("long").as("ty"), col("t.tx").cast("long").as("tx"),
+        (col("lon0") * lit(1000000L) +
+          (col("t.tx").cast("long") * 2 + 1) * lit(100000L)).as("lon_e6"),
+        (col("lat0") * lit(1000000L) -
+          (col("t.ty").cast("long") * 2 + 1) * lit(100000L)).as("lat_e6"),
+        expr(s"""
+          aggregate(
+            sequence((t.ty * $n) div $nt, (t.ty * $n + $n - 1) div $nt),
+            cast(0 as bigint),
+            (acc, sy) -> acc +
+              (least(sy * $nt + $nt, t.ty * $n + $n) - greatest(sy * $nt, t.ty * $n)) *
+              aggregate(
+                sequence((t.tx * $n) div $nt, (t.tx * $n + $n - 1) div $nt),
+                cast(0 as bigint),
+                (a2, sx) -> a2 +
+                  (least(sx * $nt + $nt, t.tx * $n + $n) - greatest(sx * $nt, t.tx * $n)) *
+                  element_at(e, cast(sy * $n + sx + 1 as int))))""").as("wsum"))
+      .withColumn("avg_e6", e6(col("wsum") / lit((n * n).toDouble)))
+      .orderBy(col("tile_id"), col("ty"), col("tx"))
+  }
 }

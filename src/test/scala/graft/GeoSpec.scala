@@ -1330,4 +1330,44 @@ class GeoSpec extends SparkSpec {
       assert(xs.toSeq == Seq(0L, 2L, 4L, 5L, 7L))
     }
   }
+
+  test("g42 warp average: JVM re-derives every cell's exact weighted fold; mass laws") {
+    val rows = graft.geo.GeoQueries.warpAverage(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("tile_id"), r.getAs[Long]("ty"), r.getAs[Long]("tx"),
+        r.getAs[Long]("lon_e6"), r.getAs[Long]("lat_e6"),
+        r.getAs[Long]("wsum"), r.getAs[Long]("avg_e6")))
+    assert(rows.nonEmpty && rows.length % 25 == 0)
+    // exact integer overlap weights on the common 1/5 grid: per axis,
+    // target t covers [8t, 8t+8), source s covers [5s, 5s+5)
+    def w(s: Long, t: Long): Long =
+      math.min(5 * s + 5, 8 * t + 8) - math.max(5 * s, 8 * t)
+    rows.foreach { case (t, ty, tx, lonE6, latE6, wsum, avgE6) =>
+      var exp = 0L
+      var mass = 0L
+      for (sy <- 0L until 8L; sx <- 0L until 8L) {
+        val wt = math.max(0L, w(sx, tx)) * math.max(0L, w(sy, ty))
+        val e = Math.floorMod(t * 131 + sx * 17 + sy * 29, 8848)
+        exp += wt * e; mass += wt
+      }
+      // the weighted fold is exact and the weight mass is n² = 64 for
+      // EVERY cell — interior and edge alike (partition of the area)
+      assert(wsum == exp, s"tile $t cell ($ty,$tx): $wsum != $exp")
+      assert(mass == 64L)
+      assert(avgE6 == math.floor(wsum.toDouble / 64 * 1e6 + 0.5).toLong)
+      val lat0 = Math.floorMod(t * 37, 181) - 90
+      val lon0 = Math.floorMod(t * 73, 361) - 180
+      assert(lonE6 == lon0 * 1000000L + (2 * tx + 1) * 100000L)
+      assert(latE6 == lat0 * 1000000L - (2 * ty + 1) * 100000L)
+    }
+    // conservation: per tile, Σ over target cells of wsum = 25 × the
+    // tile's pixel sum (each source pixel's weight across all targets
+    // is its own area, 5×5 in 1/5-units) — area-average resampling
+    // preserves total mass, the property that makes -r average the
+    // DEM downsampling choice; nearest-neighbor g38 has no such law
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val pxSum = (for (sy <- 0L until 8L; sx <- 0L until 8L)
+        yield Math.floorMod(t * 131 + sx * 17 + sy * 29, 8848)).sum
+      assert(g.map(_._6).sum == 25L * pxSum)
+    }
+  }
 }
