@@ -385,8 +385,10 @@ object Bench {
       */
     val scaleTotals = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    /** `freshPrimary` (r10 VERDICT #1): the section's PRIMARY numbers
-      * (`sec`/`min`/`runs_raw`/`exponent`) come from runsN FRESH-JVM
+    /** `freshPrimary` (r10 VERDICT #1; estimator per r12 VERDICT #1):
+      * the section's PRIMARY numbers (`sec` = MIN of the fresh runs,
+      * plus `min`/`runs_raw`/`exponent`; `fresh_median` is the old
+      * estimator, kept as a column) come from runsN FRESH-JVM
       * child processes per query (benchOneProc → BenchOne: untimed
       * warm run, then one timed run, in a JVM that has executed
       * nothing else) — one JVM running 185 queries back-to-back
@@ -463,35 +465,52 @@ object Bench {
         val entries = wanted.map { name =>
           val suite = byName(name)
           val primary = if (freshPrimary) freshByName(name) else suite
-          val t = median(primary)
+          /** r12 VERDICT #1: fresh-JVM medians were IMPRECISE — two
+            * runs of identical code disagreed up to 3.4x (d4 raw
+            * [100.1, 29.7] vs 31.9 s quiet) because independent child
+            * processes land in different OS page-cache neighborhoods
+            * (the interleaved passes evict each other's parquet
+            * pages), so mean/median measure cache state, not the
+            * query. The MIN of the fresh runs is the page-cache-warm
+            * cost — SURVEY §7's "the warm run IS the signal" — and is
+            * the estimator that two consecutive bench runs agree on.
+            * Fresh sections therefore promote MIN to `sec` (the
+            * cross-round primary); the median stays alongside as
+            * `fresh_median` so the old column remains auditable.
+            */
+          val pmin = if (primary.isEmpty) Double.NaN else primary.min
+          val t = if (freshPrimary) pmin else median(primary)
           val base = median(results.collectFirst { case (`name`, r) => r }.getOrElse(Nil))
           val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
                     else math.log10(t / base) / decades // ~1.0 = linear
           if (polluted(primary)) spreadFlags += s"$label:$name"
           if (freshPrimary && polluted(suite)) spreadFlags += s"$label-insuite:$name"
           val secondary = if (freshPrimary)
+            ",\"fresh_median\":" + jnum(median(primary)) +
             ",\"in_suite\":" + jnum(median(suite)) +
             ",\"in_suite_min\":" + jnum(if (suite.isEmpty) Double.NaN else suite.min) +
             ",\"in_suite_raw\":" + jarr(suite)
           else ""
           "\"" + name + "\":{\"sec\":" + jnum(t) +
-            ",\"min\":" + jnum(if (primary.isEmpty) Double.NaN else primary.min) +
+            ",\"min\":" + jnum(pmin) +
             ",\"exponent\":" + jnum(exp) + secondary +
             ",\"runs_raw\":" + jarr(primary) + "}"
         }
         scaleTotals(label) = wanted.map { n =>
-          median(if (freshPrimary) freshByName(n) else byName(n))
+          val p = if (freshPrimary) freshByName(n) else byName(n)
+          if (freshPrimary) { if (p.isEmpty) Double.NaN else p.min } else median(p)
         }.filterNot(_.isNaN).sum
         s""","$label":{"dir":"$d","runs":$runsN,"interleaved":$interleave,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
       }.getOrElse("")
     }
 
     val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_RUNS", "3").toInt
-    // default 2 at 100x: the r5 artifact's single runs scattered up to
-    // 2.3x across independent measurements — one run per query cannot
-    // be compared across rounds; two runs bound the JIT/page-cache
-    // warmup AND arm the spread flag, at ~6 min extra wall
-    val scale10Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE10_RUNS", "2").toInt
+    // default 3 at 100x (r12 VERDICT #1 — was 2): the fresh-primary
+    // estimator is now MIN, and min-of-2 has a coin-flip chance both
+    // runs land page-cache cold (d4's r12 raws [100.1, 29.7] were one
+    // cold + one warm); a third interleaved pass makes at least one
+    // warm-neighborhood run near-certain at ~2-4 min extra wall
+    val scale10Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE10_RUNS", "3").toInt
     val sf1 = scaleSection("sf1", "SPARK_GRAFT_BENCH_SCALE_DIR",
       "/root/repo/.data/sf1", bench.GenScale.Replicas, 1.0, scaleRuns, ScaleQueries)
     val sf10 = scaleSection("sf10", "SPARK_GRAFT_BENCH_SCALE10_DIR",

@@ -1238,7 +1238,7 @@ object GeoQueries {
     * the protocol is the operator under test). Returns the table
     * path.
     */
-  private def cowScenario(s: SparkSession, dir: String, root: String,
+  private[graft] def cowScenario(s: SparkSession, dir: String, root: String,
       withReplace: Boolean): String = {
     import graft.sources.SnapshotTable
     val table = Fixtures.fixtureRoot(root, dir).toString

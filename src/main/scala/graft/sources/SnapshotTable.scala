@@ -137,15 +137,18 @@ object SnapshotTable {
     * content — a crash between data write and marker publish replays
     * as a fresh commit whose orphaned first data dir is unreferenced
     * by any manifest (vacuum reclaims it), never double-counted.
+    * `replace = true` publishes the epoch's FULL state instead of
+    * appending — the maintained-view shape, where each epoch commits
+    * the view's complete next version (EventStreams.ivmSink).
     */
   def commitOnce(s: SparkSession, table: String, df: DataFrame,
-      txnId: String): Long = {
+      txnId: String, replace: Boolean = false): Long = {
     require(!txnId.contains('/') && txnId.nonEmpty, s"flat txnId required: $txnId")
     val txnDir = logDir(table).resolve("txn")
     val marker = txnDir.resolve(txnId)
     if (Files.exists(marker))
       return new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
-    val v = commit(s, table, df)
+    val v = commit(s, table, df, replace = replace)
     Files.createDirectories(txnDir)
     val tmp = txnDir.resolve(s".$txnId.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, s"$v\n".getBytes("UTF-8"))

@@ -667,6 +667,78 @@ object EventStreams {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Export one snapshot-table commit range's change rows into a
+    * change-feed directory — the PRODUCER half of streaming change
+    * data capture: a pipeline appends one parquet drop per commit
+    * (the file-source log makes discovery incremental, exactly as
+    * [[fileIngest]]), and any number of downstream streams consume
+    * the feed at their own pace. Drops are per-version subdirs read
+    * back with `recursiveFileLookup` (versions are not hive
+    * partitions — `_commit_version` already rides in the rows).
+    */
+  def changeFeedExport(s: org.apache.spark.sql.SparkSession, table: String,
+      feedDir: String, fromV: Long, toV: Long, keyCols: Seq[String]): Unit =
+    (fromV until toV).foreach { v =>
+      graft.sources.SnapshotTable.changes(s, table, v, v + 1, keyCols)
+        .write.mode("errorifexists").parquet(s"$feedDir/v${v + 1}")
+    }
+
+  /** The change-feed stream over a [[changeFeedExport]] directory:
+    * each trigger processes only newly-dropped change files. */
+  def changeFeedStream(spark: org.apache.spark.sql.SparkSession,
+      feedDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(feedDir)
+
+  /** STREAMING incremental view maintenance — the streaming twin of
+    * g41, closing the table-maintenance story end-to-end: the g40
+    * change feed drives the materialized per-bucket census
+    * CONTINUOUSLY instead of per nightly batch. Each micro-batch
+    * signs its change rows into the view's groups (insert/post-image
+    * +1, delete/pre-image −1 — count/sum are abelian-group
+    * aggregates, so signed deltas are EXACT), folds them into the
+    * view's current version, and publishes the next version with
+    * [[graft.sources.SnapshotTable.commitOnce]] under the epoch's
+    * txnId — foreachBatch's at-least-once replay (crash between sink
+    * write and offset commit) finds the marker and SKIPS, so the view
+    * table advances exactly once per epoch. Per-epoch cost is
+    * |batch changes| + |view| (the view IS the aggregate — buckets,
+    * never base rows), and the 100 TB story is unchanged from g41:
+    * a 50-tile merge refreshes the view by processing 50 change rows.
+    */
+  def ivmBatchMaintainer(viewTable: String)
+      : (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, id) => {
+    val s = batch.sparkSession
+    import graft.sources.SnapshotTable
+    val bucket = (col("tile_id") / 50).cast("long").as("bucket")
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltas = batch
+      .select(bucket, sgn.as("sgn"), col("elevation").cast("long").as("elev"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("elev")).as("delev"))
+    val cur = SnapshotTable.read(s, viewTable)
+      .select(col("bucket"), col("n_rows").as("dn"), col("sum_elev").as("delev"))
+    val next = cur.unionByName(deltas)
+      .groupBy(col("bucket"))
+      .agg(sum(col("dn")).as("n_rows"), sum(col("delev")).as("sum_elev"))
+      .filter(col("n_rows") > 0) // a fully-deleted bucket leaves the view
+    SnapshotTable.commitOnce(s, viewTable, next, s"ivm-epoch-$id",
+      replace = true)
+  }
+
+  /** foreachBatch sink wiring [[changeFeedStream]] →
+    * [[ivmBatchMaintainer]]: the deployed shape of streaming IVM. */
+  def ivmSink(changes: org.apache.spark.sql.DataFrame, viewTable: String,
+      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch(ivmBatchMaintainer(viewTable))
+      .option("checkpointLocation", ckpt)
+      .start()
+
   /** STREAMING heavy hitters (streaming twin of t8): frequent terms
     * over an unbounded document stream with BOUNDED state — the exact
     * groupBy-every-term t8 runs nightly becomes a per-shard

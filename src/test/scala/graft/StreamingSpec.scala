@@ -371,6 +371,57 @@ class StreamingSpec extends SparkSpec {
     assert(all.sorted == first)
   }
 
+  test("streaming IVM: the g40 change feed drives the g41 view across a crash/replay boundary") {
+    import graft.sources.SnapshotTable
+    // the SAME copy-on-write scenario batch g41 maintains (v0 base,
+    // v1 merge, v2 replace-delete) — parity below is against the
+    // from-scratch v2 recompute, exactly g41's full-outer check side
+    val table = graft.geo.GeoQueries.cowScenario(spark, Sf, "ivm_stream",
+      withReplace = true)
+    val feed = scratchDir("graft_ivms_feed")
+    val view = scratchDir("graft_ivms_view")
+    val ckpt = scratchDir("graft_ivms_ckpt")
+    val keys = Seq("tile_id", "lon", "lat")
+    val bucket = (col("tile_id") / 50).cast("long").as("bucket")
+    def census(df: org.apache.spark.sql.DataFrame) = df.groupBy(bucket)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("elevation").cast("long")).as("sum_elev"))
+    // bootstrap: the one full scan an IVM system ever pays
+    SnapshotTable.commit(spark, view,
+      census(SnapshotTable.readVersion(spark, table, 0L)))
+    val schema = SnapshotTable.changes(spark, table, 0L, 1L, keys).schema
+    // v1's changes drop onto the feed; the stream maintains, then the
+    // query dies (stop = the crash boundary — offsets are committed)
+    EventStreams.changeFeedExport(spark, table, feed, 0L, 1L, keys)
+    val q1 = EventStreams.ivmSink(
+      EventStreams.changeFeedStream(spark, feed, schema), view, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    val vAfter1 = SnapshotTable.latestVersion(view)
+    assert(vAfter1 >= 1L)
+    // foreachBatch's at-least-once contract: a crash between the sink
+    // commit and the offset advance re-delivers epoch 0 — the txn
+    // marker makes the replay a no-op (no new view version)
+    EventStreams.ivmBatchMaintainer(view)(
+      spark.read.schema(schema).option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet").parquet(feed), 0L)
+    assert(SnapshotTable.latestVersion(view) == vAfter1)
+    // v2 drops; a FRESH query restarts from the checkpoint and
+    // processes only the new files (the file-source log's replay
+    // guarantee), advancing the view exactly once more
+    EventStreams.changeFeedExport(spark, table, feed, 1L, 2L, keys)
+    val q2 = EventStreams.ivmSink(
+      EventStreams.changeFeedStream(spark, feed, schema), view, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(SnapshotTable.latestVersion(view) == vAfter1 + 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("bucket"), col("n_rows"), col("sum_elev")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(SnapshotTable.read(spark, view))
+    val want = rows(census(SnapshotTable.readVersion(spark, table, 2L)))
+    graft.Caches.clear()
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming media manifest: stateless decode at arrival equals the batch m1 manifest") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext
