@@ -122,7 +122,9 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       p.waitFor()
       out.linesIterator.collectFirst {
-        case l if l.startsWith(s"BENCHONE $name ") => l.split(' ').last.toDouble
+        // line shape: BENCHONE <name> <sec> [gc=<sec>] — index, not
+        // last, so diagnostic tail tokens never break the parse
+        case l if l.startsWith(s"BENCHONE $name ") => l.split(' ')(2).toDouble
       }.getOrElse {
         System.err.println(s"[bench] BenchOne $name: no marker line; tail: ${out.takeRight(300)}")
         Double.NaN
@@ -185,9 +187,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def newSession(): SparkSession = {
-      val s = SparkSession.builder()
+      // tmpfs shuffle/spill when available (BenchLocal: the r13
+      // precision fix — the virtio disk's writeback stall was the
+      // measured 1.3-3.4x fresh-run spread, not the queries)
+      val s = BenchLocal.configure(SparkSession.builder()
         .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
-        .master(s"local[$cpus]")
+        .master(s"local[$cpus]"))
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -21,9 +21,13 @@ object BenchOne {
     val name = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    // tmpfs shuffle/spill when available (BenchLocal — the child
+    // pays ~18 GB of shuffle+spill writes per query at the 100x
+    // proxy; on the sandbox's virtio disk that made fresh-run times
+    // writeback-bound with a 1.3-3.4x spread)
+    val spark = BenchLocal.configure(SparkSession.builder()
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
-      .master(s"local[$cpus]")
+      .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -36,15 +40,25 @@ object BenchOne {
     try spark.read.parquet(s"$dir/documents.parquet").count()
     catch { case _: Exception => () }
     // one untimed warm run: JIT + codegen + page cache
+    val w0 = System.nanoTime()
     try { fn(spark, dir).count() } catch { case _: Exception => () }
+    val warmSec = (System.nanoTime() - w0) / 1e9
     Caches.clear()
     System.gc()
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val g0 = gcMs()
     val t0 = System.nanoTime()
     fn(spark, dir).count()
     val sec = (System.nanoTime() - t0) / 1e9
     Caches.clear()
-    // marker line the parent greps from child stdout
-    println(s"BENCHONE $name $sec")
+    // marker line the parent greps from child stdout; gc_sec rides
+    // along so a parent (or a human) can tell a GC-bound run from a
+    // plan regression without re-running under -Xlog:gc
+    println(s"BENCHONE $name $sec gc=${(gcMs() - g0) / 1e3} warm=$warmSec")
     spark.stop()
   }
 }
