@@ -279,6 +279,7 @@ object SparkEntry {
     "j7_warc_ingest"          -> graft.operators.IngestQueries.warcIngest _,
     "j8_json_array_ingest"    -> graft.operators.IngestQueries.jsonArrayIngest _,
     "j9_avro_ingest"          -> graft.operators.IngestQueries.avroIngest _,
+    "j10_delta_read"          -> graft.operators.IngestQueries.deltaRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1320,6 +1321,27 @@ object SparkEntry {
       |        FILTER (WHERE doc_id % 7 != 3))::BIGINT AS text_fold,
       |       4::BIGINT AS n_files
       |FROM documents WHERE doc_id < 400""".stripMargin,
+    // j10: the oracle recomputes the v2 snapshot from the generating
+    // rules — base corpus (each doc once, shard-1 rewrite included
+    // exactly once) plus the reinserted torn-rule copies at
+    // +1000000; n_files pins the 5-file active set (3 surviving v0
+    // shards + v1 insert + v2 rewrite) and snapshot_version the
+    // replayed latest
+    "j10_delta_read" -> raw"""
+      |WITH base AS (SELECT doc_id, text, n_chars FROM documents
+      |              WHERE doc_id < 400),
+      |snap AS (SELECT doc_id, text, n_chars FROM base
+      |         UNION ALL
+      |         SELECT doc_id + 1000000, text, n_chars FROM base
+      |         WHERE doc_id % 7 = 3)
+      |SELECT 2::BIGINT AS snapshot_version,
+      |       count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       5::BIGINT AS n_files
+      |FROM snap""".stripMargin,
     // j9: the corrupt-block rule by position — shard 2's block 1 =
     // within-shard rows [16, 32) at 16 records per forced block; the
     // oracle recomputes the clean complement, so a reader that loses

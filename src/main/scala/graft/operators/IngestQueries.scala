@@ -240,6 +240,32 @@ object IngestQueries {
         countDistinct(col("_file")).as("n_files"))
   }
 
+  /** j10: DELTA LAKE table read — open-table-format interop through
+    * [[graft.sources.DeltaTable]]'s protocol-1 log replay (checkpoint
+    * base + JSON commits, last action per path wins). The fixture's
+    * three commits make every replay rule load-bearing: the v0 commit
+    * JSON is aged out (checkpoint reading is mandatory, not an
+    * optimization), v2 removes a file a naive reader would
+    * double-count, and the audit pins the ACTIVE FILE COUNT from the
+    * hidden `_metadata.file_path` so a replay that resurrects or
+    * loses a file diverges even when the row sums happen to agree.
+    * The oracle recomputes the snapshot from the documents table and
+    * the fixture's generating rules (base corpus + reinserted torn
+    * docs), so the hash proves log replay → scan end to end.
+    */
+  def deltaRead(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureDelta(s, dir)
+    val snap = graft.sources.DeltaTable.snapshot(s, table)
+    graft.sources.DeltaTable.read(s, table)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+      .select(lit(snap.version).as("snapshot_version"), col("*"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

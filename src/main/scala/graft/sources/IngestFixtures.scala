@@ -305,4 +305,107 @@ object IngestFixtures {
     }
     out.toString
   }
+
+  /** Reinsertion offset for the Delta fixture's v1 append — far above
+    * any corpus doc_id, so the appended copies are disjoint by key. */
+  val DeltaReinsert = 1000000L
+
+  /** Delta-layout table fixture for j10 (public protocol layout —
+    * delta.io PROTOCOL.md; read back by [[DeltaTable]]). Three
+    * commits exercise every reader-side rule:
+    *
+    *  - v0: four shard files (`doc_id % 4`), full corpus < DocLimit —
+    *    `00…00.json` carries protocol/metaData/4 adds.
+    *  - v1: APPEND `file-v1-insert.parquet` — reprocessed copies of
+    *    the torn-rule docs (`doc_id % 7 == 3`) keyed `doc_id +
+    *    DeltaReinsert`; then `00…01.checkpoint.parquet` (the replayed
+    *    v1 state: protocol + metaData + 5 adds) and `_last_checkpoint`.
+    *  - v2: COMPACTION-shaped rewrite — remove shard 1's file, add
+    *    `file-v2-rewrite.parquet` with the identical rows
+    *    (`dataChange: false`); a reader that ignores removes
+    *    double-counts shard 1 and its file count diverges.
+    *
+    * The v0 commit JSON is then DELETED — Delta's metadata cleanup
+    * ages out pre-checkpoint commits — so reading ANY version is
+    * impossible without the checkpoint: the fixture makes checkpoint
+    * reading load-bearing, and time travel to v0 must fail loudly.
+    */
+  def ensureDelta(s: SparkSession, dir: String): String = synchronized {
+    import s.implicits._
+    val out = Fixtures.fixtureRoot("delta", dir)
+    val rows = docRows(s, dir)
+    def frame(rs: Seq[(Long, String, String, String, Long)]) =
+      rs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // one parquet FILE with a stable name: write to a scratch dir,
+    // move the single part file to its protocol-relative path
+    def writeOne(root: java.io.File, name: String,
+        rs: Seq[(Long, String, String, String, Long)]): Long = {
+      val scratch = new java.io.File(root, s".w_$name")
+      frame(rs).coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(root, name)
+      Files.move(part.toPath, dest.toPath)
+      Fixtures.deleteRecursively(scratch)
+      dest.length()
+    }
+    Fixtures.ensureAtomic(out, 6) { tmp =>
+      val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
+      val shards = (0 until 4).map(k => s"file-v0-$k.parquet" ->
+        rows.toSeq.filter(_._1 % 4 == k))
+      val reinserted = rows.toSeq.filter(_._1 % TornMod == TornRem)
+        .map { case (id, t, l, src, nc) => (id + DeltaReinsert, t, l, src, nc) }
+      val sizes = (shards :+ ("file-v1-insert.parquet" -> reinserted) :+
+        ("file-v2-rewrite.parquet" -> shards(1)._2))
+        .map { case (n, rs) => n -> writeOne(tmp, n, rs) }.toMap
+      def addJson(name: String, dataChange: Boolean) =
+        s"""{"add":{"path":"$name","partitionValues":{},"size":${sizes(name)},"modificationTime":1700000000000,"dataChange":$dataChange}}"""
+      val rawSchema =
+        """{"type":"struct","fields":[{"name":"doc_id","type":"long","nullable":false,"metadata":{}},{"name":"text","type":"string","nullable":true,"metadata":{}},{"name":"lang","type":"string","nullable":true,"metadata":{}},{"name":"source","type":"string","nullable":true,"metadata":{}},{"name":"n_chars","type":"long","nullable":true,"metadata":{}}]}"""
+      val metaJson =
+        s"""{"metaData":{"id":"graft-delta-fixture","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(rawSchema)}","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""
+      def commit(v: Long, lines: Seq[String]): java.io.File = {
+        val f = new java.io.File(log, f"$v%020d.json")
+        Files.write(f.toPath,
+          (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        f
+      }
+      val v0 = commit(0L,
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          metaJson) ++ shards.map(sh => addJson(sh._1, dataChange = true)))
+      commit(1L, Seq(
+        """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""",
+        addJson("file-v1-insert.parquet", dataChange = true)))
+      // checkpoint = the replayed v1 state (protocol, metaData, 5 adds)
+      val cpRows =
+        CpRow(Some(CpProtocol(1, 2)), None, None, None) +:
+        CpRow(None, Some(CpMeta("graft-delta-fixture", rawSchema, Nil)),
+          None, None) +:
+        (shards.map(_._1) :+ "file-v1-insert.parquet").map(n =>
+          CpRow(None, None,
+            Some(CpAdd(n, sizes(n), 1700000000000L, dataChange = true)), None))
+      val cpScratch = new java.io.File(log, ".w_checkpoint")
+      cpRows.toDS().coalesce(1).write.mode("overwrite").parquet(cpScratch.toString)
+      val cpPart = cpScratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(cpPart.toPath,
+        new java.io.File(log, f"${1L}%020d.checkpoint.parquet").toPath)
+      Fixtures.deleteRecursively(cpScratch)
+      Files.write(new java.io.File(log, "_last_checkpoint").toPath,
+        """{"version":1,"size":7}""".getBytes(StandardCharsets.UTF_8))
+      commit(2L, Seq(
+        """{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{}}}""",
+        s"""{"remove":{"path":"file-v0-1.parquet","deletionTimestamp":1700000001000,"dataChange":false}}""",
+        addJson("file-v2-rewrite.parquet", dataChange = false)))
+      // metadata cleanup: the pre-checkpoint commit ages out
+      Files.delete(v0.toPath)
+    }
+  }
 }
+
+/** Checkpoint-parquet action rows (the delta.io PROTOCOL.md checkpoint
+  * schema, reduced to the actions a protocol-1 reader consumes). */
+case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+case class CpMeta(id: String, schemaString: String, partitionColumns: Seq[String])
+case class CpAdd(path: String, size: Long, modificationTime: Long, dataChange: Boolean)
+case class CpRemove(path: String, deletionTimestamp: Long)
+case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
+  add: Option[CpAdd], remove: Option[CpRemove])

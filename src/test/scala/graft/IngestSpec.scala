@@ -314,6 +314,59 @@ class IngestSpec extends SparkSpec {
         .slice(lostLo, lostLo + AvroContainer.BlockRecs).map(_._1).sum))
   }
 
+  test("j10: Delta log replay — checkpoint-mandatory snapshot, remove semantics, loud gates") {
+    import graft.sources.{DeltaTable, IngestFixtures}
+    val table = IngestFixtures.ensureDelta(spark, Sf)
+
+    // latest snapshot: 3 surviving v0 shards + v1 insert + v2 rewrite
+    val snap = DeltaTable.snapshot(spark, table)
+    assert(snap.version == 2L && snap.minReaderVersion == 1)
+    assert(snap.files.sorted == Seq("file-v0-0.parquet", "file-v0-2.parquet",
+      "file-v0-3.parquet", "file-v1-insert.parquet", "file-v2-rewrite.parquet"))
+
+    // the v0 commit json is aged out, so this snapshot is ONLY
+    // reconstructible through the checkpoint — reaching here proves
+    // the checkpoint path is load-bearing. Row-level parity with the
+    // generating rules (base corpus once each + reinserted torn docs):
+    val got = DeltaTable.read(spark, table)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val base = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = (base ++ base.filter(_._1 % IngestFixtures.TornMod ==
+      IngestFixtures.TornRem).map { case (id, t, nc) =>
+      (id + IngestFixtures.DeltaReinsert, t, nc) }).sorted
+    assert(want.nonEmpty && got == want)
+
+    // time travel to v1 = exactly the checkpoint state (shard 1 still
+    // active, no rewrite); to v0 = unreachable past the aged-out log,
+    // failing at LOG RESOLUTION, never silently dropping the commit
+    val v1 = DeltaTable.snapshot(spark, table, 1L)
+    assert(v1.files.sorted == Seq("file-v0-0.parquet", "file-v0-1.parquet",
+      "file-v0-2.parquet", "file-v0-3.parquet", "file-v1-insert.parquet"))
+    val e = intercept[IllegalStateException] {
+      DeltaTable.snapshot(spark, table, 0L)
+    }
+    assert(e.getMessage.contains("aged out"), e.getMessage)
+
+    // reader-version gate: a table demanding protocol 2 features
+    // (column mapping / deletion vectors) must refuse loudly —
+    // reading on would silently resurrect deleted rows
+    val v2tbl = new java.io.File(scratchDir("delta_v2"))
+    val log = new java.io.File(v2tbl, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.write(
+      log.toPath.resolve("00000000000000000000.json"),
+      ("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+        """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    val g = intercept[IllegalArgumentException] {
+      DeltaTable.snapshot(spark, v2tbl.toString)
+    }
+    assert(g.getMessage.contains("reader version 2"), g.getMessage)
+  }
+
   test("j7: WARC framing round-trips every payload byte-exactly; split-size invariant") {
     import graft.sources.IngestFixtures
     import graft.operators.IngestQueries
