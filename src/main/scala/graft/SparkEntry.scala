@@ -280,6 +280,7 @@ object SparkEntry {
     "j8_json_array_ingest"    -> graft.operators.IngestQueries.jsonArrayIngest _,
     "j9_avro_ingest"          -> graft.operators.IngestQueries.avroIngest _,
     "j10_delta_read"          -> graft.operators.IngestQueries.deltaRead _,
+    "j11_iceberg_read"        -> graft.operators.IngestQueries.icebergRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1341,6 +1342,26 @@ object SparkEntry {
       |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
       |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
       |       5::BIGINT AS n_files
+      |FROM snap""".stripMargin,
+    // j11: the s2 snapshot by its generating rules — surviving shards
+    // (doc_id % 4 != 1) plus the reinserted torn-rule copies from the
+    // FULL base corpus; n_files pins the 4-file active set (3
+    // EXISTING shards + 1 ADDED insert; the DELETED shard must not
+    // read) and snapshot_id the version-hint resolution
+    "j11_iceberg_read" -> raw"""
+      |WITH base AS (SELECT doc_id, text, n_chars FROM documents
+      |              WHERE doc_id < 400),
+      |snap AS (SELECT doc_id, text, n_chars FROM base WHERE doc_id % 4 != 1
+      |         UNION ALL
+      |         SELECT doc_id + 1000000, text, n_chars FROM base
+      |         WHERE doc_id % 7 = 3)
+      |SELECT 2::BIGINT AS snapshot_id,
+      |       count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
       |FROM snap""".stripMargin,
     // j9: the corrupt-block rule by position — shard 2's block 1 =
     // within-shard rows [16, 32) at 16 records per forced block; the

@@ -266,6 +266,30 @@ object IngestQueries {
       .select(lit(snap.version).as("snapshot_version"), col("*"))
   }
 
+  /** j11: ICEBERG v1 table read — the second open-table format,
+    * through [[graft.sources.IcebergTable]]'s self-contained snapshot
+    * resolution (version-hint → metadata JSON → manifest-list Avro →
+    * manifest Avro → status-filtered data files; contrast j10's
+    * incremental Delta log replay). The fixture's s2 carries an
+    * explicit DELETED entry for shard 1 beside EXISTING survivors —
+    * a reader that treats status as decoration double-counts the
+    * shard and n_files diverges; the reinserted-doc append proves the
+    * multi-manifest union. Oracle recomputes the s2 snapshot from the
+    * documents table and the generating rules.
+    */
+  def icebergRead(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureIceberg(s, dir)
+    val snap = graft.sources.IcebergTable.snapshot(table)
+    graft.sources.IcebergTable.read(s, table)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+      .select(lit(snap.snapshotId).as("snapshot_id"), col("*"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

@@ -79,6 +79,44 @@ object AvroContainer {
     } finally w.close()
   }
 
+  /** Generic container writer for arbitrary schemas — the Iceberg
+    * metadata containers (manifest list, manifest) are Avro files
+    * with their own record schemas; rows arrive as field-name maps,
+    * nested record fields as nested maps. Field values must match the
+    * schema's types (long/int/string/boolean) — this is a fixture
+    * writer, not a coercion layer. */
+  def writeGeneric(f: File, schemaJson: String,
+      rows: Seq[Map[String, Any]]): Unit = {
+    val sc = new Schema.Parser().parse(schemaJson)
+    def rec(s: Schema, m: Map[String, Any]): GenericRecord = {
+      val r = new GenericData.Record(s)
+      s.getFields.forEach { fld =>
+        m.get(fld.name()).foreach {
+          case v: Map[_, _] =>
+            r.put(fld.name(), rec(fld.schema(), v.asInstanceOf[Map[String, Any]]))
+          case v => r.put(fld.name(), v)
+        }
+      }
+      r
+    }
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sc))
+    try {
+      w.create(sc, f)
+      rows.foreach(m => w.append(rec(sc, m)))
+    } finally w.close()
+  }
+
+  /** Read a whole container generically (driver-side metadata files —
+    * manifest lists and manifests are metadata-scale, never data). */
+  def readGeneric(f: File): Vector[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Vector.newBuilder[GenericRecord]
+      while (r.hasNext) out += r.next()
+      out.result()
+    } finally r.close()
+  }
+
   /** Byte offsets of each block's start (its count varint, just past
     * the preceding sync marker) — enumerated through the reader's own
     * previousSync tracking, so the offsets are the format's, not a

@@ -330,24 +330,28 @@ object IngestFixtures {
     * impossible without the checkpoint: the fixture makes checkpoint
     * reading load-bearing, and time travel to v0 must fail loudly.
     */
+  /** One parquet FILE with a stable (table-relative) name: write to a
+    * scratch dir, move the single part file to its protocol path. */
+  private def writeOneParquet(s: SparkSession, root: java.io.File,
+      name: String, rs: Seq[(Long, String, String, String, Long)]): Long = {
+    val scratch = new java.io.File(root, ".w_" + name.replace('/', '_'))
+    s.createDataFrame(rs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(root, name)
+    dest.getParentFile.mkdirs()
+    Files.move(part.toPath, dest.toPath)
+    Fixtures.deleteRecursively(scratch)
+    dest.length()
+  }
+
   def ensureDelta(s: SparkSession, dir: String): String = synchronized {
     import s.implicits._
     val out = Fixtures.fixtureRoot("delta", dir)
     val rows = docRows(s, dir)
-    def frame(rs: Seq[(Long, String, String, String, Long)]) =
-      rs.toDF("doc_id", "text", "lang", "source", "n_chars")
-    // one parquet FILE with a stable name: write to a scratch dir,
-    // move the single part file to its protocol-relative path
     def writeOne(root: java.io.File, name: String,
-        rs: Seq[(Long, String, String, String, Long)]): Long = {
-      val scratch = new java.io.File(root, s".w_$name")
-      frame(rs).coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(root, name)
-      Files.move(part.toPath, dest.toPath)
-      Fixtures.deleteRecursively(scratch)
-      dest.length()
-    }
+        rs: Seq[(Long, String, String, String, Long)]): Long =
+      writeOneParquet(s, root, name, rs)
     Fixtures.ensureAtomic(out, 6) { tmp =>
       val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
       val shards = (0 until 4).map(k => s"file-v0-$k.parquet" ->
@@ -397,6 +401,98 @@ object IngestFixtures {
         addJson("file-v2-rewrite.parquet", dataChange = false)))
       // metadata cleanup: the pre-checkpoint commit ages out
       Files.delete(v0.toPath)
+    }
+  }
+
+  /** Iceberg-v1 Hadoop-table fixture for j11 (public spec layout —
+    * iceberg.apache.org/spec; read back by [[IcebergTable]]). Two
+    * snapshots exercise the reader's whole resolution chain and the
+    * status algebra:
+    *
+    *  - s1 (append): 4 shard files ADDED in manifest-a;
+    *    manifest-list snap-1 = [manifest-a].
+    *  - s2 (delete + append): manifest-b carries shards 0/2/3 as
+    *    EXISTING and shard 1 as DELETED (the in-place delete record),
+    *    manifest-c carries the reinserted torn-rule docs as ADDED;
+    *    manifest-list snap-2 = [manifest-b, manifest-c] — manifest-a
+    *    is NOT referenced, proving snapshots are self-contained.
+    *
+    * `version-hint.text` → v2.metadata.json with both snapshots and
+    * current-snapshot-id = 2, so time travel to s1 resolves through
+    * its own manifest list. Paths are absolute (the spec's rule),
+    * written against the FINAL fixture root — the atomic build dir
+    * renames into place before any reader sees it.
+    */
+  def ensureIceberg(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("iceberg", dir)
+    val rows = docRows(s, dir)
+    val manifestListSchema =
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin
+    val manifestSchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+    Fixtures.ensureAtomic(out, 5) { tmp =>
+      val meta = new java.io.File(tmp, "metadata"); meta.mkdirs()
+      val shards = (0 until 4).map(k => s"data/file-s1-shard-$k.parquet" ->
+        rows.toSeq.filter(_._1 % 4 == k))
+      val reinserted = rows.toSeq.filter(_._1 % TornMod == TornRem)
+        .map { case (id, t, l, src, nc) => (id + DeltaReinsert, t, l, src, nc) }
+      val written = (shards :+ ("data/file-s2-insert.parquet" -> reinserted))
+        .map { case (n, rs) =>
+          n -> (writeOneParquet(s, tmp, n, rs), rs.length.toLong) }.toMap
+      def entry(status: Int, sid: Long, name: String) = Map(
+        "status" -> status, "snapshot_id" -> sid,
+        "data_file" -> Map(
+          "file_path" -> s"$out/$name", "file_format" -> "PARQUET",
+          "record_count" -> written(name)._2,
+          "file_size_in_bytes" -> written(name)._1))
+      def manifest(file: String, entries: Seq[Map[String, Any]]): (String, Long) = {
+        val f = new java.io.File(meta, file)
+        AvroContainer.writeGeneric(f, manifestSchema, entries)
+        (s"$out/metadata/$file", f.length())
+      }
+      // s1: everything ADDED in one manifest
+      val ma = manifest("manifest-a.avro",
+        shards.map(sh => entry(1, 1L, sh._1)))
+      // s2: survivors EXISTING + shard 1 DELETED; the append manifest
+      val mb = manifest("manifest-b.avro",
+        shards.zipWithIndex.map { case (sh, k) =>
+          entry(if (k == 1) 2 else 0, 2L, sh._1) })
+      val mc = manifest("manifest-c.avro",
+        Seq(entry(1, 2L, "data/file-s2-insert.parquet")))
+      def manifestList(file: String, sid: Long, ms: Seq[(String, Long)]): String = {
+        AvroContainer.writeGeneric(new java.io.File(meta, file),
+          manifestListSchema, ms.map { case (p, len) => Map(
+            "manifest_path" -> p, "manifest_length" -> len,
+            "partition_spec_id" -> 0, "added_snapshot_id" -> sid) })
+        s"$out/metadata/$file"
+      }
+      val sl1 = manifestList("snap-1.avro", 1L, Seq(ma))
+      val sl2 = manifestList("snap-2.avro", 2L, Seq(mb, mc))
+      val mdJson =
+        s"""{"format-version":1,"table-uuid":"graft-iceberg-fixture",
+           |"location":"${jesc(out.toString)}","last-updated-ms":1700000000000,
+           |"current-snapshot-id":2,
+           |"snapshots":[
+           |{"snapshot-id":1,"timestamp-ms":1700000000000,
+           |"manifest-list":"${jesc(sl1)}","summary":{"operation":"append"}},
+           |{"snapshot-id":2,"timestamp-ms":1700000001000,
+           |"manifest-list":"${jesc(sl2)}","summary":{"operation":"overwrite"}}]}
+           |""".stripMargin
+      Files.write(new java.io.File(meta, "v2.metadata.json").toPath,
+        mdJson.getBytes(StandardCharsets.UTF_8))
+      Files.write(new java.io.File(meta, "version-hint.text").toPath,
+        "2\n".getBytes(StandardCharsets.UTF_8))
     }
   }
 }

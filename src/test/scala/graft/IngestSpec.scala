@@ -367,6 +367,62 @@ class IngestSpec extends SparkSpec {
     assert(g.getMessage.contains("reader version 2"), g.getMessage)
   }
 
+  test("j11: Iceberg snapshot resolution — status algebra, self-contained time travel, v2 gate") {
+    import graft.sources.{IcebergTable, IngestFixtures}
+    val table = IngestFixtures.ensureIceberg(spark, Sf)
+
+    // current snapshot (s2): DELETED shard 1 must not read; the
+    // multi-manifest union (EXISTING survivors + ADDED insert) must
+    val snap = IcebergTable.snapshot(table)
+    assert(snap.snapshotId == 2L)
+    assert(snap.files.map(f => f.substring(f.lastIndexOf('/') + 1)).sorted ==
+      Seq("file-s1-shard-0.parquet", "file-s1-shard-2.parquet",
+        "file-s1-shard-3.parquet", "file-s2-insert.parquet"))
+    val got = IcebergTable.read(spark, table)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val base = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = (base.filter(_._1 % 4 != 1) ++
+      base.filter(_._1 % IngestFixtures.TornMod == IngestFixtures.TornRem)
+        .map { case (id, t, nc) =>
+          (id + IngestFixtures.DeltaReinsert, t, nc) }).sorted
+    assert(want.nonEmpty && got == want)
+
+    // time travel to s1 resolves through its OWN manifest list
+    // (manifest-a is not referenced by s2 — snapshots are
+    // self-contained): the full 4-shard base corpus
+    val s1 = IcebergTable.snapshot(table, 1L)
+    assert(s1.files.map(f => f.substring(f.lastIndexOf('/') + 1)).sorted ==
+      (0 until 4).map(k => s"file-s1-shard-$k.parquet"))
+    val s1rows = IcebergTable.read(spark, table, 1L)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(s1rows == base.sorted)
+
+    // an expired/unknown snapshot fails at metadata resolution
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.snapshot(table, 99L)
+    }
+    assert(e.getMessage.contains("snapshot 99"), e.getMessage)
+
+    // format-version gate: v2 tables carry delete files this reader
+    // does not implement — refuse loudly
+    val v2tbl = new java.io.File(scratchDir("iceberg_v2"))
+    val meta = new java.io.File(v2tbl, "metadata"); meta.mkdirs()
+    java.nio.file.Files.write(meta.toPath.resolve("version-hint.text"),
+      "1\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(meta.toPath.resolve("v1.metadata.json"),
+      """{"format-version":2,"current-snapshot-id":1,"snapshots":[]}"""
+        .getBytes("UTF-8"))
+    val g = intercept[IllegalArgumentException] {
+      IcebergTable.snapshot(v2tbl.toString)
+    }
+    assert(g.getMessage.contains("format-version 2"), g.getMessage)
+  }
+
   test("j7: WARC framing round-trips every payload byte-exactly; split-size invariant") {
     import graft.sources.IngestFixtures
     import graft.operators.IngestQueries
