@@ -47,6 +47,7 @@ object SparkEntry {
     "g37_raster_tiff_jpeg"    -> GeoQueries.rasterIngestTiffJpeg _,
     "g38_warp_resample"       -> GeoQueries.warpResample _,
     "g42_warp_average"        -> GeoQueries.warpAverage _,
+    "g43_warp_bilinear"       -> GeoQueries.warpBilinear _,
     "g39_snapshot_merge"      -> GeoQueries.snapshotMerge _,
     "g40_snapshot_changes"    -> GeoQueries.snapshotChanges _,
     "g41_incremental_agg"     -> GeoQueries.incrementalAgg _,
@@ -397,6 +398,30 @@ object SparkEntry {
       |       floor(sum(wt*v)::DOUBLE / 64 * 1e6 + 0.5)::BIGINT AS avg_e6
       |FROM w GROUP BY tile_id, tile_key, ty, tx, lat0, lon0
       |ORDER BY tile_id, ty, tx""".stripMargin,
+    // g43: bilinear warp — GDAL's pixel-center inverse map is exact
+    // in tenths at 8→5 (X = 16t+3, x0 = X//10, fx = X%10), and the
+    // four-corner fold is one integer numerator with mass 100;
+    // elevations from the fixture formula per corner pixel
+    "g43_warp_bilinear" -> raw"""
+      |WITH $TilesCte,
+      |t AS (SELECT tile_id, tile_key, lat0, lon0, tys.ty, txs.tx
+      |      FROM keyed, generate_series(0,4) tys(ty), generate_series(0,4) txs(tx)
+      |      WHERE tile_id < 50),
+      |c AS (SELECT *, (16*tx + 3)//10 AS x0, (16*tx + 3)%10 AS fx,
+      |             (16*ty + 3)//10 AS y0, (16*ty + 3)%10 AS fy
+      |      FROM t),
+      |b AS (SELECT tile_id, tile_key, lat0, lon0, ty, tx,
+      |        (10 - fy) * ((10 - fx) * ((tile_id*131 + x0*17     + y0*29)     % 8848)
+      |                   + fx        * ((tile_id*131 + (x0+1)*17 + y0*29)     % 8848))
+      |      + fy        * ((10 - fx) * ((tile_id*131 + x0*17     + (y0+1)*29) % 8848)
+      |                   + fx        * ((tile_id*131 + (x0+1)*17 + (y0+1)*29) % 8848)) AS bsum
+      |      FROM c)
+      |SELECT tile_id, tile_key, ty::BIGINT AS ty, tx::BIGINT AS tx,
+      |       (lon0*1000000 + (2*tx + 1)*100000)::BIGINT AS lon_e6,
+      |       (lat0*1000000 - (2*ty + 1)*100000)::BIGINT AS lat_e6,
+      |       bsum::BIGINT AS bsum,
+      |       floor(bsum::DOUBLE / 100 * 1e6 + 0.5)::BIGINT AS interp_e6
+      |FROM b ORDER BY tile_id, ty, tx""".stripMargin,
     // g16: Morton interleave re-derived term-by-term with shifts; the
     // span/n_cells columns ARE the layout proof (≤7 and 1 on every row)
     "g16_zorder" -> raw"""

@@ -1709,4 +1709,70 @@ object GeoQueries {
       .withColumn("avg_e6", e6(col("wsum") / lit((n * n).toDouble)))
       .orderBy(col("tile_id"), col("ty"), col("tx"))
   }
+
+  /** g43: BILINEAR WARP/RESAMPLE (`gdalwarp -ts 5 5 -r bilinear` —
+    * the interpolating member completing the resampling kernel
+    * family: g38 SELECTS the nearest pixel, g42 INTEGRATES overlap
+    * area, this INTERPOLATES the four surrounding pixel centers; the
+    * upsampling/reprojection default for continuous rasters, where
+    * averaging would smear and nearest would alias). Each target
+    * center inverse-maps to source space with GDAL's pixel-center
+    * rule `x_src = (t + 0.5)·n/nt − 0.5`; at the 8→5 ratio that is
+    * EXACT in tenths of a source pixel — X = 16·tx + 3, so
+    * `x0 = X div 10`, `fx = X mod 10` — and the bilinear fold is one
+    * integer numerator in (1/10)²-pixel units with weight mass
+    * exactly 100: `(10−fy)·((10−fx)·e(x0,y0) + fx·e(x0+1,y0)) +
+    * fy·((10−fx)·e(x0,y1) + fx·e(x0+1,y1))`. No clamping arm is
+    * needed at this ratio (x0+1 ≤ 7 for every tx — stated rather
+    * than silently relied on: the require below pins it), and float
+    * appears only in the e6-rounded surface, the g42 discipline.
+    *
+    * Zero shuffle, the family's distribution story: four element_at
+    * pulls per target cell inside the tile's own decoded array —
+    * a 3600²→2400² production warp stays one in-split array pass.
+    * The oracle re-derives the center mapping, the integer weights
+    * and the fixture formula per corner pixel.
+    */
+  def warpBilinear(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val n = 8; val nt = 5
+    // the no-clamp claim above, checked at the only place the ratio
+    // is chosen: the largest target center must interpolate within
+    // the source grid (x0+1 ≤ n−1)
+    require((16 * (nt - 1) + 3) / 10 + 1 <= n - 1, "ratio needs a clamp arm")
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val targets = flatten(transform(sequence(lit(0), lit(nt - 1)), ty =>
+      transform(sequence(lit(0), lit(nt - 1)), tx =>
+        struct(tx.as("tx"), ty.as("ty")))))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        col("r.lat0").cast("long").as("lat0"), col("r.lon0").cast("long").as("lon0"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+      .select(col("tile_key"), col("tile_id"), col("lat0"), col("lon0"), col("e"),
+        explode(targets).as("t"))
+      .select(col("tile_id"), col("tile_key"),
+        col("t.ty").cast("long").as("ty"), col("t.tx").cast("long").as("tx"),
+        (col("lon0") * lit(1000000L) +
+          (col("t.tx").cast("long") * 2 + 1) * lit(100000L)).as("lon_e6"),
+        (col("lat0") * lit(1000000L) -
+          (col("t.ty").cast("long") * 2 + 1) * lit(100000L)).as("lat_e6"),
+        expr(s"""
+          (10 - ((16*t.ty + 3) % 10)) *
+            ((10 - ((16*t.tx + 3) % 10)) *
+               element_at(e, cast(((16*t.ty + 3) div 10) * $n + ((16*t.tx + 3) div 10) + 1 as int))
+             + ((16*t.tx + 3) % 10) *
+               element_at(e, cast(((16*t.ty + 3) div 10) * $n + ((16*t.tx + 3) div 10) + 2 as int)))
+          + ((16*t.ty + 3) % 10) *
+            ((10 - ((16*t.tx + 3) % 10)) *
+               element_at(e, cast((((16*t.ty + 3) div 10) + 1) * $n + ((16*t.tx + 3) div 10) + 1 as int))
+             + ((16*t.tx + 3) % 10) *
+               element_at(e, cast((((16*t.ty + 3) div 10) + 1) * $n + ((16*t.tx + 3) div 10) + 2 as int)))
+          """).cast("long").as("bsum"))
+      .withColumn("interp_e6", e6(col("bsum") / lit(100.0)))
+      .orderBy(col("tile_id"), col("ty"), col("tx"))
+  }
 }

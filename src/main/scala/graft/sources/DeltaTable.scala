@@ -52,8 +52,16 @@ import org.apache.spark.sql.functions._
   */
 object DeltaTable {
 
-  final case class Snapshot(version: Long, files: Seq[String],
-    minReaderVersion: Int)
+  /** One live file: its table-relative path and the log-carried
+    * partition values (Delta stores partition columns ONLY in the
+    * log — the data files do not contain them). */
+  final case class AddFile(path: String, partitionValues: Map[String, String])
+
+  final case class Snapshot(version: Long, adds: Seq[AddFile],
+      minReaderVersion: Int, partitionColumns: Seq[String],
+      schemaJson: Option[String]) {
+    def files: Seq[String] = adds.map(_.path)
+  }
 
   private def logDir(table: String): Path = Paths.get(table, "_delta_log")
 
@@ -108,8 +116,10 @@ object DeltaTable {
     // base state from the checkpoint (distributed parquet scan;
     // active-path set is driver-side manifest-grade metadata — the
     // SnapshotTable.merge bound, stated in the object scaladoc)
-    val active = scala.collection.mutable.LinkedHashSet[String]()
+    val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var minReader = 1
+    var partitionColumns: Seq[String] = Nil
+    var schemaJson: Option[String] = None
     cpV.foreach { v =>
       val cp = s.read.parquet(dir.resolve(checkpoints(v)).toString)
       val cols = cp.columns.toSet
@@ -117,8 +127,21 @@ object DeltaTable {
         cp.select(col("protocol.minReaderVersion"))
           .where(col("protocol").isNotNull).collect()
           .foreach(r => minReader = r.getInt(0))
-      cp.select(col("add.path")).where(col("add").isNotNull)
-        .collect().foreach(r => active += r.getString(0))
+      if (cols.contains("metaData"))
+        cp.select(col("metaData.partitionColumns"), col("metaData.schemaString"))
+          .where(col("metaData").isNotNull).collect().foreach { r =>
+            partitionColumns = r.getSeq[String](0)
+            schemaJson = Option(r.getString(1))
+          }
+      val hasPv = cp.select(col("add.*")).columns.contains("partitionValues")
+      val pvCol = if (hasPv) col("add.partitionValues")
+        else map().cast("map<string,string>")
+      cp.select(col("add.path"), pvCol).where(col("add").isNotNull)
+        .collect().foreach { r =>
+          val pv = Option(r.getMap[String, String](1))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          active(r.getString(0)) = AddFile(r.getString(0), pv)
+        }
       if (cols.contains("remove"))
         cp.select(col("remove.path")).where(col("remove").isNotNull)
           .collect().foreach(r => active -= r.getString(0))
@@ -140,7 +163,24 @@ object DeltaTable {
           val n = om.readTree(line)
           if (n.has("protocol"))
             minReader = n.get("protocol").get("minReaderVersion").asInt()
-          if (n.has("add")) active += n.get("add").get("path").asText()
+          if (n.has("metaData")) {
+            val m = n.get("metaData")
+            schemaJson = Option(m.get("schemaString")).map(_.asText())
+            partitionColumns = Option(m.get("partitionColumns")).toSeq
+              .flatMap { pc =>
+                val b = Vector.newBuilder[String]
+                pc.forEach(e => b += e.asText())
+                b.result()
+              }
+          }
+          if (n.has("add")) {
+            val a = n.get("add")
+            val pv = scala.collection.mutable.LinkedHashMap[String, String]()
+            Option(a.get("partitionValues")).foreach(_.fields().forEachRemaining(
+              e => pv(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText()))
+            val p = a.get("path").asText()
+            active(p) = AddFile(p, pv.toMap)
+          }
           if (n.has("remove")) active -= n.get("remove").get("path").asText()
         }
       }
@@ -149,14 +189,42 @@ object DeltaTable {
       s"table $table requires reader version $minReader; this reader " +
         "implements protocol 1 (no column mapping / deletion vectors) — " +
         "reading on would silently return wrong rows")
-    Snapshot(target, active.toVector, minReader)
+    Snapshot(target, active.values.toVector, minReader, partitionColumns,
+      schemaJson)
   }
 
   /** Read the snapshot as a DataFrame (paths resolve against the
-    * table root, per the protocol's relative-path rule). */
+    * table root, per the protocol's relative-path rule). PARTITIONED
+    * tables: Delta stores partition columns only in the log's
+    * `partitionValues`, never in the data files, so the reader
+    * reconstitutes them — files group by their partition tuple, each
+    * group reads once and gains the partition columns as literals
+    * cast to the schema's types (the metaData `schemaString` IS
+    * Spark's own StructType JSON). One read per distinct live
+    * partition tuple: fine at fixture scale and honest about the
+    * boundary — a production-width table (10^5 partitions) wants a
+    * custom FileIndex handing Spark one scan with partition metadata,
+    * the same seam Delta's own DataSource uses. */
   def read(s: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(s, table, version)
     require(snap.files.nonEmpty, s"empty snapshot ${snap.version} at $table")
-    s.read.parquet(snap.files.map(f => s"$table/$f"): _*)
+    if (snap.partitionColumns.isEmpty)
+      s.read.parquet(snap.files.map(f => s"$table/$f"): _*)
+    else {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(snap.schemaJson.getOrElse(throw new IllegalStateException(
+          s"partitioned table $table has no metaData.schemaString in its log")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      snap.adds.groupBy(_.partitionValues).map { case (pv, fs) =>
+        var df = s.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
+        snap.partitionColumns.foreach { c =>
+          val dt = schema(c).dataType
+          val raw = pv.getOrElse(c, null)
+          df = df.withColumn(c,
+            (if (raw == null) lit(null) else lit(raw)).cast(dt))
+        }
+        df
+      }.reduce(_ unionByName _)
+    }
   }
 }

@@ -386,7 +386,8 @@ object IngestFixtures {
           None, None) +:
         (shards.map(_._1) :+ "file-v1-insert.parquet").map(n =>
           CpRow(None, None,
-            Some(CpAdd(n, sizes(n), 1700000000000L, dataChange = true)), None))
+            Some(CpAdd(n, Map.empty, sizes(n), 1700000000000L,
+              dataChange = true)), None))
       val cpScratch = new java.io.File(log, ".w_checkpoint")
       cpRows.toDS().coalesce(1).write.mode("overwrite").parquet(cpScratch.toString)
       val cpPart = cpScratch.listFiles().find(_.getName.endsWith(".parquet")).get
@@ -501,7 +502,8 @@ object IngestFixtures {
   * schema, reduced to the actions a protocol-1 reader consumes). */
 case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
 case class CpMeta(id: String, schemaString: String, partitionColumns: Seq[String])
-case class CpAdd(path: String, size: Long, modificationTime: Long, dataChange: Boolean)
+case class CpAdd(path: String, partitionValues: Map[String, String],
+  size: Long, modificationTime: Long, dataChange: Boolean)
 case class CpRemove(path: String, deletionTimestamp: Long)
 case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
   add: Option[CpAdd], remove: Option[CpRemove])

@@ -1370,4 +1370,43 @@ class GeoSpec extends SparkSpec {
       assert(g.map(_._6).sum == 25L * pxSum)
     }
   }
+
+  test("g43 warp bilinear: JVM re-derives every cell's four-corner fold; center map and mass laws") {
+    val rows = graft.geo.GeoQueries.warpBilinear(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("tile_id"), r.getAs[Long]("ty"), r.getAs[Long]("tx"),
+        r.getAs[Long]("lon_e6"), r.getAs[Long]("lat_e6"),
+        r.getAs[Long]("bsum"), r.getAs[Long]("interp_e6")))
+    assert(rows.nonEmpty && rows.length % 25 == 0)
+    def e(t: Long, sx: Long, sy: Long): Long =
+      Math.floorMod(t * 131 + sx * 17 + sy * 29, 8848)
+    rows.foreach { case (t, ty, tx, lonE6, latE6, bsum, interpE6) =>
+      // GDAL's pixel-center inverse map, exact in tenths at 8→5:
+      // X = 16·t + 3 → x0 = X/10, fx = X%10 — both corners in-grid
+      val (xX, yY) = (16 * tx + 3, 16 * ty + 3)
+      val (x0, fx) = (xX / 10, xX % 10)
+      val (y0, fy) = (yY / 10, yY % 10)
+      assert(x0 + 1 <= 7 && y0 + 1 <= 7) // the no-clamp claim
+      val exp = (10 - fy) * ((10 - fx) * e(t, x0, y0) + fx * e(t, x0 + 1, y0)) +
+        fy * ((10 - fx) * e(t, x0, y0 + 1) + fx * e(t, x0 + 1, y0 + 1))
+      assert(bsum == exp, s"tile $t cell ($ty,$tx): $bsum != $exp")
+      assert(interpE6 == math.floor(bsum.toDouble / 100 * 1e6 + 0.5).toLong)
+      // bilinear value is a convex combination (mass exactly 100):
+      // bounded by the four corners — the no-overshoot law averaging
+      // shares but nearest lacks only trivially
+      val corners = Seq(e(t, x0, y0), e(t, x0 + 1, y0),
+        e(t, x0, y0 + 1), e(t, x0 + 1, y0 + 1))
+      assert(bsum >= 100 * corners.min && bsum <= 100 * corners.max)
+      val lat0 = Math.floorMod(t * 37, 181) - 90
+      val lon0 = Math.floorMod(t * 73, 361) - 180
+      assert(lonE6 == lon0 * 1000000L + (2 * tx + 1) * 100000L)
+      assert(latE6 == lat0 * 1000000L - (2 * ty + 1) * 100000L)
+    }
+    // interpolation consistency: where a target center lands EXACTLY
+    // on a source center (fx = fy = 0 never happens at 8→5 — X % 10
+    // is odd), the nearest-neighbor g38 pull and the bilinear value
+    // may differ; but a zero-fraction AXIS degenerates to linear
+    // interpolation on the other axis alone — checked structurally by
+    // the corner-bound law above for every cell
+    assert(rows.map(r => (16 * r._3 + 3) % 10).forall(_ != 0))
+  }
 }

@@ -367,6 +367,48 @@ class IngestSpec extends SparkSpec {
     assert(g.getMessage.contains("reader version 2"), g.getMessage)
   }
 
+  test("j10: partitioned Delta read reconstitutes log-only partition columns with schema types") {
+    import graft.sources.DeltaTable
+    // Delta's physical layout: partition columns live ONLY in the
+    // log's partitionValues — the data files do not contain them. A
+    // two-column partition (string lang × long gen) proves both the
+    // reconstruction and the schemaString-driven cast.
+    val tbl = new java.io.File(scratchDir("delta_part"))
+    val log = new java.io.File(tbl, "_delta_log"); log.mkdirs()
+    def part(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val scratch = new java.io.File(tbl, ".w")
+      spark.createDataFrame(rows).toDF("doc_id", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val p = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(tbl, name); dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(p.toPath, dest.toPath)
+      graft.geo.Fixtures.deleteRecursively(scratch)
+    }
+    part("lang=en/gen=1/a.parquet", Seq((1L, 10L), (2L, 20L)))
+    part("lang=de/gen=2/b.parquet", Seq((3L, 30L)))
+    val schema = """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":false,\"metadata\":{}},""" +
+      """{\"name\":\"n_chars\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"gen\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    java.nio.file.Files.write(
+      log.toPath.resolve("00000000000000000000.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"p","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["lang","gen"],"configuration":{}}}""",
+        """{"add":{"path":"lang=en/gen=1/a.parquet","partitionValues":{"lang":"en","gen":"1"},"size":1,"modificationTime":0,"dataChange":true}}""",
+        """{"add":{"path":"lang=de/gen=2/b.parquet","partitionValues":{"lang":"de","gen":"2"},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    val df = DeltaTable.read(spark, tbl.toString)
+    assert(df.schema("gen").dataType ==
+      org.apache.spark.sql.types.LongType) // cast from the string "1"
+    val got = df.select("doc_id", "n_chars", "lang", "gen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 10L, "en", 1L), (2L, 20L, "en", 1L),
+      (3L, 30L, "de", 2L)))
+  }
+
   test("j11: Iceberg snapshot resolution — status algebra, self-contained time travel, v2 gate") {
     import graft.sources.{IcebergTable, IngestFixtures}
     val table = IngestFixtures.ensureIceberg(spark, Sf)
