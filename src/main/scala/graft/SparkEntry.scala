@@ -48,6 +48,7 @@ object SparkEntry {
     "g38_warp_resample"       -> GeoQueries.warpResample _,
     "g42_warp_average"        -> GeoQueries.warpAverage _,
     "g43_warp_bilinear"       -> GeoQueries.warpBilinear _,
+    "g44_stats_prune"         -> GeoQueries.statsPrune _,
     "g39_snapshot_merge"      -> GeoQueries.snapshotMerge _,
     "g40_snapshot_changes"    -> GeoQueries.snapshotChanges _,
     "g41_incremental_agg"     -> GeoQueries.incrementalAgg _,
@@ -422,6 +423,19 @@ object SparkEntry {
       |       bsum::BIGINT AS bsum,
       |       floor(bsum::DOUBLE / 100 * 1e6 + 0.5)::BIGINT AS interp_e6
       |FROM b ORDER BY tile_id, ty, tx""".stripMargin,
+    // g44: the grid census for the probed tile range, straight from
+    // the generating formulas — file skipping must be invisible to
+    // the rows (the pruned scan is a superset, the query's own
+    // predicate decides membership); a skipped qualifying file
+    // diverges every aggregate
+    "g44_stats_prune" -> raw"""
+      |WITH $GridCte
+      |SELECT count(*) AS n_rows,
+      |       sum(elevation)::BIGINT AS sum_elev,
+      |       min(tile_id)::BIGINT AS min_tile,
+      |       max(tile_id)::BIGINT AS max_tile,
+      |       count(DISTINCT tile_id) AS n_tiles
+      |FROM grid WHERE tile_id BETWEEN 100 AND 149""".stripMargin,
     // g16: Morton interleave re-derived term-by-term with shifts; the
     // span/n_cells columns ARE the layout proof (≤7 and 1 on every row)
     "g16_zorder" -> raw"""

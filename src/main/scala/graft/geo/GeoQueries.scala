@@ -1775,4 +1775,40 @@ object GeoQueries {
       .withColumn("interp_e6", e6(col("bsum") / lit(100.0)))
       .orderBy(col("tile_id"), col("ty"), col("tx"))
   }
+
+  /** g44: FILE-STATS DATA SKIPPING as a first-class oracle-checked
+    * query — the fourth scan-reduction lever (g11 prunes partitions
+    * statically, q75 dynamically through a join, q76 prunes rows with
+    * a runtime bloom; this prunes whole FILES with commit-time
+    * min/max — Delta's data skipping / Iceberg's manifest filtering).
+    * The table commits the 400-tile grid range-clustered into 8 files
+    * with `statsCols = tile_id`, so each file's recorded [min, max]
+    * tile range is tight; the 50-tile probe [100, 150) then opens
+    * only the file(s) whose range intersects — at a 100 TB
+    * range-clustered table, the same probe opens the same handful of
+    * files. The query applies the REAL predicate on top of the pruned
+    * scan (the skipping contract: stats choose which files open,
+    * never which rows qualify), so the oracle — the grid census
+    * recomputed from the generating formulas — diverges if skipping
+    * ever drops a qualifying file. SnapshotTableSpec asserts the
+    * pruning itself on `inputFiles` (strict subset; stat-less files
+    * conservatively kept).
+    */
+  def statsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val table = Fixtures.fixtureRoot("statsprune", dir).toString
+    Fixtures.deleteRecursively(new java.io.File(table))
+    val grid = gridExpand(tiles(s, dir).filter(col("tile_id") < 400))
+      .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
+    SnapshotTable.commit(s, table,
+      grid.repartitionByRange(8, col("tile_id")),
+      statsCols = Seq("tile_id"))
+    SnapshotTable.readPruned(s, table, "tile_id", 100L, 149L)
+      .filter(col("tile_id").between(100, 149))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("elevation").cast("long")).as("sum_elev"),
+        min(col("tile_id")).cast("long").as("min_tile"),
+        max(col("tile_id")).cast("long").as("max_tile"),
+        countDistinct(col("tile_id")).as("n_tiles"))
+  }
 }

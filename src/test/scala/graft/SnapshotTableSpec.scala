@@ -131,6 +131,49 @@ class SnapshotTableSpec extends SparkSpec {
       (1L to 20L))
   }
 
+  test("file-stats skipping: tight ranges prune files, stat-less files read conservatively") {
+    val table = scratchDir("graft_stats_prune")
+    // 8 range-clustered files over ids [0, 800): each file's recorded
+    // [min, max] id range is tight, so a 50-id probe prunes hard
+    val df = spark.range(0, 800).toDF("id")
+      .withColumn("v", col("id") * 3 + 1)
+      .repartitionByRange(8, col("id"))
+    SnapshotTable.commit(spark, table, df, statsCols = Seq("id"))
+    val full = SnapshotTable.read(spark, table)
+    val pruned = SnapshotTable.readPruned(spark, table, "id", 100L, 149L)
+    // pruning is real: a strict subset of the manifest opens
+    assert(pruned.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"no pruning: ${pruned.inputFiles.length} of ${full.inputFiles.length}")
+    // and invisible to the rows: the caller's predicate decides
+    def census(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("id").between(100, 149))
+        .agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(census(pruned) == census(full))
+    // recorded stats are the files' true min/max
+    val stats = SnapshotTable.fileStats(table)
+    assert(stats.nonEmpty)
+    full.inputFiles.foreach { uri =>
+      val fp = new java.net.URI(uri).getPath
+      val (mn, mx) = stats(fp)("id")
+      val r = spark.read.parquet(fp)
+        .agg(min(col("id")), max(col("id"))).collect()(0)
+      assert(mn == r.getLong(0) && mx == r.getLong(1))
+    }
+    // conservative arm: a later commit WITHOUT stats — its files must
+    // always open, whatever the probe (no stats → no opinion)
+    SnapshotTable.commit(spark, table,
+      spark.range(5000, 5010).toDF("id").withColumn("v", col("id")))
+    val pruned2 = SnapshotTable.readPruned(spark, table, "id", 100L, 149L)
+    val statless = SnapshotTable.read(spark, table).inputFiles.toSet --
+      full.inputFiles.toSet
+    assert(statless.nonEmpty && statless.subsetOf(pruned2.inputFiles.toSet))
+    // a probe hitting NO recorded range still returns the stat-less
+    // rows (and nothing else qualifies after the caller's filter)
+    val far = SnapshotTable.readPruned(spark, table, "id", 5000L, 5009L)
+    assert(far.filter(col("id") >= 5000).count() == 10L)
+  }
+
   test("append manifests extend; data files are never rewritten in place") {
     val table = scratchDir("graft_snap_append")
     SnapshotTable.commit(spark, table, (1L to 10L).toDF("x"))
