@@ -129,6 +129,7 @@ object SparkEntry {
     "q74_hierarchy"           -> Relational.q74Hierarchy _,
     "q75_dpp"                 -> Relational.q75Dpp _,
     "q76_bloom_join"          -> Relational.q76BloomJoin _,
+    "q77_lateral"             -> Relational.q77Lateral _,
     "q53_transitions"         -> Relational.q53Transitions _,
     "q37_retention"           -> Relational.q37Retention _,
     "q15_json"                -> Relational.q15Json _,
@@ -1926,6 +1927,17 @@ object SparkEntry {
     // Spark side must reproduce it THROUGH the bloom-pruned scan, so
     // the filter dropping a TRUE match diverges the hash (false
     // positives are killed by the real join on both engines)
+    // q77: the identical correlated LATERAL — DuckDB decorrelates it
+    // with the same algebra, and the o_orderkey tiebreak makes the
+    // LIMIT 2 prefix a total order in both engines
+    "q77_lateral" -> raw"""
+      |SELECT c.c_custkey, t.o_orderkey, t.price_cents
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey,
+      |                round(o_totalprice * 100)::BIGINT AS price_cents
+      |         FROM orders o WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY price_cents DESC, o_orderkey LIMIT 2) t
+      |ORDER BY 1, 3 DESC, 2""".stripMargin,
     "q76_bloom_join" -> raw"""
       |SELECT l.l_returnflag, count(*) AS n_items,
       |       sum(l.l_quantity)::BIGINT AS sum_qty,

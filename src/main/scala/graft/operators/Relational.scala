@@ -2443,4 +2443,59 @@ object Relational {
         sumCents(col("l_extendedprice")).as("revenue_cents"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q77: correlated LATERAL join — the SQL-standard "top-k related
+    * rows per outer row" shape (`FROM customer c, LATERAL (SELECT …
+    * WHERE o_custkey = c_custkey ORDER BY … LIMIT 2)`), and a
+    * DECORRELATION showcase: the naive reading executes the subquery
+    * once PER OUTER ROW (|customer| subquery runs — the correlated
+    * nested loop that kills at any scale), but Catalyst's
+    * DecorrelateInnerQuery rewrites the correlated limit into ONE
+    * window pass over orders (row_number ≤ 2 per custkey, truncated
+    * below the exchange by WindowGroupLimit — the q73 machinery
+    * arriving automatically via decorrelation) joined ONCE on the
+    * correlation key. Per-key cost is the key's own orders, the
+    * shuffle is one hash exchange each side — the plan a hand-writer
+    * would build from q73, produced from the declarative correlated
+    * form. PlanSpec asserts the rewrite: LateralJoin in the analyzed
+    * plan, gone from the optimized plan, WindowGroupLimit + equi-join
+    * in the executed one.
+    *
+    * Deterministic: the inner ORDER BY carries an o_orderkey
+    * tiebreak, so LIMIT 2 is a total-order prefix in both engines;
+    * money in exact cents (Det.cents' round-to-long in SQL form).
+    *
+    * Plan discovery (measured, kept as the row's lesson): ordering
+    * the inner subquery by the NON-projected o_totalprice makes the
+    * decorrelator fall back to a GLOBAL range sort of orders with an
+    * order-by-less window (no group limit — every orders row crosses
+    * two shuffles); ordering by the PROJECTED price_cents column is
+    * what buys the windowed WindowGroupLimit plan asserted below.
+    * Same rows either way — the projected form is the scale-correct
+    * spelling.
+    */
+  def q77Lateral(s: SparkSession, dir: String): DataFrame = {
+    val (df, vs) = q77Lazy(s, dir)
+    try df.localCheckpoint()
+    finally vs.foreach(s.catalog.dropTempView)
+  }
+
+  /** The LAZY frame behind [[q77Lateral]] with its per-call temp
+    * views, for PlanSpec's analyzed/optimized rewrite assertions. */
+  private[graft] def q77Lazy(s: SparkSession, dir: String): (DataFrame, Seq[String]) = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cv = s"customer_q77_$tag"
+    val ov = s"orders_q77_$tag"
+    Tables.customer(s, dir).createOrReplaceTempView(cv)
+    Tables.orders(s, dir).createOrReplaceTempView(ov)
+    val df = s.sql(s"""
+      SELECT c.c_custkey, t.o_orderkey, t.price_cents
+      FROM $cv c,
+      LATERAL (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+               FROM $ov o WHERE o.o_custkey = c.c_custkey
+               ORDER BY price_cents DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, price_cents DESC, o_orderkey""")
+    (df, Seq(cv, ov))
+  }
 }

@@ -34,6 +34,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial") && p.contains("Final"), p)
   }
 
+  test("q77: the correlated LATERAL decorrelates — one window + one join, never per-row subqueries") {
+    val (df, views) = Relational.q77Lazy(spark, Sf)
+    try {
+      // the correlated form survives analysis as LateralJoin …
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(analyzed.contains("LateralJoin"), analyzed)
+      // … and DecorrelateInnerQuery removes it: the optimized plan is
+      // an ordinary equi-join fed by a windowed inner side — the
+      // subquery runs ONCE, not |customer| times
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("LateralJoin"), optimized)
+      assert(!optimized.contains("DomainJoin"), optimized)
+      val exec = df.queryExecution.executedPlan.toString
+      // the per-key LIMIT arrives as the q73 machinery: a
+      // WindowGroupLimit truncating below the window, and the
+      // correlation key joins hash-to-hash
+      assert(exec.contains("WindowGroupLimit"), exec)
+      assert(exec.contains("Join") || exec.contains("HashJoin"), exec)
+    } finally views.foreach(spark.catalog.dropTempView)
+  }
+
   test("q74: the recursion executes through UnionLoop, not a driver loop") {
     // the lazy variant: q74Hierarchy's scoped eager wrapper checkpoints
     // the census (a LogicalRDD), which would hide the recursion nodes
