@@ -284,6 +284,7 @@ object SparkEntry {
     "j9_avro_ingest"          -> graft.operators.IngestQueries.avroIngest _,
     "j10_delta_read"          -> graft.operators.IngestQueries.deltaRead _,
     "j11_iceberg_read"        -> graft.operators.IngestQueries.icebergRead _,
+    "j12_delta_changes"       -> graft.operators.IngestQueries.deltaChanges _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1383,6 +1384,28 @@ object SparkEntry {
       |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
       |       5::BIGINT AS n_files
       |FROM snap""".stripMargin,
+    // j12: the four change classes from the generating rules — the
+    // byte-identical shard-1 carries must CANCEL (they appear in no
+    // class), deletes/updates/inserts each recomputed from the same
+    // doc_id arithmetic the fixture planted
+    "j12_delta_changes" -> raw"""
+      |WITH base AS (SELECT doc_id, text, n_chars FROM documents
+      |              WHERE doc_id < 400),
+      |s1 AS (SELECT * FROM base WHERE doc_id % 4 = 1),
+      |up AS (SELECT doc_id, n_chars FROM s1
+      |       WHERE doc_id % 7 != 3 AND doc_id % 5 = 0),
+      |ch AS (
+      |  SELECT 'delete' AS change_type, doc_id, n_chars
+      |  FROM s1 WHERE doc_id % 7 = 3
+      |  UNION ALL SELECT 'update_preimage', doc_id, n_chars FROM up
+      |  UNION ALL SELECT 'update_postimage', doc_id, n_chars + 100 FROM up
+      |  UNION ALL SELECT 'insert', doc_id + 1000000, n_chars
+      |  FROM base WHERE doc_id % 7 = 3)
+      |SELECT 1::BIGINT AS version, change_type,
+      |       count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars
+      |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin,
     // j11: the s2 snapshot by its generating rules — surviving shards
     // (doc_id % 4 != 1) plus the reinserted torn-rule copies from the
     // FULL base corpus; n_files pins the 4-file active set (3

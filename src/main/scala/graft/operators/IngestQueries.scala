@@ -290,6 +290,31 @@ object IngestQueries {
       .select(lit(snap.snapshotId).as("snapshot_id"), col("*"))
   }
 
+  /** j12: DELTA CHANGE FEED derived from a foreign writer's commits —
+    * incremental consumption of a Delta table WITHOUT the writer
+    * having enabled `delta.enableChangeDataFeed` (Delta's
+    * `table_changes` needs the opt-in and its `_change_data` write
+    * amplification; [[graft.sources.DeltaTable.changes]] derives the
+    * identical row-level feed from the commits' toggled files — the
+    * SnapshotTable.changes algebra on the foreign log). The fixture's
+    * v1 "correction" commit plants all four change classes by rule
+    * (deletes, update pre+post pairs, inserts, byte-identical carries
+    * that must CANCEL in the multiset diff), and the oracle
+    * recomputes the per-class census from the documents table — an
+    * uncancelled carry, a mis-keyed image, or a lost class diverges
+    * the hash.
+    */
+  def deltaChanges(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureDeltaCdc(s, dir)
+    graft.sources.DeltaTable.changes(s, table, 0L, 1L, Seq("doc_id"))
+      .groupBy(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"))
+      .orderBy(col("change_type"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

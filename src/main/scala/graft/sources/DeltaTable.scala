@@ -193,6 +193,45 @@ object DeltaTable {
       schemaJson)
   }
 
+  /** CHANGE FEED over a FOREIGN Delta table, derived from snapshot
+    * file diffs — incremental consumption of a table someone else
+    * writes, WITHOUT requiring `delta.enableChangeDataFeed` on the
+    * writer's side (Delta's own `table_changes` only works when the
+    * writer opted in and paid the `_change_data` write amplification;
+    * this derives the same row-level feed from the commits' toggled
+    * files, exactly the SnapshotTable.changes algebra — shared core,
+    * [[SnapshotTable.fileDiffChanges]]). Per step: snapshot(v−1) vs
+    * snapshot(v) file sets → multiset row diff over ONLY the toggled
+    * files → key-classified insert/delete/update pre+post rows. A
+    * pure-compaction commit (remove + re-add identical rows,
+    * `dataChange: false`) yields an EMPTY feed — layout changes are
+    * invisible to CDC, the g40 REPLACE lesson on a foreign table.
+    * Requires the log to still resolve both endpoints (an aged-out
+    * version fails loudly at snapshot resolution) and an
+    * unpartitioned table (partition columns live only in the log;
+    * the diff would compare rows missing them — refused loudly
+    * rather than classified wrongly).
+    */
+  def changes(s: SparkSession, table: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(fromV < toV, s"bad change range [$fromV, $toV]")
+    (fromV until toV).map { v =>
+      val a = snapshot(s, table, v)
+      val b = snapshot(s, table, v + 1)
+      require(a.partitionColumns.isEmpty && b.partitionColumns.isEmpty,
+        s"change feed over partitioned delta table $table: partition " +
+          "columns exist only in the log, so row diffs would misclassify — " +
+          "unsupported (read full snapshots instead)")
+      val af = a.files.toSet
+      val bf = b.files.toSet
+      def abs(fs: Iterable[String]) = fs.toSeq.sorted.map(f => s"$table/$f")
+      SnapshotTable.fileDiffChanges(s,
+        addedF = abs(bf -- af), removedF = abs(af -- bf), keyCols,
+        cache = true, fallback = read(s, table, v + 1).limit(0),
+        commitV = v + 1)
+    }.reduce(_ unionByName _)
+  }
+
   /** Read the snapshot as a DataFrame (paths resolve against the
     * table root, per the protocol's relative-path rule). PARTITIONED
     * tables: Delta stores partition columns only in the log's

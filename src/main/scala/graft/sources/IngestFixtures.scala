@@ -405,6 +405,57 @@ object IngestFixtures {
     }
   }
 
+  /** Delta-layout CDC fixture for j12 — a foreign writer's
+    * "correction" commit with all four change classes planted by
+    * rule, so the derived feed is oracle-recomputable:
+    *
+    *  - v0: four shard files (`doc_id % 4`), corpus < DocLimit.
+    *  - v1: remove shard 1's file; add `file-v1-fix.parquet` carrying
+    *    shard 1 MINUS the torn-rule docs (`% 7 == 3` → DELETES) with
+    *    `n_chars + 100` where `% 5 == 0` (→ UPDATE pre+post pairs,
+    *    every other shard-1 row carried byte-identical → cancels in
+    *    the multiset diff); add `file-v1-new.parquet` with the
+    *    reinserted `+DeltaReinsert` torn-rule docs (→ INSERTS).
+    *
+    * No checkpoint and no aged-out commit: the change feed needs BOTH
+    * endpoints of every step to resolve.
+    */
+  def ensureDeltaCdc(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("deltacdc", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 6) { tmp =>
+      val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
+      val shards = (0 until 4).map(k => s"file-v0-$k.parquet" ->
+        rows.toSeq.filter(_._1 % 4 == k))
+      val s1 = shards(1)._2
+      val fix = s1.filter(_._1 % TornMod != TornRem).map {
+        case (id, t, l, src, nc) =>
+          (id, t, l, src, if (id % 5 == 0) nc + 100 else nc)
+      }
+      val ins = rows.toSeq.filter(_._1 % TornMod == TornRem)
+        .map { case (id, t, l, src, nc) => (id + DeltaReinsert, t, l, src, nc) }
+      val sizes = (shards :+ ("file-v1-fix.parquet" -> fix) :+
+        ("file-v1-new.parquet" -> ins))
+        .map { case (n, rs) => n -> writeOneParquet(s, tmp, n, rs) }.toMap
+      def addJson(name: String) =
+        s"""{"add":{"path":"$name","partitionValues":{},"size":${sizes(name)},"modificationTime":1700000000000,"dataChange":true}}"""
+      val rawSchema =
+        """{"type":"struct","fields":[{"name":"doc_id","type":"long","nullable":false,"metadata":{}},{"name":"text","type":"string","nullable":true,"metadata":{}},{"name":"lang","type":"string","nullable":true,"metadata":{}},{"name":"source","type":"string","nullable":true,"metadata":{}},{"name":"n_chars","type":"long","nullable":true,"metadata":{}}]}"""
+      def commit(v: Long, lines: Seq[String]): Unit =
+        Files.write(new java.io.File(log, f"$v%020d.json").toPath,
+          (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      commit(0L,
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"graft-delta-cdc","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(rawSchema)}","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""") ++
+          shards.map(sh => addJson(sh._1)))
+      commit(1L, Seq(
+        """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""",
+        s"""{"remove":{"path":"file-v0-1.parquet","deletionTimestamp":1700000001000,"dataChange":true}}""",
+        addJson("file-v1-fix.parquet"),
+        addJson("file-v1-new.parquet")))
+    }
+  }
+
   /** Iceberg-v1 Hadoop-table fixture for j11 (public spec layout —
     * iceberg.apache.org/spec; read back by [[IcebergTable]]). Two
     * snapshots exercise the reader's whole resolution chain and the

@@ -350,20 +350,28 @@ object SnapshotTable {
     * feeds three consumers). */
   private def changeStep(s: SparkSession, table: String, a: Long, b: Long,
       keyCols: Seq[String], cache: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions._
     val ma = manifest(table, a)
     val mb = manifest(table, b)
-    val removedF = ma.filterNot(mb.toSet)
-    val addedF = mb.filterNot(ma.toSet)
+    fileDiffChanges(s, addedF = mb.filterNot(ma.toSet),
+      removedF = ma.filterNot(mb.toSet), keyCols, cache,
+      fallback = readVersion(s, table, b).limit(0), commitV = b)
+  }
+
+  /** The change-feed core, shared with [[DeltaTable.changes]]: toggled
+    * files → multiset row diff → key-classified change rows. */
+  private[sources] def fileDiffChanges(s: SparkSession, addedF: Seq[String],
+      removedF: Seq[String], keyCols: Seq[String], cache: Boolean,
+      fallback: => DataFrame, commitV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
     // an empty side still needs the schema — take it from the other
     // side's toggled files, so the step's scan set NEVER exceeds the
     // toggled files (spec asserts this on inputFiles); a no-op commit
-    // (nothing toggled) falls back to the manifest read for schema
+    // (nothing toggled) falls back to the caller's schema frame
     val toggled = addedF ++ removedF
     def rd(fs: Seq[String]) =
       if (fs.nonEmpty) s.read.parquet(fs: _*)
       else if (toggled.nonEmpty) s.read.parquet(toggled: _*).limit(0)
-      else readVersion(s, table, b).limit(0)
+      else fallback
     // cached at BOTH levels: the scans feed both exceptAll directions
     // (uncached, every toggled file would read twice — at a REPLACE
     // that is two full-table scans where one suffices), and each diff
@@ -384,7 +392,7 @@ object SnapshotTable {
       .unionByName(tag(post.join(preK, keyCols, "left_anti"), "insert"))
       .unionByName(tag(pre.join(postK, keyCols, "left_semi"), "update_preimage"))
       .unionByName(tag(pre.join(postK, keyCols, "left_anti"), "delete"))
-      .withColumn("_commit_version", lit(b))
+      .withColumn("_commit_version", lit(commitV))
   }
 
   /** All recorded file stats for `table`: path → column → (min, max).

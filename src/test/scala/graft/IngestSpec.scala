@@ -409,6 +409,60 @@ class IngestSpec extends SparkSpec {
       (3L, 30L, "de", 2L)))
   }
 
+  test("j12: derived Delta change feed — classes by rule, compaction invisible, partitioned refused") {
+    import graft.sources.{DeltaTable, IngestFixtures}
+
+    // a pure compaction (j10's v2: remove + byte-identical rewrite)
+    // must yield an EMPTY feed — layout changes are invisible to CDC
+    val compacted = IngestFixtures.ensureDelta(spark, Sf)
+    assert(DeltaTable.changes(spark, compacted, 1L, 2L, Seq("doc_id")).count() == 0L)
+    graft.Caches.clear()
+
+    // the correction commit: every class lands where the rule put it
+    val table = IngestFixtures.ensureDeltaCdc(spark, Sf)
+    val ch = DeltaTable.changes(spark, table, 0L, 1L, Seq("doc_id"))
+      .select("doc_id", "n_chars", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    graft.Caches.clear()
+    val base = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s1 = base.filter(_._1 % 4 == 1)
+    val torn = (id: Long) => id % IngestFixtures.TornMod == IngestFixtures.TornRem
+    val want = (
+      s1.filter(r => torn(r._1)).map { case (id, nc) => (id, nc, "delete") } ++
+      s1.filter(r => !torn(r._1) && r._1 % 5 == 0)
+        .flatMap { case (id, nc) =>
+          Seq((id, nc, "update_preimage"), (id, nc + 100, "update_postimage")) } ++
+      base.filter(r => torn(r._1)).map { case (id, nc) =>
+        (id + IngestFixtures.DeltaReinsert, nc, "insert") }).sorted
+    assert(want.nonEmpty && ch.sorted.toSeq == want)
+    // the untouched carries cancelled: no shard-1 doc outside the
+    // planted classes appears under any label
+    val planted = want.map(_._1).toSet
+    assert(ch.forall(r => planted.contains(r._1)))
+
+    // partitioned tables refuse: partition columns exist only in the
+    // log, so a row diff would misclassify — loud, never wrong
+    val ptbl = new java.io.File(scratchDir("delta_cdc_part"))
+    val plog = new java.io.File(ptbl, "_delta_log"); plog.mkdirs()
+    java.nio.file.Files.write(
+      plog.toPath.resolve("00000000000000000000.json"),
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        """{"metaData":{"id":"p","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":["lang"],"configuration":{}}}""" + "\n" +
+        """{"add":{"path":"lang=en/a.parquet","partitionValues":{"lang":"en"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      plog.toPath.resolve("00000000000000000001.json"),
+      ("""{"add":{"path":"lang=en/b.parquet","partitionValues":{"lang":"en"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.changes(spark, ptbl.toString, 0L, 1L, Seq("doc_id"))
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
+
   test("j11: Iceberg snapshot resolution — status algebra, self-contained time travel, v2 gate") {
     import graft.sources.{IcebergTable, IngestFixtures}
     val table = IngestFixtures.ensureIceberg(spark, Sf)
