@@ -285,6 +285,7 @@ object SparkEntry {
     "j10_delta_read"          -> graft.operators.IngestQueries.deltaRead _,
     "j11_iceberg_read"        -> graft.operators.IngestQueries.icebergRead _,
     "j12_delta_changes"       -> graft.operators.IngestQueries.deltaChanges _,
+    "j13_iceberg_v2"          -> graft.operators.IngestQueries.icebergV2Read _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1406,6 +1407,24 @@ object SparkEntry {
       |       sum(doc_id)::BIGINT AS sum_doc_id,
       |       sum(n_chars)::BIGINT AS sum_n_chars
       |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin,
+    // j13: positions by the per-shard row_number discipline (shards
+    // are doc_id-ascending, so ridx IS the parquet row ordinal);
+    // n_files stays the FULL shard count — row-grain deletion, the
+    // j11 file-grain contrast
+    "j13_iceberg_v2" -> raw"""
+      |WITH d AS (SELECT doc_id, text, n_chars,
+      |             row_number() OVER (PARTITION BY doc_id % 4
+      |                                ORDER BY doc_id) - 1 AS ridx
+      |           FROM documents WHERE doc_id < 400),
+      |c AS (SELECT * FROM d WHERE ridx % 5 != 2)
+      |SELECT 2::BIGINT AS snapshot_id,
+      |       count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
+      |FROM c""".stripMargin,
     // j11: the s2 snapshot by its generating rules — surviving shards
     // (doc_id % 4 != 1) plus the reinserted torn-rule copies from the
     // FULL base corpus; n_files pins the 4-file active set (3

@@ -315,6 +315,31 @@ object IngestQueries {
       .orderBy(col("change_type"))
   }
 
+  /** j13: ICEBERG v2 MERGE-ON-READ — position deletes subtracted at
+    * scan time ([[graft.sources.IcebergTable.read]]'s
+    * `_metadata.row_index` anti-join): the delete manifest's single
+    * (file_path, pos) parquet removes the planted within-shard
+    * positions while every data FILE stays live — the audit pins
+    * n_files at the full shard count precisely to prove deletion
+    * happened at ROW grain, the j11 contrast (there a delete retires
+    * a whole file). The oracle recomputes positions with a per-shard
+    * row_number (the j9 position discipline), so an off-by-one in the
+    * ordinal join, an unapplied delete file, or an over-applied
+    * position diverges the hash.
+    */
+  def icebergV2Read(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureIcebergV2(s, dir)
+    val snap = graft.sources.IcebergTable.snapshot(table)
+    graft.sources.IcebergTable.read(s, table)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+      .select(lit(snap.snapshotId).as("snapshot_id"), col("*"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

@@ -547,6 +547,103 @@ object IngestFixtures {
         "2\n".getBytes(StandardCharsets.UTF_8))
     }
   }
+
+  /** Within-shard row-index rule for the v2 position-delete fixture:
+    * positions `ridx % 5 == IcebergDelRem` delete in EVERY shard
+    * (ridx = row ordinal inside the shard file; shards are written
+    * doc_id-ascending, so the oracle recomputes ridx with a
+    * per-shard row_number — the j9 discipline on positions). */
+  val IcebergDelRem = 2
+
+  /** Iceberg-v2 fixture for j13 — MERGE-ON-READ position deletes
+    * (iceberg spec format-version 2): s1 appends the 4 data shards;
+    * s2 adds a DELETE manifest whose single position-delete parquet
+    * file carries (file_path, pos) rows for the [[IcebergDelRem]]
+    * rule across every shard. All four data files stay live (deletes
+    * are ROW-level — the j11 contrast, where a delete retires a whole
+    * file); the reader must subtract by position at scan time.
+    */
+  def ensureIcebergV2(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("icebergv2", dir)
+    val rows = docRows(s, dir)
+    val manifestListSchema =
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin
+    val manifestSchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+    Fixtures.ensureAtomic(out, 5) { tmp =>
+      val meta = new java.io.File(tmp, "metadata"); meta.mkdirs()
+      val shards = (0 until 4).map(k => s"data/file-s1-shard-$k.parquet" ->
+        rows.toSeq.filter(_._1 % 4 == k))
+      val sizes = shards.map { case (n, rs) =>
+        n -> (writeOneParquet(s, tmp, n, rs), rs.length.toLong) }.toMap
+      // the position-delete parquet: (file_path, pos) rows by rule
+      val posDels = shards.flatMap { case (n, rs) =>
+        rs.indices.collect { case i if i % 5 == IcebergDelRem =>
+          (s"$out/$n", i.toLong) }
+      }
+      val pdScratch = new java.io.File(tmp, ".w_pd")
+      s.createDataFrame(posDels).toDF("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(pdScratch.toString)
+      val pdPart = pdScratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      val pdDest = new java.io.File(tmp, "data/file-s2-posdel.parquet")
+      Files.move(pdPart.toPath, pdDest.toPath)
+      Fixtures.deleteRecursively(pdScratch)
+      def entry(content: Int, sid: Long, name: String, recs: Long, len: Long) =
+        Map("status" -> 1, "snapshot_id" -> sid,
+          "data_file" -> Map(
+            "content" -> content, "file_path" -> s"$out/$name",
+            "file_format" -> "PARQUET",
+            "record_count" -> recs, "file_size_in_bytes" -> len))
+      def manifest(file: String, entries: Seq[Map[String, Any]]): (String, Long) = {
+        val f = new java.io.File(meta, file)
+        AvroContainer.writeGeneric(f, manifestSchema, entries)
+        (s"$out/metadata/$file", f.length())
+      }
+      val ma = manifest("manifest-a.avro", shards.map { case (n, _) =>
+        entry(0, 1L, n, sizes(n)._2, sizes(n)._1) })
+      val mdly = manifest("manifest-d.avro", Seq(
+        entry(1, 2L, "data/file-s2-posdel.parquet",
+          posDels.length.toLong, pdDest.length())))
+      def manifestList(file: String, sid: Long,
+          ms: Seq[((String, Long), Int)]): String = {
+        AvroContainer.writeGeneric(new java.io.File(meta, file),
+          manifestListSchema, ms.map { case ((p, len), content) => Map(
+            "manifest_path" -> p, "manifest_length" -> len,
+            "partition_spec_id" -> 0, "content" -> content,
+            "added_snapshot_id" -> sid) })
+        s"$out/metadata/$file"
+      }
+      val sl1 = manifestList("snap-1.avro", 1L, Seq((ma, 0)))
+      val sl2 = manifestList("snap-2.avro", 2L, Seq((ma, 0), (mdly, 1)))
+      val mdJson =
+        s"""{"format-version":2,"table-uuid":"graft-iceberg-v2-fixture",
+           |"location":"${jesc(out.toString)}","last-updated-ms":1700000000000,
+           |"current-snapshot-id":2,
+           |"snapshots":[
+           |{"snapshot-id":1,"timestamp-ms":1700000000000,
+           |"manifest-list":"${jesc(sl1)}","summary":{"operation":"append"}},
+           |{"snapshot-id":2,"timestamp-ms":1700000001000,
+           |"manifest-list":"${jesc(sl2)}","summary":{"operation":"delete"}}]}
+           |""".stripMargin
+      Files.write(new java.io.File(meta, "v2.metadata.json").toPath,
+        mdJson.getBytes(StandardCharsets.UTF_8))
+      Files.write(new java.io.File(meta, "version-hint.text").toPath,
+        "2\n".getBytes(StandardCharsets.UTF_8))
+    }
+  }
 }
 
 /** Checkpoint-parquet action rows (the delta.io PROTOCOL.md checkpoint

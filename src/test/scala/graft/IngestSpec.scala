@@ -504,19 +504,91 @@ class IngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("snapshot 99"), e.getMessage)
 
-    // format-version gate: v2 tables carry delete files this reader
-    // does not implement — refuse loudly
-    val v2tbl = new java.io.File(scratchDir("iceberg_v2"))
-    val meta = new java.io.File(v2tbl, "metadata"); meta.mkdirs()
+    // format-version gate: versions past 2 carry delete semantics
+    // this reader does not implement — refuse loudly
+    val v3tbl = new java.io.File(scratchDir("iceberg_v3"))
+    val meta = new java.io.File(v3tbl, "metadata"); meta.mkdirs()
     java.nio.file.Files.write(meta.toPath.resolve("version-hint.text"),
       "1\n".getBytes("UTF-8"))
     java.nio.file.Files.write(meta.toPath.resolve("v1.metadata.json"),
-      """{"format-version":2,"current-snapshot-id":1,"snapshots":[]}"""
+      """{"format-version":3,"current-snapshot-id":1,"snapshots":[]}"""
         .getBytes("UTF-8"))
     val g = intercept[IllegalArgumentException] {
-      IcebergTable.snapshot(v2tbl.toString)
+      IcebergTable.snapshot(v3tbl.toString)
     }
-    assert(g.getMessage.contains("format-version 2"), g.getMessage)
+    assert(g.getMessage.contains("format-version 3"), g.getMessage)
+  }
+
+  test("j13: Iceberg v2 position deletes subtract by row ordinal; files stay live; equality refused") {
+    import graft.sources.{IcebergTable, IngestFixtures}
+    val table = IngestFixtures.ensureIcebergV2(spark, Sf)
+
+    // merge-on-read: the planted within-shard positions vanish, every
+    // OTHER row survives, and ALL FOUR data files still open (deletes
+    // are row-grain — the j11 contrast)
+    val snap = IcebergTable.snapshot(table)
+    assert(snap.snapshotId == 2L && snap.files.length == 4 &&
+      snap.deleteFiles.length == 1)
+    val df = IcebergTable.read(spark, table)
+    val got = df.select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val base = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = base.groupBy(_._1 % 4).values.flatMap { shard =>
+      shard.sortBy(_._1).zipWithIndex.collect {
+        case (row, i) if i % 5 != IngestFixtures.IcebergDelRem => row }
+    }.toSeq.sorted
+    assert(want.nonEmpty && want.size < base.size && got == want)
+    val dataOpened = df.inputFiles.filter(!_.contains("posdel")).toSet
+    assert(dataOpened.size == 4, dataOpened.toString)
+
+    // time travel to s1: the delete manifest is not in s1's list —
+    // the full corpus reads back
+    val s1 = IcebergTable.read(spark, table, 1L)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(s1 == base.sorted)
+
+    // equality deletes (content = 2) match rows by VALUES — refused
+    // loudly, never ignored
+    val eqtbl = new java.io.File(scratchDir("iceberg_eq"))
+    val meta = new java.io.File(eqtbl, "metadata"); meta.mkdirs()
+    val mf = new java.io.File(meta, "manifest-eq.avro")
+    graft.sources.AvroContainer.writeGeneric(mf,
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin,
+      Seq(Map("status" -> 1, "snapshot_id" -> 1L,
+        "data_file" -> Map("content" -> 2, "file_path" -> "x.parquet",
+          "file_format" -> "PARQUET", "record_count" -> 1L,
+          "file_size_in_bytes" -> 1L))))
+    graft.sources.AvroContainer.writeGeneric(
+      new java.io.File(meta, "snap-1.avro"),
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin,
+      Seq(Map("manifest_path" -> mf.getAbsolutePath,
+        "manifest_length" -> mf.length(), "partition_spec_id" -> 0,
+        "added_snapshot_id" -> 1L)))
+    java.nio.file.Files.write(meta.toPath.resolve("version-hint.text"),
+      "1\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(meta.toPath.resolve("v1.metadata.json"),
+      (s"""{"format-version":2,"current-snapshot-id":1,"snapshots":[{"snapshot-id":1,"timestamp-ms":0,"manifest-list":"${meta.getAbsolutePath}/snap-1.avro","summary":{}}]}""")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.snapshot(eqtbl.toString)
+    }
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
   }
 
   test("j7: WARC framing round-trips every payload byte-exactly; split-size invariant") {
