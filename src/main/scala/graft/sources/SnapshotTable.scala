@@ -67,11 +67,25 @@ object SnapshotTable {
       .foldLeft(-1L)(math.max)
   }
 
-  /** The immutable file list of `version`. */
+  /** The immutable file list of `version`. Lines starting with `#`
+    * are manifest HEADERS (`#txn:` — the commit's idempotence record,
+    * see [[commitOnce]]), not files. */
   def manifest(table: String, version: Long): Seq[String] = {
     val m = logDir(table).resolve(s"$version.manifest")
     require(Files.exists(m), s"no version $version at $table")
-    new String(Files.readAllBytes(m), "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+    new String(Files.readAllBytes(m), "UTF-8").linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+  }
+
+  /** The txnId recorded IN `version`'s manifest header, if the commit
+    * was idempotent ([[commitOnce]]). Reads only the first line — the
+    * header, when present, leads the file. */
+  private def manifestTxnId(table: String, version: Long): Option[String] = {
+    val m = logDir(table).resolve(s"$version.manifest")
+    if (!Files.exists(m)) return None
+    val in = Files.newBufferedReader(m)
+    try Option(in.readLine()).filter(_.startsWith("#txn:")).map(_.drop(5))
+    finally in.close()
   }
 
   /** Snapshot-isolated read of a PINNED version (time travel). */
@@ -94,7 +108,7 @@ object SnapshotTable {
     */
   def commit(s: SparkSession, table: String, df: DataFrame,
       replace: Boolean = false, maxRetries: Int = 20,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, txnId: Option[String] = None): Long = {
     val dataDir = Paths.get(table, "data", java.util.UUID.randomUUID().toString)
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val newFiles = ls(dataDir).map(_.toAbsolutePath.toString)
@@ -119,8 +133,15 @@ object SnapshotTable {
             val raw = r.getString(0)
             val fp = if (raw.startsWith("file:"))
               new java.net.URI(raw).getPath else raw
-            statsCols.zipWithIndex.map { case (c, i) =>
-              s"$fp\t$c\t${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
+            statsCols.zipWithIndex.flatMap { case (c, i) =>
+              // an all-NULL column (or one whose cast to long is
+              // null) has no min/max — emit NO stats entry for it:
+              // readPruned treats missing stats conservatively (the
+              // file is kept), whereas a getLong on null would NPE
+              // after the data files are already on disk, aborting
+              // the commit and orphaning the data dir
+              if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+              else Some(s"$fp\t$c\t${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}")
             }
           }
       }
@@ -133,7 +154,12 @@ object SnapshotTable {
         if (replace || prev < 0) newFiles
         else manifest(table, prev) ++ newFiles
       val tmp = logDir(table).resolve(s".${next}.manifest.${java.util.UUID.randomUUID()}.tmp")
-      Files.write(tmp, (files.mkString("\n") + "\n").getBytes("UTF-8"))
+      // the txn header rides INSIDE the manifest, so idempotence is
+      // atomic with the commit point itself (Delta's txn-action
+      // pattern): a crash after the link(2) below but before any
+      // side-channel marker still leaves the txnId discoverable
+      val header = txnId.map(t => s"#txn:$t\n").getOrElse("")
+      Files.write(tmp, (header + files.mkString("\n") + "\n").getBytes("UTF-8"))
       try {
         // the commit point: link(2) is the POSIX create-EXCLUSIVE
         // publish — atomic, and fails with EEXIST if another writer
@@ -165,11 +191,20 @@ object SnapshotTable {
     * race; a replay of the same epoch (foreachBatch's at-least-once
     * contract — crash between sink write and offset commit) finds the
     * marker and returns the already-committed version WITHOUT writing.
-    * The marker is created exclusively (link(2), like the manifest),
-    * and written AFTER the commit succeeds with the version number as
-    * content — a crash between data write and marker publish replays
-    * as a fresh commit whose orphaned first data dir is unreferenced
-    * by any manifest (vacuum reclaims it), never double-counted.
+    * The idempotence record is ATOMIC with the commit: the txnId is
+    * written as a `#txn:` HEADER inside the manifest itself, so the
+    * link(2) that publishes the version IS the transaction record —
+    * there is no window where the epoch is committed but unrecorded.
+    * The side-channel marker `_graft_log/txn/<txnId>` remains as a
+    * fast path (O(1) lookup, and it survives vacuum where old
+    * manifests do not); when the marker is missing the replay scans
+    * retained manifest HEADERS (first line of each — commit-grade
+    * metadata) and repairs the marker before returning. A crash
+    * between data write and manifest publish still replays as a
+    * fresh commit whose orphaned first data dir is unreferenced by
+    * any manifest (vacuum reclaims it), never double-counted; a
+    * crash between manifest publish and marker write — the window
+    * that used to double-apply IVM deltas — now finds the header.
     * `replace = true` publishes the epoch's FULL state instead of
     * appending — the maintained-view shape, where each epoch commits
     * the view's complete next version (EventStreams.ivmSink).
@@ -181,7 +216,17 @@ object SnapshotTable {
     val marker = txnDir.resolve(txnId)
     if (Files.exists(marker))
       return new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
-    val v = commit(s, table, df, replace = replace)
+    // marker missing ≠ epoch uncommitted: scan retained manifests'
+    // headers newest-first (a replayed epoch is overwhelmingly the
+    // LATEST commit; the walk stops at the oldest retained manifest —
+    // vacuumed versions keep their markers, handled above)
+    val replayed: Option[Long] =
+      Iterator.iterate(latestVersion(table))(_ - 1L)
+        .takeWhile(v => v >= 0 &&
+          Files.exists(logDir(table).resolve(s"$v.manifest")))
+        .find(v => manifestTxnId(table, v).contains(txnId))
+    val v = replayed.getOrElse(
+      commit(s, table, df, replace = replace, txnId = Some(txnId)))
     Files.createDirectories(txnDir)
     val tmp = txnDir.resolve(s".$txnId.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, s"$v\n".getBytes("UTF-8"))

@@ -709,7 +709,22 @@ object EventStreams {
     * never base rows), and the 100 TB story is unchanged from g41:
     * a 50-tile merge refreshes the view by processing 50 change rows.
     */
-  def ivmBatchMaintainer(viewTable: String)
+  /** Stable txn-namespace token for a streaming query, derived from
+    * its CHECKPOINT location: a RESTART of the same query (same
+    * checkpoint → the file-source log continues its batchIds) reuses
+    * the namespace, so replays dedupe; a FRESH query (new checkpoint
+    * → batchIds restart at 0) gets a NEW namespace, so its early
+    * epochs are not silently skipped by a previous query's markers
+    * for the same view (the batchId alone is not globally unique —
+    * two lineages both emit epoch 0).
+    */
+  def ivmScope(ckpt: String): String = {
+    val canon = new java.io.File(ckpt).getAbsolutePath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  def ivmBatchMaintainer(viewTable: String, scope: String = "default")
       : (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, id) => {
     val s = batch.sparkSession
     import graft.sources.SnapshotTable
@@ -726,7 +741,7 @@ object EventStreams {
       .groupBy(col("bucket"))
       .agg(sum(col("dn")).as("n_rows"), sum(col("delev")).as("sum_elev"))
       .filter(col("n_rows") > 0) // a fully-deleted bucket leaves the view
-    SnapshotTable.commitOnce(s, viewTable, next, s"ivm-epoch-$id",
+    SnapshotTable.commitOnce(s, viewTable, next, s"ivm-$scope-$id",
       replace = true)
   }
 
@@ -735,7 +750,7 @@ object EventStreams {
   def ivmSink(changes: org.apache.spark.sql.DataFrame, viewTable: String,
       ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
-      .foreachBatch(ivmBatchMaintainer(viewTable))
+      .foreachBatch(ivmBatchMaintainer(viewTable, ivmScope(ckpt)))
       .option("checkpointLocation", ckpt)
       .start()
 

@@ -108,6 +108,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, table).count() == 20)
   }
 
+  test("commitOnce: a crash between manifest publish and marker write does not double-apply") {
+    val table = scratchDir("graft_snap_once_crash")
+    SnapshotTable.commitOnce(spark, table, (1L to 10L).toDF("x"), "e-0")
+    // simulate the crash window: the epoch's commit PUBLISHED (txn
+    // header rides in the manifest) but the process died before the
+    // side-channel marker was written — exactly the foreachBatch
+    // replay scenario ADVICE r13 flagged as double-applying
+    val v = SnapshotTable.commit(spark, table, (11L to 20L).toDF("x"),
+      txnId = Some("e-1"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "_graft_log", "txn", "e-1")))
+    // the replay must find the manifest header, NOT re-commit
+    val vb = SnapshotTable.commitOnce(spark, table, (11L to 20L).toDF("x"), "e-1")
+    assert(vb == v && SnapshotTable.latestVersion(table) == v)
+    assert(SnapshotTable.read(spark, table).count() == 20)
+    // and the marker is repaired — the next replay takes the fast path
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "_graft_log", "txn", "e-1")))
+    assert(SnapshotTable.commitOnce(spark, table, (11L to 20L).toDF("x"), "e-1") == v)
+  }
+
+  test("commit stats: an all-NULL stats column emits no entry instead of aborting the commit") {
+    val table = scratchDir("graft_snap_nullstats")
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit(null).cast("long"))
+    // v is all-NULL → min/max are null; the commit must still land,
+    // recording stats for id and NOTHING for v
+    val v = SnapshotTable.commit(spark, table, df, statsCols = Seq("id", "v"))
+    assert(v == 0L)
+    val stats = SnapshotTable.fileStats(table)
+    assert(stats.nonEmpty && stats.values.forall(m => m.contains("id") && !m.contains("v")))
+    // stat-less column prunes conservatively: every file is kept
+    assert(SnapshotTable.readPruned(spark, table, "v", 0L, 1L).count() == 100)
+  }
+
   test("streaming foreachBatch lands exactly-once in the snapshot table across a replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

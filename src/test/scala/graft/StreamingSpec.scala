@@ -401,7 +401,7 @@ class StreamingSpec extends SparkSpec {
     // foreachBatch's at-least-once contract: a crash between the sink
     // commit and the offset advance re-delivers epoch 0 — the txn
     // marker makes the replay a no-op (no new view version)
-    EventStreams.ivmBatchMaintainer(view)(
+    EventStreams.ivmBatchMaintainer(view, EventStreams.ivmScope(ckpt))(
       spark.read.schema(schema).option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet").parquet(feed), 0L)
     assert(SnapshotTable.latestVersion(view) == vAfter1)
