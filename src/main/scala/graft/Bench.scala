@@ -183,6 +183,16 @@ object Bench {
   private def jarr(xs: Seq[Double]): String = xs.map(jnum).mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
+    // wall-clock budget (r13 VERDICT #1: the full bench outgrew the
+    // round driver's ~60-minute window and was killed at rc=124 with
+    // nothing parseable). The budget is measured from main() entry;
+    // the default leaves ~15 min of margin for sbt/JVM/compile
+    // overhead inside a 60-minute caller window. `0` disables.
+    val benchT0 = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2550").toDouble
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    def remainingSec: Double = budgetSec - elapsedSec
+    def budgeted(need: Double): Boolean = budgetSec <= 0 || remainingSec > need
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -312,21 +322,167 @@ object Bench {
     def polluted(times: Seq[Double]): Boolean =
       spreadPolluted(times) || postWarmupPolluted(times)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // ---- incremental, budget-aware orchestration (r13 VERDICT #1) --
+    // Three defenses against the caller's wall-clock window, in order
+    // of reliability: (1) the artifact of record is FLUSHED
+    // incrementally — every ~25 main-suite queries and at every
+    // scale-pass boundary — marked "partial":"in-progress" until the
+    // final write, so a kill at ANY point leaves parseable primaries
+    // on disk; (2) a shutdown hook catches SIGTERM (timeout(1)'s
+    // default signal) and writes the artifact plus the compact stdout
+    // line, so even a killed run can hand the caller a parseable last
+    // line; (3) the wall-clock budget degrades the run to fit:
+    // sections run in EVIDENTIAL-PRIORITY order — sf0.1 suite, then
+    // sf10 FRESH primaries (the cross-round numbers), then sf1, then
+    // the sf10 in-suite witness passes — and each later pass starts
+    // only if the measured cost of the previous pass fits the time
+    // left. Dropped work lands in "budget_dropped": a degraded
+    // artifact SAYS what it gave up rather than silently thinning.
+    val results = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+    val dropped = scala.collection.mutable.ArrayBuffer[String]()
+    var probeEndV = Double.NaN
+
+    /** One scale section's mutable measurement state; renderable at
+      * any moment (the incremental-flush contract). Estimators are
+      * unchanged from r13: fresh sections promote MIN of the fresh-JVM
+      * runs to `sec` (SURVEY §7: "the warm run IS the signal"), with
+      * `fresh_median` and the in-suite columns alongside; non-fresh
+      * sections publish the median. Spread flags are recomputed from
+      * the raw arrays at render time — flushing twice cannot
+      * double-flag. */
+    final class SectionData(val label: String, val dir: String,
+        val runsN: Int, val interleaved: Boolean, val freshPrimary: Boolean,
+        val decades: Double, val wanted: Seq[String]) {
+      val byName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      val freshByName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      val loadPasses = scala.collection.mutable.ArrayBuffer[Double]()
+      val probePasses = scala.collection.mutable.ArrayBuffer[Double]()
+      def sample(): Unit = { loadPasses += loadAvg(); probePasses += probeSec() }
+      def primaryOf(name: String): Vector[Double] =
+        if (freshPrimary) freshByName.getOrElse(name, Vector.empty)
+        else byName.getOrElse(name, Vector.empty)
+      def primaryTotal: Double = wanted.map { n =>
+        val p = primaryOf(n)
+        if (p.isEmpty) Double.NaN else if (freshPrimary) p.min else median(p)
+      }.filterNot(_.isNaN).sum
+      def flags: Seq[String] = wanted.flatMap { n =>
+        val fresh =
+          if (freshPrimary && polluted(primaryOf(n))) Seq(s"$label:$n") else Nil
+        val suite = byName.getOrElse(n, Vector.empty)
+        val ins =
+          if (polluted(suite))
+            Seq(if (freshPrimary) s"$label-insuite:$n" else s"$label:$n")
+          else Nil
+        fresh ++ ins
+      }
+      def render(): String = {
+        val entries = wanted
+          .filter(n => primaryOf(n).nonEmpty || byName.getOrElse(n, Vector.empty).nonEmpty)
+          .map { name =>
+            val suite = byName.getOrElse(name, Vector.empty)
+            val primary = primaryOf(name)
+            val pmin = if (primary.isEmpty) Double.NaN else primary.min
+            val t = if (freshPrimary) pmin else median(primary)
+            val base = median(results.collectFirst { case (`name`, r) => r }.getOrElse(Nil))
+            val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
+                      else math.log10(t / base) / decades // ~1.0 = linear per decade
+            val secondary = if (freshPrimary)
+              ",\"fresh_median\":" + jnum(median(primary)) +
+              ",\"in_suite\":" + jnum(median(suite)) +
+              ",\"in_suite_min\":" + jnum(if (suite.isEmpty) Double.NaN else suite.min) +
+              ",\"in_suite_raw\":" + jarr(suite)
+            else ""
+            "\"" + name + "\":{\"sec\":" + jnum(t) + ",\"min\":" + jnum(pmin) +
+              ",\"exponent\":" + jnum(exp) + secondary +
+              ",\"runs_raw\":" + jarr(primary) + "}"
+          }
+        s""","$label":{"dir":"$dir","runs":$runsN,"interleaved":$interleaved,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
+      }
+    }
+    val sections = scala.collection.mutable.ArrayBuffer[SectionData]()
+
+    // ONLY-subset runs write a stamped side file, never the full-suite
+    // artifact (VERDICT r6 #4b: a judge subset run clobbered the
+    // round's bench.json)
+    val artifactPath = if (only.isEmpty) "target/bench.json"
+      else s"target/bench-subset-${System.currentTimeMillis()}.json"
+
+    def mainFlags: Seq[String] =
+      results.toSeq.collect { case (k, t) if polluted(t) => k }
+
+    def renderJson(partialReason: Option[String]): String = {
+      val resSeq = results.toSeq
+      // an all-failed query would render NaN (invalid JSON); it is
+      // already listed in `failed`, so its median renders as null.
+      val qs = resSeq.map { case (k, t) => "\"" + k + "\":" + jnum(median(t)) }
+        .mkString("{", ",", "}")
+      val raw = resSeq.map { case (k, t) => "\"" + k + "\":" + jarr(t) }
+        .mkString("{", ",", "}")
+      val mins = resSeq.map { case (k, t) =>
+        "\"" + k + "\":" + jnum(if (t.isEmpty) Double.NaN else t.min) }
+        .mkString("{", ",", "}")
+      val total = resSeq.map(r => median(r._2)).filterNot(_.isNaN).sum
+      val sfl = (mainFlags ++ sections.toSeq.flatMap(_.flags))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val gcs = gcByQuery.map { case (k, v) =>
+        "\"" + k + "\":" + jnum(math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
+      val drp = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val partialField = partialReason.map(r => s""","partial":"$r"""").getOrElse("")
+      val sects = sections.toSeq.map(_.render()).mkString
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":${loadAvg()},"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"budget_sec":$budgetSec,"budget_dropped":$drp,"elapsed_sec":${jnum(math.rint(elapsedSec * 10) / 10)},"sf":"$sfDir"$partialField$sects}"""
+    }
+
+    /** COMPACT summary as the FINAL stdout line (r8 VERDICT #5): the
+      * round driver captures only the last ~2000 chars of stdout, and
+      * the full JSON's per-query maps overflow that. Totals +
+      * per-scale primary totals + flags fit with room; the full
+      * artifact lives in $artifactPath. */
+    def compactLine(partialReason: Option[String]): String = {
+      val resSeq = results.toSeq
+      val total = resSeq.map(r => median(r._2)).filterNot(_.isNaN).sum
+      val medQ = median(resSeq.map(r => median(r._2)).filterNot(_.isNaN))
+      val scaleQs = sections.toSeq.map(sd =>
+        "\"" + sd.label + "_total\":" + jnum(sd.primaryTotal)).mkString(",")
+      val compactQueries =
+        ("\"" + sfDir.split('/').last + "_total\":" + jnum(total)) +
+        (if (scaleQs.nonEmpty) "," + scaleQs else "")
+      val sfl = (mainFlags ++ sections.toSeq.flatMap(_.flags))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val drp = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val partialField = partialReason.map(r => s""","partial":"$r"""").getOrElse("")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{$compactQueries},"n_queries":${resSeq.size},"median_query_sec":${jnum(medQ)},"spread_flags":$sfl,"failed":$fs,"budget_dropped":$drp,"contended":$contended,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"sf":"$sfDir","artifact":"$artifactPath"$partialField}"""
+    }
+
+    def flush(partialReason: Option[String]): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
+        (renderJson(partialReason) + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $artifactPath: ${e.getMessage}") }
+
+    @volatile var finishedNormally = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finishedNormally) {
+        // best effort under concurrent mutation — a partial artifact
+        // beats none, and a failure here must not mask the signal
+        try {
+          flush(Some("killed"))
+          println(compactLine(Some("killed")))
+          System.out.flush()
+        } catch { case _: Throwable => () }
+      }
+    }))
+
+    System.err.println(f"[bench] main suite: $sfDir x $runs runs; budget ${budgetSec}%.0f s")
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => (name, time(name, fn, sfDir, runs)) }
-    // an all-failed query would render NaN (invalid JSON); it is
-    // already listed in `failed`, so its median renders as null.
-    val qs = results.map { case (k, t) => "\"" + k + "\":" + jnum(median(t)) }
-      .mkString("{", ",", "}")
-    val raw = results.map { case (k, t) => "\"" + k + "\":" + jarr(t) }
-      .mkString("{", ",", "}")
-    val mins = results.map { case (k, t) =>
-      "\"" + k + "\":" + jnum(if (t.isEmpty) Double.NaN else t.min) }
-      .mkString("{", ",", "}")
-    val spreadFlags = new scala.collection.mutable.ArrayBuffer[String]()
-    results.foreach { case (k, t) => if (polluted(t)) spreadFlags += k }
-    val total = results.map(r => median(r._2)).filterNot(_.isNaN).sum
+      .foreach { case (name, fn) =>
+        results += ((name, time(name, fn, sfDir, runs)))
+        if (results.size % 25 == 0) flush(Some("in-progress"))
+      }
+    flush(Some("in-progress"))
+    System.err.println(f"[bench] main suite done: ${results.size} queries, elapsed ${elapsedSec}%.0f s")
 
     // Scale sections: median-of-n per heavy query at each scale dir,
     // plus the per-decade exponent vs this run's sf0.1 median. An
@@ -368,199 +524,150 @@ object Bench {
         // half-built dir would yield unexplained per-query failures
         Some(d).filter(_ => java.nio.file.Files.exists(marker))
       }
-
-    /** One scale section: `,"<label>":{...}` or "" when disabled.
-      * `exponent` is log10(t/t_base)/decades — normalized per decade
-      * so sf1 and sf10 entries compare directly; raw per-run times
-      * ride along for the same auditability as the main suite.
-      */
-    /** `interleave`: run the section as runsN PASSES over the query
-      * list, each pass's order rotated by pass×(size/runsN), instead
-      * of n consecutive runs per query (VERDICT r6 #4c). With the
-      * consecutive shape a query inherits whatever page-cache /
-      * memory-store pressure the queries before it left behind — r6's
-      * g6 measured 56.4 s in-suite vs 7.9 s isolated purely from
-      * running after the d-family — and no amount of per-query runs
-      * reveals it because every run sits in the same neighborhood.
-      * Rotation gives each query runs in different neighborhoods
-      * (including one near the front for queries mid-list), so its
-      * MIN approximates the isolated cost and an ordering-inherited
-      * median self-declares through the spread flags. Deterministic
-      * (no RNG): artifacts stay reproducible.
-      */
-    val scaleTotals = scala.collection.mutable.LinkedHashMap[String, Double]()
-
-    /** `freshPrimary` (r10 VERDICT #1; estimator per r12 VERDICT #1):
-      * the section's PRIMARY numbers (`sec` = MIN of the fresh runs,
-      * plus `min`/`runs_raw`/`exponent`; `fresh_median` is the old
-      * estimator, kept as a column) come from runsN FRESH-JVM
-      * child processes per query (benchOneProc → BenchOne: untimed
-      * warm run, then one timed run, in a JVM that has executed
-      * nothing else) — one JVM running 185 queries back-to-back
-      * megamorphizes the codegen call sites, so in-suite sf10 numbers
-      * measure JIT pollution, not the queries (r10: g6 72.6 s
-      * in-suite vs 9.6 s fresh; a real regression would be equally
-      * invisible). The in-suite interleaved passes are KEPT as the
-      * secondary `in_suite`/`in_suite_min`/`in_suite_raw` columns —
-      * they still witness suite-ordering/memory-pressure effects —
-      * and pollution flags arm on both arrays (`label:q` fresh,
-      * `label-insuite:q` in-suite). r9 ADVICE history: the first
-      * "isolated" cut used an in-JVM restartSession, which resets
-      * Spark state but NOT megamorphic JIT profiles; the child
-      * process replaced it, and this round it became the primary.
-      */
-    def scaleSection(label: String, envKey: String, default: String,
-        replicas: Int, decades: Double, runsN: Int, queries: Seq[String],
-        interleave: Boolean = false, freshPrimary: Boolean = false): String = {
-      val wanted = queries
-        .filter(SparkEntry.queries.contains)
-        .filter(name => only.forall(_.contains(name)))
-      resolveScaleDir(envKey, default, replicas, wanted).map { d =>
-        // quiet-wait gate per SECTION (the start-of-bench gate cannot
-        // police load that arrives during the main suite), then a
-        // loadavg + saturating-probe sample at every pass boundary so
-        // mid-section contention is DATED in the artifact, not
-        // inferred from query spreads after the fact (r7: both sf10
-        // passes ran 3-5x quiet cost, flags silent on the uniform
-        // slowdown).
-        var sl = loadAvg(); var w = 0
-        while (sl > loadGate && w < 120) { Thread.sleep(10000); w += 10; sl = loadAvg() }
-        val loadPasses = scala.collection.mutable.ArrayBuffer[Double]()
-        val probePasses = scala.collection.mutable.ArrayBuffer[Double]()
-        def sample(): Unit = { loadPasses += loadAvg(); probePasses += probeSec() }
-        val byName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-        wanted.foreach(byName(_) = Vector.empty)
-        if (interleave && wanted.size > 1) {
-          val step = math.max(1, wanted.size / math.max(1, runsN))
-          for (pass <- 0 until runsN) {
-            sample()
-            val off = (pass * step) % wanted.size
-            val rotated = wanted.drop(off) ++ wanted.take(off)
-            // odd passes also reverse: rotation alone can keep the
-            // same heavy→light adjacency (d9 preceded g6 in both
-            // rotations of the r6 list); reversal guarantees each
-            // pair's order flips at least once across passes
-            val order = if (pass % 2 == 1) rotated.reverse else rotated
-            order.foreach { name =>
-              byName(name) ++= time(name, SparkEntry.queries(name), d, 1, gcFirst = true)
-            }
-          }
-        } else {
-          sample()
-          wanted.foreach { name =>
-            byName(name) = time(name, SparkEntry.queries(name), d, runsN, gcFirst = true).toVector
-          }
-        }
-        sample()
-        val freshByName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-        if (freshPrimary) {
-          // runsN independent fresh-JVM points per query, interleaved
-          // across queries (pass-major) so no query's fresh runs sit
-          // in one thermal/page-cache neighborhood; probe before each
-          // pass dates any contention
-          wanted.foreach(freshByName(_) = Vector.empty)
-          for (_ <- 0 until runsN) {
-            sample()
-            wanted.foreach { name =>
-              val v = benchOneProc(d, name)
-              if (!v.isNaN) freshByName(name) ++= Vector(v)
-            }
-          }
-        }
-        val entries = wanted.map { name =>
-          val suite = byName(name)
-          val primary = if (freshPrimary) freshByName(name) else suite
-          /** r12 VERDICT #1: fresh-JVM medians were IMPRECISE — two
-            * runs of identical code disagreed up to 3.4x (d4 raw
-            * [100.1, 29.7] vs 31.9 s quiet) because independent child
-            * processes land in different OS page-cache neighborhoods
-            * (the interleaved passes evict each other's parquet
-            * pages), so mean/median measure cache state, not the
-            * query. The MIN of the fresh runs is the page-cache-warm
-            * cost — SURVEY §7's "the warm run IS the signal" — and is
-            * the estimator that two consecutive bench runs agree on.
-            * Fresh sections therefore promote MIN to `sec` (the
-            * cross-round primary); the median stays alongside as
-            * `fresh_median` so the old column remains auditable.
-            */
-          val pmin = if (primary.isEmpty) Double.NaN else primary.min
-          val t = if (freshPrimary) pmin else median(primary)
-          val base = median(results.collectFirst { case (`name`, r) => r }.getOrElse(Nil))
-          val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
-                    else math.log10(t / base) / decades // ~1.0 = linear
-          if (polluted(primary)) spreadFlags += s"$label:$name"
-          if (freshPrimary && polluted(suite)) spreadFlags += s"$label-insuite:$name"
-          val secondary = if (freshPrimary)
-            ",\"fresh_median\":" + jnum(median(primary)) +
-            ",\"in_suite\":" + jnum(median(suite)) +
-            ",\"in_suite_min\":" + jnum(if (suite.isEmpty) Double.NaN else suite.min) +
-            ",\"in_suite_raw\":" + jarr(suite)
-          else ""
-          "\"" + name + "\":{\"sec\":" + jnum(t) +
-            ",\"min\":" + jnum(pmin) +
-            ",\"exponent\":" + jnum(exp) + secondary +
-            ",\"runs_raw\":" + jarr(primary) + "}"
-        }
-        scaleTotals(label) = wanted.map { n =>
-          val p = if (freshPrimary) freshByName(n) else byName(n)
-          if (freshPrimary) { if (p.isEmpty) Double.NaN else p.min } else median(p)
-        }.filterNot(_.isNaN).sum
-        s""","$label":{"dir":"$d","runs":$runsN,"interleaved":$interleave,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
-      }.getOrElse("")
-    }
-
+    // ---- sf10 section: FRESH primaries first (the cross-round
+    // numbers the 2x gate reads), in-suite witness passes LAST ----
     val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_RUNS", "3").toInt
     // default 3 at 100x (r12 VERDICT #1 — was 2): the fresh-primary
-    // estimator is now MIN, and min-of-2 has a coin-flip chance both
-    // runs land page-cache cold (d4's r12 raws [100.1, 29.7] were one
-    // cold + one warm); a third interleaved pass makes at least one
-    // warm-neighborhood run near-certain at ~2-4 min extra wall
+    // estimator is MIN, and min-of-2 has a coin-flip chance both runs
+    // land page-cache cold; a third pass makes a warm-neighborhood
+    // run near-certain
     val scale10Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE10_RUNS", "3").toInt
-    val sf1 = scaleSection("sf1", "SPARK_GRAFT_BENCH_SCALE_DIR",
-      "/root/repo/.data/sf1", bench.GenScale.Replicas, 1.0, scaleRuns, ScaleQueries)
-    val sf10 = scaleSection("sf10", "SPARK_GRAFT_BENCH_SCALE10_DIR",
-      "/root/repo/.data/sf10", 100, 2.0, scale10Runs, Scale10Queries,
-      interleave = true, freshPrimary = true)
+    // finalization reserve: probe_end + final render/flush + session
+    // stop must always fit after the last accepted pass
+    val finalReserveSec = 90.0
 
-    // serialized AFTER the scale runs so their failures are recorded
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val sfl = spreadFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadEnd = loadAvg()
-    // per-query GC seconds summed over every run of that query (main
-    // suite + scale sections share keys with "sf1:"/"sf10:" prefixes
-    // absent — scale runs accumulate into the same key; the DELTA a
-    // reader needs is gc vs wall within one artifact)
-    val gcs = gcByQuery.map { case (k, v) =>
-      "\"" + k + "\":" + jnum(math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
+    /** Bounded per-section quiet-wait (the start-of-bench gate cannot
+      * police load that arrives during the main suite); capped low —
+      * and skipped entirely when the budget is nearly spent — because
+      * the per-pass loadavg + saturating-probe samples already DATE
+      * any contention in the artifact. */
+    def sectionGate(): Unit = {
+      var sl = loadAvg(); var w = 0
+      val cap = if (!budgeted(300)) 0 else 60
+      while (sl > loadGate && w < cap) { Thread.sleep(10000); w += 10; sl = loadAvg() }
+    }
+
+    def wantedOf(qs: Seq[String]): Seq[String] = qs
+      .filter(SparkEntry.queries.contains)
+      .filter(name => only.forall(_.contains(name)))
+
+    /** One rotated+reversed in-suite pass (VERDICT r6 #4c: rotation
+      * gives each query runs in different page-cache/memory-store
+      * neighborhoods; odd-pass reversal guarantees each adjacency
+      * flips at least once). */
+    def inSuitePass(sd: SectionData, pass: Int): Unit = {
+      sd.sample()
+      val step = math.max(1, sd.wanted.size / math.max(1, sd.runsN))
+      val off = (pass * step) % math.max(1, sd.wanted.size)
+      val rotated = sd.wanted.drop(off) ++ sd.wanted.take(off)
+      val order = if (pass % 2 == 1) rotated.reverse else rotated
+      order.foreach { name =>
+        sd.byName(name) = sd.byName.getOrElse(name, Vector.empty) ++
+          time(name, SparkEntry.queries(name), sd.dir, 1, gcFirst = true)
+      }
+    }
+
+    /** Budgeted pass loop: run up to `maxPasses`, measuring each; a
+      * later pass starts only if the previous pass's measured cost
+      * (x1.25 margin) plus the reserve fits the remaining budget.
+      * `firstPassEst` gates pass 1 for work whose cost is known only
+      * from prior rounds (sf1 ~120-150 s/pass at r13);
+      * `mustRunFirst` exempts pass 1 from the gate entirely — the
+      * sf10 fresh primaries are the artifact's minimum viable content
+      * after the sf0.1 totals, so they are attempted even when the
+      * budget is already blown (the incremental flush + shutdown hook
+      * make an overrun recoverable, a missing primary is not). */
+    def budgetedPasses(what: String, maxPasses: Int, firstPassEst: Double,
+        reserve: Double, mustRunFirst: Boolean = false)(body: Int => Unit): Unit = {
+      var lastPass = firstPassEst
+      var pass = 0
+      var go = true
+      while (go && pass < maxPasses) {
+        if (!(mustRunFirst && pass == 0) && !budgeted(lastPass * 1.25 + reserve)) {
+          dropped += s"$what:passes-${pass + 1}-to-$maxPasses"
+          System.err.println(f"[bench] budget: dropping $what passes ${pass + 1}-$maxPasses (remaining ${remainingSec}%.0f s, last pass ${lastPass}%.0f s)")
+          go = false
+        } else {
+          val p0 = System.nanoTime()
+          body(pass)
+          lastPass = (System.nanoTime() - p0) / 1e9
+          pass += 1
+          flush(Some("in-progress"))
+          System.err.println(f"[bench] $what pass $pass/$maxPasses done (${lastPass}%.0f s); elapsed ${elapsedSec}%.0f s")
+        }
+      }
+    }
+
+    val sf10Wanted = wantedOf(Scale10Queries)
+    val sf10Sd: Option[SectionData] =
+      resolveScaleDir("SPARK_GRAFT_BENCH_SCALE10_DIR", "/root/repo/.data/sf10",
+        100, sf10Wanted).map { d =>
+        val sd = new SectionData("sf10", d, scale10Runs, interleaved = true,
+          freshPrimary = true, decades = 2.0, wanted = sf10Wanted)
+        sections += sd
+        sd
+      }
+    // fresh-JVM primaries: runsN independent child-process points per
+    // query, pass-major (no query's fresh runs sit in one thermal/
+    // page-cache neighborhood); the first pass is never budget-gated
+    // — the sf10 primaries are the artifact's minimum viable content
+    // after the sf0.1 totals
+    sf10Sd.foreach { sd =>
+      sectionGate()
+      budgetedPasses("sf10-fresh", sd.runsN, firstPassEst = 0.0,
+        reserve = finalReserveSec, mustRunFirst = true) { _ =>
+        sd.sample()
+        sd.wanted.foreach { name =>
+          val v = benchOneProc(sd.dir, name)
+          if (!v.isNaN)
+            sd.freshByName(name) = sd.freshByName.getOrElse(name, Vector.empty) :+ v
+        }
+      }
+    }
+
+    // sf1 section: pass-major interleaved (r14: was n consecutive
+    // runs per query — pass boundaries are where the budget decides,
+    // and rotation is the r6 neighborhood discipline anyway); medians
+    // over passes are the same estimator as medians over consecutive
+    // runs on a quiet box
+    val sf1Wanted = wantedOf(ScaleQueries)
+    val sf1Sd: Option[SectionData] =
+      resolveScaleDir("SPARK_GRAFT_BENCH_SCALE_DIR", "/root/repo/.data/sf1",
+        bench.GenScale.Replicas, sf1Wanted).map { d =>
+        val sd = new SectionData("sf1", d, scaleRuns, interleaved = true,
+          freshPrimary = false, decades = 1.0, wanted = sf1Wanted)
+        sections += sd
+        sd
+      }
+    sf1Sd.foreach { sd =>
+      sectionGate()
+      budgetedPasses("sf1", sd.runsN, firstPassEst = 150.0,
+        reserve = finalReserveSec)(pass => inSuitePass(sd, pass))
+      sd.sample()
+    }
+
+    // sf10 in-suite witness passes LAST (lowest evidential priority:
+    // they witness suite-ordering/JIT/memory-pressure effects — the
+    // g6 anomaly's column — but the published primaries are the fresh
+    // numbers above). r13 calibration: one in-suite pass ~145 s vs
+    // fresh-min sum 88 s, so the first-pass estimate is primaryTotal
+    // x2.5 + per-query System.gc() overhead.
+    sf10Sd.foreach { sd =>
+      budgetedPasses("sf10-insuite", sd.runsN,
+        firstPassEst = sd.primaryTotal * 2.5 + 30.0,
+        reserve = finalReserveSec)(pass => inSuitePass(sd, pass))
+      sd.sample()
+    }
+
     // start probe runs before the first timed query would be ideal,
     // but probing here (after the suite) still brackets the run: a
     // quiet probe_end with a quiet probe in every scale section means
     // no co-tenant arrived during the measured windows
-    val probeEnd = probeSec()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":$loadEnd,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEnd)},"sf":"$sfDir"$sf1$sf10}"""
-    println(json)
-    // the artifact of record, immune to stdout capture truncation.
-    // ONLY-subset runs write a stamped side file instead (VERDICT r6
-    // #4b): a local spot-bench must never overwrite the full-suite
-    // artifact — in r6 a judge subset run clobbered the round's
-    // bench.json and the real numbers survived only in quoted text.
-    val artifact = if (only.isEmpty) "target/bench.json"
-      else s"target/bench-subset-${System.currentTimeMillis()}.json"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $artifact: ${e.getMessage}") }
-    // COMPACT summary as the FINAL stdout line (r8 VERDICT #5): the
-    // round driver captures only the last ~2000 chars of stdout, and
-    // the full JSON's 143-query maps overflow that (BENCH_r08 landed
-    // `parsed: null`). Totals + per-scale totals + flags fit with
-    // room; the full artifact lives one line up and in $artifact.
-    val medQ = median(results.map(r => median(r._2)).filterNot(_.isNaN))
-    val scaleQs = scaleTotals.map { case (l, v) =>
-      "\"" + l + "_total\":" + jnum(v) }.mkString(",")
-    val compactQueries = ("\"" + sfDir.split('/').last + "_total\":" + jnum(total)) +
-      (if (scaleQs.nonEmpty) "," + scaleQs else "")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{$compactQueries},"n_queries":${results.size},"median_query_sec":${jnum(medQ)},"spread_flags":$sfl,"failed":$fs,"contended":$contended,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEnd)},"sf":"$sfDir","artifact":"$artifact"}""")
+    probeEndV = probeSec()
+    finishedNormally = true
+    println(renderJson(None))
+    flush(None)
+    println(compactLine(None))
     spark.stop()
   }
 }
