@@ -302,11 +302,15 @@ object IngestQueries {
     * that must CANCEL in the multiset diff), and the oracle
     * recomputes the per-class census from the documents table — an
     * uncancelled carry, a mis-keyed image, or a lost class diverges
-    * the hash.
+    * the hash. r14: the fixture is PARTITIONED (shard = doc_id % 4,
+    * a log-only column the diff must reconstitute) and the range
+    * covers v2, a pure-compaction commit that must contribute ZERO
+    * rows — the oracle is unchanged precisely because compaction is
+    * invisible to CDC.
     */
   def deltaChanges(s: SparkSession, dir: String): DataFrame = {
     val table = IngestFixtures.ensureDeltaCdc(s, dir)
-    graft.sources.DeltaTable.changes(s, table, 0L, 1L, Seq("doc_id"))
+    graft.sources.DeltaTable.changes(s, table, 0L, 2L, Seq("doc_id"))
       .groupBy(col("_commit_version").as("version"),
         col("_change_type").as("change_type"))
       .agg(count(lit(1)).as("n_rows"),

@@ -67,6 +67,11 @@ object DeltaTable {
 
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
+  // multi-part checkpoints (the protocol's large-table shape, emitted
+  // by real writers above a part-size threshold):
+  // NNN.checkpoint.<part>.<numParts>.parquet — all parts of one
+  // version together hold the replayed state
+  private val MultiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
   private def ls(d: Path): Seq[String] = {
     if (!Files.isDirectory(d)) return Nil
@@ -77,10 +82,27 @@ object DeltaTable {
     } finally s.close()
   }
 
+  /** version → the checkpoint's part files (single-part: one entry).
+    * An INCOMPLETE multi-part checkpoint (listed parts ≠ declared
+    * numParts — a torn upload) is dropped from the map: using it
+    * would silently lose every action in the missing part, and the
+    * caller's error message then names the real problem (no usable
+    * checkpoint / aged-out log) instead of reading a torn state. */
+  private def checkpointsOf(names: Seq[String]): Map[Long, Seq[String]] = {
+    val single = names.collect { case n @ CheckpointRe(v) =>
+      v.toLong -> Seq(n) }
+    val multi = names.collect { case n @ MultiPartRe(v, _, np) =>
+      (v.toLong, np.toInt, n) }
+      .groupBy { case (v, np, _) => (v, np) }
+      .collect { case ((v, np), parts) if parts.size == np =>
+        v -> parts.map(_._3).sorted.toSeq }
+    (single ++ multi).toMap
+  }
+
   def latestVersion(table: String): Long = {
     val names = ls(logDir(table))
     val vs = names.collect { case CommitRe(v) => v.toLong } ++
-      names.collect { case CheckpointRe(v) => v.toLong }
+      checkpointsOf(names).keys
     if (vs.isEmpty) -1L else vs.max
   }
 
@@ -91,7 +113,7 @@ object DeltaTable {
     require(Files.isDirectory(dir), s"not a delta table (no _delta_log): $table")
     val names = ls(dir)
     val commits = names.collect { case n @ CommitRe(v) => v.toLong -> n }.toMap
-    val checkpoints = names.collect { case n @ CheckpointRe(v) => v.toLong -> n }.toMap
+    val checkpoints = checkpointsOf(names)
     val latest = (commits.keySet ++ checkpoints.keySet).maxOption.getOrElse(
       throw new IllegalStateException(s"empty _delta_log at $table"))
     val target = if (version < 0) latest else version
@@ -107,7 +129,8 @@ object DeltaTable {
         val v = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readAllBytes(lastCp)).get("version").asLong()
         require(checkpoints.contains(v),
-          s"_last_checkpoint points at missing checkpoint $v at $table")
+          s"_last_checkpoint points at checkpoint $v which is missing or " +
+            s"an incomplete multi-part set at $table")
         Some(v)
       }
     val cpV = (pointed.toSeq ++ checkpoints.keys).filter(_ <= target)
@@ -121,7 +144,9 @@ object DeltaTable {
     var partitionColumns: Seq[String] = Nil
     var schemaJson: Option[String] = None
     cpV.foreach { v =>
-      val cp = s.read.parquet(dir.resolve(checkpoints(v)).toString)
+      // all parts of the version read as ONE distributed scan — the
+      // replayed state is the union of the parts' action rows
+      val cp = s.read.parquet(checkpoints(v).map(n => dir.resolve(n).toString): _*)
       val cols = cp.columns.toSet
       if (cols.contains("protocol"))
         cp.select(col("protocol.minReaderVersion"))
@@ -206,29 +231,41 @@ object DeltaTable {
     * pure-compaction commit (remove + re-add identical rows,
     * `dataChange: false`) yields an EMPTY feed — layout changes are
     * invisible to CDC, the g40 REPLACE lesson on a foreign table.
-    * Requires the log to still resolve both endpoints (an aged-out
-    * version fails loudly at snapshot resolution) and an
-    * unpartitioned table (partition columns live only in the log;
-    * the diff would compare rows missing them — refused loudly
-    * rather than classified wrongly).
+    * Requires the log to still resolve every version in the range
+    * (an aged-out version fails loudly at snapshot resolution).
+    * PARTITIONED tables diff correctly: each side's toggled files
+    * read through [[readAdds]], which reconstitutes the partition
+    * columns from the log's `partitionValues` BEFORE the multiset
+    * diff — the row the feed classifies is the full logical row,
+    * partition columns included. Each snapshot in the range resolves
+    * ONCE (adjacent steps share an endpoint; resolving per step would
+    * replay the shared endpoint's checkpoint scan + JSON tail twice).
     */
   def changes(s: SparkSession, table: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): DataFrame = {
     require(fromV < toV, s"bad change range [$fromV, $toV]")
+    val snaps = (fromV to toV).map(v => v -> snapshot(s, table, v)).toMap
     (fromV until toV).map { v =>
-      val a = snapshot(s, table, v)
-      val b = snapshot(s, table, v + 1)
-      require(a.partitionColumns.isEmpty && b.partitionColumns.isEmpty,
-        s"change feed over partitioned delta table $table: partition " +
-          "columns exist only in the log, so row diffs would misclassify — " +
-          "unsupported (read full snapshots instead)")
-      val af = a.files.toSet
-      val bf = b.files.toSet
-      def abs(fs: Iterable[String]) = fs.toSeq.sorted.map(f => s"$table/$f")
-      SnapshotTable.fileDiffChanges(s,
-        addedF = abs(bf -- af), removedF = abs(af -- bf), keyCols,
-        cache = true, fallback = read(s, table, v + 1).limit(0),
-        commitV = v + 1)
+      val a = snaps(v)
+      val b = snaps(v + 1)
+      val af = a.adds.map(_.path).toSet
+      val bf = b.adds.map(_.path).toSet
+      val added = b.adds.filterNot(x => af.contains(x.path)).sortBy(_.path)
+      val removed = a.adds.filterNot(x => bf.contains(x.path)).sortBy(_.path)
+      // an empty side still needs the row shape — the OTHER side's
+      // toggled files at zero rows; a no-op commit falls back to the
+      // snapshot's own schema frame. The step's scan set never
+      // exceeds the toggled files (the SnapshotTable.changeStep
+      // discipline).
+      def side(own: Seq[AddFile], ownSnap: Snapshot,
+          other: Seq[AddFile], otherSnap: Snapshot): DataFrame =
+        if (own.nonEmpty) readAdds(s, table, own, ownSnap)
+        else if (other.nonEmpty) readAdds(s, table, other, otherSnap).limit(0)
+        else read(s, table, v + 1).limit(0)
+      SnapshotTable.frameDiffChanges(s,
+        added = side(added, b, removed, a),
+        removed = side(removed, a, added, b),
+        keyCols, cache = true, commitV = v + 1)
     }.reduce(_ unionByName _)
   }
 
@@ -247,23 +284,33 @@ object DeltaTable {
   def read(s: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(s, table, version)
     require(snap.files.nonEmpty, s"empty snapshot ${snap.version} at $table")
+    readAdds(s, table, snap.adds, snap)
+  }
+
+  /** Read a SUBSET of a snapshot's live files with the snapshot's
+    * partition discipline applied — the shared kernel of [[read]]
+    * (all files) and [[changes]] (only a commit's toggled files). */
+  private def readAdds(s: SparkSession, table: String, adds: Seq[AddFile],
+      snap: Snapshot): DataFrame = {
+    require(adds.nonEmpty, s"readAdds on empty file set at $table")
     if (snap.partitionColumns.isEmpty)
-      s.read.parquet(snap.files.map(f => s"$table/$f"): _*)
+      s.read.parquet(adds.map(f => s"$table/${f.path}"): _*)
     else {
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(snap.schemaJson.getOrElse(throw new IllegalStateException(
           s"partitioned table $table has no metaData.schemaString in its log")))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      snap.adds.groupBy(_.partitionValues).map { case (pv, fs) =>
-        var df = s.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
-        snap.partitionColumns.foreach { c =>
-          val dt = schema(c).dataType
-          val raw = pv.getOrElse(c, null)
-          df = df.withColumn(c,
-            (if (raw == null) lit(null) else lit(raw)).cast(dt))
-        }
-        df
-      }.reduce(_ unionByName _)
+      adds.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (pv, fs) =>
+          var df = s.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
+          snap.partitionColumns.foreach { c =>
+            val dt = schema(c).dataType
+            val raw = pv.getOrElse(c, null)
+            df = df.withColumn(c,
+              (if (raw == null) lit(null) else lit(raw)).cast(dt))
+          }
+          df
+        }.reduce(_ unionByName _)
     }
   }
 }

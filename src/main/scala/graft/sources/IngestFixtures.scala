@@ -407,23 +407,34 @@ object IngestFixtures {
 
   /** Delta-layout CDC fixture for j12 — a foreign writer's
     * "correction" commit with all four change classes planted by
-    * rule, so the derived feed is oracle-recomputable:
+    * rule, so the derived feed is oracle-recomputable. The table is
+    * PARTITIONED by `shard` (= doc_id % 4): partition columns live
+    * ONLY in the log's `partitionValues` (the data files do not carry
+    * them), so the change feed must reconstitute them before the
+    * multiset diff — the r13 refusal this fixture now exercises.
     *
-    *  - v0: four shard files (`doc_id % 4`), corpus < DocLimit.
+    *  - v0: four shard files (`doc_id % 4`), corpus < DocLimit, each
+    *    add carrying `partitionValues: {shard: k}`.
     *  - v1: remove shard 1's file; add `file-v1-fix.parquet` carrying
     *    shard 1 MINUS the torn-rule docs (`% 7 == 3` → DELETES) with
     *    `n_chars + 100` where `% 5 == 0` (→ UPDATE pre+post pairs,
     *    every other shard-1 row carried byte-identical → cancels in
-    *    the multiset diff); add `file-v1-new.parquet` with the
-    *    reinserted `+DeltaReinsert` torn-rule docs (→ INSERTS).
+    *    the multiset diff); add per-shard `file-v1-new-k.parquet`
+    *    files with the reinserted `+DeltaReinsert` torn-rule docs
+    *    (→ INSERTS; `DeltaReinsert % 4 == 0`, so a reinserted doc
+    *    stays in its original shard partition).
+    *  - v2: PURE COMPACTION of shard 2 — remove its file, re-add the
+    *    identical rows as `file-v2-compact.parquet` with
+    *    `dataChange: false`; the derived feed over this step must be
+    *    EMPTY (layout changes are invisible to CDC).
     *
-    * No checkpoint and no aged-out commit: the change feed needs BOTH
-    * endpoints of every step to resolve.
+    * No checkpoint and no aged-out commit: the change feed needs
+    * every version in the range to resolve.
     */
   def ensureDeltaCdc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("deltacdc", dir)
     val rows = docRows(s, dir)
-    Fixtures.ensureAtomic(out, 6) { tmp =>
+    Fixtures.ensureAtomic(out, 7) { tmp =>
       val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
       val shards = (0 until 4).map(k => s"file-v0-$k.parquet" ->
         rows.toSeq.filter(_._1 % 4 == k))
@@ -434,25 +445,38 @@ object IngestFixtures {
       }
       val ins = rows.toSeq.filter(_._1 % TornMod == TornRem)
         .map { case (id, t, l, src, nc) => (id + DeltaReinsert, t, l, src, nc) }
-      val sizes = (shards :+ ("file-v1-fix.parquet" -> fix) :+
-        ("file-v1-new.parquet" -> ins))
-        .map { case (n, rs) => n -> writeOneParquet(s, tmp, n, rs) }.toMap
-      def addJson(name: String) =
-        s"""{"add":{"path":"$name","partitionValues":{},"size":${sizes(name)},"modificationTime":1700000000000,"dataChange":true}}"""
+      val insByShard = (0 until 4).map(k => k ->
+        ins.filter(_._1 % 4 == k)).filter(_._2.nonEmpty)
+      // partition of each file: v0 shard k → k, fix → 1, new-k → k,
+      // compact → 2 (shard is a LOG property, never a data column)
+      val files: Seq[(String, Seq[(Long, String, String, String, Long)], Int)] =
+        shards.zipWithIndex.map { case ((n, rs), k) => (n, rs, k) } ++
+        Seq(("file-v1-fix.parquet", fix, 1)) ++
+        insByShard.map { case (k, rs) => (s"file-v1-new-$k.parquet", rs, k) } ++
+        Seq(("file-v2-compact.parquet", shards(2)._2, 2))
+      val sizes = files.map { case (n, rs, _) =>
+        n -> writeOneParquet(s, tmp, n, rs) }.toMap
+      val shardOf = files.map { case (n, _, k) => n -> k }.toMap
+      def addJson(name: String, dataChange: Boolean = true) =
+        s"""{"add":{"path":"$name","partitionValues":{"shard":"${shardOf(name)}"},"size":${sizes(name)},"modificationTime":1700000000000,"dataChange":$dataChange}}"""
       val rawSchema =
-        """{"type":"struct","fields":[{"name":"doc_id","type":"long","nullable":false,"metadata":{}},{"name":"text","type":"string","nullable":true,"metadata":{}},{"name":"lang","type":"string","nullable":true,"metadata":{}},{"name":"source","type":"string","nullable":true,"metadata":{}},{"name":"n_chars","type":"long","nullable":true,"metadata":{}}]}"""
+        """{"type":"struct","fields":[{"name":"doc_id","type":"long","nullable":false,"metadata":{}},{"name":"text","type":"string","nullable":true,"metadata":{}},{"name":"lang","type":"string","nullable":true,"metadata":{}},{"name":"source","type":"string","nullable":true,"metadata":{}},{"name":"n_chars","type":"long","nullable":true,"metadata":{}},{"name":"shard","type":"long","nullable":true,"metadata":{}}]}"""
       def commit(v: Long, lines: Seq[String]): Unit =
         Files.write(new java.io.File(log, f"$v%020d.json").toPath,
           (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
       commit(0L,
         Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-          s"""{"metaData":{"id":"graft-delta-cdc","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(rawSchema)}","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""") ++
+          s"""{"metaData":{"id":"graft-delta-cdc","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(rawSchema)}","partitionColumns":["shard"],"configuration":{},"createdTime":1700000000000}}""") ++
           shards.map(sh => addJson(sh._1)))
       commit(1L, Seq(
         """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""",
         s"""{"remove":{"path":"file-v0-1.parquet","deletionTimestamp":1700000001000,"dataChange":true}}""",
-        addJson("file-v1-fix.parquet"),
-        addJson("file-v1-new.parquet")))
+        addJson("file-v1-fix.parquet")) ++
+        insByShard.map { case (k, _) => addJson(s"file-v1-new-$k.parquet") })
+      commit(2L, Seq(
+        """{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{}}}""",
+        s"""{"remove":{"path":"file-v0-2.parquet","deletionTimestamp":1700000002000,"dataChange":false}}""",
+        addJson("file-v2-compact.parquet", dataChange = false)))
     }
   }
 

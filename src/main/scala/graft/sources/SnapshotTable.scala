@@ -407,7 +407,6 @@ object SnapshotTable {
   private[sources] def fileDiffChanges(s: SparkSession, addedF: Seq[String],
       removedF: Seq[String], keyCols: Seq[String], cache: Boolean,
       fallback: => DataFrame, commitV: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
     // an empty side still needs the schema — take it from the other
     // side's toggled files, so the step's scan set NEVER exceeds the
     // toggled files (spec asserts this on inputFiles); a no-op commit
@@ -417,17 +416,29 @@ object SnapshotTable {
       if (fs.nonEmpty) s.read.parquet(fs: _*)
       else if (toggled.nonEmpty) s.read.parquet(toggled: _*).limit(0)
       else fallback
+    frameDiffChanges(s, rd(addedF), rd(removedF), keyCols, cache, commitV)
+  }
+
+  /** Frame-grain change-feed core ([[DeltaTable.changes]] hands in
+    * frames directly when partition columns must be reconstituted
+    * from the log before the diff — the data files alone cannot
+    * express the row). The frames must each cover EXACTLY the
+    * commit's toggled files on their side. */
+  private[sources] def frameDiffChanges(s: SparkSession, added: DataFrame,
+      removed: DataFrame, keyCols: Seq[String], cache: Boolean,
+      commitV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
     // cached at BOTH levels: the scans feed both exceptAll directions
     // (uncached, every toggled file would read twice — at a REPLACE
     // that is two full-table scans where one suffices), and each diff
     // output feeds its key frame plus two classification joins
     def trk(df: DataFrame) = if (cache) graft.Caches.track(df) else df
-    val addDf = trk(rd(addedF))
+    val addDf = trk(added)
     // exceptAll compares POSITIONALLY — project the removed side to
     // the added side's column order BY NAME, so files written by
     // different producers (or a merge that reordered columns) diff on
     // the same column, not the same position
-    val rmDf = trk(rd(removedF).select(addDf.columns.toSeq.map(col): _*))
+    val rmDf = trk(removed.select(addDf.columns.toSeq.map(col): _*))
     val post = trk(addDf.exceptAll(rmDf))
     val pre = trk(rmDf.exceptAll(addDf))
     val postK = post.select(keyCols.map(col): _*).distinct()

@@ -409,7 +409,7 @@ class IngestSpec extends SparkSpec {
       (3L, 30L, "de", 2L)))
   }
 
-  test("j12: derived Delta change feed — classes by rule, compaction invisible, partitioned refused") {
+  test("j12: derived Delta change feed — classes by rule, compaction invisible, partitioned diffs") {
     import graft.sources.{DeltaTable, IngestFixtures}
 
     // a pure compaction (j10's v2: remove + byte-identical rewrite)
@@ -418,11 +418,14 @@ class IngestSpec extends SparkSpec {
     assert(DeltaTable.changes(spark, compacted, 1L, 2L, Seq("doc_id")).count() == 0L)
     graft.Caches.clear()
 
-    // the correction commit: every class lands where the rule put it
+    // the correction commit on the now-PARTITIONED fixture: every
+    // class lands where the rule put it, and the reconstituted
+    // partition column rides every change row
     val table = IngestFixtures.ensureDeltaCdc(spark, Sf)
-    val ch = DeltaTable.changes(spark, table, 0L, 1L, Seq("doc_id"))
-      .select("doc_id", "n_chars", "_change_type").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val chRows = DeltaTable.changes(spark, table, 0L, 1L, Seq("doc_id"))
+      .select("doc_id", "n_chars", "_change_type", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val ch = chRows.map(r => (r._1, r._2, r._3))
     graft.Caches.clear()
     val base = Tables.documents(spark, Sf)
       .filter(col("doc_id") < IngestFixtures.DocLimit)
@@ -442,25 +445,59 @@ class IngestSpec extends SparkSpec {
     // planted classes appears under any label
     val planted = want.map(_._1).toSet
     assert(ch.forall(r => planted.contains(r._1)))
+    // the partition column was reconstituted from the log on EVERY
+    // row (DeltaReinsert % 4 == 0, so inserts keep their shard)
+    assert(chRows.forall(r => r._4 == r._1 % 4))
 
-    // partitioned tables refuse: partition columns exist only in the
-    // log, so a row diff would misclassify — loud, never wrong
-    val ptbl = new java.io.File(scratchDir("delta_cdc_part"))
-    val plog = new java.io.File(ptbl, "_delta_log"); plog.mkdirs()
-    java.nio.file.Files.write(
-      plog.toPath.resolve("00000000000000000000.json"),
-      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
-        """{"metaData":{"id":"p","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":["lang"],"configuration":{}}}""" + "\n" +
-        """{"add":{"path":"lang=en/a.parquet","partitionValues":{"lang":"en"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
-        .getBytes("UTF-8"))
-    java.nio.file.Files.write(
-      plog.toPath.resolve("00000000000000000001.json"),
-      ("""{"add":{"path":"lang=en/b.parquet","partitionValues":{"lang":"en"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
-        .getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaTable.changes(spark, ptbl.toString, 0L, 1L, Seq("doc_id"))
+    // the PARTITIONED pure-compaction commit (v2: shard 2 rewritten
+    // byte-identical, dataChange false) yields an empty feed too
+    assert(DeltaTable.changes(spark, table, 1L, 2L, Seq("doc_id")).count() == 0L)
+    graft.Caches.clear()
+  }
+
+  test("j10: multi-part checkpoints — parts read as one state, a torn part set refuses") {
+    import graft.sources.{DeltaTable, CpRow, CpProtocol, CpMeta, CpAdd}
+    import spark.implicits._
+    val tbl = new java.io.File(scratchDir("delta_multicp")); tbl.mkdirs()
+    val log = new java.io.File(tbl, "_delta_log"); log.mkdirs()
+    def writeOne(dir: java.io.File, name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val scratch = new java.io.File(dir, ".w_" + name)
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(dir, name).toPath)
+      scratch.listFiles().foreach(_.delete()); scratch.delete()
     }
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    writeOne(tbl, "a.parquet", (1L to 10L).toDF("doc_id"))
+    writeOne(tbl, "b.parquet", (11L to 20L).toDF("doc_id"))
+    writeOne(tbl, "c.parquet", (21L to 25L).toDF("doc_id"))
+    // a 2-part checkpoint at v0: protocol/metaData + add(a) in part 1,
+    // add(b) in part 2 — the replayed state is the UNION of the parts
+    val schemaStr = """{"type":"struct","fields":[{"name":"doc_id","type":"long","nullable":false,"metadata":{}}]}"""
+    writeOne(log, "00000000000000000000.checkpoint.0000000001.0000000002.parquet",
+      Seq(CpRow(Some(CpProtocol(1, 2)), None, None, None),
+        CpRow(None, Some(CpMeta("mp", schemaStr, Nil)), None, None),
+        CpRow(None, None, Some(CpAdd("a.parquet", Map.empty, 1L, 0L,
+          dataChange = true)), None)).toDS().toDF())
+    writeOne(log, "00000000000000000000.checkpoint.0000000002.0000000002.parquet",
+      Seq(CpRow(None, None, Some(CpAdd("b.parquet", Map.empty, 1L, 0L,
+        dataChange = true)), None)).toDS().toDF())
+    java.nio.file.Files.write(log.toPath.resolve("_last_checkpoint"),
+      """{"version":0,"size":4,"parts":2}""".getBytes("UTF-8"))
+    // v0's commit JSON is aged out (never written): reading ANY
+    // version requires assembling the multi-part base
+    java.nio.file.Files.write(log.toPath.resolve("00000000000000000001.json"),
+      ("""{"add":{"path":"c.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    assert(DeltaTable.read(spark, tbl.toString, 0L).count() == 20L)
+    assert(DeltaTable.read(spark, tbl.toString).count() == 25L)
+    // tear the checkpoint: a missing part must REFUSE with the real
+    // problem named, never read half the state (losing b.parquet)
+    java.nio.file.Files.delete(log.toPath.resolve(
+      "00000000000000000000.checkpoint.0000000002.0000000002.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.read(spark, tbl.toString)
+    }
+    assert(e.getMessage.contains("incomplete multi-part"), e.getMessage)
   }
 
   test("j11: Iceberg snapshot resolution — status algebra, self-contained time travel, v2 gate") {
