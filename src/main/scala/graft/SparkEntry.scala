@@ -286,6 +286,7 @@ object SparkEntry {
     "j11_iceberg_read"        -> graft.operators.IngestQueries.icebergRead _,
     "j12_delta_changes"       -> graft.operators.IngestQueries.deltaChanges _,
     "j13_iceberg_v2"          -> graft.operators.IngestQueries.icebergV2Read _,
+    "j14_delta_dv"            -> graft.operators.IngestQueries.deltaDvRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1418,6 +1419,26 @@ object SparkEntry {
       |           FROM documents WHERE doc_id < 400),
       |c AS (SELECT * FROM d WHERE ridx % 5 != 2)
       |SELECT 2::BIGINT AS snapshot_id,
+      |       count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
+      |FROM c""".stripMargin,
+    // j14: deletion-vector positions by the same per-shard
+    // row_number discipline as j13 — shards 0/2 drop ridx%5==2,
+    // shard 1 drops ridx%7==3 (inline DV), shard 3 untouched;
+    // n_files pins the FULL shard count (row-grain deletion)
+    "j14_delta_dv" -> raw"""
+      |WITH d AS (SELECT doc_id, text, n_chars,
+      |             row_number() OVER (PARTITION BY doc_id % 4
+      |                                ORDER BY doc_id) - 1 AS ridx
+      |           FROM documents WHERE doc_id < 400),
+      |c AS (SELECT * FROM d
+      |      WHERE NOT ((doc_id % 4 IN (0, 2) AND ridx % 5 = 2)
+      |              OR (doc_id % 4 = 1 AND ridx % 7 = 3)))
+      |SELECT 1::BIGINT AS snapshot_version,
       |       count(*) AS n_rows,
       |       sum(doc_id)::BIGINT AS sum_doc_id,
       |       sum(n_chars)::BIGINT AS sum_n_chars,

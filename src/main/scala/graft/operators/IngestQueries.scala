@@ -344,6 +344,31 @@ object IngestQueries {
       .select(lit(snap.snapshotId).as("snapshot_id"), col("*"))
   }
 
+  /** j14: DELTA DELETION VECTORS — merge-on-read row deletes via the
+    * descriptor on the `add` action ([[graft.sources.DeltaDv]]): the
+    * v1 commit re-adds three shard files with DVs (two packed in one
+    * sidecar at different offsets, one inline z85) while the DATA
+    * files stay byte-identical — deletion is metadata-only, so a
+    * reader that ignores the descriptor resurrects every deleted row.
+    * The scan subtracts the decoded ordinals through the same
+    * `_metadata.row_index` anti-join as Iceberg position deletes
+    * (j13); n_files pins the FULL shard count to prove row-grain
+    * deletion. Oracle recomputes positions with the per-shard
+    * row_number discipline.
+    */
+  def deltaDvRead(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureDeltaDv(s, dir)
+    val snap = graft.sources.DeltaTable.snapshot(s, table)
+    graft.sources.DeltaTable.read(s, table)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+      .select(lit(snap.version).as("snapshot_version"), col("*"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

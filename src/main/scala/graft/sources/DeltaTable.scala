@@ -26,14 +26,15 @@ import org.apache.spark.sql.functions._
   *    checkpoint, honored when present (the protocol's way to avoid a
   *    full log listing on huge tables), verified against the listing.
   *
-  * Reader-version discipline: `protocol.minReaderVersion > 1` means
-  * the table uses features this reader does not implement (column
-  * mapping, deletion vectors, ...) — reading on anyway would SILENTLY
-  * return wrong rows (a deletion-vector table's removed rows would
-  * resurrect), so the gate throws loudly instead. Same for a version
-  * whose log has been aged out: time travel below the oldest
-  * checkpoint fails at log resolution, exactly like SnapshotTable's
-  * vacuumed versions.
+  * Reader-version discipline: versions 1 (base), 2 (column mapping,
+  * name mode) and 3 whose `readerFeatures` are all implemented
+  * (deletionVectors via [[DeltaDv]], columnMapping) read; any OTHER
+  * demanded feature throws loudly — reading past it would SILENTLY
+  * return wrong rows (ignored deletion vectors resurrect deleted
+  * rows, which is why the r13 reader refused all of version 2+).
+  * Same for a version whose log has been aged out: time travel below
+  * the oldest checkpoint fails at log resolution, exactly like
+  * SnapshotTable's vacuumed versions.
   *
   * Scale posture: the checkpoint is read DISTRIBUTED (one parquet
   * scan); the active-path set it yields is driver-side
@@ -52,16 +53,29 @@ import org.apache.spark.sql.functions._
   */
 object DeltaTable {
 
-  /** One live file: its table-relative path and the log-carried
+  /** A deletion-vector descriptor as the `add` action carries it
+    * (PROTOCOL.md "Deletion Vector Descriptor Schema"); decoding
+    * lives in [[DeltaDv]]. `offset` is −1 when absent (inline). */
+  final case class Dv(storageType: String, pathOrInlineDv: String,
+    offset: Int, sizeInBytes: Int, cardinality: Long)
+
+  /** One live file: its table-relative path, the log-carried
     * partition values (Delta stores partition columns ONLY in the
-    * log — the data files do not contain them). */
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+    * log — the data files do not contain them), and its deletion
+    * vector when rows were deleted merge-on-read. */
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+    dv: Option[Dv] = None)
 
   final case class Snapshot(version: Long, adds: Seq[AddFile],
       minReaderVersion: Int, partitionColumns: Seq[String],
-      schemaJson: Option[String]) {
+      schemaJson: Option[String],
+      configuration: Map[String, String] = Map.empty) {
     def files: Seq[String] = adds.map(_.path)
   }
+
+  /** Reader features this implementation actually honors; a
+    * minReaderVersion-3 table demanding anything else refuses. */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   private def logDir(table: String): Path = Paths.get(table, "_delta_log")
 
@@ -141,31 +155,57 @@ object DeltaTable {
     // SnapshotTable.merge bound, stated in the object scaladoc)
     val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var minReader = 1
+    var readerFeatures = Set.empty[String]
     var partitionColumns: Seq[String] = Nil
     var schemaJson: Option[String] = None
+    var configuration = Map.empty[String, String]
     cpV.foreach { v =>
       // all parts of the version read as ONE distributed scan — the
       // replayed state is the union of the parts' action rows
       val cp = s.read.parquet(checkpoints(v).map(n => dir.resolve(n).toString): _*)
       val cols = cp.columns.toSet
-      if (cols.contains("protocol"))
-        cp.select(col("protocol.minReaderVersion"))
+      def fieldsOf(c: String): Set[String] =
+        cp.schema(c).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSet
+      if (cols.contains("protocol")) {
+        val pf = fieldsOf("protocol")
+        val featCol = if (pf.contains("readerFeatures"))
+          col("protocol.readerFeatures") else lit(null).cast("array<string>")
+        cp.select(col("protocol.minReaderVersion"), featCol)
           .where(col("protocol").isNotNull).collect()
-          .foreach(r => minReader = r.getInt(0))
-      if (cols.contains("metaData"))
-        cp.select(col("metaData.partitionColumns"), col("metaData.schemaString"))
+          .foreach { r =>
+            minReader = r.getInt(0)
+            if (!r.isNullAt(1)) readerFeatures = r.getSeq[String](1).toSet
+          }
+      }
+      if (cols.contains("metaData")) {
+        val mf = fieldsOf("metaData")
+        val confCol = if (mf.contains("configuration"))
+          col("metaData.configuration") else lit(null).cast("map<string,string>")
+        cp.select(col("metaData.partitionColumns"), col("metaData.schemaString"),
+            confCol)
           .where(col("metaData").isNotNull).collect().foreach { r =>
             partitionColumns = r.getSeq[String](0)
             schemaJson = Option(r.getString(1))
+            if (!r.isNullAt(2)) configuration = r.getMap[String, String](2).toMap
           }
-      val hasPv = cp.select(col("add.*")).columns.contains("partitionValues")
-      val pvCol = if (hasPv) col("add.partitionValues")
-        else map().cast("map<string,string>")
-      cp.select(col("add.path"), pvCol).where(col("add").isNotNull)
+      }
+      val addFields = fieldsOf("add")
+      val pvCol = if (addFields.contains("partitionValues"))
+        col("add.partitionValues") else map().cast("map<string,string>")
+      val dvCol = if (addFields.contains("deletionVector"))
+        col("add.deletionVector") else lit(null)
+          .cast("struct<storageType:string,pathOrInlineDv:string,offset:int,sizeInBytes:int,cardinality:bigint>")
+      cp.select(col("add.path"), pvCol, dvCol).where(col("add").isNotNull)
         .collect().foreach { r =>
           val pv = Option(r.getMap[String, String](1))
             .map(_.toMap).getOrElse(Map.empty[String, String])
-          active(r.getString(0)) = AddFile(r.getString(0), pv)
+          val dv = if (r.isNullAt(2)) None else {
+            val d = r.getStruct(2)
+            Some(Dv(d.getString(0), d.getString(1),
+              if (d.isNullAt(2)) -1 else d.getInt(2), d.getInt(3), d.getLong(4)))
+          }
+          active(r.getString(0)) = AddFile(r.getString(0), pv, dv)
         }
       if (cols.contains("remove"))
         cp.select(col("remove.path")).where(col("remove").isNotNull)
@@ -186,8 +226,15 @@ object DeltaTable {
       Files.readAllLines(dir.resolve(name)).forEach { line =>
         if (line.nonEmpty) {
           val n = om.readTree(line)
-          if (n.has("protocol"))
-            minReader = n.get("protocol").get("minReaderVersion").asInt()
+          if (n.has("protocol")) {
+            val p = n.get("protocol")
+            minReader = p.get("minReaderVersion").asInt()
+            if (p.has("readerFeatures") && !p.get("readerFeatures").isNull) {
+              val b = Set.newBuilder[String]
+              p.get("readerFeatures").forEach(e => b += e.asText())
+              readerFeatures = b.result()
+            }
+          }
           if (n.has("metaData")) {
             val m = n.get("metaData")
             schemaJson = Option(m.get("schemaString")).map(_.asText())
@@ -197,25 +244,48 @@ object DeltaTable {
                 pc.forEach(e => b += e.asText())
                 b.result()
               }
+            Option(m.get("configuration")).filterNot(_.isNull).foreach { c =>
+              val b = Map.newBuilder[String, String]
+              c.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+              configuration = b.result()
+            }
           }
           if (n.has("add")) {
             val a = n.get("add")
             val pv = scala.collection.mutable.LinkedHashMap[String, String]()
             Option(a.get("partitionValues")).foreach(_.fields().forEachRemaining(
               e => pv(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText()))
+            val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+              Dv(d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+                if (d.has("offset") && !d.get("offset").isNull)
+                  d.get("offset").asInt() else -1,
+                d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+            }
             val p = a.get("path").asText()
-            active(p) = AddFile(p, pv.toMap)
+            active(p) = AddFile(p, pv.toMap, dv)
           }
           if (n.has("remove")) active -= n.get("remove").get("path").asText()
         }
       }
     }
-    require(minReader <= 1,
-      s"table $table requires reader version $minReader; this reader " +
-        "implements protocol 1 (no column mapping / deletion vectors) — " +
-        "reading on would silently return wrong rows")
+    // reader-version discipline: versions 1 (base), 2 (column
+    // mapping) and 3 with ONLY features we honor read; anything else
+    // refuses loudly — reading past an unknown feature would
+    // silently return wrong rows (the DV lesson: ignored deletes
+    // resurrect)
+    if (minReader == 3) {
+      val unsupported = readerFeatures -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"table $table requires reader features ${unsupported.toSeq.sorted.mkString(", ")} " +
+          s"this reader does not implement (supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}) — " +
+          "reading on would silently return wrong rows")
+    } else require(minReader <= 2,
+      s"table $table requires reader version $minReader with reader features " +
+        s"[${readerFeatures.toSeq.sorted.mkString(", ")}]; this reader " +
+        "implements protocol 1-2 and feature-gated 3 — reading on would " +
+        "silently return wrong rows")
     Snapshot(target, active.values.toVector, minReader, partitionColumns,
-      schemaJson)
+      schemaJson, configuration)
   }
 
   /** CHANGE FEED over a FOREIGN Delta table, derived from snapshot
@@ -248,6 +318,15 @@ object DeltaTable {
     (fromV until toV).map { v =>
       val a = snaps(v)
       val b = snaps(v + 1)
+      // a DV commit changes ROWS without toggling file paths — the
+      // file-diff algebra would silently miss those deletes, so a
+      // deletion-vector table refuses CDC loudly (read snapshots
+      // instead); lifting this needs DV-aware diffing (compare each
+      // path's DV generation, diff the bitmap delta)
+      require((a.adds ++ b.adds).forall(_.dv.isEmpty),
+        s"change feed over deletion-vector table $table unsupported: a DV " +
+          "commit re-adds a file path with more rows deleted, which a " +
+          "file-path diff cannot see")
       val af = a.adds.map(_.path).toSet
       val bf = b.adds.map(_.path).toSet
       val added = b.adds.filterNot(x => af.contains(x.path)).sortBy(_.path)
@@ -284,33 +363,95 @@ object DeltaTable {
   def read(s: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(s, table, version)
     require(snap.files.nonEmpty, s"empty snapshot ${snap.version} at $table")
-    readAdds(s, table, snap.adds, snap)
+    val dvAdds = snap.adds.filter(_.dv.isDefined)
+    val base = readAdds(s, table, snap.adds, snap,
+      withOrdinals = dvAdds.nonEmpty)
+    if (dvAdds.isEmpty) base
+    else {
+      // MERGE-ON-READ deletion vectors: one [[DeltaDv.Entry]] per
+      // DV'd file (manifest-grade — a few dozen bytes each); the
+      // bitmap DECODE runs executor-side in the typed flatMap, so DV
+      // payloads never pass through the driver, and the expanded
+      // (file, ordinal) delete set anti-joins against the scan's
+      // native row ordinal exactly like Iceberg position deletes
+      // (j13) — the delete side is usually tiny and AQE broadcasts it
+      import s.implicits._
+      val entries = dvAdds.map { a =>
+        val d = a.dv.get
+        DeltaDv.Entry(new java.io.File(table, a.path).getAbsolutePath, table,
+          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+          d.cardinality)
+      }
+      val dels = s.createDataset(entries)
+        .flatMap { e =>
+          val ps = DeltaDv.positions(e)
+          require(ps.length == e.cardinality,
+            s"DV cardinality mismatch for ${e.path}: descriptor " +
+              s"${e.cardinality}, decoded ${ps.length}")
+          ps.map(p => (e.path, p))
+        }.toDF("__del_fp", "__del_pos")
+      base.join(dels,
+          col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"),
+          "left_anti")
+        .drop("__fp", "__pos")
+    }
   }
 
   /** Read a SUBSET of a snapshot's live files with the snapshot's
-    * partition discipline applied — the shared kernel of [[read]]
-    * (all files) and [[changes]] (only a commit's toggled files). */
+    * partition and column-mapping discipline applied — the shared
+    * kernel of [[read]] (all files) and [[changes]] (only a commit's
+    * toggled files). `withOrdinals` materializes the normalized file
+    * path and native row ordinal (`__fp`/`__pos`) ON the scan, so a
+    * caller's DV anti-join binds them before any projection could
+    * hide `_metadata`. COLUMN MAPPING (name mode): data files carry
+    * PHYSICAL column names (the schemaString field metadata's
+    * `delta.columnMapping.physicalName`), partitionValues key on
+    * them too — the scan selects physical and aliases back to
+    * logical; id mode (parquet field-id resolution) refuses. */
   private def readAdds(s: SparkSession, table: String, adds: Seq[AddFile],
-      snap: Snapshot): DataFrame = {
+      snap: Snapshot, withOrdinals: Boolean = false): DataFrame = {
     require(adds.nonEmpty, s"readAdds on empty file set at $table")
-    if (snap.partitionColumns.isEmpty)
-      s.read.parquet(adds.map(f => s"$table/${f.path}"): _*)
-    else {
-      val schema = org.apache.spark.sql.types.DataType
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none" || cmMode == "name",
+      s"column mapping mode '$cmMode' at $table unsupported (this reader " +
+        "implements 'name'; 'id' needs parquet field-id resolution)")
+    val needSchema = snap.partitionColumns.nonEmpty || cmMode == "name"
+    val schema: Option[org.apache.spark.sql.types.StructType] =
+      if (!needSchema) None
+      else Some(org.apache.spark.sql.types.DataType
         .fromJson(snap.schemaJson.getOrElse(throw new IllegalStateException(
-          s"partitioned table $table has no metaData.schemaString in its log")))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      adds.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
-        .map { case (pv, fs) =>
-          var df = s.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
-          snap.partitionColumns.foreach { c =>
-            val dt = schema(c).dataType
-            val raw = pv.getOrElse(c, null)
-            df = df.withColumn(c,
-              (if (raw == null) lit(null) else lit(raw)).cast(dt))
-          }
-          df
-        }.reduce(_ unionByName _)
+          s"table $table has no metaData.schemaString in its log")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    def physName(c: String): String = schema.map(_.apply(c)).map { f =>
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    }.getOrElse(c)
+    def scanGroup(pv: Map[String, String], fs: Seq[AddFile]): DataFrame = {
+      var df = s.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
+      if (withOrdinals) df = df
+        .withColumn("__fp",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      if (cmMode == "name") {
+        val dataFields = schema.get.fields
+          .filterNot(f => snap.partitionColumns.contains(f.name))
+        val cols = dataFields.toSeq.map(f => col(physName(f.name)).as(f.name)) ++
+          (if (withOrdinals) Seq(col("__fp"), col("__pos")) else Nil)
+        df = df.select(cols: _*)
+      }
+      snap.partitionColumns.foreach { c =>
+        val dt = schema.get.apply(c).dataType
+        val raw = pv.getOrElse(physName(c), pv.getOrElse(c, null))
+        df = df.withColumn(c,
+          (if (raw == null) lit(null) else lit(raw)).cast(dt))
+      }
+      df
     }
+    if (snap.partitionColumns.isEmpty) scanGroup(Map.empty, adds)
+    else adds.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (pv, fs) => scanGroup(pv, fs) }
+      .reduce(_ unionByName _)
   }
 }

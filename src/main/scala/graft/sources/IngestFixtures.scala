@@ -480,6 +480,86 @@ object IngestFixtures {
     }
   }
 
+  /** Within-shard position rules for the j14 DELETION-VECTOR fixture:
+    * shards 0 and 2 delete row ordinals `ridx % 5 == DvRem` — their
+    * two DVs pack into ONE sidecar file at different offsets, the
+    * frame/offset discipline real writers use; shard 1 deletes
+    * `ridx % TornMod == TornRem` via an INLINE descriptor (z85 in the
+    * JSON itself); shard 3 is untouched. Shards are written
+    * doc_id-ascending, so the oracle recomputes ridx with a
+    * per-shard row_number (the j13 position discipline). */
+  val DvRem = 2
+
+  /** Delta deletion-vector fixture for j14 (delta.io PROTOCOL.md
+    * §Deletion Vectors; read back by [[DeltaTable]]/[[DeltaDv]]):
+    *
+    *  - v0: protocol `minReaderVersion: 3` + `readerFeatures:
+    *    ["deletionVectors"]` (the feature-gated shape modern writers
+    *    emit), metaData, 4 shard adds — a PRE-DV version, so time
+    *    travel to v0 must show every row.
+    *  - v1: the DV commit — shards 0/1/2 each re-added (remove + add
+    *    of the SAME data path) with a `deletionVector` descriptor;
+    *    the data files are untouched, deletion is metadata-only,
+    *    which is exactly why ignoring the descriptor resurrects rows.
+    */
+  def ensureDeltaDv(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("deltadv", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 6) { tmp =>
+      val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
+      val shards = (0 until 4).map(k => s"file-v0-$k.parquet" ->
+        rows.toSeq.filter(_._1 % 4 == k))
+      val sizes = shards.map { case (n, rs) =>
+        n -> writeOneParquet(s, tmp, n, rs) }.toMap
+      def posOf(n: Int, rule: Int => Boolean): Seq[Long] =
+        (0 until n).collect { case i if rule(i) => i.toLong }
+      val dv0 = posOf(shards(0)._2.size, _ % 5 == DvRem)
+      val dv2 = posOf(shards(2)._2.size, _ % 5 == DvRem)
+      val dv1 = posOf(shards(1)._2.size, i => i % TornMod == TornRem)
+      // one sidecar packs shard 0's and shard 2's DVs; its name is
+      // derived from the z85 UUID in the descriptors, as the reader
+      // will re-derive it
+      val uuid = new java.util.UUID(0x6772616674647634L, 0x1400000000000001L)
+      val ub = java.nio.ByteBuffer.allocate(16)
+      ub.putLong(uuid.getMostSignificantBits)
+      ub.putLong(uuid.getLeastSignificantBits)
+      val encUuid = DeltaDv.z85Encode(ub.array())
+      val metas = DeltaDv.writeDvFile(
+        new java.io.File(tmp, s"deletion_vector_$uuid.bin"), Seq(dv0, dv2))
+      val inlineBytes = DeltaDv.serializeBitmap(dv1)
+      val encInline = DeltaDv.z85EncodePadded(inlineBytes)
+      def dvJson(storage: String, payload: String, off: Int, size: Int,
+          card: Long): String =
+        s""","deletionVector":{"storageType":"$storage","pathOrInlineDv":"$payload"""" +
+          (if (off >= 0) s""","offset":$off""" else "") +
+          s""","sizeInBytes":$size,"cardinality":$card}"""
+      def addJson(name: String, dvField: String = "") =
+        s"""{"add":{"path":"$name","partitionValues":{},"size":${sizes(name)},"modificationTime":1700000000000,"dataChange":true$dvField}}"""
+      def removeJson(name: String) =
+        s"""{"remove":{"path":"$name","deletionTimestamp":1700000001000,"dataChange":true}}"""
+      val rawSchema =
+        """{"type":"struct","fields":[{"name":"doc_id","type":"long","nullable":false,"metadata":{}},{"name":"text","type":"string","nullable":true,"metadata":{}},{"name":"lang","type":"string","nullable":true,"metadata":{}},{"name":"source","type":"string","nullable":true,"metadata":{}},{"name":"n_chars","type":"long","nullable":true,"metadata":{}}]}"""
+      def commit(v: Long, lines: Seq[String]): Unit =
+        Files.write(new java.io.File(log, f"$v%020d.json").toPath,
+          (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      commit(0L,
+        Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+          s"""{"metaData":{"id":"graft-delta-dv","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(rawSchema)}","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""") ++
+          shards.map(sh => addJson(sh._1)))
+      commit(1L, Seq(
+        """{"commitInfo":{"operation":"DELETE","operationParameters":{}}}""",
+        removeJson(shards(0)._1),
+        addJson(shards(0)._1,
+          dvJson("u", encUuid, metas(0)._1, metas(0)._2, metas(0)._3)),
+        removeJson(shards(2)._1),
+        addJson(shards(2)._1,
+          dvJson("u", encUuid, metas(1)._1, metas(1)._2, metas(1)._3)),
+        removeJson(shards(1)._1),
+        addJson(shards(1)._1,
+          dvJson("i", encInline, -1, inlineBytes.length, dv1.length.toLong))))
+    }
+  }
+
   /** Iceberg-v1 Hadoop-table fixture for j11 (public spec layout —
     * iceberg.apache.org/spec; read back by [[IcebergTable]]). Two
     * snapshots exercise the reader's whole resolution chain and the

@@ -351,20 +351,21 @@ class IngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("aged out"), e.getMessage)
 
-    // reader-version gate: a table demanding protocol 2 features
-    // (column mapping / deletion vectors) must refuse loudly —
-    // reading on would silently resurrect deleted rows
-    val v2tbl = new java.io.File(scratchDir("delta_v2"))
-    val log = new java.io.File(v2tbl, "_delta_log"); log.mkdirs()
+    // reader-version gate: r14 implements 2 (column mapping) and
+    // feature-gated 3 (deletionVectors/columnMapping), so the refusal
+    // boundary moved to versions/features BEYOND that — reading past
+    // an unknown feature would silently return wrong rows
+    val v9tbl = new java.io.File(scratchDir("delta_v9"))
+    val log = new java.io.File(v9tbl, "_delta_log"); log.mkdirs()
     java.nio.file.Files.write(
       log.toPath.resolve("00000000000000000000.json"),
-      ("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+      ("""{"protocol":{"minReaderVersion":9,"minWriterVersion":9}}""" + "\n" +
         """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
         .getBytes("UTF-8"))
     val g = intercept[IllegalArgumentException] {
-      DeltaTable.snapshot(spark, v2tbl.toString)
+      DeltaTable.snapshot(spark, v9tbl.toString)
     }
-    assert(g.getMessage.contains("reader version 2"), g.getMessage)
+    assert(g.getMessage.contains("reader features"), g.getMessage)
   }
 
   test("j10: partitioned Delta read reconstitutes log-only partition columns with schema types") {
@@ -498,6 +499,103 @@ class IngestSpec extends SparkSpec {
       DeltaTable.read(spark, tbl.toString)
     }
     assert(e.getMessage.contains("incomplete multi-part"), e.getMessage)
+  }
+
+  test("j14: deletion vectors — deleted rows stay deleted, pre-DV time travel, torn DV refuses") {
+    import graft.sources.{DeltaTable, IngestFixtures}
+    val table = IngestFixtures.ensureDeltaDv(spark, Sf)
+    val base = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // v0 predates the DV commit: time travel shows EVERY row
+    val v0 = DeltaTable.read(spark, table, 0L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(v0 == base)
+    // current version: the planted per-shard ordinal rules are gone,
+    // nothing else is, and all four data FILES stay live (row grain)
+    val cur = DeltaTable.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deleted = base.groupBy(_ % 4).flatMap { case (k, ids) =>
+      ids.sorted.zipWithIndex.collect {
+        case (id, ridx) if (k == 0 || k == 2) && ridx % 5 == IngestFixtures.DvRem => id
+        case (id, ridx) if k == 1 &&
+          ridx % IngestFixtures.TornMod == IngestFixtures.TornRem => id
+      }
+    }.toSet
+    assert(deleted.nonEmpty && cur == base.toSet -- deleted)
+    assert(DeltaTable.snapshot(spark, table).files.size == 4)
+    graft.Caches.clear()
+    // torn sidecar: flip one payload byte — the CRC must refuse, a
+    // torn DV read as empty would silently resurrect deleted rows
+    val sidecar = new java.io.File(table).listFiles()
+      .find(_.getName.startsWith("deletion_vector_")).get
+    val save = java.nio.file.Files.readAllBytes(sidecar.toPath)
+    val torn = save.clone()
+    torn(10) = (torn(10) ^ 0x7).toByte
+    java.nio.file.Files.write(sidecar.toPath, torn)
+    try {
+      val e = intercept[Throwable] { DeltaTable.read(spark, table).count() }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+      assert(msgs(e).contains("checksum mismatch"), msgs(e).take(400))
+    } finally java.nio.file.Files.write(sidecar.toPath, save)
+    graft.Caches.clear()
+  }
+
+  test("delta column mapping (name mode) reads; id mode and unknown reader features refuse") {
+    import graft.sources.DeltaTable
+    import spark.implicits._
+    def writeOne(dir: java.io.File, name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val scratch = new java.io.File(dir, ".w_" + name)
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(dir, name).toPath)
+      scratch.listFiles().foreach(_.delete()); scratch.delete()
+    }
+    def mkTable(dirName: String, mode: String, protocolLine: String): java.io.File = {
+      val tbl = new java.io.File(scratchDir(dirName)); tbl.mkdirs()
+      val log = new java.io.File(tbl, "_delta_log"); log.mkdirs()
+      // the DATA file carries PHYSICAL column names; `lang` is a
+      // partition column whose partitionValues key is its physical
+      // name, per the protocol
+      writeOne(tbl, "a.parquet",
+        Seq((1L, "alpha"), (2L, "beta")).toDF("col-d01", "col-t02"))
+      val rawSchema = Seq(
+        """{"type":"struct","fields":[""",
+        """{"name":"doc_id","type":"long","nullable":false,"metadata":{"delta.columnMapping.columnId":1,"delta.columnMapping.physicalName":"col-d01"}},""",
+        """{"name":"text","type":"string","nullable":true,"metadata":{"delta.columnMapping.columnId":2,"delta.columnMapping.physicalName":"col-t02"}},""",
+        """{"name":"lang","type":"string","nullable":true,"metadata":{"delta.columnMapping.columnId":3,"delta.columnMapping.physicalName":"col-p03"}}]}""").mkString
+      val esc = rawSchema.replace("\\", "\\\\").replace("\"", "\\\"")
+      java.nio.file.Files.write(log.toPath.resolve("00000000000000000000.json"),
+        (Seq(protocolLine,
+          s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":["lang"],"configuration":{"delta.columnMapping.mode":"$mode"}}}""",
+          """{"add":{"path":"a.parquet","partitionValues":{"col-p03":"en"},"size":1,"modificationTime":0,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      tbl
+    }
+    val proto2 = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val tbl = mkTable("delta_cm_name", "name", proto2)
+    val df = DeltaTable.read(spark, tbl.toString)
+    assert(df.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq((1L, "alpha", "en"), (2L, "beta", "en")))
+
+    // id mode needs parquet field-id resolution — refuse, never guess
+    val tblId = mkTable("delta_cm_id", "id", proto2)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaTable.read(spark, tblId.toString)
+    }
+    assert(e1.getMessage.contains("column mapping mode"), e1.getMessage)
+
+    // a version-3 table demanding a feature we do not implement
+    // refuses WITH the feature named
+    val tblF = mkTable("delta_cm_feat", "name",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","timestampNtz"]}}""")
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.read(spark, tblF.toString)
+    }
+    assert(e2.getMessage.contains("timestampNtz"), e2.getMessage)
   }
 
   test("j11: Iceberg snapshot resolution — status algebra, self-contained time travel, v2 gate") {
