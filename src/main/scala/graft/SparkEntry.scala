@@ -287,6 +287,7 @@ object SparkEntry {
     "j12_delta_changes"       -> graft.operators.IngestQueries.deltaChanges _,
     "j13_iceberg_v2"          -> graft.operators.IngestQueries.icebergV2Read _,
     "j14_delta_dv"            -> graft.operators.IngestQueries.deltaDvRead _,
+    "j15_iceberg_eqdel"       -> graft.operators.IngestQueries.icebergEqRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1446,6 +1447,25 @@ object SparkEntry {
       |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
       |       4::BIGINT AS n_files
       |FROM c""".stripMargin,
+    // j15: equality deletes by the generating rules — torn-rule keys
+    // deleted from the seq-1 shards but SURVIVING as the seq-2
+    // re-inserts (n_chars+1000): an unscoped delete diverges by
+    // exactly those rows; n_files pins all 5 data files live
+    "j15_iceberg_eqdel" -> raw"""
+      |WITH base AS (SELECT doc_id, text, n_chars FROM documents
+      |              WHERE doc_id < 400),
+      |snap AS (SELECT doc_id, text, n_chars FROM base WHERE doc_id % 7 != 3
+      |         UNION ALL
+      |         SELECT doc_id, text, n_chars + 1000 FROM base
+      |         WHERE doc_id % 7 = 3)
+      |SELECT 2::BIGINT AS snapshot_id,
+      |       count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       5::BIGINT AS n_files
+      |FROM snap""".stripMargin,
     // j11: the s2 snapshot by its generating rules — surviving shards
     // (doc_id % 4 != 1) plus the reinserted torn-rule copies from the
     // FULL base corpus; n_files pins the 4-file active set (3

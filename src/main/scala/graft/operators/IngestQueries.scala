@@ -369,6 +369,29 @@ object IngestQueries {
       .select(lit(snap.version).as("snapshot_version"), col("*"))
   }
 
+  /** j15: ICEBERG EQUALITY DELETES — the Flink-CDC upsert shape:
+    * deletes name column VALUES (field ids via the schema map), and
+    * the spec's sequence scoping (strictly-smaller data sequence)
+    * keeps a same-commit re-insert of the SAME key alive. The fixture
+    * deletes the torn-rule doc_ids from the seq-1 shards while
+    * re-inserting them with n_chars+1000 at seq 2 — an unscoped
+    * implementation deletes its own re-inserts and the hash diverges
+    * by exactly the re-inserted rows. n_files pins all five data
+    * files live (row-grain deletion, the j11 contrast again).
+    */
+  def icebergEqRead(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureIcebergEq(s, dir)
+    val snap = graft.sources.IcebergTable.snapshot(table)
+    graft.sources.IcebergTable.read(s, table)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+      .select(lit(snap.snapshotId).as("snapshot_id"), col("*"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

@@ -45,10 +45,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IcebergTable {
 
+  /** One v2 EQUALITY-delete file: rows whose listed columns (by
+    * field id) match are deleted from data files with a STRICTLY
+    * SMALLER data sequence number. */
+  final case class EqDelete(path: String, equalityIds: Seq[Int], seq: Long)
+
   /** `files` = live data files; `deleteFiles` = v2 POSITION-delete
-    * files ((file_path, pos) parquet rows) the read must subtract. */
+    * files ((file_path, pos) parquet rows) the read must subtract;
+    * `eqDeletes` = v2 equality-delete files; `dataSeqs` = each data
+    * file's data sequence number (inherited from its manifest — the
+    * scoping that makes equality deletes correct); `fieldNames` =
+    * the current schema's field-id → name map (equality_ids resolve
+    * through it). */
   final case class Snapshot(snapshotId: Long, files: Seq[String],
-    deleteFiles: Seq[String] = Nil)
+    deleteFiles: Seq[String] = Nil,
+    eqDeletes: Seq[EqDelete] = Nil,
+    dataSeqs: Map[String, Long] = Map.empty,
+    fieldNames: Map[Int, String] = Map.empty)
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -67,8 +80,8 @@ object IcebergTable {
     val fv = md.get("format-version").asInt()
     require(fv == 1 || fv == 2,
       s"table $table is format-version $fv; this reader implements v1 and " +
-        "v2 (position deletes) — a later version's delete semantics " +
-        "would silently resurrect deleted rows if ignored")
+        "v2 (position + equality deletes) — a later version's delete " +
+        "semantics would silently resurrect deleted rows if ignored")
     val wanted =
       if (snapshotId >= 0) snapshotId else md.get("current-snapshot-id").asLong()
     val snaps = md.get("snapshots")
@@ -79,13 +92,42 @@ object IcebergTable {
     }
     require(manifestList != null,
       s"snapshot $wanted not in metadata at $table (expired or never existed)")
-    val manifests = AvroContainer.readGeneric(new File(manifestList))
-      .map(_.get("manifest_path").toString)
-    val entries = manifests.flatMap { mp =>
-      AvroContainer.readGeneric(new File(mp)).flatMap { e =>
+    // field-id → name from the CURRENT schema ("schemas" +
+    // "current-schema-id", or the legacy single "schema") — equality
+    // deletes name their columns by field id, never by name
+    val fieldNames: Map[Int, String] = {
+      val schemaNode =
+        if (md.has("schemas") && md.has("current-schema-id")) {
+          val cur = md.get("current-schema-id").asInt()
+          var found: com.fasterxml.jackson.databind.JsonNode = null
+          md.get("schemas").forEach { sc =>
+            if (sc.get("schema-id").asInt() == cur) found = sc
+          }
+          Option(found)
+        } else Option(md.get("schema"))
+      schemaNode.map { sc =>
+        val b = Map.newBuilder[Int, String]
+        sc.get("fields").forEach(f =>
+          b += f.get("id").asInt() -> f.get("name").asText())
+        b.result()
+      }.getOrElse(Map.empty)
+    }
+    // per-manifest data sequence number, inherited by its entries
+    // when they carry none (the spec's inheritance rule; the list
+    // field is absent on v1 tables → seq 0)
+    val manifests = AvroContainer.readGeneric(new File(manifestList)).map { m =>
+      val seq =
+        if (m.getSchema.getField("sequence_number") == null) 0L
+        else Option(m.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      (m.get("manifest_path").toString, seq)
+    }
+    val dataFiles = Vector.newBuilder[(String, Long)]
+    val posDeletes = Vector.newBuilder[String]
+    val eqDeletes = Vector.newBuilder[EqDelete]
+    manifests.foreach { case (mp, mseq) =>
+      AvroContainer.readGeneric(new File(mp)).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED: recorded, not live
-        else {
+        if (status != 2) { // 2 = DELETED: recorded, not live
           val df = e.get("data_file")
             .asInstanceOf[org.apache.avro.generic.GenericRecord]
           // v2 entries carry data_file.content (0 data / 1 position
@@ -94,51 +136,110 @@ object IcebergTable {
           val content =
             if (df.getSchema.getField("content") == null) 0
             else df.get("content").asInstanceOf[Int]
-          require(content != 2,
-            s"equality-delete file in $mp: equality deletes match rows by " +
-              "column VALUES and this reader implements position deletes " +
-              "only — ignoring them would resurrect deleted rows")
-          Some((content, df.get("file_path").toString))
+          val eseq =
+            if (e.getSchema.getField("sequence_number") == null) mseq
+            else Option(e.get("sequence_number"))
+              .map(_.asInstanceOf[Long]).getOrElse(mseq)
+          val path = df.get("file_path").toString
+          content match {
+            case 0 => dataFiles += ((path, eseq))
+            case 1 => posDeletes += path
+            case 2 =>
+              val idsField = df.getSchema.getField("equality_ids")
+              require(idsField != null && df.get("equality_ids") != null,
+                s"equality-delete file $path in $mp carries no equality_ids")
+              val ids = Vector.newBuilder[Int]
+              df.get("equality_ids").asInstanceOf[java.util.List[_]]
+                .forEach(v => ids += v.asInstanceOf[Int])
+              eqDeletes += EqDelete(path, ids.result(), eseq)
+            case other => throw new IllegalStateException(
+              s"unknown data_file.content $other in $mp")
+          }
         }
       }
     }
-    Snapshot(wanted, entries.collect { case (0, f) => f },
-      entries.collect { case (1, f) => f })
+    val data = dataFiles.result()
+    Snapshot(wanted, data.map(_._1), posDeletes.result(), eqDeletes.result(),
+      data.toMap, fieldNames)
   }
 
-  /** Read the snapshot. V2 POSITION DELETES apply MERGE-ON-READ, the
-    * spec's semantics: delete files carry (file_path, pos) rows, and
-    * the scan subtracts them by joining the hidden per-file row
-    * ordinal (`_metadata.row_index` — Spark's native row-position
-    * column, which is exactly Iceberg's `pos` ordinal) anti against
-    * the delete set. Paths normalize on both sides (the metadata
-    * column is a `file:` URI, the delete file stores the plain
-    * location). The anti-join is the merge-on-read cost model: the
-    * delete side is usually tiny and AQE broadcasts it; at a 100 TB
-    * table the subtraction stays one broadcast anti-join per scan,
-    * which is why engines compact position deletes back into data
-    * files periodically (the g34 compaction story, stated not built).
-    * Scope honesty: deletes apply to every data file in the snapshot
-    * (sequence-number scoping is not modeled) — a position row names
-    * its target file explicitly, so over-application is impossible.
+  /** Read the snapshot. V2 deletes apply MERGE-ON-READ, the spec's
+    * semantics, in the spec's order:
+    *
+    *  - POSITION deletes: (file_path, pos) parquet rows anti-join the
+    *    hidden per-file row ordinal (`_metadata.row_index` — Spark's
+    *    native row-position column, which is exactly Iceberg's `pos`
+    *    ordinal). A position row names its target file explicitly, so
+    *    over-application is impossible.
+    *  - EQUALITY deletes: value-matched on the `equality_ids` columns
+    *    (field ids resolved through the schema's id → name map),
+    *    null-safe (`<=>` — the spec matches null to null), and
+    *    SEQUENCE-SCOPED: a delete at sequence s applies only to data
+    *    files whose data sequence number is STRICTLY SMALLER, so a
+    *    later re-insert of the same key — or one in the very commit
+    *    that wrote the delete — survives. The scoping is load-bearing
+    *    here in a way it is not for position deletes (j13 deferred
+    *    it): without it, a Flink-CDC upsert stream would delete its
+    *    own re-inserts. Each data file's sequence number rides in a
+    *    broadcast (file → seq) lookup joined on the scan's file path.
+    *
+    * Paths normalize on both sides (the metadata column is a `file:`
+    * URI, delete files store the plain location). The anti-joins are
+    * the merge-on-read cost model: delete sides are usually tiny and
+    * AQE broadcasts them; at a 100 TB table the subtraction stays a
+    * broadcast anti-join per delete shape, which is why engines
+    * compact deletes back into data files periodically (the g34
+    * compaction story, stated not built).
     */
   def read(s: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions._
     val snap = snapshot(table, snapshotId)
     require(snap.files.nonEmpty, s"empty snapshot ${snap.snapshotId} at $table")
     val data = s.read.parquet(snap.files: _*)
-    if (snap.deleteFiles.isEmpty) data
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
+    if (snap.deleteFiles.isEmpty && snap.eqDeletes.isEmpty) data
     else {
-      def norm(c: org.apache.spark.sql.Column) =
-        regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
-      val dels = s.read.parquet(snap.deleteFiles: _*)
-        .select(norm(col("file_path")).as("__del_fp"), col("pos").as("__del_pos"))
-      data
-        .withColumn("__fp", norm(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(dels, col("__fp") === col("__del_fp") &&
-          col("__pos") === col("__del_pos"), "left_anti")
-        .drop("__fp", "__pos")
+      var df = data.withColumn("__fp", norm(col("_metadata.file_path")))
+      if (snap.deleteFiles.nonEmpty) {
+        val dels = s.read.parquet(snap.deleteFiles: _*)
+          .select(norm(col("file_path")).as("__del_fp"),
+            col("pos").as("__del_pos"))
+        df = df
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dels, col("__fp") === col("__del_fp") &&
+            col("__pos") === col("__del_pos"), "left_anti")
+          .drop("__pos")
+      }
+      if (snap.eqDeletes.nonEmpty) {
+        def plain(p: String) = p.stripPrefix("file:")
+        // file → data sequence number, file-count-sized: explicit
+        // broadcast so attaching the scope never shuffles the scan
+        val seqDf = broadcast(s.createDataFrame(
+          snap.files.map(f => (plain(f), snap.dataSeqs.getOrElse(f, 0L))))
+          .toDF("__sfp", "__data_seq"))
+        df = df.join(seqDf, col("__fp") === col("__sfp")).drop("__sfp")
+        // one anti-join per distinct equality-id set (usually one);
+        // within a set, delete files union with their own sequence
+        // numbers as a literal column
+        snap.eqDeletes.groupBy(_.equalityIds).toSeq
+          .sortBy(_._1.mkString(",")).foreach { case (ids, dels) =>
+            val names = ids.map(id => snap.fieldNames.getOrElse(id,
+              throw new IllegalStateException(
+                s"equality field id $id not in schema at $table " +
+                  s"(known: ${snap.fieldNames.keys.toSeq.sorted.mkString(",")})")))
+            val delRows = dels.map { d =>
+              s.read.parquet(d.path)
+                .select(names.map(n => col(n).as(s"__eq_$n")) :+
+                  lit(d.seq).as("__del_seq"): _*)
+            }.reduce(_ unionByName _)
+            val cond = names.map(n => col(n) <=> col(s"__eq_$n"))
+              .reduce(_ && _) && col("__del_seq") > col("__data_seq")
+            df = df.join(delRows, cond, "left_anti")
+          }
+        df = df.drop("__data_seq")
+      }
+      df.drop("__fp")
     }
   }
 }

@@ -748,6 +748,133 @@ object IngestFixtures {
         "2\n".getBytes(StandardCharsets.UTF_8))
     }
   }
+
+  /** Iceberg-v2 EQUALITY-delete fixture for j15 (iceberg spec:
+    * "Equality Delete Files" + sequence-number scoping): where j13's
+    * position deletes name (file, ordinal), an equality delete names
+    * VALUES — `equality_ids` lists the schema field ids whose equal
+    * (null-safe) tuple deletes a row — and applies only to data
+    * files with a STRICTLY SMALLER data sequence number. The fixture
+    * makes that scoping load-bearing, the Flink-CDC upsert shape:
+    *
+    *  - s1 (seq 1): the 4 data shards.
+    *  - s2 (seq 2): an equality-delete parquet listing the torn-rule
+    *    doc_ids (`% 7 == 3`, field id 1) — deleting them from the
+    *    seq-1 shards — AND a same-commit data file RE-INSERTING the
+    *    same doc_ids with `n_chars + 1000`. Same key, same sequence
+    *    as the delete: the re-inserts MUST survive (strict <), which
+    *    is exactly what an unscoped implementation gets wrong.
+    *
+    * The metadata JSON carries the v2 `schemas`/`current-schema-id`
+    * shape (field ids resolve through it); sequence numbers ride the
+    * manifest LIST rows and inherit to entries, the spec's
+    * inheritance rule.
+    */
+  def ensureIcebergEq(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("icebergeq", dir)
+    val rows = docRows(s, dir)
+    val manifestListSchema =
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin
+    val manifestSchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin
+    Fixtures.ensureAtomic(out, 5) { tmp =>
+      val meta = new java.io.File(tmp, "metadata"); meta.mkdirs()
+      val shards = (0 until 4).map(k => s"data/file-s1-shard-$k.parquet" ->
+        rows.toSeq.filter(_._1 % 4 == k))
+      val torn = rows.toSeq.filter(_._1 % TornMod == TornRem)
+      val reinserted = torn.map { case (id, t, l, src, nc) =>
+        (id, t, l, src, nc + 1000) } // SAME doc_id — the scoping test
+      val written = (shards :+ ("data/file-s2-reinsert.parquet" -> reinserted))
+        .map { case (n, rs) =>
+          n -> (writeOneParquet(s, tmp, n, rs), rs.length.toLong) }.toMap
+      // the equality-delete parquet: just the key column (field id 1)
+      val eqScratch = new java.io.File(tmp, ".w_eq")
+      s.createDataFrame(torn.map(r => Tuple1(r._1))).toDF("doc_id")
+        .coalesce(1).write.mode("overwrite").parquet(eqScratch.toString)
+      val eqPart = eqScratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      val eqDest = new java.io.File(tmp, "data/file-s2-eqdel.parquet")
+      Files.move(eqPart.toPath, eqDest.toPath)
+      Fixtures.deleteRecursively(eqScratch)
+      def entry(content: Int, sid: Long, name: String, recs: Long, len: Long,
+          eqIds: Seq[Int] = Nil): Map[String, Any] = {
+        val df = Map("content" -> content, "file_path" -> s"$out/$name",
+          "file_format" -> "PARQUET", "record_count" -> recs,
+          "file_size_in_bytes" -> len) ++
+          (if (eqIds.isEmpty) Map.empty[String, Any]
+           else {
+             val l = new java.util.ArrayList[Integer]()
+             eqIds.foreach(i => l.add(i))
+             Map[String, Any]("equality_ids" -> l)
+           })
+        Map("status" -> 1, "snapshot_id" -> sid, "data_file" -> df)
+      }
+      def manifest(file: String, entries: Seq[Map[String, Any]]): (String, Long) = {
+        val f = new java.io.File(meta, file)
+        AvroContainer.writeGeneric(f, manifestSchema, entries)
+        (s"$out/metadata/$file", f.length())
+      }
+      val ma = manifest("manifest-a.avro", shards.map { case (n, _) =>
+        entry(0, 1L, n, written(n)._2, written(n)._1) })
+      val mb = manifest("manifest-b.avro", Seq(
+        entry(2, 2L, "data/file-s2-eqdel.parquet",
+          torn.length.toLong, eqDest.length(), eqIds = Seq(1))))
+      val mc = manifest("manifest-c.avro", Seq(
+        entry(0, 2L, "data/file-s2-reinsert.parquet",
+          written("data/file-s2-reinsert.parquet")._2,
+          written("data/file-s2-reinsert.parquet")._1)))
+      def manifestList(file: String, sid: Long,
+          ms: Seq[((String, Long), Int, Long)]): String = {
+        AvroContainer.writeGeneric(new java.io.File(meta, file),
+          manifestListSchema, ms.map { case ((p, len), content, seq) => Map(
+            "manifest_path" -> p, "manifest_length" -> len,
+            "partition_spec_id" -> 0, "content" -> content,
+            "sequence_number" -> seq, "added_snapshot_id" -> sid) })
+        s"$out/metadata/$file"
+      }
+      val sl1 = manifestList("snap-1.avro", 1L, Seq((ma, 0, 1L)))
+      val sl2 = manifestList("snap-2.avro", 2L,
+        Seq((ma, 0, 1L), (mb, 1, 2L), (mc, 0, 2L)))
+      val schemaJson =
+        """{"schema-id":0,"type":"struct","fields":[
+          |{"id":1,"name":"doc_id","required":true,"type":"long"},
+          |{"id":2,"name":"text","required":false,"type":"string"},
+          |{"id":3,"name":"lang","required":false,"type":"string"},
+          |{"id":4,"name":"source","required":false,"type":"string"},
+          |{"id":5,"name":"n_chars","required":false,"type":"long"}]}"""
+          .stripMargin.replace("\n", "")
+      val mdJson =
+        s"""{"format-version":2,"table-uuid":"graft-iceberg-eq-fixture",
+           |"location":"${jesc(out.toString)}","last-updated-ms":1700000000000,
+           |"current-schema-id":0,
+           |"schemas":[$schemaJson],
+           |"current-snapshot-id":2,
+           |"snapshots":[
+           |{"snapshot-id":1,"timestamp-ms":1700000000000,
+           |"manifest-list":"${jesc(sl1)}","summary":{"operation":"append"}},
+           |{"snapshot-id":2,"timestamp-ms":1700000001000,
+           |"manifest-list":"${jesc(sl2)}","summary":{"operation":"overwrite"}}]}
+           |""".stripMargin
+      Files.write(new java.io.File(meta, "v2.metadata.json").toPath,
+        mdJson.getBytes(StandardCharsets.UTF_8))
+      Files.write(new java.io.File(meta, "version-hint.text").toPath,
+        "2\n".getBytes(StandardCharsets.UTF_8))
+    }
+  }
 }
 
 /** Checkpoint-parquet action rows (the delta.io PROTOCOL.md checkpoint

@@ -598,6 +598,36 @@ class IngestSpec extends SparkSpec {
     assert(e2.getMessage.contains("timestampNtz"), e2.getMessage)
   }
 
+  test("j15: equality deletes — sequence scoping protects same-commit re-inserts of the key") {
+    import graft.sources.{IcebergTable, IngestFixtures}
+    val table = IngestFixtures.ensureIcebergEq(spark, Sf)
+    val torn = (id: Long) =>
+      id % IngestFixtures.TornMod == IngestFixtures.TornRem
+    val base = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // s2: every torn key exists EXACTLY once — as the seq-2 re-insert
+    // (n_chars+1000), never the deleted seq-1 original and never
+    // zero times (the unscoped-implementation failure, which deletes
+    // its own re-inserts)
+    val cur = IcebergTable.read(spark, table)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = base.map { case (id, nc) =>
+      if (torn(id)) (id, nc + 1000) else (id, nc) }
+    assert(base.exists(r => torn(r._1)) && cur.sorted == want.sorted)
+    // all 5 data files stay live — deletion happened at row grain
+    val snap = IcebergTable.snapshot(table)
+    assert(snap.files.size == 5 && snap.eqDeletes.nonEmpty)
+    assert(snap.eqDeletes.forall(_.equalityIds == Seq(1)))
+    // time travel to s1: self-contained resolution, pre-delete corpus
+    val s1 = IcebergTable.read(spark, table, 1L)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(s1.sorted == base.sorted)
+  }
+
   test("j11: Iceberg snapshot resolution — status algebra, self-contained time travel, v2 gate") {
     import graft.sources.{IcebergTable, IngestFixtures}
     val table = IngestFixtures.ensureIceberg(spark, Sf)
@@ -686,8 +716,10 @@ class IngestSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
     assert(s1 == base.sorted)
 
-    // equality deletes (content = 2) match rows by VALUES — refused
-    // loudly, never ignored
+    // a MALFORMED equality-delete entry (content = 2 with no
+    // equality_ids) refuses loudly — r14 reads well-formed equality
+    // deletes (j15); one with no key columns cannot be applied and
+    // must never be ignored
     val eqtbl = new java.io.File(scratchDir("iceberg_eq"))
     val meta = new java.io.File(eqtbl, "metadata"); meta.mkdirs()
     val mf = new java.io.File(meta, "manifest-eq.avro")
