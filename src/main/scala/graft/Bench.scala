@@ -341,6 +341,10 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
     val dropped = scala.collection.mutable.ArrayBuffer[String]()
     var probeEndV = Double.NaN
+    var interopChunk = ""
+    // finalization reserve: probe_end + final render/flush + session
+    // stop must always fit after the last accepted pass
+    val finalReserveSecEarly = 90.0
 
     /** One scale section's mutable measurement state; renderable at
       * any moment (the incremental-flush contract). Estimators are
@@ -429,7 +433,7 @@ object Bench {
         "\"" + k + "\":" + jnum(math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
       val drp = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialField = partialReason.map(r => s""","partial":"$r"""").getOrElse("")
-      val sects = sections.toSeq.map(_.render()).mkString
+      val sects = interopChunk + sections.toSeq.map(_.render()).mkString
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":${loadAvg()},"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"budget_sec":$budgetSec,"budget_dropped":$drp,"elapsed_sec":${jnum(math.rint(elapsedSec * 10) / 10)},"sf":"$sfDir"$partialField$sects}"""
     }
 
@@ -484,6 +488,62 @@ object Bench {
     flush(Some("in-progress"))
     System.err.println(f"[bench] main suite done: ${results.size} queries, elapsed ${elapsedSec}%.0f s")
 
+    // ---- interop METADATA stress pricing (r13 VERDICT #6): time
+    // snapshot resolution over a 1,000-commit Delta log (checkpoints
+    // every 10, aged-out head) and a 100-manifest Iceberg snapshot,
+    // and MEASURE the driver heap the resolved snapshot retains. The
+    // fixtures build once (~1-2 min) and persist beside the scale
+    // proxies; timing is seconds, so this runs before the scale
+    // sections — but a first build under a nearly-spent budget drops.
+    if (only.isEmpty) {
+      val stressRoot = "/root/repo/.data/interop"
+      val built = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$stressRoot/iceberg100/_STRESS_COMPLETE"))
+      if (!built && !budgeted(300 + finalReserveSecEarly)) {
+        dropped += "interop:fixture-build"
+        System.err.println(f"[bench] budget: dropping interop stress (fixtures unbuilt, remaining ${remainingSec}%.0f s)")
+      } else try {
+        import graft.sources.{DeltaTable, IcebergTable, StressFixtures}
+        val dTbl = StressFixtures.ensureDeltaStress(spark, stressRoot)
+        val iTbl = StressFixtures.ensureIcebergStress(stressRoot)
+        def med3(f: => Unit): Double = (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        def heapUsed(): Long = {
+          // settle the heap: one gc leaves floats of just-dead scan
+          // garbage that a later gc collects, turning small retained
+          // deltas negative
+          (0 until 3).foreach { _ => System.gc(); Thread.sleep(50) }
+          Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+        }
+        var snapD: DeltaTable.Snapshot = null
+        val tD = med3 { snapD = DeltaTable.snapshot(spark, dTbl) }
+        // retained-heap bound MEASURED, not asserted: hold 20 resolved
+        // snapshots and divide the heap delta — a single snapshot's
+        // footprint (~100s of KB) sits under System.gc() noise
+        val h0 = heapUsed()
+        val held = (0 until 20).map(_ => DeltaTable.snapshot(spark, dTbl))
+        val hD = ((heapUsed() - h0) / held.size).max(0L)
+        val tDmid = med3 { DeltaTable.snapshot(spark, dTbl, 995L) }
+        val t0r = System.nanoTime()
+        val nRead = DeltaTable.read(spark, dTbl).count()
+        val tDread = (System.nanoTime() - t0r) / 1e9
+        var snapI: IcebergTable.Snapshot = null
+        val tI = med3 { snapI = IcebergTable.snapshot(iTbl) }
+        val h1 = heapUsed()
+        val heldI = (0 until 20).map(_ => IcebergTable.snapshot(iTbl))
+        val hI = ((heapUsed() - h1) / heldI.size).max(0L)
+        require(held.forall(_.version == snapD.version) &&
+          heldI.forall(_.snapshotId == snapI.snapshotId))
+        interopChunk =
+          s""","interop":{"delta_commits":${StressFixtures.Commits},"delta_live_files":${snapD.adds.size},"delta_snapshot_sec":${jnum(tD)},"delta_snapshot_v995_sec":${jnum(tDmid)},"delta_read_1000files_sec":${jnum(tDread)},"delta_read_rows":$nRead,"delta_snapshot_heap_bytes":$hD,"iceberg_manifests":${StressFixtures.IcebergManifests},"iceberg_live_files":${snapI.files.size},"iceberg_snapshot_sec":${jnum(tI)},"iceberg_snapshot_heap_bytes":$hI}"""
+        System.err.println(f"[bench] interop stress: delta snapshot ${tD}%.2f s (v995 ${tDmid}%.2f s, heap ${hD / 1024}%d KiB), iceberg snapshot ${tI}%.2f s (heap ${hI / 1024}%d KiB); elapsed ${elapsedSec}%.0f s")
+        flush(Some("in-progress"))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] interop stress failed: ${e.getMessage}")
+      }
+    }
+
     // Scale sections: median-of-n per heavy query at each scale dir,
     // plus the per-decade exponent vs this run's sf0.1 median. An
     // ONLY subset gates these too — a local-iteration run must not
@@ -534,7 +594,7 @@ object Bench {
     val scale10Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE10_RUNS", "3").toInt
     // finalization reserve: probe_end + final render/flush + session
     // stop must always fit after the last accepted pass
-    val finalReserveSec = 90.0
+    val finalReserveSec = finalReserveSecEarly
 
     /** Bounded per-section quiet-wait (the start-of-bench gate cannot
       * police load that arrives during the main suite); capped low —
