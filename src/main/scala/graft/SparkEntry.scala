@@ -288,6 +288,7 @@ object SparkEntry {
     "j13_iceberg_v2"          -> graft.operators.IngestQueries.icebergV2Read _,
     "j14_delta_dv"            -> graft.operators.IngestQueries.deltaDvRead _,
     "j15_iceberg_eqdel"       -> graft.operators.IngestQueries.icebergEqRead _,
+    "j16_delta_dv_cdc"        -> graft.operators.IngestQueries.deltaDvChanges _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1466,6 +1467,28 @@ object SparkEntry {
       |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
       |       5::BIGINT AS n_files
       |FROM snap""".stripMargin,
+    // j16: DV-aware CDC by the ordinal rules — v1 emits each shard's
+    // first-generation deletions, v2 emits ONLY shard 0's bitmap
+    // growth (%3==1 minus the already-deleted %5==2); everything is
+    // a delete (DVs only remove rows)
+    "j16_delta_dv_cdc" -> raw"""
+      |WITH d AS (SELECT doc_id, n_chars, doc_id % 4 AS shard,
+      |             row_number() OVER (PARTITION BY doc_id % 4
+      |                                ORDER BY doc_id) - 1 AS ridx
+      |           FROM documents WHERE doc_id < 400),
+      |ch AS (
+      |  SELECT 1 AS version, 'delete' AS change_type, doc_id, n_chars
+      |  FROM d WHERE (shard IN (0, 2) AND ridx % 5 = 2)
+      |           OR (shard = 1 AND ridx % 7 = 3)
+      |  UNION ALL
+      |  SELECT 2, 'delete', doc_id, n_chars
+      |  FROM d WHERE shard = 0 AND ridx % 3 = 1 AND ridx % 5 != 2)
+      |SELECT version::BIGINT AS version, change_type,
+      |       count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars
+      |FROM ch GROUP BY version, change_type
+      |ORDER BY version, change_type""".stripMargin,
     // j11: the s2 snapshot by its generating rules — surviving shards
     // (doc_id % 4 != 1) plus the reinserted torn-rule copies from the
     // FULL base corpus; n_files pins the 4-file active set (3

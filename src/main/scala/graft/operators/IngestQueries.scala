@@ -392,6 +392,32 @@ object IngestQueries {
       .select(lit(snap.snapshotId).as("snapshot_id"), col("*"))
   }
 
+  /** j16: DV-AWARE DERIVED CDC — the change feed over a
+    * deletion-vector Delta table (composing j12's file-diff algebra
+    * with j14's DV read path): a DV commit re-adds the SAME file
+    * path with a grown bitmap, so a plain path diff sees nothing —
+    * instead, a path whose DV differs between endpoints counts as
+    * toggled on both sides, each side reading through ITS OWN
+    * snapshot's DV, and the multiset diff surfaces exactly the
+    * newly-deleted rows. v1 = the DV-introduction commit (three
+    * shards' first deletions), v2 = shard 0's REPLACEMENT bitmap
+    * growing from `ridx%5==2` to `∪ ridx%3==1` — the feed must emit
+    * only the delta (`%3==1` minus the already-deleted `%5==2`),
+    * never re-emit v1's deletions. All rows classify as deletes (a
+    * DV can only remove); the oracle recomputes both generations
+    * from the ordinal rules.
+    */
+  def deltaDvChanges(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureDeltaDvCdc(s, dir)
+    graft.sources.DeltaTable.changes(s, table, 0L, 2L, Seq("doc_id"))
+      .groupBy(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

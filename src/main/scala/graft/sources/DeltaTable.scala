@@ -318,19 +318,23 @@ object DeltaTable {
     (fromV until toV).map { v =>
       val a = snaps(v)
       val b = snaps(v + 1)
-      // a DV commit changes ROWS without toggling file paths — the
-      // file-diff algebra would silently miss those deletes, so a
-      // deletion-vector table refuses CDC loudly (read snapshots
-      // instead); lifting this needs DV-aware diffing (compare each
-      // path's DV generation, diff the bitmap delta)
-      require((a.adds ++ b.adds).forall(_.dv.isEmpty),
-        s"change feed over deletion-vector table $table unsupported: a DV " +
-          "commit re-adds a file path with more rows deleted, which a " +
-          "file-path diff cannot see")
-      val af = a.adds.map(_.path).toSet
-      val bf = b.adds.map(_.path).toSet
-      val added = b.adds.filterNot(x => af.contains(x.path)).sortBy(_.path)
-      val removed = a.adds.filterNot(x => bf.contains(x.path)).sortBy(_.path)
+      val af = a.adds.map(x => x.path -> x).toMap
+      val bf = b.adds.map(x => x.path -> x).toMap
+      // a DELETION-VECTOR commit changes rows WITHOUT toggling file
+      // paths (the same path re-adds with a new DV generation), so a
+      // path whose DV differs between the endpoints counts as
+      // toggled on BOTH sides — each side then reads through ITS OWN
+      // snapshot's DV ([[readSubset]]), and the multiset diff sees
+      // exactly the newly-deleted rows (DVs only grow, so the diff
+      // classifies them as deletes; a same-commit add of replacement
+      // rows classifies as update/insert through the ordinary path)
+      val dvChanged = b.adds
+        .filter(x => af.get(x.path).exists(old => old.dv != x.dv))
+        .sortBy(_.path)
+      val added = (b.adds.filterNot(x => af.contains(x.path)) ++ dvChanged)
+        .sortBy(_.path)
+      val removed = (a.adds.filterNot(x => bf.contains(x.path)) ++
+        dvChanged.map(x => af(x.path))).sortBy(_.path)
       // an empty side still needs the row shape — the OTHER side's
       // toggled files at zero rows; a no-op commit falls back to the
       // snapshot's own schema frame. The step's scan set never
@@ -338,8 +342,9 @@ object DeltaTable {
       // discipline).
       def side(own: Seq[AddFile], ownSnap: Snapshot,
           other: Seq[AddFile], otherSnap: Snapshot): DataFrame =
-        if (own.nonEmpty) readAdds(s, table, own, ownSnap)
-        else if (other.nonEmpty) readAdds(s, table, other, otherSnap).limit(0)
+        if (own.nonEmpty) readSubset(s, table, own, ownSnap)
+        else if (other.nonEmpty)
+          readSubset(s, table, other, otherSnap).limit(0)
         else read(s, table, v + 1).limit(0)
       SnapshotTable.frameDiffChanges(s,
         added = side(added, b, removed, a),
@@ -363,8 +368,18 @@ object DeltaTable {
   def read(s: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val snap = snapshot(s, table, version)
     require(snap.files.nonEmpty, s"empty snapshot ${snap.version} at $table")
-    val dvAdds = snap.adds.filter(_.dv.isDefined)
-    val base = readAdds(s, table, snap.adds, snap,
+    readSubset(s, table, snap.adds, snap)
+  }
+
+  /** Read a subset of a snapshot's live files with EVERY read-path
+    * discipline applied — partition reconstitution, column mapping,
+    * AND deletion-vector subtraction. The kernel behind [[read]]
+    * (all adds) and the DV-aware [[changes]] sides (a commit's
+    * toggled adds, each side under its own snapshot's DVs). */
+  private def readSubset(s: SparkSession, table: String, adds: Seq[AddFile],
+      snap: Snapshot): DataFrame = {
+    val dvAdds = adds.filter(_.dv.isDefined)
+    val base = readAdds(s, table, adds, snap,
       withOrdinals = dvAdds.nonEmpty)
     if (dvAdds.isEmpty) base
     else {

@@ -505,7 +505,28 @@ object IngestFixtures {
   def ensureDeltaDv(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("deltadv", dir)
     val rows = docRows(s, dir)
-    Fixtures.ensureAtomic(out, 6) { tmp =>
+    Fixtures.ensureAtomic(out, 6)(tmp => writeDvTable(s, tmp, rows, gen2 = false))
+  }
+
+  /** Second-generation rule for the j16 DV-CDC fixture: shard 0's v2
+    * DV GROWS to `ridx % 5 == DvRem || ridx % 3 == 1` — the newly
+    * deleted ordinals (`% 3 == 1` minus the already-deleted
+    * `% 5 == DvRem`) are exactly what the derived change feed must
+    * surface as v2 deletes. */
+  def ensureDeltaDvCdc(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("deltadvcdc", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 6)(tmp => writeDvTable(s, tmp, rows, gen2 = true))
+  }
+
+  /** Shared DV-table writer: v0 plain shards (feature-gated protocol),
+    * v1 the DV commit (two sidecar-packed + one inline descriptor);
+    * `gen2` adds v2 — shard 0 re-added with a GROWN replacement DV in
+    * a new sidecar (DV generations replace, never append). */
+  private def writeDvTable(s: SparkSession, tmp: java.io.File,
+      rows: Array[(Long, String, String, String, Long)],
+      gen2: Boolean): Unit = {
+    {
       val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
       val shards = (0 until 4).map(k => s"file-v0-$k.parquet" ->
         rows.toSeq.filter(_._1 % 4 == k))
@@ -557,6 +578,25 @@ object IngestFixtures {
         removeJson(shards(1)._1),
         addJson(shards(1)._1,
           dvJson("i", encInline, -1, inlineBytes.length, dv1.length.toLong))))
+      if (gen2) {
+        // v2: shard 0's DV grows — the REPLACEMENT bitmap (old ∪ new
+        // deletions) ships in a fresh sidecar under a new UUID, the
+        // generation discipline real writers follow
+        val dv0b = posOf(shards(0)._2.size,
+          i => i % 5 == DvRem || i % 3 == 1)
+        val uuid2 = new java.util.UUID(0x6772616674647634L, 0x1400000000000002L)
+        val ub2 = java.nio.ByteBuffer.allocate(16)
+        ub2.putLong(uuid2.getMostSignificantBits)
+        ub2.putLong(uuid2.getLeastSignificantBits)
+        val encUuid2 = DeltaDv.z85Encode(ub2.array())
+        val metas2 = DeltaDv.writeDvFile(
+          new java.io.File(tmp, s"deletion_vector_$uuid2.bin"), Seq(dv0b))
+        commit(2L, Seq(
+          """{"commitInfo":{"operation":"DELETE","operationParameters":{}}}""",
+          removeJson(shards(0)._1),
+          addJson(shards(0)._1,
+            dvJson("u", encUuid2, metas2(0)._1, metas2(0)._2, metas2(0)._3))))
+      }
     }
   }
 

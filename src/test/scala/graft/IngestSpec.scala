@@ -598,6 +598,38 @@ class IngestSpec extends SparkSpec {
     assert(e2.getMessage.contains("timestampNtz"), e2.getMessage)
   }
 
+  test("j16: DV-aware CDC — a grown deletion vector surfaces only the newly-deleted rows") {
+    import graft.sources.{DeltaTable, IngestFixtures}
+    val table = IngestFixtures.ensureDeltaDvCdc(spark, Sf)
+    val base = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def ruleIds(f: (Long, Int) => Boolean): Set[Long] =
+      base.groupBy(_ % 4).flatMap { case (k, ids) =>
+        ids.sorted.zipWithIndex.collect {
+          case (id, ridx) if f(k, ridx) => id }
+      }.toSet
+    // v2 diffs ONLY the delta of shard 0's replacement bitmap — the
+    // already-deleted %5 ordinals must NOT re-emit
+    val v2 = DeltaTable.changes(spark, table, 1L, 2L, Seq("doc_id"))
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    graft.Caches.clear()
+    val wantV2 = ruleIds((k, ridx) =>
+      k == 0 && ridx % 3 == 1 && ridx % 5 != IngestFixtures.DvRem)
+    assert(wantV2.nonEmpty && v2.map(_._1).toSet == wantV2)
+    assert(v2.forall(_._2 == "delete"))
+    // v1: each shard's first-generation deletions, deletes only
+    val v1 = DeltaTable.changes(spark, table, 0L, 1L, Seq("doc_id"))
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    graft.Caches.clear()
+    val wantV1 = ruleIds((k, ridx) =>
+      ((k == 0 || k == 2) && ridx % 5 == IngestFixtures.DvRem) ||
+        (k == 1 && ridx % IngestFixtures.TornMod == IngestFixtures.TornRem))
+    assert(v1.map(_._1).toSet == wantV1 && v1.forall(_._2 == "delete"))
+  }
+
   test("j15: equality deletes — sequence scoping protects same-commit re-inserts of the key") {
     import graft.sources.{IcebergTable, IngestFixtures}
     val table = IngestFixtures.ensureIcebergEq(spark, Sf)
