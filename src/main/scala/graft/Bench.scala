@@ -178,6 +178,32 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-BANDWIDTH probe (r14: the d4 finding — in the r14 run-1
+    * artifact the spill-heavy sf10 primaries (d4 ~18 GB shuffle+spill
+    * per run) inflated 1.4-1.8x over r13 while the ALU-bound spin
+    * probe and the pure-CPU g6 stayed flat; neither loadavg nor
+    * [[probeSec]] can see a co-tenant saturating the host's MEMORY
+    * CONTROLLERS, but a spill pipeline is bandwidth-bound): one
+    * thread copies a 512 MiB long array 4 times; reported as GB/s
+    * touched (read+write). A quiet-box constant (recorded per round
+    * in SURVEY §7) — a depressed value DATES bandwidth contention the
+    * way probeSec dates CPU contention.
+    */
+  private def bwProbeGBs(): Double = {
+    val n = 64 << 20 // longs → 512 MiB per array
+    val a = new Array[Long](n)
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i; i += 1 }
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 4) { System.arraycopy(a, 0, b, 0, n); pass += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    // publish so the copies cannot be elided
+    if (b(n - 1) == -1L) System.err.println("")
+    4.0 * 2 * 8 * n / sec / 1e9
+  }
+
   private def jnum(v: Double): String = if (v.isNaN) "null" else v.toString
 
   private def jarr(xs: Seq[Double]): String = xs.map(jnum).mkString("[", ",", "]")
@@ -234,6 +260,7 @@ object Bench {
     }
     val contended = loadStart > loadGate
     val probeStart = probeSec()
+    val bwStart = bwProbeGBs()
     // warm up the JVM/codegen/parquet paths so the first timed query
     // doesn't absorb session startup. (The scale-proxy dir carries
     // only documents/embeddings/part — fall back for direct runs
@@ -341,6 +368,7 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
     val dropped = scala.collection.mutable.ArrayBuffer[String]()
     var probeEndV = Double.NaN
+    var bwEndV = Double.NaN
     var interopChunk = ""
     // finalization reserve: probe_end + final render/flush + session
     // stop must always fit after the last accepted pass
@@ -361,7 +389,11 @@ object Bench {
       val freshByName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
       val loadPasses = scala.collection.mutable.ArrayBuffer[Double]()
       val probePasses = scala.collection.mutable.ArrayBuffer[Double]()
-      def sample(): Unit = { loadPasses += loadAvg(); probePasses += probeSec() }
+      val bwPasses = scala.collection.mutable.ArrayBuffer[Double]()
+      def sample(): Unit = {
+        loadPasses += loadAvg(); probePasses += probeSec()
+        bwPasses += bwProbeGBs()
+      }
       def primaryOf(name: String): Vector[Double] =
         if (freshPrimary) freshByName.getOrElse(name, Vector.empty)
         else byName.getOrElse(name, Vector.empty)
@@ -400,7 +432,7 @@ object Bench {
               ",\"exponent\":" + jnum(exp) + secondary +
               ",\"runs_raw\":" + jarr(primary) + "}"
           }
-        s""","$label":{"dir":"$dir","runs":$runsN,"interleaved":$interleaved,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
+        s""","$label":{"dir":"$dir","runs":$runsN,"interleaved":$interleaved,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"bw_gbs":${jarr(bwPasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
       }
     }
     val sections = scala.collection.mutable.ArrayBuffer[SectionData]()
@@ -434,7 +466,7 @@ object Bench {
       val drp = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialField = partialReason.map(r => s""","partial":"$r"""").getOrElse("")
       val sects = interopChunk + sections.toSeq.map(_.render()).mkString
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":${loadAvg()},"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"budget_sec":$budgetSec,"budget_dropped":$drp,"elapsed_sec":${jnum(math.rint(elapsedSec * 10) / 10)},"sf":"$sfDir"$partialField$sects}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":${loadAvg()},"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"bw_start_gbs":${jnum(bwStart)},"bw_end_gbs":${jnum(bwEndV)},"budget_sec":$budgetSec,"budget_dropped":$drp,"elapsed_sec":${jnum(math.rint(elapsedSec * 10) / 10)},"sf":"$sfDir"$partialField$sects}"""
     }
 
     /** COMPACT summary as the FINAL stdout line (r8 VERDICT #5): the
@@ -724,6 +756,7 @@ object Bench {
     // quiet probe_end with a quiet probe in every scale section means
     // no co-tenant arrived during the measured windows
     probeEndV = probeSec()
+    bwEndV = bwProbeGBs()
     finishedNormally = true
     println(renderJson(None))
     flush(None)
