@@ -289,6 +289,7 @@ object SparkEntry {
     "j14_delta_dv"            -> graft.operators.IngestQueries.deltaDvRead _,
     "j15_iceberg_eqdel"       -> graft.operators.IngestQueries.icebergEqRead _,
     "j16_delta_dv_cdc"        -> graft.operators.IngestQueries.deltaDvChanges _,
+    "j17_delta_skipping"      -> graft.operators.IngestQueries.deltaSkippingRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1489,6 +1490,16 @@ object SparkEntry {
       |       sum(n_chars)::BIGINT AS sum_n_chars
       |FROM ch GROUP BY version, change_type
       |ORDER BY version, change_type""".stripMargin,
+    // j17: data skipping is a SUPERSET scan + the caller's predicate,
+    // so the oracle is simply the range aggregate — a wrong prune
+    // LOSES rows and diverges; the opened-file set is spec territory
+    "j17_delta_skipping" -> raw"""
+      |SELECT count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold
+      |FROM documents WHERE doc_id BETWEEN 20 AND 70""".stripMargin,
     // j11: the s2 snapshot by its generating rules — surviving shards
     // (doc_id % 4 != 1) plus the reinserted torn-rule copies from the
     // FULL base corpus; n_files pins the 4-file active set (3

@@ -418,6 +418,27 @@ object IngestQueries {
       .orderBy(col("version"), col("change_type"))
   }
 
+  /** j17: DELTA DATA SKIPPING — the foreign-table twin of g44's
+    * file-stats pruning, read from the `add.stats` JSON real writers
+    * attach: a [20, 70] probe over range-clustered bucket files must
+    * open only the intersecting stat'd files plus the one
+    * deliberately stat-LESS file (the conservative-keep witness —
+    * IngestSpec pins the exact inputFiles set); the oracle checks the
+    * VALUES, exactly how skipping slots under the engine's own
+    * filter (a wrong prune loses rows and diverges the hash, an
+    * over-keep only wastes IO).
+    */
+  def deltaSkippingRead(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureDeltaStats(s, dir)
+    graft.sources.DeltaTable.readPruned(s, table, "doc_id", 20L, 70L)
+      .filter(col("doc_id").between(20, 70))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

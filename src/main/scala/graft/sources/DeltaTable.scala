@@ -64,7 +64,7 @@ object DeltaTable {
     * log — the data files do not contain them), and its deletion
     * vector when rows were deleted merge-on-read. */
   final case class AddFile(path: String, partitionValues: Map[String, String],
-    dv: Option[Dv] = None)
+    dv: Option[Dv] = None, statsJson: Option[String] = None)
 
   final case class Snapshot(version: Long, adds: Seq[AddFile],
       minReaderVersion: Int, partitionColumns: Seq[String],
@@ -196,7 +196,10 @@ object DeltaTable {
       val dvCol = if (addFields.contains("deletionVector"))
         col("add.deletionVector") else lit(null)
           .cast("struct<storageType:string,pathOrInlineDv:string,offset:int,sizeInBytes:int,cardinality:bigint>")
-      cp.select(col("add.path"), pvCol, dvCol).where(col("add").isNotNull)
+      val statsCol = if (addFields.contains("stats")) col("add.stats")
+        else lit(null).cast("string")
+      cp.select(col("add.path"), pvCol, dvCol, statsCol)
+        .where(col("add").isNotNull)
         .collect().foreach { r =>
           val pv = Option(r.getMap[String, String](1))
             .map(_.toMap).getOrElse(Map.empty[String, String])
@@ -205,7 +208,8 @@ object DeltaTable {
             Some(Dv(d.getString(0), d.getString(1),
               if (d.isNullAt(2)) -1 else d.getInt(2), d.getInt(3), d.getLong(4)))
           }
-          active(r.getString(0)) = AddFile(r.getString(0), pv, dv)
+          val stats = if (r.isNullAt(3)) None else Option(r.getString(3))
+          active(r.getString(0)) = AddFile(r.getString(0), pv, dv, stats)
         }
       if (cols.contains("remove"))
         cp.select(col("remove.path")).where(col("remove").isNotNull)
@@ -261,8 +265,10 @@ object DeltaTable {
                   d.get("offset").asInt() else -1,
                 d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
             }
+            val stats = Option(a.get("stats")).filterNot(_.isNull)
+              .map(_.asText())
             val p = a.get("path").asText()
-            active(p) = AddFile(p, pv.toMap, dv)
+            active(p) = AddFile(p, pv.toMap, dv, stats)
           }
           if (n.has("remove")) active -= n.get("remove").get("path").asText()
         }
@@ -369,6 +375,48 @@ object DeltaTable {
     val snap = snapshot(s, table, version)
     require(snap.files.nonEmpty, s"empty snapshot ${snap.version} at $table")
     readSubset(s, table, snap.adds, snap)
+  }
+
+  /** FILE-STATS DATA SKIPPING on a FOREIGN Delta table — Delta's own
+    * data-skipping lever, read from the `add.stats` JSON real writers
+    * attach (numRecords/minValues/maxValues; delta.io PROTOCOL.md
+    * "Per-file Statistics"), mirroring [[SnapshotTable.readPruned]]'s
+    * (g44) strictly conservative contract in both directions:
+    *
+    *  - a file with NO stats, stats not covering `column`, non-numeric
+    *    bounds, or TORN stats JSON is KEPT (degrades to reading,
+    *    never to wrong answers);
+    *  - the result is a SUPERSET scan — the caller applies the real
+    *    predicate on top, so a corrupt stats string can only change
+    *    which files open, never which rows qualify.
+    *
+    * The kept files read through [[readSubset]], so skipping composes
+    * with partition reconstitution, column mapping and deletion
+    * vectors. Stats are manifest-grade driver metadata — the same
+    * bound as the snapshot's path set.
+    */
+  def readPruned(s: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, version: Long = -1L): DataFrame = {
+    val snap = snapshot(s, table, version)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val keep = snap.adds.filter { a =>
+      a.statsJson match {
+        case None => true // conservative: no stats → read it
+        case Some(js) =>
+          try {
+            val n = om.readTree(js)
+            val mn = Option(n.get("minValues")).flatMap(v => Option(v.get(column)))
+            val mx = Option(n.get("maxValues")).flatMap(v => Option(v.get(column)))
+            (mn, mx) match {
+              case (Some(a0), Some(b0)) if a0.isNumber && b0.isNumber =>
+                b0.asLong() >= lo && a0.asLong() <= hi
+              case _ => true // column not covered → conservative
+            }
+          } catch { case _: Exception => true } // torn stats → read it
+      }
+    }
+    if (keep.isEmpty) read(s, table, version).limit(0)
+    else readSubset(s, table, keep, snap)
   }
 
   /** Read a subset of a snapshot's live files with EVERY read-path

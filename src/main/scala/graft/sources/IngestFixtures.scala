@@ -600,6 +600,52 @@ object IngestFixtures {
     }
   }
 
+  /** Bucket width for the j17 Delta data-skipping fixture: file k
+    * holds `doc_id ∈ [k*DeltaStatsBucket, (k+1)*DeltaStatsBucket)` —
+    * range-clustered, so tight min/max stats prune hard. */
+  val DeltaStatsBucket = 50L
+
+  /** Which bucket's add carries NO stats (the conservative-keep
+    * witness: it must open on EVERY range probe). */
+  val DeltaStatsNoStatsBucket = 3L
+
+  /** Delta DATA-SKIPPING fixture for j17 (delta.io PROTOCOL.md
+    * "Per-file Statistics"): one commit, range-clustered bucket
+    * files, each add carrying the `stats` JSON real writers attach
+    * (`numRecords`/`minValues`/`maxValues` on doc_id) — EXCEPT bucket
+    * [[DeltaStatsNoStatsBucket]], whose add has no stats and must be
+    * kept by every probe (readPruned's conservative contract). */
+  def ensureDeltaStats(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("deltastats", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 6) { tmp =>
+      val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
+      val buckets = rows.toSeq.groupBy(_._1 / DeltaStatsBucket).toSeq
+        .sortBy(_._1).filter(_._2.nonEmpty)
+      val files = buckets.map { case (k, rs) =>
+        (k, s"file-bucket-$k.parquet", rs,
+          writeOneParquet(s, tmp, s"file-bucket-$k.parquet", rs))
+      }
+      def statsJson(rs: Seq[(Long, String, String, String, Long)]): String = {
+        val ids = rs.map(_._1)
+        s"""{\\"numRecords\\":${rs.size},\\"minValues\\":{\\"doc_id\\":${ids.min}},\\"maxValues\\":{\\"doc_id\\":${ids.max}}}"""
+      }
+      def addJson(k: Long, name: String,
+          rs: Seq[(Long, String, String, String, Long)], size: Long) = {
+        val stats = if (k == DeltaStatsNoStatsBucket) ""
+          else s""","stats":"${statsJson(rs)}""""
+        s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":1700000000000,"dataChange":true$stats}}"""
+      }
+      val rawSchema =
+        """{"type":"struct","fields":[{"name":"doc_id","type":"long","nullable":false,"metadata":{}},{"name":"text","type":"string","nullable":true,"metadata":{}},{"name":"lang","type":"string","nullable":true,"metadata":{}},{"name":"source","type":"string","nullable":true,"metadata":{}},{"name":"n_chars","type":"long","nullable":true,"metadata":{}}]}"""
+      Files.write(new java.io.File(log, f"${0L}%020d.json").toPath,
+        ((Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"graft-delta-stats","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(rawSchema)}","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""") ++
+          files.map { case (k, n, rs, sz) => addJson(k, n, rs, sz) })
+          .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   /** Iceberg-v1 Hadoop-table fixture for j11 (public spec layout —
     * iceberg.apache.org/spec; read back by [[IcebergTable]]). Two
     * snapshots exercise the reader's whole resolution chain and the

@@ -630,6 +630,33 @@ class IngestSpec extends SparkSpec {
     assert(v1.map(_._1).toSet == wantV1 && v1.forall(_._2 == "delete"))
   }
 
+  test("j17: delta data skipping — stats prune files, the stat-less file always opens") {
+    import graft.sources.{DeltaTable, IngestFixtures}
+    val table = IngestFixtures.ensureDeltaStats(spark, Sf)
+    val all = DeltaTable.snapshot(spark, table).files.toSet
+    def opened(lo: Long, hi: Long): Set[String] =
+      DeltaTable.readPruned(spark, table, "doc_id", lo, hi)
+        .inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val noStats = s"file-bucket-${IngestFixtures.DeltaStatsNoStatsBucket}.parquet"
+    // [20, 70] spans buckets 0 and 1; bucket 3 opens ONLY because it
+    // carries no stats (the conservative contract)
+    val o = opened(20, 70)
+    assert(o == Set("file-bucket-0.parquet", "file-bucket-1.parquet", noStats),
+      o.toString)
+    assert(o.size < all.size) // skipping actually skipped
+    // a far probe opens only its bucket + the stat-less witness
+    val far = opened(350, 360)
+    assert(far == Set("file-bucket-7.parquet", noStats), far.toString)
+    // values survive the prune: superset scan + caller predicate
+    val got = DeltaTable.readPruned(spark, table, "doc_id", 20, 70)
+      .filter(col("doc_id").between(20, 70))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = Tables.documents(spark, Sf)
+      .filter(col("doc_id").between(20, 70))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("j15: equality deletes — sequence scoping protects same-commit re-inserts of the key") {
     import graft.sources.{IcebergTable, IngestFixtures}
     val table = IngestFixtures.ensureIcebergEq(spark, Sf)
