@@ -683,6 +683,59 @@ object EventStreams {
         .write.mode("errorifexists").parquet(s"$feedDir/v${v + 1}")
     }
 
+  /** EXACTLY-ONCE TAIL of a FOREIGN Delta table — the deployed
+    * incremental-consumption shape for tables someone else writes
+    * (Debezium-style CDC without any writer cooperation): each call
+    * advances a durable CURSOR from the last-processed version to
+    * the table's latest, deriving each step's change rows
+    * ([[graft.sources.DeltaTable.changes]] — partitioned and
+    * deletion-vector tables included) and appending them to the sink
+    * table under a PER-VERSION txnId
+    * ([[graft.sources.SnapshotTable.commitOnce]]). Per-version
+    * granularity is what makes the crash algebra exact: a crash
+    * between a step's sink commit and the cursor write replays that
+    * step on the next call, commitOnce finds its marker (or the
+    * manifest's txn header) and skips, and the cursor repairs — the
+    * sink advances EXACTLY once per foreign version no matter where
+    * the tailer dies or how many foreign commits land in between
+    * (a range-grain txnId would double-append the overlap when the
+    * range endpoint moved between crash and retry). The cursor write
+    * is atomic (temp + ATOMIC_MOVE). Returns the new cursor.
+    *
+    * Scale: each call's cost is |changed rows in (cursor, latest]|,
+    * never a table rescan — the j12 incrementality contract carried
+    * to the consumption side.
+    */
+  def deltaTailOnce(s: org.apache.spark.sql.SparkSession,
+      foreignTable: String, sinkTable: String, cursorFile: String,
+      keyCols: Seq[String]): Long = {
+    import graft.sources.{DeltaTable, SnapshotTable}
+    val cp = java.nio.file.Paths.get(cursorFile)
+    val last =
+      if (java.nio.file.Files.exists(cp))
+        new String(java.nio.file.Files.readAllBytes(cp), "UTF-8").trim.toLong
+      else 0L // v0 is the bootstrap snapshot; the feed starts after it
+    val latest = DeltaTable.latestVersion(foreignTable)
+    require(latest >= 0, s"not a delta table: $foreignTable")
+    var cursor = last
+    while (cursor < latest) {
+      val v = cursor + 1
+      SnapshotTable.commitOnce(s, sinkTable,
+        DeltaTable.changes(s, foreignTable, v - 1, v, keyCols),
+        txnId = s"delta-tail-v$v")
+      graft.Caches.clear()
+      val tmp = java.nio.file.Paths.get(
+        cursorFile + s".${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.createDirectories(cp.toAbsolutePath.getParent)
+      java.nio.file.Files.write(tmp, s"$v\n".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, cp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      cursor = v
+    }
+    cursor
+  }
+
   /** The change-feed stream over a [[changeFeedExport]] directory:
     * each trigger processes only newly-dropped change files. */
   def changeFeedStream(spark: org.apache.spark.sql.SparkSession,

@@ -371,6 +371,36 @@ class StreamingSpec extends SparkSpec {
     assert(all.sorted == first)
   }
 
+  test("exactly-once foreign-Delta tail: per-version markers survive replay and cursor loss") {
+    import graft.sources.{DeltaTable, IngestFixtures, SnapshotTable}
+    val foreign = IngestFixtures.ensureDeltaCdc(spark, Sf)
+    val sink = scratchDir("graft_dtail_sink")
+    val cursor = scratchDir("graft_dtail_cur") + "/cursor"
+    // first tail: v1 (the correction commit's four classes) and v2
+    // (pure compaction → ZERO rows, but still exactly one sink
+    // version — the cursor only advances through committed steps)
+    val c1 = EventStreams.deltaTailOnce(spark, foreign, sink, cursor, Seq("doc_id"))
+    assert(c1 == 2L)
+    val rows1 = SnapshotTable.read(spark, sink).count()
+    val expected = DeltaTable.changes(spark, foreign, 0L, 2L, Seq("doc_id")).count()
+    graft.Caches.clear()
+    assert(rows1 > 0 && rows1 == expected)
+    assert(SnapshotTable.latestVersion(sink) == 1L) // one sink version per foreign version
+    // replay with the cursor intact: cheap no-op
+    assert(EventStreams.deltaTailOnce(spark, foreign, sink, cursor, Seq("doc_id")) == 2L)
+    assert(SnapshotTable.read(spark, sink).count() == rows1)
+    // the crash case: cursor lost AFTER the sink commits — the
+    // per-version txn markers make the full replay a no-op and the
+    // cursor repairs to latest
+    java.nio.file.Files.delete(java.nio.file.Paths.get(cursor))
+    assert(EventStreams.deltaTailOnce(spark, foreign, sink, cursor, Seq("doc_id")) == 2L)
+    assert(SnapshotTable.read(spark, sink).count() == rows1)
+    assert(SnapshotTable.latestVersion(sink) == 1L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cursor)), "UTF-8").trim == "2")
+    graft.Caches.clear()
+  }
+
   test("streaming IVM: the g40 change feed drives the g41 view across a crash/replay boundary") {
     import graft.sources.SnapshotTable
     // the SAME copy-on-write scenario batch g41 maintains (v0 base,
