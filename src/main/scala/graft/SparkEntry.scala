@@ -290,6 +290,7 @@ object SparkEntry {
     "j15_iceberg_eqdel"       -> graft.operators.IngestQueries.icebergEqRead _,
     "j16_delta_dv_cdc"        -> graft.operators.IngestQueries.deltaDvChanges _,
     "j17_delta_skipping"      -> graft.operators.IngestQueries.deltaSkippingRead _,
+    "j18_delta_v2cp"          -> graft.operators.IngestQueries.deltaV2cpRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1500,6 +1501,24 @@ object SparkEntry {
       |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
       |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold
       |FROM documents WHERE doc_id BETWEEN 20 AND 70""".stripMargin,
+    // j18: same generating rules as j10 (the logical history is
+    // identical; only the checkpoint ENCODING differs) — full corpus
+    // + reinserted torn copies, 5 live files, replayed version 2
+    "j18_delta_v2cp" -> raw"""
+      |WITH base AS (SELECT doc_id, text, n_chars FROM documents
+      |              WHERE doc_id < 400),
+      |snap AS (SELECT doc_id, text, n_chars FROM base
+      |         UNION ALL
+      |         SELECT doc_id + 1000000, text, n_chars FROM base
+      |         WHERE doc_id % 7 = 3)
+      |SELECT 2::BIGINT AS snapshot_version,
+      |       count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       5::BIGINT AS n_files
+      |FROM snap""".stripMargin,
     // j11: the s2 snapshot by its generating rules — surviving shards
     // (doc_id % 4 != 1) plus the reinserted torn-rule copies from the
     // FULL base corpus; n_files pins the 4-file active set (3

@@ -439,6 +439,32 @@ object IngestQueries {
         sum(fold32(col("text"))).as("text_fold"))
   }
 
+  /** j18: DELTA V2 CHECKPOINTS — the UUID-named checkpoint whose
+    * `sidecar` rows delegate the add/remove state to parquet files
+    * under `_delta_log/_sidecars/` (the shape modern writers emit
+    * beside deletion vectors), with `checkpointMetadata.version`
+    * integrity-checked against the file name. Both pre-checkpoint
+    * commit JSONs are aged out, so resolving ANY version must
+    * assemble main + sidecars — a reader that ignores sidecar rows
+    * sees an EMPTY add state and fails loudly rather than
+    * miscounting; one that reads only one sidecar loses two shards
+    * and diverges the hash. Same audit + oracle shape as j10 (the
+    * logical history is identical — only the checkpoint ENCODING
+    * changed, which is the point).
+    */
+  def deltaV2cpRead(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureDeltaV2cp(s, dir)
+    val snap = graft.sources.DeltaTable.snapshot(s, table)
+    graft.sources.DeltaTable.read(s, table)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+      .select(lit(snap.version).as("snapshot_version"), col("*"))
+  }
+
   def orcIngest(s: SparkSession, dir: String): DataFrame =
     s.read.orc(s"${IngestFixtures.ensureOrc(s, dir)}/data")
       .agg(

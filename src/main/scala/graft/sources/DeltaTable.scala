@@ -75,7 +75,8 @@ object DeltaTable {
 
   /** Reader features this implementation actually honors; a
     * minReaderVersion-3 table demanding anything else refuses. */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   private def logDir(table: String): Path = Paths.get(table, "_delta_log")
 
@@ -86,6 +87,10 @@ object DeltaTable {
   // NNN.checkpoint.<part>.<numParts>.parquet — all parts of one
   // version together hold the replayed state
   private val MultiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  // V2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Feature"): one
+  // UUID-named file whose action rows may DELEGATE the add/remove
+  // state to sidecar parquet files under _delta_log/_sidecars/
+  private val V2CpRe = """(\d{20})\.checkpoint\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\.parquet""".r
 
   private def ls(d: Path): Seq[String] = {
     if (!Files.isDirectory(d)) return Nil
@@ -110,7 +115,8 @@ object DeltaTable {
       .groupBy { case (v, np, _) => (v, np) }
       .collect { case ((v, np), parts) if parts.size == np =>
         v -> parts.map(_._3).sorted.toSeq }
-    (single ++ multi).toMap
+    val v2 = names.collect { case n @ V2CpRe(v, _) => v.toLong -> Seq(n) }
+    (single ++ multi ++ v2).toMap
   }
 
   def latestVersion(table: String): Long = {
@@ -190,30 +196,64 @@ object DeltaTable {
             if (!r.isNullAt(2)) configuration = r.getMap[String, String](2).toMap
           }
       }
-      val addFields = fieldsOf("add")
-      val pvCol = if (addFields.contains("partitionValues"))
-        col("add.partitionValues") else map().cast("map<string,string>")
-      val dvCol = if (addFields.contains("deletionVector"))
-        col("add.deletionVector") else lit(null)
-          .cast("struct<storageType:string,pathOrInlineDv:string,offset:int,sizeInBytes:int,cardinality:bigint>")
-      val statsCol = if (addFields.contains("stats")) col("add.stats")
-        else lit(null).cast("string")
-      cp.select(col("add.path"), pvCol, dvCol, statsCol)
-        .where(col("add").isNotNull)
-        .collect().foreach { r =>
-          val pv = Option(r.getMap[String, String](1))
-            .map(_.toMap).getOrElse(Map.empty[String, String])
-          val dv = if (r.isNullAt(2)) None else {
-            val d = r.getStruct(2)
-            Some(Dv(d.getString(0), d.getString(1),
-              if (d.isNullAt(2)) -1 else d.getInt(2), d.getInt(3), d.getLong(4)))
-          }
-          val stats = if (r.isNullAt(3)) None else Option(r.getString(3))
-          active(r.getString(0)) = AddFile(r.getString(0), pv, dv, stats)
+      // add/remove state parse, shared between the checkpoint file
+      // itself and any V2 sidecars (schemas differ per writer — every
+      // optional column is presence-guarded)
+      def applyActions(frame: DataFrame): Unit = {
+        val fcols = frame.columns.toSet
+        def ffields(c: String): Set[String] =
+          frame.schema(c).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSet
+        if (fcols.contains("add")) {
+          val addFields = ffields("add")
+          val pvCol = if (addFields.contains("partitionValues"))
+            col("add.partitionValues") else map().cast("map<string,string>")
+          val dvCol = if (addFields.contains("deletionVector"))
+            col("add.deletionVector") else lit(null)
+              .cast("struct<storageType:string,pathOrInlineDv:string,offset:int,sizeInBytes:int,cardinality:bigint>")
+          val statsCol = if (addFields.contains("stats")) col("add.stats")
+            else lit(null).cast("string")
+          frame.select(col("add.path"), pvCol, dvCol, statsCol)
+            .where(col("add").isNotNull)
+            .collect().foreach { r =>
+              val pv = Option(r.getMap[String, String](1))
+                .map(_.toMap).getOrElse(Map.empty[String, String])
+              val dv = if (r.isNullAt(2)) None else {
+                val d = r.getStruct(2)
+                Some(Dv(d.getString(0), d.getString(1),
+                  if (d.isNullAt(2)) -1 else d.getInt(2), d.getInt(3),
+                  d.getLong(4)))
+              }
+              val stats = if (r.isNullAt(3)) None else Option(r.getString(3))
+              active(r.getString(0)) = AddFile(r.getString(0), pv, dv, stats)
+            }
         }
-      if (cols.contains("remove"))
-        cp.select(col("remove.path")).where(col("remove").isNotNull)
-          .collect().foreach(r => active -= r.getString(0))
+        if (fcols.contains("remove"))
+          frame.select(col("remove.path")).where(col("remove").isNotNull)
+            .collect().foreach(r => active -= r.getString(0))
+      }
+      // V2 checkpoints: the UUID-named file must declare its own
+      // version (integrity — a misnamed copy would replay the wrong
+      // state), and may delegate add/remove state to sidecar parquet
+      // files under _delta_log/_sidecars/ (each must exist: a torn
+      // sidecar set read as partial state would silently lose files)
+      if (cols.contains("checkpointMetadata"))
+        cp.select(col("checkpointMetadata.version"))
+          .where(col("checkpointMetadata").isNotNull).collect()
+          .foreach(r => require(r.getLong(0) == v,
+            s"v2 checkpoint named $v declares version ${r.getLong(0)} at $table"))
+      applyActions(cp)
+      if (cols.contains("sidecar")) {
+        val sidecars = cp.select(col("sidecar.path"))
+          .where(col("sidecar").isNotNull).collect().map(_.getString(0))
+        if (sidecars.nonEmpty) {
+          val paths = sidecars.map(n => dir.resolve("_sidecars").resolve(n))
+          paths.foreach(p => require(Files.exists(p),
+            s"v2 checkpoint sidecar missing at $table: $p"))
+          applyActions(s.read.parquet(paths.map(_.toString): _*))
+        }
+      }
     }
 
     // replay the JSON commits after the checkpoint; every version in

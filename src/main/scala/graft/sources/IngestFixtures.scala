@@ -646,6 +646,94 @@ object IngestFixtures {
     }
   }
 
+  /** Delta V2-CHECKPOINT fixture for j18 (PROTOCOL.md "V2 Checkpoint
+    * Table Feature" — the checkpoint shape modern writers emit
+    * beside deletion vectors): same logical history as the j10
+    * fixture (4 shards → append → compaction-shaped rewrite), but
+    * the checkpoint at v1 is a UUID-named file whose `sidecar` rows
+    * DELEGATE the 5-file add state to two parquet files under
+    * `_delta_log/_sidecars/`, with `checkpointMetadata.version`
+    * declaring its own version; BOTH commit JSONs before it are aged
+    * out, so reading ANY version requires assembling main +
+    * sidecars. Protocol: minReaderVersion 3 + readerFeatures
+    * ["v2Checkpoint"].
+    */
+  def ensureDeltaV2cp(s: SparkSession, dir: String): String = synchronized {
+    import s.implicits._
+    val out = Fixtures.fixtureRoot("deltav2cp", dir)
+    val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 6) { tmp =>
+      val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
+      val sideDir = new java.io.File(log, "_sidecars"); sideDir.mkdirs()
+      val shards = (0 until 4).map(k => s"file-v0-$k.parquet" ->
+        rows.toSeq.filter(_._1 % 4 == k))
+      val reinserted = rows.toSeq.filter(_._1 % TornMod == TornRem)
+        .map { case (id, t, l, src, nc) => (id + DeltaReinsert, t, l, src, nc) }
+      val sizes = (shards :+ ("file-v1-insert.parquet" -> reinserted) :+
+        ("file-v2-rewrite.parquet" -> shards(1)._2))
+        .map { case (n, rs) => n -> writeOneParquet(s, tmp, n, rs) }.toMap
+      def addJson(name: String, dataChange: Boolean) =
+        s"""{"add":{"path":"$name","partitionValues":{},"size":${sizes(name)},"modificationTime":1700000000000,"dataChange":$dataChange}}"""
+      val rawSchema =
+        """{"type":"struct","fields":[{"name":"doc_id","type":"long","nullable":false,"metadata":{}},{"name":"text","type":"string","nullable":true,"metadata":{}},{"name":"lang","type":"string","nullable":true,"metadata":{}},{"name":"source","type":"string","nullable":true,"metadata":{}},{"name":"n_chars","type":"long","nullable":true,"metadata":{}}]}"""
+      def commit(v: Long, lines: Seq[String]): java.io.File = {
+        val f = new java.io.File(log, f"$v%020d.json")
+        Files.write(f.toPath,
+          (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        f
+      }
+      val v0 = commit(0L,
+        Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+          s"""{"metaData":{"id":"graft-delta-v2cp","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(rawSchema)}","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""") ++
+          shards.map(sh => addJson(sh._1, dataChange = true)))
+      val v1 = commit(1L, Seq(
+        """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""",
+        addJson("file-v1-insert.parquet", dataChange = true)))
+      def writeOneDs[T <: Product : org.apache.spark.sql.Encoder](
+          dest: java.io.File, rs: Seq[T]): Long = {
+        val scratch = new java.io.File(log, ".w_" + dest.getName)
+        rs.toDS().coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, dest.toPath)
+        Fixtures.deleteRecursively(scratch)
+        dest.length()
+      }
+      def sideRows(adds: Seq[String]): Seq[CpSideRow] = adds.map(n =>
+        CpSideRow(Some(CpAdd(n, Map.empty, sizes(n), 1700000000000L,
+          dataChange = true)), None))
+      val sc0 = new java.io.File(sideDir, "sc-0.parquet")
+      val sc0len = writeOneDs(sc0, sideRows(shards.take(2).map(_._1)))
+      val sc1 = new java.io.File(sideDir, "sc-1.parquet")
+      val sc1len = writeOneDs(sc1,
+        sideRows(shards.drop(2).map(_._1) :+ "file-v1-insert.parquet"))
+      val uuid = java.util.UUID.nameUUIDFromBytes(
+        "graft-delta-v2cp-checkpoint".getBytes(StandardCharsets.UTF_8))
+      val mainRows = Seq(
+        CpV2Row(Some(CpProtocol(3, 7, Some(Seq("v2Checkpoint")))),
+          None, None, None),
+        CpV2Row(None, Some(CpMeta("graft-delta-v2cp", rawSchema, Nil)),
+          None, None),
+        CpV2Row(None, None, Some(CpCkMeta(1L)), None),
+        CpV2Row(None, None, None,
+          Some(CpSidecarRef("sc-0.parquet", sc0len, 1700000000000L))),
+        CpV2Row(None, None, None,
+          Some(CpSidecarRef("sc-1.parquet", sc1len, 1700000000000L))))
+      writeOneDs(
+        new java.io.File(log, f"${1L}%020d.checkpoint.$uuid.parquet"),
+        mainRows)
+      Files.write(new java.io.File(log, "_last_checkpoint").toPath,
+        """{"version":1,"size":5}""".getBytes(StandardCharsets.UTF_8))
+      commit(2L, Seq(
+        """{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{}}}""",
+        s"""{"remove":{"path":"file-v0-1.parquet","deletionTimestamp":1700000001000,"dataChange":false}}""",
+        addJson("file-v2-rewrite.parquet", dataChange = false)))
+      // metadata cleanup: EVERY pre-checkpoint commit ages out —
+      // main + sidecars are the only path to any version
+      Files.delete(v0.toPath)
+      Files.delete(v1.toPath)
+    }
+  }
+
   /** Iceberg-v1 Hadoop-table fixture for j11 (public spec layout —
     * iceberg.apache.org/spec; read back by [[IcebergTable]]). Two
     * snapshots exercise the reader's whole resolution chain and the
@@ -965,10 +1053,22 @@ object IngestFixtures {
 
 /** Checkpoint-parquet action rows (the delta.io PROTOCOL.md checkpoint
   * schema, reduced to the actions a protocol-1 reader consumes). */
-case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
+  readerFeatures: Option[Seq[String]] = None)
 case class CpMeta(id: String, schemaString: String, partitionColumns: Seq[String])
 case class CpAdd(path: String, partitionValues: Map[String, String],
   size: Long, modificationTime: Long, dataChange: Boolean)
 case class CpRemove(path: String, deletionTimestamp: Long)
 case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
   add: Option[CpAdd], remove: Option[CpRemove])
+
+/** V2-checkpoint action rows (PROTOCOL.md "V2 Checkpoint Table
+  * Feature"): the UUID-named main file declares its version
+  * (`checkpointMetadata`) and may delegate add/remove state to
+  * sidecar files; sidecars carry only add/remove. */
+case class CpCkMeta(version: Long)
+case class CpSidecarRef(path: String, sizeInBytes: Long,
+  modificationTime: Long)
+case class CpV2Row(protocol: Option[CpProtocol], metaData: Option[CpMeta],
+  checkpointMetadata: Option[CpCkMeta], sidecar: Option[CpSidecarRef])
+case class CpSideRow(add: Option[CpAdd], remove: Option[CpRemove])

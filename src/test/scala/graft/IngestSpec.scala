@@ -657,6 +657,50 @@ class IngestSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("j18: v2 checkpoints — sidecar state assembles, torn sidecars and misnamed files refuse") {
+    import graft.sources.{DeltaTable, IngestFixtures}
+    val table = IngestFixtures.ensureDeltaV2cp(spark, Sf)
+    // latest (v2): 3 surviving shards + insert + rewrite — resolved
+    // ENTIRELY through main + sidecars (both commit JSONs aged out)
+    val snap = DeltaTable.snapshot(spark, table)
+    assert(snap.version == 2L && snap.files.size == 5)
+    assert(snap.files.sorted == Seq("file-v0-0.parquet", "file-v0-2.parquet",
+      "file-v0-3.parquet", "file-v1-insert.parquet", "file-v2-rewrite.parquet"))
+    // time travel to the checkpoint state itself
+    assert(DeltaTable.snapshot(spark, table, 1L).files.size == 5)
+    // aged-out v0 fails at log resolution
+    val e0 = intercept[IllegalStateException] {
+      DeltaTable.snapshot(spark, table, 0L)
+    }
+    assert(e0.getMessage.contains("aged out"), e0.getMessage)
+    // a MISSING sidecar refuses — reading main-only would silently
+    // lose two shards
+    val sc = new java.io.File(table, "_delta_log/_sidecars/sc-1.parquet")
+    val saved = java.nio.file.Files.readAllBytes(sc.toPath)
+    java.nio.file.Files.delete(sc.toPath)
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        DeltaTable.snapshot(spark, table)
+      }
+      assert(e1.getMessage.contains("sidecar missing"), e1.getMessage)
+    } finally java.nio.file.Files.write(sc.toPath, saved)
+    // a checkpoint whose DECLARED version disagrees with its name
+    // refuses (a misnamed copy would replay the wrong state)
+    val log = new java.io.File(table, "_delta_log")
+    val cpName = log.listFiles()
+      .find(f => f.getName.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet""")).get
+    val badName = "00000000000000000000" +
+      cpName.getName.substring(20)
+    val bad = new java.io.File(log, badName)
+    java.nio.file.Files.copy(cpName.toPath, bad.toPath)
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        DeltaTable.snapshot(spark, table, 0L)
+      }
+      assert(e2.getMessage.contains("declares version"), e2.getMessage)
+    } finally java.nio.file.Files.delete(bad.toPath)
+  }
+
   test("j15: equality deletes — sequence scoping protects same-commit re-inserts of the key") {
     import graft.sources.{IcebergTable, IngestFixtures}
     val table = IngestFixtures.ensureIcebergEq(spark, Sf)
