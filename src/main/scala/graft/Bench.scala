@@ -500,6 +500,12 @@ object Bench {
     @volatile var finishedNormally = false
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!finishedNormally) {
+        // silence Spark's own shutdown spew FIRST: executor/netty
+        // ERROR stacks race this hook and would bury the compact
+        // line below for a caller that parses only the stream tail
+        try org.apache.logging.log4j.core.config.Configurator
+          .setRootLevel(org.apache.logging.log4j.Level.OFF)
+        catch { case _: Throwable => () }
         // best effort under concurrent mutation — a partial artifact
         // beats none, and a failure here must not mask the signal
         try {
