@@ -724,9 +724,9 @@ object EventStreams {
         DeltaTable.changes(s, foreignTable, v - 1, v, keyCols),
         txnId = s"delta-tail-v$v")
       graft.Caches.clear()
+      java.nio.file.Files.createDirectories(cp.toAbsolutePath.getParent)
       val tmp = java.nio.file.Paths.get(
         cursorFile + s".${java.util.UUID.randomUUID()}.tmp")
-      java.nio.file.Files.createDirectories(cp.toAbsolutePath.getParent)
       java.nio.file.Files.write(tmp, s"$v\n".getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, cp,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
