@@ -65,14 +65,30 @@ object IcebergTable {
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Resolve the current metadata JSON through version-hint.text. */
+  /** Resolve the current metadata JSON: through `version-hint.text`
+    * when present, else by LISTING `vN.metadata.json` and taking the
+    * highest N — the same fallback Iceberg's own Hadoop table
+    * operations apply, because the hint file is an optimization a
+    * writer may crash before refreshing (a stale hint pointing at a
+    * missing file is still corruption and fails loudly — falling
+    * back PAST an explicit pointer would silently time-travel). */
   private def metadataFile(table: String): File = {
+    val meta = new File(table, "metadata")
     val hint = Paths.get(table, "metadata", "version-hint.text")
-    require(Files.exists(hint), s"not an iceberg hadoop table (no version-hint.text): $table")
-    val v = new String(Files.readAllBytes(hint), "UTF-8").trim.toInt
-    val f = new File(new File(table, "metadata"), s"v$v.metadata.json")
-    require(f.exists(), s"version-hint points at missing metadata v$v at $table")
-    f
+    if (Files.exists(hint)) {
+      val v = new String(Files.readAllBytes(hint), "UTF-8").trim.toInt
+      val f = new File(meta, s"v$v.metadata.json")
+      require(f.exists(), s"version-hint points at missing metadata v$v at $table")
+      f
+    } else {
+      val re = """v(\d+)\.metadata\.json""".r
+      val vs = Option(meta.list()).toSeq.flatten
+        .collect { case re(n) => n.toInt }
+      require(vs.nonEmpty,
+        s"not an iceberg hadoop table (no version-hint.text and no " +
+          s"vN.metadata.json under metadata/): $table")
+      new File(meta, s"v${vs.max}.metadata.json")
+    }
   }
 
   def snapshot(table: String, snapshotId: Long = -1L): Snapshot = {

@@ -701,6 +701,29 @@ class IngestSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(bad.toPath)
   }
 
+  test("iceberg hint fallback: a missing version-hint resolves by listing, stale hints still refuse") {
+    import graft.sources.{IcebergTable, IngestFixtures}
+    val table = IngestFixtures.ensureIceberg(spark, Sf)
+    val hint = new java.io.File(table, "metadata/version-hint.text")
+    val saved = java.nio.file.Files.readAllBytes(hint.toPath)
+    java.nio.file.Files.delete(hint.toPath)
+    try {
+      // fallback lists vN.metadata.json and takes the highest —
+      // identical resolution to the hinted path
+      assert(IcebergTable.snapshot(table).snapshotId == 2L)
+    } finally java.nio.file.Files.write(hint.toPath, saved)
+    // a PRESENT hint pointing at a missing file is corruption, not a
+    // fallback case — falling back past it would silently time-travel
+    java.nio.file.Files.write(hint.toPath, "99\n".getBytes("UTF-8"))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IcebergTable.snapshot(table)
+      }
+      assert(e.getMessage.contains("missing metadata v99"), e.getMessage)
+    } finally java.nio.file.Files.write(hint.toPath, saved)
+    assert(IcebergTable.snapshot(table).snapshotId == 2L)
+  }
+
   test("j15: equality deletes — sequence scoping protects same-commit re-inserts of the key") {
     import graft.sources.{IcebergTable, IngestFixtures}
     val table = IngestFixtures.ensureIcebergEq(spark, Sf)
