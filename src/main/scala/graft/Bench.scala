@@ -30,10 +30,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Contention gate: if the 1-minute load average exceeds
   * SPARK_GRAFT_BENCH_LOAD_GATE (default 2.5) at start, Bench waits
-  * up to 3 minutes for a quiet box; if the load never drops the run
-  * proceeds but the JSON is stamped `"contended": true` — a
-  * contended artifact self-declares it cannot be compared across
-  * rounds.
+  * up to 3 minutes for a quiet box. The `"contended"` stamp is then
+  * computed from EVERY instrument the artifact records — the start
+  * loadavg, the saturating spin probe (quiet band 0.33-0.42 s), and
+  * the memory-bandwidth probe (quiet 9-10 GB/s), sampled at start,
+  * end, and every scale-pass boundary — and `"contended_by"` names
+  * each probe:value that tripped. A contended artifact self-declares
+  * it cannot be compared across rounds, and SAYS why.
   *
   * MID-RUN pollution (r5 lesson: the start gate passed, then the box
   * loaded up and t6's raws read [1.38, 2.22, 3.26]): the loadavg
@@ -258,9 +261,25 @@ object Bench {
       System.err.println(f"[bench] 1-min load $loadStart%.2f > gate $loadGate%.1f; waiting for a quiet box (${waitedSec}s)")
       Thread.sleep(10000); waitedSec += 10; loadStart = loadAvg()
     }
-    val contended = loadStart > loadGate
+    // Contention thresholds for the probes the artifact records (r14
+    // VERDICT "what's wrong" #1: the flag keyed on loadavg ALONE and
+    // stamped a run whose own probes read spin 0.82-0.88 / bw
+    // 9.4->7.2 GB/s as `contended: false`). Quiet bands recorded
+    // across rounds in SURVEY §7: spin 0.33-0.42 s, copy bandwidth
+    // 9-10 GB/s single-thread; thresholds leave jitter margin on the
+    // quiet side while catching the observed contended values.
+    val SpinQuietMaxSec = 0.55
+    val BwQuietMinGBs = 7.5
     val probeStart = probeSec()
     val bwStart = bwProbeGBs()
+    // the artifact must SAY whether the tmpfs local-dir fallback
+    // engaged (r14 VERDICT #1c): spill-heavy rows are only comparable
+    // across runs that shuffled to the same medium, and a driver run
+    // whose /dev/shm was absent/read-only would silently fall back to
+    // the virtio disk — the exact d4/d6/d8 inflation signature.
+    val localDir = spark.conf.get("spark.local.dir", "spark-default")
+    val localDirTmpfs = localDir.startsWith("/dev/shm")
+    System.err.println(s"[bench] spark.local.dir=$localDir tmpfs=$localDirTmpfs")
     // warm up the JVM/codegen/parquet paths so the first timed query
     // doesn't absorb session startup. (The scale-proxy dir carries
     // only documents/embeddings/part — fall back for direct runs
@@ -284,6 +303,12 @@ object Bench {
     // JVM-state artifact self-diagnosing: slow + high gc_sec = heap
     // inheritance, slow + low gc_sec = the query itself.
     val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query fixture-ensure seconds (summed over runs) — the r14
+    // driver-vs-builder finding: a handful of fixture-backed rows
+    // inflated by stable 8-22x multiples and the artifact could not
+    // say whether query plans or fixture (re)construction paid them.
+    // FixtureTimer deltas around each run make the split explicit.
+    val fxByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String, n: Int, gcFirst: Boolean = false): Seq[Double] =
@@ -294,6 +319,7 @@ object Bench {
         // inherited collection mid-measurement
         if (gcFirst) System.gc()
         val g0 = gcMs()
+        val f0 = FixtureTimer.totalNanos
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, dir).count(); true }
@@ -304,6 +330,8 @@ object Bench {
           }
           finally Caches.clear() // release per-query caches between runs
         gcByQuery(name) = gcByQuery.getOrElse(name, 0.0) + (gcMs() - g0) / 1e3
+        fxByQuery(name) = fxByQuery.getOrElse(name, 0.0) +
+          (FixtureTimer.totalNanos - f0) / 1e9
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
 
@@ -446,6 +474,25 @@ object Bench {
     def mainFlags: Seq[String] =
       results.toSeq.collect { case (k, t) if polluted(t) => k }
 
+    /** Every recorded probe that sits outside its quiet band, as
+      * `probe:value` strings — the truthful replacement for the
+      * loadavg-only flag (r14 VERDICT #1a). Recomputed at render time
+      * so a probe sample taken at any section boundary can trip it;
+      * `contended` in the artifact is simply `contendedBy.nonEmpty`.
+      */
+    def contendedBy: Seq[String] = {
+      def f2(v: Double) = math.rint(v * 100) / 100
+      val spins = Seq("probe_start" -> probeStart, "probe_end" -> probeEndV) ++
+        sections.toSeq.flatMap(sd => sd.probePasses.toSeq.zipWithIndex
+          .map { case (v, i) => s"${sd.label}-probe$i" -> v })
+      val bws = Seq("bw_start" -> bwStart, "bw_end" -> bwEndV) ++
+        sections.toSeq.flatMap(sd => sd.bwPasses.toSeq.zipWithIndex
+          .map { case (v, i) => s"${sd.label}-bw$i" -> v })
+      (if (loadStart > loadGate) Seq(s"load_start:${f2(loadStart)}") else Nil) ++
+        spins.collect { case (k, v) if !v.isNaN && v > SpinQuietMaxSec => s"$k:${f2(v)}" } ++
+        bws.collect { case (k, v) if !v.isNaN && v < BwQuietMinGBs => s"$k:${f2(v)}" }
+    }
+
     def renderJson(partialReason: Option[String]): String = {
       val resSeq = results.toSeq
       // an all-failed query would render NaN (invalid JSON); it is
@@ -466,7 +513,11 @@ object Bench {
       val drp = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialField = partialReason.map(r => s""","partial":"$r"""").getOrElse("")
       val sects = interopChunk + sections.toSeq.map(_.render()).mkString
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":$contended,"load_start":$loadStart,"load_end":${loadAvg()},"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"bw_start_gbs":${jnum(bwStart)},"bw_end_gbs":${jnum(bwEndV)},"budget_sec":$budgetSec,"budget_dropped":$drp,"elapsed_sec":${jnum(math.rint(elapsedSec * 10) / 10)},"sf":"$sfDir"$partialField$sects}"""
+      val fxs = fxByQuery.collect { case (k, v) if v >= 0.005 =>
+        "\"" + k + "\":" + jnum(math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
+      val cby = contendedBy
+      val cbyJson = cby.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"fixture_sec":$fxs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":${cby.nonEmpty},"contended_by":$cbyJson,"load_start":$loadStart,"load_end":${loadAvg()},"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"bw_start_gbs":${jnum(bwStart)},"bw_end_gbs":${jnum(bwEndV)},"local_dir":"$localDir","local_dir_tmpfs":$localDirTmpfs,"budget_sec":$budgetSec,"budget_dropped":$drp,"elapsed_sec":${jnum(math.rint(elapsedSec * 10) / 10)},"sf":"$sfDir"$partialField$sects}"""
     }
 
     /** COMPACT summary as the FINAL stdout line (r8 VERDICT #5): the
@@ -488,7 +539,9 @@ object Bench {
       val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val drp = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialField = partialReason.map(r => s""","partial":"$r"""").getOrElse("")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{$compactQueries},"n_queries":${resSeq.size},"median_query_sec":${jnum(medQ)},"spread_flags":$sfl,"failed":$fs,"budget_dropped":$drp,"contended":$contended,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"sf":"$sfDir","artifact":"$artifactPath"$partialField}"""
+      val cby = contendedBy
+      val cbyJson = cby.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{$compactQueries},"n_queries":${resSeq.size},"median_query_sec":${jnum(medQ)},"spread_flags":$sfl,"failed":$fs,"budget_dropped":$drp,"contended":${cby.nonEmpty},"contended_by":$cbyJson,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"local_dir_tmpfs":$localDirTmpfs,"sf":"$sfDir","artifact":"$artifactPath"$partialField}"""
     }
 
     def flush(partialReason: Option[String]): Unit =

@@ -51,14 +51,20 @@ object BenchOne {
         .asScala.map(_.getCollectionTime).sum
     }
     val g0 = gcMs()
+    val f0 = FixtureTimer.totalNanos
     val t0 = System.nanoTime()
     fn(spark, dir).count()
     val sec = (System.nanoTime() - t0) / 1e9
     Caches.clear()
     // marker line the parent greps from child stdout; gc_sec rides
     // along so a parent (or a human) can tell a GC-bound run from a
-    // plan regression without re-running under -Xlog:gc
-    println(s"BENCHONE $name $sec gc=${(gcMs() - g0) / 1e3} warm=$warmSec")
+    // plan regression without re-running under -Xlog:gc. fx = fixture
+    // seconds inside the TIMED run (the warm run absorbs any build;
+    // nonzero here means the fixture path leaked into the number),
+    // local = the shuffle/spill dir actually configured.
+    println(s"BENCHONE $name $sec gc=${(gcMs() - g0) / 1e3} warm=$warmSec " +
+      s"fx=${(FixtureTimer.totalNanos - f0) / 1e9} " +
+      s"local=${spark.conf.get("spark.local.dir", "spark-default")}")
     spark.stop()
   }
 }

@@ -38,6 +38,16 @@ object Fixtures {
     f.delete()
   }
 
+  /** Fixture roots already verified complete this JVM. A complete
+    * fixture is immutable (tmp-then-rename publication below), so the
+    * memo is sound — and it is what keeps re-runs out of the fixture
+    * path entirely: without it every bench run re-pays the
+    * completeness check, which for the raster/ingest families is a
+    * Spark collect over the source corpus (the r14 driver artifact's
+    * stable per-run inflation on fixture-backed rows).
+    */
+  private val verified = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Build-once guard with ATOMIC publication: a fixture is complete
     * iff its `_COMPLETE` marker holds the expected file count — a file
     * count alone cannot distinguish a finished build from a torn one
@@ -51,23 +61,34 @@ object Fixtures {
     * here — this repo runs a single sbt instance by constraint; a
     * cross-process deployment would need Files.move(ATOMIC_MOVE)
     * under a file lock.
+    *
+    * `expected` is BY-NAME and callers pass their source-row collects
+    * lazily: a memo hit forces nothing, and a marker-check or build
+    * forces it INSIDE the [[graft.FixtureTimer]] window, so every
+    * second of fixture work lands in the bench's `fixture_sec` column
+    * instead of masquerading as query time.
     */
-  private[graft] def ensureAtomic(out: File, expected: Int)(write: File => Unit): String = {
-    val marker = new File(out, CompleteMarker)
-    val complete = marker.exists() &&
-      new String(Files.readAllBytes(marker.toPath)).trim == expected.toString
-    if (!complete) {
-      val tmp = new File(out.getParentFile, out.getName + ".tmp")
-      deleteRecursively(tmp)
-      tmp.mkdirs()
-      write(tmp)
-      Files.write(Paths.get(tmp.toString, CompleteMarker),
-        expected.toString.getBytes("UTF-8"))
-      deleteRecursively(out)
-      if (!tmp.renameTo(out))
-        throw new java.io.IOException(s"fixture rename failed: $tmp -> $out")
+  private[graft] def ensureAtomic(out: File, expected: => Int)(write: File => Unit): String = {
+    val memo = verified.get(out.getPath)
+    if (memo != null) return memo
+    graft.FixtureTimer.timed {
+      val marker = new File(out, CompleteMarker)
+      val complete = marker.exists() &&
+        new String(Files.readAllBytes(marker.toPath)).trim == expected.toString
+      if (!complete) {
+        val tmp = new File(out.getParentFile, out.getName + ".tmp")
+        deleteRecursively(tmp)
+        tmp.mkdirs()
+        write(tmp)
+        Files.write(Paths.get(tmp.toString, CompleteMarker),
+          expected.toString.getBytes("UTF-8"))
+        deleteRecursively(out)
+        if (!tmp.renameTo(out))
+          throw new java.io.IOException(s"fixture rename failed: $tmp -> $out")
+      }
+      verified.put(out.getPath, out.toString)
+      out.toString
     }
-    out.toString
   }
 
   private def tileRows(s: SparkSession, dir: String, limit: Int): Array[(Int, Int, Int, String)] =
@@ -102,7 +123,7 @@ object Fixtures {
     */
   def ensureRasters(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("rasters", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, lat0, lon0, key) =>
         Files.write(Paths.get(tmp.toString, s"$key.grft"), rasterBytes(id, lat0, lon0))
@@ -255,7 +276,7 @@ object Fixtures {
     */
   def ensureTiffs(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("tiffs", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         Files.write(Paths.get(tmp.toString, s"$key.tif"), tiffBytes(id))
@@ -278,7 +299,7 @@ object Fixtures {
     */
   def ensureGeoTiffs(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("geotiffs", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, lat0, lon0, key) =>
         val geo =
@@ -661,7 +682,7 @@ object Fixtures {
     */
   def ensureTiffsDeflate(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("tiffs_deflate", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         val bytes = id % 3 match {
@@ -689,7 +710,7 @@ object Fixtures {
     */
   def ensureTiffsPackbits(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("tiffs_packbits", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         val bytes = id % 5 match {
@@ -715,7 +736,7 @@ object Fixtures {
     */
   def ensureTiffsI16(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("tiffs_i16", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         val bytes = id % 3 match {
@@ -742,7 +763,7 @@ object Fixtures {
     */
   def ensureTiffsNodata(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("tiffs_nodata", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     val nd = Some(NoDataVal)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
@@ -774,7 +795,7 @@ object Fixtures {
     */
   def ensureTiffsZstdBig(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("tiffs_zstdbig", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         val bytes = id % 5 match {
@@ -803,7 +824,7 @@ object Fixtures {
     */
   def ensureTiffsJpeg(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("tiffs_jpeg", dir)
-    val tiles = tileRows(s, dir, RasterLimit)
+    lazy val tiles = tileRows(s, dir, RasterLimit)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         val bytes = id % 4 match {
@@ -833,7 +854,7 @@ object Fixtures {
     */
   def ensureListing(s: SparkSession, dir: String): String = synchronized {
     val out = fixtureRoot("listing", dir)
-    val tiles = tileRows(s, dir, ListingLimit).filter(_._1 % 3 == 0)
+    lazy val tiles = tileRows(s, dir, ListingLimit).filter(_._1 % 3 == 0)
     ensureAtomic(out, tiles.length) { tmp =>
       tiles.foreach { case (id, _, _, key) =>
         val size = listingSize(id) - (if (id % 7 == 0) 1 else 0)

@@ -1238,29 +1238,57 @@ object GeoQueries {
     * the protocol is the operator under test). Returns the table
     * path.
     */
+  /** Scenario identity stamp: bump when the build recipe changes, so
+    * a persisted table from an older recipe is rebuilt, never reused.
+    */
+  private val CowTag = "cow-v1"
+
+  /** Tables already verified complete this JVM (keyed by path). */
+  private val cowReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def cowScenario(s: SparkSession, dir: String, root: String,
       withReplace: Boolean): String = {
     import graft.sources.SnapshotTable
     val table = Fixtures.fixtureRoot(root, dir).toString
-    Fixtures.deleteRecursively(new java.io.File(table))
-    val base = tiles(s, dir)
-    def grid(lo: Int, hi: Int) =
-      gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
-        .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
-    SnapshotTable.commit(s, table,
-      grid(0, 400).withColumn("gen", lit(0L))
-        .repartitionByRange(8, col("tile_id")))
-    val updates = grid(100, 150)
-      .withColumn("elevation", col("elevation") + 1000)
-      .withColumn("gen", lit(1L))
-    val inserts = grid(400, 450).withColumn("gen", lit(1L))
-    SnapshotTable.merge(s, table, updates.unionByName(inserts),
-      Seq("tile_id", "lon", "lat"))
-    if (withReplace)
-      SnapshotTable.commit(s, table,
-        SnapshotTable.read(s, table).filter(col("tile_id") >= 50),
-        replace = true)
-    table
+    val memo = cowReady.get(table)
+    if (memo != null) return memo
+    graft.FixtureTimer.timed(synchronized {
+      // ensure-once (r14 VERDICT #7): the scenario build is three real
+      // snapshot-table commits plus parquet writes — rebuilt per call
+      // it dominated g41's bench row, overstating the |changes|-cost
+      // maintenance it exists to price. The build is deterministic and
+      // the table immutable once stamped, so a marker (written LAST,
+      // with the expected version count + recipe tag) makes reuse
+      // sound; the commit PROTOCOL itself stays under test in g36 and
+      // SnapshotTableSpec, which build fresh tables by design.
+      val marker = new java.io.File(table, "_COW_COMPLETE")
+      val want = s"$CowTag replace=$withReplace versions=${if (withReplace) 3 else 2}"
+      val complete = marker.exists() && new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim == want
+      if (!complete) {
+        Fixtures.deleteRecursively(new java.io.File(table))
+        val base = tiles(s, dir)
+        def grid(lo: Int, hi: Int) =
+          gridExpand(base.filter(col("tile_id") >= lo && col("tile_id") < hi))
+            .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
+        SnapshotTable.commit(s, table,
+          grid(0, 400).withColumn("gen", lit(0L))
+            .repartitionByRange(8, col("tile_id")))
+        val updates = grid(100, 150)
+          .withColumn("elevation", col("elevation") + 1000)
+          .withColumn("gen", lit(1L))
+        val inserts = grid(400, 450).withColumn("gen", lit(1L))
+        SnapshotTable.merge(s, table, updates.unionByName(inserts),
+          Seq("tile_id", "lon", "lat"))
+        if (withReplace)
+          SnapshotTable.commit(s, table,
+            SnapshotTable.read(s, table).filter(col("tile_id") >= 50),
+            replace = true)
+        java.nio.file.Files.write(marker.toPath, want.getBytes("UTF-8"))
+      }
+      cowReady.put(table, table)
+      table
+    })
   }
 
   def snapshotMerge(s: SparkSession, dir: String): DataFrame = {

@@ -2329,7 +2329,7 @@ object Relational {
     synchronized {
       val out = graft.geo.Fixtures.fixtureRoot("ordpart", dir)
       val stamp = new java.io.File(out, "_built")
-      if (!stamp.exists) {
+      if (!stamp.exists) graft.FixtureTimer.timed {
         Tables.orders(s, dir)
           .withColumn("o_month",
             (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))

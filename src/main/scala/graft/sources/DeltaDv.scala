@@ -219,10 +219,16 @@ object DeltaDv extends Serializable {
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
       require(bytes.nonEmpty && bytes(0) == 1,
         s"unsupported DV file format version in $f")
-      require(e.offset > 0 && e.offset + 8 + e.sizeInBytes <= bytes.length,
-        s"DV frame [${e.offset}, +${e.sizeInBytes}] outside $f (${bytes.length} bytes)")
+      // the descriptor's offset field is OPTIONAL per PROTOCOL.md: a
+      // writer that packs one DV right after the format-version byte
+      // may omit it (our reader carries absence as -1) — default to 1,
+      // the first post-version position, rather than refuse a
+      // spec-valid table
+      val off = if (e.offset >= 0) e.offset else 1
+      require(off > 0 && off + 8 + e.sizeInBytes <= bytes.length,
+        s"DV frame [$off, +${e.sizeInBytes}] outside $f (${bytes.length} bytes)")
       val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian framing
-      buf.position(e.offset)
+      buf.position(off)
       val len = buf.getInt
       require(len == e.sizeInBytes,
         s"DV size mismatch in $f: descriptor ${e.sizeInBytes}, stored $len")
@@ -232,7 +238,7 @@ object DeltaDv extends Serializable {
       val crc = new java.util.zip.CRC32()
       crc.update(data)
       require(crc.getValue.toInt == crcStored,
-        s"DV checksum mismatch in $f at offset ${e.offset}")
+        s"DV checksum mismatch in $f at offset $off")
       deserializeBitmap(data)
     case other =>
       throw new IllegalArgumentException(s"unknown DV storageType '$other'")

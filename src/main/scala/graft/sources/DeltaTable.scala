@@ -209,23 +209,43 @@ object DeltaTable {
           val addFields = ffields("add")
           val pvCol = if (addFields.contains("partitionValues"))
             col("add.partitionValues") else map().cast("map<string,string>")
-          val dvCol = if (addFields.contains("deletionVector"))
-            col("add.deletionVector") else lit(null)
-              .cast("struct<storageType:string,pathOrInlineDv:string,offset:int,sizeInBytes:int,cardinality:bigint>")
+          // deletionVector fields selected BY NAME, each presence-
+          // guarded (never positionally from the writer's struct
+          // layout: a foreign checkpoint is free to reorder fields or
+          // add new ones mid-struct, and a positional read would
+          // misparse offsets/cardinalities into each other)
+          val dvFields: Set[String] =
+            if (!addFields.contains("deletionVector")) Set.empty
+            else frame.schema("add").dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType]("deletionVector")
+              .dataType match {
+                case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSet
+                case _ => Set.empty
+              }
+          def dvField(n: String, t: String) =
+            if (dvFields.contains(n)) col(s"add.deletionVector.$n").cast(t)
+            else lit(null).cast(t)
           val statsCol = if (addFields.contains("stats")) col("add.stats")
             else lit(null).cast("string")
-          frame.select(col("add.path"), pvCol, dvCol, statsCol)
+          frame.select(col("add.path"), pvCol, statsCol,
+              dvField("storageType", "string"),
+              dvField("pathOrInlineDv", "string"), dvField("offset", "int"),
+              dvField("sizeInBytes", "int"), dvField("cardinality", "bigint"))
             .where(col("add").isNotNull)
             .collect().foreach { r =>
               val pv = Option(r.getMap[String, String](1))
                 .map(_.toMap).getOrElse(Map.empty[String, String])
-              val dv = if (r.isNullAt(2)) None else {
-                val d = r.getStruct(2)
-                Some(Dv(d.getString(0), d.getString(1),
-                  if (d.isNullAt(2)) -1 else d.getInt(2), d.getInt(3),
-                  d.getLong(4)))
+              val dv = if (r.isNullAt(3)) None else {
+                // required-when-present fields (PROTOCOL.md): refuse a
+                // torn descriptor loudly rather than misapply a DV
+                require(!r.isNullAt(4) && !r.isNullAt(6) && !r.isNullAt(7),
+                  s"checkpoint DV descriptor for ${r.getString(0)} at $table " +
+                    "is missing pathOrInlineDv/sizeInBytes/cardinality")
+                Some(Dv(r.getString(3), r.getString(4),
+                  if (r.isNullAt(5)) -1 else r.getInt(5), r.getInt(6),
+                  r.getLong(7)))
               }
-              val stats = if (r.isNullAt(3)) None else Option(r.getString(3))
+              val stats = if (r.isNullAt(2)) None else Option(r.getString(2))
               active(r.getString(0)) = AddFile(r.getString(0), pv, dv, stats)
             }
         }
@@ -481,7 +501,20 @@ object DeltaTable {
       import s.implicits._
       val entries = dvAdds.map { a =>
         val d = a.dv.get
-        DeltaDv.Entry(new java.io.File(table, a.path).getAbsolutePath, table,
+        // The anti-join key must be derived the same way the scan's
+        // `__fp` is (the `_metadata.file_path` URI with the scheme
+        // stripped) — add.path is a PERCENT-ENCODED relative URI per
+        // PROTOCOL.md, and the metadata column renders the same
+        // encoding, so the key keeps add.path's encoding verbatim and
+        // URI-encodes only the table root. Building it from
+        // File.getAbsolutePath instead desynchronizes on any
+        // percent-escaped character and the anti-join silently
+        // removes NOTHING — deleted rows resurrecting is exactly the
+        // failure the reader-version gate exists to prevent.
+        val rootUri = new java.io.File(table).toURI.toString
+        val key = (rootUri.stripSuffix("/") + "/" + a.path)
+          .replaceFirst("^file:/+", "/")
+        DeltaDv.Entry(key, table,
           d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
           d.cardinality)
       }

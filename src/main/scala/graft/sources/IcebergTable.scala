@@ -228,13 +228,27 @@ object IcebergTable {
           .drop("__pos")
       }
       if (snap.eqDeletes.nonEmpty) {
-        def plain(p: String) = p.stripPrefix("file:")
+        // the SAME normalization norm() applies to the metadata column
+        // (strip the `file:` scheme, collapse leading slashes): a
+        // manifest path of the `file:///x` form must land on the same
+        // key as the scan's `file:/x` URI — an asymmetric plain
+        // stripPrefix made the scope join miss and, inner-joined,
+        // silently DROPPED every row of the affected data file
+        def plain(p: String) =
+          p.replaceFirst("^file:", "").replaceFirst("^/+", "/")
         // file → data sequence number, file-count-sized: explicit
         // broadcast so attaching the scope never shuffles the scan
         val seqDf = broadcast(s.createDataFrame(
           snap.files.map(f => (plain(f), snap.dataSeqs.getOrElse(f, 0L))))
           .toDF("__sfp", "__data_seq"))
-        df = df.join(seqDf, col("__fp") === col("__sfp")).drop("__sfp")
+        // LEFT join + loud null guard, not inner: a path-normalization
+        // mismatch must refuse the read, never lose rows silently
+        df = df.join(seqDf, col("__fp") === col("__sfp"), "left")
+          .withColumn("__data_seq",
+            when(col("__data_seq").isNull, raise_error(concat(
+              lit("iceberg eq-delete scope: no sequence number for data file "),
+              col("__fp")))).otherwise(col("__data_seq")))
+          .drop("__sfp")
         // one anti-join per distinct equality-id set (usually one);
         // within a set, delete files union with their own sequence
         // numbers as a literal column

@@ -64,7 +64,7 @@ object IngestFixtures {
     */
   def ensureJsonl(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("jsonl", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 1) { tmp =>
       val sb = new StringBuilder
       rows.zipWithIndex.foreach { case ((id, text, lang, src, nc), i) =>
@@ -91,7 +91,7 @@ object IngestFixtures {
     */
   def ensureJsonlGz(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("jsonlgz", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 4) { tmp =>
       (0 until 4).foreach { shard =>
         val sb = new StringBuilder
@@ -116,7 +116,7 @@ object IngestFixtures {
     */
   def ensureCsv(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("csv", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 1) { tmp =>
       val sb = new StringBuilder("doc_id,text,lang,source,n_chars\n")
       rows.foreach { case (id, text, lang, src, nc) =>
@@ -141,7 +141,7 @@ object IngestFixtures {
   def ensureEvolution(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("evo", dir)
     val stamp = new java.io.File(out, "_built")
-    if (!stamp.exists) {
+    if (!stamp.exists) graft.FixtureTimer.timed {
       val base = Tables.documents(s, dir).filter(col("doc_id") < DocLimit)
       base.filter(pmod(col("doc_id"), lit(2)) === 0)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -176,7 +176,7 @@ object IngestFixtures {
     */
   def ensureXml(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("xml", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 1) { tmp =>
       val sb = new StringBuilder
       sb.append("<corpus>\n")
@@ -212,7 +212,7 @@ object IngestFixtures {
     */
   def ensureWarc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("warc", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 4) { tmp =>
       (0 until 4).foreach { shard =>
         val sb = new StringBuilder
@@ -246,7 +246,7 @@ object IngestFixtures {
     */
   def ensureJsonArray(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("jsonarr", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 4) { tmp =>
       (0 until 4).foreach { shard =>
         val sb = new StringBuilder("[\n")
@@ -284,7 +284,7 @@ object IngestFixtures {
     */
   def ensureAvro(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("avro", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 4) { tmp =>
       (0 until 4).foreach { shard =>
         val f = new java.io.File(tmp.toString, s"shard-$shard.avro")
@@ -297,7 +297,7 @@ object IngestFixtures {
   def ensureOrc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("orc", dir)
     val stamp = new java.io.File(out, "_built")
-    if (!stamp.exists) {
+    if (!stamp.exists) graft.FixtureTimer.timed {
       Tables.documents(s, dir).filter(col("doc_id") < DocLimit)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("overwrite").orc(s"$out/data")
@@ -348,7 +348,7 @@ object IngestFixtures {
   def ensureDelta(s: SparkSession, dir: String): String = synchronized {
     import s.implicits._
     val out = Fixtures.fixtureRoot("delta", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     def writeOne(root: java.io.File, name: String,
         rs: Seq[(Long, String, String, String, Long)]): Long =
       writeOneParquet(s, root, name, rs)
@@ -433,7 +433,7 @@ object IngestFixtures {
     */
   def ensureDeltaCdc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("deltacdc", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 7) { tmp =>
       val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
       val shards = (0 until 4).map(k => s"file-v0-$k.parquet" ->
@@ -504,7 +504,7 @@ object IngestFixtures {
     */
   def ensureDeltaDv(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("deltadv", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 6)(tmp => writeDvTable(s, tmp, rows, gen2 = false))
   }
 
@@ -515,7 +515,7 @@ object IngestFixtures {
     * surface as v2 deletes. */
   def ensureDeltaDvCdc(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("deltadvcdc", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 6)(tmp => writeDvTable(s, tmp, rows, gen2 = true))
   }
 
@@ -617,7 +617,7 @@ object IngestFixtures {
     * kept by every probe (readPruned's conservative contract). */
   def ensureDeltaStats(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("deltastats", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 6) { tmp =>
       val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
       val buckets = rows.toSeq.groupBy(_._1 / DeltaStatsBucket).toSeq
@@ -661,7 +661,7 @@ object IngestFixtures {
   def ensureDeltaV2cp(s: SparkSession, dir: String): String = synchronized {
     import s.implicits._
     val out = Fixtures.fixtureRoot("deltav2cp", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     Fixtures.ensureAtomic(out, 6) { tmp =>
       val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
       val sideDir = new java.io.File(log, "_sidecars"); sideDir.mkdirs()
@@ -755,7 +755,7 @@ object IngestFixtures {
     */
   def ensureIceberg(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("iceberg", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     val manifestListSchema =
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string"},
@@ -843,7 +843,7 @@ object IngestFixtures {
     */
   def ensureIcebergV2(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("icebergv2", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     val manifestListSchema =
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string"},
@@ -946,7 +946,7 @@ object IngestFixtures {
     */
   def ensureIcebergEq(s: SparkSession, dir: String): String = synchronized {
     val out = Fixtures.fixtureRoot("icebergeq", dir)
-    val rows = docRows(s, dir)
+    lazy val rows = docRows(s, dir)
     val manifestListSchema =
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string"},

@@ -214,25 +214,58 @@ object SnapshotTable {
     require(!txnId.contains('/') && txnId.nonEmpty, s"flat txnId required: $txnId")
     val txnDir = logDir(table).resolve("txn")
     val marker = txnDir.resolve(txnId)
+    def writeMarker(m: Path, version: Long): Unit = {
+      Files.createDirectories(txnDir)
+      val tmp = txnDir.resolve(
+        s".${m.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, s"$version\n".getBytes("UTF-8"))
+      try Files.createLink(m, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
     if (Files.exists(marker))
       return new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
-    // marker missing ≠ epoch uncommitted: scan retained manifests'
-    // headers newest-first (a replayed epoch is overwhelmingly the
-    // LATEST commit; the walk stops at the oldest retained manifest —
-    // vacuumed versions keep their markers, handled above)
-    val replayed: Option[Long] =
-      Iterator.iterate(latestVersion(table))(_ - 1L)
-        .takeWhile(v => v >= 0 &&
-          Files.exists(logDir(table).resolve(s"$v.manifest")))
-        .find(v => manifestTxnId(table, v).contains(txnId))
-    val v = replayed.getOrElse(
+    // marker missing ≠ epoch uncommitted: scan manifests' headers
+    // newest-first (a replayed epoch is overwhelmingly the LATEST
+    // commit). The scan is BOUNDED by the `_covered` watermark —
+    // every header-carrying version ≤ covered already has its marker
+    // (the invariant below), so a version at or below it would have
+    // hit the fast path above. Without the bound, every FRESH txnId
+    // (the common case) walked the whole retained history, O(commits)
+    // file opens per epoch on a long-lived stream. As the walk
+    // visits a headered version it REPAIRS that version's marker, and
+    // a walk that reaches the boundary advances the watermark to the
+    // latest version it started from — amortized O(new commits since
+    // the last walk). Racy watermark updates are monotone-best-effort
+    // (ATOMIC_MOVE replace; a lost update only re-scans, never skips).
+    val coveredFile = txnDir.resolve("_covered")
+    val covered: Long =
+      if (!Files.exists(coveredFile)) -1L
+      else new String(Files.readAllBytes(coveredFile), "UTF-8").trim.toLong
+    val scanTop = latestVersion(table)
+    var replayed: Option[Long] = None
+    var fullWalk = true
+    var v = scanTop
+    while (replayed.isEmpty && v > covered &&
+        Files.exists(logDir(table).resolve(s"$v.manifest"))) {
+      manifestTxnId(table, v).foreach { t =>
+        writeMarker(txnDir.resolve(t), v)
+        if (t == txnId) replayed = Some(v)
+      }
+      v -= 1L
+    }
+    if (replayed.nonEmpty) fullWalk = false
+    if (fullWalk && scanTop > covered) {
+      Files.createDirectories(txnDir)
+      val tmp = txnDir.resolve(s"._covered.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, s"$scanTop\n".getBytes("UTF-8"))
+      Files.move(tmp, coveredFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val committed = replayed.getOrElse(
       commit(s, table, df, replace = replace, txnId = Some(txnId)))
-    Files.createDirectories(txnDir)
-    val tmp = txnDir.resolve(s".$txnId.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, s"$v\n".getBytes("UTF-8"))
-    try Files.createLink(marker, tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    finally Files.deleteIfExists(tmp)
+    writeMarker(marker, committed)
     new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
   }
 
