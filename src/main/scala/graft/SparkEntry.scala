@@ -291,6 +291,9 @@ object SparkEntry {
     "j16_delta_dv_cdc"        -> graft.operators.IngestQueries.deltaDvChanges _,
     "j17_delta_skipping"      -> graft.operators.IngestQueries.deltaSkippingRead _,
     "j18_delta_v2cp"          -> graft.operators.IngestQueries.deltaV2cpRead _,
+    "j19_iceberg_skipping"    -> graft.operators.IngestQueries.icebergSkippingRead _,
+    "j20_delta_cm_id"         -> graft.operators.IngestQueries.deltaCmIdRead _,
+    "j21_delta_export"        -> graft.operators.IngestQueries.deltaExportRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1501,6 +1504,43 @@ object SparkEntry {
       |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
       |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold
       |FROM documents WHERE doc_id BETWEEN 20 AND 70""".stripMargin,
+    // j19: the Iceberg twin of j17 — same superset-scan-plus-predicate
+    // contract, so the oracle is the same range aggregate; the
+    // opened-file set is spec territory (IngestSpec pins prunedFiles
+    // for two probes)
+    "j19_iceberg_skipping" -> raw"""
+      |SELECT count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold
+      |FROM documents WHERE doc_id BETWEEN 20 AND 70""".stripMargin,
+    // j21: the exported Delta table holds exactly the snapshot's
+    // doc_id<400 corpus in 4 range-split files — the round trip must
+    // reproduce the source census bit-exactly
+    "j21_delta_export" -> raw"""
+      |SELECT count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
+      |FROM documents WHERE doc_id < 400""".stripMargin,
+    // j20: the id-mode table holds the doc_id<400 corpus one file per
+    // lang — column identity comes from field ids and the partition
+    // column from physical-name-keyed partitionValues, but the VALUES
+    // are the plain generating rules, so the oracle is a per-lang
+    // census of the same slice
+    "j20_delta_cm_id" -> raw"""
+      |SELECT lang, count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(source), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS source_fold
+      |FROM documents WHERE doc_id < 400
+      |GROUP BY lang ORDER BY lang""".stripMargin,
     // j18: same generating rules as j10 (the logical history is
     // identical; only the checkpoint ENCODING differs) — full corpus
     // + reinserted torn copies, 5 live files, replayed version 2

@@ -281,13 +281,57 @@ object Dedup {
     // fraction of an ulp either side of the true rational at some
     // sizes; cross-multiplication can't)
     val (tn, td) = tauRational(threshold)
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.sz"), col("y.sz")) * td >=
-            greatest(col("x.sz"), col("y.sz")) * tn)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    def pairCond = col("x.doc_id") < col("y.doc_id") &&
+      least(col("x.sz"), col("y.sz")) * td >=
+        greatest(col("x.sz"), col("y.sz")) * tn
+    // --- hot-band salting (the residual skew lever) -------------------
+    // The exact-duplicate collapse above removes the DOMINANT hot-band
+    // cause (J = 1 families re-colliding in all bands), but a band
+    // bucket of B near-identical-yet-distinct docs still lands B rows
+    // in ONE join cell and emits O(B²) candidates from a single task —
+    // at web scale a boilerplate neighborhood can put 10^6 docs in one
+    // bucket and that task never finishes. With
+    // `spark.graft.lsh.hotBandThreshold` > 0, buckets above the
+    // threshold split into `spark.graft.lsh.hotBandSalt` groups by a
+    // doc_id hash; the LEFT side replicates to every salt cell and the
+    // right keys by its own salt, so each pair is found EXACTLY ONCE
+    // (x meets y in y's cell) while the largest join cell shrinks from
+    // B to B + B/g rows spread over g tasks — d3's two-level blocking
+    // hierarchy, applied to the band join. Cost when enabled: one
+    // map-side-combinable count over the cached banded rows plus the
+    // replication of hot rows only; OFF by default so the stock plan
+    // stays static and shuffle-count-identical — the knob is for the
+    // 100 TB corpus whose band-key histogram is adversarial, and
+    // DedupSpec proves the salted pair set identical on a planted
+    // hot-band corpus.
+    val sess = hashedDocs.sparkSession
+    val hotThr = sess.conf.get("spark.graft.lsh.hotBandThreshold", "0").toLong
+    val saltG = sess.conf.get("spark.graft.lsh.hotBandSalt", "16").toInt
+    val candsRaw =
+      if (hotThr <= 0)
+        banded.as("x").join(banded.as("y"),
+            col("x.bkey") === col("y.bkey") && pairCond)
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      else {
+        val hotKeys = broadcast(banded.groupBy(col("bkey"))
+          .agg(count(lit(1)).as("__bn")).where(col("__bn") > hotThr)
+          .select(col("bkey"), lit(true).as("__hot")))
+        val marked = banded.join(hotKeys, Seq("bkey"), "left_outer")
+        val cold = marked.where(col("__hot").isNull).drop("__hot")
+        val hot = marked.where(col("__hot").isNotNull).drop("__hot")
+          .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(saltG.toLong)))
+        val coldPairs = cold.as("x").join(cold.as("y"),
+            col("x.bkey") === col("y.bkey") && pairCond)
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        val hotPairs = hot
+          .withColumn("__t", explode(sequence(lit(0L), lit(saltG - 1L)))).as("x")
+          .join(hot.as("y"),
+            col("x.bkey") === col("y.bkey") &&
+              col("x.__t") === col("y.__salt") && pairCond)
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        coldPairs.unionAll(hotPairs)
+      }
+    val cands = candsRaw.distinct()
     (verifyJaccardRaw(cands, hashed, threshold), dupMembers)
   }
 

@@ -439,6 +439,79 @@ object IngestQueries {
         sum(fold32(col("text"))).as("text_fold"))
   }
 
+  /** j19: ICEBERG MANIFEST STATS SKIPPING — the j17 twin for the
+    * second format, and Iceberg's PRIMARY pruning lever (spec
+    * "Manifests": per-file `lower_bounds`/`upper_bounds`, consulted
+    * at scan planning so a range probe opens only intersecting
+    * files): a [20, 70] probe over range-clustered bucket files must
+    * open only the two intersecting stat'd buckets plus the one
+    * deliberately bounds-LESS bucket (the conservative-keep witness —
+    * IngestSpec pins the exact prunedFiles set for two probes); the
+    * oracle checks the VALUES, because pruning is a superset scan
+    * under the caller's own predicate — a wrong prune loses rows and
+    * diverges the hash, an over-keep only wastes IO.
+    */
+  def icebergSkippingRead(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureIcebergStats(s, dir)
+    graft.sources.IcebergTable.readPruned(s, table, "doc_id", 20L, 70L)
+      .filter(col("doc_id").between(20, 70))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"))
+  }
+
+  /** j21: DELTA EXPORT — write-side interop, the inverse of j10: a
+    * [[graft.sources.SnapshotTable]] version publishes as a minimal
+    * protocol-(1,2) Delta table (commit JSON + adds + schemaString +
+    * per-file stats from footers and sidecars) and is read back by
+    * THIS ENGINE'S OWN Delta reader, closing the read↔write loop
+    * inside the repo: a curated result handed downstream as a table
+    * commit, not a bare parquet directory. The census (rows, sums,
+    * text fold, file count) must match the source corpus exactly —
+    * a lost file, a torn copy, or a mangled schemaString diverges
+    * the hash. Copy-mode here (self-contained table); the zero-copy
+    * absolute-path mode and the stats-skipping hand-off are spec
+    * territory (IngestSpec).
+    */
+  def deltaExportRead(s: SparkSession, dir: String): DataFrame = {
+    val root = IngestFixtures.ensureDeltaExport(s, dir)
+    graft.sources.DeltaTable.read(s, s"$root/delta")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+  }
+
+  /** j20: DELTA COLUMN MAPPING, ID MODE — what spark-delta writes
+    * after certain schema evolutions (PROTOCOL.md "Column Mapping"):
+    * data columns resolve by PARQUET FIELD ID through Spark's native
+    * field-id reader, the file's column names are UNTRUSTED (the
+    * fixture names them after the WRONG columns' physicalNames, the
+    * post-rename shape — name matching would swap doc_id into text
+    * and diverge every aggregate), and partitionValues key on the
+    * partition column's PHYSICAL name. The per-lang census makes the
+    * partition reconstitution load-bearing: a reader that dropped or
+    * mis-keyed `col-l03` loses the group column and the hash
+    * diverges. Same one-kernel discipline as j10/j17 — IngestSpec
+    * proves none/name/id tables all read through readAdds.
+    */
+  def deltaCmIdRead(s: SparkSession, dir: String): DataFrame = {
+    val table = IngestFixtures.ensureDeltaCmId(s, dir)
+    graft.sources.DeltaTable.read(s, table)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        sum(fold32(col("source"))).as("source_fold"))
+      .orderBy(col("lang"))
+  }
+
   /** j18: DELTA V2 CHECKPOINTS — the UUID-named checkpoint whose
     * `sidecar` rows delegate the add/remove state to parquet files
     * under `_delta_log/_sidecars/` (the shape modern writers emit

@@ -88,12 +88,34 @@ object AvroContainer {
   def writeGeneric(f: File, schemaJson: String,
       rows: Seq[Map[String, Any]]): Unit = {
     val sc = new Schema.Parser().parse(schemaJson)
+    // resolve a nullable union to its non-null branch (Iceberg's
+    // optional metadata fields are ["null", T] unions)
+    def nonNull(s: Schema): Schema =
+      if (s.getType != Schema.Type.UNION) s
+      else {
+        var found: Schema = null
+        s.getTypes.forEach(t => if (t.getType != Schema.Type.NULL) found = t)
+        found
+      }
     def rec(s: Schema, m: Map[String, Any]): GenericRecord = {
       val r = new GenericData.Record(s)
       s.getFields.forEach { fld =>
         m.get(fld.name()).foreach {
           case v: Map[_, _] =>
-            r.put(fld.name(), rec(fld.schema(), v.asInstanceOf[Map[String, Any]]))
+            r.put(fld.name(),
+              rec(nonNull(fld.schema()), v.asInstanceOf[Map[String, Any]]))
+          case v: Seq[_] =>
+            // array field: element maps become records (the shape of
+            // Iceberg's bounds "maps" — arrays of {key, value} pairs,
+            // because Avro maps only key by string)
+            val items = nonNull(fld.schema()).getElementType
+            val list = new java.util.ArrayList[Any](v.length)
+            v.foreach {
+              case em: Map[_, _] =>
+                list.add(rec(nonNull(items), em.asInstanceOf[Map[String, Any]]))
+              case x => list.add(x)
+            }
+            r.put(fld.name(), list)
           case v => r.put(fld.name(), v)
         }
       }

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+
+/** Write-side table-format interop: publish a [[SnapshotTable]]
+  * version as a MINIMAL DELTA TABLE (delta.io PROTOCOL.md, protocol
+  * (1, 2) — the floor every Delta reader speaks), the inverse of the
+  * j10 read path. A pipeline that curates 100 TB here must hand the
+  * result BACK to downstream engines as a table commit, not a bare
+  * parquet directory; this is that hand-off.
+  *
+  * The exported log is one commit `00000000000000000000.json`:
+  * commitInfo (provenance: source table + version), protocol,
+  * metaData (the data's Spark-schema JSON — Delta's schemaString IS
+  * that format — empty partitionColumns, empty configuration), and
+  * one `add` per live data file with `dataChange = true`.
+  *
+  * Two publication modes, both spec-legal `add.path` forms:
+  *
+  *  - `copy = true`: data files COPY into the export root and adds
+  *    are RELATIVE — a fully self-contained table a consumer can move
+  *    wholesale. O(data) cost; the fixture-scale default.
+  *  - `copy = false`: adds are ABSOLUTE `file:` URIs referencing the
+  *    snapshot table's immutable files IN PLACE (the spec allows
+  *    absolute paths — shallow clones use exactly this). The export
+  *    is then METADATA-ONLY: O(files) work regardless of data size,
+  *    which is the 100 TB shape — publishing a curated exabyte is a
+  *    directory of JSON. Sound because SnapshotTable data files are
+  *    write-once (never modified, vacuum is the only deleter and
+  *    must wait out consumers, the same lease rule as readers).
+  *
+  * Per-file `stats` (numRecords + min/max) ride along when the
+  * snapshot version has a [[SnapshotTable]] stats sidecar — the j17
+  * skipping lever handed to downstream readers for free; versions
+  * without a sidecar export without stats (stats are optional in the
+  * protocol, and readers must stay conservative anyway).
+  *
+  * The export targets a FRESH directory (refuses a non-empty one: an
+  * exporter must never race a foreign writer's log — multi-writer
+  * commit arbitration against other engines is a catalog's job, out
+  * of scope the same way it is for [[IcebergTable]]'s write side).
+  */
+object DeltaExport {
+
+  private def jesc(x: String): String = {
+    val b = new StringBuilder(x.length + 8)
+    x.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Export `version` (latest when -1) of the snapshot table at
+    * `table` to `out` as a Delta table; returns the number of data
+    * files published. */
+  def export(s: SparkSession, table: String, out: String,
+      version: Long = -1L, copy: Boolean = true): Int = {
+    val v = if (version >= 0) version else SnapshotTable.latestVersion(table)
+    require(v >= 0, s"empty snapshot table $table")
+    val files = SnapshotTable.manifest(table, v)
+    require(files.nonEmpty, s"version $v of $table lists no files")
+    val outDir = Paths.get(out)
+    Files.createDirectories(outDir)
+    require(Option(outDir.toFile.list()).forall(_.isEmpty),
+      s"export target $out is not empty — refusing to write a log beside " +
+        "existing content (foreign-writer commit arbitration is a " +
+        "catalog's job)")
+    val log = outDir.resolve("_delta_log")
+    Files.createDirectories(log)
+    // schemaString: Delta's format IS the Spark StructType JSON; the
+    // files' parquet footers are the schema of record
+    val schemaJson = s.read.parquet(files: _*).schema.json
+    // add.stats: numRecords from each file's parquet FOOTER (an
+    // O(files) metadata read — no data scan, so metadata-only export
+    // stays O(files)), min/max from the snapshot's stats sidecars
+    // when the committing writer recorded them
+    val colStats = SnapshotTable.fileStats(table)
+    def statsJson(f: String): String = {
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          s.sparkContext.hadoopConfiguration))
+      val n = try footer.getRecordCount finally footer.close()
+      val mm = colStats.getOrElse(f, Map.empty)
+      val mins = mm.toSeq.sortBy(_._1)
+        .map { case (c, (mn, _)) => s""""${jesc(c)}":$mn""" }
+      val maxs = mm.toSeq.sortBy(_._1)
+        .map { case (c, (_, mx)) => s""""${jesc(c)}":$mx""" }
+      s"""{"numRecords":$n,"minValues":{${mins.mkString(",")}},"maxValues":{${maxs.mkString(",")}}}"""
+    }
+    val adds = files.zipWithIndex.map { case (f, i) =>
+      val src = Paths.get(f)
+      val size = Files.size(src)
+      val path =
+        if (copy) {
+          val n = f"part-$i%05d-${src.getFileName}"
+          Files.copy(src, outDir.resolve(n), StandardCopyOption.COPY_ATTRIBUTES)
+          n
+        } else src.toUri.toString
+      s"""{"add":{"path":"${jesc(path)}","partitionValues":{},"size":$size,"modificationTime":${Files.getLastModifiedTime(src).toMillis},"dataChange":true,"stats":"${jesc(statsJson(f))}"}}"""
+    }
+    val lines = Seq(
+      s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"ErrorIfExists"},"graftSourceTable":"${jesc(table)}","graftSourceVersion":$v}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(
+        s"graft-export:$table:$v".getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":${System.currentTimeMillis()}}}""") ++ adds
+    // tmp-then-ATOMIC_MOVE: the log file IS the commit point — a
+    // reader either sees a complete version 0 or no table at all
+    val tmp = log.resolve(".00000000000000000000.json.tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, log.resolve("00000000000000000000.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    adds.size
+  }
+}

@@ -512,7 +512,8 @@ object DeltaTable {
         // removes NOTHING — deleted rows resurrecting is exactly the
         // failure the reader-version gate exists to prevent.
         val rootUri = new java.io.File(table).toURI.toString
-        val key = (rootUri.stripSuffix("/") + "/" + a.path)
+        val key = (if (a.path.startsWith("/") || a.path.contains(":/")) a.path
+          else rootUri.stripSuffix("/") + "/" + a.path)
           .replaceFirst("^file:/+", "/")
         DeltaDv.Entry(key, table,
           d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
@@ -539,19 +540,30 @@ object DeltaTable {
     * toggled files). `withOrdinals` materializes the normalized file
     * path and native row ordinal (`__fp`/`__pos`) ON the scan, so a
     * caller's DV anti-join binds them before any projection could
-    * hide `_metadata`. COLUMN MAPPING (name mode): data files carry
-    * PHYSICAL column names (the schemaString field metadata's
-    * `delta.columnMapping.physicalName`), partitionValues key on
-    * them too — the scan selects physical and aliases back to
-    * logical; id mode (parquet field-id resolution) refuses. */
+    * hide `_metadata`. COLUMN MAPPING: in `name` mode data files
+    * carry PHYSICAL column names (the schemaString field metadata's
+    * `delta.columnMapping.physicalName`) — the scan selects physical
+    * and aliases back to logical; in `id` mode matching is by PARQUET
+    * FIELD ID (`delta.columnMapping.id` → the read schema's
+    * `parquet.field.id` metadata, resolved by Spark's native field-id
+    * reader) — the file's column NAMES are untrusted by design (a
+    * pre-rename file's names legitimately disagree with the current
+    * schema). partitionValues key on physical names in BOTH modes. */
+  /** Resolve an `add.path` to a scannable location: the spec allows
+    * RELATIVE (against the table root — the common case) or ABSOLUTE
+    * paths/URIs (shallow clones, and this engine's own zero-copy
+    * [[DeltaExport]] publish what they reference in place). */
+  private[sources] def resolvePath(table: String, p: String): String =
+    if (p.startsWith("/") || p.contains(":/")) p else s"$table/$p"
+
   private def readAdds(s: SparkSession, table: String, adds: Seq[AddFile],
       snap: Snapshot, withOrdinals: Boolean = false): DataFrame = {
     require(adds.nonEmpty, s"readAdds on empty file set at $table")
     val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none" || cmMode == "name",
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
       s"column mapping mode '$cmMode' at $table unsupported (this reader " +
-        "implements 'name'; 'id' needs parquet field-id resolution)")
-    val needSchema = snap.partitionColumns.nonEmpty || cmMode == "name"
+        "implements 'none', 'name' and 'id')")
+    val needSchema = snap.partitionColumns.nonEmpty || cmMode != "none"
     val schema: Option[org.apache.spark.sql.types.StructType] =
       if (!needSchema) None
       else Some(org.apache.spark.sql.types.DataType
@@ -563,16 +575,38 @@ object DeltaTable {
         f.metadata.getString("delta.columnMapping.physicalName")
       else f.name
     }.getOrElse(c)
+    lazy val dataFields = schema.get.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name)).toSeq
+    // id mode: a read schema of LOGICAL names, each tagged with the
+    // log's field id as `parquet.field.id`; Spark's field-id reader
+    // (spark.sql.parquet.fieldId.read.enabled) then matches columns
+    // by the ids the writer stamped into the files. Enabling the conf
+    // is sticky on the session and harmless: schemas without field-id
+    // metadata (every other read) keep matching by name.
+    lazy val idReadSchema: org.apache.spark.sql.types.StructType = {
+      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      org.apache.spark.sql.types.StructType(dataFields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"column mapping mode 'id' at $table but field '${f.name}' " +
+            "carries no delta.columnMapping.id — refusing rather than " +
+            "guessing a column identity")
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+            .build())
+      })
+    }
     def scanGroup(pv: Map[String, String], fs: Seq[AddFile]): DataFrame = {
-      var df = s.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
+      val paths = fs.map(f => resolvePath(table, f.path))
+      var df =
+        if (cmMode == "id") s.read.schema(idReadSchema).parquet(paths: _*)
+        else s.read.parquet(paths: _*)
       if (withOrdinals) df = df
         .withColumn("__fp",
           regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
         .withColumn("__pos", col("_metadata.row_index"))
       if (cmMode == "name") {
-        val dataFields = schema.get.fields
-          .filterNot(f => snap.partitionColumns.contains(f.name))
-        val cols = dataFields.toSeq.map(f => col(physName(f.name)).as(f.name)) ++
+        val cols = dataFields.map(f => col(physName(f.name)).as(f.name)) ++
           (if (withOrdinals) Seq(col("__fp"), col("__pos")) else Nil)
         df = df.select(cols: _*)
       }

@@ -61,7 +61,15 @@ object IcebergTable {
     deleteFiles: Seq[String] = Nil,
     eqDeletes: Seq[EqDelete] = Nil,
     dataSeqs: Map[String, Long] = Map.empty,
-    fieldNames: Map[Int, String] = Map.empty)
+    fieldNames: Map[Int, String] = Map.empty,
+    /** file → (field id → single-value-serialized lower bound,
+      * field id → upper bound) from the manifest entries'
+      * `lower_bounds`/`upper_bounds` — the format's primary pruning
+      * lever (spec "Manifests": column bounds are kept per data file
+      * so scan planning can skip files). Files whose entries carry no
+      * bounds are ABSENT — the conservative-keep witnesses. */
+    colBounds: Map[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])] =
+      Map.empty)
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -140,6 +148,26 @@ object IcebergTable {
     val dataFiles = Vector.newBuilder[(String, Long)]
     val posDeletes = Vector.newBuilder[String]
     val eqDeletes = Vector.newBuilder[EqDelete]
+    val bounds = Map.newBuilder[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])]
+    // bounds "maps" are spec-encoded as arrays of {key: field id,
+    // value: bytes} records (Avro maps only key by string); values
+    // are single-value serializations (little-endian for numerics)
+    def boundMap(df: org.apache.avro.generic.GenericRecord,
+        name: String): Map[Int, Array[Byte]] =
+      if (df.getSchema.getField(name) == null || df.get(name) == null) Map.empty
+      else df.get(name) match {
+        case l: java.util.List[_] =>
+          val b = Map.newBuilder[Int, Array[Byte]]
+          l.forEach { kv =>
+            val r = kv.asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+            val arr = new Array[Byte](bb.remaining())
+            bb.duplicate().get(arr)
+            b += r.get("key").asInstanceOf[Int] -> arr
+          }
+          b.result()
+        case _ => Map.empty // unknown encoding → no stats → no pruning
+      }
     manifests.foreach { case (mp, mseq) =>
       AvroContainer.readGeneric(new File(mp)).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
@@ -158,7 +186,11 @@ object IcebergTable {
               .map(_.asInstanceOf[Long]).getOrElse(mseq)
           val path = df.get("file_path").toString
           content match {
-            case 0 => dataFiles += ((path, eseq))
+            case 0 =>
+              dataFiles += ((path, eseq))
+              val lo = boundMap(df, "lower_bounds")
+              val hi = boundMap(df, "upper_bounds")
+              if (lo.nonEmpty || hi.nonEmpty) bounds += path -> ((lo, hi))
             case 1 => posDeletes += path
             case 2 =>
               val idsField = df.getSchema.getField("equality_ids")
@@ -176,7 +208,50 @@ object IcebergTable {
     }
     val data = dataFiles.result()
     Snapshot(wanted, data.map(_._1), posDeletes.result(), eqDeletes.result(),
-      data.toMap, fieldNames)
+      data.toMap, fieldNames, bounds.result())
+  }
+
+  /** Decode a single-value-serialized numeric bound (spec Appendix D:
+    * int = 4 and long = 8 little-endian bytes). Anything else —
+    * another type's encoding, a torn value — is None and the caller
+    * stays conservative. */
+  private def boundLong(b: Array[Byte]): Option[Long] = b.length match {
+    case 8 => Some(java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+    case 4 => Some(java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong)
+    case _ => None
+  }
+
+  /** The data files a `[lo, hi]` probe on `column` must open, by the
+    * manifests' per-file `lower_bounds`/`upper_bounds` — Iceberg's
+    * primary pruning lever, and the j17 Delta-stats twin with the
+    * same CONSERVATIVE contract: a file skips only when decodable
+    * bounds prove disjointness; missing bounds, an uncovered field
+    * id, or an undecodable value all KEEP the file (a wrong skip
+    * loses rows; an over-keep only costs IO). */
+  def prunedFiles(snap: Snapshot, column: String, lo: Long, hi: Long): Seq[String] = {
+    val fid = snap.fieldNames.collectFirst { case (id, n) if n == column => id }
+    snap.files.filter { f =>
+      (fid, snap.colBounds.get(f)) match {
+        case (Some(id), Some((los, his))) =>
+          val mn = los.get(id).flatMap(boundLong)
+          val mx = his.get(id).flatMap(boundLong)
+          mn.forall(_ <= hi) && mx.forall(_ >= lo) // overlap or unknown side
+        case _ => true // no bounds for the file / unknown column → keep
+      }
+    }
+  }
+
+  /** Stats-pruned read: open only [[prunedFiles]], with every delete
+    * discipline still applied. Callers re-apply their own predicate —
+    * pruning yields a SUPERSET scan, never a filter. */
+  def readPruned(s: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, snapshotId: Long = -1L): DataFrame = {
+    val snap = snapshot(table, snapshotId)
+    val keep = prunedFiles(snap, column, lo, hi)
+    if (keep.isEmpty) read(s, table, snapshotId).limit(0)
+    else readFiles(s, table, snap, keep)
   }
 
   /** Read the snapshot. V2 deletes apply MERGE-ON-READ, the spec's
@@ -208,10 +283,19 @@ object IcebergTable {
     * compaction story, stated not built).
     */
   def read(s: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions._
     val snap = snapshot(table, snapshotId)
-    require(snap.files.nonEmpty, s"empty snapshot ${snap.snapshotId} at $table")
-    val data = s.read.parquet(snap.files: _*)
+    readFiles(s, table, snap, snap.files)
+  }
+
+  /** Read a SUBSET of the snapshot's data files with both delete
+    * disciplines applied — the kernel behind [[read]] (all files) and
+    * [[readPruned]] (the stats-kept set). Extra delete rows naming
+    * pruned-away files are harmless (anti-joins match nothing). */
+  private def readFiles(s: SparkSession, table: String, snap: Snapshot,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(files.nonEmpty, s"empty snapshot ${snap.snapshotId} at $table")
+    val data = s.read.parquet(files: _*)
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
     if (snap.deleteFiles.isEmpty && snap.eqDeletes.isEmpty) data
@@ -238,8 +322,10 @@ object IcebergTable {
           p.replaceFirst("^file:", "").replaceFirst("^/+", "/")
         // file → data sequence number, file-count-sized: explicit
         // broadcast so attaching the scope never shuffles the scan
+        // (built from the SCANNED subset — the null guard below
+        // requires exactly the scanned files to resolve)
         val seqDf = broadcast(s.createDataFrame(
-          snap.files.map(f => (plain(f), snap.dataSeqs.getOrElse(f, 0L))))
+          files.map(f => (plain(f), snap.dataSeqs.getOrElse(f, 0L))))
           .toDF("__sfp", "__data_seq"))
         // LEFT join + loud null guard, not inner: a path-normalization
         // mismatch must refuse the read, never lose rows silently

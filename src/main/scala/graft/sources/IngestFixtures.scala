@@ -1049,6 +1049,197 @@ object IngestFixtures {
         "2\n".getBytes(StandardCharsets.UTF_8))
     }
   }
+
+  /** Delta COLUMN-MAPPING ID-MODE fixture for j20 (delta.io
+    * PROTOCOL.md "Column Mapping", mode `id`): data columns resolve
+    * by PARQUET FIELD ID, never by name. The fixture makes name-based
+    * matching actively WRONG, the way a post-rename table is: the
+    * data files' column names are the OTHER columns' physical names
+    * (doc_id's values sit in a file column named `col-t02` — text's
+    * physicalName — with field id 1), so a reader that matches by
+    * name either crashes or silently swaps columns, and only field-id
+    * resolution reads oracle-exact. One file per `lang` value with
+    * partitionValues keyed by lang's PHYSICAL name (`col-l03`), the
+    * protocol's rule. Field ids are stamped into the files by Spark's
+    * own writer (`parquet.field.id` schema metadata).
+    */
+  def ensureDeltaCmId(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("deltacmid", dir)
+    lazy val rows = docRows(s, dir)
+    Fixtures.ensureAtomic(out, 1) { tmp =>
+      val log = new java.io.File(tmp, "_delta_log"); log.mkdirs()
+      import org.apache.spark.sql.types.MetadataBuilder
+      def fid(id: Long) =
+        new MetadataBuilder().putLong("parquet.field.id", id).build()
+      def writeShard(name: String,
+          rs: Seq[(Long, String, String, String, Long)]): Long = {
+        val scratch = new java.io.File(tmp, ".w_" + name.replace('/', '_'))
+        s.createDataFrame(rs).toDF("a", "b", "c", "d", "e")
+          .select(
+            // MISNAMED on purpose: names rotate one physical slot
+            // right while ids stay true — ids must win
+            col("a").as("col-t02", fid(1L)), // doc_id values
+            col("b").as("col-s04", fid(2L)), // text values
+            col("d").as("col-n05", fid(4L)), // source values
+            col("e").as("col-d01", fid(5L))) // n_chars values
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(tmp, name)
+        dest.getParentFile.mkdirs()
+        Files.move(part.toPath, dest.toPath)
+        Fixtures.deleteRecursively(scratch)
+        dest.length()
+      }
+      val byLang = rows.toSeq.groupBy(_._3).toSeq.sortBy(_._1)
+      val adds = byLang.map { case (lang, rs) =>
+        val name = s"part-$lang.parquet"
+        val sz = writeShard(name, rs)
+        s"""{"add":{"path":"$name","partitionValues":{"col-l03":"$lang"},"size":$sz,"modificationTime":1700000000000,"dataChange":true}}"""
+      }
+      def fmeta(id: Long, phys: String) =
+        s"""{"delta.columnMapping.id":$id,"delta.columnMapping.physicalName":"$phys"}"""
+      val rawSchema = Seq(
+        """{"type":"struct","fields":[""",
+        s"""{"name":"doc_id","type":"long","nullable":false,"metadata":${fmeta(1, "col-d01")}},""",
+        s"""{"name":"text","type":"string","nullable":true,"metadata":${fmeta(2, "col-t02")}},""",
+        s"""{"name":"lang","type":"string","nullable":true,"metadata":${fmeta(3, "col-l03")}},""",
+        s"""{"name":"source","type":"string","nullable":true,"metadata":${fmeta(4, "col-s04")}},""",
+        s"""{"name":"n_chars","type":"long","nullable":true,"metadata":${fmeta(5, "col-n05")}}]}""").mkString
+      Files.write(new java.io.File(log, f"${0L}%020d.json").toPath,
+        ((Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-delta-cmid","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(rawSchema)}","partitionColumns":["lang"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"5"},"createdTime":1700000000000}}""") ++
+          adds).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** DELTA-EXPORT round-trip fixture for j21: a SnapshotTable built
+    * from the doc_id < [[DocLimit]] corpus in TWO commits (parity
+    * halves, range-split into 2 files each, doc_id/n_chars stats
+    * recorded), then published as a self-contained (copy-mode) Delta
+    * table under `delta/` — the read↔write interop loop closed inside
+    * the repo: the engine's own snapshot version handed to any Delta
+    * reader, and read back here by j10's. Metadata-only (absolute-
+    * path) export is spec territory — its URIs pin the build
+    * location, so it cannot ride ensureAtomic's tmp-dir rename.
+    */
+  def ensureDeltaExport(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("deltaexport", dir)
+    Fixtures.ensureAtomic(out, 4) { tmp =>
+      val snap = new java.io.File(tmp, "snap").toString
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < DocLimit)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      SnapshotTable.commit(s, snap,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .repartitionByRange(2, col("doc_id")),
+        statsCols = Seq("doc_id", "n_chars"))
+      SnapshotTable.commit(s, snap,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .repartitionByRange(2, col("doc_id")),
+        statsCols = Seq("doc_id", "n_chars"))
+      DeltaExport.export(s, snap, new java.io.File(tmp, "delta").toString)
+    }
+  }
+
+  /** Which bucket's manifest entry carries NO bounds in the j19
+    * fixture (the conservative-keep witness, the
+    * [[DeltaStatsNoStatsBucket]] twin). */
+  val IcebergNoStatsBucket = 3L
+
+  /** Iceberg MANIFEST-STATS fixture for j19 (spec "Manifests":
+    * `lower_bounds`/`upper_bounds` per data file — the format's
+    * primary pruning lever): one snapshot whose manifest lists one
+    * range-clustered bucket file per `doc_id div DeltaStatsBucket`,
+    * each entry carrying single-value-serialized (little-endian
+    * long) doc_id bounds — EXCEPT bucket [[IcebergNoStatsBucket]],
+    * whose entry has null bounds and must open on EVERY range probe.
+    * Bounds ride the spec's array-of-{key: field id, value: bytes}
+    * encoding (Avro maps cannot key by int).
+    */
+  def ensureIcebergStats(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("icebergstats", dir)
+    lazy val rows = docRows(s, dir)
+    val manifestListSchema =
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin
+    val boundsType =
+      """["null",{"type":"array","items":{"type":"record","name":"i64kv","fields":[
+        |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]"""
+        .stripMargin.replace("\n", "")
+    val manifestSchema =
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"lower_bounds","type":$boundsType,"default":null},
+        |{"name":"upper_bounds","type":${boundsType.replace("i64kv", "i64kv2")},"default":null}]}}]}"""
+        .stripMargin
+    Fixtures.ensureAtomic(out, 8) { tmp =>
+      val meta = new java.io.File(tmp, "metadata"); meta.mkdirs()
+      val buckets = rows.toSeq.groupBy(_._1 / DeltaStatsBucket).toSeq
+        .sortBy(_._1).filter(_._2.nonEmpty)
+      val files = buckets.map { case (k, rs) =>
+        val name = s"data/file-bucket-$k.parquet"
+        (k, name, rs, writeOneParquet(s, tmp, name, rs))
+      }
+      def longBytes(v: Long): java.nio.ByteBuffer = {
+        val bb = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putLong(v); bb.flip(); bb
+      }
+      def entry(k: Long, name: String,
+          rs: Seq[(Long, String, String, String, Long)], size: Long) = {
+        val ids = rs.map(_._1)
+        val base = Map[String, Any]("file_path" -> s"$out/$name",
+          "file_format" -> "PARQUET", "record_count" -> rs.size.toLong,
+          "file_size_in_bytes" -> size)
+        val df =
+          if (k == IcebergNoStatsBucket) base
+          else base ++ Map[String, Any](
+            "lower_bounds" -> Seq(Map[String, Any](
+              "key" -> 1, "value" -> longBytes(ids.min))),
+            "upper_bounds" -> Seq(Map[String, Any](
+              "key" -> 1, "value" -> longBytes(ids.max))))
+        Map[String, Any]("status" -> 1, "snapshot_id" -> 1L, "data_file" -> df)
+      }
+      val mf = new java.io.File(meta, "manifest-a.avro")
+      AvroContainer.writeGeneric(mf, manifestSchema,
+        files.map { case (k, n, rs, sz) => entry(k, n, rs, sz) })
+      AvroContainer.writeGeneric(new java.io.File(meta, "snap-1.avro"),
+        manifestListSchema, Seq(Map[String, Any](
+          "manifest_path" -> s"$out/metadata/manifest-a.avro",
+          "manifest_length" -> mf.length(), "partition_spec_id" -> 0,
+          "added_snapshot_id" -> 1L)))
+      val schemaJson =
+        """{"schema-id":0,"type":"struct","fields":[
+          |{"id":1,"name":"doc_id","required":true,"type":"long"},
+          |{"id":2,"name":"text","required":false,"type":"string"},
+          |{"id":3,"name":"lang","required":false,"type":"string"},
+          |{"id":4,"name":"source","required":false,"type":"string"},
+          |{"id":5,"name":"n_chars","required":false,"type":"long"}]}"""
+          .stripMargin.replace("\n", "")
+      val mdJson =
+        s"""{"format-version":1,"table-uuid":"graft-iceberg-stats-fixture",
+           |"location":"${jesc(out.toString)}","last-updated-ms":1700000000000,
+           |"schema":$schemaJson,
+           |"current-snapshot-id":1,
+           |"snapshots":[
+           |{"snapshot-id":1,"timestamp-ms":1700000000000,
+           |"manifest-list":"${jesc(s"$out/metadata/snap-1.avro")}",
+           |"summary":{"operation":"append"}}]}
+           |""".stripMargin
+      Files.write(new java.io.File(meta, "v1.metadata.json").toPath,
+        mdJson.getBytes(StandardCharsets.UTF_8))
+      Files.write(new java.io.File(meta, "version-hint.text").toPath,
+        "1\n".getBytes(StandardCharsets.UTF_8))
+    }
+  }
 }
 
 /** Checkpoint-parquet action rows (the delta.io PROTOCOL.md checkpoint

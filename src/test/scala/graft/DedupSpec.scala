@@ -165,6 +165,45 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (a, b, i, u) => assert(i == u && i > 0, s"($a,$b)") }
   }
 
+  test("hot-band salting: identical pair set on a planted hot-band corpus, salted plan engages") {
+    import spark.implicits._
+    // planted hot band: 60 distinct docs sharing 29 of 30 feature
+    // hashes (each drops one) — NOT exact dups, so the family
+    // collapse cannot remove them, and with 1-row bands their band
+    // keys coincide whenever the shared features own the minimum:
+    // bucket sizes ~60 on every band, the adversarial shape
+    val common = (1L to 30L).map(_ * 0x9E3779B97F4A7C15L)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, common.zipWithIndex.collect {
+        case (h, j) if j != i % 30 => h
+      } :+ (0xABCDEF00L + i))
+    }
+    val hashed = docs.toDF("doc_id", "fh")
+    def pairs(): Set[Seq[Any]] = Dedup.pairsFromHashed(
+      hashed, bands = 8, rows = 1, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    val unsalted = pairs()
+    spark.conf.set("spark.graft.lsh.hotBandThreshold", "8")
+    spark.conf.set("spark.graft.lsh.hotBandSalt", "4")
+    try {
+      val salted = pairs()
+      assert(unsalted.nonEmpty, "planted corpus produced no pairs")
+      assert(salted == unsalted,
+        s"salting changed the pair set: ${(salted diff unsalted) ++ (unsalted diff salted)}")
+      // the salted branch actually planned (salt column in the join)
+      val plan = Dedup.pairsFromHashed(hashed, 8, 1, 0.5)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("__salt"), plan.take(2000))
+      // all-hot degenerate setting still produces the same set
+      spark.conf.set("spark.graft.lsh.hotBandThreshold", "1")
+      assert(pairs() == unsalted)
+    } finally {
+      spark.conf.unset("spark.graft.lsh.hotBandThreshold")
+      spark.conf.unset("spark.graft.lsh.hotBandSalt")
+      graft.Caches.clear()
+    }
+  }
+
   test("constructing and explaining a d2/d4 frame runs no Spark job") {
     // the r5 dup-detection probe was an eager job at DataFrame
     // construction; the r6 static-plan collapse must not execute

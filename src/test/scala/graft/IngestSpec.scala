@@ -581,12 +581,14 @@ class IngestSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
     assert(got == Seq((1L, "alpha", "en"), (2L, "beta", "en")))
 
-    // id mode needs parquet field-id resolution — refuse, never guess
+    // id mode resolves by field id — a schema whose fields carry NO
+    // delta.columnMapping.id (this one only has columnId/physicalName)
+    // refuses with the gap named, never guesses a column identity
     val tblId = mkTable("delta_cm_id", "id", proto2)
     val e1 = intercept[IllegalArgumentException] {
       DeltaTable.read(spark, tblId.toString)
     }
-    assert(e1.getMessage.contains("column mapping mode"), e1.getMessage)
+    assert(e1.getMessage.contains("delta.columnMapping.id"), e1.getMessage)
 
     // a version-3 table demanding a feature we do not implement
     // refuses WITH the feature named
@@ -649,6 +651,183 @@ class IngestSpec extends SparkSpec {
     assert(far == Set("file-bucket-7.parquet", noStats), far.toString)
     // values survive the prune: superset scan + caller predicate
     val got = DeltaTable.readPruned(spark, table, "doc_id", 20, 70)
+      .filter(col("doc_id").between(20, 70))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = Tables.documents(spark, Sf)
+      .filter(col("doc_id").between(20, 70))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("s3 wire protocol: g8 listing + fetch stage run over s3a:// HTTP with pagination and throttle-retry") {
+    import graft.sources.S3HttpFileSystem
+    val fixture = graft.geo.Fixtures.ensureListing(spark, Sf)
+    val files = new java.io.File(fixture).listFiles()
+      .filter(_.getName.endsWith(".grft")).sortBy(_.getName)
+    assert(files.length > 20)
+    // page size 7 forces real ListObjectsV2 pagination under every
+    // per-prefix listing task
+    val stub = new S3Stub("raster", pageSize = 7)
+    try {
+      files.foreach(f => stub.put("listing/" + f.getName,
+        java.nio.file.Files.readAllBytes(f.toPath)))
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3a.impl", "graft.sources.S3HttpFileSystem")
+      hc.set("fs.s3a.endpoint", stub.endpoint)
+      hc.set("fs.s3a.retry.base.ms", "10")
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      // g8's distributed listing path, verbatim, over the wire: one
+      // ListObjectsV2 pager per prefix task
+      val pages0 = S3HttpFileSystem.listPages.get()
+      val rows = org.apache.spark.sql.graft.FsListing
+        .listByPrefix(spark, "s3a://raster/listing",
+          graft.geo.Geo.ListingPrefixes, ".grft")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(rows == files.map(f => (f.getName, f.length())).toSeq)
+      assert(S3HttpFileSystem.listPages.get() - pages0 >
+        graft.geo.Geo.ListingPrefixes.size, "pagination never continued")
+      // throttle-retry: the next 3 responses are 503 SlowDown; the
+      // client must back off and still succeed
+      val p0 = new org.apache.hadoop.fs.Path(
+        s"s3a://raster/listing/${files.head.getName}")
+      val fs = p0.getFileSystem(hc)
+      val r0 = S3HttpFileSystem.retries.get()
+      stub.arm503(3)
+      assert(fs.getFileStatus(p0).getLen == files.head.length())
+      assert(S3HttpFileSystem.retries.get() - r0 >= 3)
+      // ranged read: seek past the GRFT magic and read the tile id —
+      // the stream must re-range, not re-download from zero
+      val in = fs.open(p0)
+      try {
+        in.seek(4)
+        val buf = new Array[Byte](4)
+        in.readFully(buf)
+        val local = java.nio.file.Files.readAllBytes(files.head.toPath)
+        assert(buf.toSeq == local.slice(4, 8).toSeq)
+      } finally in.close()
+      // the bounded-concurrency fetch stage, fetchers opening s3a://
+      // paths inside tasks (conf travels the FsListing way)
+      val conf = new org.apache.spark.util.SerializableConfiguration(hc)
+      import spark.implicits._
+      val manifest = files.take(12).map(_.getName).toSeq.toDF("name")
+      val fetched = graft.operators.Ingest.fetch(manifest, "name", 4) { k =>
+        val p = new org.apache.hadoop.fs.Path(s"s3a://raster/listing/$k")
+        val f = p.getFileSystem(conf.value)
+        val s = f.open(p)
+        try s.readAllBytes() finally s.close()
+      }.collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toMap
+      assert(fetched.size == 12)
+      files.take(12).foreach { f =>
+        assert(fetched(f.getName).toSeq ==
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq, f.getName)
+      }
+      // read-only: a write refuses loudly
+      intercept[UnsupportedOperationException] {
+        fs.delete(p0, false)
+      }
+    } finally stub.stop()
+    graft.Caches.clear()
+  }
+
+  test("j21: delta export — both path modes round-trip, versions pin, stats hand off, non-empty target refuses") {
+    import graft.sources.{DeltaExport, DeltaTable, SnapshotTable}
+    import spark.implicits._
+    val snap = scratchDir("graft_dexp_snap")
+    val v0rows = (0L until 100L).map(i => (i, s"t$i", i * 3))
+    SnapshotTable.commit(spark, snap,
+      v0rows.toDF("k", "t", "n").repartitionByRange(2, col("k")),
+      statsCols = Seq("k"))
+    SnapshotTable.commit(spark, snap,
+      (100L until 150L).map(i => (i, s"t$i", i * 3)).toDF("k", "t", "n")
+        .repartitionByRange(1, col("k")), statsCols = Seq("k"))
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // copy mode, PINNED version 0: row-identical to readVersion(0) —
+    // the later commit must not leak in
+    val out0 = scratchDir("graft_dexp_v0")
+    new java.io.File(out0).delete()
+    assert(DeltaExport.export(spark, snap, out0, version = 0L) == 2)
+    assert(census(DeltaTable.read(spark, out0)) ==
+      census(SnapshotTable.readVersion(spark, snap, 0L)))
+    // metadata-only mode, latest version: NO parquet beside the log
+    // (adds are absolute URIs into the snapshot table), row-identical
+    val out1 = scratchDir("graft_dexp_meta")
+    new java.io.File(out1).delete()
+    assert(DeltaExport.export(spark, snap, out1, copy = false) == 3)
+    assert(!new java.io.File(out1).listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(census(DeltaTable.read(spark, out1)) == census(SnapshotTable.read(spark, snap)))
+    // the exported add.stats drive j17's skipping on the OTHER side:
+    // a [0, 10] probe over the range-split files opens a strict
+    // subset, and numRecords/min/max came from footers + sidecars
+    val opened = DeltaTable.readPruned(spark, out1, "k", 0L, 10L).inputFiles.toSet
+    assert(opened.size < DeltaTable.read(spark, out1).inputFiles.toSet.size, opened)
+    assert(DeltaTable.readPruned(spark, out1, "k", 0L, 10L)
+      .filter(col("k") <= 10).count() == 11L)
+    // a non-empty target refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.export(spark, snap, out1)
+    }
+    assert(e.getMessage.contains("not empty"), e.getMessage)
+    graft.Caches.clear()
+  }
+
+  test("j20: delta column-mapping id mode — field ids beat misnamed file columns; one kernel for none/name/id") {
+    import graft.sources.{DeltaTable, IngestFixtures}
+    val table = IngestFixtures.ensureDeltaCmId(spark, Sf)
+    val df = DeltaTable.read(spark, table)
+    // logical schema, not the files' (deliberately wrong) names
+    assert(df.columns.toSeq == Seq("doc_id", "text", "source", "n_chars", "lang"))
+    val want = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < IngestFixtures.DocLimit)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    val got = df.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    // oracle-parity INCLUDING the partition column reconstituted from
+    // its physical-name partitionValues key — and because every file
+    // column is named after a DIFFERENT column's physicalName, this
+    // equality can only hold if matching went by field id
+    assert(want.nonEmpty && got == want)
+    // the misnaming is load-bearing: name-style matching on these
+    // files reads doc_id's longs under text's physical name
+    val raw = spark.read.parquet(df.inputFiles.head)
+    assert(raw.columns.contains("col-t02") &&
+      raw.schema("col-t02").dataType.typeName == "long")
+    // one kernel: none (j10), name (the cm test above) and id (this)
+    // all read through DeltaTable.read/readAdds — none-mode parity
+    val none = DeltaTable.read(spark, IngestFixtures.ensureDelta(spark, Sf))
+    assert(none.columns.contains("doc_id") && none.count() > 0)
+    graft.Caches.clear()
+  }
+
+  test("j19: iceberg manifest stats — bounds prune files, the bounds-less file always opens") {
+    import graft.sources.{IcebergTable, IngestFixtures}
+    val table = IngestFixtures.ensureIcebergStats(spark, Sf)
+    val snap = IcebergTable.snapshot(table)
+    def names(fs: Seq[String]): Set[String] =
+      fs.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val noStats = s"file-bucket-${IngestFixtures.IcebergNoStatsBucket}.parquet"
+    // [20, 70] spans buckets 0 and 1; bucket 3 opens ONLY because its
+    // manifest entry carries no bounds (the conservative contract)
+    val o = names(IcebergTable.prunedFiles(snap, "doc_id", 20, 70))
+    assert(o == Set("file-bucket-0.parquet", "file-bucket-1.parquet", noStats),
+      o.toString)
+    assert(o.size < snap.files.size) // skipping actually skipped
+    // a far probe opens only its bucket + the bounds-less witness
+    val far = names(IcebergTable.prunedFiles(snap, "doc_id", 350, 360))
+    assert(far == Set("file-bucket-7.parquet", noStats), far.toString)
+    // an unknown column or a file without bounds keeps everything
+    assert(IcebergTable.prunedFiles(snap, "no_such_col", 0, 1).toSet ==
+      snap.files.toSet)
+    // the actual scan opens exactly the pruned set
+    val scanned = IcebergTable.readPruned(spark, table, "doc_id", 20, 70)
+      .inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(scanned == o, scanned.toString)
+    // values survive the prune: superset scan + caller predicate
+    val got = IcebergTable.readPruned(spark, table, "doc_id", 20, 70)
       .filter(col("doc_id").between(20, 70))
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val want = Tables.documents(spark, Sf)
