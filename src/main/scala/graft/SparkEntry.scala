@@ -48,6 +48,7 @@ object SparkEntry {
     "g38_warp_resample"       -> GeoQueries.warpResample _,
     "g42_warp_average"        -> GeoQueries.warpAverage _,
     "g43_warp_bilinear"       -> GeoQueries.warpBilinear _,
+    "g45_warp_mercator"       -> GeoQueries.warpMercator _,
     "g44_stats_prune"         -> GeoQueries.statsPrune _,
     "g39_snapshot_merge"      -> GeoQueries.snapshotMerge _,
     "g40_snapshot_changes"    -> GeoQueries.snapshotChanges _,
@@ -600,6 +601,55 @@ object SparkEntry {
     // g38: inverse-map each 5×5 target center to its source pixel;
     // // ≡ Spark div on the non-negative operands; georeferencing
     // and elevation re-derived from the generating formulas
+    // g45: the fixed-point Mercator spec replayed move-for-move —
+    // recursive CTEs carry the sin/atanh fold states; every DIV sees
+    // non-negative operands, so DuckDB's floor `//` equals Spark's
+    // truncating DIV and the boundary comparisons match bit-for-bit
+    "g45_warp_mercator" -> raw"""
+      |WITH RECURSIVE $TilesCte,
+      |bnd AS (
+      |  SELECT tile_id, tile_key, lat0, lon0, bs.b,
+      |         ((lat0*1000000 - bs.b*125000) * 1745329252) // 100000000 AS phi
+      |  FROM keyed, generate_series(0,8) bs(b)
+      |  WHERE tile_id < 50 AND lat0 BETWEEN 1 AND 60),
+      |sinr AS (
+      |  SELECT tile_id, b, (phi*phi) // 1000000000 AS p2, 0 AS k, phi AS u, phi AS acc
+      |  FROM bnd
+      |  UNION ALL
+      |  SELECT tile_id, b, p2, k+1,
+      |         (u*p2) // ((2*(k+1)) * (2*(k+1)+1) * 1000000000::BIGINT),
+      |         acc + (CASE WHEN (k+1) % 2 = 1 THEN -1 ELSE 1 END) *
+      |               ((u*p2) // ((2*(k+1)) * (2*(k+1)+1) * 1000000000::BIGINT))
+      |  FROM sinr WHERE k < 7),
+      |sins AS (SELECT tile_id, b, acc AS s FROM sinr WHERE k = 7),
+      |atr AS (
+      |  SELECT tile_id, b, (s*s) // 1000000000 AS q2, 0 AS k, s AS v, s AS acc
+      |  FROM sins
+      |  UNION ALL
+      |  SELECT tile_id, b, q2, k+1, (v*q2) // 1000000000,
+      |         acc + ((v*q2) // 1000000000) // (2*(k+1)+1)
+      |  FROM atr WHERE k < 75),
+      |yb AS (SELECT tile_id, b, acc AS y FROM atr WHERE k = 75),
+      |ym AS (
+      |  SELECT k.tile_id, k.tile_key, k.lat0, k.lon0, tys.ty,
+      |         y0.y - (2*tys.ty + 1) * (y0.y - y8.y) // 512 AS y_merc
+      |  FROM keyed k
+      |  JOIN yb y0 ON y0.tile_id = k.tile_id AND y0.b = 0
+      |  JOIN yb y8 ON y8.tile_id = k.tile_id AND y8.b = 8
+      |  CROSS JOIN generate_series(0,255) tys(ty)
+      |  WHERE k.tile_id < 50 AND k.lat0 BETWEEN 1 AND 60),
+      |rws AS (
+      |  SELECT ym.*, (SELECT count(*) FROM yb
+      |                WHERE yb.tile_id = ym.tile_id AND yb.b BETWEEN 1 AND 8
+      |                  AND ym.y_merc <= yb.y) AS sy
+      |  FROM ym)
+      |SELECT tile_id, tile_key, ty::BIGINT AS ty, txs.tx::BIGINT AS tx,
+      |       (lon0*1000000 + (2*txs.tx + 1)*62500)::BIGINT AS lon_e6,
+      |       y_merc::BIGINT AS y_merc_nano,
+      |       sy::BIGINT AS src_row,
+      |       ((tile_id*131 + txs.tx*17 + sy*29) % 8848)::BIGINT AS elevation
+      |FROM rws, generate_series(0,7) txs(tx)
+      |ORDER BY tile_id, ty, tx""".stripMargin,
     "g38_warp_resample" -> raw"""
       |WITH $TilesCte,
       |t AS (SELECT tile_id, tile_key, lat0, lon0, tys.ty, txs.tx,

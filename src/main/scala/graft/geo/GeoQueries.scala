@@ -1804,6 +1804,109 @@ object GeoQueries {
       .orderBy(col("tile_id"), col("ty"), col("tx"))
   }
 
+  /** Fixed-point Web-Mercator forward transform Y(φ) as a Spark SQL
+    * expression over an array of e6-micro-degree latitudes: returns
+    * nano-radian-scale integers `atanh(sin φ)·10⁹` computed ENTIRELY
+    * in 64-bit integer arithmetic — φ → nano-radians by one exact
+    * scaled multiply (π/180·10¹¹ = 1745329252 per µdeg→nrad), sin by an 8-term
+    * alternating Taylor fold (magnitudes only, signs applied at the
+    * sum, so every truncating division sees a non-negative operand
+    * and Spark's `div` ≡ DuckDB's `//`), atanh by a 76-term series
+    * fold. The recurrences are the SPEC: the DuckDB oracle replays
+    * the identical multiply/divide sequence (recursive CTE), so the
+    * hash compare is exact — no libm call ever crosses it. Accuracy
+    * vs real ln/tan is ~1e-7 rad for |φ| ≤ 61° (series depths chosen
+    * for that band; truncation error ≲ 100 nano), asserted in
+    * GeoSpec against java.lang.Math.
+    */
+  private def mercYbSql: String = {
+    val N = "1000000000"
+    // lat boundaries b = 0..8 of the tile (top lat0, step 1/8°)
+    val lats = s"transform(sequence(0, 8), b -> CAST(lat0 AS BIGINT) * 1000000 - b * 125000)"
+    val phis = s"transform($lats, l -> l * 1745329252 DIV 100000000)"
+    val sins = s"""transform($phis, p -> aggregate(sequence(1, 7),
+      struct(p AS u, p AS acc),
+      (a, k) -> struct(
+        a.u * ((p * p) DIV $N) DIV (CAST((2*k) * (2*k+1) AS BIGINT) * $N) AS u,
+        a.acc + IF(k % 2 = 1, -1L, 1L) *
+          (a.u * ((p * p) DIV $N) DIV (CAST((2*k) * (2*k+1) AS BIGINT) * $N)) AS acc),
+      a -> a.acc))"""
+    s"""transform($sins, sv -> aggregate(sequence(1, 75),
+      struct(sv AS v, sv AS acc),
+      (a, k) -> struct(
+        a.v * ((sv * sv) DIV $N) DIV $N AS v,
+        a.acc + (a.v * ((sv * sv) DIV $N) DIV $N) DIV CAST(2*k+1 AS BIGINT) AS acc),
+      a -> a.acc))"""
+  }
+
+  /** g45: WEB-MERCATOR REPROJECTION WARP (`gdalwarp -t_srs EPSG:3857
+    * -r near` — the genuine CRS change g38/g42/g43's affine ratios
+    * deliberately stopped short of, and the first ask of a real
+    * raster user: web-map tiling). Each geographic tile regrids onto
+    * 256 target rows EQUALLY SPACED IN MERCATOR Y between the tile's
+    * own Y(lat0) and Y(lat0−1) — the row mapping is NON-UNIFORM in
+    * latitude (denser toward the equator side, the Mercator
+    * signature no affine warp exhibits), x is untouched (Mercator x
+    * is linear in longitude). Per target row, the source row is
+    * found by comparing the row's Mercator center against the NINE
+    * source-boundary Y values — only the FORWARD transform is ever
+    * evaluated (the inverse would need atan/sinh; the boundary
+    * comparison sidesteps it exactly), all in the fixed-point
+    * integer spec of [[mercYbSql]], so the oracle replays it
+    * bit-for-bit. Tiles gate to lat0 ∈ [1, 60]: non-negative
+    * latitudes keep floor ≡ trunc across engines, and the series
+    * depths cover the band (web-mercator itself caps at 85°; a
+    * polar-band production run extends the atanh fold, stated).
+    *
+    * Zero shuffle, the warp family's distribution story: the 9
+    * boundary Ys are one array expression per tile, the 8×8 target
+    * template explodes from a literal, and the row selection +
+    * elevation pull are integer folds inside the tile's own decoded
+    * array. Output carries `y_merc_nano` (the reprojected
+    * georeference) and `src_row` (the non-uniform selection) so the
+    * oracle pins the projection math itself, not just the pixels.
+    */
+  def warpMercator(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val n = 8
+    // 256 target rows per tile: over a 1° tile the Mercator boundary
+    // deviation from the affine interpolant is tan(φ)·h/8 of the range
+    // (~0.4%% at 57°) — at 256 targets the flip threshold is 1/512 of
+    // the range, so high-latitude tiles provably select DIFFERENT
+    // source rows than every affine assignment (GeoSpec asserts the
+    // divergence witness); coarser grids would reduce reprojection to
+    // affine at cell granularity, which is exactly what -t_srs is not
+    val nty = 256
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val targets = flatten(transform(sequence(lit(0), lit(nty - 1)), ty =>
+      transform(sequence(lit(0), lit(n - 1)), tx =>
+        struct(tx.as("tx"), ty.as("ty")))))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        col("r.lat0").cast("long").as("lat0"), col("r.lon0").cast("long").as("lon0"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+      .filter(col("lat0").between(1, 60))
+      .withColumn("yb", expr(mercYbSql))
+      .select(col("tile_key"), col("tile_id"), col("lat0"), col("lon0"),
+        col("e"), col("yb"), explode(targets).as("t"))
+      .withColumn("y_merc_nano", expr(
+        "element_at(yb, 1) - CAST(2 * t.ty + 1 AS BIGINT) * (element_at(yb, 1) - element_at(yb, 9)) DIV 512"))
+      .withColumn("src_row", expr(
+        "aggregate(sequence(1, 8), CAST(0 AS BIGINT), (a, b) -> a + IF(y_merc_nano <= element_at(yb, b + 1), 1L, 0L))"))
+      .select(col("tile_id"), col("tile_key"),
+        col("t.ty").cast("long").as("ty"), col("t.tx").cast("long").as("tx"),
+        (col("lon0") * lit(1000000L) +
+          (col("t.tx").cast("long") * 2 + 1) * lit(62500L)).as("lon_e6"),
+        col("y_merc_nano"), col("src_row"),
+        element_at(col("e"),
+          (col("src_row") * n + col("t.tx") + 1).cast("int")).as("elevation"))
+      .orderBy(col("tile_id"), col("ty"), col("tx"))
+  }
+
   /** g44: FILE-STATS DATA SKIPPING as a first-class oracle-checked
     * query — the fourth scan-reduction lever (g11 prunes partitions
     * statically, q75 dynamically through a join, q76 prunes rows with
@@ -1825,12 +1928,22 @@ object GeoQueries {
   def statsPrune(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable
     val table = Fixtures.fixtureRoot("statsprune", dir).toString
-    Fixtures.deleteRecursively(new java.io.File(table))
-    val grid = gridExpand(tiles(s, dir).filter(col("tile_id") < 400))
-      .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
-    SnapshotTable.commit(s, table,
-      grid.repartitionByRange(8, col("tile_id")),
-      statsCols = Seq("tile_id"))
+    // ensure-once (the cowScenario discipline): the operator under
+    // test is readPruned's skipping, not the commit protocol (that is
+    // g36's job) — rebuilding the table per call put a full commit
+    // inside every timed run
+    val marker = new java.io.File(table, "_STATS_COMPLETE")
+    if (!marker.exists()) graft.FixtureTimer.timed(synchronized {
+      if (!marker.exists()) {
+        Fixtures.deleteRecursively(new java.io.File(table))
+        val grid = gridExpand(tiles(s, dir).filter(col("tile_id") < 400))
+          .select(col("tile_id"), col("lon"), col("lat"), col("elevation"))
+        SnapshotTable.commit(s, table,
+          grid.repartitionByRange(8, col("tile_id")),
+          statsCols = Seq("tile_id"))
+        java.nio.file.Files.write(marker.toPath, "v1\n".getBytes("UTF-8"))
+      }
+    })
     SnapshotTable.readPruned(s, table, "tile_id", 100L, 149L)
       .filter(col("tile_id").between(100, 149))
       .agg(count(lit(1)).as("n_rows"),

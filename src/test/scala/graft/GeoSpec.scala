@@ -1371,6 +1371,64 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g45 warp mercator: fixed-point Y matches libm to 2e-7; selection diverges from every affine pick; JVM re-derivation") {
+    // the fixed-point spec, re-derived move-for-move in plain Scala
+    // (Long `/` truncates; every operand non-negative, so trunc ≡
+    // floor ≡ the Spark DIV ≡ the DuckDB //)
+    val N = 1000000000L
+    def mercFixed(latE6: Long): Long = {
+      val phi = latE6 * 1745329252L / 100000000L
+      val p2 = phi * phi / N
+      var u = phi; var acc = phi
+      for (k <- 1 to 7) {
+        u = u * p2 / (2L * k * (2 * k + 1) * N)
+        acc += (if (k % 2 == 1) -u else u)
+      }
+      val sv = acc
+      val q2 = sv * sv / N
+      var v = sv; var acc2 = sv
+      for (k <- 1 to 75) { v = v * q2 / N; acc2 += v / (2L * k + 1) }
+      acc2
+    }
+    // accuracy claim: within 2e-7 rad of the real atanh(sin φ) over
+    // the whole gated band
+    (1 to 60).foreach { latDeg =>
+      val phi = math.toRadians(latDeg)
+      val want = 0.5 * math.log((1 + math.sin(phi)) / (1 - math.sin(phi)))
+      val got = mercFixed(latDeg * 1000000L) / 1e9
+      assert(math.abs(got - want) < 2e-7, s"lat $latDeg: $got vs $want")
+    }
+    val rows = graft.geo.GeoQueries.warpMercator(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("tile_id"), r.getAs[Long]("ty"), r.getAs[Long]("tx"),
+        r.getAs[Long]("y_merc_nano"), r.getAs[Long]("src_row"),
+        r.getAs[Long]("elevation")))
+    assert(rows.nonEmpty && rows.length % (256 * 8) == 0)
+    def e(t: Long, sx: Long, sy: Long): Long =
+      Math.floorMod(t * 131 + sx * 17 + sy * 29, 8848)
+    var diverged = false
+    rows.foreach { case (t, ty, tx, ym, sy, elev) =>
+      val lat0 = Math.floorMod(t * 37, 181) - 90
+      assert(lat0 >= 1 && lat0 <= 60) // the gate
+      val yb = (0 to 8).map(b => mercFixed(lat0 * 1000000L - b * 125000L))
+      assert(ym == yb(0) - (2 * ty + 1) * (yb(0) - yb(8)) / 512)
+      val expSy = (1 to 8).count(b => ym <= yb(b))
+      assert(sy == expSy && sy >= 0 && sy <= 7, s"tile $t ty $ty")
+      assert(elev == e(t, tx, sy))
+      // the Mercator signature: the affine pick at the same ratio is
+      // (2ty+1)·8 div 128; any divergence proves the row mapping is
+      // genuinely non-uniform in latitude
+      if (sy != (2 * ty + 1) * 8 / 512) diverged = true
+      // monotone, onto: rows advance south as ty grows
+    }
+    assert(diverged, "mercator selection never diverged from the affine pick")
+    // per tile: src_row is nondecreasing in ty and covers all 8 rows
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val byTy = rs.filter(_._3 == 0L).sortBy(_._2).map(_._5)
+      assert(byTy.zip(byTy.tail).forall { case (a, b) => a <= b }, s"tile $t not monotone")
+      assert(byTy.distinct.length == 8, s"tile $t skipped a source row")
+    }
+  }
+
   test("g43 warp bilinear: JVM re-derives every cell's four-corner fold; center map and mass laws") {
     val rows = graft.geo.GeoQueries.warpBilinear(spark, Sf).collect()
       .map(r => (r.getAs[Long]("tile_id"), r.getAs[Long]("ty"), r.getAs[Long]("tx"),
