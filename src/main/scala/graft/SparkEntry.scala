@@ -295,6 +295,7 @@ object SparkEntry {
     "j19_iceberg_skipping"    -> graft.operators.IngestQueries.icebergSkippingRead _,
     "j20_delta_cm_id"         -> graft.operators.IngestQueries.deltaCmIdRead _,
     "j21_delta_export"        -> graft.operators.IngestQueries.deltaExportRead _,
+    "j22_iceberg_export"      -> graft.operators.IngestQueries.icebergExportRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1569,6 +1570,16 @@ object SparkEntry {
     // doc_id<400 corpus in 4 range-split files — the round trip must
     // reproduce the source census bit-exactly
     "j21_delta_export" -> raw"""
+      |SELECT count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
+      |       4::BIGINT AS n_files
+      |FROM documents WHERE doc_id < 400""".stripMargin,
+    // j22: identical census contract to j21 — the second format's
+    // round trip must reproduce the same source corpus bit-exactly
+    "j22_iceberg_export" -> raw"""
       |SELECT count(*) AS n_rows,
       |       sum(doc_id)::BIGINT AS sum_doc_id,
       |       sum(n_chars)::BIGINT AS sum_n_chars,

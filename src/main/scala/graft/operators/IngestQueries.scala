@@ -475,6 +475,27 @@ object IngestQueries {
     * absolute-path mode and the stats-skipping hand-off are spec
     * territory (IngestSpec).
     */
+  /** j22: ICEBERG EXPORT — j21's twin for the second format, closing
+    * write-side interop for BOTH table formats the engine reads: a
+    * SnapshotTable version publishes as a minimal Iceberg v1 Hadoop
+    * table (manifest list → manifest → ADDED entries with footer
+    * record counts and sidecar-derived lower/upper bounds, schema
+    * with positional field ids, version-hint commit pointer) and is
+    * read back by THIS ENGINE'S OWN Iceberg reader. Same census
+    * contract as j21; the exported bounds driving j19's prunedFiles
+    * downstream is spec territory (IngestSpec).
+    */
+  def icebergExportRead(s: SparkSession, dir: String): DataFrame = {
+    val root = IngestFixtures.ensureIcebergExport(s, dir)
+    graft.sources.IcebergTable.read(s, s"$root/iceberg")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+  }
+
   def deltaExportRead(s: SparkSession, dir: String): DataFrame = {
     val root = IngestFixtures.ensureDeltaExport(s, dir)
     graft.sources.DeltaTable.read(s, s"$root/delta")

@@ -1140,6 +1140,47 @@ object IngestFixtures {
     }
   }
 
+  /** Fixture roots already verified complete this JVM (the in-place
+    * builds below — Iceberg file_paths are ABSOLUTE per spec, so the
+    * export cannot ride ensureAtomic's tmp-dir rename; the marker is
+    * written LAST instead, the cowScenario pattern). */
+  private val inPlaceReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ICEBERG-EXPORT round-trip fixture for j22 — [[ensureDeltaExport]]'s
+    * twin for the second format: the same two-commit snapshot scenario
+    * (parity halves, range-split, doc_id/n_chars stats) published as a
+    * self-contained (copy-mode) Iceberg v1 Hadoop table under
+    * `iceberg/`, read back by j11's own reader. */
+  def ensureIcebergExport(s: SparkSession, dir: String): String = {
+    val out = Fixtures.fixtureRoot("icebergexport", dir).toString
+    val memo = inPlaceReady.get(out)
+    if (memo != null) return memo
+    graft.FixtureTimer.timed(synchronized {
+      val marker = new java.io.File(out, "_EXPORT_COMPLETE")
+      val want = "iceberg-export-v1"
+      val complete = marker.exists() && new String(
+        Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8).trim == want
+      if (!complete) {
+        Fixtures.deleteRecursively(new java.io.File(out))
+        val snap = new java.io.File(out, "snap").toString
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < DocLimit)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        SnapshotTable.commit(s, snap,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .repartitionByRange(2, col("doc_id")),
+          statsCols = Seq("doc_id", "n_chars"))
+        SnapshotTable.commit(s, snap,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+            .repartitionByRange(2, col("doc_id")),
+          statsCols = Seq("doc_id", "n_chars"))
+        IcebergExport.export(s, snap, new java.io.File(out, "iceberg").toString)
+        Files.write(marker.toPath, (want + "\n").getBytes(StandardCharsets.UTF_8))
+      }
+      inPlaceReady.put(out, out)
+      out
+    })
+  }
+
   /** Which bucket's manifest entry carries NO bounds in the j19
     * fixture (the conservative-keep witness, the
     * [[DeltaStatsNoStatsBucket]] twin). */

@@ -729,6 +729,47 @@ class IngestSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("j22: iceberg export — both path modes round-trip, versions pin, bounds hand off, non-empty target refuses") {
+    import graft.sources.{IcebergExport, IcebergTable, SnapshotTable}
+    import spark.implicits._
+    val snap = scratchDir("graft_iexp_snap")
+    SnapshotTable.commit(spark, snap,
+      (0L until 100L).map(i => (i, s"t$i", i * 3)).toDF("k", "t", "n")
+        .repartitionByRange(2, col("k")), statsCols = Seq("k"))
+    SnapshotTable.commit(spark, snap,
+      (100L until 150L).map(i => (i, s"t$i", i * 3)).toDF("k", "t", "n")
+        .repartitionByRange(1, col("k")), statsCols = Seq("k"))
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // copy mode, PINNED version 0
+    val out0 = scratchDir("graft_iexp_v0")
+    new java.io.File(out0).delete()
+    assert(IcebergExport.export(spark, snap, out0, version = 0L) == 2)
+    assert(census(IcebergTable.read(spark, out0)) ==
+      census(SnapshotTable.readVersion(spark, snap, 0L)))
+    // metadata-only mode, latest: no data dir beside the metadata
+    val out1 = scratchDir("graft_iexp_meta")
+    new java.io.File(out1).delete()
+    assert(IcebergExport.export(spark, snap, out1, copy = false) == 3)
+    assert(new java.io.File(out1).listFiles().map(_.getName).toSet == Set("metadata"))
+    assert(census(IcebergTable.read(spark, out1)) ==
+      census(SnapshotTable.read(spark, snap)))
+    // exported bounds drive j19's skipping on the read side: a [0,10]
+    // probe over the range-split files opens a strict subset
+    val isnap = IcebergTable.snapshot(out1)
+    val kept = IcebergTable.prunedFiles(isnap, "k", 0L, 10L)
+    assert(kept.size < isnap.files.size, kept)
+    assert(IcebergTable.readPruned(spark, out1, "k", 0L, 10L)
+      .filter(col("k") <= 10).count() == 11L)
+    // a non-empty target refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, snap, out1)
+    }
+    assert(e.getMessage.contains("not empty"), e.getMessage)
+    graft.Caches.clear()
+  }
+
   test("j21: delta export — both path modes round-trip, versions pin, stats hand off, non-empty target refuses") {
     import graft.sources.{DeltaExport, DeltaTable, SnapshotTable}
     import spark.implicits._
