@@ -296,6 +296,7 @@ object SparkEntry {
     "j20_delta_cm_id"         -> graft.operators.IngestQueries.deltaCmIdRead _,
     "j21_delta_export"        -> graft.operators.IngestQueries.deltaExportRead _,
     "j22_iceberg_export"      -> graft.operators.IngestQueries.icebergExportRead _,
+    "j23_delta_log_export"    -> graft.operators.IngestQueries.deltaLogExportRead _,
     // composed pipelines
     "p1_curate"               -> ((s: SparkSession, d: String) =>
       graft.operators.Pipelines.curate(s, d)),
@@ -1577,6 +1578,27 @@ object SparkEntry {
       |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold,
       |       4::BIGINT AS n_files
       |FROM documents WHERE doc_id < 400""".stripMargin,
+    // j23: the exported LOG's derived change feed must reproduce the
+    // snapshot history's change classes — v1 appended the odd docs
+    // (inserts), v2 replaced keeping doc_id < 200 (deletes of the
+    // rest, carried rows cancel)
+    "j23_delta_log_export" -> raw"""
+      |WITH base AS (SELECT doc_id, text, n_chars FROM documents
+      |              WHERE doc_id < 400),
+      |ch AS (
+      |  SELECT 1::BIGINT AS version, 'insert' AS change_type,
+      |         doc_id, text, n_chars
+      |  FROM base WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT 2::BIGINT, 'delete', doc_id, text, n_chars
+      |  FROM base WHERE doc_id >= 200)
+      |SELECT version, change_type, count(*) AS n_rows,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(n_chars)::BIGINT AS sum_n_chars,
+      |       sum(list_reduce([strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+      |                        for i in range(1, 9)], (a, b) -> a*16 + b))::BIGINT AS text_fold
+      |FROM ch GROUP BY version, change_type
+      |ORDER BY version, change_type""".stripMargin,
     // j22: identical census contract to j21 — the second format's
     // round trip must reproduce the same source corpus bit-exactly
     "j22_iceberg_export" -> raw"""

@@ -475,6 +475,32 @@ object IngestQueries {
     * absolute-path mode and the stats-skipping hand-off are spec
     * territory (IngestSpec).
     */
+  /** j23: DELTA LOG EXPORT — the history-preserving upgrade of j21:
+    * the snapshot table's whole VERSION CHAIN publishes as a Delta
+    * log (commit v per snapshot version, adds for new files, removes
+    * for dropped), so a downstream consumer does not just read the
+    * latest state — it TIME-TRAVELS every version and CDC-consumes
+    * the table. Proven the strongest way available: this engine's
+    * OWN derived change feed (j12's DeltaTable.changes) runs over the
+    * EXPORTED log and must reproduce the snapshot history's change
+    * classes exactly — v1's appended odd docs as inserts, v2's
+    * replace-dropped doc_id ≥ 200 as deletes with every carried row
+    * cancelled. Tail idempotence (re-export appends only new
+    * versions; replays are no-ops via exclusive link) is spec
+    * territory.
+    */
+  def deltaLogExportRead(s: SparkSession, dir: String): DataFrame = {
+    val root = IngestFixtures.ensureDeltaLogExport(s, dir)
+    graft.sources.DeltaTable.changes(s, s"$root/delta", 0L, 2L, Seq("doc_id"))
+      .groupBy(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(fold32(col("text"))).as("text_fold"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
   /** j22: ICEBERG EXPORT — j21's twin for the second format, closing
     * write-side interop for BOTH table formats the engine reads: a
     * SnapshotTable version publishes as a minimal Iceberg v1 Hadoop

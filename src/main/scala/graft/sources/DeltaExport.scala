@@ -120,4 +120,113 @@ object DeltaExport {
       StandardCopyOption.ATOMIC_MOVE)
     adds.size
   }
+
+  /** HISTORY-PRESERVING export: publish the snapshot table's WHOLE
+    * version chain as a Delta LOG — snapshot version v becomes Delta
+    * commit v, new files become `add`s (with footer+sidecar stats)
+    * and dropped files `remove`s, both `dataChange = true` — so a
+    * downstream Delta consumer can not only read the latest state but
+    * CDC the table ([[DeltaTable.changes]]' derived feed, or any
+    * engine's equivalent diff over the commits) and time-travel every
+    * published version.
+    *
+    * TAILING is built in and idempotent: when `out` already holds a
+    * previous exportLog of the SAME table, only versions past its
+    * last commit are appended — so a scheduler can call this per
+    * epoch and crashes replay harmlessly. Each commit publishes
+    * tmp-then-exclusive-link (the SnapshotTable discipline: link(2)
+    * fails on an existing target, so a replayed version can never
+    * tear or double-publish). Data files keep their snapshot-relative
+    * `data/<uuid>/...` paths in copy mode (basenames are not unique
+    * across commits; the uuid dir is), absolute URIs in
+    * metadata-only mode. Returns the last exported version.
+    */
+  def exportLog(s: SparkSession, table: String, out: String,
+      copy: Boolean = true): Long = {
+    val latest = SnapshotTable.latestVersion(table)
+    require(latest >= 0, s"empty snapshot table $table")
+    val outDir = Paths.get(out)
+    val log = outDir.resolve("_delta_log")
+    Files.createDirectories(log)
+    val tableMarker = outDir.resolve("_graft_export_source")
+    val sourceTag = s"log-export-v1 $table"
+    if (Files.exists(tableMarker)) {
+      val seen = new String(Files.readAllBytes(tableMarker), "UTF-8").trim
+      require(seen == sourceTag,
+        s"export target $out already tails a different source ($seen)")
+    } else {
+      require(Option(outDir.toFile.list()).forall(
+        _.forall(_ == "_delta_log")) &&
+          Option(log.toFile.list()).forall(_.isEmpty),
+        s"export target $out is not empty — refusing to write a log " +
+          "beside foreign content")
+      Files.write(tableMarker, (sourceTag + "\n").getBytes("UTF-8"))
+    }
+    val exported: Long = {
+      val re = """(\d{20})\.json""".r
+      Option(log.toFile.list()).toSeq.flatten
+        .collect { case re(n) => n.toLong }.foldLeft(-1L)(math.max)
+    }
+    require(exported <= latest,
+      s"export at $out is ahead of the source ($exported > $latest)")
+    val colStats = SnapshotTable.fileStats(table)
+    val root = Paths.get(table).toAbsolutePath.toString.stripSuffix("/")
+    def relOf(abs: String): String = {
+      val a = Paths.get(abs).toAbsolutePath.toString
+      require(a.startsWith(root + "/"),
+        s"data file $abs outside table root $root")
+      a.stripPrefix(root + "/")
+    }
+    def statsJson(f: String): String = {
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          s.sparkContext.hadoopConfiguration))
+      val n = try footer.getRecordCount finally footer.close()
+      val mm = colStats.getOrElse(f, Map.empty)
+      val mins = mm.toSeq.sortBy(_._1)
+        .map { case (c, (mn, _)) => s""""${jesc(c)}":$mn""" }
+      val maxs = mm.toSeq.sortBy(_._1)
+        .map { case (c, (_, mx)) => s""""${jesc(c)}":$mx""" }
+      s"""{"numRecords":$n,"minValues":{${mins.mkString(",")}},"maxValues":{${maxs.mkString(",")}}}"""
+    }
+    (exported + 1 to latest).foreach { v =>
+      val files = SnapshotTable.manifest(table, v)
+      val prev: Set[String] =
+        if (v == 0) Set.empty else SnapshotTable.manifest(table, v - 1).toSet
+      val added = files.filterNot(prev)
+      val removed = (prev -- files.toSet).toSeq.sorted
+      def pubPath(abs: String): String =
+        if (!copy) Paths.get(abs).toUri.toString else relOf(abs)
+      added.foreach { f =>
+        if (copy) {
+          val dest = outDir.resolve(relOf(f))
+          Files.createDirectories(dest.getParent)
+          if (!Files.exists(dest))
+            Files.copy(Paths.get(f), dest, StandardCopyOption.COPY_ATTRIBUTES)
+        }
+      }
+      val head =
+        if (v > 0) Seq(s"""{"commitInfo":{"operation":"WRITE","graftSourceTable":"${jesc(table)}","graftSourceVersion":$v}}""")
+        else Seq(
+          s"""{"commitInfo":{"operation":"WRITE","graftSourceTable":"${jesc(table)}","graftSourceVersion":0}}""",
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(
+            s"graft-export-log:$table".getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(
+            s.read.parquet(files: _*).schema.json)}","partitionColumns":[],"configuration":{},"createdTime":${System.currentTimeMillis()}}}""")
+      val lines = head ++
+        removed.map(f =>
+          s"""{"remove":{"path":"${jesc(pubPath(f))}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""") ++
+        added.map { f =>
+          val src = Paths.get(f)
+          s"""{"add":{"path":"${jesc(pubPath(f))}","partitionValues":{},"size":${Files.size(src)},"modificationTime":${Files.getLastModifiedTime(src).toMillis},"dataChange":true,"stats":"${jesc(statsJson(f))}"}}"""
+        }
+      val tmp = log.resolve(f".$v%020d.json.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(log.resolve(f"$v%020d.json"), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    latest
+  }
 }

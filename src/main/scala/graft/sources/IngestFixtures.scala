@@ -1140,6 +1140,35 @@ object IngestFixtures {
     }
   }
 
+  /** DELTA LOG-EXPORT fixture for j23: a three-version snapshot
+    * history (v0 even docs in 2 range files, v1 append odd docs, v2
+    * REPLACE keeping doc_id < 200) published as a Delta LOG by
+    * [[DeltaExport.exportLog]] — commit v per snapshot version, adds
+    * for new files, removes for dropped ones, relative
+    * `data/<uuid>/…` paths (rename-safe, so the atomic fixture swap
+    * applies). The exported table under `delta/` carries the WHOLE
+    * history: j23 CDC-reads it with DeltaTable.changes. */
+  def ensureDeltaLogExport(s: SparkSession, dir: String): String = synchronized {
+    val out = Fixtures.fixtureRoot("deltalogexport", dir)
+    Fixtures.ensureAtomic(out, 3) { tmp =>
+      val snap = new java.io.File(tmp, "snap").toString
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < DocLimit)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      SnapshotTable.commit(s, snap,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .repartitionByRange(2, col("doc_id")),
+        statsCols = Seq("doc_id"))
+      SnapshotTable.commit(s, snap,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .repartitionByRange(2, col("doc_id")),
+        statsCols = Seq("doc_id"))
+      SnapshotTable.commit(s, snap,
+        docs.filter(col("doc_id") < 200).repartitionByRange(2, col("doc_id")),
+        replace = true, statsCols = Seq("doc_id"))
+      DeltaExport.exportLog(s, snap, new java.io.File(tmp, "delta").toString)
+    }
+  }
+
   /** Fixture roots already verified complete this JVM (the in-place
     * builds below — Iceberg file_paths are ABSOLUTE per spec, so the
     * export cannot ride ensureAtomic's tmp-dir rename; the marker is

@@ -725,7 +725,69 @@ class IngestSpec extends SparkSpec {
       intercept[UnsupportedOperationException] {
         fs.delete(p0, false)
       }
+      // the hard client test: spark.read.parquet over s3a:// — the
+      // parquet reader seeks the footer (tail-first positioned reads),
+      // then range-reads row groups; any mis-ranged byte corrupts the
+      // footer magic and the read fails loudly
+      val docs = new java.io.File(s"$Sf/documents.parquet")
+      stub.put("pq/documents.parquet",
+        java.nio.file.Files.readAllBytes(docs.toPath))
+      val overWire = spark.read.parquet("s3a://raster/pq/documents.parquet")
+        .agg(count(lit(1)), sum(col("doc_id")))
+        .collect().head
+      val localAgg = spark.read.parquet(docs.getPath)
+        .agg(count(lit(1)), sum(col("doc_id")))
+        .collect().head
+      assert(overWire == localAgg && overWire.getLong(0) > 0)
     } finally stub.stop()
+    graft.Caches.clear()
+  }
+
+  test("j23: delta log export — history time-travels, tailing appends only new versions, replays are no-ops") {
+    import graft.sources.{DeltaExport, DeltaTable, SnapshotTable}
+    import spark.implicits._
+    val snap = scratchDir("graft_dlog_snap")
+    SnapshotTable.commit(spark, snap,
+      (0L until 100L).map(i => (i, i * 3)).toDF("k", "n")
+        .repartitionByRange(2, col("k")))
+    SnapshotTable.commit(spark, snap,
+      (100L until 150L).map(i => (i, i * 3)).toDF("k", "n")
+        .repartitionByRange(1, col("k")))
+    val out = scratchDir("graft_dlog_out")
+    new java.io.File(out).delete()
+    assert(DeltaExport.exportLog(spark, snap, out) == 1L)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // every exported version time-travels identically to the source
+    (0L to 1L).foreach { v =>
+      assert(census(DeltaTable.read(spark, out, version = v)) ==
+        census(SnapshotTable.readVersion(spark, snap, v)), s"v$v")
+    }
+    // a replay exports nothing new and changes no bytes
+    val logDir = new java.io.File(out, "_delta_log")
+    val before = logDir.listFiles().map(f => f.getName -> f.length()).toMap
+    assert(DeltaExport.exportLog(spark, snap, out) == 1L)
+    assert(logDir.listFiles().map(f => f.getName -> f.length()).toMap == before)
+    // the source advances (a replace); tailing appends EXACTLY the
+    // new commit and the exported CDC sees only its delta
+    SnapshotTable.commit(spark, snap,
+      SnapshotTable.read(spark, snap).filter(col("k") < 50)
+        .repartitionByRange(1, col("k")), replace = true)
+    assert(DeltaExport.exportLog(spark, snap, out) == 2L)
+    assert(census(DeltaTable.read(spark, out)) ==
+      census(SnapshotTable.read(spark, snap)))
+    val ch = DeltaTable.changes(spark, out, 1L, 2L, Seq("k"))
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(ch == (50L until 150L).map(k => (k, "delete")))
+    // a target tailing a DIFFERENT source refuses
+    val snap2 = scratchDir("graft_dlog_snap2")
+    SnapshotTable.commit(spark, snap2, Seq((1L, 1L)).toDF("k", "n"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.exportLog(spark, snap2, out)
+    }
+    assert(e.getMessage.contains("different source"), e.getMessage)
     graft.Caches.clear()
   }
 
