@@ -49,6 +49,7 @@ object SparkEntry {
     "g42_warp_average"        -> GeoQueries.warpAverage _,
     "g43_warp_bilinear"       -> GeoQueries.warpBilinear _,
     "g45_warp_mercator"       -> GeoQueries.warpMercator _,
+    "g46_warp_upsample"       -> GeoQueries.warpUpsample _,
     "g44_stats_prune"         -> GeoQueries.statsPrune _,
     "g39_snapshot_merge"      -> GeoQueries.snapshotMerge _,
     "g40_snapshot_changes"    -> GeoQueries.snapshotChanges _,
@@ -603,6 +604,33 @@ object SparkEntry {
     // g38: inverse-map each 5×5 target center to its source pixel;
     // // ≡ Spark div on the non-negative operands; georeferencing
     // and elevation re-derived from the generating formulas
+    // g46: the clamped inverse map re-derived in SQL — P = 16t−5 in
+    // 1/26ths, clamped into [0, 26·7], corners clamped into the grid,
+    // integer four-corner fold with mass 676; georeferencing is the
+    // exact 1/26°-unit numerator, so nothing rounds
+    "g46_warp_upsample" -> raw"""
+      |WITH $TilesCte,
+      |t AS (SELECT tile_id, tile_key, lat0, lon0, tys.ty, txs.tx,
+      |        least(greatest(16*txs.tx - 5, 0), 182) AS px,
+      |        least(greatest(16*tys.ty - 5, 0), 182) AS py
+      |      FROM keyed, generate_series(0,12) tys(ty), generate_series(0,12) txs(tx)
+      |      WHERE tile_id < 50),
+      |m AS (SELECT *, px // 26 AS x0, least(px // 26 + 1, 7) AS x1, px % 26 AS fx,
+      |        py // 26 AS y0, least(py // 26 + 1, 7) AS y1, py % 26 AS fy
+      |      FROM t)
+      |SELECT tile_id, tile_key, ty::BIGINT AS ty, tx::BIGINT AS tx,
+      |       (lon0*26 + 2*tx + 1)::BIGINT AS lon_num26,
+      |       (lat0*26 - 2*ty - 1)::BIGINT AS lat_num26,
+      |       ((26-fy) * ((26-fx) * ((tile_id*131 + x0*17 + y0*29) % 8848)
+      |                   + fx    * ((tile_id*131 + x1*17 + y0*29) % 8848))
+      |        + fy   * ((26-fx) * ((tile_id*131 + x0*17 + y1*29) % 8848)
+      |                   + fx    * ((tile_id*131 + x1*17 + y1*29) % 8848)))::BIGINT AS bsum,
+      |       floor(((26-fy) * ((26-fx) * ((tile_id*131 + x0*17 + y0*29) % 8848)
+      |                   + fx    * ((tile_id*131 + x1*17 + y0*29) % 8848))
+      |        + fy   * ((26-fx) * ((tile_id*131 + x0*17 + y1*29) % 8848)
+      |                   + fx    * ((tile_id*131 + x1*17 + y1*29) % 8848)))
+      |             / 676.0 * 1e6 + 0.5)::BIGINT AS interp_e6
+      |FROM m ORDER BY tile_id, ty, tx""".stripMargin,
     // g45: the fixed-point Mercator spec replayed move-for-move —
     // recursive CTEs carry the sin/atanh fold states; every DIV sees
     // non-negative operands, so DuckDB's floor `//` equals Spark's

@@ -1907,6 +1907,65 @@ object GeoQueries {
       .orderBy(col("tile_id"), col("ty"), col("tx"))
   }
 
+  /** g46: UPSAMPLING BILINEAR WARP at an arbitrary rational ratio
+    * (`gdalwarp -ts 13 13 -r bilinear` — the second half of r14
+    * VERDICT missing #4 beside g45's CRS change: every warp so far
+    * DOWNSAMPLED at a ratio whose centers stay interior, and g43's
+    * require() deliberately punted the EDGE-CLAMP arm; any float
+    * ratio is a rational, so 8→13 stands in for them all). GDAL's
+    * pixel-center inverse map `(t+0.5)·n/nt − 0.5` is exact in
+    * 1/26ths of a source pixel — P = 16t − 5 — and lands OUTSIDE the
+    * source center range at both edges (t=0 → −5/26, t=12 →
+    * 187/26 > 7), so the kernel clamps the source coordinate into
+    * [0, n−1] first (Pc = clamp(P, 0, 26·7)) and the second corner
+    * index into the grid (x1 = min(x0+1, n−1) — reachable only with
+    * weight 0 after the clamp, pinned by the spec rather than
+    * silently assumed). The four-corner fold is one integer
+    * numerator with mass exactly 26² = 676; target georeferencing is
+    * the exact rational (2t+1)/26° emitted as integer 1/26°-unit
+    * numerators (`lat_num26 = 26·lat0 − (2t+1)`), so no rounding
+    * crosses the hash. Zero shuffle, the family's distribution
+    * story; the oracle re-derives clamp, weights and the fixture
+    * formula per corner.
+    */
+  def warpUpsample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.RasterExprs
+    val n = 8; val nt = 13
+    val fixture = Fixtures.ensureRasters(s, dir)
+    val targets = flatten(transform(sequence(lit(0), lit(nt - 1)), ty =>
+      transform(sequence(lit(0), lit(nt - 1)), tx =>
+        struct(tx.as("tx"), ty.as("ty")))))
+    // Pc/x0/fx as SQL snippets over a target coordinate expression
+    def pc(t: String) = s"least(greatest(16 * $t - 5, 0), ${26 * (n - 1)})"
+    def x0(t: String) = s"(${pc(t)} div 26)"
+    def x1(t: String) = s"least(${x0(t)} + 1, ${n - 1})"
+    def fr(t: String) = s"(${pc(t)} % 26)"
+    def e(x: String, y: String) = s"element_at(e, cast($y * $n + $x + 1 as int))"
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(fixture)
+      .select(regexp_extract(col("path"), TilePattern, 0).as("tile_key"),
+        RasterExprs.raster_decode(col("content")).as("r"))
+      .select(col("tile_key"), col("r.tile_id").cast("long").as("tile_id"),
+        col("r.lat0").cast("long").as("lat0"), col("r.lon0").cast("long").as("lon0"),
+        transform(col("r.points"), p =>
+          p.getField("elevation").cast("long")).as("e"))
+      .select(col("tile_key"), col("tile_id"), col("lat0"), col("lon0"), col("e"),
+        explode(targets).as("t"))
+      .select(col("tile_id"), col("tile_key"),
+        col("t.ty").cast("long").as("ty"), col("t.tx").cast("long").as("tx"),
+        (col("lon0") * 26 + (col("t.tx").cast("long") * 2 + 1)).as("lon_num26"),
+        (col("lat0") * 26 - (col("t.ty").cast("long") * 2 + 1)).as("lat_num26"),
+        expr(s"""
+          cast((26 - ${fr("t.ty")}) *
+            ((26 - ${fr("t.tx")}) * ${e(x0("t.tx"), x0("t.ty"))}
+             + ${fr("t.tx")} * ${e(x1("t.tx"), x0("t.ty"))})
+          + ${fr("t.ty")} *
+            ((26 - ${fr("t.tx")}) * ${e(x0("t.tx"), x1("t.ty"))}
+             + ${fr("t.tx")} * ${e(x1("t.tx"), x1("t.ty"))}) as bigint)""").as("bsum"))
+      .withColumn("interp_e6", e6(col("bsum") / lit(676.0)))
+      .orderBy(col("tile_id"), col("ty"), col("tx"))
+  }
+
   /** g44: FILE-STATS DATA SKIPPING as a first-class oracle-checked
     * query — the fourth scan-reduction lever (g11 prunes partitions
     * statically, q75 dynamically through a join, q76 prunes rows with

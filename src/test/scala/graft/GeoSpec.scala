@@ -1429,6 +1429,41 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g46 warp upsample: JVM re-derives the clamped fold; edge rows really clamp; convex bound holds") {
+    val rows = graft.geo.GeoQueries.warpUpsample(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("tile_id"), r.getAs[Long]("ty"), r.getAs[Long]("tx"),
+        r.getAs[Long]("lon_num26"), r.getAs[Long]("lat_num26"),
+        r.getAs[Long]("bsum"), r.getAs[Long]("interp_e6")))
+    assert(rows.nonEmpty && rows.length % (13 * 13) == 0)
+    def e(t: Long, sx: Long, sy: Long): Long =
+      Math.floorMod(t * 131 + sx * 17 + sy * 29, 8848)
+    rows.foreach { case (t, ty, tx, lonN, latN, bsum, interpE6) =>
+      def clamp(v: Long) = math.min(math.max(16 * v - 5, 0L), 26L * 7)
+      val (px, py) = (clamp(tx), clamp(ty))
+      val (x0, fx) = (px / 26, px % 26)
+      val (y0, fy) = (py / 26, py % 26)
+      val (x1, y1) = (math.min(x0 + 1, 7L), math.min(y0 + 1, 7L))
+      val exp = (26 - fy) * ((26 - fx) * e(t, x0, y0) + fx * e(t, x1, y0)) +
+        fy * ((26 - fx) * e(t, x0, y1) + fx * e(t, x1, y1))
+      assert(bsum == exp, s"tile $t cell ($ty,$tx): $bsum != $exp")
+      assert(interpE6 == math.floor(bsum.toDouble / 676 * 1e6 + 0.5).toLong)
+      val corners = Seq(e(t, x0, y0), e(t, x1, y0), e(t, x0, y1), e(t, x1, y1))
+      assert(bsum >= 676 * corners.min && bsum <= 676 * corners.max)
+      val lat0 = Math.floorMod(t * 37, 181) - 90
+      val lon0 = Math.floorMod(t * 73, 361) - 180
+      assert(lonN == lon0 * 26L + 2 * tx + 1 && latN == lat0 * 26L - 2 * ty - 1)
+      // the edge rows really clamp: the raw map leaves the grid there
+      if (ty == 0 || tx == 0) assert(16 * math.min(tx, ty) - 5 < 0)
+      if (ty == 12 || tx == 12) assert(16 * math.max(tx, ty) - 5 > 26 * 7)
+      // clamped edge cells degenerate to pure edge-pixel selection
+      if (tx == 0 && ty == 0) assert(bsum == 676 * e(t, 0, 0))
+      if (tx == 12 && ty == 12) assert(bsum == 676 * e(t, 7, 7))
+    }
+    // interior cells keep nonzero fractions (really interpolating)
+    assert(rows.exists { case (_, ty, tx, _, _, _, _) =>
+      tx > 0 && tx < 12 && (16 * tx - 5) % 26 != 0 })
+  }
+
   test("g43 warp bilinear: JVM re-derives every cell's four-corner fold; center map and mass laws") {
     val rows = graft.geo.GeoQueries.warpBilinear(spark, Sf).collect()
       .map(r => (r.getAs[Long]("tile_id"), r.getAs[Long]("ty"), r.getAs[Long]("tx"),
