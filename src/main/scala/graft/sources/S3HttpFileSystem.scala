@@ -101,6 +101,7 @@ class S3HttpFileSystem extends FileSystem {
         try conn.getResponseCode
         catch {
           case e: IOException =>
+            conn.disconnect()
             attempt += 1
             if (attempt >= retryLimit) throw e
             -1
