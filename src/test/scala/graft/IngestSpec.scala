@@ -725,6 +725,15 @@ class IngestSpec extends SparkSpec {
       intercept[UnsupportedOperationException] {
         fs.delete(p0, false)
       }
+      // retry EXHAUSTION is loud, not an empty result: with more 503s
+      // than the retry limit the client gives up with the throttle
+      // named (fs.s3a.retry.limit default 7 → arm more than that)
+      stub.arm503(50)
+      val ex = intercept[java.io.IOException] {
+        fs.getFileStatus(p0)
+      }
+      assert(ex.getMessage.contains("throttled"), ex.getMessage)
+      stub.arm503(0)
       // the hard client test: spark.read.parquet over s3a:// — the
       // parquet reader seeks the footer (tail-first positioned reads),
       // then range-reads row groups; any mis-ranged byte corrupts the
