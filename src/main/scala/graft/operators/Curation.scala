@@ -62,17 +62,22 @@ object Curation {
     // in one task), so the shuffle carries ~per-doc-distinct 24-byte
     // rows, never strings; each group's span string is built by ONE
     // substr from its representative (min (doc, off)) occurrence.
+    // hotg is SORTED so the per-window membership test is a binary
+    // search (r15 VERDICT #2: `array_contains` was a linear scan per
+    // window over the heap-resident set — O(windows × |hotg|) per doc
+    // on repetitive corpora, the source of d6's 3× in-run variance —
+    // and the HOF lambda re-evaluated the full seeded hash array per
+    // element). The fused HotSpanOccs kernel does one pass: binary
+    // search each positional hash, and compute h2 IN PLACE only for
+    // the surviving offsets, bounding per-doc cost at
+    // O(windows · log |hotg| + survivors · width).
     val hotPerDoc = h.select(col("doc_id"), explode(array_distinct(col("hs"))).as("g"))
       .join(hot, "g")
-      .groupBy(col("doc_id")).agg(collect_set(col("g")).as("hotg"))
-    val h2 = ArrayExprs.char_gram_hashes_pos_seeded(col("nrm"), width, 1337L)
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("g"))).as("hotg"))
     val occ = h.join(hotPerDoc, "doc_id")
       .select(col("doc_id"), explode(
-        transform(
-          filter(sequence(lit(1), size(col("hs"))),
-            i => array_contains(col("hotg"), element_at(col("hs"), i))),
-          i => struct(element_at(col("hs"), i).as("h1"),
-            element_at(h2, i).as("h2"), i.as("off")))).as("w"))
+        ArrayExprs.hot_span_occs(col("nrm"), col("hs"), col("hotg"),
+          width, 1337L)).as("w"))
       .select(col("doc_id"), col("w.h1").as("h1"), col("w.h2").as("h2"),
         col("w.off").as("off"))
     // per-doc distinct (bounds a doc's contribution to any span at

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -109,6 +110,16 @@ object ArrayExprs {
     */
   def hyperplane_sketch(v: Column, planes: Array[Double], dim: Int, bits: Int): Column =
     ExpressionUtils.column(HyperplaneSketch(ExpressionUtils.expression(v), planes, dim, bits))
+
+  /** Fused hot-window extractor for d6 (see [[HotSpanOccs]]):
+    * `array(struct(h1, h2, off))` of the windows whose positional
+    * hash is in the SORTED `hot` set, h2 computed in place only for
+    * survivors.
+    */
+  def hot_span_occs(nrm: Column, hs: Column, hot: Column, n: Int,
+      seed: Long): Column =
+    ExpressionUtils.column(HotSpanOccs(ExpressionUtils.expression(nrm),
+      ExpressionUtils.expression(hs), ExpressionUtils.expression(hot), n, seed))
 
   /** Fused 64-bit SimHash over a word array (see [[SimHash64]]):
     * `array(hi32, lo32)` of the majority-vote signature.
@@ -842,4 +853,88 @@ case class GramHashesPos(child: Expression, n: Int, Seed: Long = 42L)
   override def prettyName: String = "char_gram_hashes_pos"
   override protected def withNewChildInternal(c: Expression): GramHashesPos =
     copy(child = c)
+}
+
+/** d6's fused hot-window extractor: one pass over a document's
+  * positional window hashes, keeping only offsets whose hash is a
+  * member of the doc's SORTED hot set (binary search, O(log |hot|)
+  * per window — r15 VERDICT #2: the HOF formulation did a LINEAR
+  * `array_contains` scan per window over a heap-resident collect_set,
+  * O(windows × |hot|) on repetitive docs, and re-evaluated the full
+  * seeded hash array inside the lambda). For each surviving offset
+  * the SECOND independent hash (h2, `seed`) is computed in place for
+  * THAT window only — never for the ~99% of windows the prefilter
+  * rejects. Output element i is `struct(h1, h2, off)` with `off`
+  * 1-based, bit-identical to
+  * `element_at(hs, off) / element_at(char_gram_hashes_pos_seeded(nrm,
+  * n, seed), off)` (asserted in ExprSpec). The short-string
+  * degenerate case (chars < n) mirrors [[GramHashesPos]]: one window
+  * spanning the whole string.
+  */
+case class HotSpanOccs(first: Expression, second: Expression,
+    third: Expression, n: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
+    StructField("off", IntegerType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(nrm: Any, hsA: Any, hotA: Any): Any = {
+    val s    = nrm.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val hs   = hsA.asInstanceOf[ArrayData]
+    val hot  = hotA.asInstanceOf[ArrayData]
+    val nHot = hot.numElements()
+    val base = s.getBaseObject
+    val off  = s.getBaseOffset
+    val nb   = s.numBytes()
+    // codepoint byte-offsets, once per doc (identical to GramHashesPos)
+    val cps = new Array[Int](nb + 1)
+    var nc = 0
+    var i = 0
+    while (i < nb) {
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      nc += 1
+      cps(nc) = i
+    }
+    def isHot(h: Long): Boolean = {
+      var lo = 0
+      var hi = nHot - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = hot.getLong(mid)
+        if (v < h) lo = mid + 1
+        else if (v > h) hi = mid - 1
+        else return true
+      }
+      false
+    }
+    val nw = hs.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var w = 0
+    while (w < nw) {
+      val h1 = hs.getLong(w)
+      if (isHot(h1)) {
+        // window w spans codepoints [w, w+n) — or the whole string in
+        // the chars < n degenerate case (then nw == 1 and w == 0)
+        val from  = if (nc < n) 0 else cps(w)
+        val until = if (nc < n) nb else cps(w + n)
+        val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + from, until - from, seed)
+        out += InternalRow(h1, h2, w + 1)
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override def prettyName: String = "hot_span_occs"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HotSpanOccs =
+    copy(first = f, second = s, third = t)
 }

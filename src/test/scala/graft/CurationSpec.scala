@@ -25,6 +25,37 @@ class CurationSpec extends SparkSpec {
     got.foreach { r => assert(r.head.asInstanceOf[String].length == 50) }
   }
 
+  test("d6: identity holds on a pathologically repetitive corpus (hot-set binary search)") {
+    // the r15 variance case: docs whose EVERY window is hot — a
+    // period-2 5000-char doc makes |hotg| large and windows dense, the
+    // exact corpus where the old linear array_contains scan degraded
+    val dir = scratchDir("graft_d6_rep")
+    val rep1 = "ab" * 2500
+    val rep2 = "ab" * 2400 + "xy" * 50 // shares all period-2 spans with rep1
+    val shared = "s" * 20 + "hello shared span here padded to fifty!!!" + "s" * 20
+    val docs = Seq(
+      (0L, rep1, "en", "s", rep1.length.toLong),
+      (1L, rep2, "en", "s", rep2.length.toLong),
+      (2L, "prefix " + shared + " suffix one " + ("z" * 40), "en", "s", 120L),
+      (3L, "other lead " + shared + " tail two " + ("w" * 40), "en", "s", 118L),
+      (4L, "no repeats in this document at all beyond fifty characters of unique text qqq", "en", "s", 78L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val direct = Tables.documents(spark, dir)
+      .select(col("doc_id"), normalize(col("text")).as("nrm"))
+      .filter(length(col("nrm")) >= 50)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("nrm")) - 49),
+          i => col("nrm").substr(i, lit(50))))).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .collect().map(_.toSeq).toSet
+    val got = Curation.repeatedSpans(spark, dir).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == direct)
+  }
+
   test("d7: decontamination counts distinct shared shingles, pool docs excluded") {
     val rows = Curation.decontaminate(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -144,6 +144,37 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("HotSpanOccs: bit-identical to the HOF filter/element_at formulation") {
+    val n = 5
+    // repetitive + multi-byte + boundary cases; hot sets are arbitrary
+    // sorted subsets of each doc's own hash universe plus misses
+    val texts = Seq("ababababababababab", "ééééé-ééééé-ééééé",
+      "the quick brown fox jumps over it", "x" * 60, "aaaaaaaaaa")
+    val base = texts.toDF("text").select(col("text"),
+      ArrayExprs.char_gram_hashes_pos(col("text"), n).as("hs"),
+      ArrayExprs.char_gram_hashes_pos_seeded(col("text"), n, 1337L).as("hs2"))
+    // hot = every other distinct hash of the doc, plus two misses
+    val withHot = base.select(col("text"), col("hs"), col("hs2"),
+      sort_array(array_union(
+        filter(array_distinct(col("hs")), h => pmod(h, lit(2L)) === 0),
+        array(lit(1L), lit(-99L)))).as("hot"))
+    val got = withHot.select(
+      ArrayExprs.hot_span_occs(col("text"), col("hs"), col("hot"), n, 1337L).as("w"),
+      transform(
+        filter(sequence(lit(1), size(col("hs"))),
+          i => array_contains(col("hot"), element_at(col("hs"), i))),
+        i => struct(element_at(col("hs"), i).as("h1"),
+          element_at(col("hs2"), i).as("h2"), i.as("off"))).as("hof"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1))
+      assert(r.getSeq[org.apache.spark.sql.Row](0).nonEmpty)
+    }
+    // empty hot set → empty output
+    val empty = base.select(ArrayExprs.hot_span_occs(
+      col("text"), col("hs"), array().cast("array<long>"), n, 1337L).as("w"))
+    empty.collect().foreach(r => assert(r.getSeq[Any](0).isEmpty))
+  }
+
   test("JaccardSets matches the composed intersect/union form, and the rule fires") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(100)((Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(30).toLong),
