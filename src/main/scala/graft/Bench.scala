@@ -95,6 +95,14 @@ object Bench {
   private val Scale10Queries = Seq("d4_ngram_jaccard", "d6_repeated_spans",
     "d8_dup_clusters", "d9_semdedup", "g6_region_elevation_join", "s3_ann_ivf")
 
+  /** One fresh-JVM run's wall time plus the diagnostic tail tokens of
+    * the BenchOne marker line (r15 VERDICT #1: every per-query row
+    * must carry GC seconds and spill/shuffle bytes so an inflated row
+    * names its own cause). NaN fields when a token is absent.
+    */
+  final case class FreshRun(sec: Double, gcSec: Double, spillDiskMb: Double,
+    spillMemMb: Double, shufWriteMb: Double, xmxBytes: Double)
+
   /** Fresh-JVM single-query measurement: spawn [[BenchOne]] as a
     * CHILD PROCESS (same classpath, same JDK-17 add-opens as
     * build.sbt's forked run) and parse its `BENCHONE <q> <sec>`
@@ -102,10 +110,10 @@ object Bench {
     * because megamorphic JIT call-site profiles survive any in-JVM
     * reset (r9: g6 at sf10 ~46 s in a fresh SESSION late in the full
     * bench vs ~5 s in a fresh JVM on the same data); the honest
-    * standalone cost requires a new JVM. NaN on any spawn/parse
+    * standalone cost requires a new JVM. None on any spawn/parse
     * failure — an isolated number must never abort the suite.
     */
-  private def benchOneProc(dir: String, name: String): Double = {
+  private def benchOneProc(dir: String, name: String): Option[FreshRun] = {
     val javaBin = new java.io.File(new java.io.File(
       sys.props("java.home"), "bin"), "java").getAbsolutePath
     val opens = Seq(
@@ -125,16 +133,24 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       p.waitFor()
       out.linesIterator.collectFirst {
-        // line shape: BENCHONE <name> <sec> [gc=<sec>] — index, not
-        // last, so diagnostic tail tokens never break the parse
-        case l if l.startsWith(s"BENCHONE $name ") => l.split(' ')(2).toDouble
-      }.getOrElse {
+        // line shape: BENCHONE <name> <sec> gc=… spilld=… — indexed
+        // head, prefix-matched tail, so new tokens never break old
+        // parsers and missing tokens parse as NaN
+        case l if l.startsWith(s"BENCHONE $name ") =>
+          val toks = l.split(' ')
+          def tok(prefix: String): Double = toks
+            .collectFirst { case t if t.startsWith(prefix) =>
+              scala.util.Try(t.drop(prefix.length).toDouble).getOrElse(Double.NaN) }
+            .getOrElse(Double.NaN)
+          FreshRun(toks(2).toDouble, tok("gc="), tok("spilld="),
+            tok("spillm="), tok("shufw="), tok("xmx="))
+      }.orElse {
         System.err.println(s"[bench] BenchOne $name: no marker line; tail: ${out.takeRight(300)}")
-        Double.NaN
+        None
       }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BenchOne $name spawn failed: ${e.getMessage}")
-      Double.NaN
+      None
     }
   }
 
@@ -251,6 +267,11 @@ object Bench {
     // here is gone — isolated numbers now come from BenchOne child
     // JVMs, the only reset that also clears JIT call-site profiles.)
     val spark = newSession()
+    // per-run task-metric attribution (r15 VERDICT #1): shuffle-write
+    // + spill bytes per query, so a row inflated by a smaller
+    // execution-memory ceiling or a slower spill medium SAYS so
+    val metrics = new org.apache.spark.sql.graft.BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     // contention gate: wait (bounded) for a quiet box; stamp the
     // artifact if it never quiets down rather than committing numbers
     // that only reproduce under the same background load.
@@ -266,10 +287,14 @@ object Bench {
     // stamped a run whose own probes read spin 0.82-0.88 / bw
     // 9.4->7.2 GB/s as `contended: false`). Quiet bands recorded
     // across rounds in SURVEY §7: spin 0.33-0.42 s, copy bandwidth
-    // 9-10 GB/s single-thread; thresholds leave jitter margin on the
-    // quiet side while catching the observed contended values.
-    val SpinQuietMaxSec = 0.55
-    val BwQuietMinGBs = 7.5
+    // 9-10 GB/s single-thread. The defaults are CALIBRATED TO THIS
+    // MACHINE — on a slower box every artifact would stamp contended
+    // permanently — so both are env-overridable (r15 ADVICE) and the
+    // values used are recorded in the artifact for the reader.
+    val SpinQuietMaxSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SPIN_QUIET_MAX", "0.55").toDouble
+    val BwQuietMinGBs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BW_QUIET_MIN", "7.5").toDouble
     val probeStart = probeSec()
     val bwStart = bwProbeGBs()
     // the artifact must SAY whether the tmpfs local-dir fallback
@@ -296,12 +321,12 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime.max(0L)).sum
     }
-    // per-query GC seconds (summed over runs) — the r7 sf10 finding:
-    // late-suite queries inflated up to 10x over their isolated cost
-    // (g6: 53-82 s in-suite vs 4.6-10.7 isolated) and nothing in the
-    // artifact said WHY. GC time riding next to wall time makes a
-    // JVM-state artifact self-diagnosing: slow + high gc_sec = heap
-    // inheritance, slow + low gc_sec = the query itself.
+    // per-query GC seconds (summed over main-suite runs) — the r7
+    // sf10 finding: late-suite queries inflated up to 10x over their
+    // isolated cost (g6: 53-82 s in-suite vs 4.6-10.7 isolated) and
+    // nothing in the artifact said WHY. GC time riding next to wall
+    // time makes a JVM-state artifact self-diagnosing: slow + high
+    // gc_sec = heap inheritance, slow + low gc_sec = the query itself.
     val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     // per-query fixture-ensure seconds (summed over runs) — the r14
     // driver-vs-builder finding: a handful of fixture-backed rows
@@ -309,15 +334,28 @@ object Bench {
     // say whether query plans or fixture (re)construction paid them.
     // FixtureTimer deltas around each run make the split explicit.
     val fxByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query spill/shuffle bytes (r15 VERDICT #1): the axis the
+    // spin/bandwidth probes cannot see
+    val spillDByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spillMByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shufWByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    /** One timed run's wall seconds plus its attributed diagnostics:
+      * process GC, fixture-ensure seconds, and the run's task-summed
+      * spill/shuffle-write megabytes.
+      */
+    case class RunDiag(sec: Double, gcSec: Double, fxSec: Double,
+      spillDiskMb: Double, spillMemMb: Double, shufWriteMb: Double)
 
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String, n: Int, gcFirst: Boolean = false): Seq[Double] =
+        dir: String, n: Int, gcFirst: Boolean = false): Seq[RunDiag] =
       (0 until n).flatMap { _ =>
         // scale sections opt in to a pre-run System.gc(): hundreds of
         // earlier query executions leave the old gen full of dead
         // cache blocks, and a 20-80 s scale query otherwise pays the
         // inherited collection mid-measurement
         if (gcFirst) System.gc()
+        val m0 = metrics.snapshot(spark.sparkContext)
         val g0 = gcMs()
         val f0 = FixtureTimer.totalNanos
         val t0 = System.nanoTime()
@@ -329,10 +367,13 @@ object Bench {
             false
           }
           finally Caches.clear() // release per-query caches between runs
-        gcByQuery(name) = gcByQuery.getOrElse(name, 0.0) + (gcMs() - g0) / 1e3
-        fxByQuery(name) = fxByQuery.getOrElse(name, 0.0) +
-          (FixtureTimer.totalNanos - f0) / 1e9
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val sec = (System.nanoTime() - t0) / 1e9
+        val md = metrics.snapshot(spark.sparkContext).minus(m0)
+        def mbv(b: Long): Double = math.rint(b / 1e6 * 10) / 10
+        if (ok) Some(RunDiag(sec, (gcMs() - g0) / 1e3,
+          (FixtureTimer.totalNanos - f0) / 1e9, mbv(md.spillDiskBytes),
+          mbv(md.spillMemBytes), mbv(md.shuffleWriteBytes)))
+        else None
       }
 
     def median(times: Seq[Double]): Double =
@@ -393,7 +434,7 @@ object Bench {
     // only if the measured cost of the previous pass fits the time
     // left. Dropped work lands in "budget_dropped": a degraded
     // artifact SAYS what it gave up rather than silently thinning.
-    val results = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+    val results = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val dropped = scala.collection.mutable.ArrayBuffer[String]()
     var probeEndV = Double.NaN
     var bwEndV = Double.NaN
@@ -414,7 +455,8 @@ object Bench {
         val runsN: Int, val interleaved: Boolean, val freshPrimary: Boolean,
         val decades: Double, val wanted: Seq[String]) {
       val byName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-      val freshByName = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      val suiteDiag = scala.collection.mutable.LinkedHashMap[String, Vector[RunDiag]]()
+      val freshRuns = scala.collection.mutable.LinkedHashMap[String, Vector[FreshRun]]()
       val loadPasses = scala.collection.mutable.ArrayBuffer[Double]()
       val probePasses = scala.collection.mutable.ArrayBuffer[Double]()
       val bwPasses = scala.collection.mutable.ArrayBuffer[Double]()
@@ -423,7 +465,7 @@ object Bench {
         bwPasses += bwProbeGBs()
       }
       def primaryOf(name: String): Vector[Double] =
-        if (freshPrimary) freshByName.getOrElse(name, Vector.empty)
+        if (freshPrimary) freshRuns.getOrElse(name, Vector.empty).map(_.sec)
         else byName.getOrElse(name, Vector.empty)
       def primaryTotal: Double = wanted.map { n =>
         val p = primaryOf(n)
@@ -437,7 +479,14 @@ object Bench {
           if (polluted(suite))
             Seq(if (freshPrimary) s"$label-insuite:$n" else s"$label:$n")
           else Nil
-        fresh ++ ins
+        // a min-of-1 primary is the worst possible sample — one cold
+        // pass, no median, no min to absorb a spike (r15 VERDICT #3:
+        // the budget-dropped sf10 record was a single pass and nothing
+        // flagged it). The row must self-declare.
+        val single =
+          if (freshPrimary && primaryOf(n).size == 1)
+            Seq(s"$label:$n:single-pass") else Nil
+        fresh ++ ins ++ single
       }
       def render(): String = {
         val entries = wanted
@@ -447,17 +496,38 @@ object Bench {
             val primary = primaryOf(name)
             val pmin = if (primary.isEmpty) Double.NaN else primary.min
             val t = if (freshPrimary) pmin else median(primary)
-            val base = median(results.collectFirst { case (`name`, r) => r }.getOrElse(Nil))
+            val base = median(results.getOrElse(name, Vector.empty))
             val exp = if (t.isNaN || base.isNaN || base <= 0) Double.NaN
                       else math.log10(t / base) / decades // ~1.0 = linear per decade
+            // every row carries its own heap/spill diagnosis (r15
+            // VERDICT #1): gc seconds + spill/shuffle-write MB arrays
+            // PARALLEL to runs_raw, from the BenchOne marker tokens
+            // (fresh) or the task-metric listener (in-suite)
+            val sdg = suiteDiag.getOrElse(name, Vector.empty)
+            val diag = if (freshPrimary) {
+              val fr = freshRuns.getOrElse(name, Vector.empty)
+              ",\"gc_raw\":" + jarr(fr.map(_.gcSec)) +
+              ",\"spill_disk_mb_raw\":" + jarr(fr.map(_.spillDiskMb)) +
+              ",\"spill_mem_mb_raw\":" + jarr(fr.map(_.spillMemMb)) +
+              ",\"shuffle_write_mb_raw\":" + jarr(fr.map(_.shufWriteMb)) +
+              ",\"xmx_bytes\":" + jarr(fr.map(_.xmxBytes))
+            } else {
+              ",\"gc_raw\":" + jarr(sdg.map(_.gcSec)) +
+              ",\"spill_disk_mb_raw\":" + jarr(sdg.map(_.spillDiskMb)) +
+              ",\"spill_mem_mb_raw\":" + jarr(sdg.map(_.spillMemMb)) +
+              ",\"shuffle_write_mb_raw\":" + jarr(sdg.map(_.shufWriteMb))
+            }
             val secondary = if (freshPrimary)
               ",\"fresh_median\":" + jnum(median(primary)) +
               ",\"in_suite\":" + jnum(median(suite)) +
               ",\"in_suite_min\":" + jnum(if (suite.isEmpty) Double.NaN else suite.min) +
-              ",\"in_suite_raw\":" + jarr(suite)
+              ",\"in_suite_raw\":" + jarr(suite) +
+              ",\"in_suite_gc_raw\":" + jarr(sdg.map(_.gcSec)) +
+              ",\"in_suite_spill_disk_mb_raw\":" + jarr(sdg.map(_.spillDiskMb)) +
+              ",\"in_suite_shuffle_write_mb_raw\":" + jarr(sdg.map(_.shufWriteMb))
             else ""
             "\"" + name + "\":{\"sec\":" + jnum(t) + ",\"min\":" + jnum(pmin) +
-              ",\"exponent\":" + jnum(exp) + secondary +
+              ",\"exponent\":" + jnum(exp) + diag + secondary +
               ",\"runs_raw\":" + jarr(primary) + "}"
           }
         s""","$label":{"dir":"$dir","runs":$runsN,"interleaved":$interleaved,"load_passes":${jarr(loadPasses.toSeq)},"probe_sec":${jarr(probePasses.toSeq)},"bw_gbs":${jarr(bwPasses.toSeq)},"queries":${entries.mkString("{", ",", "}")}}"""
@@ -493,6 +563,17 @@ object Bench {
         bws.collect { case (k, v) if !v.isNaN && v < BwQuietMinGBs => s"$k:${f2(v)}" }
     }
 
+    // once-per-artifact memory environment (r15 VERDICT #1: the
+    // driver/builder split's remaining suspects are heap ceiling and
+    // cgroup cap — neither probe could see them, so the artifact now
+    // states both outright; two artifacts disagreeing on spill-heavy
+    // rows are compared by these fields FIRST)
+    val heapMaxBytes = Runtime.getRuntime.maxMemory
+    val cgroupMemMax = org.apache.spark.sql.graft.BenchMetricsListener
+      .cgroupMemMaxBytes()
+    val driverMemConf = sys.env.getOrElse("SPARK_DRIVER_MEM", "(unset)")
+    var mainPassesDone = 0
+
     def renderJson(partialReason: Option[String]): String = {
       val resSeq = results.toSeq
       // an all-failed query would render NaN (invalid JSON); it is
@@ -510,6 +591,9 @@ object Bench {
       val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val gcs = gcByQuery.map { case (k, v) =>
         "\"" + k + "\":" + jnum(math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
+      def mbMap(m: scala.collection.Map[String, Double]): String =
+        m.collect { case (k, v) if v >= 0.05 =>
+          "\"" + k + "\":" + jnum(math.rint(v * 10) / 10) }.mkString("{", ",", "}")
       val drp = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val partialField = partialReason.map(r => s""","partial":"$r"""").getOrElse("")
       val sects = interopChunk + sections.toSeq.map(_.render()).mkString
@@ -517,7 +601,8 @@ object Bench {
         "\"" + k + "\":" + jnum(math.rint(v * 1000) / 1000) }.mkString("{", ",", "}")
       val cby = contendedBy
       val cbyJson = cby.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"fixture_sec":$fxs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"contended":${cby.nonEmpty},"contended_by":$cbyJson,"load_start":$loadStart,"load_end":${loadAvg()},"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"bw_start_gbs":${jnum(bwStart)},"bw_end_gbs":${jnum(bwEndV)},"local_dir":"$localDir","local_dir_tmpfs":$localDirTmpfs,"budget_sec":$budgetSec,"budget_dropped":$drp,"elapsed_sec":${jnum(math.rint(elapsedSec * 10) / 10)},"sf":"$sfDir"$partialField$sects}"""
+      val cgJson = cgroupMemMax.map(_.toString).getOrElse("null")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_raw":$raw,"gc_sec":$gcs,"spill_disk_mb":${mbMap(spillDByQuery)},"spill_mem_mb":${mbMap(spillMByQuery)},"shuffle_write_mb":${mbMap(shufWByQuery)},"fixture_sec":$fxs,"spread_flags":$sfl,"failed":$fs,"runs":$runs,"main_passes":$mainPassesDone,"contended":${cby.nonEmpty},"contended_by":$cbyJson,"load_start":$loadStart,"load_end":${loadAvg()},"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"bw_start_gbs":${jnum(bwStart)},"bw_end_gbs":${jnum(bwEndV)},"spin_quiet_max_sec":$SpinQuietMaxSec,"bw_quiet_min_gbs":$BwQuietMinGBs,"heap_max_bytes":$heapMaxBytes,"cgroup_mem_max_bytes":$cgJson,"driver_mem_conf":"$driverMemConf","local_dir":"$localDir","local_dir_tmpfs":$localDirTmpfs,"budget_sec":$budgetSec,"budget_dropped":$drp,"elapsed_sec":${jnum(math.rint(elapsedSec * 10) / 10)},"sf":"$sfDir"$partialField$sects}"""
     }
 
     /** COMPACT summary as the FINAL stdout line (r8 VERDICT #5): the
@@ -541,7 +626,7 @@ object Bench {
       val partialField = partialReason.map(r => s""","partial":"$r"""").getOrElse("")
       val cby = contendedBy
       val cbyJson = cby.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{$compactQueries},"n_queries":${resSeq.size},"median_query_sec":${jnum(medQ)},"spread_flags":$sfl,"failed":$fs,"budget_dropped":$drp,"contended":${cby.nonEmpty},"contended_by":$cbyJson,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"local_dir_tmpfs":$localDirTmpfs,"sf":"$sfDir","artifact":"$artifactPath"$partialField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{$compactQueries},"n_queries":${resSeq.size},"median_query_sec":${jnum(medQ)},"spread_flags":$sfl,"failed":$fs,"budget_dropped":$drp,"main_passes":$mainPassesDone,"contended":${cby.nonEmpty},"contended_by":$cbyJson,"probe_start":${jnum(probeStart)},"probe_end":${jnum(probeEndV)},"heap_max_bytes":$heapMaxBytes,"local_dir_tmpfs":$localDirTmpfs,"sf":"$sfDir","artifact":"$artifactPath"$partialField}"""
     }
 
     def flush(partialReason: Option[String]): Unit =
@@ -569,71 +654,37 @@ object Bench {
       }
     }))
 
-    System.err.println(f"[bench] main suite: $sfDir x $runs runs; budget ${budgetSec}%.0f s")
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // ---- main sf0.1 suite, PASS-MAJOR (r15 VERDICT #3): one pass
+    // over every query, medians across passes. Pass-major is what
+    // lets the budget shed sf0.1 EXTRA passes instead of sf10 fresh
+    // passes — r15's driver run spent its whole window on 3
+    // consecutive runs per main query plus interop and left the sf10
+    // primaries (the cross-round gate numbers) a min-of-1. Priority
+    // now: main pass 1 → ALL sf10 fresh passes → interop → main
+    // passes 2..n → sf1 → sf10 in-suite.
+    val mainWanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        results += ((name, time(name, fn, sfDir, runs)))
+    def mainPass(): Double = {
+      val p0 = System.nanoTime()
+      mainWanted.foreach { case (name, fn) =>
+        val ds = time(name, fn, sfDir, 1)
+        results(name) = results.getOrElse(name, Vector.empty) ++ ds.map(_.sec)
+        ds.foreach { d =>
+          gcByQuery(name) = gcByQuery.getOrElse(name, 0.0) + d.gcSec
+          fxByQuery(name) = fxByQuery.getOrElse(name, 0.0) + d.fxSec
+          spillDByQuery(name) = spillDByQuery.getOrElse(name, 0.0) + d.spillDiskMb
+          spillMByQuery(name) = spillMByQuery.getOrElse(name, 0.0) + d.spillMemMb
+          shufWByQuery(name) = shufWByQuery.getOrElse(name, 0.0) + d.shufWriteMb
+        }
         if (results.size % 25 == 0) flush(Some("in-progress"))
       }
-    flush(Some("in-progress"))
-    System.err.println(f"[bench] main suite done: ${results.size} queries, elapsed ${elapsedSec}%.0f s")
-
-    // ---- interop METADATA stress pricing (r13 VERDICT #6): time
-    // snapshot resolution over a 1,000-commit Delta log (checkpoints
-    // every 10, aged-out head) and a 100-manifest Iceberg snapshot,
-    // and MEASURE the driver heap the resolved snapshot retains. The
-    // fixtures build once (~1-2 min) and persist beside the scale
-    // proxies; timing is seconds, so this runs before the scale
-    // sections — but a first build under a nearly-spent budget drops.
-    if (only.isEmpty) {
-      val stressRoot = "/root/repo/.data/interop"
-      val built = java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$stressRoot/iceberg100/_STRESS_COMPLETE"))
-      if (!built && !budgeted(300 + finalReserveSecEarly)) {
-        dropped += "interop:fixture-build"
-        System.err.println(f"[bench] budget: dropping interop stress (fixtures unbuilt, remaining ${remainingSec}%.0f s)")
-      } else try {
-        import graft.sources.{DeltaTable, IcebergTable, StressFixtures}
-        val dTbl = StressFixtures.ensureDeltaStress(spark, stressRoot)
-        val iTbl = StressFixtures.ensureIcebergStress(stressRoot)
-        def med3(f: => Unit): Double = (0 until 3).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }.sorted.apply(1)
-        def heapUsed(): Long = {
-          // settle the heap: one gc leaves floats of just-dead scan
-          // garbage that a later gc collects, turning small retained
-          // deltas negative
-          (0 until 3).foreach { _ => System.gc(); Thread.sleep(50) }
-          Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
-        }
-        var snapD: DeltaTable.Snapshot = null
-        val tD = med3 { snapD = DeltaTable.snapshot(spark, dTbl) }
-        // retained-heap bound MEASURED, not asserted: hold 20 resolved
-        // snapshots and divide the heap delta — a single snapshot's
-        // footprint (~100s of KB) sits under System.gc() noise
-        val h0 = heapUsed()
-        val held = (0 until 20).map(_ => DeltaTable.snapshot(spark, dTbl))
-        val hD = ((heapUsed() - h0) / held.size).max(0L)
-        val tDmid = med3 { DeltaTable.snapshot(spark, dTbl, 995L) }
-        val t0r = System.nanoTime()
-        val nRead = DeltaTable.read(spark, dTbl).count()
-        val tDread = (System.nanoTime() - t0r) / 1e9
-        var snapI: IcebergTable.Snapshot = null
-        val tI = med3 { snapI = IcebergTable.snapshot(iTbl) }
-        val h1 = heapUsed()
-        val heldI = (0 until 20).map(_ => IcebergTable.snapshot(iTbl))
-        val hI = ((heapUsed() - h1) / heldI.size).max(0L)
-        require(held.forall(_.version == snapD.version) &&
-          heldI.forall(_.snapshotId == snapI.snapshotId))
-        interopChunk =
-          s""","interop":{"delta_commits":${StressFixtures.Commits},"delta_live_files":${snapD.adds.size},"delta_snapshot_sec":${jnum(tD)},"delta_snapshot_v995_sec":${jnum(tDmid)},"delta_read_1000files_sec":${jnum(tDread)},"delta_read_rows":$nRead,"delta_snapshot_heap_bytes":$hD,"iceberg_manifests":${StressFixtures.IcebergManifests},"iceberg_live_files":${snapI.files.size},"iceberg_snapshot_sec":${jnum(tI)},"iceberg_snapshot_heap_bytes":$hI}"""
-        System.err.println(f"[bench] interop stress: delta snapshot ${tD}%.2f s (v995 ${tDmid}%.2f s, heap ${hD / 1024}%d KiB), iceberg snapshot ${tI}%.2f s (heap ${hI / 1024}%d KiB); elapsed ${elapsedSec}%.0f s")
-        flush(Some("in-progress"))
-      } catch { case e: Exception =>
-        System.err.println(s"[bench] interop stress failed: ${e.getMessage}")
-      }
+      mainPassesDone += 1
+      flush(Some("in-progress"))
+      (System.nanoTime() - p0) / 1e9
     }
+    System.err.println(f"[bench] main suite: $sfDir x $runs passes (pass-major); budget ${budgetSec}%.0f s")
+    var mainPassCost = mainPass()
+    System.err.println(f"[bench] main suite pass 1/$runs done: ${results.size} queries, ${mainPassCost}%.0f s; elapsed ${elapsedSec}%.0f s")
 
     // Scale sections: median-of-n per heavy query at each scale dir,
     // plus the per-decade exponent vs this run's sf0.1 median. An
@@ -713,8 +764,9 @@ object Bench {
       val rotated = sd.wanted.drop(off) ++ sd.wanted.take(off)
       val order = if (pass % 2 == 1) rotated.reverse else rotated
       order.foreach { name =>
-        sd.byName(name) = sd.byName.getOrElse(name, Vector.empty) ++
-          time(name, SparkEntry.queries(name), sd.dir, 1, gcFirst = true)
+        val ds = time(name, SparkEntry.queries(name), sd.dir, 1, gcFirst = true)
+        sd.byName(name) = sd.byName.getOrElse(name, Vector.empty) ++ ds.map(_.sec)
+        sd.suiteDiag(name) = sd.suiteDiag.getOrElse(name, Vector.empty) ++ ds
       }
     }
 
@@ -769,11 +821,84 @@ object Bench {
         reserve = finalReserveSec, mustRunFirst = true) { _ =>
         sd.sample()
         sd.wanted.foreach { name =>
-          val v = benchOneProc(sd.dir, name)
-          if (!v.isNaN)
-            sd.freshByName(name) = sd.freshByName.getOrElse(name, Vector.empty) :+ v
+          benchOneProc(sd.dir, name).foreach { fr =>
+            sd.freshRuns(name) = sd.freshRuns.getOrElse(name, Vector.empty) :+ fr
+          }
         }
       }
+    }
+
+    // ---- interop METADATA stress pricing (r13 VERDICT #6): time
+    // snapshot resolution over a 1,000-commit Delta log (checkpoints
+    // every 10, aged-out head) and a 100-manifest Iceberg snapshot,
+    // and MEASURE the driver heap the resolved snapshot retains. The
+    // fixtures build once (~1-2 min) and persist beside the scale
+    // proxies; timing is seconds. Runs AFTER the sf10 fresh primaries
+    // (r15 VERDICT #3: nothing may stand between main pass 1 and the
+    // cross-round gate numbers) — a first build under a nearly-spent
+    // budget drops.
+    if (only.isEmpty) {
+      val stressRoot = "/root/repo/.data/interop"
+      val built = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$stressRoot/iceberg100/_STRESS_COMPLETE"))
+      if (!built && !budgeted(300 + finalReserveSecEarly)) {
+        dropped += "interop:fixture-build"
+        System.err.println(f"[bench] budget: dropping interop stress (fixtures unbuilt, remaining ${remainingSec}%.0f s)")
+      } else try {
+        import graft.sources.{DeltaTable, IcebergTable, StressFixtures}
+        val dTbl = StressFixtures.ensureDeltaStress(spark, stressRoot)
+        val iTbl = StressFixtures.ensureIcebergStress(stressRoot)
+        def med3(f: => Unit): Double = (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        def heapUsed(): Long = {
+          // settle the heap: one gc leaves floats of just-dead scan
+          // garbage that a later gc collects, turning small retained
+          // deltas negative
+          (0 until 3).foreach { _ => System.gc(); Thread.sleep(50) }
+          Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+        }
+        var snapD: DeltaTable.Snapshot = null
+        val tD = med3 { snapD = DeltaTable.snapshot(spark, dTbl) }
+        // retained-heap bound MEASURED, not asserted: hold 20 resolved
+        // snapshots and divide the heap delta — a single snapshot's
+        // footprint (~100s of KB) sits under System.gc() noise
+        val h0 = heapUsed()
+        val held = (0 until 20).map(_ => DeltaTable.snapshot(spark, dTbl))
+        val hD = ((heapUsed() - h0) / held.size).max(0L)
+        val tDmid = med3 { DeltaTable.snapshot(spark, dTbl, 995L) }
+        val t0r = System.nanoTime()
+        val nRead = DeltaTable.read(spark, dTbl).count()
+        val tDread = (System.nanoTime() - t0r) / 1e9
+        var snapI: IcebergTable.Snapshot = null
+        val tI = med3 { snapI = IcebergTable.snapshot(iTbl) }
+        val h1 = heapUsed()
+        val heldI = (0 until 20).map(_ => IcebergTable.snapshot(iTbl))
+        val hI = ((heapUsed() - h1) / heldI.size).max(0L)
+        require(held.forall(_.version == snapD.version) &&
+          heldI.forall(_.snapshotId == snapI.snapshotId))
+        interopChunk =
+          s""","interop":{"delta_commits":${StressFixtures.Commits},"delta_live_files":${snapD.adds.size},"delta_snapshot_sec":${jnum(tD)},"delta_snapshot_v995_sec":${jnum(tDmid)},"delta_read_1000files_sec":${jnum(tDread)},"delta_read_rows":$nRead,"delta_snapshot_heap_bytes":$hD,"iceberg_manifests":${StressFixtures.IcebergManifests},"iceberg_live_files":${snapI.files.size},"iceberg_snapshot_sec":${jnum(tI)},"iceberg_snapshot_heap_bytes":$hI}"""
+        System.err.println(f"[bench] interop stress: delta snapshot ${tD}%.2f s (v995 ${tDmid}%.2f s, heap ${hD / 1024}%d KiB), iceberg snapshot ${tI}%.2f s (heap ${hI / 1024}%d KiB); elapsed ${elapsedSec}%.0f s")
+        flush(Some("in-progress"))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] interop stress failed: ${e.getMessage}")
+      }
+    }
+
+    // ---- main suite passes 2..n — the FIRST work the budget sheds
+    // (r15 VERDICT #3): a degraded artifact keeps its sf10 fresh
+    // primaries (above) and gives up main-suite median depth instead.
+    // Dropped passes land in budget_dropped and `main_passes` states
+    // how many completed, so a min-of-1 main map self-declares.
+    while (mainPassesDone < runs &&
+        (if (!budgeted(mainPassCost * 1.25 + finalReserveSec)) {
+          dropped += s"main:passes-${mainPassesDone + 1}-to-$runs"
+          System.err.println(f"[bench] budget: dropping main passes ${mainPassesDone + 1}-$runs (remaining ${remainingSec}%.0f s, last pass ${mainPassCost}%.0f s)")
+          false
+        } else true)) {
+      mainPassCost = mainPass()
+      System.err.println(f"[bench] main suite pass $mainPassesDone/$runs done (${mainPassCost}%.0f s); elapsed ${elapsedSec}%.0f s")
     }
 
     // sf1 section: pass-major interleaved (r14: was n consecutive

@@ -36,6 +36,8 @@ object BenchOne {
       .config("spark.sql.debug.maxToStringFields", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new org.apache.spark.sql.graft.BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     val fn = SparkEntry.queries(name)
     try spark.read.parquet(s"$dir/documents.parquet").count()
     catch { case _: Exception => () }
@@ -52,19 +54,27 @@ object BenchOne {
     }
     val g0 = gcMs()
     val f0 = FixtureTimer.totalNanos
+    val m0 = metrics.snapshot(spark.sparkContext)
     val t0 = System.nanoTime()
     fn(spark, dir).count()
     val sec = (System.nanoTime() - t0) / 1e9
+    val m1 = metrics.snapshot(spark.sparkContext).minus(m0)
     Caches.clear()
+    def mb(bytes: Long): Double = math.rint(bytes / 1e6 * 10) / 10
     // marker line the parent greps from child stdout; gc_sec rides
     // along so a parent (or a human) can tell a GC-bound run from a
     // plan regression without re-running under -Xlog:gc. fx = fixture
     // seconds inside the TIMED run (the warm run absorbs any build;
     // nonzero here means the fixture path leaked into the number),
-    // local = the shuffle/spill dir actually configured.
+    // local = the shuffle/spill dir actually configured. spilld/
+    // spillm/shufw (MB, timed run only) + xmx: the r15 driver/builder
+    // split was on spill-heavy rows and nothing in the row could name
+    // heap or spill as the axis — now every fresh primary carries both.
     println(s"BENCHONE $name $sec gc=${(gcMs() - g0) / 1e3} warm=$warmSec " +
       s"fx=${(FixtureTimer.totalNanos - f0) / 1e9} " +
-      s"local=${spark.conf.get("spark.local.dir", "spark-default")}")
+      s"local=${spark.conf.get("spark.local.dir", "spark-default")} " +
+      s"spilld=${mb(m1.spillDiskBytes)} spillm=${mb(m1.spillMemBytes)} " +
+      s"shufw=${mb(m1.shuffleWriteBytes)} xmx=${Runtime.getRuntime.maxMemory}")
     spark.stop()
   }
 }
