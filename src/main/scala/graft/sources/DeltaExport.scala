@@ -58,23 +58,74 @@ object DeltaExport {
     b.toString
   }
 
+  /** Where an export lands: local java.nio (tmp-then-ATOMIC_MOVE is
+    * the commit point) or, when `out` carries a URI scheme
+    * (`s3a://…`), the Hadoop FileSystem registered for it — with
+    * [[S3HttpFileSystem]] bound, log and data publish over the wire
+    * via multipart upload, whose CompleteMultipartUpload IS the
+    * atomic commit point (no tmp-then-rename on an object store).
+    */
+  private sealed trait Sink {
+    def requireEmpty(): Unit
+    def copyData(srcAbs: java.nio.file.Path, relName: String): Unit
+    def publishLogAtomic(name: String, bytes: Array[Byte]): Unit
+  }
+
+  private final class LocalSink(outDir: java.nio.file.Path) extends Sink {
+    val log = outDir.resolve("_delta_log")
+    def requireEmpty(): Unit = {
+      Files.createDirectories(outDir)
+      require(Option(outDir.toFile.list()).forall(_.isEmpty),
+        s"export target $outDir is not empty — refusing to write a log " +
+          "beside existing content (foreign-writer commit arbitration is " +
+          "a catalog's job)")
+      Files.createDirectories(log)
+    }
+    def copyData(srcAbs: java.nio.file.Path, relName: String): Unit =
+      Files.copy(srcAbs, outDir.resolve(relName),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    def publishLogAtomic(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = log.resolve(s".$name.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, log.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  private final class HadoopSink(s: SparkSession, out: String) extends Sink {
+    private val conf = s.sparkContext.hadoopConfiguration
+    private val outP = new org.apache.hadoop.fs.Path(out)
+    private val fs = outP.getFileSystem(conf)
+    def requireEmpty(): Unit =
+      require(!fs.exists(outP) || fs.listStatus(outP).isEmpty,
+        s"export target $out is not empty — refusing to write a log " +
+          "beside existing content")
+    def copyData(srcAbs: java.nio.file.Path, relName: String): Unit = {
+      val o = fs.create(new org.apache.hadoop.fs.Path(outP, relName), false)
+      try Files.copy(srcAbs, o) finally o.close()
+    }
+    def publishLogAtomic(name: String, bytes: Array[Byte]): Unit = {
+      // object-store writes are invisible until complete; writing the
+      // final key directly IS tmp-then-move
+      val o = fs.create(
+        new org.apache.hadoop.fs.Path(outP, s"_delta_log/$name"), false)
+      try o.write(bytes) finally o.close()
+    }
+  }
+
   /** Export `version` (latest when -1) of the snapshot table at
     * `table` to `out` as a Delta table; returns the number of data
-    * files published. */
+    * files published. `out` may be local or a `scheme://` URI (j21
+    * publishes to `s3a://` over the S3 REST write path). */
   def export(s: SparkSession, table: String, out: String,
       version: Long = -1L, copy: Boolean = true): Int = {
     val v = if (version >= 0) version else SnapshotTable.latestVersion(table)
     require(v >= 0, s"empty snapshot table $table")
     val files = SnapshotTable.manifest(table, v)
     require(files.nonEmpty, s"version $v of $table lists no files")
-    val outDir = Paths.get(out)
-    Files.createDirectories(outDir)
-    require(Option(outDir.toFile.list()).forall(_.isEmpty),
-      s"export target $out is not empty — refusing to write a log beside " +
-        "existing content (foreign-writer commit arbitration is a " +
-        "catalog's job)")
-    val log = outDir.resolve("_delta_log")
-    Files.createDirectories(log)
+    val sink: Sink =
+      if (out.contains("://")) new HadoopSink(s, out)
+      else new LocalSink(Paths.get(out))
+    sink.requireEmpty()
     // schemaString: Delta's format IS the Spark StructType JSON; the
     // files' parquet footers are the schema of record
     val schemaJson = s.read.parquet(files: _*).schema.json
@@ -102,7 +153,7 @@ object DeltaExport {
       val path =
         if (copy) {
           val n = f"part-$i%05d-${src.getFileName}"
-          Files.copy(src, outDir.resolve(n), StandardCopyOption.COPY_ATTRIBUTES)
+          sink.copyData(src, n)
           n
         } else src.toUri.toString
       s"""{"add":{"path":"${jesc(path)}","partitionValues":{},"size":$size,"modificationTime":${Files.getLastModifiedTime(src).toMillis},"dataChange":true,"stats":"${jesc(statsJson(f))}"}}"""
@@ -112,12 +163,11 @@ object DeltaExport {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(
         s"graft-export:$table:$v".getBytes(StandardCharsets.UTF_8))}","format":{"provider":"parquet","options":{}},"schemaString":"${jesc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":${System.currentTimeMillis()}}}""") ++ adds
-    // tmp-then-ATOMIC_MOVE: the log file IS the commit point — a
-    // reader either sees a complete version 0 or no table at all
-    val tmp = log.resolve(".00000000000000000000.json.tmp")
-    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, log.resolve("00000000000000000000.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // atomic publish: tmp-then-ATOMIC_MOVE locally, direct final-key
+    // multipart write remotely — either way a reader sees a complete
+    // version 0 or no table at all
+    sink.publishLogAtomic("00000000000000000000.json",
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     adds.size
   }
 

@@ -78,7 +78,40 @@ object DeltaTable {
   private val SupportedReaderFeatures =
     Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
-  private def logDir(table: String): Path = Paths.get(table, "_delta_log")
+  private def logDir(table: String): String =
+    s"${table.stripSuffix("/")}/_delta_log"
+
+  /** Scheme-aware log IO (r16): a table path with a URI scheme
+    * (`s3a://…` — e.g. a [[DeltaExport]] published to object storage)
+    * resolves through the Hadoop FileSystem registered for it; local
+    * paths keep java.nio. Log files are manifest-grade metadata, so
+    * driver-side reads here stay O(log), never O(data).
+    */
+  private object Lio {
+    def remote(p: String): Boolean = p.contains("://")
+    private def conf(): org.apache.hadoop.conf.Configuration =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+    private def fs(p: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf())
+    def isDir(p: String): Boolean =
+      if (!remote(p)) Files.isDirectory(Paths.get(p))
+      else try fs(p).getFileStatus(new org.apache.hadoop.fs.Path(p)).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    def exists(p: String): Boolean =
+      if (!remote(p)) Files.exists(Paths.get(p))
+      else fs(p).exists(new org.apache.hadoop.fs.Path(p))
+    def readBytes(p: String): Array[Byte] =
+      if (!remote(p)) Files.readAllBytes(Paths.get(p))
+      else {
+        val in = fs(p).open(new org.apache.hadoop.fs.Path(p))
+        try in.readAllBytes() finally in.close()
+      }
+    def readLines(p: String): Seq[String] =
+      new String(readBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.toVector
+  }
 
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
@@ -92,9 +125,19 @@ object DeltaTable {
   // state to sidecar parquet files under _delta_log/_sidecars/
   private val V2CpRe = """(\d{20})\.checkpoint\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\.parquet""".r
 
-  private def ls(d: Path): Seq[String] = {
-    if (!Files.isDirectory(d)) return Nil
-    val s = Files.list(d)
+  private def ls(d: String): Seq[String] = {
+    if (Lio.remote(d)) {
+      if (!Lio.isDir(d)) return Nil
+      val f = new org.apache.hadoop.fs.Path(d)
+      return f.getFileSystem(SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration()))
+        .listStatus(f).toSeq.map(_.getPath.getName).toVector
+    }
+    val dp = Paths.get(d)
+    if (!Files.isDirectory(dp)) return Nil
+    val s = Files.list(dp)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.map(_.getFileName.toString).toVector
@@ -130,7 +173,7 @@ object DeltaTable {
     * checkpoint base + JSON replay, last action per path wins. */
   def snapshot(s: SparkSession, table: String, version: Long = -1L): Snapshot = {
     val dir = logDir(table)
-    require(Files.isDirectory(dir), s"not a delta table (no _delta_log): $table")
+    require(Lio.isDir(dir), s"not a delta table (no _delta_log): $table")
     val names = ls(dir)
     val commits = names.collect { case n @ CommitRe(v) => v.toLong -> n }.toMap
     val checkpoints = checkpointsOf(names)
@@ -142,12 +185,12 @@ object DeltaTable {
     // _last_checkpoint pointer when present (protocol: readers use it
     // to skip the listing); a pointer to a missing file is table
     // corruption and must fail loudly, not fall back silently
-    val lastCp = dir.resolve("_last_checkpoint")
+    val lastCp = s"$dir/_last_checkpoint"
     val pointed: Option[Long] =
-      if (!Files.exists(lastCp)) None
+      if (!Lio.exists(lastCp)) None
       else {
         val v = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(Files.readAllBytes(lastCp)).get("version").asLong()
+          .readTree(Lio.readBytes(lastCp)).get("version").asLong()
         require(checkpoints.contains(v),
           s"_last_checkpoint points at checkpoint $v which is missing or " +
             s"an incomplete multi-part set at $table")
@@ -168,7 +211,7 @@ object DeltaTable {
     cpV.foreach { v =>
       // all parts of the version read as ONE distributed scan — the
       // replayed state is the union of the parts' action rows
-      val cp = s.read.parquet(checkpoints(v).map(n => dir.resolve(n).toString): _*)
+      val cp = s.read.parquet(checkpoints(v).map(n => s"$dir/$n"): _*)
       val cols = cp.columns.toSet
       def fieldsOf(c: String): Set[String] =
         cp.schema(c).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -268,10 +311,10 @@ object DeltaTable {
         val sidecars = cp.select(col("sidecar.path"))
           .where(col("sidecar").isNotNull).collect().map(_.getString(0))
         if (sidecars.nonEmpty) {
-          val paths = sidecars.map(n => dir.resolve("_sidecars").resolve(n))
-          paths.foreach(p => require(Files.exists(p),
+          val paths = sidecars.map(n => s"$dir/_sidecars/$n")
+          paths.foreach(p => require(Lio.exists(p),
             s"v2 checkpoint sidecar missing at $table: $p"))
-          applyActions(s.read.parquet(paths.map(_.toString): _*))
+          applyActions(s.read.parquet(paths: _*))
         }
       }
     }
@@ -287,7 +330,7 @@ object DeltaTable {
       val name = commits.getOrElse(v, throw new IllegalStateException(
         s"version $v unreadable at $table: commit json aged out and no " +
           s"checkpoint covers it (oldest checkpoint: ${checkpoints.keys.minOption})"))
-      Files.readAllLines(dir.resolve(name)).forEach { line =>
+      Lio.readLines(s"$dir/$name").foreach { line =>
         if (line.nonEmpty) {
           val n = om.readTree(line)
           if (n.has("protocol")) {
@@ -511,7 +554,9 @@ object DeltaTable {
         // percent-escaped character and the anti-join silently
         // removes NOTHING — deleted rows resurrecting is exactly the
         // failure the reader-version gate exists to prevent.
-        val rootUri = new java.io.File(table).toURI.toString
+        val rootUri =
+          if (Lio.remote(table)) table
+          else new java.io.File(table).toURI.toString
         val key = (if (a.path.startsWith("/") || a.path.contains(":/")) a.path
           else rootUri.stripSuffix("/") + "/" + a.path)
           .replaceFirst("^file:/+", "/")

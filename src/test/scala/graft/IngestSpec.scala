@@ -721,9 +721,9 @@ class IngestSpec extends SparkSpec {
         assert(fetched(f.getName).toSeq ==
           java.nio.file.Files.readAllBytes(f.toPath).toSeq, f.getName)
       }
-      // read-only: a write refuses loudly
+      // append is the one write S3 cannot express — refuses loudly
       intercept[UnsupportedOperationException] {
-        fs.delete(p0, false)
+        fs.append(p0, 4096, null)
       }
       // retry EXHAUSTION is loud, not an empty result: with more 503s
       // than the retry limit the client gives up with the throttle
@@ -839,6 +839,110 @@ class IngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not empty"), e.getMessage)
     graft.Caches.clear()
+  }
+
+  test("s3 write path: multipart upload round-trips over the wire, retries a mid-upload 503, keys with spaces") {
+    import graft.sources.S3HttpFileSystem
+    val stub = new S3Stub("sink")
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3a.impl", "graft.sources.S3HttpFileSystem")
+      hc.set("fs.s3a.endpoint", stub.endpoint)
+      hc.set("fs.s3a.retry.base.ms", "10")
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      // core-default ships 64M; pin the part floor so a 12 MiB object
+      // actually exercises the multipart path
+      hc.set("fs.s3a.multipart.size", "8M")
+      val fs = new org.apache.hadoop.fs.Path("s3a://sink/")
+        .getFileSystem(hc)
+      // 12 MiB deterministic payload: crosses the 8 MiB part floor →
+      // CreateMultipartUpload + 2 UploadParts + Complete
+      val payload = Array.tabulate(12 << 20)(i => ((i * 31 + 7) & 0xff).toByte)
+      val mp0 = S3HttpFileSystem.multipartStarted.get()
+      val pp0 = S3HttpFileSystem.partsUploaded.get()
+      val r0 = S3HttpFileSystem.retries.get()
+      val big = new org.apache.hadoop.fs.Path("s3a://sink/data/big.bin")
+      val out = fs.create(big, true)
+      out.write(payload, 0, 9 << 20) // part 1 (8 MiB) uploads here
+      stub.arm503(3) // throttle the REST of the upload mid-flight
+      out.write(payload, 9 << 20, payload.length - (9 << 20))
+      out.close() // part 2 + Complete, through the 503s
+      assert(S3HttpFileSystem.multipartStarted.get() - mp0 == 1)
+      assert(S3HttpFileSystem.partsUploaded.get() - pp0 == 2)
+      assert(S3HttpFileSystem.retries.get() - r0 >= 3, "503s must be retried")
+      assert(stub.completedUploads.get() == 1 && stub.pendingUploads == 0)
+      // byte-identical read-back through the ranged-GET stream
+      val in = fs.open(big)
+      val got = try in.readAllBytes() finally in.close()
+      assert(java.util.Arrays.equals(got, payload))
+      // a key with a space: form-encoding would PUT "with+space" and
+      // read back the wrong key (r15 ADVICE) — percent-encoding must
+      // round-trip through BOTH the write and read paths
+      val spaced = new org.apache.hadoop.fs.Path("s3a://sink/dir/with space.bin")
+      val o2 = fs.create(spaced, true)
+      o2.write("hello spaced".getBytes("UTF-8")); o2.close()
+      assert(stub.keys.contains("dir/with space.bin"), stub.keys)
+      val in2 = fs.open(spaced)
+      assert(new String(try in2.readAllBytes() finally in2.close(), "UTF-8") == "hello spaced")
+      // rename = server-side copy + delete; delete removes the key
+      assert(fs.rename(spaced, new org.apache.hadoop.fs.Path("s3a://sink/dir/renamed.bin")))
+      assert(!stub.keys.contains("dir/with space.bin"))
+      assert(stub.get("dir/renamed.bin").map(new String(_, "UTF-8")).contains("hello spaced"))
+      assert(fs.delete(new org.apache.hadoop.fs.Path("s3a://sink/dir/renamed.bin"), false))
+      assert(!stub.keys.contains("dir/renamed.bin"))
+      // retry exhaustion aborts the multipart upload (no orphan parts)
+      val ab0 = stub.abortedUploads.get()
+      val doomed = fs.create(new org.apache.hadoop.fs.Path("s3a://sink/doomed.bin"), true)
+      doomed.write(Array.fill(9 << 20)(1.toByte)) // part 1 succeeds
+      // 8 armed 503s: the part burns the full retry limit (7) and
+      // dies; the best-effort abort eats the last 503, retries, and
+      // still lands — so no orphan parts linger
+      stub.arm503(8)
+      intercept[java.io.IOException] { doomed.write(Array.fill(9 << 20)(2.toByte)); doomed.close() }
+      stub.arm503(0)
+      assert(stub.abortedUploads.get() - ab0 >= 1, "failed upload must abort")
+    } finally stub.stop()
+  }
+
+  test("j21 over the wire: export publishes to s3a:// via multipart, j10 reads it back") {
+    import graft.sources.{DeltaExport, DeltaTable, SnapshotTable}
+    import spark.implicits._
+    val snap = scratchDir("graft_dexp_wire_snap")
+    SnapshotTable.commit(spark, snap,
+      (0L until 100L).map(i => (i, s"t$i", i * 3)).toDF("k", "t", "n")
+        .repartitionByRange(2, col("k")), statsCols = Seq("k"))
+    SnapshotTable.commit(spark, snap,
+      (100L until 150L).map(i => (i, s"t$i", i * 3)).toDF("k", "t", "n")
+        .repartitionByRange(1, col("k")), statsCols = Seq("k"))
+    val stub = new S3Stub("exp")
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3a.impl", "graft.sources.S3HttpFileSystem")
+      hc.set("fs.s3a.endpoint", stub.endpoint)
+      hc.set("fs.s3a.retry.base.ms", "10")
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      stub.arm503(2) // the publish must ride the backoff contract too
+      assert(DeltaExport.export(spark, snap, "s3a://exp/table") == 3)
+      assert(stub.keys.contains("table/_delta_log/00000000000000000000.json"),
+        stub.keys)
+      // j10's reader resolves the log and scans the parquet OVER THE
+      // WIRE — row-identical to the source snapshot
+      def census(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "t", "n").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(census(DeltaTable.read(spark, "s3a://exp/table")) ==
+        census(SnapshotTable.read(spark, snap)))
+      // exported stats still drive skipping on the remote table
+      val opened = DeltaTable.readPruned(spark, "s3a://exp/table", "k", 0L, 10L)
+        .inputFiles.toSet
+      assert(opened.size <
+        DeltaTable.read(spark, "s3a://exp/table").inputFiles.toSet.size, opened)
+      // a non-empty remote target refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        DeltaExport.export(spark, snap, "s3a://exp/table")
+      }
+      assert(e.getMessage.contains("not empty"), e.getMessage)
+    } finally { stub.stop(); graft.Caches.clear() }
   }
 
   test("j21: delta export — both path modes round-trip, versions pin, stats hand off, non-empty target refuses") {

@@ -19,9 +19,26 @@ final class S3Stub(bucket: String, pageSize: Int = 1000) {
   private val throttleLeft = new AtomicInteger(0)
   val requests = new AtomicInteger(0)
   val listRequests = new AtomicInteger(0)
+  // write-side protocol state: uploadId -> (key, partNumber -> bytes)
+  private val uploads =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]])]()
+  private val uploadSeq = new AtomicInteger(0)
+  val putRequests = new AtomicInteger(0)
+  val completedUploads = new AtomicInteger(0)
+  val abortedUploads = new AtomicInteger(0)
 
   def put(key: String, bytes: Array[Byte]): Unit =
     objects.synchronized { objects.put(key, bytes): Unit }
+
+  def get(key: String): Option[Array[Byte]] =
+    objects.synchronized(Option(objects.get(key)))
+
+  def keys: Seq[String] = objects.synchronized {
+    import scala.jdk.CollectionConverters._
+    objects.keySet().asScala.toVector
+  }
+
+  def pendingUploads: Int = uploads.size()
 
   def arm503(n: Int): Unit = throttleLeft.set(n)
 
@@ -77,6 +94,12 @@ final class S3Stub(bucket: String, pageSize: Int = 1000) {
       return
     }
     val key = path.stripPrefix(s"/$bucket/")
+    x.getRequestMethod match {
+      case "PUT" => putObject(x, key, params); return
+      case "POST" => postUpload(x, key, params); return
+      case "DELETE" => deleteObject(x, key, params); return
+      case _ => ()
+    }
     val bytes = objects.synchronized(objects.get(key))
     if (bytes == null) {
       send(x, 404, "<Error><Code>NoSuchKey</Code></Error>".getBytes)
@@ -98,6 +121,92 @@ final class S3Stub(bucket: String, pageSize: Int = 1000) {
         send(x, 200, bytes,
           Map("Last-Modified" -> "Mon, 01 Jan 2024 00:00:00 GMT"))
     }
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** PutObject, UploadPart (partNumber+uploadId), or CopyObject
+    * (x-amz-copy-source header) — ETag answered like S3 does. */
+  private def putObject(x: HttpExchange, key: String,
+      params: Map[String, String]): Unit = {
+    val copySource = Option(x.getRequestHeaders.getFirst("x-amz-copy-source"))
+    val body = x.getRequestBody.readAllBytes()
+    putRequests.incrementAndGet()
+    (params.get("uploadId"), params.get("partNumber")) match {
+      case (Some(id), Some(pn)) =>
+        val up = uploads.get(id)
+        if (up == null || up._1 != key) {
+          send(x, 404, "<Error><Code>NoSuchUpload</Code></Error>".getBytes)
+        } else {
+          up._2.put(pn.toInt, body)
+          send(x, 200, Array.emptyByteArray,
+            Map("ETag" -> ("\"" + md5hex(body) + "\"")))
+        }
+      case _ =>
+        copySource match {
+          case Some(src) =>
+            val srcKey = URLDecoder.decode(
+              src.stripPrefix(s"/$bucket/").stripPrefix(s"$bucket/"), "UTF-8")
+            val bytes = objects.synchronized(objects.get(srcKey))
+            if (bytes == null)
+              send(x, 404, "<Error><Code>NoSuchKey</Code></Error>".getBytes)
+            else {
+              put(key, bytes)
+              send(x, 200, (s"<CopyObjectResult><ETag>&quot;${md5hex(bytes)}" +
+                "&quot;</ETag></CopyObjectResult>").getBytes(StandardCharsets.UTF_8))
+            }
+          case None =>
+            put(key, body)
+            send(x, 200, Array.emptyByteArray,
+              Map("ETag" -> ("\"" + md5hex(body) + "\"")))
+        }
+    }
+  }
+
+  /** CreateMultipartUpload (?uploads) / CompleteMultipartUpload
+    * (?uploadId=). Complete concatenates stored parts in part-number
+    * order — mirroring S3, the part list XML's order is not trusted. */
+  private def postUpload(x: HttpExchange, key: String,
+      params: Map[String, String]): Unit = {
+    x.getRequestBody.readAllBytes(): Unit // drain
+    if (params.contains("uploads")) {
+      val id = s"up-${uploadSeq.incrementAndGet()}"
+      uploads.put(id,
+        (key, new java.util.concurrent.ConcurrentSkipListMap[Int, Array[Byte]]()))
+      send(x, 200, (s"<InitiateMultipartUploadResult><Bucket>$bucket</Bucket>" +
+        s"<Key>${xmlEsc(key)}</Key><UploadId>$id</UploadId>" +
+        "</InitiateMultipartUploadResult>").getBytes(StandardCharsets.UTF_8))
+    } else params.get("uploadId") match {
+      case Some(id) =>
+        val up = uploads.remove(id)
+        if (up == null || up._1 != key)
+          send(x, 404, "<Error><Code>NoSuchUpload</Code></Error>".getBytes)
+        else {
+          import scala.jdk.CollectionConverters._
+          val whole = new java.io.ByteArrayOutputStream()
+          up._2.values().asScala.foreach(whole.write)
+          put(key, whole.toByteArray)
+          completedUploads.incrementAndGet()
+          send(x, 200, (s"<CompleteMultipartUploadResult><Key>${xmlEsc(key)}" +
+            s"</Key><ETag>&quot;${md5hex(whole.toByteArray)}&quot;</ETag>" +
+            "</CompleteMultipartUploadResult>").getBytes(StandardCharsets.UTF_8))
+        }
+      case None =>
+        send(x, 400, "<Error><Code>InvalidRequest</Code></Error>".getBytes)
+    }
+  }
+
+  /** DeleteObject, or AbortMultipartUpload when ?uploadId= rides. */
+  private def deleteObject(x: HttpExchange, key: String,
+      params: Map[String, String]): Unit = params.get("uploadId") match {
+    case Some(id) =>
+      if (uploads.remove(id) != null) abortedUploads.incrementAndGet()
+      send(x, 204, Array.emptyByteArray)
+    case None =>
+      objects.synchronized { objects.remove(key): Unit }
+      send(x, 204, Array.emptyByteArray)
   }
 
   private def listV2(x: HttpExchange, params: Map[String, String]): Unit = {
