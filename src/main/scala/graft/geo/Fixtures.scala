@@ -70,7 +70,17 @@ object Fixtures {
     */
   private[graft] def ensureAtomic(out: File, expected: => Int)(write: File => Unit): String = {
     val memo = verified.get(out.getPath)
-    if (memo != null) return memo
+    // memo hits re-check the marker EXISTS (File.exists is ~free):
+    // the JVM-lifetime memo never invalidates on its own, so a
+    // fixture dir deleted or torn mid-JVM (test cleanup, operator
+    // action) would otherwise hand later callers a stale 'complete'
+    // path and fail them on a missing directory (r15 ADVICE). A
+    // missing marker drops the memo and falls through to the full
+    // check-and-rebuild.
+    if (memo != null) {
+      if (new File(out, CompleteMarker).exists()) return memo
+      verified.remove(out.getPath)
+    }
     graft.FixtureTimer.timed {
       val marker = new File(out, CompleteMarker)
       val complete = marker.exists() &&

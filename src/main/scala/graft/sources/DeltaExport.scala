@@ -192,7 +192,7 @@ object DeltaExport {
     * metadata-only mode. Returns the last exported version.
     */
   def exportLog(s: SparkSession, table: String, out: String,
-      copy: Boolean = true): Long = {
+      copy: Boolean = true, checkpointEvery: Int = 10): Long = {
     val latest = SnapshotTable.latestVersion(table)
     require(latest >= 0, s"empty snapshot table $table")
     val outDir = Paths.get(out)
@@ -276,6 +276,53 @@ object DeltaExport {
       try Files.createLink(log.resolve(f"$v%020d.json"), tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp)
+
+      // CHECKPOINT every `checkpointEvery` commits (r15 VERDICT
+      // "what's missing" #2): without one, a foreign reader of a
+      // 1,000-version exported log replays 1,000 JSONs — the exact
+      // cost the bench's interop gauge prices — and the exporter's
+      // own metadata cleanup story has no floor to age commits out
+      // to. The checkpoint is the full replayed state at v (delta.io
+      // PROTOCOL.md "Checkpoints"): protocol + metaData + one add per
+      // live file, stats included so downstream skipping (j17)
+      // survives the log aging out. Published with the same
+      // tmp-then-exclusive-link discipline as commits — a replayed
+      // tail can never tear it — and `_last_checkpoint` updates via
+      // atomic replace AFTER the checkpoint lands (a reader follows
+      // the pointer only to a checkpoint that exists).
+      if (checkpointEvery > 0 && v % checkpointEvery == checkpointEvery - 1) {
+        import s.implicits._
+        val live = SnapshotTable.manifest(table, v)
+        val rows: Seq[CpRow] =
+          CpRow(Some(CpProtocol(1, 2)), None, None, None) +:
+          CpRow(None, Some(CpMeta(
+            java.util.UUID.nameUUIDFromBytes(
+              s"graft-export-log:$table".getBytes(StandardCharsets.UTF_8)).toString,
+            s.read.parquet(live: _*).schema.json, Nil)), None, None) +:
+          live.sorted.map { f =>
+            val src = Paths.get(f)
+            CpRow(None, None, Some(CpAdd(pubPath(f), Map.empty,
+              Files.size(src), Files.getLastModifiedTime(src).toMillis,
+              dataChange = false, stats = Some(statsJson(f)))), None)
+          }
+        val cpName = f"$v%020d.checkpoint.parquet"
+        if (!Files.exists(log.resolve(cpName))) {
+          val scratch = log.resolve(f".w_cp_$v%020d-${java.util.UUID.randomUUID()}")
+          rows.toDS().coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+          val part = Option(scratch.toFile.listFiles()).toSeq.flatten
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"checkpoint write produced no parquet under $scratch"))
+          try Files.createLink(log.resolve(cpName), part.toPath)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          graft.geo.Fixtures.deleteRecursively(scratch.toFile)
+        }
+        val ptrTmp = log.resolve(f"._last_checkpoint.${java.util.UUID.randomUUID()}.tmp")
+        Files.write(ptrTmp,
+          s"""{"version":$v,"size":${rows.size}}""".getBytes(StandardCharsets.UTF_8))
+        Files.move(ptrTmp, log.resolve("_last_checkpoint"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     latest
   }

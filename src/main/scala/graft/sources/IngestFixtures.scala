@@ -1318,7 +1318,8 @@ case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
   readerFeatures: Option[Seq[String]] = None)
 case class CpMeta(id: String, schemaString: String, partitionColumns: Seq[String])
 case class CpAdd(path: String, partitionValues: Map[String, String],
-  size: Long, modificationTime: Long, dataChange: Boolean)
+  size: Long, modificationTime: Long, dataChange: Boolean,
+  stats: Option[String] = None)
 case class CpRemove(path: String, deletionTimestamp: Long)
 case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
   add: Option[CpAdd], remove: Option[CpRemove])

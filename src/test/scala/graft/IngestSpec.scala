@@ -800,6 +800,115 @@ class IngestSpec extends SparkSpec {
     graft.Caches.clear()
   }
 
+  test("j23: checkpoints — exported log resolves from the checkpoint after commits age out, stats survive, tailing stays idempotent") {
+    import graft.sources.{DeltaExport, DeltaTable, SnapshotTable}
+    import spark.implicits._
+    val snap = scratchDir("graft_dcp_snap")
+    // 5 versions; range-split files + k sidecar stats so skipping is
+    // provable through the checkpoint
+    (0 until 5).foreach { i =>
+      SnapshotTable.commit(spark, snap,
+        (i * 100L until (i + 1) * 100L).map(j => (j, j * 3)).toDF("k", "n")
+          .repartitionByRange(2, col("k")), statsCols = Seq("k"))
+    }
+    val out = scratchDir("graft_dcp_out")
+    new java.io.File(out).delete()
+    assert(DeltaExport.exportLog(spark, snap, out, checkpointEvery = 2) == 4L)
+    val logDir = new java.io.File(out, "_delta_log")
+    val names = logDir.listFiles().map(_.getName).toSet
+    assert(names.contains("00000000000000000001.checkpoint.parquet"), names)
+    assert(names.contains("00000000000000000003.checkpoint.parquet"), names)
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(logDir, "_last_checkpoint").toPath), "UTF-8")
+    assert(ptr.contains("\"version\":3"), ptr)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // METADATA CLEANUP: age out every commit the checkpoint covers —
+    // resolution now has nothing but the v3 checkpoint + v4 tail, so
+    // a matching census PROVES the reader resolved from the
+    // checkpoint (the files-opened assertion in its strictest form:
+    // the aged-out JSONs cannot be opened, they are gone)
+    (0 to 3).foreach { v =>
+      java.nio.file.Files.delete(
+        new java.io.File(logDir, f"$v%020d.json").toPath)
+    }
+    assert(census(DeltaTable.read(spark, out)) ==
+      census(SnapshotTable.read(spark, snap)))
+    // time travel ONTO the checkpoint version needs zero JSONs
+    assert(census(DeltaTable.read(spark, out, version = 3L)) ==
+      census(SnapshotTable.readVersion(spark, snap, 3L)))
+    // the checkpoint's add.stats still drive j17 skipping
+    val opened = DeltaTable.readPruned(spark, out, "k", 0L, 40L).inputFiles.toSet
+    assert(opened.size < DeltaTable.read(spark, out).inputFiles.toSet.size, opened)
+    // tailing past the cleanup stays idempotent: the source advances,
+    // exactly one commit (and the v5 checkpoint) append, census holds
+    SnapshotTable.commit(spark, snap,
+      (500L until 550L).map(j => (j, j * 3)).toDF("k", "n")
+        .repartitionByRange(1, col("k")), statsCols = Seq("k"))
+    assert(DeltaExport.exportLog(spark, snap, out, checkpointEvery = 2) == 5L)
+    assert(census(DeltaTable.read(spark, out)) ==
+      census(SnapshotTable.read(spark, snap)))
+    val after = logDir.listFiles().map(f => f.getName -> f.length()).toMap
+    assert(after.contains("00000000000000000005.checkpoint.parquet"), after.keys)
+    assert(DeltaExport.exportLog(spark, snap, out, checkpointEvery = 2) == 5L)
+    assert(logDir.listFiles().map(f => f.getName -> f.length()).toMap == after,
+      "a replay must not change a byte")
+    graft.Caches.clear()
+  }
+
+  test("j22: iceberg log export — tailing appends snapshots, history time-travels by id, replays are no-ops") {
+    import graft.sources.{IcebergExport, IcebergTable, SnapshotTable}
+    import spark.implicits._
+    val snap = scratchDir("graft_ilog_snap")
+    SnapshotTable.commit(spark, snap,
+      (0L until 100L).map(i => (i, i * 3)).toDF("k", "n")
+        .repartitionByRange(2, col("k")), statsCols = Seq("k"))
+    SnapshotTable.commit(spark, snap,
+      (100L until 150L).map(i => (i, i * 3)).toDF("k", "n")
+        .repartitionByRange(1, col("k")), statsCols = Seq("k"))
+    val out = scratchDir("graft_ilog_out")
+    new java.io.File(out).delete()
+    assert(IcebergExport.exportLog(spark, snap, out) == 1L)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(census(IcebergTable.read(spark, out)) ==
+      census(SnapshotTable.read(spark, snap)))
+    // source version v published as snapshot id v+1 — time travel
+    (0L to 1L).foreach { v =>
+      assert(census(IcebergTable.read(spark, out, snapshotId = v + 1)) ==
+        census(SnapshotTable.readVersion(spark, snap, v)), s"v$v")
+    }
+    // a replay exports nothing new and changes no bytes
+    val metaDir = new java.io.File(out, "metadata")
+    val before = metaDir.listFiles().map(f => f.getName -> f.length()).toMap
+    assert(IcebergExport.exportLog(spark, snap, out) == 1L)
+    assert(metaDir.listFiles().map(f => f.getName -> f.length()).toMap == before)
+    // the source advances with a REPLACE; the tail appends exactly
+    // one snapshot, history stays readable, bounds still prune
+    SnapshotTable.commit(spark, snap,
+      SnapshotTable.read(spark, snap).filter(col("k") < 50)
+        .repartitionByRange(2, col("k")), replace = true, statsCols = Seq("k"))
+    assert(IcebergExport.exportLog(spark, snap, out) == 2L)
+    assert(census(IcebergTable.read(spark, out)) ==
+      census(SnapshotTable.read(spark, snap)))
+    assert(census(IcebergTable.read(spark, out, snapshotId = 2L)) ==
+      census(SnapshotTable.readVersion(spark, snap, 1L)))
+    val isnap = IcebergTable.snapshot(out)
+    assert(isnap.snapshotId == 3L)
+    val kept = IcebergTable.prunedFiles(isnap, "k", 0L, 10L)
+    assert(kept.size < isnap.files.size, kept)
+    // a target tailing a DIFFERENT source refuses
+    val snap2 = scratchDir("graft_ilog_snap2")
+    SnapshotTable.commit(spark, snap2, Seq((1L, 1L)).toDF("k", "n"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.exportLog(spark, snap2, out)
+    }
+    assert(e.getMessage.contains("different source"), e.getMessage)
+    graft.Caches.clear()
+  }
+
   test("j22: iceberg export — both path modes round-trip, versions pin, bounds hand off, non-empty target refuses") {
     import graft.sources.{IcebergExport, IcebergTable, SnapshotTable}
     import spark.implicits._
