@@ -886,19 +886,43 @@ object Bench {
       }
     }
 
-    // ---- main suite passes 2..n — the FIRST work the budget sheds
+    // ---- main suite runs 2..n — the FIRST work the budget sheds
     // (r15 VERDICT #3): a degraded artifact keeps its sf10 fresh
-    // primaries (above) and gives up main-suite median depth instead.
-    // Dropped passes land in budget_dropped and `main_passes` states
-    // how many completed, so a min-of-1 main map self-declares.
-    while (mainPassesDone < runs &&
-        (if (!budgeted(mainPassCost * 1.25 + finalReserveSec)) {
-          dropped += s"main:passes-${mainPassesDone + 1}-to-$runs"
-          System.err.println(f"[bench] budget: dropping main passes ${mainPassesDone + 1}-$runs (remaining ${remainingSec}%.0f s, last pass ${mainPassCost}%.0f s)")
-          false
-        } else true)) {
-      mainPassCost = mainPass()
-      System.err.println(f"[bench] main suite pass $mainPassesDone/$runs done (${mainPassCost}%.0f s); elapsed ${elapsedSec}%.0f s")
+    // primaries (above) and gives up main-suite depth instead. The
+    // extra runs execute CONSECUTIVELY PER QUERY (not as more full
+    // passes): a query's later runs then share a warm page-cache/JIT
+    // neighborhood exactly like the run-major protocol of rounds
+    // ≤ r15, so `queries_min` stays comparable across rounds — the
+    // all-cold pass-major variant inflated even the min column ~40%
+    // on unchanged plans. `queries` medians still carry one cold
+    // run (the pass-1 point) out of n. The budget gate re-checks
+    // before EVERY query (per-query cost estimated from pass 1);
+    // shedding names the boundary query in budget_dropped.
+    if (runs > 1) {
+      val perQueryEst = mainPassCost / math.max(1, mainWanted.size)
+      var degradedFrom: Option[String] = None
+      mainWanted.foreach { case (name, fn) =>
+        if (degradedFrom.isEmpty &&
+            !budgeted(perQueryEst * (runs - 1) * 1.5 + finalReserveSec)) {
+          degradedFrom = Some(name)
+          dropped += s"main:runs-2-to-$runs-from-$name"
+          System.err.println(f"[bench] budget: dropping main runs 2-$runs from $name on (remaining ${remainingSec}%.0f s)")
+        }
+        if (degradedFrom.isEmpty) {
+          val ds = time(name, fn, sfDir, runs - 1)
+          results(name) = results.getOrElse(name, Vector.empty) ++ ds.map(_.sec)
+          ds.foreach { d =>
+            gcByQuery(name) = gcByQuery.getOrElse(name, 0.0) + d.gcSec
+            fxByQuery(name) = fxByQuery.getOrElse(name, 0.0) + d.fxSec
+            spillDByQuery(name) = spillDByQuery.getOrElse(name, 0.0) + d.spillDiskMb
+            spillMByQuery(name) = spillMByQuery.getOrElse(name, 0.0) + d.spillMemMb
+            shufWByQuery(name) = shufWByQuery.getOrElse(name, 0.0) + d.shufWriteMb
+          }
+        }
+      }
+      if (degradedFrom.isEmpty) mainPassesDone = runs
+      flush(Some("in-progress"))
+      System.err.println(f"[bench] main suite runs 2-$runs done (degraded: ${degradedFrom.getOrElse("no")}); elapsed ${elapsedSec}%.0f s")
     }
 
     // sf1 section: pass-major interleaved (r14: was n consecutive

@@ -214,9 +214,12 @@ class S3HttpFileSystem extends FileSystem {
       continue = next.isDefined
     }
     if (n == 0 && key.nonEmpty) {
-      // empty prefix: a bare object (listStatus(file) = itself) or
-      // nothing at all
-      return Array(getFileStatus(f))
+      // empty prefix: a bare object (listStatus(file) = itself), an
+      // EMPTY directory (mkdirs marker only — must list as empty, or
+      // a recursive delete/rename would recurse into itself forever),
+      // or nothing at all
+      val st = getFileStatus(f)
+      return if (st.isDirectory) Array.empty else Array(st)
     }
     out.result()
   }

@@ -1013,6 +1013,31 @@ class IngestSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("s3 write path: Spark's own parquet writer commits through the committer contract over s3a://") {
+    // the FileOutputCommitter drives create/mkdirs/rename/delete in
+    // exactly the sequence a generic engine sink would — a successful
+    // df.write.parquet round-trip proves the write path composes with
+    // Hadoop's committer, not just our own sinks
+    val stub = new S3Stub("wout")
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3a.impl", "graft.sources.S3HttpFileSystem")
+      hc.set("fs.s3a.endpoint", stub.endpoint)
+      hc.set("fs.s3a.retry.base.ms", "10")
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      import spark.implicits._
+      val df = (0L until 1000L).map(i => (i, s"row$i")).toDF("k", "v")
+      df.repartition(2).write.mode("overwrite").parquet("s3a://wout/tbl")
+      // the staging _temporary tree must be gone, the data keys live
+      assert(!stub.keys.exists(_.contains("_temporary")), stub.keys)
+      assert(stub.keys.count(k => k.startsWith("tbl/part-") && k.endsWith(".parquet")) == 2,
+        stub.keys)
+      val back = spark.read.parquet("s3a://wout/tbl")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(back == (0L until 1000L).map(i => (i, s"row$i")))
+    } finally stub.stop()
+  }
+
   test("j21 over the wire: export publishes to s3a:// via multipart, j10 reads it back") {
     import graft.sources.{DeltaExport, DeltaTable, SnapshotTable}
     import spark.implicits._
