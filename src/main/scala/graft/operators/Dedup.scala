@@ -37,6 +37,32 @@ object Dedup {
     else df.repartition(target)
   }
 
+  /** Hash-partition a (doc_id, text) frame by doc_id BEFORE the
+    * CPU-bound featurize stage (r16 optimization). The LSH pipeline's
+    * corpus cache feeds SIX doc_id-keyed joins (the rep-collapse
+    * anti-join and verify's two sketch + two gram-array sides); at
+    * proxy scale the planner's size estimates push every one to a
+    * SortMergeJoin, and each then EXCHANGES the multi-KB gram arrays
+    * before AQE's runtime broadcast conversion can fire — a query
+    * stage materializes before the join above it is re-planned, so
+    * the fat shuffle write is paid even though the join ends up a
+    * BroadcastHashJoin (measured on d4 sf10: 4.6 GB shuffle write +
+    * 9.5 GB sort spill). Moving the SKINNY pre-featurize rows once
+    * (the same bytes `spread`'s round-robin shuffle already paid) and
+    * recording hash(doc_id) partitioning in the cache satisfies every
+    * doc_id join's distribution requirement outright: no fat-side
+    * exchange exists to materialize, and the runtime BHJ conversion
+    * (tiny candidate/dup-list sides) erases the planned fat-side
+    * sorts. Deliberately NO sortWithinPartitions: ordering would only
+    * serve an SMJ that never survives AQE, and sorting the corpus
+    * text measured 4.1 GB of pure spill. At 100 TB the same holds:
+    * one corpus-wide text shuffle buys zero fat exchanges in the
+    * whole pair pipeline — the §8 "move heavy bytes exactly once"
+    * shape.
+    */
+  private def docLayout(df: DataFrame): DataFrame =
+    df.repartition(col("doc_id"))
+
   /** Exact dedup: md5 of the canonical (lowercased,
     * whitespace-normalized) text; one row per content group with the
     * minimal doc_id as canonical survivor. Single shuffle, map-side
@@ -274,8 +300,36 @@ object Dedup {
         .select(col("doc_id"), col("sz"),
           explode(bandKeys(col("sig"), bands, rows)).as("bkey"))
     // both self-join sides read the SAME banded rows: cache them so
-    // the featurize→band kernel runs once, not once per side.
-    val banded = graft.Caches.track(bandedBase)
+    // the featurize→band kernel runs once, not once per side. The
+    // cache is hash-partitioned AND sorted by the band key (r16
+    // optimization): the self-join below then satisfies its
+    // distribution + ordering requirements straight off the cache —
+    // no exchange, no per-side sort. As a plain cache the SMJ sorted
+    // the banded rows TWICE (once per side — Spark reuses exchanges,
+    // never sorts): at the 100x proxy that was 640M skinny rows, 15 GB
+    // through the external sorter per side. Laid out, the frame is
+    // shuffled and sorted exactly once, at build. Interleaved min-of-3
+    // A/B at sf10: d4 33.2 -> 21.9 s, d8 14.8 -> 13.8 s, spill
+    // 4.6 -> 2.6 GB, shuffle write 3.6 -> 2.7 GB.
+    val banded = graft.Caches.track(
+      bandedBase.repartition(col("bkey")).sortWithinPartitions("bkey"))
+    // materialize BOTH fat caches before any consumer is planned (r16
+    // optimization, paired with the two layouts): an unexecuted cached
+    // AdaptiveSparkPlan reports UnknownPartitioning, so a consumer
+    // planned against a COLD cache cannot see either layout and
+    // re-exchanges (and re-sorts) the fat side anyway (verified:
+    // tools.CachePartProbe — a laid-out cache satisfies joins only
+    // after materialization). The counts run exactly the featurize and
+    // banding stages the query pays anyway, merely earlier; the trade
+    // is that CONSTRUCTING a d2/d4-family frame now runs those stages
+    // (the r5 "static plan" property moves from construct-time to the
+    // two cache builds — Bench/Verify time construction inside the
+    // measured region, so nothing leaves the timed window).
+    // hashedAll MUST materialize first: banded's own build contains
+    // the rep-collapse anti-join, which plans fat-side-exchange-free
+    // only against a final corpus cache.
+    hashedAll.count()
+    banded.count()
     // size-compat prune in INTEGERS: J ≥ tn/td ⇒ min·td ≥ max·tn —
     // exact (a `lit(threshold) * greatest` double product can land a
     // fraction of an ulp either side of the true rational at some
@@ -348,7 +402,7 @@ object Dedup {
     * index below.
     */
   private def shingleHashed(s: SparkSession, dir: String, pred: Column): DataFrame =
-    spread(Tables.documents(s, dir).filter(pred).select(col("doc_id"), col("text")))
+    docLayout(Tables.documents(s, dir).filter(pred).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         ArrayExprs.word_shingle_hashes(normalize(col("text")), 3).as("fh"))
 
@@ -452,7 +506,7 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.7,
       oph: Boolean = true): DataFrame =
     lshVerifiedPairs(
-      spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      docLayout(Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           ArrayExprs.char_gram_hashes(normalize(col("text")), 4).as("fh")),
       bands = 128, rows = 8, threshold, oph)

@@ -204,10 +204,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("constructing and explaining a d2/d4 frame runs no Spark job") {
-    // the r5 dup-detection probe was an eager job at DataFrame
-    // construction; the r6 static-plan collapse must not execute
-    // anything until an action runs
+  test("d2/d4 frame construction runs only the two cache builds; explain adds none") {
+    // The r5 dup-detection probe ran a DATA-DEPENDENT job at frame
+    // construction (its result branched the plan); the r6 collapse
+    // made construction job-free. r16 deliberately re-introduces two
+    // eager, DATA-INDEPENDENT jobs: the corpus and banded caches
+    // materialize at construction so that every downstream join can
+    // see their doc_id/bkey layouts (an unexecuted cached
+    // AdaptiveSparkPlan reports UnknownPartitioning and consumers
+    // would re-exchange the fat side). The plan itself stays static —
+    // no branch reads those jobs' results — and EXPLAINING the built
+    // frame still runs nothing further.
     val dir = plantedDir // materialize the fixture before listening
     Tables.documents(spark, dir) // warm the one-time schema-footer read
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -221,14 +228,22 @@ class DedupSpec extends SparkSpec {
     try {
       val d2 = Dedup.minhashLsh(spark, dir, threshold = 0.5)
       val d4 = Dedup.ngramJaccard(spark, dir, threshold = 0.7)
+      Thread.sleep(1000) // listener bus is async
+      val constructJobs = jobs.size
+      jobs.clear()
       d2.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       d4.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
-      Thread.sleep(1000) // listener bus is async
+      Thread.sleep(1000)
       assert(jobs.isEmpty,
-        s"frame construction/explain ran ${jobs.size} jobs: " +
-          jobs.toArray.mkString("; "))
+        s"explain ran ${jobs.size} jobs: " + jobs.toArray.mkString("; "))
+      // two caches per frame (corpus + banded), two frames; cache
+      // materialization may split into more than one job under AQE,
+      // so bound loosely but positively: the eager builds DID run at
+      // construction, and nothing beyond them did
+      assert(constructJobs >= 4 && constructJobs <= 24,
+        s"construction ran $constructJobs jobs (expected the 2x2 cache builds)")
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
