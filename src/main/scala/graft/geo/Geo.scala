@@ -127,18 +127,18 @@ object Geo {
     * → 12.96M rows, so the real deployment repartitions by tile
     * before expanding. No shuffle is needed for the expansion itself.
     */
-  def gridExpand(tilesDf: DataFrame, n: Int = 8): DataFrame = {
+  def gridExpand(tilesDf: DataFrame, n: Int = 8, keep: Seq[String] = Nil): DataFrame = {
     val step = 1.0 / 8
     tilesDf
-      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
-        explode(sequence(lit(0), lit(n - 1))).as("y"))
+      .select(col("tile_id") +: col("tile_key") +: col("lat0") +: col("lon0") +:
+        keep.map(col) :+ explode(sequence(lit(0), lit(n - 1))).as("y"): _*)
       .select(col("*"), explode(sequence(lit(0), lit(n - 1))).as("x"))
       .select(
-        col("tile_id"), col("tile_key"),
-        (col("lon0") + col("x") * lit(step)).as("lon"),
-        (col("lat0") - col("y") * lit(step)).as("lat"),
+        col("tile_id") +: col("tile_key") +:
+        (col("lon0") + col("x") * lit(step)).as("lon") +:
+        (col("lat0") - col("y") * lit(step)).as("lat") +:
         pmod(col("tile_id") * lit(131) + col("x") * lit(17) + col("y") * lit(29), lit(8848))
-          .cast("int").as("elevation"))
+          .cast("int").as("elevation") +: keep.map(col): _*)
   }
 
   /** Morton (Z-order) interleave of two 9-bit non-negative integers:

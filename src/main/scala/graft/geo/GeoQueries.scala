@@ -925,22 +925,35 @@ object GeoQueries {
       .orderBy(col("lat0"), col("lon0"), col("y"), col("x"))
   }
 
-  def regionElevation(s: SparkSession, dir: String): DataFrame = {
-    val g = gridExpand(tiles(s, dir))
-      .withColumn("lat0", tileLat(col("tile_id")))
-      .withColumn("lon0", tileLon(col("tile_id")))
-    g.select(col("elevation"),
-        explode(filter(array(
+  /** Region membership exploded at TILE granularity — the r16 hoist
+    * shared by g6/g23: the region predicates read only (lat0, lon0),
+    * so evaluating them per PIXEL paid four whens + an interpreted
+    * `ArrayFilter` HOF (HigherOrderFunctions are CodegenFallback) on
+    * every generated row. Evaluated once per tile (≤ 4 skinny rows,
+    * avg fan-out ~1.08 — world always, Europe's box ~7% of the
+    * globe), the 64-pixel generator fans out AFTER and its per-row
+    * work shrinks to the elevation formula + the aggregate. Explode
+    * over the when-array + a codegen'd null filter replaces the HOF
+    * entirely. Row-identical: each (tile ∈ set) still contributes its
+    * 64 elevations to the same (set, elevation) multiset.
+    */
+  private def tileRegionMembership(s: SparkSession, dir: String): DataFrame =
+    tiles(s, dir)
+      .select(col("tile_id"), col("tile_key"), col("lat0"), col("lon0"),
+        explode(array(
           when(inNetherlands(col("lat0"), col("lon0")), "netherlands"),
           when(inFrance(col("lat0"), col("lon0")), "france"),
           when(inEurope(col("lat0"), col("lon0")), "europe"),
-          lit("world")), x => x.isNotNull)).as("set_name"))
+          lit("world"))).as("set_name"))
+      .filter(col("set_name").isNotNull)
+
+  def regionElevation(s: SparkSession, dir: String): DataFrame =
+    gridExpand(tileRegionMembership(s, dir), keep = Seq("set_name"))
       .groupBy(col("set_name"))
       .agg(count(lit(1)).as("n_pixels"),
         e6(avg(col("elevation"))).as("avg_elev_e6"),
         max(col("elevation")).as("max_elev"))
       .orderBy(col("set_name"))
-  }
 
   /** g23: per-region HYPSOMETRY — the elevation-distribution table
     * behind hypsometric curves/integrals (the geomorphology summary
@@ -953,22 +966,14 @@ object GeoQueries {
     * agg on ≤ 4·10 keys) — corpus-linear, no shuffle wider than the
     * tiny key space.
     */
-  def hypsometry(s: SparkSession, dir: String): DataFrame = {
-    val g = gridExpand(tiles(s, dir))
-      .withColumn("lat0", tileLat(col("tile_id")))
-      .withColumn("lon0", tileLon(col("tile_id")))
-    g.select(col("elevation"),
-        explode(filter(array(
-          when(inNetherlands(col("lat0"), col("lon0")), "netherlands"),
-          when(inFrance(col("lat0"), col("lon0")), "france"),
-          when(inEurope(col("lat0"), col("lon0")), "europe"),
-          lit("world")), x => x.isNotNull)).as("set_name"))
+  def hypsometry(s: SparkSession, dir: String): DataFrame =
+    // rides the g6 tile-level membership hoist (tileRegionMembership)
+    gridExpand(tileRegionMembership(s, dir), keep = Seq("set_name"))
       .withColumn("decile", expr("elevation * 10 div 8848").cast("int"))
       .groupBy(col("set_name"), col("decile"))
       .agg(count(lit(1)).as("n_pixels"),
         sum(col("elevation")).cast("long").as("elev_sum"))
       .orderBy(col("set_name"), col("decile"))
-  }
 
   /** g16: Z-order layout audit — the clustering-key analysis a
     * 100 TB deployment runs before choosing its file layout (Delta
